@@ -1,0 +1,149 @@
+"""Dataset catalog: named tables → DataFrames.
+
+The reference's "catalog" is implicit — table names hard-coded inside
+3,460 lines of SQL, resolved by the MySQL server (SURVEY.md §1). Here
+the catalog is explicit and storage-agnostic: a directory of Parquet
+files (tests, the driver's sf* data), or JDBC for a live warehouse.
+
+Scale notes: tables are plain ``spark.read.parquet`` scans, so Catalyst
+gets predicate pushdown + column pruning for free; ``Catalog.view``
+registers temp views so the same data serves both the DataFrame API and
+``spark.sql``. At 100 TB the facts would be written partitioned (by
+date) and bucketed (by join key) — see ``write_bucketed``.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+#: the driver's synthetic star schema (TESTDATA.md)
+TESTDATA_TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+class Catalog:
+    """Resolve table names to DataFrames from a base directory of parquet.
+
+    >>> cat = Catalog(spark, "/root/testdata/sf0.01")
+    >>> lineitem = cat.load("lineitem")
+    """
+
+    def __init__(self, spark: SparkSession, base_dir: str = DEFAULT_SF_DIR):
+        self.spark = spark
+        self.base_dir = base_dir
+        self._cache: dict[str, DataFrame] = {}
+
+    def path(self, name: str) -> str:
+        return os.path.join(self.base_dir, f"{name}.parquet")
+
+    def load(self, name: str) -> DataFrame:
+        """Lazy, memoized parquet scan (no data read until an action).
+
+        The driver's ``events`` table carries TIMESTAMP(NANOS) parquet,
+        which Spark has no native type for — it's read as nanos-longs
+        (legacy conf) and normalized to TimestampType (µs) here, once,
+        at the catalog boundary.
+        """
+        if name not in self._cache:
+            self.spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+            df = self.spark.read.parquet(self.path(name))
+            for field in df.schema:
+                meta_ok = name == "events" and field.name == "ts"
+                if meta_ok and field.dataType.simpleString() == "bigint":
+                    df = df.withColumn(
+                        "ts",
+                        F.timestamp_micros((F.col("ts") / 1000).cast("long")),
+                    )
+            self._cache[name] = df
+        return self._cache[name]
+
+    def register_views(self, names: tuple[str, ...] = TESTDATA_TABLES) -> None:
+        """Expose every table as a temp view for ``spark.sql`` queries."""
+        for name in names:
+            try:
+                self.load(name).createOrReplaceTempView(name)
+            except Exception:
+                # tolerate partial datasets (e.g. fixtures without
+                # documents/embeddings)
+                continue
+
+    def tables(self) -> list[str]:
+        """Names of parquet tables present in base_dir (S3 introspection:
+        the reference's only schema view is SHOW TABLES/DESCRIBE,
+        export_debug.py:24-36)."""
+        return sorted(
+            f[: -len(".parquet")]
+            for f in os.listdir(self.base_dir)
+            if f.endswith(".parquet")
+        )
+
+    def describe(self, name: str) -> list[tuple[str, str]]:
+        """(column, type) pairs — parity with ``DESCRIBE`` in
+        export_debug.py:33."""
+        return [(f.name, f.dataType.simpleString()) for f in self.load(name).schema]
+
+
+def read_jdbc(
+    spark: SparkSession,
+    url: str,
+    table: str,
+    properties: dict[str, str],
+    partition_column: str | None = None,
+    num_partitions: int = 32,
+    lower_bound: int | None = None,
+    upper_bound: int | None = None,
+) -> DataFrame:
+    """Live-warehouse scan (reference connects with mysql.connector,
+    export.py:232-238). ``partition_column`` bounds give Spark a
+    parallel, pushdown-capable read instead of one serial cursor."""
+    reader = (
+        spark.read.format("jdbc")
+        .option("url", url)
+        .option("dbtable", table)
+        .options(**properties)
+    )
+    if partition_column is not None:
+        reader = (
+            reader.option("partitionColumn", partition_column)
+            .option("numPartitions", str(num_partitions))
+            .option("lowerBound", str(lower_bound or 0))
+            .option("upperBound", str(upper_bound or 1_000_000_000))
+        )
+    return reader.load()
+
+
+def write_bucketed(
+    df: DataFrame,
+    table_name: str,
+    bucket_col: str,
+    num_buckets: int = 64,
+    sort_col: str | None = None,
+) -> None:
+    """Persist a fact table bucketed by its join/window key.
+
+    This is the 100 TB answer to the reference workload's shape: 68 of
+    its windows and most joins key on ``client_id`` (SURVEY.md §2e), so
+    bucketing by that key makes every downstream window and join
+    shuffle-free (Exchange elided by bucket metadata).
+    """
+    writer = df.write.mode("overwrite").format("parquet")
+    if sort_col:
+        writer = writer.bucketBy(num_buckets, bucket_col).sortBy(sort_col)
+    else:
+        writer = writer.bucketBy(num_buckets, bucket_col)
+    writer.saveAsTable(table_name)

@@ -1,0 +1,305 @@
+"""Document deduplication operators (extended large-scale surface).
+
+Four tiers, each a pure DataFrame pipeline designed around one shuffle
+per logical step so it scales to a 100 TB documents table:
+
+- **exact**: fingerprint = md5/xxhash64 of normalized text; one
+  hash-groupBy. (Map-side partial agg → single shuffle on a 16-byte
+  key, not the document body.)
+- **MinHash + LSH**: shingle → k min-hashes → band → bucket-join.
+  Candidate generation never compares documents pairwise; only
+  same-bucket pairs are verified with exact Jaccard.
+- **SimHash**: 64-bit bit-majority signature; near-dups = small
+  Hamming distance within LSH-style prefix buckets.
+- **n-gram Jaccard**: exact similarity for candidate verification or
+  small corpora (explode + equi-join on shingle, two shuffles).
+
+MD5 (not xxhash) is used wherever an external SQL oracle must
+reproduce values — md5 hex is identical across engines; min() over hex
+strings is a valid uniform min-hash.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from data_export_tool_spark.functions.text import normalize_text
+
+
+def word_shingles(text: Column, n: int = 3) -> Column:
+    """Distinct word n-gram shingles (array<string>) of normalized text.
+
+    Built with ``sequence``+``transform``+``slice`` — all JVM
+    higher-order functions, no explode until the consumer needs one.
+    """
+    toks = F.split(normalize_text(text), " ")
+    n_sh = F.greatest(F.size(toks) - F.lit(n - 1), F.lit(1))
+    return F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), n_sh),
+            lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+        )
+    )
+
+
+def exact_duplicates(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Groups of exact (normalized) duplicates: one row per duplicated
+    fingerprint with the member count and the keeper (min id).
+
+    Returns columns: ``fingerprint``, ``dup_count``, ``keep_id``.
+    """
+    return (
+        df.select(
+            F.md5(normalize_text(F.col(text_col))).alias("fingerprint"),
+            F.col(id_col),
+        )
+        .groupBy("fingerprint")
+        .agg(
+            F.count(F.lit(1)).alias("dup_count"),
+            F.min(id_col).alias("keep_id"),
+        )
+        .filter(F.col("dup_count") > 1)
+    )
+
+
+def dedup_exact(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Keep one representative (min id) per normalized fingerprint."""
+    w_keep = (
+        df.select(
+            F.col(id_col),
+            F.md5(normalize_text(F.col(text_col))).alias("__fp"),
+        )
+        .groupBy("__fp")
+        .agg(F.min(id_col).alias(id_col))
+        .drop("__fp")
+    )
+    return df.join(w_keep, on=id_col, how="left_semi")
+
+
+def minhash_signatures(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 16,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """(id, s0..s{k-1}) MinHash signature columns.
+
+    Hash family: ``md5(seed || '|' || shingle)`` for seed in
+    0..num_hashes-1; the per-seed signature is the lexicographic min of
+    the hex digests over the document's shingle set — a standard
+    min-wise hash, reproducible in any engine with md5().
+
+    Plan shape: shingles are exploded ONCE and all k min-aggregates run
+    in a single map-side-combining groupBy — one shuffle keyed on the
+    doc id, k cheap string aggregates. (The tempting alternative —
+    ``array_min(transform(shingles, md5))`` per seed — re-evaluates the
+    whole normalize→tokenize→shingle pipeline k times per row.)
+    """
+    ex = df.select(
+        F.col(id_col), F.explode(word_shingles(F.col(text_col), shingle_n)).alias("sh")
+    )
+    aggs = [
+        F.min(F.md5(F.concat(F.lit(f"{seed}|"), F.col("sh")))).alias(f"s{seed}")
+        for seed in range(num_hashes)
+    ]
+    return ex.groupBy(id_col).agg(*aggs)
+
+
+def minhash_lsh_candidates(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 16,
+    bands: int = 4,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Candidate near-duplicate pairs (id_a < id_b) via banded LSH.
+
+    num_hashes/bands rows per band; docs sharing *any* band bucket
+    become a candidate pair. The plan is: signatures (narrow) →
+    posexplode of band keys (xnum_hashes/band rows) → self-equi-join on
+    (band_idx, band_key) — a hash join on a short string key, never on
+    document text.
+    """
+    rows_per_band = num_hashes // bands
+    sigs = minhash_signatures(df, id_col, text_col, num_hashes, shingle_n)
+    band_keys = F.array(
+        *[
+            F.concat_ws(
+                "|",
+                *[F.col(f"s{b * rows_per_band + r}") for r in range(rows_per_band)],
+            )
+            for b in range(bands)
+        ]
+    )
+    buckets = sigs.select(
+        F.col(id_col), F.posexplode(band_keys).alias("band_idx", "band_key")
+    )
+    a = buckets.alias("a")
+    b = buckets.alias("b")
+    return (
+        a.join(
+            b,
+            on=[
+                F.col(f"a.band_idx") == F.col("b.band_idx"),
+                F.col(f"a.band_key") == F.col("b.band_key"),
+                F.col(f"a.{id_col}") < F.col(f"b.{id_col}"),
+            ],
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+        )
+        .distinct()
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_n: int = 3,
+    threshold: float = 0.8,
+    candidates: DataFrame | None = None,
+) -> DataFrame:
+    """Pairs (id_a < id_b, jaccard) with n-gram Jaccard ≥ threshold.
+
+    Exact computation via shingle explode + equi-join on the shingle —
+    the classic inverted-index join: |pairs| is bounded by co-occurring
+    shingles, not |docs|². When ``candidates`` (id_a, id_b) is given
+    (e.g. from MinHash LSH), verification is restricted to it — the
+    scale path: LSH generates, Jaccard verifies.
+    """
+    sh = df.select(
+        F.col(id_col), F.explode(word_shingles(F.col(text_col), shingle_n)).alias("sh")
+    )
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
+
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(
+            b,
+            on=[
+                F.col("a.sh") == F.col("b.sh"),
+                F.col(f"a.{id_col}") < F.col(f"b.{id_col}"),
+            ],
+        )
+        .groupBy(
+            F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
+        )
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    if candidates is not None:
+        inter = inter.join(candidates, on=["id_a", "id_b"], how="left_semi")
+    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("n_sh").alias("n_b"))
+    return (
+        inter.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn(
+            "jaccard",
+            F.col("n_inter") / (F.col("n_a") + F.col("n_b") - F.col("n_inter")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+    )
+
+
+def simhash(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", bits: int = 64
+) -> DataFrame:
+    """64-bit SimHash signature per document.
+
+    Per token t: h = xxhash64(t); signature bit i is the majority vote
+    of bit i over the document's tokens. Implemented with higher-order
+    functions (aggregate over the token array) — one narrow projection,
+    zero shuffles, zero Python.
+    """
+    toks = F.split(normalize_text(F.col(text_col)), " ")
+    hashes = F.transform(toks, lambda t: F.xxhash64(t))
+    # votes[i] = sum over tokens of (bit_i(h) ? 1 : -1); bit positions are
+    # a compile-time python range so shift amounts stay literals (codegen)
+    votes = F.aggregate(
+        hashes,
+        F.array_repeat(F.lit(0), bits),
+        lambda acc, h: F.zip_with(
+            acc,
+            F.array(
+                *[
+                    F.when(
+                        F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1, 1
+                    ).otherwise(-1)
+                    for i in range(bits)
+                ]
+            ),
+            lambda a, v: a + v,
+        ),
+    )
+    sig = F.lit(0).cast("long")
+    for i in range(bits):
+        sig = sig.bitwiseOR(
+            F.when(
+                F.element_at(votes, i + 1) > 0,
+                F.shiftleft(F.lit(1).cast("long"), i),
+            ).otherwise(F.lit(0).cast("long"))
+        )
+    return df.select(F.col(id_col), sig.alias("simhash"))
+
+
+def hamming64(a: Column, b: Column) -> Column:
+    """Hamming distance between two 64-bit signatures (bit_count of XOR)."""
+    return F.bit_count(a.bitwiseXOR(b))
+
+
+def simhash_near_duplicates(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_hamming: int = 8,
+    band_bits: int = 16,
+) -> DataFrame:
+    """Near-dup pairs by SimHash: candidates share at least one of four
+    16-bit signature bands (any pair within Hamming distance 3 must
+    agree on ≥1 band; wider distances are caught probabilistically),
+    then verified by exact Hamming ≤ max_hamming.
+    """
+    sigs = simhash(df, id_col, text_col)
+    n_bands = 64 // band_bits
+    bands = F.array(
+        *[
+            F.shiftright(F.col("simhash"), b * band_bits)
+            .bitwiseAND(F.lit((1 << band_bits) - 1))
+            .cast("long")
+            for b in range(n_bands)
+        ]
+    )
+    buckets = sigs.select(
+        F.col(id_col),
+        F.col("simhash"),
+        F.posexplode(bands).alias("band_idx", "band_key"),
+    )
+    a, b = buckets.alias("a"), buckets.alias("b")
+    return (
+        a.join(
+            b,
+            on=[
+                F.col("a.band_idx") == F.col("b.band_idx"),
+                F.col("a.band_key") == F.col("b.band_key"),
+                F.col(f"a.{id_col}") < F.col(f"b.{id_col}"),
+            ],
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            hamming64(F.col("a.simhash"), F.col("b.simhash")).alias("hamming"),
+        )
+        .distinct()
+        .filter(F.col("hamming") <= max_hamming)
+    )

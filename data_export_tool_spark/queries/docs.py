@@ -1,0 +1,260 @@
+"""Document-table queries: dedup + text analysis (extended surface).
+
+These are the training-data-pipeline operators (exact dedup,
+MinHash+LSH, SimHash, n-gram Jaccard, language ID, quality scoring,
+token counting, fingerprinting) run over the driver's ``documents``
+table. Aggregates avoid floating-point accumulation (doubles only
+appear as deterministic per-row expressions, rounded) so the DuckDB
+oracle can match exactly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from data_export_tool_spark.catalog import Catalog
+from data_export_tool_spark.functions.text import (
+    LANG_PROBES,
+    normalize_text,
+    punct_ratio,
+    token_count,
+)
+from data_export_tool_spark.operators.dedup import (
+    exact_duplicates,
+    minhash_lsh_candidates,
+    ngram_jaccard_pairs,
+    simhash_near_duplicates,
+)
+from data_export_tool_spark.queries import QuerySpec
+
+#: shared normalization in DuckDB dialect (mirror of text.normalize_text)
+_NORM_SQL = (
+    r"trim(regexp_replace(regexp_replace(lower(text), "
+    r"'[^\p{L}\p{N}\s]', ' ', 'g'), '\s+', ' ', 'g'))"
+)
+
+#: word-3-shingles in DuckDB dialect (mirror of dedup.word_shingles)
+_SHINGLES_CTE = rf"""
+norm AS (SELECT doc_id, {_NORM_SQL} AS t FROM documents),
+toks AS (SELECT doc_id, string_split(t, ' ') AS w FROM norm),
+sh AS (
+  SELECT doc_id,
+         list_distinct([array_to_string(w[i:i+2], ' ')
+                        for i in generate_series(1, greatest(len(w)-2, 1))]) AS shingles
+  FROM toks
+),
+ex AS (SELECT doc_id, unnest(shingles) AS s FROM sh)
+"""
+
+
+# --------------------------------------------------------------------------
+# d01 — content fingerprints (exact-dedup key)
+# --------------------------------------------------------------------------
+def d01_doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = Catalog(spark, sf_dir).load("documents")
+    return docs.select(
+        "doc_id",
+        F.md5(normalize_text(F.col("text"))).alias("fingerprint"),
+        "lang",
+        "n_chars",
+    ).orderBy("doc_id")
+
+
+D01_ORACLE = f"""
+SELECT doc_id, md5({_NORM_SQL}) AS fingerprint, lang, n_chars
+FROM documents
+ORDER BY doc_id
+"""
+
+
+# --------------------------------------------------------------------------
+# d02 — exact duplicate groups (hash-groupBy dedup)
+# --------------------------------------------------------------------------
+def d02_doc_exact_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = Catalog(spark, sf_dir).load("documents")
+    return exact_duplicates(docs, "doc_id", "text").orderBy("fingerprint")
+
+
+D02_ORACLE = f"""
+SELECT md5({_NORM_SQL}) AS fingerprint,
+       COUNT(*) AS dup_count,
+       MIN(doc_id) AS keep_id
+FROM documents
+GROUP BY 1
+HAVING COUNT(*) > 1
+ORDER BY fingerprint
+"""
+
+
+# --------------------------------------------------------------------------
+# d03 — n-gram Jaccard near-duplicate pairs (exact similarity)
+# --------------------------------------------------------------------------
+def d03_doc_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = Catalog(spark, sf_dir).load("documents")
+    return ngram_jaccard_pairs(
+        docs, "doc_id", "text", shingle_n=3, threshold=0.5
+    ).orderBy("id_a", "id_b")
+
+
+D03_ORACLE = f"""
+WITH {_SHINGLES_CTE},
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM ex GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_inter
+  FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT id_a, id_b,
+       ROUND(n_inter / (sa.n + sb.n - n_inter), 6) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.doc_id = id_a
+JOIN sizes sb ON sb.doc_id = id_b
+WHERE n_inter / (sa.n + sb.n - n_inter) >= 0.5
+ORDER BY id_a, id_b
+"""
+
+
+# --------------------------------------------------------------------------
+# d04 — MinHash + banded LSH candidate pairs
+# hash family = md5(seed || '|' || shingle), min per doc → 16-sig,
+# 4 bands × 4 rows; reproducible in any engine with md5()
+# --------------------------------------------------------------------------
+_NUM_HASHES, _BANDS = 16, 4
+
+
+def d04_doc_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = Catalog(spark, sf_dir).load("documents")
+    return minhash_lsh_candidates(
+        docs, "doc_id", "text", num_hashes=_NUM_HASHES, bands=_BANDS, shingle_n=3
+    ).orderBy("id_a", "id_b")
+
+
+def _minhash_oracle() -> str:
+    rows_per_band = _NUM_HASHES // _BANDS
+    sig_cols = ",\n         ".join(
+        f"MIN(md5(CONCAT('{seed}|', s))) AS s{seed}" for seed in range(_NUM_HASHES)
+    )
+    band_selects = "\n  UNION ALL\n".join(
+        "  SELECT doc_id, {b} AS band_idx, CONCAT_WS('|', {cols}) AS band_key FROM sigs".format(
+            b=b,
+            cols=", ".join(f"s{b * rows_per_band + r}" for r in range(rows_per_band)),
+        )
+        for b in range(_BANDS)
+    )
+    return f"""
+WITH {_SHINGLES_CTE},
+sigs AS (
+  SELECT doc_id,
+         {sig_cols}
+  FROM ex GROUP BY doc_id
+),
+buckets AS (
+{band_selects}
+)
+SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+FROM buckets a
+JOIN buckets b ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+             AND a.doc_id < b.doc_id
+ORDER BY id_a, id_b
+"""
+
+
+D04_ORACLE = _minhash_oracle()
+
+
+# --------------------------------------------------------------------------
+# d05 — per-document text statistics (token counting, quality metrics)
+# Doubles are per-row deterministic expressions, rounded to 6 dp.
+# --------------------------------------------------------------------------
+def d05_doc_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = Catalog(spark, sf_dir).load("documents")
+    n_tok = token_count(F.col("text"))
+    return docs.select(
+        "doc_id",
+        "lang",
+        n_tok.alias("n_tokens"),
+        F.length(F.regexp_replace(F.col("text"), r"\s+", "")).alias("n_chars_nospace"),
+        F.round(punct_ratio(F.col("text")), 6).alias("punct_ratio"),
+    ).orderBy("doc_id")
+
+
+D05_ORACLE = r"""
+SELECT
+  doc_id,
+  lang,
+  len(string_split(trim(text), ' ')) AS n_tokens,
+  length(regexp_replace(text, '\s+', '', 'g')) AS n_chars_nospace,
+  ROUND(length(regexp_replace(text, '[A-Za-z0-9\s]', '', 'g'))
+        / greatest(length(text), 1), 6) AS punct_ratio
+FROM documents
+ORDER BY doc_id
+"""
+
+
+# --------------------------------------------------------------------------
+# d06 — language identification (stopword-probe heuristic) vs label
+# --------------------------------------------------------------------------
+def d06_doc_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_export_tool_spark.functions.text import language_guess
+
+    docs = Catalog(spark, sf_dir).load("documents")
+    return (
+        docs.select("lang", language_guess(F.col("text")).alias("lang_guess"))
+        .groupBy("lang", "lang_guess")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .orderBy("lang", "lang_guess")
+    )
+
+
+def _langid_oracle() -> str:
+    hit_cols = []
+    for lang, probes in LANG_PROBES.items():
+        plist = ", ".join(f"'{p}'" for p in probes)
+        hit_cols.append(
+            f"len(list_filter(string_split(lower(text), ' '), x -> x IN ({plist}))) AS h_{lang}"
+        )
+    hits_sql = ",\n         ".join(hit_cols)
+    langs = list(LANG_PROBES)
+    m = "GREATEST(" + ", ".join(f"h_{l}" for l in langs) + ")"
+    case = "CASE WHEN " + m + " = 0 THEN 'und'\n"
+    for l in langs:
+        case += f"       WHEN h_{l} = {m} THEN '{l}'\n"
+    case += "       END"
+    return f"""
+WITH hits AS (
+  SELECT lang,
+         {hits_sql}
+  FROM documents
+)
+SELECT lang, {case} AS lang_guess, COUNT(*) AS n_docs
+FROM hits
+GROUP BY 1, 2
+ORDER BY lang, lang_guess
+"""
+
+
+D06_ORACLE = _langid_oracle()
+
+
+# --------------------------------------------------------------------------
+# d07 — SimHash near-duplicate pairs (xxhash64 signatures: Spark-native,
+# no SQL oracle — verified rows-only by the driver and by property tests
+# against the Jaccard ground truth in tests/test_dedup.py)
+# --------------------------------------------------------------------------
+def d07_doc_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = Catalog(spark, sf_dir).load("documents")
+    return simhash_near_duplicates(
+        docs, "doc_id", "text", max_hamming=8, band_bits=16
+    ).orderBy("id_a", "id_b")
+
+
+QUERIES = [
+    QuerySpec("d01_doc_fingerprints", d01_doc_fingerprints, D01_ORACLE, "dedup:exact-key"),
+    QuerySpec("d02_doc_exact_dups", d02_doc_exact_dups, D02_ORACLE, "dedup:exact"),
+    QuerySpec("d03_doc_ngram_jaccard", d03_doc_ngram_jaccard, D03_ORACLE, "dedup:jaccard"),
+    QuerySpec("d04_doc_minhash_lsh", d04_doc_minhash_lsh, D04_ORACLE, "dedup:minhash-lsh"),
+    QuerySpec("d05_doc_token_stats", d05_doc_token_stats, D05_ORACLE, "text:tokens/quality"),
+    QuerySpec("d06_doc_language_id", d06_doc_language_id, D06_ORACLE, "text:langid"),
+    QuerySpec("d07_doc_simhash_pairs", d07_doc_simhash_pairs, None, "dedup:simhash"),
+]

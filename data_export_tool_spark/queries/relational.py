@@ -1,0 +1,798 @@
+"""Relational query catalog over the TPC-H-ish tables.
+
+Each query exercises operator rows from SURVEY.md §2 (noted in
+``covers``) re-expressed over the driver's synthetic star schema, with
+a DuckDB oracle.
+
+Canonical output policy (so the driver's value-hash is representation-
+stable across engines and pandas conversions):
+
+- **date/timestamp outputs are rendered as 'yyyy-MM-dd' strings** —
+  pandas renders Spark DateType as ``datetime.date`` but DuckDB DATE as
+  ``datetime64``; strings are unambiguous.
+- **money sums aggregate in DECIMAL (exact, order-independent) and the
+  final result is cast to DOUBLE** — summing doubles directly is
+  partial-aggregation-order dependent; emitting DECIMAL hits engine-
+  specific scale/`Decimal`-vs-float rendering. Exact-decimal-sum →
+  one double conversion is deterministic and identical on both engines.
+- **counts/pivoted counts are BIGINT on both sides** (DuckDB's SUM of
+  integers yields HUGEINT → floats in pandas; cast pins it).
+- raw per-row doubles (e.g. ``o_totalprice``) pass through untouched.
+
+Reference citations are to /root/reference/sql_queries/*.sql — the
+*shape* being reproduced, never the code (the reference is MySQL text;
+this engine is DataFrame-first).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from data_export_tool_spark.catalog import Catalog
+from data_export_tool_spark.functions.datetime_ext import (
+    complete_months_between,
+    complete_years_between,
+    period_diff_months,
+)
+from data_export_tool_spark.functions.ethiopian import eth_date_parts
+from data_export_tool_spark.operators.asof import asof_join, range_join
+from data_export_tool_spark.operators.pivot import conditional_agg
+from data_export_tool_spark.operators.window_dedup import latest_per_key
+from data_export_tool_spark.queries import QuerySpec
+
+DEC = "decimal(18,2)"
+
+
+def _dstr(col) -> F.Column:
+    """Canonical date rendering (see module docstring)."""
+    return F.date_format(col, "yyyy-MM-dd")
+
+
+# --------------------------------------------------------------------------
+# q01 — pricing summary (TPC-H Q1 shape)
+# covers: P1 projection/alias, P3 comparisons, A2 COUNT, A3 SUM, F10 CAST
+# reference shape: the per-cohort aggregate blocks of Tx_Curr_OutComeList.sql
+# --------------------------------------------------------------------------
+def q01_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = Catalog(spark, sf_dir).load("lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(F.col("l_quantity").cast(DEC)).cast("double").alias("sum_qty"),
+            F.sum(F.col("l_extendedprice").cast(DEC))
+            .cast("double")
+            .alias("sum_base_price"),
+            F.sum(
+                F.col("l_extendedprice").cast(DEC)
+                * (F.lit(1).cast(DEC) - F.col("l_discount").cast(DEC))
+            )
+            .cast("double")
+            .alias("sum_disc_price"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+Q01_ORACLE = """
+SELECT
+  l_returnflag,
+  l_linestatus,
+  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+           * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))))
+       AS DOUBLE) AS sum_disc_price,
+  COUNT(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+"""
+
+
+# --------------------------------------------------------------------------
+# q02 — top revenue orders (TPC-H Q3 shape: 3-way join + agg + top-k)
+# covers: J2 inner joins, A3, §2f sort+limit
+# --------------------------------------------------------------------------
+def q02_top_revenue_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cat = Catalog(spark, sf_dir)
+    cust = cat.load("customer").filter(F.col("c_mktsegment") == "BUILDING")
+    orders = cat.load("orders")
+    li = cat.load("lineitem")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey, "inner")
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey, "inner")
+        .groupBy("o_orderkey", _dstr(F.col("o_orderdate")).alias("o_orderdate"))
+        .agg(
+            F.sum(
+                F.col("l_extendedprice").cast(DEC)
+                * (F.lit(1).cast(DEC) - F.col("l_discount").cast(DEC))
+            )
+            .cast("double")
+            .alias("revenue")
+        )
+        .orderBy(F.col("revenue").desc(), F.col("o_orderkey").asc())
+        .limit(10)
+    )
+
+
+Q02_ORACLE = """
+SELECT
+  o_orderkey,
+  STRFTIME(o_orderdate, '%Y-%m-%d') AS o_orderdate,
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+           * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))))
+       AS DOUBLE) AS revenue
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment = 'BUILDING'
+GROUP BY o_orderkey, STRFTIME(o_orderdate, '%Y-%m-%d')
+ORDER BY revenue DESC, o_orderkey ASC
+LIMIT 10
+"""
+
+
+# --------------------------------------------------------------------------
+# q03 — latest order per customer (the reference's workhorse W1 dedup:
+# ROW_NUMBER() PARTITION BY entity ORDER BY date DESC, id DESC → rn=1;
+# Tx_Curr_LineList.sql:54-56 shape) + J1 left join enrichment
+# --------------------------------------------------------------------------
+def q03_latest_order_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cat = Catalog(spark, sf_dir)
+    latest = latest_per_key(
+        cat.load("orders"),
+        keys=["o_custkey"],
+        order_by=["o_orderdate"],
+        tiebreak="o_orderkey",
+    )
+    return (
+        cat.load("customer")
+        .join(latest, F.col("c_custkey") == F.col("o_custkey"), "left")
+        .select(
+            "c_custkey",
+            "c_name",
+            F.col("o_orderkey").alias("last_orderkey"),
+            _dstr(F.col("o_orderdate")).alias("last_orderdate"),
+            F.col("o_totalprice").alias("last_totalprice"),
+        )
+        .orderBy("c_custkey")
+    )
+
+
+Q03_ORACLE = """
+WITH ranked AS (
+  SELECT o_custkey, o_orderkey, o_orderdate, o_totalprice,
+         ROW_NUMBER() OVER (PARTITION BY o_custkey
+                            ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+  FROM orders
+)
+SELECT
+  c_custkey,
+  c_name,
+  r.o_orderkey AS last_orderkey,
+  STRFTIME(r.o_orderdate, '%Y-%m-%d') AS last_orderdate,
+  r.o_totalprice AS last_totalprice
+FROM customer
+LEFT JOIN ranked r ON c_custkey = r.o_custkey AND r.rn = 1
+ORDER BY c_custkey
+"""
+
+
+# --------------------------------------------------------------------------
+# q04 — first & last order per customer in one pass
+# covers: W2 earliest, W4 multiple windows over one relation, J3 join
+# with rank predicate (PMTCT_Maternal_LineList.sql:102-139,168-177 shape)
+# --------------------------------------------------------------------------
+def q04_customer_order_extremes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cat = Catalog(spark, sf_dir)
+    orders = cat.load("orders")
+    w_latest = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_orderdate").desc(), F.col("o_orderkey").desc()
+    )
+    w_earliest = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_orderdate").asc(), F.col("o_orderkey").asc()
+    )
+    both = orders.select(
+        "o_custkey",
+        "o_orderkey",
+        "o_orderdate",
+        F.row_number().over(w_latest).alias("rn_latest"),
+        F.row_number().over(w_earliest).alias("rn_earliest"),
+    )
+    first = both.filter(F.col("rn_earliest") == 1).select(
+        F.col("o_custkey").alias("custkey"),
+        F.col("o_orderkey").alias("first_orderkey"),
+        F.col("o_orderdate").cast("date").alias("__first_date"),
+    )
+    last = both.filter(F.col("rn_latest") == 1).select(
+        F.col("o_custkey").alias("custkey"),
+        F.col("o_orderkey").alias("last_orderkey"),
+        F.col("o_orderdate").cast("date").alias("__last_date"),
+    )
+    return (
+        first.join(last, "custkey", "inner")
+        .select(
+            "custkey",
+            "first_orderkey",
+            _dstr(F.col("__first_date")).alias("first_orderdate"),
+            "last_orderkey",
+            _dstr(F.col("__last_date")).alias("last_orderdate"),
+            F.datediff(F.col("__last_date"), F.col("__first_date")).alias(
+                "days_active"
+            ),
+        )
+        .orderBy("custkey")
+    )
+
+
+Q04_ORACLE = """
+WITH both_rn AS (
+  SELECT o_custkey, o_orderkey, o_orderdate,
+         ROW_NUMBER() OVER (PARTITION BY o_custkey
+                            ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn_latest,
+         ROW_NUMBER() OVER (PARTITION BY o_custkey
+                            ORDER BY o_orderdate ASC, o_orderkey ASC) AS rn_earliest
+  FROM orders
+),
+first_o AS (
+  SELECT o_custkey AS custkey, o_orderkey AS first_orderkey,
+         CAST(o_orderdate AS DATE) AS first_date
+  FROM both_rn WHERE rn_earliest = 1
+),
+last_o AS (
+  SELECT o_custkey AS custkey, o_orderkey AS last_orderkey,
+         CAST(o_orderdate AS DATE) AS last_date
+  FROM both_rn WHERE rn_latest = 1
+)
+SELECT f.custkey, f.first_orderkey,
+       STRFTIME(f.first_date, '%Y-%m-%d') AS first_orderdate,
+       l.last_orderkey,
+       STRFTIME(l.last_date, '%Y-%m-%d') AS last_orderdate,
+       CAST(l.last_date - f.first_date AS INT) AS days_active
+FROM first_o f
+JOIN last_o l ON f.custkey = l.custkey
+ORDER BY f.custkey
+"""
+
+
+# --------------------------------------------------------------------------
+# q05 — customers with no order in a window (anti-join)
+# covers: J6 (Tx_Curr_OutComeList.sql:140-141 "in cohort but not
+# previous" shape), P3 date predicates
+# --------------------------------------------------------------------------
+def q05_customers_without_recent_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cat = Catalog(spark, sf_dir)
+    recent = cat.load("orders").filter(F.col("o_orderdate") >= F.lit("2000-01-01"))
+    return (
+        cat.load("customer")
+        .join(recent, F.col("c_custkey") == F.col("o_custkey"), "left_anti")
+        .select("c_custkey", "c_name", "c_mktsegment")
+        .orderBy("c_custkey")
+    )
+
+
+Q05_ORACLE = """
+SELECT c_custkey, c_name, c_mktsegment
+FROM customer
+WHERE NOT EXISTS (
+  SELECT 1 FROM orders
+  WHERE o_custkey = c_custkey AND o_orderdate >= TIMESTAMP '2000-01-01'
+)
+ORDER BY c_custkey
+"""
+
+
+# --------------------------------------------------------------------------
+# q06 — customers with a fulfilled order (semi-join)
+# covers: J7 (PMTCT_HEI_LineList.sql:123-128 existence-test shape)
+# --------------------------------------------------------------------------
+def q06_customers_with_fulfilled_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cat = Catalog(spark, sf_dir)
+    fulfilled = cat.load("orders").filter(F.col("o_orderstatus") == "F")
+    return (
+        cat.load("customer")
+        .join(fulfilled, F.col("c_custkey") == F.col("o_custkey"), "left_semi")
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey")
+    )
+
+
+Q06_ORACLE = """
+SELECT c_custkey, c_name
+FROM customer
+WHERE EXISTS (
+  SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_orderstatus = 'F'
+)
+ORDER BY c_custkey
+"""
+
+
+# --------------------------------------------------------------------------
+# q07 — cohort counters: group-aggregate-then-aggregate + conditional
+# pivot + cross join of one-row aggregates
+# covers: A3 SUM(IF(...)), A4 nested agg, J8 cross join, F6 IF
+# (Tx_Curr_OutComeList.sql:100-147,254-259 shape: counters pivoted to
+# fixed columns, five 1-row CTEs cross-joined into the final row)
+# --------------------------------------------------------------------------
+def q07_cohort_counters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cat = Catalog(spark, sf_dir)
+    orders = cat.load("orders")
+    grouped = orders.groupBy("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("total")
+    )
+    pivoted = conditional_agg(
+        grouped,
+        group_by=[],
+        cases={
+            "urgent_fulfilled": (
+                (F.col("o_orderstatus") == "F")
+                & (F.col("o_orderpriority") == "1-URGENT"),
+                F.col("total"),
+            ),
+            "urgent_open": (
+                (F.col("o_orderstatus") == "O")
+                & (F.col("o_orderpriority") == "1-URGENT"),
+                F.col("total"),
+            ),
+            "low_any": (F.col("o_orderpriority") == "5-LOW", F.col("total")),
+        },
+    )
+    totals = orders.agg(F.count(F.lit(1)).alias("total_orders"))
+    custs = cat.load("customer").agg(F.count(F.lit(1)).alias("total_customers"))
+    return pivoted.crossJoin(totals).crossJoin(custs)
+
+
+Q07_ORACLE = """
+WITH grouped AS (
+  SELECT o_orderstatus, o_orderpriority, COUNT(*) AS total
+  FROM orders GROUP BY o_orderstatus, o_orderpriority
+),
+pivoted AS (
+  SELECT
+    CAST(SUM(CASE WHEN o_orderstatus='F' AND o_orderpriority='1-URGENT' THEN total ELSE 0 END) AS BIGINT) AS urgent_fulfilled,
+    CAST(SUM(CASE WHEN o_orderstatus='O' AND o_orderpriority='1-URGENT' THEN total ELSE 0 END) AS BIGINT) AS urgent_open,
+    CAST(SUM(CASE WHEN o_orderpriority='5-LOW' THEN total ELSE 0 END) AS BIGINT) AS low_any
+  FROM grouped
+),
+totals AS (SELECT COUNT(*) AS total_orders FROM orders),
+custs  AS (SELECT COUNT(*) AS total_customers FROM customer)
+SELECT * FROM pivoted, totals, custs
+"""
+
+
+# --------------------------------------------------------------------------
+# q08 — as-of join: last shipment at-or-before a reference date per order
+# covers: J9/W5 — the correlated `ORDER BY ... LIMIT 1` rewrite
+# (Tx_Curr_HVL_LineList.sql:109-115: regimen in effect at VL date)
+# --------------------------------------------------------------------------
+def q08_asof_last_shipment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cat = Catalog(spark, sf_dir)
+    orders = cat.load("orders").select(
+        F.col("o_orderkey"),
+        F.date_add(F.col("o_orderdate").cast("date"), 90).alias("ref_date"),
+    )
+    shipments = cat.load("lineitem").select(
+        F.col("l_orderkey").alias("o_orderkey"),
+        F.col("l_linenumber"),
+        F.col("l_shipdate").cast("date").alias("l_shipdate"),
+        F.col("l_extendedprice"),
+    )
+    joined = asof_join(
+        orders,
+        shipments,
+        on=["o_orderkey"],
+        left_time="ref_date",
+        right_time="l_shipdate",
+        # the synthetic lineitem has duplicate (orderkey, linenumber)
+        # rows; extendedprice completes a total order
+        tiebreak=["l_linenumber", "l_extendedprice"],
+        how="left",
+        direction="backward",
+    )
+    return joined.select(
+        "o_orderkey",
+        _dstr(F.col("ref_date")).alias("ref_date"),
+        F.col("l_linenumber").alias("asof_linenumber"),
+        _dstr(F.col("l_shipdate")).alias("asof_shipdate"),
+        F.col("l_extendedprice").alias("asof_price"),
+    ).orderBy("o_orderkey")
+
+
+Q08_ORACLE = """
+WITH orders_ref AS (
+  SELECT o_orderkey, CAST(o_orderdate AS DATE) + 90 AS ref_date FROM orders
+),
+candidates AS (
+  SELECT o.o_orderkey, o.ref_date, l.l_linenumber,
+         CAST(l.l_shipdate AS DATE) AS l_shipdate, l.l_extendedprice,
+         ROW_NUMBER() OVER (PARTITION BY o.o_orderkey
+                            ORDER BY CAST(l.l_shipdate AS DATE) DESC,
+                                     l.l_linenumber DESC,
+                                     l.l_extendedprice DESC) AS rn
+  FROM orders_ref o
+  JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+                 AND CAST(l.l_shipdate AS DATE) <= o.ref_date
+)
+SELECT o.o_orderkey,
+       STRFTIME(o.ref_date, '%Y-%m-%d') AS ref_date,
+       c.l_linenumber AS asof_linenumber,
+       STRFTIME(c.l_shipdate, '%Y-%m-%d') AS asof_shipdate,
+       c.l_extendedprice AS asof_price
+FROM orders_ref o
+LEFT JOIN candidates c ON c.o_orderkey = o.o_orderkey AND c.rn = 1
+ORDER BY o.o_orderkey
+"""
+
+
+# --------------------------------------------------------------------------
+# q09 — range join: shipments inside the order's 90-day window
+# covers: J4/J5 equi + range join condition
+# (PMTCT_Maternal_LineList.sql:38-42; Tx_Curr_HVL_LineList.sql:151)
+# --------------------------------------------------------------------------
+def q09_shipments_in_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cat = Catalog(spark, sf_dir)
+    orders = cat.load("orders").select(
+        F.col("o_orderkey").alias("orderkey"),
+        F.col("o_orderdate").cast("date").alias("win_start"),
+        F.date_add(F.col("o_orderdate").cast("date"), 90).alias("win_end"),
+    )
+    li = cat.load("lineitem").select(
+        F.col("l_orderkey").alias("orderkey"),
+        F.col("l_linenumber"),
+        F.col("l_shipdate").cast("date").alias("ship_date"),
+    )
+    joined = range_join(
+        li, orders, on=["orderkey"], point="ship_date", lower="win_start", upper="win_end"
+    )
+    return (
+        joined.select(li["orderkey"].alias("orderkey"), "l_linenumber", "ship_date")
+        .groupBy("orderkey")
+        .agg(F.count(F.lit(1)).alias("shipments_in_window"))
+        .orderBy("orderkey")
+    )
+
+
+Q09_ORACLE = """
+SELECT l.l_orderkey AS orderkey, COUNT(*) AS shipments_in_window
+FROM lineitem l
+JOIN orders o
+  ON l.l_orderkey = o.o_orderkey
+ AND CAST(l.l_shipdate AS DATE) BETWEEN CAST(o.o_orderdate AS DATE)
+                                    AND CAST(o.o_orderdate AS DATE) + 90
+GROUP BY l.l_orderkey
+ORDER BY orderkey
+"""
+
+
+# --------------------------------------------------------------------------
+# q10 — CASE ladders: price banding + simple-form CASE
+# covers: F1 simple CASE, F2 searched/nested CASE (the VL-banding shape,
+# Tx_Curr_HVL_LineList.sql:301-314), A3
+# --------------------------------------------------------------------------
+def q10_price_banding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cat = Catalog(spark, sf_dir)
+    orders = cat.load("orders")
+    band = (
+        F.when(F.col("o_totalprice") < 50_000, "P1_micro")
+        .when(F.col("o_totalprice") < 100_000, "P2_small")
+        .when(F.col("o_totalprice") < 200_000, "P3_medium")
+        .when(F.col("o_totalprice") < 350_000, "P4_large")
+        .otherwise("P5_jumbo")
+    )
+    status_label = (
+        F.when(F.col("o_orderstatus") == "F", "Fulfilled")
+        .when(F.col("o_orderstatus") == "O", "Open")
+        .when(F.col("o_orderstatus") == "P", "Pending")
+        .otherwise("Unknown")
+    )
+    return (
+        orders.select(band.alias("price_band"), status_label.alias("status_label"))
+        .groupBy("price_band", "status_label")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .orderBy("price_band", "status_label")
+    )
+
+
+Q10_ORACLE = """
+SELECT
+  CASE WHEN o_totalprice < 50000  THEN 'P1_micro'
+       WHEN o_totalprice < 100000 THEN 'P2_small'
+       WHEN o_totalprice < 200000 THEN 'P3_medium'
+       WHEN o_totalprice < 350000 THEN 'P4_large'
+       ELSE 'P5_jumbo' END AS price_band,
+  CASE o_orderstatus WHEN 'F' THEN 'Fulfilled'
+                     WHEN 'O' THEN 'Open'
+                     WHEN 'P' THEN 'Pending'
+                     ELSE 'Unknown' END AS status_label,
+  COUNT(*) AS n_orders
+FROM orders
+GROUP BY 1, 2
+ORDER BY price_band, status_label
+"""
+
+
+# --------------------------------------------------------------------------
+# q11 — string function battery
+# covers: F3 COALESCE, F4 IFNULL, F7 CONCAT, F8 CONCAT_WS, F9 LEFT,
+# P7 LIKE (Tx_Curr_LineList.sql:98-99 regimen-prefix shape)
+# --------------------------------------------------------------------------
+def q11_string_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cat = Catalog(spark, sf_dir)
+    part = cat.load("part")
+    return (
+        part.filter(F.col("p_name").like("a%") | F.col("p_name").like("b%"))
+        .select(
+            "p_partkey",
+            F.substring(F.col("p_name"), 1, 5).alias("name_prefix"),
+            F.concat(F.col("p_brand"), F.lit(" "), F.col("p_type")).alias("brand_type"),
+            F.concat_ws(
+                ", ",
+                F.col("p_type"),
+                F.when(F.col("p_size") > 25, F.lit("big")).otherwise(F.lit(None)),
+            ).alias("type_tags"),
+            F.coalesce(
+                F.when(F.col("p_size") > 40, F.col("p_name")),
+                F.when(F.col("p_size") > 20, F.col("p_brand")),
+                F.lit("small-part"),
+            ).alias("coalesced_label"),
+        )
+        .orderBy("p_partkey")
+    )
+
+
+Q11_ORACLE = """
+SELECT
+  p_partkey,
+  LEFT(p_name, 5) AS name_prefix,
+  CONCAT(p_brand, ' ', p_type) AS brand_type,
+  CONCAT_WS(', ', p_type, CASE WHEN p_size > 25 THEN 'big' ELSE NULL END) AS type_tags,
+  COALESCE(CASE WHEN p_size > 40 THEN p_name END,
+           CASE WHEN p_size > 20 THEN p_brand END,
+           'small-part') AS coalesced_label
+FROM part
+WHERE p_name LIKE 'a%' OR p_name LIKE 'b%'
+ORDER BY p_partkey
+"""
+
+
+# --------------------------------------------------------------------------
+# q12 — date arithmetic battery with MySQL complete-unit semantics
+# covers: F11 TIMESTAMPDIFF(YEAR/MONTH), F12 DATE_ADD, F13 PERIOD_DIFF,
+# F14 DATE_FORMAT (Tx_Curr_LineList.sql:93,150; AHD:298-299)
+# --------------------------------------------------------------------------
+def q12_date_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cat = Catalog(spark, sf_dir)
+    ref = F.lit("2001-06-15").cast("date")
+    orders = cat.load("orders").select(
+        "o_orderkey", F.col("o_orderdate").cast("date").alias("od")
+    )
+    return orders.select(
+        "o_orderkey",
+        _dstr(F.col("od")).alias("orderdate"),
+        complete_years_between(F.col("od"), ref).alias("full_years_since"),
+        complete_months_between(F.col("od"), ref).alias("full_months_since"),
+        period_diff_months(ref, F.col("od")).alias("period_diff_months"),
+        _dstr(F.date_add(F.col("od"), 30)).alias("plus_30d"),
+        _dstr(F.add_months(F.col("od"), -6)).alias("minus_6m"),
+        F.date_format(F.col("od"), "yyyyMM").alias("yyyymm"),
+    ).orderBy("o_orderkey")
+
+
+Q12_ORACLE = """
+WITH o AS (SELECT o_orderkey, CAST(o_orderdate AS DATE) AS od FROM orders),
+ref AS (SELECT DATE '2001-06-15' AS rd)
+SELECT
+  o_orderkey,
+  STRFTIME(od, '%Y-%m-%d') AS orderdate,
+  (YEAR(rd) - YEAR(od))
+    - CASE WHEN (MONTH(rd) < MONTH(od))
+             OR (MONTH(rd) = MONTH(od) AND DAY(rd) < DAY(od))
+           THEN 1 ELSE 0 END               AS full_years_since,
+  ((YEAR(rd)*12 + MONTH(rd)) - (YEAR(od)*12 + MONTH(od)))
+    - CASE WHEN DAY(rd) < DAY(od) THEN 1 ELSE 0 END AS full_months_since,
+  ((YEAR(rd)*12 + MONTH(rd)) - (YEAR(od)*12 + MONTH(od))) AS period_diff_months,
+  STRFTIME(od + 30, '%Y-%m-%d') AS plus_30d,
+  STRFTIME(CAST(od - INTERVAL 6 MONTH AS DATE), '%Y-%m-%d') AS minus_6m,
+  STRFTIME(od, '%Y%m') AS yyyymm
+FROM o, ref
+ORDER BY o_orderkey
+"""
+
+
+# --------------------------------------------------------------------------
+# q13 — Ethiopian calendar twin columns (U1: the reference's *_ET
+# columns, fn_gregorian_to_ethiopian_calendar — 19 sites). Pure Julian-
+# day integer arithmetic on both engines; no UDF anywhere.
+# --------------------------------------------------------------------------
+def q13_ethiopian_dates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cat = Catalog(spark, sf_dir)
+    orders = cat.load("orders").select(
+        "o_orderkey", F.col("o_orderdate").cast("date").alias("od")
+    )
+    y, m, d = eth_date_parts(F.col("od"))
+    return orders.select(
+        "o_orderkey",
+        _dstr(F.col("od")).alias("orderdate_gc"),
+        F.concat_ws(
+            "/", d.cast("string"), m.cast("string"), y.cast("string")
+        ).alias("orderdate_et"),
+        y.alias("eth_year"),
+        m.alias("eth_month"),
+        d.alias("eth_day"),
+    ).orderBy("o_orderkey")
+
+
+Q13_ORACLE = """
+WITH j AS (
+  -- JDN via day-count from the Unix epoch (JDN 2440588): DuckDB's
+  -- julian() returns noon-based half-days whose CAST rounds unevenly
+  SELECT o_orderkey, CAST(o_orderdate AS DATE) AS od,
+         (CAST(o_orderdate AS DATE) - DATE '1970-01-01') + 2440588 - 1723856 AS off
+  FROM orders
+),
+p AS (
+  -- '//' floor division throughout: CAST(double AS BIGINT) *rounds* in
+  -- DuckDB, which would skew every date past mid-Ethiopian-year
+  SELECT o_orderkey, od,
+         (off % 1461) % 365 + 365 * ((off % 1461) // 1460) AS n,
+         4 * (off // 1461)
+           + ((off % 1461) // 365)
+           - ((off % 1461) // 1460) AS eth_year
+  FROM j
+)
+SELECT
+  o_orderkey,
+  STRFTIME(od, '%Y-%m-%d') AS orderdate_gc,
+  CONCAT(CAST(n % 30 + 1 AS VARCHAR), '/',
+         CAST(n // 30 + 1 AS VARCHAR), '/',
+         CAST(eth_year AS VARCHAR)) AS orderdate_et,
+  CAST(eth_year AS INT) AS eth_year,
+  CAST(n // 30 + 1 AS INT) AS eth_month,
+  CAST(n % 30 + 1 AS INT) AS eth_day
+FROM p
+ORDER BY o_orderkey
+"""
+
+
+# --------------------------------------------------------------------------
+# q14 — DISTINCT / dedup grain
+# covers: A5 (loose GROUP BY → dropDuplicates), A6 DISTINCT
+# (Tx_Curr_AHD_LineList.sql:215,288)
+# --------------------------------------------------------------------------
+def q14_distinct_ship_modes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cat = Catalog(spark, sf_dir)
+    li = cat.load("lineitem")
+    return (
+        li.select("l_returnflag", "l_linestatus")
+        .distinct()
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+Q14_ORACLE = """
+SELECT DISTINCT l_returnflag, l_linestatus
+FROM lineitem
+ORDER BY l_returnflag, l_linestatus
+"""
+
+
+# --------------------------------------------------------------------------
+# q15 — predicate battery
+# covers: P3 comparisons, P4 IS [NOT] NULL, P5 IN/NOT IN with null
+# guard (Tx_Curr_HVL_LineList.sql:75-79 shape), P6 BETWEEN, P7 LIKE,
+# P8 compound boolean nesting
+# --------------------------------------------------------------------------
+def q15_predicate_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cat = Catalog(spark, sf_dir)
+    part = cat.load("part")
+    return (
+        part.filter(
+            (
+                F.col("p_size").between(10, 40)
+                & F.col("p_type").isin("ECONOMY", "STANDARD", "PROMO")
+            )
+            | (
+                (F.col("p_retailprice") > 1500)
+                & ~F.col("p_brand").isin("Brand#13", "Brand#17")
+                & F.col("p_name").isNotNull()
+                & F.col("p_name").like("%c%")
+            )
+        )
+        .select("p_partkey", "p_name", "p_type", "p_size", "p_brand")
+        .orderBy("p_partkey")
+    )
+
+
+Q15_ORACLE = """
+SELECT p_partkey, p_name, p_type, p_size, p_brand
+FROM part
+WHERE (p_size BETWEEN 10 AND 40
+       AND p_type IN ('ECONOMY','STANDARD','PROMO'))
+   OR (p_retailprice > 1500
+       AND p_brand NOT IN ('Brand#13','Brand#17')
+       AND p_name IS NOT NULL
+       AND p_name LIKE '%c%')
+ORDER BY p_partkey
+"""
+
+
+# --------------------------------------------------------------------------
+# q16 — star-schema rollup with broadcast dimension chain
+# covers: J1/J2 dimension chain, A1 MAX, A3; the nation/region chain is
+# the facility-identity join shape (export.py:123-133)
+# --------------------------------------------------------------------------
+def q16_regional_sales(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cat = Catalog(spark, sf_dir)
+    return (
+        cat.load("orders")
+        .join(cat.load("customer"), F.col("o_custkey") == F.col("c_custkey"))
+        .join(
+            F.broadcast(cat.load("nation")),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .join(
+            F.broadcast(cat.load("region")),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+        .groupBy("r_name", "n_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.max(F.col("o_totalprice")).alias("max_order_price"),
+            F.sum(F.col("o_totalprice").cast(DEC))
+            .cast("double")
+            .alias("sum_order_price"),
+        )
+        .orderBy("r_name", "n_name")
+    )
+
+
+Q16_ORACLE = """
+SELECT r_name, n_name,
+       COUNT(*) AS n_orders,
+       MAX(o_totalprice) AS max_order_price,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_order_price
+FROM orders
+JOIN customer ON o_custkey = c_custkey
+JOIN nation   ON c_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+GROUP BY r_name, n_name
+ORDER BY r_name, n_name
+"""
+
+
+QUERIES = [
+    QuerySpec("q01_pricing_summary", q01_pricing_summary, Q01_ORACLE, "P1 P3 A2 A3 F10"),
+    QuerySpec("q02_top_revenue_orders", q02_top_revenue_orders, Q02_ORACLE, "J2 A3 2f"),
+    QuerySpec(
+        "q03_latest_order_per_customer", q03_latest_order_per_customer, Q03_ORACLE, "W1 J1"
+    ),
+    QuerySpec(
+        "q04_customer_order_extremes", q04_customer_order_extremes, Q04_ORACLE, "W2 W4 J3"
+    ),
+    QuerySpec(
+        "q05_customers_without_recent_orders",
+        q05_customers_without_recent_orders,
+        Q05_ORACLE,
+        "J6 P3",
+    ),
+    QuerySpec(
+        "q06_customers_with_fulfilled_order",
+        q06_customers_with_fulfilled_order,
+        Q06_ORACLE,
+        "J7",
+    ),
+    QuerySpec("q07_cohort_counters", q07_cohort_counters, Q07_ORACLE, "A3 A4 J8 F6"),
+    QuerySpec("q08_asof_last_shipment", q08_asof_last_shipment, Q08_ORACLE, "J9 W5"),
+    QuerySpec("q09_shipments_in_window", q09_shipments_in_window, Q09_ORACLE, "J4 J5"),
+    QuerySpec("q10_price_banding", q10_price_banding, Q10_ORACLE, "F1 F2 A3"),
+    QuerySpec("q11_string_functions", q11_string_functions, Q11_ORACLE, "F3 F4 F7 F8 F9 P7"),
+    QuerySpec("q12_date_arithmetic", q12_date_arithmetic, Q12_ORACLE, "F11 F12 F13 F14"),
+    QuerySpec("q13_ethiopian_dates", q13_ethiopian_dates, Q13_ORACLE, "U1"),
+    QuerySpec("q14_distinct_ship_modes", q14_distinct_ship_modes, Q14_ORACLE, "A5 A6"),
+    QuerySpec("q15_predicate_battery", q15_predicate_battery, Q15_ORACLE, "P3-P8"),
+    QuerySpec("q16_regional_sales", q16_regional_sales, Q16_ORACLE, "J1 J2 A1 A3"),
+]

@@ -1,0 +1,117 @@
+"""Embedding-table queries: similarity search (extended surface).
+
+Brute-force cosine top-k is the exact baseline (oracle-checked);
+SRP-LSH and IVF are the approximate scale paths (rows-only for the
+driver; recall measured against brute force in tests/test_similarity.py).
+All math is double-precision on both engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from data_export_tool_spark.catalog import Catalog
+from data_export_tool_spark.operators.similarity import (
+    brute_force_topk,
+    embedding_near_dup_pairs,
+    ivf_topk,
+    lsh_topk,
+)
+from data_export_tool_spark.queries import QuerySpec
+
+_N_QUERIES = 5  # the first N vec_ids serve as the query batch
+_K = 10
+_DIM = 64
+
+
+def _query_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = Catalog(spark, sf_dir).load("embeddings")
+    return emb.filter(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+
+
+# --------------------------------------------------------------------------
+# v01 — exact cosine top-k (brute force baseline)
+# --------------------------------------------------------------------------
+def v01_embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = Catalog(spark, sf_dir).load("embeddings")
+    corpus = emb.filter(F.col("vec_id") >= _N_QUERIES)
+    return brute_force_topk(corpus, _query_vectors(spark, sf_dir), k=_K).orderBy(
+        "query_id", "rank"
+    )
+
+
+V01_ORACLE = f"""
+WITH q AS (
+  SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+  FROM embeddings WHERE vec_id < {_N_QUERIES}
+),
+c AS (
+  SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS cv
+  FROM embeddings WHERE vec_id >= {_N_QUERIES}
+),
+scored AS (
+  SELECT query_id, neighbor_id,
+         list_cosine_similarity(qv, cv) AS cos,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY list_cosine_similarity(qv, cv) DESC,
+                                     neighbor_id ASC) AS rank
+  FROM q, c
+)
+SELECT query_id, rank, neighbor_id, ROUND(cos, 6) AS cosine_sim
+FROM scored WHERE rank <= {_K}
+ORDER BY query_id, rank
+"""
+
+
+# --------------------------------------------------------------------------
+# v02 — embedding-cosine near-duplicate pairs
+# --------------------------------------------------------------------------
+def v02_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = Catalog(spark, sf_dir).load("embeddings")
+    return embedding_near_dup_pairs(emb, threshold=0.35).orderBy("id_a", "id_b")
+
+
+V02_ORACLE = """
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                    CAST(b.embedding AS DOUBLE[])), 6) AS cosine_sim
+FROM embeddings a
+JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                             CAST(b.embedding AS DOUBLE[])) >= 0.35
+ORDER BY id_a, id_b
+"""
+
+
+# --------------------------------------------------------------------------
+# v03 — SRP-LSH bucketed ANN top-k (approximate; rows-only check —
+# recall vs brute force asserted in tests/test_similarity.py)
+# --------------------------------------------------------------------------
+def v03_embedding_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = Catalog(spark, sf_dir).load("embeddings")
+    corpus = emb.filter(F.col("vec_id") >= _N_QUERIES)
+    return lsh_topk(
+        corpus, _query_vectors(spark, sf_dir), dim=_DIM, k=_K, n_planes=16, band_bits=4
+    ).orderBy("query_id", "rank")
+
+
+# --------------------------------------------------------------------------
+# v04 — IVF ANN top-k (k-means coarse quantizer; rows-only check)
+# --------------------------------------------------------------------------
+def v04_embedding_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = Catalog(spark, sf_dir).load("embeddings")
+    corpus = emb.filter(F.col("vec_id") >= _N_QUERIES)
+    return ivf_topk(
+        corpus, _query_vectors(spark, sf_dir), k=_K, n_centroids=16, n_probe=4
+    ).orderBy("query_id", "rank")
+
+
+QUERIES = [
+    QuerySpec("v01_embedding_topk", v01_embedding_topk, V01_ORACLE, "ann:brute-force"),
+    QuerySpec("v02_embedding_near_dups", v02_embedding_near_dups, V02_ORACLE, "dedup:cosine"),
+    QuerySpec("v03_embedding_lsh_topk", v03_embedding_lsh_topk, None, "ann:srp-lsh"),
+    QuerySpec("v04_embedding_ivf_topk", v04_embedding_ivf_topk, None, "ann:ivf"),
+]

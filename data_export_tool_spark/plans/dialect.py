@@ -1,0 +1,216 @@
+"""MySQL → Spark SQL dialect shim (SURVEY.md §4/§7.4).
+
+A source-level text transform that lets the reference's MySQL-dialect
+query files run through ``spark.sql`` unchanged in spirit. Handles the
+dialect gaps catalogued in SURVEY.md §4:
+
+- ``#`` end-of-line comments (MySQL-only) → stripped;
+- 1-arg ``ISNULL(x)`` (returns 0/1) → ``(CASE WHEN x IS NULL THEN 1
+  ELSE 0 END)`` — Spark's ``isnull`` returns boolean;
+- ``PERIOD_DIFF(DATE_FORMAT(b,'%Y%m'), DATE_FORMAT(a,'%Y%m'))`` →
+  calendar-month arithmetic (Spark has no PERIOD_DIFF);
+- ``DATE_ADD/DATE_SUB(d, INTERVAL e unit)`` with arbitrary expression
+  ``e`` → ``date_add``/``add_months`` calls;
+- ``DATE_FORMAT(d, '%...')`` → ``date_format`` with a translated
+  pattern;
+- parameter substitution (REPORT_START_DATE/REPORT_END_DATE) with
+  quoted date literals — string replacement exactly like the
+  reference (/root/reference/export.py:283-284).
+
+Everything else the reference uses (TIMESTAMPDIFF, IF, IFNULL, LEFT,
+CONCAT_WS, backtick identifiers, CASE) is native Spark SQL.
+"""
+
+from __future__ import annotations
+
+import re
+
+#: MySQL strftime → JVM DateTimeFormatter fragments (only patterns the
+#: corpus uses, F14: '%Y%m')
+_FMT_MAP = {
+    "%Y": "yyyy",
+    "%m": "MM",
+    "%d": "dd",
+    "%H": "HH",
+    "%i": "mm",
+    "%s": "ss",
+}
+
+
+def _strip_hash_comments(sql: str) -> str:
+    """Remove ``# ...`` to end-of-line outside string literals."""
+    out: list[str] = []
+    in_str: str | None = None
+    i = 0
+    while i < len(sql):
+        ch = sql[i]
+        if in_str:
+            out.append(ch)
+            if ch == in_str:
+                in_str = None
+            i += 1
+            continue
+        if ch in ("'", '"'):
+            in_str = ch
+            out.append(ch)
+            i += 1
+            continue
+        if ch == "#":
+            while i < len(sql) and sql[i] != "\n":
+                i += 1
+            continue
+        out.append(ch)
+        i += 1
+    return "".join(out)
+
+
+def _find_call(sql: str, func: str, start: int = 0) -> tuple[int, int, list[str]] | None:
+    """Locate ``func( ... )`` at or after ``start``; returns
+    (call_start, call_end_exclusive, top_level_args) with balanced
+    parens and string-literal awareness."""
+    pat = re.compile(rf"\b{func}\s*\(", re.IGNORECASE)
+    m = pat.search(sql, start)
+    if not m:
+        return None
+    i = m.end()
+    depth = 1
+    args: list[str] = []
+    cur: list[str] = []
+    in_str: str | None = None
+    while i < len(sql) and depth > 0:
+        ch = sql[i]
+        if in_str:
+            cur.append(ch)
+            if ch == in_str:
+                in_str = None
+        elif ch in ("'", '"'):
+            in_str = ch
+            cur.append(ch)
+        elif ch == "(":
+            depth += 1
+            cur.append(ch)
+        elif ch == ")":
+            depth -= 1
+            if depth > 0:
+                cur.append(ch)
+        elif ch == "," and depth == 1:
+            args.append("".join(cur).strip())
+            cur = []
+        else:
+            cur.append(ch)
+        i += 1
+    if depth != 0:
+        raise ValueError(f"unbalanced parens in {func}(...) near offset {m.start()}")
+    args.append("".join(cur).strip())
+    return m.start(), i, args
+
+
+def _rewrite_calls(sql: str, func: str, render) -> str:
+    """Rewrite every ``func(...)`` via ``render(args)``.
+
+    The search resumes just past each rewrite site so a rendering that
+    begins with a same-named lowercase Spark call (e.g. DATE_FORMAT →
+    date_format) can't loop, while occurrences nested inside the
+    rewritten args are still picked up.
+    """
+    offset = 0
+    while True:
+        found = _find_call(sql, func, offset)
+        if found is None:
+            return sql
+        s, e, args = found
+        sql = sql[:s] + render(args) + sql[e:]
+        offset = s + 1
+
+
+def _mysql_fmt_to_java(fmt: str) -> str:
+    out = fmt
+    for k, v in _FMT_MAP.items():
+        out = out.replace(k, v)
+    return out
+
+
+def _render_isnull(args: list[str]) -> str:
+    if len(args) != 1:
+        raise ValueError(f"MySQL ISNULL takes 1 arg, got {len(args)}")
+    return f"(CASE WHEN {args[0]} IS NULL THEN 1 ELSE 0 END)"
+
+
+def _render_period_diff(args: list[str]) -> str:
+    """PERIOD_DIFF(p1, p2) where p is DATE_FORMAT(d,'%Y%m') or a yyyymm
+    int expression → month-count subtraction."""
+
+    def months_of(p: str) -> str:
+        found = _find_call(p, "DATE_FORMAT")
+        if found is not None and p[: found[0]].strip() == "":
+            d = found[2][0]
+            return f"(year({d}) * 12 + month({d}))"
+        return f"(CAST({p} AS INT) DIV 100 * 12 + CAST({p} AS INT) % 100)"
+
+    return f"({months_of(args[0])} - {months_of(args[1])})"
+
+
+_INTERVAL_RE = re.compile(
+    r"^\s*INTERVAL\s+(?P<expr>.+?)\s+(?P<unit>DAY|WEEK|MONTH|YEAR)\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
+
+
+def _render_date_addsub(sign: int):
+    def render(args: list[str]) -> str:
+        if len(args) != 2:
+            raise ValueError("DATE_ADD/DATE_SUB expects 2 args")
+        d, iv = args
+        m = _INTERVAL_RE.match(iv)
+        if not m:
+            # MySQL also allows DATE_ADD(d, n) meaning days
+            expr, unit = iv, "DAY"
+        else:
+            expr, unit = m.group("expr"), m.group("unit").upper()
+        if sign < 0:
+            expr = f"-({expr})"
+        unit = unit.upper()
+        if unit == "DAY":
+            return f"date_add({d}, CAST(({expr}) AS INT))"
+        if unit == "WEEK":
+            return f"date_add({d}, CAST(7 * ({expr}) AS INT))"
+        if unit == "MONTH":
+            return f"add_months({d}, CAST(({expr}) AS INT))"
+        if unit == "YEAR":
+            return f"add_months({d}, CAST(12 * ({expr}) AS INT))"
+        raise ValueError(f"unsupported interval unit {unit}")
+
+    return render
+
+
+def _render_date_format(args: list[str]) -> str:
+    if len(args) != 2:
+        raise ValueError("DATE_FORMAT expects 2 args")
+    d, fmt = args
+    if fmt.startswith(("'", '"')) and fmt.endswith(("'", '"')):
+        fmt = f"'{_mysql_fmt_to_java(fmt[1:-1])}'"
+    return f"date_format({d}, {fmt})"
+
+
+def substitute_params(sql: str, params: dict[str, str]) -> str:
+    """String replacement of REPORT_*_DATE placeholders with quoted
+    date literals — exactly the reference's mechanism
+    (export.py:283-284)."""
+    for key, value in params.items():
+        sql = sql.replace(key, f"'{value}'")
+    return sql
+
+
+def shim_mysql_sql(sql: str, params: dict[str, str] | None = None) -> str:
+    """Full shim: comments → PERIOD_DIFF → DATE_ADD/SUB → DATE_FORMAT
+    → ISNULL → CURDATE → params."""
+    out = _strip_hash_comments(sql)
+    out = _rewrite_calls(out, "PERIOD_DIFF", _render_period_diff)
+    out = _rewrite_calls(out, "DATE_ADD", _render_date_addsub(+1))
+    out = _rewrite_calls(out, "DATE_SUB", _render_date_addsub(-1))
+    out = _rewrite_calls(out, "DATE_FORMAT", _render_date_format)
+    out = _rewrite_calls(out, "ISNULL", _render_isnull)
+    out = re.sub(r"\bCURDATE\s*\(\s*\)", "current_date()", out, flags=re.IGNORECASE)
+    if params:
+        out = substitute_params(out, params)
+    return out

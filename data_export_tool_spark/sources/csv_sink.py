@@ -1,0 +1,73 @@
+"""CSV export sink with the reference's column/naming contract.
+
+Reference behavior (/root/reference/export.py:281-311):
+
+- one CSV per query, named ``{query}_{Facility}{HMIS}_{Month}_{Year}.csv``
+  (export.py:298);
+- header = query's own columns, then the four facility-identity
+  columns appended AFTER them (export.py:304: header + extra_columns);
+- every data row gets the same facility tuple appended (export.py:294-296);
+- empty results are skipped — no file is written (export.py:307-308).
+
+Spark-first translation: facility values become literal columns
+(constant-folded by Catalyst, zero runtime cost), and the sink writes
+a single CSV per query. For report-sized outputs a driver-side pandas
+write preserves exact column order and produces one file (what the
+downstream zip step needs); for big extracts ``distributed=True``
+writes a directory of part files with the same schema.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+#: the reference's appended identity column order (export.py:304)
+FACILITY_COLUMNS = ("Region", "Woreda", "Facility", "HMISCode")
+
+
+def with_facility_columns(
+    df: DataFrame, region: str, woreda: str, facility: str, hmis_code: str
+) -> DataFrame:
+    """S5: append the constant facility-identity columns after the
+    query's own columns (export.py:294-296,304)."""
+    return (
+        df.withColumn("Region", F.lit(region))
+        .withColumn("Woreda", F.lit(woreda))
+        .withColumn("Facility", F.lit(facility))
+        .withColumn("HMISCode", F.lit(hmis_code))
+    )
+
+
+def csv_name(query_name: str, facility: str, hmis_code: str, month: str, year) -> str:
+    """Naming contract parity: export.py:298."""
+    return f"{query_name}_{facility}{hmis_code}_{month}_{year}.csv"
+
+
+def write_query_csv(
+    df: DataFrame,
+    out_dir: str,
+    query_name: str,
+    facility: str,
+    hmis_code: str,
+    month: str,
+    year,
+    distributed: bool = False,
+) -> str | None:
+    """S6: write one CSV for a query result; returns the path, or None
+    when the result is empty (the reference skips empty results,
+    export.py:307-308)."""
+    os.makedirs(out_dir, exist_ok=True)
+    name = csv_name(query_name, facility, hmis_code, month, year)
+    path = os.path.join(out_dir, name)
+    if distributed:
+        # directory-of-parts for extracts too large for one file
+        df.write.option("header", True).mode("overwrite").csv(path)
+        return path
+    pdf = df.toPandas()
+    if len(pdf) == 0:
+        return None
+    pdf.to_csv(path, index=False)
+    return path

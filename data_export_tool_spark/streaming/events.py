@@ -1,0 +1,188 @@
+"""Structured Streaming over the events stream.
+
+The batch twins of these pipelines live in
+``data_export_tool_spark.queries.events_q`` (e01 tumbling windows, e03
+sessionization) and are oracle-checked there; this module provides the
+same semantics as incremental streams:
+
+- ``hourly_counts_stream``: watermarked tumbling-window counts — late
+  events beyond the watermark are dropped, windows finalize once the
+  watermark passes.
+- ``sessionize_stream``: gap-based sessions via
+  ``applyInPandasWithState`` (custom stateful operator — the Spark
+  primitive for operators the built-ins can't express).
+
+Scale notes: windowed aggregation state is keyed by (window,
+event_type) — bounded by cardinality × retention. Sessionization
+state is one open-session record per user; the GroupState timeout
+closes idle sessions so state can't grow unboundedly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+# Worker-side functions in this module must travel BY VALUE: executors'
+# Python workers don't necessarily have this package on sys.path (the
+# host session may run from any cwd). Without this, applyInPandasWithState
+# dies with ModuleNotFoundError on any driver that didn't install us.
+try:  # pragma: no cover - trivial registration
+    import sys as _sys
+
+    from pyspark import cloudpickle as _cloudpickle
+
+    _cloudpickle.register_pickle_by_value(_sys.modules[__name__])
+except Exception:
+    pass
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+EVENT_SCHEMA = StructType(
+    [
+        StructField("event_id", LongType()),
+        StructField("ts", TimestampType()),
+        StructField("user_id", LongType()),
+        StructField("event_type", StringType()),
+        StructField("value", DoubleType()),
+        StructField("props", StringType()),
+    ]
+)
+
+
+def read_events_stream(
+    spark: SparkSession, path: str, max_files_per_trigger: int = 1
+) -> DataFrame:
+    """File-source stream over event parquet drops. (The driver's
+    events.parquet carries TIMESTAMP(NANOS); reading as nanos-longs +
+    converting matches Catalog.load.)"""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    schema = (
+        spark.read.parquet(path).schema
+        if not spark.conf.get("spark.sql.streaming.schemaInference", None)
+        else None
+    )
+    reader = spark.readStream.format("parquet").option(
+        "maxFilesPerTrigger", max_files_per_trigger
+    )
+    if schema is not None:
+        reader = reader.schema(schema)
+    df = reader.load(path)
+    if dict(df.dtypes).get("ts") == "bigint":
+        df = df.withColumn("ts", F.timestamp_micros((F.col("ts") / 1000).cast("long")))
+    return df
+
+
+def hourly_counts_stream(
+    events: DataFrame, watermark: str = "2 hours"
+) -> DataFrame:
+    """Watermarked tumbling 1-hour windows per event type — the
+    streaming twin of queries.events_q.e01_events_hourly."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 hour").alias("win"), F.col("event_type"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias(
+                "sum_value"
+            ),
+        )
+        .select(
+            F.date_format(F.col("win.start"), "yyyy-MM-dd HH:00").alias("hour"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+SESSION_OUTPUT_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("session_start", TimestampType()),
+        StructField("session_end", TimestampType()),
+        StructField("n_events", LongType()),
+    ]
+)
+
+SESSION_STATE_SCHEMA = StructType(
+    [
+        StructField("start_ms", LongType()),
+        StructField("last_ms", LongType()),
+        StructField("n_events", LongType()),
+    ]
+)
+
+_GAP_MS = 3_600_000
+
+
+def _session_fn(key, pdf_iter, state: GroupState):
+    """Stateful per-user session assembly: events extend the open
+    session while within the gap; a larger gap (or state timeout)
+    emits the closed session and opens a new one."""
+    import pandas as pd
+
+    (user_id,) = key
+    closed: list[tuple[int, int, int, int]] = []  # (start, end, n)
+
+    if state.hasTimedOut:
+        if state.exists:
+            start_ms, last_ms, n = state.get
+            closed.append((user_id, start_ms, last_ms, n))
+            state.remove()
+    else:
+        ts_all = []
+        for pdf in pdf_iter:
+            ts_all.extend(
+                int(t.value // 1_000_000) for t in pd.to_datetime(pdf["ts"])
+            )
+        ts_all.sort()
+        if state.exists:
+            start_ms, last_ms, n = state.get
+        else:
+            start_ms, last_ms, n = None, None, 0
+        for t in ts_all:
+            if start_ms is None:
+                start_ms, last_ms, n = t, t, 1
+            elif t - last_ms > _GAP_MS:
+                closed.append((user_id, start_ms, last_ms, n))
+                start_ms, last_ms, n = t, t, 1
+            else:
+                last_ms, n = t, n + 1
+        if start_ms is not None:
+            state.update((start_ms, last_ms, n))
+            state.setTimeoutDuration(_GAP_MS)
+
+    if closed:
+        yield pd.DataFrame(
+            {
+                "user_id": [c[0] for c in closed],
+                "session_start": pd.to_datetime([c[1] for c in closed], unit="ms"),
+                "session_end": pd.to_datetime([c[2] for c in closed], unit="ms"),
+                "n_events": [c[3] for c in closed],
+            }
+        )
+
+
+def sessionize_stream(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
+    """Gap-based sessionization as a custom stateful streaming operator
+    (applyInPandasWithState) — the streaming twin of
+    queries.events_q.e03_event_sessions."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _session_fn,
+            outputStructType=SESSION_OUTPUT_SCHEMA,
+            stateStructType=SESSION_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+        )
+    )

@@ -1,0 +1,98 @@
+"""Dedup operator tests: exact, MinHash-LSH, SimHash, n-gram Jaccard —
+on planted near/exact duplicates."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from data_export_tool_spark.operators.dedup import (
+    dedup_exact,
+    exact_duplicates,
+    minhash_lsh_candidates,
+    ngram_jaccard_pairs,
+    simhash_near_duplicates,
+)
+
+BASE = (
+    "spark shuffles data between stages when a wide dependency requires "
+    "repartitioning by key and the optimizer cannot elide the exchange"
+)
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (1, BASE),
+        (2, BASE),  # exact dup of 1
+        (3, BASE.replace("optimizer", "planner")),  # near dup of 1
+        (4, "completely different text about cooking pasta with garlic and olive oil in rome"),
+        (5, "Spark   shuffles, data between stages when a wide dependency requires "
+            "repartitioning by key and the optimizer cannot elide the exchange!"),  # normalizes to dup of 1
+        (6, "yet another unrelated document mentioning satellites orbit geometry and physics"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_exact_duplicates_groups(docs):
+    groups = exact_duplicates(docs).collect()
+    assert len(groups) == 1
+    assert groups[0].dup_count == 3  # 1, 2, 5 normalize identically
+    assert groups[0].keep_id == 1
+
+
+def test_dedup_exact_keeps_one_representative(docs):
+    kept = sorted(r.doc_id for r in dedup_exact(docs).collect())
+    assert kept == [1, 3, 4, 6]
+
+
+def test_minhash_lsh_finds_near_dups(docs):
+    pairs = {
+        (r.id_a, r.id_b)
+        for r in minhash_lsh_candidates(docs, num_hashes=16, bands=8).collect()
+    }
+    # exact dups always collide on every band
+    assert (1, 2) in pairs and (1, 5) in pairs and (2, 5) in pairs
+    # near-dup should collide on at least one of 8 bands (2-row bands)
+    assert (1, 3) in pairs
+    # unrelated docs must not pair
+    assert (4, 6) not in pairs
+
+
+def test_ngram_jaccard_values(docs):
+    pairs = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in ngram_jaccard_pairs(docs, threshold=0.2).collect()
+    }
+    assert pairs[(1, 2)] == 1.0
+    assert 0.5 < pairs[(1, 3)] < 1.0
+    assert (4, 6) not in pairs
+
+
+def test_ngram_jaccard_with_candidate_restriction(spark, docs):
+    cands = spark.createDataFrame([(1, 3)], "id_a long, id_b long")
+    pairs = ngram_jaccard_pairs(docs, threshold=0.2, candidates=cands).collect()
+    assert {(r.id_a, r.id_b) for r in pairs} == {(1, 3)}
+
+
+def test_simhash_separates_near_from_far(spark, docs):
+    from data_export_tool_spark.operators.dedup import hamming64, simhash
+
+    sigs = {r.doc_id: r.simhash for r in simhash(docs).collect()}
+    df = spark.createDataFrame(
+        [(sigs[1], sigs[3]), (sigs[1], sigs[4])], "a long, b long"
+    )
+    near, far = [
+        r.h for r in df.select(hamming64(F.col("a"), F.col("b")).alias("h")).collect()
+    ]
+    assert near < far
+    assert near <= 16  # near-dup keeps most bits
+
+
+def test_simhash_near_duplicates_pairs(docs):
+    pairs = {
+        (r.id_a, r.id_b)
+        for r in simhash_near_duplicates(docs, max_hamming=16).collect()
+    }
+    assert (1, 2) in pairs and (1, 5) in pairs
+    assert (4, 6) not in pairs

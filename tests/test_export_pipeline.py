@@ -1,0 +1,166 @@
+"""Export pipeline parity tests (SURVEY.md §5.4): facility-column
+append order, CSV naming contract, empty-result skip, zip/checksum
+structure, report-window resolution, dialect shim."""
+
+from __future__ import annotations
+
+import datetime as dt
+import hashlib
+import os
+import zipfile
+
+import pytest
+
+from data_export_tool_spark.plans.dialect import shim_mysql_sql, substitute_params
+from data_export_tool_spark.plans.registry import (
+    FacilityIdentity,
+    ReportRegistry,
+    run_export,
+)
+from data_export_tool_spark.plans.report_window import resolve_report_window
+from data_export_tool_spark.sources.csv_sink import (
+    csv_name,
+    with_facility_columns,
+    write_query_csv,
+)
+from data_export_tool_spark.sources.packaging import zip_files_with_checksum
+
+
+# ---- report window (U3; export.py:360-375) --------------------------------
+
+
+def test_report_window_mid_year():
+    # Sene 2015: end = Eth 20/10/2015, start = Eth 21/9/2015
+    w = resolve_report_window("Sene", 2015)
+    assert w.end == dt.date(2023, 6, 27)
+    assert w.start == dt.date(2023, 5, 29)
+    assert (w.end - w.start).days == 29
+
+
+def test_report_window_meskerem_wraps_to_pagume():
+    w = resolve_report_window(1, 2016)
+    # end: Eth 20/1/2016 = 2023-10-01; start: Eth 21/13/2015 (Pagume
+    # overflow, bug-compatible with the reference's EthDate(21,13,y-1))
+    assert w.end == dt.date(2023, 10, 1)
+    assert w.start < w.end
+    assert w.as_params()["REPORT_END_DATE"] == "2023-10-01"
+
+
+# ---- facility columns + CSV contract (S5/S6; export.py:294-308) -----------
+
+
+def test_facility_columns_appended_after_query_columns(spark):
+    df = spark.createDataFrame([(1, "x")], "id long, v string")
+    out = with_facility_columns(df, "Oromia", "Adama", "Adama General", "H123")
+    assert out.columns == ["id", "v", "Region", "Woreda", "Facility", "HMISCode"]
+    row = out.first()
+    assert (row.Region, row.HMISCode) == ("Oromia", "H123")
+
+
+def test_csv_name_contract():
+    assert (
+        csv_name("Tx_Curr_LineList", "Adama General", "H123", "Sene", 2015)
+        == "Tx_Curr_LineList_Adama GeneralH123_Sene_2015.csv"
+    )
+
+
+def test_empty_result_skipped(spark, tmp_path):
+    df = spark.createDataFrame([], "id long, v string")
+    path = write_query_csv(df, str(tmp_path), "Q", "F", "H", "Sene", 2015)
+    assert path is None
+    assert list(tmp_path.iterdir()) == []
+
+
+# ---- zip + checksum (S7; export.py:145-210) -------------------------------
+
+
+def test_zip_checksum_structure(tmp_path):
+    (tmp_path / "a.csv").write_text("x,y\n1,2\n")
+    (tmp_path / "b.csv").write_text("x\n9\n")
+    final = zip_files_with_checksum(str(tmp_path), "run1")
+    assert os.path.basename(final) == "run1_packaged18.zip"
+    with zipfile.ZipFile(final) as zf:
+        names = sorted(zf.namelist())
+        assert names == ["run1.zip", "run1_checksum.txt"]
+        checksum = zf.read("run1_checksum.txt").decode()
+        inner = zf.read("run1.zip")
+        assert checksum == hashlib.sha256(inner).hexdigest()
+        with zipfile.ZipFile(zf.open("run1.zip")) as inner_zf:
+            assert sorted(inner_zf.namelist()) == ["a.csv", "b.csv"]
+    # temporaries removed (export.py finally-block parity)
+    assert not (tmp_path / "run1.zip").exists()
+    assert not (tmp_path / "run1_checksum.txt").exists()
+
+
+# ---- dialect shim (§4/§7.4) ------------------------------------------------
+
+
+def test_shim_strips_hash_comments():
+    sql = "SELECT a # trailing comment\nFROM t WHERE s = 'keep # this'"
+    out = shim_mysql_sql(sql)
+    assert "trailing" not in out
+    assert "keep # this" in out
+
+
+def test_shim_isnull_rewrite(spark):
+    out = shim_mysql_sql("SELECT ISNULL(x) FROM t")
+    assert "CASE WHEN x IS NULL THEN 1 ELSE 0 END" in out
+    spark.createDataFrame([(None,), (5,)], "x int").createOrReplaceTempView("t")
+    vals = sorted(r[0] for r in spark.sql(out).collect())
+    assert vals == [0, 1]
+
+
+def test_shim_period_diff(spark):
+    sql = "SELECT PERIOD_DIFF(DATE_FORMAT(b, '%Y%m'), DATE_FORMAT(a, '%Y%m')) AS m FROM t"
+    spark.createDataFrame(
+        [(dt.date(2020, 1, 31), dt.date(2020, 3, 1))], "a date, b date"
+    ).createOrReplaceTempView("t")
+    assert spark.sql(shim_mysql_sql(sql)).first().m == 2
+
+
+def test_shim_date_add_expression(spark):
+    # computed interval (Tx_Curr_VLEligible_LineList.sql:152-153 shape)
+    sql = "SELECT DATE_ADD(d, INTERVAL 365 * n DAY) AS x, DATE_ADD(d, INTERVAL -6 MONTH) AS y FROM t"
+    spark.createDataFrame(
+        [(dt.date(2020, 1, 1), 2)], "d date, n int"
+    ).createOrReplaceTempView("t")
+    row = spark.sql(shim_mysql_sql(sql)).first()
+    assert row.x == dt.date(2021, 12, 31)
+    assert row.y == dt.date(2019, 7, 1)
+
+
+def test_shim_param_substitution():
+    out = substitute_params(
+        "WHERE d BETWEEN REPORT_START_DATE AND REPORT_END_DATE",
+        {"REPORT_START_DATE": "2023-05-29", "REPORT_END_DATE": "2023-06-27"},
+    )
+    assert out == "WHERE d BETWEEN '2023-05-29' AND '2023-06-27'"
+
+
+def test_shim_curdate(spark):
+    out = shim_mysql_sql("SELECT CURDATE() AS today")
+    assert "current_date()" in out
+    assert spark.sql(out).first().today == dt.date.today()
+
+
+# ---- end-to-end export run (registry) --------------------------------------
+
+
+def test_run_export_end_to_end(spark, tmp_path):
+    spark.createDataFrame(
+        [(1, "a"), (2, "b")], "id long, v string"
+    ).createOrReplaceTempView("src")
+    reg = ReportRegistry()
+    reg.register_sql("MyReport", "SELECT id, v FROM src WHERE REPORT_END_DATE > ''")
+    reg.register_sql("EmptyReport", "SELECT id, v FROM src WHERE id > 99")
+    fac = FacilityIdentity("Oromia", "Adama", "AdamaGen", "H1")
+
+    written = run_export(
+        spark, reg, fac, "Sene", 2015, str(tmp_path), zip_name="exp", month_label="Sene"
+    )
+    assert written["EmptyReport"] is None
+    csv_path = written["MyReport"]
+    assert csv_path and os.path.basename(csv_path) == "MyReport_AdamaGenH1_Sene_2015.csv"
+    header = open(csv_path).readline().strip().split(",")
+    assert header == ["id", "v", "Region", "Woreda", "Facility", "HMISCode"]
+    assert os.path.exists(tmp_path / "exp_packaged18.zip")

@@ -1,0 +1,123 @@
+"""Operator tests: window dedup, as-of join, range join, conditional
+pivot (SURVEY.md §2c/§2e)."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from data_export_tool_spark.operators.asof import asof_join, range_join
+from data_export_tool_spark.operators.pivot import conditional_agg
+from data_export_tool_spark.operators.window_dedup import (
+    earliest_per_key,
+    latest_per_key,
+    ranked,
+)
+
+
+def _visits(spark):
+    rows = [
+        # client, encounter, date  (client 1 has a DATE TIE on encounters 12/13)
+        (1, 10, dt.date(2023, 1, 1)),
+        (1, 12, dt.date(2023, 3, 1)),
+        (1, 13, dt.date(2023, 3, 1)),
+        (2, 20, dt.date(2023, 2, 2)),
+        (3, 30, None),  # NULL event date
+        (3, 31, dt.date(2023, 1, 5)),
+    ]
+    return spark.createDataFrame(rows, "client_id long, encounter_id long, d date")
+
+
+def test_latest_per_key_tiebreak(spark):
+    out = {
+        r.client_id: r.encounter_id
+        for r in latest_per_key(
+            _visits(spark), ["client_id"], ["d"], tiebreak="encounter_id"
+        ).collect()
+    }
+    # ties broken by encounter_id DESC (the reference's pin); NULL dates
+    # sort last under DESC (MySQL/Spark agree)
+    assert out == {1: 13, 2: 20, 3: 31}
+
+
+def test_earliest_per_key(spark):
+    out = {
+        r.client_id: r.encounter_id
+        for r in earliest_per_key(
+            _visits(spark), ["client_id"], ["d"], tiebreak="encounter_id"
+        ).collect()
+    }
+    # ASC: NULLs first in Spark asc() — matches MySQL ASC null ordering
+    assert out[1] == 10
+    assert out[3] == 30
+
+
+def test_ranked_multi_use(spark):
+    r = ranked(_visits(spark), ["client_id"], ["d"], tiebreak="encounter_id")
+    two = r.filter(F.col("row_num") == 2).count()
+    assert two == 2  # clients 1 and 3 have ≥2 visits
+
+
+def test_asof_join_backward(spark):
+    left = spark.createDataFrame(
+        [(1, dt.date(2023, 6, 1)), (2, dt.date(2023, 6, 1)), (3, dt.date(2023, 6, 1))],
+        "k long, ref date",
+    )
+    right = spark.createDataFrame(
+        [
+            (1, dt.date(2023, 1, 1), "a"),
+            (1, dt.date(2023, 5, 30), "b"),
+            (1, dt.date(2023, 7, 1), "future"),
+            (2, dt.date(2023, 8, 1), "only-future"),
+        ],
+        "k long, t date, v string",
+    )
+    out = {
+        r.k: r.v
+        for r in asof_join(
+            left, right, on=["k"], left_time="ref", right_time="t"
+        ).collect()
+    }
+    assert out[1] == "b"  # latest at-or-before ref
+    assert out[2] is None  # candidate exists but only after ref → null
+    assert out[3] is None  # no candidate at all → null (left join)
+
+
+def test_asof_join_inner_and_forward(spark):
+    left = spark.createDataFrame([(1, dt.date(2023, 6, 1))], "k long, ref date")
+    right = spark.createDataFrame(
+        [(1, dt.date(2023, 5, 1), "past"), (1, dt.date(2023, 7, 1), "next")],
+        "k long, t date, v string",
+    )
+    fwd = asof_join(
+        left, right, on=["k"], left_time="ref", right_time="t", direction="forward"
+    ).first()
+    assert fwd.v == "next"
+
+
+def test_range_join(spark):
+    points = spark.createDataFrame(
+        [(1, dt.date(2023, 1, 5)), (1, dt.date(2023, 2, 20))], "k long, p date"
+    )
+    windows = spark.createDataFrame(
+        [(1, dt.date(2023, 1, 1), dt.date(2023, 1, 31))],
+        "k long, lo date, hi date",
+    )
+    out = range_join(points, windows, on=["k"], point="p", lower="lo", upper="hi")
+    assert out.count() == 1
+
+
+def test_conditional_agg_pivot(spark):
+    df = spark.createDataFrame(
+        [("TI", 5), ("TI", 3), ("NTI", 2)], "status string, total int"
+    )
+    row = conditional_agg(
+        df,
+        group_by=[],
+        cases={
+            "ti_total": (F.col("status") == "TI", F.col("total")),
+            "nti_total": (F.col("status") == "NTI", F.col("total")),
+        },
+    ).first()
+    assert row.ti_total == 8 and row.nti_total == 2

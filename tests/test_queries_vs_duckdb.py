@@ -1,0 +1,53 @@
+"""In-repo replica of the driver's t2 gate: every oracle-paired query
+in the catalog must match DuckDB on row count, columns, and
+order-insensitive values (at sf0.001 for test speed; the driver runs
+sf0.01 — tools/check_parity.py covers that interactively)."""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+
+from data_export_tool_spark.catalog import TESTDATA_TABLES
+from data_export_tool_spark.queries import all_queries
+
+SPECS = all_queries()
+
+
+@pytest.fixture(scope="module")
+def duck(sf_dir):
+    con = duckdb.connect()
+    for t in TESTDATA_TABLES:
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    yield con
+    con.close()
+
+
+def _canon(pdf):
+    pdf = pdf[sorted(pdf.columns)]
+
+    def norm(v):
+        if v is None or (isinstance(v, float) and v != v):
+            return "<NULL>"
+        if hasattr(v, "isoformat"):
+            return v.isoformat()
+        if isinstance(v, float):
+            return repr(round(v, 9))
+        return str(v)
+
+    return sorted(
+        tuple(norm(v) for v in row) for row in pdf.itertuples(index=False, name=None)
+    )
+
+
+@pytest.mark.parametrize("name", sorted(SPECS))
+def test_query_matches_oracle(name, spark, sf_dir, duck):
+    spec = SPECS[name]
+    sdf = spec.builder(spark, sf_dir).toPandas()
+    if spec.oracle is None:
+        assert len(sdf) >= 0  # rows-only contract: just runs
+        return
+    ddf = duck.sql(spec.oracle).df()
+    assert sorted(sdf.columns) == sorted(ddf.columns)
+    assert len(sdf) == len(ddf)
+    assert _canon(sdf) == _canon(ddf)

@@ -1,0 +1,90 @@
+"""Similarity-search tests: brute-force exactness, LSH/IVF recall."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from data_export_tool_spark.operators.similarity import (
+    brute_force_topk,
+    embedding_near_dup_pairs,
+    ivf_topk,
+    lsh_topk,
+)
+
+
+@pytest.fixture(scope="module")
+def emb(spark, sf_dir):
+    from data_export_tool_spark.catalog import Catalog
+
+    return Catalog(spark, sf_dir).load("embeddings")
+
+
+@pytest.fixture(scope="module")
+def split(emb):
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    corpus = emb.filter(F.col("vec_id") >= 5)
+    return queries, corpus
+
+
+def _topk_sets(df):
+    out = {}
+    for r in df.collect():
+        out.setdefault(r.query_id, set()).add(r.neighbor_id)
+    return out
+
+
+def test_brute_force_topk_shape(split):
+    queries, corpus = split
+    res = brute_force_topk(corpus, queries, k=10)
+    rows = res.collect()
+    assert len(rows) == 50
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r.query_id, []).append((r.rank, r.cosine_sim))
+    for q, items in by_q.items():
+        items.sort()
+        sims = [s for _, s in items]
+        assert sims == sorted(sims, reverse=True)  # rank follows similarity
+        assert [r for r, _ in items] == list(range(1, 11))
+
+
+def test_lsh_recall_vs_brute_force(split):
+    queries, corpus = split
+    exact = _topk_sets(brute_force_topk(corpus, queries, k=10))
+    approx = _topk_sets(
+        lsh_topk(corpus, queries, dim=64, k=10, n_planes=16, band_bits=4)
+    )
+    # the driver's embeddings are near-random (top-10 neighbors sit at
+    # cosine ≈ 0.3-0.5, i.e. ~60-70° angles), where SRP collision
+    # probability per 4-bit band is ~(1-θ/π)^4 ≈ 0.16 → expected recall
+    # ≈ 0.5 over 4 bands. Deterministic given the fixed seed.
+    recalls = [
+        len(exact[q] & approx.get(q, set())) / len(exact[q]) for q in exact
+    ]
+    assert sum(recalls) / len(recalls) >= 0.35
+
+
+def test_ivf_recall_vs_brute_force(split):
+    queries, corpus = split
+    exact = _topk_sets(brute_force_topk(corpus, queries, k=10))
+    approx = _topk_sets(ivf_topk(corpus, queries, k=10, n_centroids=8, n_probe=4))
+    recalls = [
+        len(exact[q] & approx.get(q, set())) / len(exact[q]) for q in exact
+    ]
+    assert sum(recalls) / len(recalls) >= 0.5
+
+
+def test_near_dup_pairs_symmetric_threshold(spark):
+    rows = [
+        (1, [1.0, 0.0, 0.0, 0.0]),
+        (2, [0.999, 0.01, 0.0, 0.0]),  # near-dup of 1
+        (3, [0.0, 1.0, 0.0, 0.0]),  # orthogonal
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    pairs = {(r.id_a, r.id_b): r.cosine_sim for r in
+             embedding_near_dup_pairs(df, threshold=0.9).collect()}
+    assert set(pairs) == {(1, 2)}
+    assert pairs[(1, 2)] > 0.99

@@ -73,10 +73,14 @@ def gregorian_to_eth(col: Column, fmt: str = "D/M/Y") -> Column:
     """
     y, m, d = eth_date_parts(col)
     if fmt == "D/M/Y":
-        return F.concat_ws("/", d.cast("string"), m.cast("string"), y.cast("string"))
-    if fmt == "Y-M-D":
-        return F.concat_ws("-", y.cast("string"), m.cast("string"), d.cast("string"))
-    raise ValueError(f"unsupported Ethiopian date format: {fmt}")
+        parts = F.concat_ws("/", d.cast("string"), m.cast("string"), y.cast("string"))
+    elif fmt == "Y-M-D":
+        parts = F.concat_ws("-", y.cast("string"), m.cast("string"), d.cast("string"))
+    else:
+        raise ValueError(f"unsupported Ethiopian date format: {fmt}")
+    # NULL in → NULL out (concat_ws would silently yield '' instead,
+    # diverging from the MySQL stored function's NULL propagation)
+    return F.when(col.isNull(), F.lit(None).cast("string")).otherwise(parts)
 
 
 def eth_date_str(col: Column) -> Column:

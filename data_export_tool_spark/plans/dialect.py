@@ -143,7 +143,8 @@ def _render_period_diff(args: list[str]) -> str:
     def months_of(p: str) -> str:
         found = _find_call(p, "DATE_FORMAT")
         if found is not None and p[: found[0]].strip() == "":
-            d = found[2][0]
+            # cast: the operand may be a substituted string literal
+            d = f"CAST({found[2][0]} AS DATE)"
             return f"(year({d}) * 12 + month({d}))"
         return f"(CAST({p} AS INT) DIV 100 * 12 + CAST({p} AS INT) % 100)"
 
@@ -211,6 +212,119 @@ def shim_mysql_sql(sql: str, params: dict[str, str] | None = None) -> str:
     out = _rewrite_calls(out, "DATE_FORMAT", _render_date_format)
     out = _rewrite_calls(out, "ISNULL", _render_isnull)
     out = re.sub(r"\bCURDATE\s*\(\s*\)", "current_date()", out, flags=re.IGNORECASE)
+    if params:
+        out = substitute_params(out, params)
+    return out
+
+
+# --------------------------------------------------------------------------
+# DuckDB oracle target: lets the reference's MySQL query text run on
+# DuckDB as the parity oracle for the engine's DataFrame line-lists.
+# --------------------------------------------------------------------------
+
+#: macro prelude the oracle connection must install first. The
+#: Ethiopian conversion is the same Julian-day arithmetic as
+#: functions.ethiopian (epoch offset 2440588 - 1723856 = 716732);
+#: mysql_tsdiff_* pin MySQL's complete-unit TIMESTAMPDIFF semantics.
+DUCKDB_MACRO_PRELUDE: tuple[str, ...] = (
+    "CREATE OR REPLACE MACRO eth_off(d) AS "
+    "(CAST(d AS DATE) - DATE '1970-01-01') + 716732",
+    "CREATE OR REPLACE MACRO eth_n(d) AS "
+    "eth_off(d) % 1461 % 365 + 365 * ((eth_off(d) % 1461) // 1460)",
+    "CREATE OR REPLACE MACRO eth_year_(d) AS "
+    "4 * (eth_off(d) // 1461) + ((eth_off(d) % 1461) // 365) "
+    "- ((eth_off(d) % 1461) // 1460)",
+    "CREATE OR REPLACE MACRO fn_gregorian_to_ethiopian_calendar(d, fmt) AS "
+    "CASE WHEN d IS NULL THEN NULL ELSE "
+    "concat(CAST(eth_n(d) % 30 + 1 AS VARCHAR), '/', "
+    "CAST(eth_n(d) // 30 + 1 AS VARCHAR), '/', "
+    "CAST(eth_year_(d) AS VARCHAR)) END",
+    "CREATE OR REPLACE MACRO mysql_tsdiff_day(a, b) AS "
+    "date_diff('day', CAST(a AS DATE), CAST(b AS DATE))",
+    "CREATE OR REPLACE MACRO mysql_tsdiff_week(a, b) AS "
+    "date_diff('day', CAST(a AS DATE), CAST(b AS DATE)) // 7",
+    "CREATE OR REPLACE MACRO mysql_tsdiff_month(a, b) AS "
+    "((year(CAST(b AS DATE)) * 12 + month(CAST(b AS DATE))) "
+    " - (year(CAST(a AS DATE)) * 12 + month(CAST(a AS DATE)))) "
+    "- CASE WHEN day(CAST(b AS DATE)) < day(CAST(a AS DATE)) THEN 1 ELSE 0 END",
+    "CREATE OR REPLACE MACRO mysql_tsdiff_year(a, b) AS "
+    "(year(CAST(b AS DATE)) - year(CAST(a AS DATE))) "
+    "- CASE WHEN (month(CAST(b AS DATE)) < month(CAST(a AS DATE))) "
+    "OR (month(CAST(b AS DATE)) = month(CAST(a AS DATE)) "
+    "AND day(CAST(b AS DATE)) < day(CAST(a AS DATE))) THEN 1 ELSE 0 END",
+)
+
+
+def install_duckdb_macros(con) -> None:
+    for stmt in DUCKDB_MACRO_PRELUDE:
+        con.sql(stmt)
+
+
+def _render_date_addsub_duckdb(sign: int):
+    def render(args: list[str]) -> str:
+        if len(args) != 2:
+            raise ValueError("DATE_ADD/DATE_SUB expects 2 args")
+        d, iv = args
+        m = _INTERVAL_RE.match(iv)
+        if not m:
+            expr, unit = iv, "DAY"
+        else:
+            expr, unit = m.group("expr"), m.group("unit").upper()
+        if sign < 0:
+            expr = f"-({expr})"
+        fn = {"DAY": "to_days", "WEEK": None, "MONTH": "to_months", "YEAR": "to_years"}[
+            unit
+        ]
+        if unit == "WEEK":
+            return f"(CAST({d} AS TIMESTAMP) + to_days(7 * CAST(({expr}) AS INT)))"
+        return f"(CAST({d} AS TIMESTAMP) + {fn}(CAST(({expr}) AS INT)))"
+
+    return render
+
+
+def _render_date_format_duckdb(args: list[str]) -> str:
+    if len(args) != 2:
+        raise ValueError("DATE_FORMAT expects 2 args")
+    # DuckDB strftime natively understands the MySQL %-patterns the
+    # corpus uses ('%Y%m')
+    return f"strftime(CAST({args[0]} AS TIMESTAMP), {args[1]})"
+
+
+def _render_if_duckdb(args: list[str]) -> str:
+    if len(args) != 3:
+        raise ValueError("IF expects 3 args")
+    return f"(CASE WHEN {args[0]} THEN {args[1]} ELSE {args[2]} END)"
+
+
+_TSDIFF_RE = re.compile(
+    r"\bTIMESTAMPDIFF\s*\(\s*(DAY|WEEK|MONTH|YEAR)\s*,", re.IGNORECASE
+)
+
+#: MySQL truthiness quirks (SURVEY.md §4.1/§4.2): a bare string literal
+#: as a searched-CASE condition coerces to 0 → false. Only two shapes
+#: appear in the corpus; both rewrites are shaped to never touch
+#: simple-form CASE arms.
+_CASE_LITERAL_RE = re.compile(r"(\bCASE\s+WHEN\s+)'[^']*'(\s+THEN\b)", re.IGNORECASE)
+_WHEN_LITERAL_OR_RE = re.compile(
+    r"(\bWHEN\s+)'[^']*'(?:\s+OR\s+'[^']*')+(\s+THEN\b)", re.IGNORECASE
+)
+
+
+def shim_mysql_to_duckdb(sql: str, params: dict[str, str] | None = None) -> str:
+    """Rewrite the reference's MySQL text into DuckDB SQL (run after
+    ``install_duckdb_macros`` on the connection)."""
+    out = _strip_hash_comments(sql)
+    out = _TSDIFF_RE.sub(lambda m: f"mysql_tsdiff_{m.group(1).lower()}(", out)
+    out = _rewrite_calls(out, "PERIOD_DIFF", _render_period_diff)
+    out = _rewrite_calls(out, "DATE_ADD", _render_date_addsub_duckdb(+1))
+    out = _rewrite_calls(out, "DATE_SUB", _render_date_addsub_duckdb(-1))
+    out = _rewrite_calls(out, "DATE_FORMAT", _render_date_format_duckdb)
+    out = _rewrite_calls(out, "ISNULL", _render_isnull)
+    out = _rewrite_calls(out, "IF", _render_if_duckdb)
+    out = re.sub(r"\bCURDATE\s*\(\s*\)", "current_date", out, flags=re.IGNORECASE)
+    out = _CASE_LITERAL_RE.sub(r"\1FALSE\2", out)
+    out = _WHEN_LITERAL_OR_RE.sub(r"\1FALSE\2", out)
+    out = out.replace("`", '"')
     if params:
         out = substitute_params(out, params)
     return out

@@ -1,0 +1,99 @@
+"""Reference-parity tests (SURVEY.md §5.2): the engine's DataFrame
+line-lists vs the REFERENCE'S OWN SQL executed on DuckDB (after the
+documented MySQL→DuckDB dialect shim) over identical seeded fixtures.
+
+The reference SQL is read from /root/reference at test time (read-only
+study of behavior — never copied into this repo); tests skip if the
+reference tree is absent.
+"""
+
+from __future__ import annotations
+
+import os
+
+import duckdb
+import pytest
+
+from data_export_tool_spark.mamba.fixtures import (
+    WINDOW_END,
+    WINDOW_START,
+    create_fixture_frames,
+    write_fixture_parquet,
+)
+from data_export_tool_spark.plans.dialect import (
+    install_duckdb_macros,
+    shim_mysql_to_duckdb,
+)
+
+REFERENCE_SQL_DIR = "/root/reference/sql_queries"
+
+pytestmark = pytest.mark.skipif(
+    not os.path.isdir(REFERENCE_SQL_DIR), reason="reference tree not available"
+)
+
+PARAMS = {
+    "REPORT_START_DATE": WINDOW_START.isoformat(),
+    "REPORT_END_DATE": WINDOW_END.isoformat(),
+}
+
+
+@pytest.fixture(scope="module")
+def fixture_env(spark, tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("mamba_fixtures"))
+    paths = write_fixture_parquet(spark, out)
+    frames = create_fixture_frames(spark)
+    con = duckdb.connect()
+    install_duckdb_macros(con)
+    for name, path in paths.items():
+        con.sql(f"CREATE VIEW {name} AS SELECT * FROM '{path}/*.parquet'")
+    return frames, con
+
+
+def _canon(pdf):
+    """Order-insensitive canonical rows; midnight timestamps equal
+    dates; column names matched case-insensitively (DuckDB re-cases
+    un-aliased identifiers it resolved case-insensitively)."""
+    pdf = pdf.copy()
+    pdf.columns = [c.lower() for c in pdf.columns]
+    pdf = pdf[sorted(pdf.columns)]
+
+    def norm(v):
+        if v is None or (isinstance(v, float) and v != v) or str(v) == "NaT":
+            return "<NULL>"
+        if hasattr(v, "isoformat"):
+            s = v.isoformat()
+            return s[:-9] if s.endswith("T00:00:00") else s
+        return str(v)
+
+    return sorted(
+        tuple(norm(v) for v in row) for row in pdf.itertuples(index=False, name=None)
+    )
+
+
+def _reference_on_duckdb(con, query_file: str):
+    sql = open(os.path.join(REFERENCE_SQL_DIR, query_file)).read()
+    return con.sql(shim_mysql_to_duckdb(sql, PARAMS)).df()
+
+
+def _assert_parity(mine_pdf, oracle_pdf, query_file: str):
+    assert sorted(c.lower() for c in mine_pdf.columns) == sorted(
+        c.lower() for c in oracle_pdf.columns
+    ), query_file
+    assert len(mine_pdf) == len(oracle_pdf), (
+        f"{query_file}: rows {len(mine_pdf)} vs oracle {len(oracle_pdf)}"
+    )
+    mine_c, oracle_c = _canon(mine_pdf), _canon(oracle_pdf)
+    mismatches = [
+        (a, b) for a, b in zip(mine_c, oracle_c) if a != b
+    ]
+    assert not mismatches, f"{query_file}: first diffs {mismatches[:2]}"
+
+
+def test_tx_curr_linelist_parity(spark, fixture_env):
+    from data_export_tool_spark.mamba.linelists import tx_curr_linelist
+
+    frames, con = fixture_env
+    mine = tx_curr_linelist(frames, WINDOW_START, WINDOW_END).toPandas()
+    oracle = _reference_on_duckdb(con, "Tx_Curr_LineList.sql")
+    assert len(mine) > 20, "cohort unexpectedly small — fixture drift?"
+    _assert_parity(mine, oracle, "Tx_Curr_LineList.sql")

@@ -97,6 +97,23 @@ class FixtureGen:
 
     def dim_client(self) -> list[tuple]:
         rows = []
+        # HEI infants (id space 10000+) need demographics too — the HEI
+        # report's final join resolves client.date_of_birth/sex for them
+        for i in range(self.n_patients // 4):
+            cid = 10_000 + i
+            dob = WINDOW_END - dt.timedelta(days=self.rng.randint(30, 1100))
+            rows.append(
+                (
+                    cid,
+                    f"uuid-hei-{i:05d}",
+                    self.rng.choice(["FEMALE", "MALE"]),
+                    dob,
+                    0,
+                    f"MRNH{i:05d}",
+                    f"Infant {i}",
+                    None,
+                )
+            )
         for cid in range(1, self.n_patients + 1):
             sex = self.rng.choices(
                 ["FEMALE", "MALE", "Female"], weights=[52, 44, 4]
@@ -411,6 +428,10 @@ class FixtureGen:
             )
             for v in range(self.rng.randint(1, 6)):
                 fdate = enr_date + dt.timedelta(days=30 * v + self.rng.randint(0, 10))
+                if v == 0 and i % 2 == 0:
+                    # guarantee a healthy in-window cohort (line-list
+                    # grain: followup BETWEEN start AND end)
+                    fdate = WINDOW_START + dt.timedelta(days=i % 28)
                 eid = self._next_eid()
                 followup.append(
                     (

@@ -1,0 +1,167 @@
+"""Run the reference's 12 report queries through Spark SQL.
+
+This is the transpile path (SURVEY.md §2a S2): load the user's query
+file → dialect shim → ``spark.sql`` over the registered ``mamba_*``
+views. Catalyst is the optimizer/executor; the shim is text-level
+only. Per-query structural patches collect every rewrite a query
+needs beyond the generic dialect shim — each is semantics-preserving
+and documented against the reference lines it touches.
+
+The reference SQL itself is not stored in this repo; the engine runs
+whatever query files the user's ``export_config.json`` names
+(plans.registry). ``REFERENCE_SQL_DIR`` defaults to the read-only
+reference checkout for parity testing.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+from data_export_tool_spark.plans.dialect import shim_mysql_to_spark
+
+REFERENCE_SQL_DIR = os.environ.get(
+    "SPARK_GRAFT_REFERENCE_SQL_DIR", "/root/reference/sql_queries"
+)
+
+#: run order = the reference's config order (export_config.json)
+REPORT_NAMES: tuple[str, ...] = (
+    "Tx_Curr_LineList",
+    "Tx_Curr_VLTestReceived_LineList",
+    "Tx_Curr_AHD_LineList",
+    "Tx_Curr_HVL_LineList",
+    "Tx_Curr_VLEligibleNew_LineList",
+    "Tx_Curr_TPT_LineList",
+    "Tx_Curr_OutComeList",
+    "Tx_Curr_CCANew_LineList",
+    "Tx_Curr_CCA_LineList",
+    "Tx_Curr_VLEligible_LineList",
+    "PMTCT_Maternal_LineList",
+    "PMTCT_HEI_LineList",
+)
+
+def _ti_status_patches() -> list[tuple[str, str]]:
+    """U2 reconstruction (SURVEY.md §2i): ``fn_get_ti_status(client,
+    start, end)`` is a MambaETL stored function whose body isn't in the
+    reference repo. Reconstructed from its call contract and the
+    transferred-in flag the warehouse carries
+    (``transferred_in_check_this_for_all_t``): a client is 'TI' when
+    any follow-up in the report window carries the flag = 'Yes', else
+    'NTI'. Pinned by fixture tests; applied identically to Spark and
+    the DuckDB oracle so parity checks stay meaningful.
+
+    Implemented by patching a ``ti_clients`` CTE + LEFT JOIN into the
+    query (a per-row correlated stored-function call would be the slow
+    path on both engines anyway — SURVEY.md J9/U2 prescribe
+    de-correlation).
+    """
+    from data_export_tool_spark.mamba.schemas import follow_up_shard_assignment
+
+    shard = follow_up_shard_assignment()["transferred_in_check_this_for_all_t"]
+    flag_table = "mamba_flat_encounter_follow_up" + ("" if shard == 0 else f"_{shard}")
+    ti_cte = (
+        "ti_clients AS (SELECT DISTINCT f0.client_id "
+        f"FROM mamba_flat_encounter_follow_up f0 JOIN {flag_table} fk "
+        "ON f0.encounter_id = fk.encounter_id "
+        "WHERE fk.transferred_in_check_this_for_all_t = 'Yes' "
+        "AND f0.follow_up_date_followup_ BETWEEN "
+        "DATE_ADD(REPORT_START_DATE, INTERVAL -1 DAY) AND REPORT_END_DATE), "
+    )
+    return [
+        # inject the CTE ahead of temp_latest
+        (r"\btemp_latest\s+AS\s+\(", ti_cte + "temp_latest AS ("),
+        # replace both correlated calls with the join-backed flag (the
+        # call's args contain a nested date_add(...) — allow one level
+        # of paren nesting)
+        (
+            r"fn_get_ti_status\s*\((?:[^()]|\([^()]*\))*\)",
+            "(CASE WHEN ti_clients.client_id IS NOT NULL THEN 'TI' ELSE 'NTI' END)",
+        ),
+        # attach the join everywhere the call sites' FROM clauses live
+        # (site 1 uses `AS previous` on one line, site 2 bare alias
+        # across a line break — Tx_Curr_OutComeList.sql:140,183-184)
+        (
+            r"(LEFT\s+JOIN\s+previous_follow_up\s+(?:AS\s+)?previous\s+ON\s+"
+            r"latest\.client_id\s*=\s*previous\.client_id)",
+            r"\1 LEFT JOIN ti_clients ON ti_clients.client_id = latest.client_id",
+        ),
+    ]
+
+
+#: per-query structural patches (regex, replacement), applied to BOTH
+#: the Spark and the DuckDB-oracle targets. Each entry documents the
+#: reference site and why the rewrite preserves semantics.
+QUERY_PATCHES: dict[str, list[tuple[str, str]]] = {
+    # A5 (SURVEY.md §2d): loose `GROUP BY client_id, encounter_id` under
+    # a SELECT with non-grouped columns — valid only with MySQL's
+    # ONLY_FULL_GROUP_BY off, and a no-op because (client_id,
+    # encounter_id) is already the relation's grain. Spark and DuckDB
+    # both reject it; dropping it is semantics-preserving.
+    "Tx_Curr_VLTestReceived_LineList": [
+        (r"GROUP\s+BY\s+client_id\s*,\s*encounter_id", ""),
+    ],
+    # Mixed INT/VARCHAR CASE branches (Tx_Curr_TPT_LineList.sql:141-148):
+    # MySQL coerces the result to VARCHAR ('0','1','2'); quoting the
+    # integer branches states that type explicitly for engines that
+    # refuse the implicit mix.
+    "Tx_Curr_TPT_LineList": [
+        (r"(TptType\s*=\s*'6H'\s*THEN\s*)0", r"\1'0'"),
+        (r"(TptType\s*=\s*'3HP'\s*THEN\s*)2", r"\1'2'"),
+        (r"(TptType\s*=\s*'Continuous'\s*THEN\s*)1", r"\1'1'"),
+        (r"(TptTypeAlt\s*=\s*'3HP'\s*THEN\s*)0", r"\1'0'"),
+        (r"(TptTypeAlt\s*=\s*'3HR'\s*THEN\s*)1", r"\1'1'"),
+    ],
+    "Tx_Curr_OutComeList": _ti_status_patches(),
+    # Nondeterministic windows (SURVEY.md §4.8): rn_latest_vl_sent /
+    # rn_latest_vl_res order only by a NULL-heavy CASE key
+    # (PMTCT_Maternal_LineList.sql:113-127) — every out-of-episode row
+    # ties, and MySQL returns an arbitrary one. The engine pins the
+    # reference's own tie-break convention (encounter_id DESC, used by
+    # its sibling windows) on both execution targets.
+    "PMTCT_Maternal_LineList": [
+        (
+            r"(ELSE\s+NULL\s+END\s+DESC\s*)\)( as rn_latest_vl_sent)",
+            r"\1, f.encounter_id DESC)\2",
+        ),
+        (
+            r"(ELSE\s+NULL\s+END\s+DESC\s*)\)( as rn_latest_vl_res)",
+            r"\1, f.encounter_id DESC)\2",
+        ),
+    ],
+    # Sentinel '' as a date-typed CASE result (SURVEY.md §4.5,
+    # Tx_Curr_VLEligible_LineList.sql:234): MySQL's loose typing lets a
+    # date column carry ''; the engine's documented policy maps the
+    # sentinel to NULL (the column is output-only in this query).
+    "Tx_Curr_VLEligible_LineList": [
+        (r"Else\s+''\s+End(\s+AS\s+eligiblityDate)", r"Else NULL End\1"),
+    ],
+}
+
+
+def load_reference_sql(name: str, sql_dir: str | None = None) -> str:
+    path = os.path.join(sql_dir or REFERENCE_SQL_DIR, f"{name}.sql")
+    with open(path) as f:
+        return f.read()
+
+
+def run_reference_report(
+    spark: SparkSession,
+    name: str,
+    params: dict[str, str],
+    sql_dir: str | None = None,
+) -> DataFrame:
+    """Shim + execute one reference report against the registered
+    mamba_* temp views.
+
+    Disables ANSI mode for the session (MySQL's lenient CAST
+    semantics: malformed numerics → NULL, not error) and leaves it
+    off: parts of a plan may re-read the conf at execution time, after
+    this call returns the lazy DataFrame, so restoring it would make
+    cast behavior depend on when the caller materializes. Treat the
+    session as running in MySQL-compat mode once reports run on it.
+    """
+    sql = load_reference_sql(name, sql_dir)
+    shimmed = shim_mysql_to_spark(sql, params, QUERY_PATCHES.get(name))
+    spark.conf.set("spark.sql.ansi.enabled", "false")
+    return spark.sql(shimmed)

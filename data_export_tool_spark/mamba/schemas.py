@@ -72,6 +72,9 @@ FOLLOW_UP_DATE_COLS: tuple[str, ...] = (
     "date_client_arrived_in_the_referred",
     "date_client_served_in_the_referred_",
     "date_counseling_given",
+    # also present on the follow-up form (referenced bare inside the
+    # Maternal FollowUp CTE, PMTCT_Maternal_LineList.sql:59)
+    "date_referred_to_pmtct",
 )
 
 #: opportunistic-infection Yes/No flags (Tx_Curr_AHD_LineList.sql:49-67)

@@ -227,6 +227,11 @@ def shim_mysql_sql(sql: str, params: dict[str, str] | None = None) -> str:
 #: functions.ethiopian (epoch offset 2440588 - 1723856 = 716732);
 #: mysql_tsdiff_* pin MySQL's complete-unit TIMESTAMPDIFF semantics.
 DUCKDB_MACRO_PRELUDE: tuple[str, ...] = (
+    # MySQL (and Spark) sort NULLs as lowest: first on ASC, last on
+    # DESC. DuckDB's default (nulls last everywhere) silently flips
+    # which row ROW_NUMBER ... ORDER BY col ASC picks when the key is
+    # NULL-heavy (e.g. PMTCT_HEI CPT_Start).
+    "SET default_null_order='nulls_first_on_asc_last_on_desc'",
     "CREATE OR REPLACE MACRO eth_off(d) AS "
     "(CAST(d AS DATE) - DATE '1970-01-01') + 716732",
     "CREATE OR REPLACE MACRO eth_n(d) AS "
@@ -305,15 +310,122 @@ _TSDIFF_RE = re.compile(
 #: appear in the corpus; both rewrites are shaped to never touch
 #: simple-form CASE arms.
 _CASE_LITERAL_RE = re.compile(r"(\bCASE\s+WHEN\s+)'[^']*'(\s+THEN\b)", re.IGNORECASE)
+#: `WHEN 'a' OR 'b' THEN` can sit in a searched CASE (boolean slot) or a
+#: simple CASE (operand-comparison slot, Tx_Curr_AHD_LineList.sql:305).
+#: NULL types into both slots and never matches — reproducing the
+#: "effectively dead branch" reading of SURVEY.md §4.2. (True MySQL
+#: would coerce the OR to 0 and in the simple-CASE slot match any
+#: non-numeric operand; documented deviation, identical on both
+#: engines.)
 _WHEN_LITERAL_OR_RE = re.compile(
     r"(\bWHEN\s+)'[^']*'(?:\s+OR\s+'[^']*')+(\s+THEN\b)", re.IGNORECASE
 )
 
 
-def shim_mysql_to_duckdb(sql: str, params: dict[str, str] | None = None) -> str:
-    """Rewrite the reference's MySQL text into DuckDB SQL (run after
-    ``install_duckdb_macros`` on the connection)."""
+def _apply_outside_strings(sql: str, fn) -> str:
+    """Apply ``fn`` to the segments of ``sql`` outside single-quoted
+    string literals (so rewrites never corrupt literal text like
+    'VISITECT <200 copies/ml')."""
+    parts = re.split(r"('(?:[^']|'')*')", sql)
+    return "".join(p if p.startswith("'") else fn(p) for p in parts)
+
+
+#: MySQL numerically compares VARCHAR columns against integer literals
+#: (`cd4_count < 200`, `viral_load_count BETWEEN 51 AND 1000`). DuckDB
+#: refuses; TRY_CAST(x AS DOUBLE) reproduces the lenient comparison
+#: (malformed strings → NULL → false, like Spark's non-ANSI cast; true
+#: MySQL would parse a leading-numeric prefix — documented deviation).
+_NUM_CMP_RE = re.compile(
+    r"\b([A-Za-z_][A-Za-z_0-9]*(?:\.[A-Za-z_][A-Za-z_0-9]*)?)"
+    r"\s*(>=|<=|<>|!=|<|>|=)\s*(\d+(?:\.\d+)?)(?![\d.])"
+)
+_NUM_BETWEEN_RE = re.compile(
+    r"\b([A-Za-z_][A-Za-z_0-9]*(?:\.[A-Za-z_][A-Za-z_0-9]*)?)"
+    r"\s+BETWEEN\s+(\d+(?:\.\d+)?)\s+AND\s+(\d+(?:\.\d+)?)(?![\d.])",
+    re.IGNORECASE,
+)
+
+
+def _numeric_compare_casts(segment: str) -> str:
+    segment = _NUM_BETWEEN_RE.sub(
+        r"TRY_CAST(\1 AS DOUBLE) BETWEEN \2 AND \3", segment
+    )
+    return _NUM_CMP_RE.sub(r"TRY_CAST(\1 AS DOUBLE) \2 \3", segment)
+
+
+def _eth_inline_expr(d: str) -> str:
+    """Inline Spark SQL for the Ethiopian 'D/M/Y' rendering — the same
+    Julian-day arithmetic as functions.ethiopian, emitted as text so
+    shimmed reference SQL stays fully JVM-side (no UDF). NULL dates
+    propagate through datediff→concat naturally. Catalyst's common-
+    subexpression elimination collapses the repeated `off` term."""
+    off = f"(datediff(CAST({d} AS DATE), DATE '1970-01-01') + 716732)"
+    n = f"({off} % 1461 % 365 + 365 * (({off} % 1461) div 1460))"
+    yr = (
+        f"(4 * ({off} div 1461) + (({off} % 1461) div 365)"
+        f" - (({off} % 1461) div 1460))"
+    )
+    return (
+        f"concat(CAST({n} % 30 + 1 AS STRING), '/', "
+        f"CAST({n} div 30 + 1 AS STRING), '/', CAST({yr} AS STRING))"
+    )
+
+
+def _render_eth_fn(args: list[str]) -> str:
+    if len(args) != 2:
+        raise ValueError("fn_gregorian_to_ethiopian_calendar expects 2 args")
+    # the corpus only ever passes 'D/M/Y' (19 sites)
+    return _eth_inline_expr(args[0])
+
+
+def shim_mysql_to_spark(
+    sql: str,
+    params: dict[str, str] | None = None,
+    patches: list[tuple[str, str]] | None = None,
+) -> str:
+    """Rewrite the reference's MySQL text into Spark SQL.
+
+    Superset of ``shim_mysql_sql``: also inlines the Ethiopian-calendar
+    stored function as column arithmetic and applies the MySQL
+    truthiness quirk rewrites (Spark refuses string-typed CASE
+    conditions even in non-ANSI mode). ``patches`` are per-query
+    (regex, replacement) pairs applied first — used for
+    semantics-preserving structural rewrites the text shim can't do
+    generically (loose GROUP BY drops, correlated-LIMIT-1
+    decorrelation).
+
+    Run the result with ``spark.sql.ansi.enabled=false`` for MySQL's
+    lenient cast behavior (CAST('abc' AS DECIMAL) → NULL).
+    """
     out = _strip_hash_comments(sql)
+    for pat, repl in patches or []:
+        out = re.sub(pat, repl, out, flags=re.IGNORECASE | re.DOTALL)
+    out = _rewrite_calls(out, "fn_gregorian_to_ethiopian_calendar", _render_eth_fn)
+    out = _rewrite_calls(out, "PERIOD_DIFF", _render_period_diff)
+    out = _rewrite_calls(out, "DATE_ADD", _render_date_addsub(+1))
+    out = _rewrite_calls(out, "DATE_SUB", _render_date_addsub(-1))
+    out = _rewrite_calls(out, "DATE_FORMAT", _render_date_format)
+    out = _rewrite_calls(out, "ISNULL", _render_isnull)
+    out = re.sub(r"\bCURDATE\s*\(\s*\)", "current_date()", out, flags=re.IGNORECASE)
+    out = _CASE_LITERAL_RE.sub(r"\1FALSE\2", out)
+    out = _WHEN_LITERAL_OR_RE.sub(r"\1NULL\2", out)
+    if params:
+        out = substitute_params(out, params)
+    return out
+
+
+def shim_mysql_to_duckdb(
+    sql: str,
+    params: dict[str, str] | None = None,
+    patches: list[tuple[str, str]] | None = None,
+) -> str:
+    """Rewrite the reference's MySQL text into DuckDB SQL (run after
+    ``install_duckdb_macros`` on the connection). ``patches`` as in
+    ``shim_mysql_to_spark`` — both targets get identical structural
+    rewrites so the oracle comparison stays apples-to-apples."""
+    out = _strip_hash_comments(sql)
+    for pat, repl in patches or []:
+        out = re.sub(pat, repl, out, flags=re.IGNORECASE | re.DOTALL)
     out = _TSDIFF_RE.sub(lambda m: f"mysql_tsdiff_{m.group(1).lower()}(", out)
     out = _rewrite_calls(out, "PERIOD_DIFF", _render_period_diff)
     out = _rewrite_calls(out, "DATE_ADD", _render_date_addsub_duckdb(+1))
@@ -322,8 +434,11 @@ def shim_mysql_to_duckdb(sql: str, params: dict[str, str] | None = None) -> str:
     out = _rewrite_calls(out, "ISNULL", _render_isnull)
     out = _rewrite_calls(out, "IF", _render_if_duckdb)
     out = re.sub(r"\bCURDATE\s*\(\s*\)", "current_date", out, flags=re.IGNORECASE)
+    # the CASE-quirk rewrites must see the quoted literals themselves;
+    # the numeric-compare casts must NOT look inside literals
     out = _CASE_LITERAL_RE.sub(r"\1FALSE\2", out)
-    out = _WHEN_LITERAL_OR_RE.sub(r"\1FALSE\2", out)
+    out = _WHEN_LITERAL_OR_RE.sub(r"\1NULL\2", out)
+    out = _apply_outside_strings(out, _numeric_compare_casts)
     out = out.replace("`", '"')
     if params:
         out = substitute_params(out, params)

@@ -51,10 +51,12 @@ def fixture_env(spark, tmp_path_factory):
 
 def _canon(pdf):
     """Order-insensitive canonical rows; midnight timestamps equal
-    dates; column names matched case-insensitively (DuckDB re-cases
-    un-aliased identifiers it resolved case-insensitively)."""
+    dates; integral floats equal ints (DuckDB HUGEINT aggregates reach
+    pandas as float64); column names matched case-insensitively
+    (DuckDB re-cases un-aliased identifiers it resolved
+    case-insensitively)."""
     pdf = pdf.copy()
-    pdf.columns = [c.lower() for c in pdf.columns]
+    pdf.columns = _dedup_names(pdf.columns)
     pdf = pdf[sorted(pdf.columns)]
 
     def norm(v):
@@ -63,6 +65,8 @@ def _canon(pdf):
         if hasattr(v, "isoformat"):
             s = v.isoformat()
             return s[:-9] if s.endswith("T00:00:00") else s
+        if isinstance(v, float) and v.is_integer():
+            return str(int(v))
         return str(v)
 
     return sorted(
@@ -75,9 +79,27 @@ def _reference_on_duckdb(con, query_file: str):
     return con.sql(shim_mysql_to_duckdb(sql, PARAMS)).df()
 
 
+def _dedup_names(columns):
+    """Lowercase and positionally suffix duplicate output names — the
+    reference emits `BookingDate` twice (PMTCT_Maternal_LineList.sql:
+    144,146); DuckDB's pandas conversion already suffixes `_1`, Spark's
+    keeps duplicates. This makes both frames use the same scheme."""
+    seen: dict[str, int] = {}
+    out = []
+    for c in columns:
+        c = c.lower()
+        if c in seen:
+            seen[c] += 1
+            out.append(f"{c}_{seen[c]}")
+        else:
+            seen[c] = 0
+            out.append(c)
+    return out
+
+
 def _assert_parity(mine_pdf, oracle_pdf, query_file: str):
-    assert sorted(c.lower() for c in mine_pdf.columns) == sorted(
-        c.lower() for c in oracle_pdf.columns
+    assert sorted(_dedup_names(mine_pdf.columns)) == sorted(
+        _dedup_names(oracle_pdf.columns)
     ), query_file
     assert len(mine_pdf) == len(oracle_pdf), (
         f"{query_file}: rows {len(mine_pdf)} vs oracle {len(oracle_pdf)}"
@@ -97,3 +119,34 @@ def test_tx_curr_linelist_parity(spark, fixture_env):
     oracle = _reference_on_duckdb(con, "Tx_Curr_LineList.sql")
     assert len(mine) > 20, "cohort unexpectedly small — fixture drift?"
     _assert_parity(mine, oracle, "Tx_Curr_LineList.sql")
+
+
+# ---- transpile path: every reference report through spark.sql ------------
+
+
+def _report_names():
+    from data_export_tool_spark.mamba.reports import REPORT_NAMES
+
+    return REPORT_NAMES
+
+
+@pytest.mark.parametrize("name", _report_names())
+def test_reference_report_transpile_parity(name, spark, fixture_env):
+    """S2 (SURVEY.md §2a): the reference's own query text, shimmed and
+    executed by Catalyst, must match the same text shimmed for DuckDB —
+    full value-level comparison over the seeded fixtures."""
+    from data_export_tool_spark.mamba.reports import (
+        QUERY_PATCHES,
+        load_reference_sql,
+        run_reference_report,
+    )
+    from data_export_tool_spark.plans.dialect import shim_mysql_to_duckdb
+
+    _, con = fixture_env
+    mine = run_reference_report(spark, name, PARAMS).toPandas()
+    oracle = con.sql(
+        shim_mysql_to_duckdb(load_reference_sql(name), PARAMS, QUERY_PATCHES.get(name))
+    ).df()
+    if name != "Tx_Curr_OutComeList":  # the counters query is 1-row by design
+        assert len(mine) > 0, f"{name}: empty result — fixtures exercise nothing"
+    _assert_parity(mine, oracle, name)

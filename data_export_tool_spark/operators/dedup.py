@@ -183,6 +183,10 @@ def ngram_jaccard_pairs(
 
     a = sh.alias("a")
     b = sh.alias("b")
+    # (a size-ratio prune inside the join condition was measured SLOWER
+    # here — the hash-join probe on the shingle key dominates and the
+    # extra per-match predicate doesn't shrink it; at larger scale the
+    # right lever is candidates= from MinHash LSH, not join filters)
     inter = (
         a.join(
             b,
@@ -218,39 +222,37 @@ def simhash(
     """64-bit SimHash signature per document.
 
     Per token t: h = xxhash64(t); signature bit i is the majority vote
-    of bit i over the document's tokens. Implemented with higher-order
-    functions (aggregate over the token array) — one narrow projection,
-    zero shuffles, zero Python.
+    of bit i over the document's tokens.
+
+    Plan shape: explode tokens once → one map-side-combining groupBy
+    with 64 conditional-sum aggregates (pure codegen'd longs) →
+    assemble the signature bitmask. One shuffle keyed on the doc id,
+    carrying 64 small longs per group — the same shape as
+    ``minhash_signatures``. (A per-row higher-order fold over a
+    64-element vote array is ~100× slower: Catalyst evaluates HOF
+    lambdas interpretively per element.)
     """
-    toks = F.split(normalize_text(F.col(text_col)), " ")
-    hashes = F.transform(toks, lambda t: F.xxhash64(t))
-    # votes[i] = sum over tokens of (bit_i(h) ? 1 : -1); bit positions are
-    # a compile-time python range so shift amounts stay literals (codegen)
-    votes = F.aggregate(
-        hashes,
-        F.array_repeat(F.lit(0), bits),
-        lambda acc, h: F.zip_with(
-            acc,
-            F.array(
-                *[
-                    F.when(
-                        F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1, 1
-                    ).otherwise(-1)
-                    for i in range(bits)
-                ]
-            ),
-            lambda a, v: a + v,
-        ),
+    toks = df.select(
+        F.col(id_col),
+        F.explode(F.split(normalize_text(F.col(text_col)), " ")).alias("tok"),
+    ).withColumn("h", F.xxhash64(F.col("tok")))
+    votes = toks.groupBy(id_col).agg(
+        *[
+            F.sum(
+                F.when(F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) == 1, 1)
+                .otherwise(-1)
+            ).alias(f"v{i}")
+            for i in range(bits)
+        ]
     )
     sig = F.lit(0).cast("long")
     for i in range(bits):
         sig = sig.bitwiseOR(
             F.when(
-                F.element_at(votes, i + 1) > 0,
-                F.shiftleft(F.lit(1).cast("long"), i),
+                F.col(f"v{i}") > 0, F.shiftleft(F.lit(1).cast("long"), i)
             ).otherwise(F.lit(0).cast("long"))
         )
-    return df.select(F.col(id_col), sig.alias("simhash"))
+    return votes.select(F.col(id_col), sig.alias("simhash"))
 
 
 def hamming64(a: Column, b: Column) -> Column:

@@ -28,12 +28,16 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from data_export_tool_spark.functions.datetime_ext import (
+    complete_months_between,
+    complete_weeks_between,
     complete_years_between,
     period_diff_months,
 )
 from data_export_tool_spark.functions.ethiopian import eth_date_str
 from data_export_tool_spark.mamba.follow_up import assemble_follow_up
-from data_export_tool_spark.operators.window_dedup import latest_per_key
+from data_export_tool_spark.mamba.schemas import HEI_IMMUNIZATION_FLAGS
+from data_export_tool_spark.operators.pivot import conditional_agg
+from data_export_tool_spark.operators.window_dedup import latest_per_key, ranked
 
 
 def _eth_pair(col, et_name: str, gc_name: str):
@@ -203,4 +207,683 @@ def tx_curr_linelist(
         period_diff_months(end, F.col("tc_art_start_date")).alias("MonthsOnART"),
         F.col("dsd_category").alias("DSD_Category"),
         F.col("stages_of_disclosure").alias("ChildDisclosueStatus"),
+    )
+
+
+def tx_curr_outcome(
+    tables: Mapping[str, DataFrame],
+    report_start: dt.date,
+    report_end: dt.date,
+    follow_up: DataFrame | None = None,
+) -> DataFrame:
+    """Tx_Curr_OutComeList — single-row cohort-transition counters
+    (Tx_Curr_OutComeList.sql:1-259).
+
+    Operator mix per SURVEY.md §2: A3 conditional pivots (SUM(IF)),
+    A4 group-then-aggregate-then-aggregate, J6 anti-joins ("in current
+    cohort but not previous" and vice-versa), J8 cross join of five
+    1-row aggregates, U2 de-correlated TI-status.
+
+    Spark-first shape: the cohort CTEs are computed once from the cached
+    wide view; each counter block is one conditional_agg over an
+    anti-joined cohort; the five 1-row results cross-join (trivially
+    broadcast).
+    """
+    start = F.lit(report_start.isoformat()).cast("date")
+    end = F.lit(report_end.isoformat()).cast("date")
+    prev_end = F.date_add(F.lit(report_start.isoformat()).cast("date"), -1)
+
+    fu_wide = follow_up if follow_up is not None else assemble_follow_up(tables)
+    client = tables["mamba_dim_client"]
+    fu = fu_wide.join(
+        F.broadcast(client.select("client_id", "date_of_birth")), "client_id", "inner"
+    ).select(
+        "encounter_id",
+        "client_id",
+        F.col("follow_up_date_followup_").alias("follow_up_date"),
+        "follow_up_status",
+        F.col("art_antiretroviral_start_date").alias("art_start_date"),
+        F.col("treatment_end_date").alias("art_dose_end"),
+        complete_years_between(F.col("date_of_birth"), end).alias("age"),
+        "date_of_birth",
+        F.col("transferred_in_check_this_for_all_t").alias("__ti_flag"),
+    )
+
+    def cohort_at(cutoff) -> DataFrame:
+        """latest eligible visit per client at a cutoff date
+        (:32-49/:68-85); returns the rn=1 rows (unfiltered by status)."""
+        eligible = fu.filter(
+            F.col("follow_up_status").isNotNull()
+            & F.col("art_start_date").isNotNull()
+            & (F.col("follow_up_date") <= cutoff)
+        )
+        return ranked(
+            eligible, ["client_id"], ["follow_up_date"], tiebreak="encounter_id"
+        ).filter(F.col("row_num") == 1)
+
+    def on_treatment(df: DataFrame, cutoff) -> DataFrame:
+        return df.filter(
+            F.col("follow_up_status").isin("Alive", "Restart medication")
+            & (F.col("art_start_date") <= cutoff)
+            & (F.col("follow_up_date") <= cutoff)
+            & (F.col("art_dose_end") >= cutoff)
+        )
+
+    latest_rn1 = cohort_at(end).cache()
+    latest = on_treatment(latest_rn1, end)
+    latest_pedi = latest.filter(F.col("age") < 15)
+    latest_2 = latest_rn1.filter(F.col("art_start_date") <= end)
+    previous_rn1 = cohort_at(prev_end)
+    previous = on_treatment(previous_rn1, prev_end)
+    previous_pedi = previous.filter(F.col("age") < 15)
+
+    # U2 reconstruction (pinned; see reports._ti_status_patches):
+    # transferred-in flag on any follow-up inside [start-1, end]
+    ti_clients = (
+        fu.filter(
+            (F.col("__ti_flag") == "Yes")
+            & F.col("follow_up_date").between(prev_end, end)
+        )
+        .select("client_id")
+        .distinct()
+        .withColumn("__is_ti", F.lit(1))
+    )
+
+    status_code = (
+        F.when(F.col("follow_up_status") == "Transferred out", 0)
+        .when(F.col("follow_up_status") == "Stop all", 1)
+        .when(F.col("follow_up_status") == "Loss to follow-up (LTFU)", 2)
+        .when(F.col("follow_up_status") == "Ran away", 3)
+        .when(F.col("follow_up_status") == "Dead", 4)
+        .when(F.col("follow_up_status") == "Alive", 5)
+        .when(F.col("follow_up_status") == "Restart medication", 6)
+    )
+
+    def added_block(latest_cohort: DataFrame, suffix: str) -> DataFrame:
+        """in latest cohort but not previous (:100-142 / :143-186):
+        anti-join → classify (status code, New/Established, TI/NTI) →
+        count per class → pivot to fixed columns."""
+        n = (
+            latest_cohort.join(
+                previous.select("client_id"), "client_id", "left_anti"
+            )
+            .join(F.broadcast(ti_clients), "client_id", "left")
+            .select(
+                status_code.alias("status_code"),
+                F.when(
+                    (F.col("art_start_date") > prev_end)
+                    & (F.col("art_start_date") <= end),
+                    "N",
+                )
+                .otherwise("E")
+                .alias("new"),
+                F.when(F.col("__is_ti").isNotNull(), "TI")
+                .otherwise("NTI")
+                .alias("TI"),
+            )
+        )
+        grouped = n.groupBy("TI", "new", "status_code").agg(
+            F.count(F.lit(1)).alias("total")
+        )
+        return conditional_agg(
+            grouped,
+            group_by=[],
+            cases={
+                f"Traced_Back{suffix}": (
+                    (F.col("TI") == "NTI")
+                    & (F.col("new") == "E")
+                    & (F.col("status_code") == 5),
+                    F.col("total"),
+                ),
+                f"Restarts{suffix}": (
+                    (F.col("TI") == "NTI")
+                    & (F.col("new") == "E")
+                    & (F.col("status_code") == 6),
+                    F.col("total"),
+                ),
+                f"TI{suffix}": (
+                    (F.col("TI") == "TI")
+                    & (F.col("new") == "E")
+                    & (F.col("status_code") == 5),
+                    F.col("total"),
+                ),
+                f"New{suffix}": (
+                    (F.col("TI") == "NTI")
+                    & (F.col("new") == "N")
+                    & (F.col("status_code") == 5),
+                    F.col("total"),
+                ),
+            },
+        )
+
+    def deducted_block(previous_cohort: DataFrame, suffix: str) -> DataFrame:
+        """in previous cohort but not latest (:187-217 / :218-248):
+        anti-join, then the client's current unfiltered latest status
+        (latest_follow_up_2) is what they transitioned to."""
+        dropped = previous_cohort.join(
+            latest.select("client_id"), "client_id", "left_anti"
+        ).select("client_id")
+        fb = dropped.join(
+            latest_2.select("client_id", "follow_up_status"), "client_id", "inner"
+        )
+        grouped = fb.select(status_code.alias("status_code")).groupBy(
+            "status_code"
+        ).agg(F.count(F.lit(1)).alias("total"))
+        names = ["TOs", "Losts", "Drops", "Deads", "Stops", "Not_Updated"]
+        codes = [0, 2, 3, 4, 1, 5]
+        return conditional_agg(
+            grouped,
+            group_by=[],
+            cases={
+                f"{name}{suffix}": (F.col("status_code") == code, F.col("total"))
+                for name, code in zip(names, codes)
+            },
+        )
+
+    age_out = (
+        latest.select("client_id", "date_of_birth")
+        .join(previous.select("client_id"), "client_id", "inner")
+        .filter(
+            F.add_months(F.col("date_of_birth"), 15 * 12).between(start, end)
+        )
+        .agg(F.count(F.lit(1)).alias("AgeOut"))
+    )
+
+    return (
+        added_block(latest, "")
+        .crossJoin(deducted_block(previous, ""))
+        .crossJoin(added_block(latest_pedi, "Pedi"))
+        .crossJoin(deducted_block(previous_pedi, "Pedi"))
+        .crossJoin(age_out)
+    )
+
+
+def pmtct_maternal_linelist(
+    tables: Mapping[str, DataFrame],
+    report_start: dt.date,
+    report_end: dt.date,
+    follow_up: DataFrame | None = None,
+) -> DataFrame:
+    """PMTCT_Maternal_LineList — one row per PMTCT enrollment episode
+    (PMTCT_Maternal_LineList.sql:1-177).
+
+    Operator mix per SURVEY.md §2: J4 positional episode join
+    (enrollment↔discharge matched by client + row_num + date
+    inequality), W3 conditional-ORDER-BY windows (rank only in-episode
+    events), W4 four ROW_NUMBERs in one pass consumed by four aliases
+    of the ranked relation, J3 rank-predicate joins.
+
+    Spark-first shape: the four windows share one
+    ``Window.partitionBy(enrollment_id)`` Exchange; each consumer is a
+    rank-filtered self-reference of the single ranked DataFrame. The
+    tie-break pins from reports.QUERY_PATCHES apply here natively
+    (encounter_id DESC on the VL windows).
+    """
+    end = F.lit(report_end.isoformat()).cast("date")
+    fu_wide = follow_up if follow_up is not None else assemble_follow_up(tables)
+
+    # Enrollment / Discharge ranked positionally (:1-22)
+    enr = ranked(
+        tables["mamba_flat_encounter_pmtct_enrollment"],
+        keys=["client_id"],
+        order_by=["date_of_enrollment_or_booking"],
+        descending=False,
+        tiebreak="encounter_id",
+    )
+    dis = ranked(
+        tables["mamba_flat_encounter_pmtct_discharge"],
+        keys=["client_id"],
+        order_by=["discharge_date"],
+        descending=False,
+        tiebreak="encounter_id",
+    ).select(
+        F.col("client_id").alias("d_client_id"),
+        F.col("row_num").alias("d_row_num"),
+        "discharge_date",
+        "reason_for_discharge_from_pmtct",
+    )
+
+    # Episode_Window (:23-42): positional pairing + date inequality (J4)
+    ew = (
+        enr.join(
+            dis,
+            on=(enr["client_id"] == dis["d_client_id"])
+            & (enr["row_num"] == dis["d_row_num"])
+            & (dis["discharge_date"] > enr["date_of_enrollment_or_booking"]),
+            how="left",
+        )
+        .select(
+            enr["client_id"],
+            enr["encounter_id"].alias("enrollment_id"),
+            "antenatal_care_provider",
+            "ld_client",
+            "post_natal_care",
+            "art_clinic",
+            enr["date_of_enrollment_or_booking"].alias("start_date"),
+            "discharge_date",
+            "reason_for_discharge_from_pmtct",
+            F.col("reason_for_discharge_from_pmtct").alias("discharge_outcome"),
+            enr["currently_breastfeeding_child"].alias("ew_breastfeeding"),
+            enr["pregnancy_status"].alias("ew_pregnancy"),
+            enr["date_referred_to_pmtct"].alias("ew_date_referred"),
+            F.coalesce("discharge_date", end).alias("effective_end_date"),
+        )
+    )
+
+    # FollowUp projection (:44-100) from the cached wide view
+    fu = fu_wide.select(
+        "encounter_id",
+        F.col("client_id").alias("PatientId"),
+        "follow_up_status",
+        F.col("follow_up_date_followup_").alias("follow_up_date"),
+        F.col("art_antiretroviral_start_date").alias("art_start_date"),
+        F.col("antiretroviral_art_dispensed_dose_i").alias("ARTDoseDays"),
+        F.col("anitiretroviral_adherence_level").alias("AdherenceLevel"),
+        "regimen",
+        "pregnancy_status",
+        "nutritional_status_of_adult",
+        F.col("cd4_count"),
+        F.col("date_of_reported_hiv_viral_load").alias("viral_load_sent_date"),
+        F.col("date_viral_load_results_received").alias("viral_load_perform_date"),
+        "dsd_category",
+        "next_visit_date",
+        "weight_text_",
+        F.coalesce(
+            "at_3436_weeks_of_gestation",
+            "viral_load_after_eac_confirmatory_viral_load_where_initial_v",
+            "viral_load_after_eac_repeat_viral_load_where_initial_viral_l",
+            "every_six_months_until_mtct_ends",
+            "six_months_after_the_first_viral_load_test_at_postnatal_peri",
+            "three_months_after_delivery",
+            "at_the_first_antenatal_care_visit",
+            "annual_viral_load_test",
+            "second_viral_load_test_at_12_months_post_art",
+            "first_viral_load_test_at_6_months_or_longer_post_art",
+            "first_viral_load_test_at_3_months_or_longer_post_art",
+        ).alias("routine_viral_load_test_indication"),
+        F.coalesce(
+            "repeat_or_confirmatory_vl_initial_viral_load_greater_than_10",
+            "suspected_antiretroviral_failure",
+        ).alias("targeted_viral_load_test_indication"),
+        "viral_load_test_status",
+    )
+
+    # Events_Ranked (:102-139): 4 windows over one episode-joined
+    # relation — one partitioning, four row_numbers (W3/W4). The VL
+    # windows carry the canonical encounter tie-break the engine pins
+    # (reports.QUERY_PATCHES, SURVEY.md §4.8).
+    events = ew.select(
+        "enrollment_id", "client_id", "start_date", "effective_end_date"
+    ).join(fu, ew["client_id"] == fu["PatientId"], "left")
+
+    def in_episode(col):
+        return F.when(
+            F.col(col).between(F.col("start_date"), F.col("effective_end_date")),
+            F.col(col),
+        )
+
+    w = Window.partitionBy("enrollment_id")
+    events = events.select(
+        "*",
+        F.row_number()
+        .over(
+            w.orderBy(
+                in_episode("follow_up_date").desc(), F.col("encounter_id").desc()
+            )
+        )
+        .alias("rn_latest_visit"),
+        F.row_number()
+        .over(
+            w.orderBy(
+                in_episode("viral_load_sent_date").desc(),
+                F.col("encounter_id").desc(),
+            )
+        )
+        .alias("rn_latest_vl_sent"),
+        F.row_number()
+        .over(
+            w.orderBy(
+                in_episode("viral_load_perform_date").desc(),
+                F.col("encounter_id").desc(),
+            )
+        )
+        .alias("rn_latest_vl_res"),
+    )
+
+    visit = events.filter(F.col("rn_latest_visit") == 1).select(
+        F.col("enrollment_id").alias("v_eid"),
+        "weight_text_",
+        "art_start_date",
+        "follow_up_date",
+        "follow_up_status",
+        "regimen",
+        "ARTDoseDays",
+        "nutritional_status_of_adult",
+        "AdherenceLevel",
+        "next_visit_date",
+    )
+    vl_s = events.filter(F.col("rn_latest_vl_sent") == 1).select(
+        F.col("enrollment_id").alias("s_eid"),
+        "viral_load_sent_date",
+        "routine_viral_load_test_indication",
+        "targeted_viral_load_test_indication",
+        "cd4_count",
+    )
+    vl_r = events.filter(F.col("rn_latest_vl_res") == 1).select(
+        F.col("enrollment_id").alias("r_eid"),
+        "viral_load_perform_date",
+        "viral_load_test_status",
+    )
+    # the reference also computes rn_latest_dsd and joins a `dsd` alias
+    # (:127-139,:176-177) but never selects any of its columns; since
+    # rn=1 is unique per enrollment the join can't change cardinality,
+    # so the engine omits that window and join entirely.
+
+    client = tables["mamba_dim_client"]
+    return (
+        ew.join(F.broadcast(client), "client_id", "left")
+        .join(visit, ew["enrollment_id"] == visit["v_eid"], "left")
+        .join(vl_s, ew["enrollment_id"] == vl_s["s_eid"], "left")
+        .join(vl_r, ew["enrollment_id"] == vl_r["r_eid"], "left")
+        .select(
+            F.col("patient_uuid").alias("PatientGUID"),
+            F.col("sex").alias("Sex"),
+            complete_years_between(F.col("date_of_birth"), end).alias("Age"),
+            F.col("weight_text_").alias("Weight"),
+            F.col("start_date").alias("BookingDate"),
+            F.col("art_start_date").alias("ArtStartDate"),
+            # the reference emits BookingDate twice (:144,:146)
+            F.col("start_date").alias("BookingDate"),
+            F.coalesce(
+                "art_clinic", "antenatal_care_provider", "ld_client", "post_natal_care"
+            ).alias("StatusatEnrollment"),
+            F.col("ew_date_referred").alias("DateReferredtoPMTCT"),
+            F.col("ew_pregnancy").alias("IsPregnant"),
+            F.col("ew_breastfeeding").alias("IsBreastfeeding"),
+            F.col("discharge_date").alias("DateofDischarge"),
+            F.col("reason_for_discharge_from_pmtct").alias("ReasonforDischarge"),
+            F.col("discharge_outcome").alias("MaternalPMTCTFinalOutcome"),
+            F.col("follow_up_date").alias("LatestFollowupDate"),
+            F.col("follow_up_status").alias("LatestFollowupStatus"),
+            F.col("regimen").alias("Regimen"),
+            F.col("ARTDoseDays").alias("Dose"),
+            F.col("nutritional_status_of_adult").alias("NutritionalStatus"),
+            F.col("AdherenceLevel").alias("Adherence"),
+            F.col("viral_load_sent_date").alias("Viral_Load_Sent_Date"),
+            F.coalesce(
+                "routine_viral_load_test_indication",
+                "targeted_viral_load_test_indication",
+            ).alias("Viral_Load_Indication"),
+            F.col("viral_load_perform_date").alias("Viral_Load_Received_Date"),
+            F.col("viral_load_test_status").alias("LatestVLStatus"),
+            F.col("cd4_count").alias("CD4Count"),
+            F.col("next_visit_date").alias("NextVisitDate"),
+        )
+    )
+
+
+#: immunization flag column → output label (PMTCT_HEI_LineList.sql:64-83)
+_IMMUNIZATION_LABELS = {
+    flag: flag.replace("_taken", "").replace("_", "").upper()
+    for flag in HEI_IMMUNIZATION_FLAGS
+}
+
+
+def pmtct_hei_linelist(
+    tables: Mapping[str, DataFrame],
+    report_start: dt.date,
+    report_end: dt.date,
+) -> DataFrame:
+    """PMTCT_HEI_LineList — one row per HIV-exposed infant with an
+    in-window follow-up (PMTCT_HEI_LineList.sql:1-204).
+
+    Operator mix per SURVEY.md §2: W1 dedup (enrollment, lab, final
+    outcome), W2 earliest (CPT start), A1 MAX-flag aggregation rolled
+    into CONCAT_WS (immunizations), J6 anti-join shape (Future_Visit
+    existence → missed days), plus the 22-branch CASE ladders.
+    """
+    start = F.lit(report_start.isoformat()).cast("date")
+    end = F.lit(report_end.isoformat()).cast("date")
+
+    # HEI_Enrollment (:1-15): latest enrollment ≤ end
+    enr = ranked(
+        tables["mamba_flat_encounter_hei_enrollment"].filter(
+            F.col("date_enrolled_in_care") <= end
+        ),
+        keys=["client_id"],
+        order_by=["date_enrolled_in_care"],
+        tiebreak="encounter_id",
+    )
+
+    # HEI_FollowUp (:16-46): in-window visits ranked latest-first, with
+    # the followup_1 shard attached
+    fu = (
+        tables["mamba_flat_encounter_hei_followup"]
+        .join(tables["mamba_flat_encounter_hei_followup_1"], "encounter_id", "left")
+        .filter(F.col("followup_date_followup").between(start, end))
+        .withColumnRenamed("followup_date_followup", "follow_up_date")
+        .withColumn(
+            "infant_feeding_practice",
+            F.coalesce(
+                F.col("infant_feeding_practice_within_the_first_6_months_of_life"),
+                F.col("infant_feeding_practice_older_than_6_months_of_life"),
+            ),
+        )
+    )
+    fu = ranked(fu, ["client_id"], ["follow_up_date"], tiebreak="encounter_id").filter(
+        F.col("row_num") == 1
+    )
+
+    # HEI_Lab (:47-59): latest DNA-PCR sample ≤ end
+    lab = ranked(
+        tables["mamba_flat_encounter_hei_hiv_test"].filter(
+            F.col("dna_pcr_sample_collection_date") <= end
+        ),
+        keys=["client_id"],
+        order_by=["dna_pcr_sample_collection_date"],
+        tiebreak="encounter_id",
+    ).filter(F.col("row_num") == 1)
+
+    # Immunization (:61-85): MAX flag per client → CONCAT_WS label list
+    imm_src = tables["mamba_flat_encounter_hei_immunization"]
+    imm = imm_src.groupBy("client_id").agg(
+        F.concat_ws(
+            ", ",
+            *[
+                F.when(F.max(flag) == "Yes", F.lit(label))
+                for flag, label in _IMMUNIZATION_LABELS.items()
+            ],
+        ).alias("Immunizations")
+    )
+
+    # CPT_Start (:86-102): earliest dosed follow-up (NULL dates sort
+    # first under ASC — MySQL/Spark agree); CPT_Stop (:103-111): MAX
+    # date with dose = 'DC'
+    hei_fu_all = tables["mamba_flat_encounter_hei_followup"].join(
+        tables["mamba_flat_encounter_hei_followup_1"], "encounter_id"
+    )
+    cpt_start = (
+        ranked(
+            hei_fu_all.filter(
+                F.col("cotrimoxazole_prophylaxis_dose").isNotNull()
+                & (F.col("cotrimoxazole_prophylaxis_dose") != "")
+            ),
+            keys=["client_id"],
+            order_by=["followup_date_followup"],
+            descending=False,
+        )
+        .filter(F.col("row_num") == 1)
+        .select(
+            "client_id",
+            F.col("followup_date_followup").alias("CPTStartDate"),
+            F.col("cotrimoxazole_prophylaxis_dose").alias("CPTDose"),
+        )
+    )
+    cpt_stop = (
+        hei_fu_all.filter(F.col("cotrimoxazole_prophylaxis_dose") == "DC")
+        .groupBy("client_id")
+        .agg(F.max("followup_date_followup").alias("CPTDiscontinuedDate"))
+    )
+
+    # FinalOutcome (:112-121) / Future_Visit (:122-128)
+    fo = ranked(
+        tables["mamba_flat_encounter_hei_final_outcome"].filter(
+            F.col("date_when_final_outcome_was_known") <= end
+        ),
+        keys=["client_id"],
+        order_by=["date_when_final_outcome_was_known"],
+    ).filter(F.col("row_num") == 1)
+    future = (
+        tables["mamba_flat_encounter_hei_followup"]
+        .filter(F.col("followup_date_followup") > end)
+        .select("client_id")
+        .distinct()
+        .withColumn("has_future_visit", F.lit(1))
+    )
+
+    client = tables["mamba_dim_client"]
+    j = (
+        fu.alias("f")
+        .join(client.alias("client"), "client_id", "inner")
+        .join(
+            enr.filter(F.col("row_num") == 1)
+            .select(
+                "client_id", "date_enrolled_in_care", "hei_code", "infant_referred",
+                "referring_facility_name", "arv_prophylaxis",
+                F.col("weight_text").alias("birth_weight"),
+                "mothers_pmtct_interventions",
+            )
+            .alias("enr"),
+            "client_id",
+            "left",
+        )
+        .join(
+            lab.select(
+                "client_id", "dna_pcr_sample_collection_date",
+                "date_dbs_result_received", "hiv_test_result",
+                "rapid_antibody_result", "test_type",
+                "reason_sample_rejected_or_test_not_done",
+            ).alias("lab"),
+            "client_id",
+            "left",
+        )
+        .join(F.broadcast(imm), "client_id", "left")
+        .join(F.broadcast(cpt_start), "client_id", "left")
+        .join(F.broadcast(cpt_stop), "client_id", "left")
+        .join(
+            fo.select(
+                "client_id", "hei_pmtct_final_outcome",
+                "date_when_final_outcome_was_known",
+                "name_of_where_patient_was_referred_to",
+            ).alias("fo"),
+            "client_id",
+            "left",
+        )
+        .join(F.broadcast(future), "client_id", "left")
+    )
+
+    conclusion = (
+        F.when(
+            F.col("no_clinical_or_laboratory_evidence_of_hiv") == "Yes",
+            "No Clinical or laboratory evidence of HIV",
+        )
+        .when(F.col("clinical_evidence_of_hiv") == "Yes", "Clinical evidence of HIV")
+        .when(
+            F.col("laboratory_evidence_of_hiv_dna_pcr_antibody_tests") == "Yes",
+            "Laboratory evidence of HIV(DNA PCR Test)",
+        )
+        .otherwise("")
+    )
+    decision = (
+        F.when(
+            F.col("continue_to_followup") == "Yes",
+            "Continue follow-up – Still on BF/Exposed",
+        )
+        .when(F.col("transferred_out") == "Yes", "TO")
+        .when(F.col("lost_to_followup") == "Yes", "Lost to follow up")
+        .when(F.col("died") == "Yes", "Died")
+        .when(
+            F.col("referred_for_pediatric_hiv_care_within_facility") == "Yes",
+            "Positive - Referred for Pediatric HIV care within facility",
+        )
+        .when(
+            F.col("referred_pediatric_hiv_care_outside_facility") == "Yes",
+            "Positive - Referred for Pediatric HIV care outside facility",
+        )
+        .when(
+            F.col("discharged_negative_form_care_hiv_free") == "Yes",
+            "Discharged Negative from care (HIV Free)",
+        )
+        .otherwise(F.col("decision"))
+    )
+
+    return j.select(
+        F.col("patient_uuid").alias("PatientGUID"),
+        F.when(F.col("sex") == "FEMALE", "F")
+        .when(F.col("sex") == "MALE", "M")
+        .alias("Sex"),
+        F.col("date_of_birth").alias("DOB"),
+        complete_years_between(F.col("date_of_birth"), end).alias("AgeYear"),
+        complete_months_between(F.col("date_of_birth"), F.col("follow_up_date")).alias(
+            "AgeMonth"
+        ),
+        complete_weeks_between(F.col("date_of_birth"), F.col("follow_up_date")).alias(
+            "AgeInWeeks"
+        ),
+        F.col("birth_weight").alias("BirthWeight"),
+        F.col("hei_code").alias("HEICode"),
+        F.col("infant_referred").alias("InfantReferred"),
+        F.col("referring_facility_name").alias("InfantReferingFacility"),
+        F.col("date_enrolled_in_care").alias("EnrollmentDate"),
+        eth_date_str(F.col("date_enrolled_in_care")).alias("EnrollmentDateET"),
+        F.col("arv_prophylaxis").alias("InfantARVProphylaxis"),
+        F.col("mothers_pmtct_interventions").alias("MotherPMTCTIntervention"),
+        F.col("follow_up_date").alias("FollowupDate"),
+        eth_date_str(F.col("follow_up_date")).alias("FollowupDateET"),
+        F.col("weight_text_").alias("Weight"),
+        F.col("growth_pattern").alias("GrowthPattern"),
+        F.col("reason_for_growth_failure").alias("ReasonforGrowthFailure"),
+        F.col("developmental_milestone_for_children").alias("DevelopmentMilestone"),
+        F.col("reason_for_red_flag").alias("ReasonforRedFlag"),
+        F.col("infant_feeding_practice").alias("InfantFeedingPractice"),
+        F.col("mother_s_breast_condition").alias("MotherBreastCondition"),
+        F.col("rapid_antibody_result").alias("RapidAntibodyTest"),
+        F.col("test_type").alias("TestIndication"),
+        F.col("dna_pcr_sample_collection_date").alias("DNAPCRSampleCollectionDate"),
+        eth_date_str(F.col("dna_pcr_sample_collection_date")).alias(
+            "DNAPCRSampleCollectionDateET"
+        ),
+        F.col("date_dbs_result_received").alias("DateofDBSResultReceived"),
+        F.col("hiv_test_result").alias("DNAPCRResult"),
+        F.datediff(
+            F.col("date_dbs_result_received"),
+            F.col("dna_pcr_sample_collection_date"),
+        ).alias("TAT"),
+        F.col("reason_sample_rejected_or_test_not_done").alias("Reason"),
+        F.col("CPTStartDate"),
+        F.col("CPTDose"),
+        eth_date_str(F.col("CPTDiscontinuedDate")).alias("CPTDiscontinuedDate"),
+        conclusion.alias("Conclusion"),
+        decision.alias("Decision"),
+        F.col("next_visit_date").alias("NextVisitDate"),
+        F.col("hei_pmtct_final_outcome").alias("HEIPMTCTFinalOutcome"),
+        F.col("date_when_final_outcome_was_known").alias("DateofFinalOutcome"),
+        eth_date_str(F.col("date_when_final_outcome_was_known")).alias(
+            "DateofFinalOutcomeET"
+        ),
+        F.col("Immunizations").alias("IMMUNIZATION"),
+        F.when(
+            (F.col("next_visit_date") < end) & F.col("has_future_visit").isNull(),
+            F.datediff(end, F.col("next_visit_date")),
+        ).alias("Missed_Days"),
+        F.col("name_of_where_patient_was_referred_to").alias("ReferredTo"),
+        complete_months_between(
+            F.col("date_of_birth"), F.col("dna_pcr_sample_collection_date")
+        ).alias("AgeSampleCollectionMonth"),
+        complete_weeks_between(
+            F.col("date_of_birth"), F.col("dna_pcr_sample_collection_date")
+        ).alias("AgeSampleCollectionInWeeks"),
+        complete_years_between(
+            F.col("date_of_birth"), F.col("dna_pcr_sample_collection_date")
+        ).alias("AgeSampleCollectionYear"),
     )

@@ -121,6 +121,46 @@ def test_tx_curr_linelist_parity(spark, fixture_env):
     _assert_parity(mine, oracle, "Tx_Curr_LineList.sql")
 
 
+def test_tx_curr_outcome_parity(spark, fixture_env):
+    from data_export_tool_spark.mamba.linelists import tx_curr_outcome
+    from data_export_tool_spark.mamba.reports import QUERY_PATCHES
+    from data_export_tool_spark.plans.dialect import shim_mysql_to_duckdb
+
+    frames, con = fixture_env
+    mine = tx_curr_outcome(frames, WINDOW_START, WINDOW_END).toPandas()
+    sql = open(os.path.join(REFERENCE_SQL_DIR, "Tx_Curr_OutComeList.sql")).read()
+    oracle = con.sql(
+        shim_mysql_to_duckdb(sql, PARAMS, QUERY_PATCHES.get("Tx_Curr_OutComeList"))
+    ).df()
+    assert len(mine) == 1
+    _assert_parity(mine, oracle, "Tx_Curr_OutComeList.sql")
+
+
+def test_pmtct_maternal_linelist_parity(spark, fixture_env):
+    from data_export_tool_spark.mamba.linelists import pmtct_maternal_linelist
+    from data_export_tool_spark.mamba.reports import QUERY_PATCHES
+    from data_export_tool_spark.plans.dialect import shim_mysql_to_duckdb
+
+    frames, con = fixture_env
+    mine = pmtct_maternal_linelist(frames, WINDOW_START, WINDOW_END).toPandas()
+    sql = open(os.path.join(REFERENCE_SQL_DIR, "PMTCT_Maternal_LineList.sql")).read()
+    oracle = con.sql(
+        shim_mysql_to_duckdb(sql, PARAMS, QUERY_PATCHES.get("PMTCT_Maternal_LineList"))
+    ).df()
+    assert len(mine) > 50, "episode count unexpectedly small — fixture drift?"
+    _assert_parity(mine, oracle, "PMTCT_Maternal_LineList.sql")
+
+
+def test_pmtct_hei_linelist_parity(spark, fixture_env):
+    from data_export_tool_spark.mamba.linelists import pmtct_hei_linelist
+
+    frames, con = fixture_env
+    mine = pmtct_hei_linelist(frames, WINDOW_START, WINDOW_END).toPandas()
+    oracle = _reference_on_duckdb(con, "PMTCT_HEI_LineList.sql")
+    assert len(mine) > 10, "HEI cohort unexpectedly small — fixture drift?"
+    _assert_parity(mine, oracle, "PMTCT_HEI_LineList.sql")
+
+
 # ---- transpile path: every reference report through spark.sql ------------
 
 

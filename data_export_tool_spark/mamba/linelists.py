@@ -398,6 +398,317 @@ def tx_curr_outcome(
     )
 
 
+def tx_curr_vl_received_linelist(
+    tables: Mapping[str, DataFrame],
+    report_start: dt.date,
+    report_end: dt.date,
+    follow_up: DataFrame | None = None,
+) -> DataFrame:
+    """Tx_Curr_VLTestReceived_LineList — one row per patient with a VL
+    result in the last 365 days (Tx_Curr_VLTestReceived_LineList.sql).
+
+    Notable shapes: two W1 dedup stacks (latest visit, latest VL
+    result), the 11-way routine-indication COALESCE chain (F3), loose
+    numeric text (`hiv_viral_load`) compared and cast on use — done
+    with try_cast so behavior is lenient (MySQL-like) regardless of
+    the session's ANSI mode. The reference's no-op
+    ``GROUP BY client_id, encounter_id`` (A5) is dropped.
+    """
+    end = F.lit(report_end.isoformat()).cast("date")
+    fu_wide = follow_up if follow_up is not None else assemble_follow_up(tables)
+
+    fu = fu_wide.select(
+        "client_id",
+        "encounter_id",
+        F.col("date_viral_load_results_received").alias("viral_load_perform_date"),
+        "follow_up_status",
+        F.col("follow_up_date_followup_").alias("follow_up_date"),
+        F.col("art_antiretroviral_start_date").alias("art_start_date"),
+        "viral_load_test_status",
+        F.col("hiv_viral_load").alias("viral_load_count"),
+        F.coalesce(
+            "at_3436_weeks_of_gestation",
+            "viral_load_after_eac_confirmatory_viral_load_where_initial_v",
+            "viral_load_after_eac_repeat_viral_load_where_initial_viral_l",
+            "every_six_months_until_mtct_ends",
+            "six_months_after_the_first_viral_load_test_at_postnatal_peri",
+            "three_months_after_delivery",
+            "at_the_first_antenatal_care_visit",
+            "annual_viral_load_test",
+            "second_viral_load_test_at_12_months_post_art",
+            "first_viral_load_test_at_6_months_or_longer_post_art",
+            "first_viral_load_test_at_3_months_or_longer_post_art",
+        ).alias("routine_viral_load_test_indication"),
+        F.coalesce(
+            "repeat_or_confirmatory_vl_initial_viral_load_greater_than_10",
+            "suspected_antiretroviral_failure",
+        ).alias("targeted_viral_load_test_indication"),
+        "pregnancy_status",
+        F.col("currently_breastfeeding_child").alias("breastfeeding_status"),
+        F.col("antiretroviral_art_dispensed_dose_i").alias("arv_dispensed_dose"),
+        "regimen",
+        "next_visit_date",
+        "treatment_end_date",
+        F.col("date_of_event").alias("date_hiv_confirmed"),
+        F.col("weight_text_").alias("weight"),
+    )
+
+    eligible = fu.filter(
+        F.col("follow_up_status").isNotNull() & F.col("art_start_date").isNotNull()
+    )
+    vlperf = (
+        ranked(
+            eligible.filter(F.col("viral_load_perform_date") <= end),
+            keys=["client_id"],
+            order_by=["viral_load_perform_date"],
+            tiebreak="encounter_id",
+        )
+        .filter(F.col("row_num") == 1)
+        .select(
+            F.col("client_id").alias("vp_client_id"),
+            F.when(
+                F.col("viral_load_count").try_cast("double") > 0,
+                F.col("viral_load_count").try_cast("decimal(12,0)"),
+            ).alias("vp_viral_load_count"),
+            F.col("viral_load_perform_date").alias("vp_viral_load_perform_date"),
+            F.col("viral_load_perform_date").alias("vp_viral_load_ref_date"),
+            F.col("viral_load_test_status").alias("vp_viral_load_test_status"),
+            F.col("routine_viral_load_test_indication").alias("vp_routine_ind"),
+            F.col("targeted_viral_load_test_indication").alias("vp_targeted_ind"),
+        )
+    )
+    latest = (
+        ranked(
+            eligible.filter(F.col("follow_up_date") <= end),
+            keys=["client_id"],
+            order_by=["follow_up_date"],
+            tiebreak="encounter_id",
+        )
+        .filter(F.col("row_num") == 1)
+        .select(F.col("encounter_id").alias("lf_encounter_id"))
+    )
+
+    client = tables["mamba_dim_client"]
+    out = (
+        fu.join(latest, fu["encounter_id"] == latest["lf_encounter_id"], "inner")
+        .join(vlperf, fu["client_id"] == vlperf["vp_client_id"], "left")
+        .join(F.broadcast(client), "client_id", "left")
+    )
+    return (
+        out.filter(
+            F.col("vp_viral_load_perform_date").isNotNull()
+            & (F.col("vp_viral_load_perform_date") >= F.date_add(end, -365))
+            & (F.col("vp_viral_load_perform_date") <= end)
+        )
+        .select(
+            F.when(F.col("sex") == "FEMALE", "F")
+            .when(F.col("sex") == "MALE", "M")
+            .alias("Sex"),
+            F.col("weight").alias("Weight"),
+            complete_years_between(F.col("date_of_birth"), end).alias("Age"),
+            "date_hiv_confirmed",
+            F.col("art_start_date").alias("art_start_date"),
+            F.col("follow_up_date").alias("FollowUpDate"),
+            F.col("pregnancy_status").alias("IsPregnant"),
+            F.col("breastfeeding_status").alias("Breastfeeding"),
+            F.col("regimen").alias("ARVDispendsedDose"),
+            F.substring(F.col("regimen"), 1, 1).alias("ARVRegimensLine"),
+            F.col("arv_dispensed_dose").alias("ARTDoseDays"),
+            "next_visit_date",
+            "follow_up_status",
+            F.col("treatment_end_date").alias("art_dose_End"),
+            F.col("vp_viral_load_perform_date").alias("viral_load_perform_date"),
+            F.col("vp_viral_load_test_status").alias("viral_load_status"),
+            F.col("vp_viral_load_count").alias("viral_load_count"),
+            F.col("vp_viral_load_ref_date").alias("viral_load_ref_date"),
+            F.concat(
+                F.coalesce(F.col("vp_routine_ind"), F.lit("")),
+                F.lit(" "),
+                F.coalesce(F.col("vp_targeted_ind"), F.lit("")),
+            ).alias("ReasonForVLTest"),
+            F.when(F.col("pregnancy_status") == "Yes", "Yes")
+            .when(F.col("breastfeeding_status") == "Yes", "Yes")
+            .otherwise("No")
+            .alias("PMTCT_ART"),
+            F.col("patient_uuid").alias("PatientGUID"),
+        )
+    )
+
+
+def tx_curr_cca_linelist(
+    tables: Mapping[str, DataFrame],
+    report_start: dt.date,
+    report_end: dt.date,
+    follow_up: DataFrame | None = None,
+) -> DataFrame:
+    """Tx_Curr_CCA_LineList — cervical-cancer screening line list
+    (Tx_Curr_CCA_LineList.sql).
+
+    Note the final ``client.Sex = 'Female'`` filter (:175): the data
+    carries 'FEMALE'; MySQL's case-insensitive collation matches both,
+    this engine's ANSI comparison matches only the literal-cased rows —
+    the documented collation policy (SURVEY.md §4.7), identical on the
+    oracle. The self-conjunct duplicate null-guard (:48-49) folds away.
+    """
+    end = F.lit(report_end.isoformat()).cast("date")
+    fu_wide = follow_up if follow_up is not None else assemble_follow_up(tables)
+
+    screen_date = (
+        F.when(F.col("colposcopy_exam_date").isNotNull(), F.col("colposcopy_exam_date"))
+        .when(
+            F.col("date_cytology_result_received").isNotNull(),
+            F.col("date_cytology_result_received"),
+        )
+        .when(
+            F.col("date_visual_inspection_of_the_cervi").isNotNull(),
+            F.col("date_visual_inspection_of_the_cervi"),
+        )
+        .when(
+            F.col("hpv_dna_result_received_date").isNotNull(),
+            F.col("hpv_dna_result_received_date"),
+        )
+        .when(
+            F.col("follow_up_date_followup_").isNotNull()
+            & (
+                F.col("cervical_cancer_screening_status")
+                == "Cervical cancer screening performed"
+            ),
+            F.col("follow_up_date_followup_"),
+        )
+    )
+    fu = fu_wide.select(
+        "encounter_id",
+        "client_id",
+        F.col("follow_up_date_followup_").alias("follow_up_date"),
+        "follow_up_status",
+        F.col("treatment_end_date").alias("art_end_date"),
+        F.col("weight_text_").alias("weight"),
+        F.col("next_follow_up_screening_date").alias("CCS_Next_Date"),
+        F.col("cervical_cancer_screening_status").alias("screening_status"),
+        F.col("hpv_dna_screening_result").alias("CCS_HPV_Result"),
+        F.col("via_screening_result").alias("CCS_VIA_Result"),
+        F.col("treatment_start_date").alias("CCS_Treat_Received_Date"),
+        F.col("purpose_for_visit_cervical_screening").alias("screening_type"),
+        F.col("cervical_cancer_screening_method_strategy").alias("screening_method"),
+        F.col("treatment_of_precancerous_lesions_of_the_cervix").alias(
+            "CCS_Precancerous_Treat"
+        ),
+        F.col("confirmed_cervical_cancer_cases_bas").alias("CCS_Suspicious_Treat"),
+        F.col("reason_for_referral_cacx").alias("reason_for_eligibility_transfer_in"),
+        F.col("art_antiretroviral_start_date").alias("art_start_date"),
+        "next_visit_date",
+        F.col("antiretroviral_art_dispensed_dose_i").alias("dose_days"),
+        F.col("pre_test_counselling_for_cervical_c").alias("CCaCounsellingGiven"),
+        F.col("ready_for_cervical_cancer_screening").alias("Accepted"),
+        F.col("date_of_event").alias("date_hiv_confirmed"),
+        F.col("transferred_in_check_this_for_all_t").alias("transfer_in"),
+        "currently_breastfeeding_child",
+        "pregnancy_status",
+        screen_date.alias("CSS_Screen_Done_Date_Calculated"),
+    )
+
+    yn = lambda cond: F.when(cond, "Yes").otherwise("No")  # noqa: E731
+    cca = (
+        ranked(
+            fu.filter(
+                (F.col("CCaCounsellingGiven") == "Yes")
+                & (F.col("CSS_Screen_Done_Date_Calculated") <= end)
+            ),
+            keys=["client_id"],
+            order_by=["follow_up_date"],
+            tiebreak="encounter_id",
+        )
+        .filter(F.col("row_num") == 1)
+        .select(
+            # cca_ prefix: the cca and latest frames share fu's lineage
+            # (a self-join); disjoint names avoid ambiguous attributes
+            F.col("client_id").alias("cca_client_id"),
+            yn(F.col("CCaCounsellingGiven") == "Yes").alias("cca_OfferedYes"),
+            yn(F.col("CCaCounsellingGiven") == "No").alias("cca_OfferedNo"),
+            yn(F.col("Accepted") == "Yes").alias("cca_AcceptedYes"),
+            F.lit("No").alias("cca_AcceptedNo"),  # reference: both arms 'No' (:85)
+            yn(
+                F.col("screening_status") == "Cervical cancer screening performed"
+            ).alias("cca_ScreenDoneYes"),
+            F.lit("No").alias("cca_ScreenDoneNo"),  # both arms 'No' (:89-91)
+            F.col("CSS_Screen_Done_Date_Calculated").alias("cca_ScreenDone_Date"),
+            F.col("screening_type").alias("cca_Screen_Type"),
+            F.col("screening_method").alias("cca_Screen_Method"),
+            F.col("CCS_HPV_Result").alias("cca_HPV_Result"),
+            F.col("CCS_VIA_Result").alias("cca_VIA_Result"),
+            F.col("CCS_Precancerous_Treat").alias("cca_Precancerous_Treat"),
+            F.col("CCS_Suspicious_Treat").alias("cca_Suspicious_Treat"),
+            F.col("CCS_Treat_Received_Date").alias("cca_Treat_Received_Date"),
+            F.col("CCS_Next_Date").alias("cca_Next_Date"),
+        )
+    )
+
+    latest = (
+        ranked(
+            fu.filter(
+                (F.col("follow_up_date") <= end)
+                & F.col("follow_up_status").isNotNull()
+            ),
+            keys=["client_id"],
+            order_by=["follow_up_date"],
+            tiebreak="encounter_id",
+        )
+        .filter(F.col("row_num") == 1)
+        .select(F.col("encounter_id").alias("lf_encounter_id"))
+    )
+    lfa = fu.join(latest, fu["encounter_id"] == latest["lf_encounter_id"], "inner")
+
+    client = tables["mamba_dim_client"]
+    return (
+        lfa.join(F.broadcast(client), "client_id", "inner")
+        .join(cca, lfa["client_id"] == cca["cca_client_id"], "left")
+        .filter(
+            ((F.col("art_start_date") <= end) | F.col("art_start_date").isNull())
+            & (F.col("sex") == "Female")
+        )
+        .select(
+            F.when(F.col("sex") == "FEMALE", "F")
+            .when(F.col("sex") == "MALE", "M")
+            .alias("Sex"),
+            F.col("weight"),
+            complete_years_between(F.col("date_of_birth"), end).alias("Age"),
+            F.col("cca_OfferedYes").alias("CCS_OfferedYes"),
+            F.col("cca_OfferedNo").alias("CCS_OfferedNo"),
+            F.col("cca_AcceptedYes").alias("CCS_AcceptedYes"),
+            F.col("cca_AcceptedNo").alias("CCS_AcceptedNo"),
+            F.col("cca_ScreenDoneYes").alias("CCS_ScreenDoneYes"),
+            F.col("cca_ScreenDoneNo").alias("CCS_ScreenDoneNo"),
+            F.col("cca_ScreenDone_Date").alias("CCS_ScreenDone_Date"),
+            F.col("cca_Screen_Type").alias("CCS_Screen_Type"),
+            F.col("cca_Screen_Method").alias("CCS_Screen_Method"),
+            F.col("cca_HPV_Result").alias("CCS_HPV_Result"),
+            F.col("cca_VIA_Result").alias("CCS_VIA_Result"),
+            F.col("cca_Precancerous_Treat").alias("CCS_Precancerous_Treat"),
+            F.col("cca_Suspicious_Treat").alias("CCS_Suspicious_Treat"),
+            F.col("cca_Treat_Received_Date").alias("CCS_Treat_Received_Date"),
+            F.col("cca_Next_Date").alias("CCS_Next_Date"),
+            "date_hiv_confirmed",
+            "art_start_date",
+            F.col("follow_up_date").alias("FollowUpDate"),
+            F.col("transfer_in").alias("Transfer_In"),
+            F.col("dose_days").alias("ARTDoseDays"),
+            "next_visit_date",
+            "follow_up_status",
+            F.col("follow_up_status").alias("FollowupStatusChar"),
+            F.col("art_end_date").alias("ARTDoseEndDate"),
+            F.col("patient_uuid").alias("PatientGUID"),
+            F.col("currently_breastfeeding_child").alias("IsBreastfeeding"),
+            F.when(
+                (F.col("currently_breastfeeding_child") == "Yes")
+                | (F.col("pregnancy_status") == "Yes"),
+                "YES",
+            )
+            .otherwise("No")
+            .alias("PMTCT_ART"),
+        )
+    )
+
+
 def pmtct_maternal_linelist(
     tables: Mapping[str, DataFrame],
     report_start: dt.date,

@@ -136,6 +136,35 @@ def test_tx_curr_outcome_parity(spark, fixture_env):
     _assert_parity(mine, oracle, "Tx_Curr_OutComeList.sql")
 
 
+def test_vl_received_linelist_parity(spark, fixture_env):
+    from data_export_tool_spark.mamba.linelists import tx_curr_vl_received_linelist
+    from data_export_tool_spark.mamba.reports import QUERY_PATCHES
+    from data_export_tool_spark.plans.dialect import shim_mysql_to_duckdb
+
+    frames, con = fixture_env
+    mine = tx_curr_vl_received_linelist(frames, WINDOW_START, WINDOW_END).toPandas()
+    sql = open(
+        os.path.join(REFERENCE_SQL_DIR, "Tx_Curr_VLTestReceived_LineList.sql")
+    ).read()
+    oracle = con.sql(
+        shim_mysql_to_duckdb(
+            sql, PARAMS, QUERY_PATCHES.get("Tx_Curr_VLTestReceived_LineList")
+        )
+    ).df()
+    assert len(mine) > 50
+    _assert_parity(mine, oracle, "Tx_Curr_VLTestReceived_LineList.sql")
+
+
+def test_cca_linelist_parity(spark, fixture_env):
+    from data_export_tool_spark.mamba.linelists import tx_curr_cca_linelist
+
+    frames, con = fixture_env
+    mine = tx_curr_cca_linelist(frames, WINDOW_START, WINDOW_END).toPandas()
+    oracle = _reference_on_duckdb(con, "Tx_Curr_CCA_LineList.sql")
+    assert len(mine) > 0
+    _assert_parity(mine, oracle, "Tx_Curr_CCA_LineList.sql")
+
+
 def test_pmtct_maternal_linelist_parity(spark, fixture_env):
     from data_export_tool_spark.mamba.linelists import pmtct_maternal_linelist
     from data_export_tool_spark.mamba.reports import QUERY_PATCHES

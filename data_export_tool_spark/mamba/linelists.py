@@ -709,6 +709,208 @@ def tx_curr_cca_linelist(
     )
 
 
+def tx_curr_tpt_linelist(
+    tables: Mapping[str, DataFrame],
+    report_start: dt.date,
+    report_end: dt.date,
+    follow_up: DataFrame | None = None,
+) -> DataFrame:
+    """Tx_Curr_TPT_LineList — TB-preventive-therapy line list, one row
+    per on-treatment patient (Tx_Curr_TPT_LineList.sql:1-201).
+
+    Four W1 dedup stacks over one FollowUp selection (latest visit,
+    latest TPT-type row, latest TPT start, latest TPT completion,
+    :61-97), joined per client (:192-197). Mixed-type CASE branches
+    (``TPT_Type`` yields 0/2/1 or the raw string, :140-144) are emitted
+    as strings — MySQL/DuckDB coerce such CASEs to text anyway. The
+    final day-diff guard (:201) is redundant with
+    ``art_start_date <= REPORT_END_DATE`` and folds away.
+    """
+    end = F.lit(report_end.isoformat()).cast("date")
+    fu_wide = follow_up if follow_up is not None else assemble_follow_up(tables)
+
+    fu = fu_wide.select(
+        "encounter_id",
+        "client_id",
+        F.col("date_of_event").alias("hiv_confirmed_date"),
+        F.col("art_antiretroviral_start_date").alias("art_start_date"),
+        F.col("follow_up_date_followup_").alias("followup_date"),
+        F.col("weight_text_").alias("weight_in_kg"),
+        F.col("antiretroviral_art_dispensed_dose_i").alias("art_dose_days"),
+        "follow_up_status",
+        "next_visit_date",
+        F.col("date_started_on_tuberculosis_prophy").alias(
+            "inhprophylaxis_started_date"
+        ),
+        F.col("date_completed_tuberculosis_prophyl").alias(
+            "InhprophylaxisCompletedDate"
+        ),
+        F.col("treatment_end_date").alias("art_end_date"),
+        "current_who_hiv_stage",
+        "cd4_count",
+        "cd4_",
+        "cotrimoxazole_prophylaxis_start_dat",
+        "cotrimoxazole_prophylaxis_stop_date",
+        F.col("patient_diagnosed_with_active_tuber").alias("active_tb_dx"),
+        "diagnosis_date",
+        "tuberculosis_drug_treatment_start_d",
+        "date_active_tbrx_completed",
+        F.col("tb_prophylaxis_type").alias("TB_ProphylaxisType"),
+        F.col("tb_prophylaxis_type_alternate_").alias("TB_ProphylaxisTypeALT"),
+        F.col("tpt_followup_6h_").alias("tpt_follow_up_inh"),
+        "why_eligible_reason_",
+        F.col("diagnostic_test").alias("tb_specimen_type"),
+        F.col("fluconazole_start_date").alias("Fluconazole_Start_Date"),
+        F.col("fluconazole_stop_date").alias("Fluconazole_End_Date"),
+        F.col("transferred_in_check_this_for_all_t").alias("Transfer_In"),
+    )
+
+    def _latest(df: DataFrame, order_col: str, prefix: str, cols: list[str]):
+        """W1 dedup: latest row per client by ``order_col`` DESC,
+        encounter_id DESC (:61-97), projected with disjoint names."""
+        return (
+            ranked(df, keys=["client_id"], order_by=[order_col], tiebreak="encounter_id")
+            .filter(F.col("row_num") == 1)
+            .select(
+                F.col("client_id").alias(f"{prefix}_client_id"),
+                *[F.col(c).alias(f"{prefix}_{c}") for c in cols],
+            )
+        )
+
+    tpt_type = _latest(
+        fu.filter(
+            (F.col("followup_date") <= end) & F.col("TB_ProphylaxisType").isNotNull()
+        ),
+        "followup_date",
+        "tt",
+        ["TB_ProphylaxisType", "TB_ProphylaxisTypeALT", "tpt_follow_up_inh"],
+    )
+    tpt_start = _latest(
+        fu.filter(
+            F.col("inhprophylaxis_started_date").isNotNull()
+            & (F.col("followup_date") <= end)
+        ),
+        "inhprophylaxis_started_date",
+        "ts",
+        ["inhprophylaxis_started_date"],
+    )
+    tpt_completed = _latest(
+        fu.filter(
+            F.col("InhprophylaxisCompletedDate").isNotNull()
+            & (F.col("followup_date") <= end)
+        ),
+        "InhprophylaxisCompletedDate",
+        "tc",
+        ["InhprophylaxisCompletedDate"],
+    )
+    latest_visit = (
+        ranked(
+            fu.filter(
+                F.col("follow_up_status").isNotNull() & (F.col("followup_date") <= end)
+            ),
+            keys=["client_id"],
+            order_by=["followup_date"],
+            tiebreak="encounter_id",
+        )
+        .filter(F.col("row_num") == 1)
+        .select(F.col("encounter_id").alias("lf_encounter_id"))
+    )
+
+    client = tables["mamba_dim_client"]
+    cohort = (
+        fu.join(latest_visit, fu["encounter_id"] == latest_visit["lf_encounter_id"], "inner")
+        .join(F.broadcast(client), "client_id", "left")
+        .filter(
+            (F.col("art_end_date") >= end)
+            & F.col("follow_up_status").isin("Alive", "Restart medication")
+            & (F.col("art_start_date") <= end)
+        )
+    )
+
+    out = (
+        cohort.join(tpt_start, cohort["client_id"] == tpt_start["ts_client_id"], "left")
+        .join(tpt_completed, cohort["client_id"] == tpt_completed["tc_client_id"], "left")
+        .join(tpt_type, cohort["client_id"] == tpt_type["tt_client_id"], "left")
+    )
+    tpt_type_col = F.col("tt_TB_ProphylaxisType")
+    tpt_type_alt = F.col("tt_TB_ProphylaxisTypeALT")
+    return out.select(
+        F.when(F.col("sex") == "FEMALE", "F")
+        .when(F.col("sex") == "MALE", "M")
+        .alias("Sex"),
+        F.col("weight_in_kg").alias("Weight"),
+        complete_years_between(F.col("date_of_birth"), end).alias("Age"),
+        F.col("ts_inhprophylaxis_started_date").alias("TPT_Started_Date"),
+        F.col("tc_InhprophylaxisCompletedDate").alias("TPT_Completed_Date"),
+        F.when(tpt_type_col == "6H", "0")
+        .when(tpt_type_col == "3HP", "2")
+        .when(tpt_type_col == "Continuous", "1")
+        .otherwise(tpt_type_col)
+        .alias("TPT_Type"),
+        F.when(tpt_type_alt == "3HP", "0")
+        .when(tpt_type_alt == "3HR", "1")
+        .otherwise(tpt_type_alt)
+        .alias("TPT_TypeAlt"),
+        F.when(tpt_type_col == "6H", "INH")
+        .when(tpt_type_col == "3HP", "3HP")
+        .otherwise("")
+        .alias("TPT_TypeChar"),
+        F.col("hiv_confirmed_date").alias("HIV_Confirmed_Date"),
+        F.col("art_start_date").alias("ART_Start_Date"),
+        F.col("followup_date").alias("FollowUpDate"),
+        "Transfer_In",
+        F.col("art_dose_days").alias("ARTDoseDays"),
+        F.col("next_visit_date").alias("Next_visit_Date"),
+        F.when(F.col("follow_up_status") == "Transferred out", 0)
+        .when(F.col("follow_up_status") == "Stop all", 1)
+        .when(F.col("follow_up_status") == "Loss to follow-up (LTFU)", 2)
+        .when(F.col("follow_up_status") == "Ran away", 3)
+        .when(F.col("follow_up_status") == "Dead", 4)
+        .when(F.col("follow_up_status") == "Alive", 5)
+        .when(F.col("follow_up_status") == "Restart medication", 6)
+        .alias("FollowupStatus"),
+        F.col("follow_up_status").alias("FollowupStatusChar"),
+        F.col("art_end_date").alias("ARTDoseEndDate"),
+        F.col("patient_uuid").alias("PatientGUID"),
+        F.col("current_who_hiv_stage").alias("WHOStage"),
+        F.col("cd4_count").alias("AdultCD4Count"),
+        F.col("cd4_").alias("ChildCD4Count"),
+        *_eth_pair(
+            F.col("cotrimoxazole_prophylaxis_start_dat"),
+            "CPT_StartDate",
+            "CPT_StartDate_GC",
+        ),
+        *_eth_pair(
+            F.col("cotrimoxazole_prophylaxis_stop_date"),
+            "CPT_StopDate",
+            "CPT_StopDate_GC",
+        ),
+        F.col("tb_specimen_type").alias("TB_SpecimenType"),
+        F.col("active_tb_dx").alias("ActiveTBDiagnosed"),
+        *_eth_pair(
+            F.col("diagnosis_date"), "ActiveTBDignosedDate", "ActiveTBDignosedDate_GC"
+        ),
+        *_eth_pair(
+            F.col("tuberculosis_drug_treatment_start_d"),
+            "TBTx_StartDate",
+            "TBTx_StartDate_GC",
+        ),
+        *_eth_pair(
+            F.col("date_active_tbrx_completed"),
+            "TBTx_CompletedDate",
+            "TBTx_CompletedDate_GC",
+        ),
+        *_eth_pair(
+            F.col("Fluconazole_Start_Date"),
+            "FluconazoleStartDate",
+            "FluconazoleStartDate_GC",
+        ),
+        *_eth_pair(
+            F.col("Fluconazole_End_Date"), "FluconazoleEndDate", "FluconazoleEndDate_GC"
+        ),
+    )
+
+
 def pmtct_maternal_linelist(
     tables: Mapping[str, DataFrame],
     report_start: dt.date,

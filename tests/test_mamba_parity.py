@@ -165,6 +165,20 @@ def test_cca_linelist_parity(spark, fixture_env):
     _assert_parity(mine, oracle, "Tx_Curr_CCA_LineList.sql")
 
 
+def test_tpt_linelist_parity(spark, fixture_env):
+    from data_export_tool_spark.mamba.linelists import tx_curr_tpt_linelist
+    from data_export_tool_spark.mamba.reports import QUERY_PATCHES
+
+    frames, con = fixture_env
+    mine = tx_curr_tpt_linelist(frames, WINDOW_START, WINDOW_END).toPandas()
+    sql = open(os.path.join(REFERENCE_SQL_DIR, "Tx_Curr_TPT_LineList.sql")).read()
+    oracle = con.sql(
+        shim_mysql_to_duckdb(sql, PARAMS, QUERY_PATCHES.get("Tx_Curr_TPT_LineList"))
+    ).df()
+    assert len(mine) > 20
+    _assert_parity(mine, oracle, "Tx_Curr_TPT_LineList.sql")
+
+
 def test_pmtct_maternal_linelist_parity(spark, fixture_env):
     from data_export_tool_spark.mamba.linelists import pmtct_maternal_linelist
     from data_export_tool_spark.mamba.reports import QUERY_PATCHES

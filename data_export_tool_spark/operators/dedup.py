@@ -25,6 +25,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from data_export_tool_spark.functions.text import normalize_text
+from data_export_tool_spark.parallelism import fan_out
 
 
 def word_shingles(text: Column, n: int = 3) -> Column:
@@ -52,7 +53,8 @@ def exact_duplicates(
     Returns columns: ``fingerprint``, ``dup_count``, ``keep_id``.
     """
     return (
-        df.select(
+        fan_out(df)
+        .select(
             F.md5(normalize_text(F.col(text_col))).alias("fingerprint"),
             F.col(id_col),
         )
@@ -70,7 +72,8 @@ def dedup_exact(
 ) -> DataFrame:
     """Keep one representative (min id) per normalized fingerprint."""
     w_keep = (
-        df.select(
+        fan_out(df)
+        .select(
             F.col(id_col),
             F.md5(normalize_text(F.col(text_col))).alias("__fp"),
         )
@@ -101,7 +104,7 @@ def minhash_signatures(
     ``array_min(transform(shingles, md5))`` per seed — re-evaluates the
     whole normalize→tokenize→shingle pipeline k times per row.)
     """
-    ex = df.select(
+    ex = fan_out(df).select(
         F.col(id_col), F.explode(word_shingles(F.col(text_col), shingle_n)).alias("sh")
     )
     aggs = [
@@ -176,7 +179,7 @@ def ngram_jaccard_pairs(
     (e.g. from MinHash LSH), verification is restricted to it — the
     scale path: LSH generates, Jaccard verifies.
     """
-    sh = df.select(
+    sh = fan_out(df).select(
         F.col(id_col), F.explode(word_shingles(F.col(text_col), shingle_n)).alias("sh")
     )
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
@@ -232,7 +235,7 @@ def simhash(
     64-element vote array is ~100× slower: Catalyst evaluates HOF
     lambdas interpretively per element.)
     """
-    toks = df.select(
+    toks = fan_out(df).select(
         F.col(id_col),
         F.explode(F.split(normalize_text(F.col(text_col)), " ")).alias("tok"),
     ).withColumn("h", F.xxhash64(F.col("tok")))

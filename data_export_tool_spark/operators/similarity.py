@@ -24,6 +24,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from data_export_tool_spark.parallelism import fan_out
+
 
 def dot(a: Column, b: Column) -> Column:
     """Dot product of two array<float/double> columns (fold, JVM-side)."""
@@ -67,7 +69,7 @@ def brute_force_topk(
             F.col(query_id_col), F.col(query_vec_col).cast("array<double>").alias("__qv")
         )
     )
-    c = corpus.select(
+    c = fan_out(corpus).select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).cast("array<double>").alias("__cv"),
     )
@@ -151,7 +153,7 @@ def lsh_topk(
             F.posexplode(bands).alias("band_idx", "band_key"),
         )
 
-    cb = with_bands(corpus, id_col, vec_col, "__cv").withColumnRenamed(
+    cb = with_bands(fan_out(corpus), id_col, vec_col, "__cv").withColumnRenamed(
         id_col, "neighbor_id"
     )
     qb = with_bands(queries, query_id_col, query_vec_col, "__qv")
@@ -194,7 +196,7 @@ def ivf_topk(
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector, vector_to_array
 
-    c = corpus.select(
+    c = fan_out(corpus).select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).cast("array<double>").alias("__cv"),
     ).withColumn("__features", array_to_vector("__cv"))
@@ -288,6 +290,6 @@ def embedding_near_dup_pairs(
                 }
             )
 
-    return df.select(id_col, vec_col).mapInPandas(
+    return fan_out(df.select(id_col, vec_col)).mapInPandas(
         score, schema="id_a long, id_b long, cosine_sim double"
     )

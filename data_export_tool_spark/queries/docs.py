@@ -20,6 +20,7 @@ from data_export_tool_spark.functions.text import (
     punct_ratio,
     token_count,
 )
+from data_export_tool_spark.parallelism import fan_out
 from data_export_tool_spark.operators.dedup import (
     exact_duplicates,
     minhash_lsh_candidates,
@@ -52,7 +53,7 @@ ex AS (SELECT doc_id, unnest(shingles) AS s FROM sh)
 # d01 — content fingerprints (exact-dedup key)
 # --------------------------------------------------------------------------
 def d01_doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = Catalog(spark, sf_dir).load("documents")
+    docs = fan_out(Catalog(spark, sf_dir).load("documents"))
     return docs.select(
         "doc_id",
         F.md5(normalize_text(F.col("text"))).alias("fingerprint"),
@@ -168,7 +169,7 @@ D04_ORACLE = _minhash_oracle()
 # Doubles are per-row deterministic expressions, rounded to 6 dp.
 # --------------------------------------------------------------------------
 def d05_doc_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = Catalog(spark, sf_dir).load("documents")
+    docs = fan_out(Catalog(spark, sf_dir).load("documents"))
     n_tok = token_count(F.col("text"))
     return docs.select(
         "doc_id",
@@ -198,7 +199,7 @@ ORDER BY doc_id
 def d06_doc_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     from data_export_tool_spark.functions.text import language_guess
 
-    docs = Catalog(spark, sf_dir).load("documents")
+    docs = fan_out(Catalog(spark, sf_dir).load("documents"))
     return (
         docs.select("lang", language_guess(F.col("text")).alias("lang_guess"))
         .groupBy("lang", "lang_guess")

@@ -219,13 +219,25 @@ def ngram_jaccard_pairs(
     )
 
 
+def portable_hash64(c: Column) -> Column:
+    """First 64 bits of md5 as a signed long — identical bit pattern in
+    any engine with md5 (DuckDB: ``('0x'||substring(md5(x),1,8))::UBIGINT
+    << 32 | ...``), so SimHash signatures are oracle-reproducible.
+    Stays inside whole-stage codegen: md5 + conv + shift are all JVM
+    expressions."""
+    hx = F.md5(c)
+    hi = F.conv(F.substring(hx, 1, 8), 16, 10).cast("long")
+    lo = F.conv(F.substring(hx, 9, 8), 16, 10).cast("long")
+    return F.shiftleft(hi, 32).bitwiseOR(lo)
+
+
 def simhash(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text", bits: int = 64
 ) -> DataFrame:
     """64-bit SimHash signature per document.
 
-    Per token t: h = xxhash64(t); signature bit i is the majority vote
-    of bit i over the document's tokens.
+    Per token t: h = portable_hash64(t); signature bit i is the
+    majority vote of bit i over the document's tokens.
 
     Plan shape: explode tokens once → one map-side-combining groupBy
     with 64 conditional-sum aggregates (pure codegen'd longs) →
@@ -238,7 +250,7 @@ def simhash(
     toks = fan_out(df).select(
         F.col(id_col),
         F.explode(F.split(normalize_text(F.col(text_col)), " ")).alias("tok"),
-    ).withColumn("h", F.xxhash64(F.col("tok")))
+    ).withColumn("h", portable_hash64(F.col("tok")))
     votes = toks.groupBy(id_col).agg(
         *[
             F.sum(

@@ -239,15 +239,59 @@ D06_ORACLE = _langid_oracle()
 
 
 # --------------------------------------------------------------------------
-# d07 — SimHash near-duplicate pairs (xxhash64 signatures: Spark-native,
-# no SQL oracle — verified rows-only by the driver and by property tests
-# against the Jaccard ground truth in tests/test_dedup.py)
+# d07 — SimHash near-duplicate pairs. Token hash is the first 64 bits
+# of md5 (operators/dedup.portable_hash64), so the full signature →
+# 16-bit-band blocking → Hamming≤8 pipeline is reproduced bit-exactly
+# in DuckDB (UBIGINT shifts/xor/bit_count) and value-hash-checked.
 # --------------------------------------------------------------------------
 def d07_doc_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = Catalog(spark, sf_dir).load("documents")
     return simhash_near_duplicates(
         docs, "doc_id", "text", max_hamming=8, band_bits=16
     ).orderBy("id_a", "id_b")
+
+
+def _simhash_oracle() -> str:
+    """DuckDB twin of simhash_near_duplicates(max_hamming=8, band_bits=16)."""
+    # NB: DuckDB resolves `<<` as BIGINT and overflow-checks, so the
+    # high word is positioned by UBIGINT multiply and the signature
+    # bits are precomputed power-of-two literals.
+    h64 = (
+        "((('0x' || substring(md5(tk), 1, 8))::UBIGINT * 4294967296::UBIGINT) + "
+        "('0x' || substring(md5(tk), 9, 8))::UBIGINT)"
+    )
+    votes = ",\n         ".join(
+        f"sum(CASE WHEN (h >> {i}) & 1 = 1 THEN 1 ELSE -1 END) AS v{i}"
+        for i in range(64)
+    )
+    sig = " + ".join(
+        f"(CASE WHEN v{i} > 0 THEN {1 << i}::UBIGINT ELSE 0::UBIGINT END)"
+        for i in range(64)
+    )
+    return f"""
+WITH norm AS (SELECT doc_id, {_NORM_SQL} AS t FROM documents),
+tok AS (SELECT doc_id, unnest(string_split(t, ' ')) AS tk FROM norm),
+hs AS (SELECT doc_id, {h64} AS h FROM tok),
+votes AS (
+  SELECT doc_id,
+         {votes}
+  FROM hs GROUP BY doc_id
+),
+sigs AS (SELECT doc_id, ({sig}) AS sig FROM votes),
+bands AS (
+  SELECT doc_id, sig, b, ((sig >> (b * 16)) & 65535) AS band_key
+  FROM sigs CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS b) t
+)
+SELECT DISTINCT a.doc_id AS id_a, b2.doc_id AS id_b,
+       bit_count(xor(a.sig, b2.sig))::INTEGER AS hamming
+FROM bands a
+JOIN bands b2
+  ON a.b = b2.b AND a.band_key = b2.band_key AND a.doc_id < b2.doc_id
+WHERE bit_count(xor(a.sig, b2.sig)) <= 8
+"""
+
+
+D07_ORACLE = _simhash_oracle()
 
 
 QUERIES = [
@@ -257,5 +301,5 @@ QUERIES = [
     QuerySpec("d04_doc_minhash_lsh", d04_doc_minhash_lsh, D04_ORACLE, "dedup:minhash-lsh"),
     QuerySpec("d05_doc_token_stats", d05_doc_token_stats, D05_ORACLE, "text:tokens/quality"),
     QuerySpec("d06_doc_language_id", d06_doc_language_id, D06_ORACLE, "text:langid"),
-    QuerySpec("d07_doc_simhash_pairs", d07_doc_simhash_pairs, None, "dedup:simhash"),
+    QuerySpec("d07_doc_simhash_pairs", d07_doc_simhash_pairs, D07_ORACLE, "dedup:simhash"),
 ]

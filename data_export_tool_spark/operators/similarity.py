@@ -192,19 +192,57 @@ def ivf_topk(
     """IVF ANN: coarse-quantize the corpus with k-means, search only the
     n_probe nearest cells per query. Centroids are tiny → broadcast;
     the corpus is partitioned by cell, so per-query work is
-    |corpus| * n_probe / n_centroids."""
-    from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector, vector_to_array
+    |corpus| * n_probe / n_centroids.
+
+    Quantizer training only needs enough points to place coarse cells,
+    so Lloyd's runs driver-side (numpy) on a bounded deterministic
+    sample — O(sample_cap) regardless of corpus size, no per-iteration
+    cluster scans. Cell assignment is one Arrow-batched pandas-UDF pass
+    (BLAS matmul per batch) over the distributed corpus.
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
 
     c = fan_out(corpus).select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).cast("array<double>").alias("__cv"),
-    ).withColumn("__features", array_to_vector("__cv"))
-    km = KMeans(k=n_centroids, seed=seed, featuresCol="__features", maxIter=10)
-    model = km.fit(c)
-    assigned = model.transform(c).withColumnRenamed("prediction", "cell")
+    )
 
-    centroids = [(i, [float(x) for x in ctr]) for i, ctr in enumerate(model.clusterCenters())]
+    sample_cap = max(256 * n_centroids, 4096)
+    n_corpus = c.count()
+    frac = min(1.0, sample_cap / max(n_corpus, 1))
+    sample = c.sample(fraction=frac, seed=seed) if frac < 1.0 else c
+    X = np.array(sample.select("__cv").toPandas()["__cv"].tolist(), dtype=np.float64)
+    rng = np.random.RandomState(seed)
+    kk = min(n_centroids, len(X))
+    cent = X[rng.choice(len(X), size=kk, replace=False)]
+    for _ in range(10):
+        d2 = (X * X).sum(1, keepdims=True) - 2 * X @ cent.T + (cent * cent).sum(1)
+        lab = d2.argmin(1)
+        new = np.array(
+            [X[lab == j].mean(0) if (lab == j).any() else cent[j] for j in range(kk)]
+        )
+        if np.allclose(new, cent):
+            break
+        cent = new
+
+    cm = cent  # captured by the assignment UDF (k x dim, tiny)
+
+    def _cell_fn(v):
+        M = np.array(v.tolist(), dtype=np.float64)
+        d2 = (M * M).sum(1, keepdims=True) - 2 * M @ cm.T + (cm * cm).sum(1)
+        return pd.Series(d2.argmin(1))
+
+    # concrete annotations: the module-wide `from __future__ import
+    # annotations` would stringify inline hints, which pandas_udf's
+    # signature inference rejects
+    _cell_fn.__annotations__ = {"v": pd.Series, "return": pd.Series}
+    _cell = pandas_udf(_cell_fn, "int")
+
+    assigned = c.withColumn("cell", _cell(F.col("__cv")))
+
+    centroids = [(i, [float(x) for x in ctr]) for i, ctr in enumerate(cent)]
     spark = corpus.sparkSession
     cent_df = spark.createDataFrame(centroids, ["cell", "centroid"])
 

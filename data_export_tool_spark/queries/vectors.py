@@ -1,8 +1,10 @@
 """Embedding-table queries: similarity search (extended surface).
 
-Brute-force cosine top-k is the exact baseline (oracle-checked);
-SRP-LSH and IVF are the approximate scale paths (rows-only for the
-driver; recall measured against brute force in tests/test_similarity.py).
+Brute-force cosine top-k is the exact baseline and SRP-LSH replays
+bit-exactly in DuckDB (deterministic hyperplanes embedded as literals),
+both value-oracle-checked; IVF is rows-only (its quantizer trains on a
+Spark-side sample no external engine can reproduce) with recall vs
+brute force asserted in tests/test_similarity.py.
 All math is double-precision on both engines.
 """
 
@@ -87,8 +89,11 @@ ORDER BY id_a, id_b
 
 
 # --------------------------------------------------------------------------
-# v03 — SRP-LSH bucketed ANN top-k (approximate; rows-only check —
-# recall vs brute force asserted in tests/test_similarity.py)
+# v03 — SRP-LSH bucketed ANN top-k. The hyperplanes are deterministic
+# (splitmix64 mixing, no RNG state — operators/similarity._hyperplane),
+# so the DuckDB oracle regenerates the same planes as float literals
+# and replays signature → 4-bit band join → exact-cosine rank. Recall
+# vs brute force is additionally asserted in tests/test_similarity.py.
 # --------------------------------------------------------------------------
 def v03_embedding_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = Catalog(spark, sf_dir).load("embeddings")
@@ -96,6 +101,63 @@ def v03_embedding_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_topk(
         corpus, _query_vectors(spark, sf_dir), dim=_DIM, k=_K, n_planes=16, band_bits=4
     ).orderBy("query_id", "rank")
+
+
+def _lsh_oracle(n_planes: int = 16, band_bits: int = 4, seed: int = 42) -> str:
+    from data_export_tool_spark.operators.similarity import _hyperplane
+
+    planes = [_hyperplane(seed + p, _DIM) for p in range(n_planes)]
+    n_bands = n_planes // band_bits
+    mask = (1 << band_bits) - 1
+
+    def sig_expr(v: str) -> str:
+        terms = " + ".join(
+            f"(CASE WHEN list_dot_product({v}, "
+            f"[{', '.join(repr(x) for x in pl)}]) >= 0 "
+            f"THEN {1 << p} ELSE 0 END)"
+            for p, pl in enumerate(planes)
+        )
+        return f"({terms})"
+
+    bands = ", ".join(str(b) for b in range(n_bands))
+    return f"""
+WITH q AS (
+  SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+  FROM embeddings WHERE vec_id < {_N_QUERIES}
+),
+c AS (
+  SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS cv
+  FROM embeddings WHERE vec_id >= {_N_QUERIES}
+),
+qs AS (SELECT query_id, qv, {sig_expr('qv')} AS sig FROM q),
+cs AS (SELECT neighbor_id, cv, {sig_expr('cv')} AS sig FROM c),
+qb AS (
+  SELECT query_id, qv, b, (sig >> (b * {band_bits})) & {mask} AS band_key
+  FROM qs CROSS JOIN (SELECT unnest([{bands}]) AS b) t
+),
+cb AS (
+  SELECT neighbor_id, cv, b, (sig >> (b * {band_bits})) & {mask} AS band_key
+  FROM cs CROSS JOIN (SELECT unnest([{bands}]) AS b) t
+),
+cand AS (
+  SELECT DISTINCT query_id, neighbor_id, qv, cv
+  FROM qb JOIN cb ON qb.b = cb.b AND qb.band_key = cb.band_key
+),
+scored AS (
+  SELECT query_id, neighbor_id,
+         list_cosine_similarity(qv, cv) AS cos,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY list_cosine_similarity(qv, cv) DESC,
+                                     neighbor_id ASC) AS rank
+  FROM cand
+)
+SELECT query_id, rank, neighbor_id, ROUND(cos, 6) AS cosine_sim
+FROM scored WHERE rank <= {_K}
+ORDER BY query_id, rank
+"""
+
+
+V03_ORACLE = _lsh_oracle()
 
 
 # --------------------------------------------------------------------------
@@ -112,6 +174,6 @@ def v04_embedding_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES = [
     QuerySpec("v01_embedding_topk", v01_embedding_topk, V01_ORACLE, "ann:brute-force"),
     QuerySpec("v02_embedding_near_dups", v02_embedding_near_dups, V02_ORACLE, "dedup:cosine"),
-    QuerySpec("v03_embedding_lsh_topk", v03_embedding_lsh_topk, None, "ann:srp-lsh"),
+    QuerySpec("v03_embedding_lsh_topk", v03_embedding_lsh_topk, V03_ORACLE, "ann:srp-lsh"),
     QuerySpec("v04_embedding_ivf_topk", v04_embedding_ivf_topk, None, "ann:ivf"),
 ]

@@ -20,7 +20,7 @@ from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, SparkSession
 
-from data_export_tool_spark.plans.dialect import shim_mysql_sql
+from data_export_tool_spark.plans.dialect import shim_mysql_to_spark
 from data_export_tool_spark.plans.report_window import ReportWindow, resolve_report_window
 from data_export_tool_spark.sources.csv_sink import with_facility_columns, write_query_csv
 from data_export_tool_spark.sources.packaging import zip_files_with_checksum
@@ -35,6 +35,12 @@ class FacilityIdentity:
     woreda: str
     facility: str
     hmis_code: str
+
+    @property
+    def facility_sanitized(self) -> str:
+        """Filename form: spaces/underscores stripped (export.py:269;
+        the appended COLUMN keeps the raw name, export.py:294-296)."""
+        return self.facility.replace(" ", "").replace("_", "")
 
 
 QueryBuilder = Callable[[SparkSession, ReportWindow], DataFrame]
@@ -75,32 +81,67 @@ class ReportRegistry:
 def run_export(
     spark: SparkSession,
     registry: ReportRegistry,
-    facility: FacilityIdentity,
-    eth_month: int | str,
-    eth_year: int,
-    out_dir: str,
+    facility: FacilityIdentity | None = None,
+    eth_month: int | str = 1,
+    eth_year: int = 2016,
+    out_dir: str = "exported_data",
     zip_name: str | None = None,
     month_label: str | None = None,
+    cleanup_csvs: bool = True,
 ) -> dict[str, str | None]:
     """Run every registered report for the Ethiopian month/year window.
 
+    When ``facility`` is None it is looked up from the warehouse's
+    location tables, exactly as the reference does before its first
+    query (export.py:257-279) — S4's two lookup joins via
+    ``mamba.facility.lookup_facility_identity``.
+
+    SQL-text reports go through the FULL MySQL→Spark shim
+    (``shim_mysql_to_spark`` + per-report ``QUERY_PATCHES``: Ethiopian
+    calendar inlining, truthiness CASE rewrites, structural patches) —
+    the same path the parity suite value-checks — with ANSI mode off
+    for MySQL's lenient casts. The prior ANSI setting is restored on
+    exit; that's safe here because every result is fully materialized
+    to CSV inside this function, unlike the lazy
+    ``run_reference_report`` path.
+
     Returns name → written CSV path (None where the result was empty —
     skipped, matching export.py:307-308). When ``zip_name`` is given
-    the CSVs are packaged into ``{zip_name}_packaged18.zip``.
+    the CSVs are packaged into ``{zip_name}_packaged18.zip`` and, per
+    the reference's post-zip cleanup (export.py:317-326), the source
+    CSVs are deleted unless ``cleanup_csvs=False``.
     """
+    from data_export_tool_spark.mamba.reports import QUERY_PATCHES
+
+    if facility is None:
+        from data_export_tool_spark.mamba.facility import lookup_facility_identity
+
+        facility = lookup_facility_identity(spark)
+
     window = resolve_report_window(eth_month, eth_year)
     label = month_label or str(eth_month)
     written: dict[str, str | None] = {}
 
-    for name, sql in registry.sql_queries.items():
-        df = spark.sql(shim_mysql_sql(sql, window.as_params()))
-        written[name] = _sink(df, out_dir, name, facility, label, eth_year)
-    for name, builder in registry.df_queries.items():
-        df = builder(spark, window)
-        written[name] = _sink(df, out_dir, name, facility, label, eth_year)
+    prior_ansi = spark.conf.get("spark.sql.ansi.enabled", None)
+    spark.conf.set("spark.sql.ansi.enabled", "false")
+    try:
+        for name, sql in registry.sql_queries.items():
+            shimmed = shim_mysql_to_spark(
+                sql, window.as_params(), QUERY_PATCHES.get(name)
+            )
+            df = spark.sql(shimmed)
+            written[name] = _sink(df, out_dir, name, facility, label, eth_year)
+        for name, builder in registry.df_queries.items():
+            df = builder(spark, window)
+            written[name] = _sink(df, out_dir, name, facility, label, eth_year)
+    finally:
+        if prior_ansi is not None:
+            spark.conf.set("spark.sql.ansi.enabled", prior_ansi)
+        else:
+            spark.conf.unset("spark.sql.ansi.enabled")
 
     if zip_name:
-        zip_files_with_checksum(out_dir, zip_name)
+        zip_files_with_checksum(out_dir, zip_name, cleanup_csvs=cleanup_csvs)
     return written
 
 
@@ -115,6 +156,14 @@ def _sink(
     full = with_facility_columns(
         df, facility.region, facility.woreda, facility.facility, facility.hmis_code
     )
+    # filename uses the sanitized facility name (export.py:298); the
+    # appended column above keeps the raw one (export.py:294-296)
     return write_query_csv(
-        full, out_dir, name, facility.facility, facility.hmis_code, month_label, year
+        full,
+        out_dir,
+        name,
+        facility.facility_sanitized,
+        facility.hmis_code,
+        month_label,
+        year,
     )

@@ -63,6 +63,10 @@ def write_query_csv(
     name = csv_name(query_name, facility, hmis_code, month, year)
     path = os.path.join(out_dir, name)
     if distributed:
+        # empty-result skip applies here too (export.py:307-308); an
+        # isEmpty() probe scans at most one partition's first row
+        if df.isEmpty():
+            return None
         # directory-of-parts for extracts too large for one file
         df.write.option("header", True).mode("overwrite").csv(path)
         return path

@@ -92,6 +92,85 @@ def test_zip_checksum_structure(tmp_path):
     assert not (tmp_path / "run1_checksum.txt").exists()
 
 
+# ---- facility-identity lookup (S4; export.py:123-141,257-279) -------------
+
+
+def _location_frames(spark):
+    from data_export_tool_spark.mamba import fixtures as FX
+    from data_export_tool_spark.mamba import schemas as S
+
+    schemas = S.all_table_schemas()
+    return {
+        name: spark.createDataFrame(rows, schemas[name])
+        for name, rows in FX.FixtureGen(42, 1).locations().items()
+    }
+
+
+def test_facility_identity_lookup(spark):
+    from data_export_tool_spark.mamba.facility import lookup_facility_identity
+
+    frames = _location_frames(spark)
+    fac = lookup_facility_identity(frames.__getitem__)
+    # fixture: tag 'Facility Location' → location 1; attribute type
+    # 'hmiscode' → 'H-12345' (fixtures.py locations())
+    assert fac.region == "Oromia"
+    assert fac.woreda == "Adama"
+    assert fac.facility == "Adama General Hospital"
+    assert fac.hmis_code == "H-12345"
+    assert fac.facility_sanitized == "AdamaGeneralHospital"
+
+
+def test_facility_identity_from_session_views(spark):
+    from data_export_tool_spark.mamba.facility import lookup_facility_identity
+
+    for name, df in _location_frames(spark).items():
+        df.createOrReplaceTempView(name)
+    fac = lookup_facility_identity(spark)
+    assert fac.facility == "Adama General Hospital"
+
+
+def test_facility_identity_missing_tag_raises(spark):
+    from data_export_tool_spark.mamba.facility import lookup_facility_identity
+
+    frames = _location_frames(spark)
+    frames["mamba_fact_location_tag"] = spark.createDataFrame(
+        [(9, "Ward")], "location_tag_id long, name string"
+    )
+    with pytest.raises(ValueError, match="No facility details"):
+        lookup_facility_identity(frames.__getitem__)
+
+
+def test_facility_identity_missing_hmiscode_raises(spark):
+    from data_export_tool_spark.mamba.facility import lookup_facility_identity
+
+    frames = _location_frames(spark)
+    frames["mamba_fact_location_attribute_type"] = spark.createDataFrame(
+        [], "location_attribute_type_id long, name string"
+    )
+    with pytest.raises(ValueError, match="No HMIS code"):
+        lookup_facility_identity(frames.__getitem__)
+
+
+def test_run_export_looks_up_facility_when_none(spark, tmp_path):
+    # facility=None → S4 lookup from session views (export.py:257-279)
+    for name, df in _location_frames(spark).items():
+        df.createOrReplaceTempView(name)
+    spark.createDataFrame([(1,)], "id long").createOrReplaceTempView("src5")
+    reg = ReportRegistry()
+    reg.register_sql("R", "SELECT id FROM src5")
+    written = run_export(
+        spark, reg, None, "Sene", 2015, str(tmp_path),
+        month_label="Sene", cleanup_csvs=False,
+    )
+    path = written["R"]
+    assert os.path.basename(path) == "R_AdamaGeneralHospitalH-12345_Sene_2015.csv"
+    lines = open(path).read().splitlines()
+    assert lines[0].split(",")[1:] == ["Region", "Woreda", "Facility", "HMISCode"]
+    assert lines[1].split(",")[1:] == [
+        "Oromia", "Adama", "Adama General Hospital", "H-12345",
+    ]
+
+
 # ---- dialect shim (§4/§7.4) ------------------------------------------------
 
 
@@ -156,7 +235,15 @@ def test_run_export_end_to_end(spark, tmp_path):
     fac = FacilityIdentity("Oromia", "Adama", "AdamaGen", "H1")
 
     written = run_export(
-        spark, reg, fac, "Sene", 2015, str(tmp_path), zip_name="exp", month_label="Sene"
+        spark,
+        reg,
+        fac,
+        "Sene",
+        2015,
+        str(tmp_path),
+        zip_name="exp",
+        month_label="Sene",
+        cleanup_csvs=False,
     )
     assert written["EmptyReport"] is None
     csv_path = written["MyReport"]
@@ -164,3 +251,42 @@ def test_run_export_end_to_end(spark, tmp_path):
     header = open(csv_path).readline().strip().split(",")
     assert header == ["id", "v", "Region", "Woreda", "Facility", "HMISCode"]
     assert os.path.exists(tmp_path / "exp_packaged18.zip")
+
+
+def test_run_export_cleans_csvs_after_packaging(spark, tmp_path):
+    # post-zip CSV deletion parity (export.py:317-326)
+    spark.createDataFrame([(1,)], "id long").createOrReplaceTempView("src2")
+    reg = ReportRegistry()
+    reg.register_sql("R", "SELECT id FROM src2")
+    fac = FacilityIdentity("Oromia", "Adama", "AdamaGen", "H1")
+    written = run_export(
+        spark, reg, fac, "Sene", 2015, str(tmp_path), zip_name="exp2", month_label="Sene"
+    )
+    assert not os.path.exists(written["R"])
+    assert os.path.exists(tmp_path / "exp2_packaged18.zip")
+
+
+def test_run_export_restores_ansi_conf(spark, tmp_path):
+    prior = spark.conf.get("spark.sql.ansi.enabled")
+    spark.createDataFrame([(1,)], "id long").createOrReplaceTempView("src3")
+    reg = ReportRegistry()
+    reg.register_sql("R", "SELECT id FROM src3")
+    fac = FacilityIdentity("O", "A", "F", "H")
+    run_export(spark, reg, fac, "Sene", 2015, str(tmp_path), month_label="Sene")
+    assert spark.conf.get("spark.sql.ansi.enabled") == prior
+
+
+def test_run_export_raw_facility_in_columns_sanitized_in_name(spark, tmp_path):
+    # export.py:294-298 — raw name in the column, sanitized in the file
+    spark.createDataFrame([(1,)], "id long").createOrReplaceTempView("src4")
+    reg = ReportRegistry()
+    reg.register_sql("R", "SELECT id FROM src4")
+    fac = FacilityIdentity("Oromia", "Adama", "Adama General_Hosp", "H9")
+    written = run_export(
+        spark, reg, fac, "Sene", 2015, str(tmp_path),
+        month_label="Sene", cleanup_csvs=False,
+    )
+    path = written["R"]
+    assert os.path.basename(path) == "R_AdamaGeneralHospH9_Sene_2015.csv"
+    lines = open(path).read().splitlines()
+    assert lines[1].split(",")[3] == "Adama General_Hosp"

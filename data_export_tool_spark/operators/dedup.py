@@ -173,38 +173,55 @@ def ngram_jaccard_pairs(
 ) -> DataFrame:
     """Pairs (id_a < id_b, jaccard) with n-gram Jaccard ≥ threshold.
 
-    Exact computation via shingle explode + equi-join on the shingle —
-    the classic inverted-index join: |pairs| is bounded by co-occurring
-    shingles, not |docs|². When ``candidates`` (id_a, id_b) is given
-    (e.g. from MinHash LSH), verification is restricted to it — the
-    scale path: LSH generates, Jaccard verifies.
+    When ``candidates`` (id_a, id_b) is given (e.g. from MinHash LSH),
+    the intersection is computed ONLY for candidate pairs — the pair
+    set is routed through the candidate list before any pairwise work,
+    so hot shingles can't explode the join. This is the scale path:
+    LSH generates, Jaccard verifies.
+
+    Without candidates, exact computation via shingle explode +
+    self-equi-join on the shingle — the classic inverted-index join.
+    |pairs| is bounded by co-occurring shingles, not |docs|², but a
+    shingle shared by m docs still contributes m² join rows: at corpus
+    scale ALWAYS pass candidates (the bare join is the small-corpus /
+    verification-oracle tier).
     """
     sh = fan_out(df).select(
         F.col(id_col), F.explode(word_shingles(F.col(text_col), shingle_n)).alias("sh")
     )
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
 
-    a = sh.alias("a")
-    b = sh.alias("b")
-    # (a size-ratio prune inside the join condition was measured SLOWER
-    # here — the hash-join probe on the shingle key dominates and the
-    # extra per-match predicate doesn't shrink it; at larger scale the
-    # right lever is candidates= from MinHash LSH, not join filters)
-    inter = (
-        a.join(
-            b,
-            on=[
-                F.col("a.sh") == F.col("b.sh"),
-                F.col(f"a.{id_col}") < F.col(f"b.{id_col}"),
-            ],
-        )
-        .groupBy(
-            F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
-        )
-        .agg(F.count(F.lit(1)).alias("n_inter"))
-    )
     if candidates is not None:
-        inter = inter.join(candidates, on=["id_a", "id_b"], how="left_semi")
+        # candidate-gated intersection: |cand| × shingles-per-doc rows,
+        # independent of shingle hotness
+        ca = candidates.select("id_a", "id_b")
+        a_sh = sh.select(F.col(id_col).alias("id_a"), "sh")
+        b_sh = sh.select(F.col(id_col).alias("id_b"), "sh")
+        inter = (
+            ca.join(a_sh, "id_a")
+            .join(b_sh, ["id_b", "sh"])
+            .groupBy("id_a", "id_b")
+            .agg(F.count(F.lit(1)).alias("n_inter"))
+        )
+    else:
+        a = sh.alias("a")
+        b = sh.alias("b")
+        # (a size-ratio prune inside the join condition was measured
+        # SLOWER here — the hash-join probe on the shingle key dominates
+        # and the extra per-match predicate doesn't shrink it)
+        inter = (
+            a.join(
+                b,
+                on=[
+                    F.col("a.sh") == F.col("b.sh"),
+                    F.col(f"a.{id_col}") < F.col(f"b.{id_col}"),
+                ],
+            )
+            .groupBy(
+                F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
+            )
+            .agg(F.count(F.lit(1)).alias("n_inter"))
+        )
     sa = sizes.select(F.col(id_col).alias("id_a"), F.col("n_sh").alias("n_a"))
     sb = sizes.select(F.col(id_col).alias("id_b"), F.col("n_sh").alias("n_b"))
     return (

@@ -177,6 +177,33 @@ def lsh_topk(
     )
 
 
+def train_ivf_centroids(X, n_centroids: int, seed: int = 42, iters: int = 10):
+    """Deterministic Lloyd's k-means over a bounded sample (numpy,
+    driver-side). Same sample + same seed → bit-identical centroids, so
+    an external oracle that feeds the same sample through this function
+    replays the quantizer exactly (the SRP-LSH trick, applied to IVF).
+    """
+    import numpy as np
+
+    rng = np.random.RandomState(seed)
+    kk = min(n_centroids, len(X))
+    cent = X[np.sort(rng.choice(len(X), size=kk, replace=False))]
+    for _ in range(iters):
+        d2 = (X * X).sum(1, keepdims=True) - 2 * X @ cent.T + (cent * cent).sum(1)
+        lab = d2.argmin(1)
+        new = np.array(
+            [X[lab == j].mean(0) if (lab == j).any() else cent[j] for j in range(kk)]
+        )
+        if np.allclose(new, cent):
+            break
+        cent = new
+    return cent
+
+
+def ivf_sample_cap(n_centroids: int) -> int:
+    return max(256 * n_centroids, 4096)
+
+
 def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -195,52 +222,50 @@ def ivf_topk(
     |corpus| * n_probe / n_centroids.
 
     Quantizer training only needs enough points to place coarse cells,
-    so Lloyd's runs driver-side (numpy) on a bounded deterministic
-    sample — O(sample_cap) regardless of corpus size, no per-iteration
-    cluster scans. Cell assignment is one Arrow-batched pandas-UDF pass
-    (BLAS matmul per batch) over the distributed corpus.
+    so Lloyd's runs driver-side (numpy) on a bounded DETERMINISTIC
+    sample — the first ``ivf_sample_cap`` corpus rows by id
+    (TakeOrdered, no count job, no RNG over the data) — making the
+    whole pipeline value-reproducible by an external oracle that trains
+    on the same fixed sample.
+
+    Cell assignment stays JVM-side: per row, argmax of cosine(corpus
+    vec, centroid literal) over the k centroids via an ``array_min`` of
+    (−cos, cell) structs — whole-stage codegen, no shuffle, ties to the
+    lowest cell. (k·dim multiply-adds per row; for k beyond ~64 coarse
+    cells an Arrow-batched BLAS pass wins on constants, but then the
+    assignment is no longer bit-replayable by a SQL oracle.)
     """
     import numpy as np
-    import pandas as pd
-    from pyspark.sql.functions import pandas_udf
 
     c = fan_out(corpus).select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).cast("array<double>").alias("__cv"),
     )
 
-    sample_cap = max(256 * n_centroids, 4096)
-    n_corpus = c.count()
-    frac = min(1.0, sample_cap / max(n_corpus, 1))
-    sample = c.sample(fraction=frac, seed=seed) if frac < 1.0 else c
-    X = np.array(sample.select("__cv").toPandas()["__cv"].tolist(), dtype=np.float64)
-    rng = np.random.RandomState(seed)
-    kk = min(n_centroids, len(X))
-    cent = X[rng.choice(len(X), size=kk, replace=False)]
-    for _ in range(10):
-        d2 = (X * X).sum(1, keepdims=True) - 2 * X @ cent.T + (cent * cent).sum(1)
-        lab = d2.argmin(1)
-        new = np.array(
-            [X[lab == j].mean(0) if (lab == j).any() else cent[j] for j in range(kk)]
+    sample_pd = (
+        c.orderBy("neighbor_id")
+        .limit(ivf_sample_cap(n_centroids))
+        .select("neighbor_id", "__cv")
+        .toPandas()
+        .sort_values("neighbor_id")
+    )
+    X = np.array(sample_pd["__cv"].tolist(), dtype=np.float64)
+    cent = train_ivf_centroids(X, n_centroids, seed)
+    kk = len(cent)
+
+    cent_lits = [F.lit([float(x) for x in ctr]) for ctr in cent]
+    best = F.array_min(
+        F.array(
+            *[
+                F.struct(
+                    (-cosine(F.col("__cv"), cent_lits[j])).alias("negsim"),
+                    F.lit(j).alias("cell"),
+                )
+                for j in range(kk)
+            ]
         )
-        if np.allclose(new, cent):
-            break
-        cent = new
-
-    cm = cent  # captured by the assignment UDF (k x dim, tiny)
-
-    def _cell_fn(v):
-        M = np.array(v.tolist(), dtype=np.float64)
-        d2 = (M * M).sum(1, keepdims=True) - 2 * M @ cm.T + (cm * cm).sum(1)
-        return pd.Series(d2.argmin(1))
-
-    # concrete annotations: the module-wide `from __future__ import
-    # annotations` would stringify inline hints, which pandas_udf's
-    # signature inference rejects
-    _cell_fn.__annotations__ = {"v": pd.Series, "return": pd.Series}
-    _cell = pandas_udf(_cell_fn, "int")
-
-    assigned = c.withColumn("cell", _cell(F.col("__cv")))
+    )
+    assigned = c.withColumn("cell", best["cell"])
 
     centroids = [(i, [float(x) for x in ctr]) for i, ctr in enumerate(cent)]
     spark = corpus.sparkSession
@@ -284,20 +309,71 @@ def embedding_near_dup_pairs(
     threshold: float = 0.95,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    dim: int | None = None,
+    n_planes: int = 16,
+    band_bits: int = 4,
+    seed: int = 42,
+    small_corpus: bool = False,
 ) -> DataFrame:
     """Near-duplicate vector pairs (id_a < id_b, cosine ≥ threshold).
 
-    Plan: the (id, unit-vector) matrix is broadcast to every executor;
-    ``mapInPandas`` streams the corpus partitions and scores each Arrow
-    batch against the broadcast matrix with one BLAS matmul — no
-    pairwise row explosion ever materializes, and the corpus side stays
-    fully partition-parallel.
+    Default (scale) path — candidate generation + blockwise verify:
+    SRP-LSH band keys on every vector (same deterministic hyperplanes
+    as ``lsh_topk``), self-equi-join on (band_idx, band_key) to form
+    candidate pairs, exact cosine only on bucket-mates. Everything is
+    JVM column algebra; the only shuffles are the band-key join and the
+    final distinct on (id_a, id_b, cos) scalars — no driver collect, no
+    all-pairs blowup, corpus never broadcast. Pairs whose vectors agree
+    on no band are (by design) not reported: the operator's contract is
+    the standard LSH near-dup contract, and at near-dup thresholds the
+    band collision probability is ≈1. An external oracle replays the
+    hyperplanes as literals (see queries/vectors.py).
 
-    Scale bound: the broadcast side must fit in executor memory
-    (~300 MB per million 64-dim float64 vectors). Beyond that, generate
-    candidates with ``rhp_signature`` buckets or ``ivf_topk`` cells and
-    verify only bucket-mates — same output contract.
+    ``small_corpus=True`` opts into the exact all-pairs path: the (id,
+    unit-vector) matrix is collected and broadcast, and ``mapInPandas``
+    scores each Arrow batch against it with one BLAS matmul. Exact
+    recall, but driver/executor memory is O(corpus) — only for corpora
+    that comfortably fit (~300 MB per million 64-dim float64 vectors).
     """
+    if not small_corpus:
+        if dim is None:
+            first = df.select(F.size(vec_col).alias("d")).first()
+            dim = int(first["d"]) if first else 0
+        base = fan_out(df).select(
+            F.col(id_col), F.col(vec_col).cast("array<double>").alias("__v")
+        )
+        sig = rhp_signature(F.col("__v"), dim, n_planes, seed)
+        mask = (1 << band_bits) - 1
+        bands = F.array(
+            *[
+                F.shiftright(sig, b * band_bits).bitwiseAND(F.lit(mask)).cast("long")
+                for b in range(n_planes // band_bits)
+            ]
+        )
+        buckets = base.select(
+            F.col(id_col), F.col("__v"), F.posexplode(bands).alias("band_idx", "band_key")
+        )
+        a, b = buckets.alias("a"), buckets.alias("b")
+        scored = a.join(
+            b,
+            on=[
+                F.col("a.band_idx") == F.col("b.band_idx"),
+                F.col("a.band_key") == F.col("b.band_key"),
+                F.col(f"a.{id_col}") < F.col(f"b.{id_col}"),
+            ],
+        ).select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            cosine(F.col("a.__v"), F.col("b.__v")).alias("__cos"),
+        )
+        # filter first (shrinks the distinct input), then dedup pairs
+        # that collided in >1 band — scalar rows only by this point
+        return (
+            scored.filter(F.col("__cos") >= threshold)
+            .select("id_a", "id_b", F.round("__cos", 6).alias("cosine_sim"))
+            .distinct()
+        )
+
     import numpy as np
     import pandas as pd
 

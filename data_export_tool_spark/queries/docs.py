@@ -89,21 +89,69 @@ ORDER BY fingerprint
 
 
 # --------------------------------------------------------------------------
-# d03 — n-gram Jaccard near-duplicate pairs (exact similarity)
+# d03/d04 — MinHash + banded LSH shared pieces
+# hash family = md5(seed || '|' || shingle), min per doc → 16-sig,
+# 4 bands × 4 rows; reproducible in any engine with md5()
+# --------------------------------------------------------------------------
+_NUM_HASHES, _BANDS = 16, 4
+
+
+def _minhash_cand_ctes() -> str:
+    """``sigs``/``buckets``/``cand`` CTE bodies (assumes ``ex`` from
+    ``_SHINGLES_CTE`` is in scope) — the DuckDB twin of
+    ``minhash_lsh_candidates``."""
+    rows_per_band = _NUM_HASHES // _BANDS
+    sig_cols = ",\n         ".join(
+        f"MIN(md5(CONCAT('{seed}|', s))) AS s{seed}" for seed in range(_NUM_HASHES)
+    )
+    band_selects = "\n  UNION ALL\n".join(
+        "  SELECT doc_id, {b} AS band_idx, CONCAT_WS('|', {cols}) AS band_key FROM sigs".format(
+            b=b,
+            cols=", ".join(f"s{b * rows_per_band + r}" for r in range(rows_per_band)),
+        )
+        for b in range(_BANDS)
+    )
+    return f"""sigs AS (
+  SELECT doc_id,
+         {sig_cols}
+  FROM ex GROUP BY doc_id
+),
+buckets AS (
+{band_selects}
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM buckets a
+  JOIN buckets b ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+               AND a.doc_id < b.doc_id
+)"""
+
+
+# --------------------------------------------------------------------------
+# d03 — n-gram Jaccard near-duplicate pairs, LSH-gated (the two-stage
+# scale path: MinHash-LSH generates candidates, exact Jaccard verifies
+# only those — hot shingles can't quadratically explode the pair join).
+# The oracle applies the identical two-stage definition.
 # --------------------------------------------------------------------------
 def d03_doc_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = Catalog(spark, sf_dir).load("documents")
+    cand = minhash_lsh_candidates(
+        docs, "doc_id", "text", num_hashes=_NUM_HASHES, bands=_BANDS, shingle_n=3
+    )
     return ngram_jaccard_pairs(
-        docs, "doc_id", "text", shingle_n=3, threshold=0.5
+        docs, "doc_id", "text", shingle_n=3, threshold=0.5, candidates=cand
     ).orderBy("id_a", "id_b")
 
 
 D03_ORACLE = f"""
 WITH {_SHINGLES_CTE},
+{_minhash_cand_ctes()},
 sizes AS (SELECT doc_id, COUNT(*) AS n FROM ex GROUP BY doc_id),
 inter AS (
-  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_inter
-  FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+  SELECT c.id_a, c.id_b, COUNT(*) AS n_inter
+  FROM cand c
+  JOIN ex a ON a.doc_id = c.id_a
+  JOIN ex b ON b.doc_id = c.id_b AND b.s = a.s
   GROUP BY 1, 2
 )
 SELECT id_a, id_b,
@@ -118,12 +166,7 @@ ORDER BY id_a, id_b
 
 # --------------------------------------------------------------------------
 # d04 — MinHash + banded LSH candidate pairs
-# hash family = md5(seed || '|' || shingle), min per doc → 16-sig,
-# 4 bands × 4 rows; reproducible in any engine with md5()
 # --------------------------------------------------------------------------
-_NUM_HASHES, _BANDS = 16, 4
-
-
 def d04_doc_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = Catalog(spark, sf_dir).load("documents")
     return minhash_lsh_candidates(
@@ -131,37 +174,12 @@ def d04_doc_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("id_a", "id_b")
 
 
-def _minhash_oracle() -> str:
-    rows_per_band = _NUM_HASHES // _BANDS
-    sig_cols = ",\n         ".join(
-        f"MIN(md5(CONCAT('{seed}|', s))) AS s{seed}" for seed in range(_NUM_HASHES)
-    )
-    band_selects = "\n  UNION ALL\n".join(
-        "  SELECT doc_id, {b} AS band_idx, CONCAT_WS('|', {cols}) AS band_key FROM sigs".format(
-            b=b,
-            cols=", ".join(f"s{b * rows_per_band + r}" for r in range(rows_per_band)),
-        )
-        for b in range(_BANDS)
-    )
-    return f"""
+D04_ORACLE = f"""
 WITH {_SHINGLES_CTE},
-sigs AS (
-  SELECT doc_id,
-         {sig_cols}
-  FROM ex GROUP BY doc_id
-),
-buckets AS (
-{band_selects}
-)
-SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-FROM buckets a
-JOIN buckets b ON a.band_idx = b.band_idx AND a.band_key = b.band_key
-             AND a.doc_id < b.doc_id
+{_minhash_cand_ctes()}
+SELECT id_a, id_b FROM cand
 ORDER BY id_a, id_b
 """
-
-
-D04_ORACLE = _minhash_oracle()
 
 
 # --------------------------------------------------------------------------

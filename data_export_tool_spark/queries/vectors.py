@@ -1,14 +1,17 @@
 """Embedding-table queries: similarity search (extended surface).
 
-Brute-force cosine top-k is the exact baseline and SRP-LSH replays
-bit-exactly in DuckDB (deterministic hyperplanes embedded as literals),
-both value-oracle-checked; IVF is rows-only (its quantizer trains on a
-Spark-side sample no external engine can reproduce) with recall vs
-brute force asserted in tests/test_similarity.py.
+Every tier is value-oracle-checked: brute-force cosine top-k is the
+exact baseline; SRP-LSH and the banded near-dup pairs replay bit-exactly
+in DuckDB (deterministic hyperplanes embedded as literals); IVF trains
+its quantizer on a DETERMINISTIC sample (first-N corpus ids) with
+driver-side Lloyd's, so the oracle feeds the same sample through the
+same training function and embeds the resulting centroids as literals.
 All math is double-precision on both engines.
 """
 
 from __future__ import annotations
+
+import os
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -17,14 +20,20 @@ from data_export_tool_spark.catalog import Catalog
 from data_export_tool_spark.operators.similarity import (
     brute_force_topk,
     embedding_near_dup_pairs,
+    ivf_sample_cap,
     ivf_topk,
     lsh_topk,
+    train_ivf_centroids,
 )
 from data_export_tool_spark.queries import QuerySpec
 
 _N_QUERIES = 5  # the first N vec_ids serve as the query batch
 _K = 10
 _DIM = 64
+
+#: the driver's correctness gate runs Spark-vs-DuckDB at this sf dir;
+#: the IVF oracle trains its centroid literals from the same parquet
+_ORACLE_SF_DIR = os.environ.get("SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01")
 
 
 def _query_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -69,23 +78,52 @@ ORDER BY query_id, rank
 
 
 # --------------------------------------------------------------------------
-# v02 — embedding-cosine near-duplicate pairs
+# v02 — embedding-cosine near-duplicate pairs (SRP-band candidates +
+# exact-cosine verify; the oracle replays the deterministic hyperplanes
+# as literals and applies the same two-stage definition)
 # --------------------------------------------------------------------------
 def v02_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = Catalog(spark, sf_dir).load("embeddings")
-    return embedding_near_dup_pairs(emb, threshold=0.35).orderBy("id_a", "id_b")
+    return embedding_near_dup_pairs(emb, threshold=0.35, dim=_DIM).orderBy(
+        "id_a", "id_b"
+    )
 
 
-V02_ORACLE = """
-SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-       ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
-                                    CAST(b.embedding AS DOUBLE[])), 6) AS cosine_sim
-FROM embeddings a
-JOIN embeddings b ON a.vec_id < b.vec_id
-WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
-                             CAST(b.embedding AS DOUBLE[])) >= 0.35
+def _near_dup_oracle(
+    threshold: float = 0.35, n_planes: int = 16, band_bits: int = 4, seed: int = 42
+) -> str:
+    from data_export_tool_spark.operators.similarity import _hyperplane
+
+    planes = [_hyperplane(seed + p, _DIM) for p in range(n_planes)]
+    mask = (1 << band_bits) - 1
+    terms = " + ".join(
+        f"(CASE WHEN list_dot_product(v, "
+        f"[{', '.join(repr(x) for x in pl)}]) >= 0 "
+        f"THEN {1 << p} ELSE 0 END)"
+        for p, pl in enumerate(planes)
+    )
+    bands = ", ".join(str(b) for b in range(n_planes // band_bits))
+    return f"""
+WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+s AS (SELECT vec_id, v, ({terms}) AS sig FROM v),
+bb AS (
+  SELECT vec_id, v, b, (sig >> (b * {band_bits})) & {mask} AS band_key
+  FROM s CROSS JOIN (SELECT unnest([{bands}]) AS b) t
+),
+scored AS (
+  SELECT a.vec_id AS id_a, b2.vec_id AS id_b,
+         list_cosine_similarity(a.v, b2.v) AS cos
+  FROM bb a
+  JOIN bb b2 ON a.b = b2.b AND a.band_key = b2.band_key
+            AND a.vec_id < b2.vec_id
+)
+SELECT DISTINCT id_a, id_b, ROUND(cos, 6) AS cosine_sim
+FROM scored WHERE cos >= {threshold}
 ORDER BY id_a, id_b
 """
+
+
+V02_ORACLE = _near_dup_oracle()
 
 
 # --------------------------------------------------------------------------
@@ -161,19 +199,100 @@ V03_ORACLE = _lsh_oracle()
 
 
 # --------------------------------------------------------------------------
-# v04 — IVF ANN top-k (k-means coarse quantizer; rows-only check)
+# v04 — IVF ANN top-k. The quantizer is deterministic (first-N corpus
+# ids → driver-side Lloyd's, operators/similarity.train_ivf_centroids),
+# so the oracle trains on the SAME fixed sample read straight from the
+# correctness-gate parquet and embeds the resulting centroids as DOUBLE
+# literals, then replays assignment (argmax cosine, ties → lowest
+# cell), probe selection, and the exact-cosine rank.
 # --------------------------------------------------------------------------
+_N_CENTROIDS, _N_PROBE = 16, 4
+
+
 def v04_embedding_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = Catalog(spark, sf_dir).load("embeddings")
     corpus = emb.filter(F.col("vec_id") >= _N_QUERIES)
     return ivf_topk(
-        corpus, _query_vectors(spark, sf_dir), k=_K, n_centroids=16, n_probe=4
+        corpus,
+        _query_vectors(spark, sf_dir),
+        k=_K,
+        n_centroids=_N_CENTROIDS,
+        n_probe=_N_PROBE,
     ).orderBy("query_id", "rank")
+
+
+def _ivf_oracle(seed: int = 42) -> str | None:
+    """Train the same quantizer the engine trains (same fixed sample,
+    same Lloyd's), embed the centroids as literals. Returns None (→
+    rows-only check) when the correctness-gate parquet isn't present."""
+    path = os.path.join(_ORACLE_SF_DIR, "embeddings.parquet")
+    if not os.path.exists(path):
+        return None
+    import duckdb
+    import numpy as np
+
+    con = duckdb.connect()
+    sample = con.sql(
+        f"SELECT CAST(embedding AS DOUBLE[]) AS v FROM '{path}' "
+        f"WHERE vec_id >= {_N_QUERIES} ORDER BY vec_id LIMIT {ivf_sample_cap(_N_CENTROIDS)}"
+    ).fetchall()
+    con.close()
+    X = np.array([r[0] for r in sample], dtype=np.float64)
+    cent = train_ivf_centroids(X, _N_CENTROIDS, seed)
+
+    values = ",\n  ".join(
+        f"({j}, [{', '.join(repr(float(x)) for x in ctr)}]::DOUBLE[])"
+        for j, ctr in enumerate(cent)
+    )
+    return f"""
+WITH cents(cell, cv) AS (VALUES
+  {values}
+),
+c AS (
+  SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS v
+  FROM embeddings WHERE vec_id >= {_N_QUERIES}
+),
+q AS (
+  SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+  FROM embeddings WHERE vec_id < {_N_QUERIES}
+),
+assign AS (
+  SELECT neighbor_id, v, cell,
+         ROW_NUMBER() OVER (PARTITION BY neighbor_id
+                            ORDER BY list_cosine_similarity(v, cv) DESC,
+                                     cell ASC) AS rn
+  FROM c CROSS JOIN cents
+),
+cellof AS (SELECT neighbor_id, v, cell FROM assign WHERE rn = 1),
+probes AS (
+  SELECT query_id, qv, cell FROM (
+    SELECT query_id, qv, cell,
+           ROW_NUMBER() OVER (PARTITION BY query_id
+                              ORDER BY list_cosine_similarity(qv, cv) DESC,
+                                       cell ASC) AS rn
+    FROM q CROSS JOIN cents
+  ) t WHERE rn <= {_N_PROBE}
+),
+scored AS (
+  SELECT query_id, neighbor_id,
+         list_cosine_similarity(qv, v) AS cos,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY list_cosine_similarity(qv, v) DESC,
+                                     neighbor_id ASC) AS rank
+  FROM cellof JOIN probes USING (cell)
+)
+SELECT query_id, rank, neighbor_id, ROUND(cos, 6) AS cosine_sim
+FROM scored WHERE rank <= {_K}
+ORDER BY query_id, rank
+"""
+
+
+V04_ORACLE = _ivf_oracle()
 
 
 QUERIES = [
     QuerySpec("v01_embedding_topk", v01_embedding_topk, V01_ORACLE, "ann:brute-force"),
     QuerySpec("v02_embedding_near_dups", v02_embedding_near_dups, V02_ORACLE, "dedup:cosine"),
     QuerySpec("v03_embedding_lsh_topk", v03_embedding_lsh_topk, V03_ORACLE, "ann:srp-lsh"),
-    QuerySpec("v04_embedding_ivf_topk", v04_embedding_ivf_topk, None, "ann:ivf"),
+    QuerySpec("v04_embedding_ivf_topk", v04_embedding_ivf_topk, V04_ORACLE, "ann:ivf"),
 ]

@@ -77,6 +77,33 @@ def test_ivf_recall_vs_brute_force(split):
     assert sum(recalls) / len(recalls) >= 0.5
 
 
+def test_near_dup_default_is_subset_of_exact(emb):
+    # banded candidates must report a subset of the exact all-pairs
+    # result, with identical cosine values on the shared pairs
+    sample = emb.filter(F.col("vec_id") < 200)
+    banded = {
+        (r.id_a, r.id_b): r.cosine_sim
+        for r in embedding_near_dup_pairs(sample, threshold=0.3, dim=64).collect()
+    }
+    exact = {
+        (r.id_a, r.id_b): r.cosine_sim
+        for r in embedding_near_dup_pairs(
+            sample, threshold=0.3, small_corpus=True
+        ).collect()
+    }
+    assert banded, "banded path found no pairs at a permissive threshold"
+    assert set(banded) <= set(exact)
+    for pair, sim in banded.items():
+        assert abs(sim - exact[pair]) < 1e-9
+
+
+def test_ivf_topk_deterministic(split):
+    queries, corpus = split
+    a = ivf_topk(corpus, queries, k=5, n_centroids=8, n_probe=2).collect()
+    b = ivf_topk(corpus, queries, k=5, n_centroids=8, n_probe=2).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+
 def test_near_dup_pairs_symmetric_threshold(spark):
     rows = [
         (1, [1.0, 0.0, 0.0, 0.0]),

@@ -122,14 +122,34 @@ def register_sql_functions(spark: SparkSession) -> None:
     """Make the conversion callable from ``spark.sql`` text, so shimmed
     reference SQL (plans.dialect) can keep its call sites.
 
-    Registered as a SQL *expression* via a temp function over the same
-    column arithmetic — not a Python UDF."""
-    spark.udf.register(
-        "fn_gregorian_to_ethiopian_calendar",
-        lambda d, fmt: (
-            None
-            if d is None
-            else "{2}/{1}/{0}".format(*gregorian_to_eth_py(d))
-        ),
-        "string",
+    Registered as a SQL scalar function (``CREATE TEMPORARY FUNCTION …
+    RETURN <expr>``, Spark 4 SQL UDF) whose body is the same integer
+    column arithmetic as ``gregorian_to_eth`` — it inlines into the
+    plan and stays in whole-stage codegen; no Python UDF, no
+    serialization boundary. Honors ``fmt`` ('D/M/Y' and 'Y-M-D';
+    anything else raises, matching ``gregorian_to_eth``).
+    """
+    off = f"(datediff(d, DATE'1970-01-01') + {JDN_UNIX_EPOCH} - {JDN_EPOCH_AMETE_MIHRET})"
+    r = f"({off} % 1461)"
+    n = f"({r} % 365 + 365 * CAST({r} / 1460 AS INT))"
+    year = (
+        f"(4 * CAST({off} / 1461 AS INT) + CAST({r} / 365 AS INT)"
+        f" - CAST({r} / 1460 AS INT))"
+    )
+    month = f"(CAST({n} / 30 AS INT) + 1)"
+    day = f"({n} % 30 + 1)"
+    spark.sql(
+        f"""
+        CREATE OR REPLACE TEMPORARY FUNCTION
+          fn_gregorian_to_ethiopian_calendar(d DATE, fmt STRING)
+        RETURNS STRING
+        RETURN CASE
+          WHEN d IS NULL THEN CAST(NULL AS STRING)
+          WHEN fmt = 'D/M/Y'
+            THEN concat_ws('/', {day}, {month}, {year})
+          WHEN fmt = 'Y-M-D'
+            THEN concat_ws('-', {year}, {month}, {day})
+          ELSE raise_error(concat('unsupported Ethiopian date format: ', fmt))
+        END
+        """
     )

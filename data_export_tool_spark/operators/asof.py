@@ -8,20 +8,26 @@ is an *as-of join*: for each left row, the latest right row at or
 before a reference instant, per key. Spark SQL can't decorrelate
 LIMIT 1, so the engine provides the standard rewrite:
 
-    equi-join on key (candidates) → filter right.time <= left.ref
-    → ROW_NUMBER per left row ordered by right.time DESC → rn = 1
+    distinct (key, ref) probes → equi-join on key → filter
+    right.time <= ref → groupBy probe, MAX(struct(time, tiebreaks,
+    payload)) → join the winners back to the full left side.
 
-Scale notes: the equi part keeps the join a sort-merge (or broadcast)
-join; the window partitions by the *left row id*, so skew is bounded by
-per-entity event counts, not global time. For dense time-series at
-100 TB, pre-bucketing both sides on the key removes both shuffles.
+Scale notes: every step is a pure function of the input data — no
+``monotonically_increasing_id`` (whose values change on task retry /
+stage replay and can silently mis-group), no window sort: the best
+candidate per probe comes from a map-side-combining MAX aggregate, and
+unmatched left rows fall out of the final left join with null right
+columns (one pass, no anti-join restore). Probe dedup also collapses
+repeated (key, time) lookups — the common shape when many rows ask for
+the same as-of instant. For dense time-series at 100 TB, pre-bucketing
+both sides on the key removes the join shuffles.
 """
 
 from __future__ import annotations
 
 from collections.abc import Sequence
 
-from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
@@ -43,12 +49,18 @@ def asof_join(
 
     Column collisions on the right side get ``suffix``. ``tiebreak`` is
     one or more right-side columns that pin determinism among equal
-    times (the reference uses ``encounter_id DESC``); pass enough
-    columns to make the ordering total or equal-time picks are
-    engine-dependent.
+    times (the reference uses ``encounter_id DESC``, its sibling
+    windows' convention). Even without tiebreaks the result is
+    deterministic: the MAX/MIN struct comparison falls through to the
+    remaining right columns, a total (if arbitrary) order.
+
+    Right rows with NULL ``right_time`` are never candidates — the
+    reference's correlated ``WHERE t <= ref ... LIMIT 1`` can't select
+    them (NULL comparisons are never true), so an unmatched left row
+    gets NULL right columns instead of a NULL-time row.
     """
-    lid = "__asof_lid"
-    left_k = left.withColumn(lid, F.monotonically_increasing_id())
+    if how not in ("left", "inner"):
+        raise ValueError(f"how must be left|inner, got {how}")
 
     overlap = set(left.columns) & set(right.columns)
     r = right
@@ -67,30 +79,33 @@ def asof_join(
 
     if direction == "backward":
         cond = F.col(rt) <= F.col(left_time)
-        order = [F.col(rt).desc()] + [F.col(t).desc() for t in tbs]
+        agg = F.max  # latest time; ties → largest tiebreak (DESC pick)
     elif direction == "forward":
         cond = F.col(rt) >= F.col(left_time)
-        order = [F.col(rt).asc()] + [F.col(t).asc() for t in tbs]
+        agg = F.min  # earliest time; ties → smallest tiebreak (ASC pick)
     else:
         raise ValueError(f"direction must be backward|forward, got {direction}")
 
-    joined = left_k.join(r, on=list(on), how="left").filter(
-        cond | F.col(rt).isNull()
+    probe_keys = [*on, left_time]
+    probes = left.select(*probe_keys).distinct()
+    payload = [c for c in r.columns if c not in on]
+
+    cands = probes.join(r, on=list(on), how="inner").filter(
+        F.col(rt).isNotNull() & cond
     )
-    w = Window.partitionBy(lid).orderBy(*order)
+    # order key first (time, then tiebreaks), then the full right row;
+    # struct MAX/MIN compares lexicographically
+    best_struct = F.struct(
+        F.col(rt),
+        *[F.col(t) for t in tbs],
+        F.struct(*[F.col(c) for c in payload]).alias("__payload"),
+    )
     best = (
-        joined.withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") == 1)
-        .drop("__rn")
+        cands.groupBy(*probe_keys)
+        .agg(agg(best_struct).alias("__b"))
+        .select(*probe_keys, F.col("__b.__payload.*"))
     )
-    if how == "left":
-        # rows whose every candidate failed the time filter dropped out;
-        # restore them with null right-side columns
-        missing = left_k.join(best.select(lid), on=lid, how="left_anti")
-        best = best.unionByName(missing, allowMissingColumns=True)
-    elif how != "inner":
-        raise ValueError(f"how must be left|inner, got {how}")
-    return best.drop(lid)
+    return left.join(best, on=probe_keys, how=how)
 
 
 def range_join(

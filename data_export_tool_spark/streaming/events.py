@@ -125,8 +125,13 @@ _GAP_MS = 3_600_000
 
 def _session_fn(key, pdf_iter, state: GroupState):
     """Stateful per-user session assembly: events extend the open
-    session while within the gap; a larger gap (or state timeout)
-    emits the closed session and opens a new one."""
+    session while within the gap; a larger gap (or the event-time
+    timeout, i.e. the watermark passing last_event + gap) emits the
+    closed session and opens a new one.
+
+    Late (out-of-order) events within the watermark never rewind the
+    session end (``max`` guard) — they extend the count and, when
+    earlier than the recorded start, the session start."""
     import pandas as pd
 
     (user_id,) = key
@@ -143,7 +148,12 @@ def _session_fn(key, pdf_iter, state: GroupState):
             ts_all.extend(
                 int(t.value // 1_000_000) for t in pd.to_datetime(pdf["ts"])
             )
-        ts_all.sort()
+        # Spark does NOT filter late rows for arbitrary stateful ops
+        # (only for windowed aggregations); enforcing the watermark here
+        # is this operator's responsibility, or replayed/backfilled
+        # out-of-order files would stitch long-dead sessions together
+        wm = state.getCurrentWatermarkMs()
+        ts_all = sorted(t for t in ts_all if t >= wm)
         if state.exists:
             start_ms, last_ms, n = state.get
         else:
@@ -155,10 +165,15 @@ def _session_fn(key, pdf_iter, state: GroupState):
                 closed.append((user_id, start_ms, last_ms, n))
                 start_ms, last_ms, n = t, t, 1
             else:
-                last_ms, n = t, n + 1
+                start_ms = min(start_ms, t)
+                last_ms, n = max(last_ms, t), n + 1
         if start_ms is not None:
             state.update((start_ms, last_ms, n))
-            state.setTimeoutDuration(_GAP_MS)
+            # close when the WATERMARK (not wall clock) passes the gap
+            # boundary; Spark requires the timeout to sit beyond the
+            # current watermark
+            wm = state.getCurrentWatermarkMs()
+            state.setTimeoutTimestamp(max(last_ms + _GAP_MS, wm + 1))
 
     if closed:
         yield pd.DataFrame(
@@ -174,7 +189,14 @@ def _session_fn(key, pdf_iter, state: GroupState):
 def sessionize_stream(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
     """Gap-based sessionization as a custom stateful streaming operator
     (applyInPandasWithState) — the streaming twin of
-    queries.events_q.e03_event_sessions."""
+    queries.events_q.e03_event_sessions.
+
+    Event-time timeouts keyed to the watermark: a session closes when
+    the watermark passes ``last_event + gap``, so emitted sessions
+    agree with the batch twin regardless of processing speed (a
+    processing-time timeout would close sessions on wall-clock idle
+    time, diverging from event-time semantics under replay/backfill).
+    """
     return (
         events.withWatermark("ts", watermark)
         .groupBy("user_id")
@@ -183,6 +205,6 @@ def sessionize_stream(events: DataFrame, watermark: str = "2 hours") -> DataFram
             outputStructType=SESSION_OUTPUT_SCHEMA,
             stateStructType=SESSION_STATE_SCHEMA,
             outputMode="append",
-            timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
         )
     )

@@ -72,6 +72,35 @@ def test_eth_column_expression_matches_python(spark):
             assert row.et == f"{day}/{m}/{y}"
 
 
+def test_eth_sql_function_matches_python(spark):
+    from data_export_tool_spark.functions.ethiopian import register_sql_functions
+
+    register_sql_functions(spark)
+    spark.createDataFrame(
+        [(dt.date(2023, 9, 12),), (dt.date(1996, 2, 29),), (None,)], "d date"
+    ).createOrReplaceTempView("eth_sql_t")
+    rows = spark.sql(
+        "SELECT fn_gregorian_to_ethiopian_calendar(d, 'D/M/Y') AS dmy, "
+        "fn_gregorian_to_ethiopian_calendar(d, 'Y-M-D') AS ymd FROM eth_sql_t"
+    ).collect()
+    for (d,), row in zip(
+        [(dt.date(2023, 9, 12),), (dt.date(1996, 2, 29),), (None,)], rows
+    ):
+        if d is None:
+            assert row.dmy is None and row.ymd is None
+        else:
+            y, m, day = gregorian_to_eth_py(d)
+            assert row.dmy == f"{day}/{m}/{y}"
+            assert row.ymd == f"{y}-{m}-{day}"
+    # unsupported format raises (parity with gregorian_to_eth)
+    import pytest as _pytest
+
+    with _pytest.raises(Exception, match="unsupported Ethiopian date format"):
+        spark.sql(
+            "SELECT fn_gregorian_to_ethiopian_calendar(d, 'bogus') FROM eth_sql_t"
+        ).collect()
+
+
 # ---- MySQL complete-unit date semantics (F11/F13) ------------------------
 
 

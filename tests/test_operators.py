@@ -96,6 +96,76 @@ def test_asof_join_inner_and_forward(spark):
     assert fwd.v == "next"
 
 
+def test_asof_join_null_right_time_never_matches(spark):
+    # ADVICE parity: the reference's correlated `WHERE t <= ref LIMIT 1`
+    # can never return a NULL-time row; neither may the rewrite
+    left = spark.createDataFrame(
+        [(1, dt.date(2023, 6, 1)), (2, dt.date(2023, 6, 1))], "k long, ref date"
+    )
+    right = spark.createDataFrame(
+        [
+            (1, None, "null-time"),
+            (1, dt.date(2023, 5, 1), "real"),
+            (2, None, "null-only"),
+        ],
+        "k long, t date, v string",
+    )
+    back = {
+        r.k: r.v
+        for r in asof_join(left, right, on=["k"], left_time="ref", right_time="t").collect()
+    }
+    assert back[1] == "real"
+    assert back[2] is None  # NULL-time candidate must not be returned
+    fwd = {
+        r.k: r.v
+        for r in asof_join(
+            left, right, on=["k"], left_time="ref", right_time="t",
+            direction="forward",
+        ).collect()
+    }
+    assert fwd[1] is None  # only candidate is in the past
+    assert fwd[2] is None  # NULL-time must not outrank absence
+
+
+def test_asof_join_duplicate_left_rows_kept(spark):
+    left = spark.createDataFrame(
+        [(1, dt.date(2023, 6, 1), "x"), (1, dt.date(2023, 6, 1), "y")],
+        "k long, ref date, tag string",
+    )
+    right = spark.createDataFrame(
+        [(1, dt.date(2023, 5, 1), "m")], "k long, t date, v string"
+    )
+    rows = asof_join(
+        left, right, on=["k"], left_time="ref", right_time="t"
+    ).collect()
+    assert sorted((r.tag, r.v) for r in rows) == [("x", "m"), ("y", "m")]
+
+
+def test_asof_join_deterministic_across_partitionings(spark):
+    # same data, adversarial partitioning → identical result (the
+    # monotonically_increasing_id pitfall this operator must not have)
+    import random
+
+    rng = random.Random(7)
+    left_rows = [(k, dt.date(2023, 6, 1 + (k % 20))) for k in range(200)]
+    right_rows = [
+        (k % 50, dt.date(2023, 3 + (i % 4), 1 + (i * 7) % 28), float(i))
+        for i, k in enumerate(range(400))
+    ]
+    rng.shuffle(right_rows)
+    left1 = spark.createDataFrame(left_rows, "k long, ref date")
+    right1 = spark.createDataFrame(right_rows, "k long, t date, v double")
+    out1 = sorted(
+        map(tuple, asof_join(left1, right1, on=["k"], left_time="ref", right_time="t").collect())
+    )
+    left2 = left1.repartition(7)
+    right2 = right1.repartition(13, "t")
+    out2 = sorted(
+        map(tuple, asof_join(left2, right2, on=["k"], left_time="ref", right_time="t").collect())
+    )
+    assert out1 == out2
+
+
 def test_range_join(spark):
     points = spark.createDataFrame(
         [(1, dt.date(2023, 1, 5)), (1, dt.date(2023, 2, 20))], "k long, p date"

@@ -68,14 +68,39 @@ def test_hourly_counts_stream_matches_batch(spark, sf_dir, event_drop_dir):
     assert got == expected
 
 
-def test_sessionize_stream_runs(spark, event_drop_dir, tmp_path):
-    """applyInPandasWithState sessionization: runs end-to-end and emits
-    closed sessions with sane invariants (exact parity with the batch
-    twin needs event-time timeouts; processing-time closes remaining
-    sessions only on later triggers)."""
-    from data_export_tool_spark.streaming.events import sessionize_stream
+def test_sessionize_stream_matches_batch_sessions(spark, event_drop_dir, tmp_path):
+    """applyInPandasWithState sessionization with EVENT-TIME timeouts:
+    every emitted session must be exactly a session the batch gap-split
+    produces (sessions still open when the stream ends stay unemitted —
+    the watermark never passes their gap boundary)."""
+    from data_export_tool_spark.streaming.events import _GAP_MS, sessionize_stream
 
-    stream = read_events_stream(spark, event_drop_dir, max_files_per_trigger=8)
+    # time-ordered drops written SEQUENTIALLY (the file source orders
+    # batches by modification time): a real stream delivers roughly in
+    # event-time order; randomly scattered files would make the
+    # watermark drop most events, which is correct streaming behavior
+    # but not a parity scenario
+    ordered_dir = str(tmp_path / "ordered_drops")
+    ev_src = spark.read.parquet(event_drop_dir)
+    if dict(ev_src.dtypes).get("ts") == "bigint":
+        ev_src = ev_src.withColumn(
+            "ts", F.timestamp_micros((F.col("ts") / 1000).cast("long"))
+        )
+    lo, hi = ev_src.agg(
+        F.unix_millis(F.min("ts")), F.unix_millis(F.max("ts"))
+    ).first()
+    import time as _time
+
+    for i in range(4):
+        a = lo + (hi - lo) * i // 4
+        b = lo + (hi - lo) * (i + 1) // 4 + (1 if i == 3 else 0)
+        chunk = ev_src.filter(
+            (F.unix_millis("ts") >= a) & (F.unix_millis("ts") < b)
+        )
+        chunk.coalesce(1).write.mode("append").parquet(ordered_dir)
+        _time.sleep(1.1)  # distinct mtimes → deterministic batch order
+
+    stream = read_events_stream(spark, ordered_dir, max_files_per_trigger=1)
     sessions = sessionize_stream(stream)
     out_dir = str(tmp_path / "sessions_out")
     q = (
@@ -87,8 +112,34 @@ def test_sessionize_stream_runs(spark, event_drop_dir, tmp_path):
         .start()
     )
     q.awaitTermination(120)
-    got = spark.read.parquet(out_dir)
-    rows = got.collect()
+    rows = spark.read.parquet(out_dir).collect()
     for r in rows:
         assert r.session_end >= r.session_start
         assert r.n_events >= 1
+
+    # batch truth: per-user gap split over the same restaged files
+    pdf = ev_src.select("user_id", F.unix_millis("ts").alias("ms")).toPandas()
+    expected = set()
+    for user, grp in pdf.groupby("user_id"):
+        ts = sorted(grp["ms"])
+        start = last = ts[0]
+        n = 1
+        for t in ts[1:]:
+            if t - last > _GAP_MS:
+                expected.add((user, start, last, n))
+                start, last, n = t, t, 1
+            else:
+                last, n = t, n + 1
+        expected.add((user, start, last, n))  # final (open) session
+
+    got = {
+        (
+            r.user_id,
+            int(r.session_start.timestamp() * 1000),
+            int(r.session_end.timestamp() * 1000),
+            r.n_events,
+        )
+        for r in rows
+    }
+    assert got, "stream emitted no closed sessions"
+    assert got <= expected

@@ -15,6 +15,7 @@ date) and bucketed (by join key) — see ``write_bucketed``.
 from __future__ import annotations
 
 import os
+from collections.abc import Sequence
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -96,6 +97,52 @@ class Catalog:
         """(column, type) pairs — parity with ``DESCRIBE`` in
         export_debug.py:33."""
         return [(f.name, f.dataType.simpleString()) for f in self.load(name).schema]
+
+
+def mysql_jdbc_options(db_properties: dict[str, str]) -> tuple[str, dict[str, str]]:
+    """Map the reference config's ``db_properties`` block
+    (export_config.json, loaded at export.py:89-93) to a Spark JDBC
+    (url, properties) pair. Defaults mirror the reference's.
+    """
+    host = db_properties.get("DB_HOST", "localhost")
+    port = str(db_properties.get("DB_PORT", "3306"))
+    name = db_properties.get("DB_NAME", "analytics_db")
+    url = f"jdbc:mysql://{host}:{port}/{name}"
+    props = {
+        "user": db_properties.get("DB_USER", "openmrs"),
+        "password": db_properties.get("DB_PASS", ""),
+        "driver": "com.mysql.cj.jdbc.Driver",
+    }
+    return url, props
+
+
+def register_jdbc_views(
+    spark: SparkSession,
+    db_properties: dict[str, str],
+    tables: Sequence[str],
+    partition_columns: dict[str, str] | None = None,
+    reader=None,
+) -> dict[str, DataFrame]:
+    """Expose warehouse tables as temp views straight from the user's
+    ``db_properties`` config block — the "point the engine at your
+    existing export_config.json" path. Each view is a JDBC scan
+    (``read_jdbc``), so the shimmed report SQL resolves the same
+    ``mamba_*`` names it resolves against MySQL.
+
+    ``partition_columns`` (table → numeric column, e.g. ``client_id``)
+    turns serial JDBC cursors into parallel bounded reads for the big
+    fact tables. ``reader`` is injectable for tests (parquet-backed
+    stand-in); defaults to ``read_jdbc``.
+    """
+    url, props = mysql_jdbc_options(db_properties)
+    use_reader = reader or read_jdbc
+    out: dict[str, DataFrame] = {}
+    for t in tables:
+        pc = (partition_columns or {}).get(t)
+        df = use_reader(spark, url, t, props, partition_column=pc)
+        df.createOrReplaceTempView(t)
+        out[t] = df
+    return out
 
 
 def read_jdbc(

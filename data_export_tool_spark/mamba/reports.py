@@ -145,23 +145,50 @@ def load_reference_sql(name: str, sql_dir: str | None = None) -> str:
         return f.read()
 
 
+def mysql_compat_session(
+    spark: SparkSession, parquet_views: dict[str, str] | None = None
+) -> SparkSession:
+    """A dedicated sub-session running in MySQL-compat mode (ANSI off:
+    lenient casts — malformed numerics → NULL, not error) so compat
+    semantics can't leak into other queries sharing the parent session.
+
+    Temp views are session-scoped, so the warehouse tables must be
+    (re)registered on the sub-session: ``parquet_views`` maps view name
+    → parquet path (what ``write_fixture_parquet`` returns). Sub-
+    sessions share the SparkContext and cached data — creating one is
+    cheap.
+    """
+    s = spark.newSession()
+    s.conf.set("spark.sql.ansi.enabled", "false")
+    for name, path in (parquet_views or {}).items():
+        s.read.parquet(path).createOrReplaceTempView(name)
+    return s
+
+
 def run_reference_report(
     spark: SparkSession,
     name: str,
     params: dict[str, str],
     sql_dir: str | None = None,
+    parquet_views: dict[str, str] | None = None,
 ) -> DataFrame:
     """Shim + execute one reference report against the registered
     mamba_* temp views.
 
-    Disables ANSI mode for the session (MySQL's lenient CAST
-    semantics: malformed numerics → NULL, not error) and leaves it
-    off: parts of a plan may re-read the conf at execution time, after
-    this call returns the lazy DataFrame, so restoring it would make
-    cast behavior depend on when the caller materializes. Treat the
-    session as running in MySQL-compat mode once reports run on it.
+    With ``parquet_views`` (view name → parquet path) the report runs
+    on an isolated ``mysql_compat_session`` and the caller's session
+    conf is untouched — the preferred path. Without it the report runs
+    on the GIVEN session with ANSI mode switched off and left off:
+    parts of a plan may re-read the conf at execution time, after this
+    call returns the lazy DataFrame, so restoring it would make cast
+    behavior depend on when the caller materializes. Treat a session
+    used this way as running in MySQL-compat mode from then on.
     """
     sql = load_reference_sql(name, sql_dir)
     shimmed = shim_mysql_to_spark(sql, params, QUERY_PATCHES.get(name))
-    spark.conf.set("spark.sql.ansi.enabled", "false")
-    return spark.sql(shimmed)
+    if parquet_views is not None:
+        session = mysql_compat_session(spark, parquet_views)
+    else:
+        session = spark
+        session.conf.set("spark.sql.ansi.enabled", "false")
+    return session.sql(shimmed)

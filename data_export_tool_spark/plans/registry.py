@@ -15,7 +15,7 @@ from __future__ import annotations
 
 import json
 import os
-from collections.abc import Callable
+from collections.abc import Callable, Sequence
 from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, SparkSession
@@ -54,15 +54,19 @@ class ReportRegistry:
 
     sql_queries: dict[str, str] = field(default_factory=dict)
     df_queries: dict[str, QueryBuilder] = field(default_factory=dict)
+    #: the config's ``db_properties`` block (DB_HOST/DB_USER/DB_PASS/
+    #: DB_NAME, export.py:89-93); consumed by ``connect_warehouse``
+    db_properties: dict[str, str] = field(default_factory=dict)
 
     @classmethod
     def from_config(cls, config_path: str) -> "ReportRegistry":
         """Load an ``export_config.json``-shaped file: ``queries_path``
-        maps names to SQL files relative to the config."""
+        maps names to SQL files relative to the config;
+        ``db_properties`` carries the warehouse connection."""
         with open(config_path) as f:
             config = json.load(f)
         base = os.path.dirname(os.path.abspath(config_path))
-        reg = cls()
+        reg = cls(db_properties=dict(config.get("db_properties", {})))
         for name, rel in config.get("queries_path", {}).items():
             with open(os.path.join(base, rel)) as qf:
                 reg.sql_queries[name] = qf.read()
@@ -76,6 +80,34 @@ class ReportRegistry:
 
     def names(self) -> list[str]:
         return list(self.sql_queries) + list(self.df_queries)
+
+    def connect_warehouse(
+        self,
+        spark: SparkSession,
+        tables: "Sequence[str] | None" = None,
+        partition_columns: dict[str, str] | None = None,
+        reader=None,
+    ):
+        """Register the warehouse tables this registry's reports read
+        as temp views over JDBC, using the config's ``db_properties``
+        (the reference connects the same block to mysql.connector,
+        export.py:232-238). Defaults to every ``mamba_*`` table in the
+        reference schema; big fact shards get parallel bounded reads on
+        ``client_id``."""
+        from data_export_tool_spark.catalog import register_jdbc_views
+        from data_export_tool_spark.mamba.schemas import all_table_schemas
+
+        if tables is None:
+            tables = sorted(all_table_schemas())
+        if partition_columns is None:
+            partition_columns = {
+                t: "client_id"
+                for t in tables
+                if t.startswith("mamba_flat_encounter_follow_up")
+            }
+        return register_jdbc_views(
+            spark, self.db_properties, tables, partition_columns, reader
+        )
 
 
 def run_export(

@@ -171,6 +171,89 @@ def test_run_export_looks_up_facility_when_none(spark, tmp_path):
     ]
 
 
+# ---- db_properties → JDBC wiring (export.py:89-93,232-238) ----------------
+
+
+def test_mysql_jdbc_option_mapping():
+    from data_export_tool_spark.catalog import mysql_jdbc_options
+
+    url, props = mysql_jdbc_options(
+        {"DB_HOST": "db.example", "DB_USER": "u1", "DB_PASS": "p#1", "DB_NAME": "adb"}
+    )
+    assert url == "jdbc:mysql://db.example:3306/adb"
+    assert props == {"user": "u1", "password": "p#1", "driver": "com.mysql.cj.jdbc.Driver"}
+    # defaults mirror the reference (export.py:90-93)
+    url, props = mysql_jdbc_options({})
+    assert url == "jdbc:mysql://localhost:3306/analytics_db"
+    assert props["user"] == "openmrs" and props["password"] == ""
+
+
+def test_config_to_export_end_to_end(spark, tmp_path):
+    """Config-only path: export_config.json (queries_path +
+    db_properties) → registry → warehouse views (parquet-backed JDBC
+    stand-in) → run_export."""
+    import json
+
+    (tmp_path / "q").mkdir()
+    (tmp_path / "q" / "Loc.sql").write_text(
+        "SELECT location_id, name FROM mamba_dim_location "
+        "WHERE REPORT_END_DATE >= REPORT_START_DATE"
+    )
+    cfg = {
+        "queries_path": {"Loc": "q/Loc.sql"},
+        "db_properties": {
+            "DB_HOST": "h",
+            "DB_USER": "u",
+            "DB_PASS": "p",
+            "DB_NAME": "d",
+        },
+    }
+    (tmp_path / "export_config.json").write_text(json.dumps(cfg))
+
+    reg = ReportRegistry.from_config(str(tmp_path / "export_config.json"))
+    assert reg.db_properties["DB_HOST"] == "h"
+    assert list(reg.sql_queries) == ["Loc"]
+
+    frames = _location_frames(spark)
+    seen = {}
+
+    def fake_jdbc_reader(s, url, table, properties, partition_column=None, **kw):
+        seen[table] = (url, properties, partition_column)
+        return frames[table]
+
+    reg.connect_warehouse(
+        spark, tables=sorted(frames), reader=fake_jdbc_reader
+    )
+    assert seen["mamba_dim_location"][0] == "jdbc:mysql://h:3306/d"
+    assert seen["mamba_dim_location"][1]["user"] == "u"
+
+    out = run_export(
+        spark, reg, None, "Sene", 2015, str(tmp_path / "out"),
+        month_label="Sene", cleanup_csvs=False,
+    )
+    path = out["Loc"]
+    assert path and os.path.exists(path)
+    header = open(path).readline().strip().split(",")
+    assert header == ["location_id", "name", "Region", "Woreda", "Facility", "HMISCode"]
+
+
+def test_connect_warehouse_partitions_follow_up_shards(spark):
+    from data_export_tool_spark.mamba.schemas import all_table_schemas
+
+    reg = ReportRegistry(db_properties={"DB_NAME": "d"})
+    calls = {}
+
+    def fake_reader(s, url, table, properties, partition_column=None, **kw):
+        calls[table] = partition_column
+        return spark.range(1).withColumnRenamed("id", "x")
+
+    reg.connect_warehouse(spark, reader=fake_reader)
+    assert set(calls) == set(all_table_schemas())
+    assert calls["mamba_flat_encounter_follow_up"] == "client_id"
+    assert calls["mamba_flat_encounter_follow_up_1"] == "client_id"
+    assert calls["mamba_dim_location"] is None
+
+
 # ---- dialect shim (§4/§7.4) ------------------------------------------------
 
 

@@ -46,7 +46,7 @@ def fixture_env(spark, tmp_path_factory):
     install_duckdb_macros(con)
     for name, path in paths.items():
         con.sql(f"CREATE VIEW {name} AS SELECT * FROM '{path}/*.parquet'")
-    return frames, con
+    return frames, con, paths
 
 
 def _canon(pdf):
@@ -114,7 +114,7 @@ def _assert_parity(mine_pdf, oracle_pdf, query_file: str):
 def test_tx_curr_linelist_parity(spark, fixture_env):
     from data_export_tool_spark.mamba.linelists import tx_curr_linelist
 
-    frames, con = fixture_env
+    frames, con, _ = fixture_env
     mine = tx_curr_linelist(frames, WINDOW_START, WINDOW_END).toPandas()
     oracle = _reference_on_duckdb(con, "Tx_Curr_LineList.sql")
     assert len(mine) > 20, "cohort unexpectedly small — fixture drift?"
@@ -126,7 +126,7 @@ def test_tx_curr_outcome_parity(spark, fixture_env):
     from data_export_tool_spark.mamba.reports import QUERY_PATCHES
     from data_export_tool_spark.plans.dialect import shim_mysql_to_duckdb
 
-    frames, con = fixture_env
+    frames, con, _ = fixture_env
     mine = tx_curr_outcome(frames, WINDOW_START, WINDOW_END).toPandas()
     sql = open(os.path.join(REFERENCE_SQL_DIR, "Tx_Curr_OutComeList.sql")).read()
     oracle = con.sql(
@@ -141,7 +141,7 @@ def test_vl_received_linelist_parity(spark, fixture_env):
     from data_export_tool_spark.mamba.reports import QUERY_PATCHES
     from data_export_tool_spark.plans.dialect import shim_mysql_to_duckdb
 
-    frames, con = fixture_env
+    frames, con, _ = fixture_env
     mine = tx_curr_vl_received_linelist(frames, WINDOW_START, WINDOW_END).toPandas()
     sql = open(
         os.path.join(REFERENCE_SQL_DIR, "Tx_Curr_VLTestReceived_LineList.sql")
@@ -158,7 +158,7 @@ def test_vl_received_linelist_parity(spark, fixture_env):
 def test_cca_linelist_parity(spark, fixture_env):
     from data_export_tool_spark.mamba.linelists import tx_curr_cca_linelist
 
-    frames, con = fixture_env
+    frames, con, _ = fixture_env
     mine = tx_curr_cca_linelist(frames, WINDOW_START, WINDOW_END).toPandas()
     oracle = _reference_on_duckdb(con, "Tx_Curr_CCA_LineList.sql")
     assert len(mine) > 0
@@ -169,7 +169,7 @@ def test_tpt_linelist_parity(spark, fixture_env):
     from data_export_tool_spark.mamba.linelists import tx_curr_tpt_linelist
     from data_export_tool_spark.mamba.reports import QUERY_PATCHES
 
-    frames, con = fixture_env
+    frames, con, _ = fixture_env
     mine = tx_curr_tpt_linelist(frames, WINDOW_START, WINDOW_END).toPandas()
     sql = open(os.path.join(REFERENCE_SQL_DIR, "Tx_Curr_TPT_LineList.sql")).read()
     oracle = con.sql(
@@ -184,7 +184,7 @@ def test_pmtct_maternal_linelist_parity(spark, fixture_env):
     from data_export_tool_spark.mamba.reports import QUERY_PATCHES
     from data_export_tool_spark.plans.dialect import shim_mysql_to_duckdb
 
-    frames, con = fixture_env
+    frames, con, _ = fixture_env
     mine = pmtct_maternal_linelist(frames, WINDOW_START, WINDOW_END).toPandas()
     sql = open(os.path.join(REFERENCE_SQL_DIR, "PMTCT_Maternal_LineList.sql")).read()
     oracle = con.sql(
@@ -197,7 +197,7 @@ def test_pmtct_maternal_linelist_parity(spark, fixture_env):
 def test_pmtct_hei_linelist_parity(spark, fixture_env):
     from data_export_tool_spark.mamba.linelists import pmtct_hei_linelist
 
-    frames, con = fixture_env
+    frames, con, _ = fixture_env
     mine = pmtct_hei_linelist(frames, WINDOW_START, WINDOW_END).toPandas()
     oracle = _reference_on_duckdb(con, "PMTCT_HEI_LineList.sql")
     assert len(mine) > 10, "HEI cohort unexpectedly small — fixture drift?"
@@ -225,8 +225,12 @@ def test_reference_report_transpile_parity(name, spark, fixture_env):
     )
     from data_export_tool_spark.plans.dialect import shim_mysql_to_duckdb
 
-    _, con = fixture_env
-    mine = run_reference_report(spark, name, PARAMS).toPandas()
+    _, con, paths = fixture_env
+    prior_ansi = spark.conf.get("spark.sql.ansi.enabled")
+    mine = run_reference_report(spark, name, PARAMS, parquet_views=paths).toPandas()
+    # MySQL-compat mode ran on an isolated sub-session; the shared
+    # session's cast semantics are untouched
+    assert spark.conf.get("spark.sql.ansi.enabled") == prior_ansi
     oracle = con.sql(
         shim_mysql_to_duckdb(load_reference_sql(name), PARAMS, QUERY_PATCHES.get(name))
     ).df()

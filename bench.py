@@ -5,18 +5,23 @@ Prints ONE JSON line:
      "queries": {"q01_...": sec, ...}, "sf": 0.1}
 
 Env: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
-     SPARK_GRAFT_CPUS (default 32).
+     SPARK_GRAFT_CPUS (default 32),
+     SPARK_GRAFT_BENCH_RUNS (timed runs per query, default 3).
 
-Protocol (BASELINE.md): warm the JVM with one throwaway run of the
-flagship query, then time each catalog query once. Execution is
-measured with a `noop` sink (full pipeline runs, nothing is collected
-to the driver) — the number is the engine, not pandas conversion.
+Protocol (BASELINE.md "Measurement protocol"): warm the JVM, then per
+query discard the first run and report the MEDIAN of the next
+SPARK_GRAFT_BENCH_RUNS runs — single-run numbers at this scale carry
+±40% JVM/page-cache noise (BENCH_r01: 52.55s vs a 38.3s clean run of
+the same commit). Execution is measured with a `noop` sink (full
+pipeline runs, nothing is collected to the driver) — the number is the
+engine, not pandas conversion.
 """
 
 from __future__ import annotations
 
 import json
 import os
+import statistics
 import sys
 import time
 
@@ -29,6 +34,7 @@ def main() -> None:
 
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0.1)
+    n_runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
 
     spark = get_spark("bench")
     spark.sparkContext.setLogLevel("ERROR")
@@ -40,11 +46,17 @@ def main() -> None:
         "noop"
     ).mode("overwrite").save()
 
-    timings: dict[str, float] = {}
-    for name, spec in sorted(specs.items()):
+    def run_once(spec) -> float:
         t0 = time.perf_counter()
         spec.builder(spark, sf_dir).write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.perf_counter() - t0, 3)
+        return time.perf_counter() - t0
+
+    timings: dict[str, float] = {}
+    for name, spec in sorted(specs.items()):
+        run_once(spec)  # per-query warm run, discarded
+        timings[name] = round(
+            statistics.median(run_once(spec) for _ in range(n_runs)), 3
+        )
 
     total = round(sum(timings.values()), 3)
     print(
@@ -55,6 +67,7 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf,
+                "protocol": f"median_of_{n_runs}_after_warmup",
             }
         )
     )

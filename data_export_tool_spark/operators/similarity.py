@@ -48,6 +48,27 @@ def cosine(a: Column, b: Column) -> Column:
     return dot(a, b) / (l2_norm(a) * l2_norm(b))
 
 
+def cosine_pre(a: Column, b: Column, norm_a: Column, norm_b: Column) -> Column:
+    """Cosine with PRE-computed norms — bitwise-identical to ``cosine``
+    (the norm fold yields the same double whether evaluated per pair or
+    once per row) but evaluates one interpreted HOF fold per pair
+    instead of three. Use whenever a vector participates in many pairs.
+    """
+    return dot(a, b) / (norm_a * norm_b)
+
+
+def py_l2_norm(vec) -> float:
+    """Driver-side twin of ``l2_norm``: same left-to-right double
+    accumulation, so the result is bitwise-equal to the Spark fold over
+    the same values (used to pre-fold centroid-literal norms)."""
+    import math
+
+    acc = 0.0
+    for x in vec:
+        acc = acc + float(x) * float(x)
+    return math.sqrt(acc)
+
+
 def brute_force_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -67,16 +88,18 @@ def brute_force_topk(
     q = F.broadcast(
         queries.select(
             F.col(query_id_col), F.col(query_vec_col).cast("array<double>").alias("__qv")
-        )
+        ).withColumn("__qn", l2_norm(F.col("__qv")))
     )
     c = fan_out(corpus).select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).cast("array<double>").alias("__cv"),
-    )
+    ).withColumn("__cn", l2_norm(F.col("__cv")))
     scored = c.crossJoin(q).select(
         query_id_col,
         "neighbor_id",
-        cosine(F.col("__qv"), F.col("__cv")).alias("__cos"),
+        cosine_pre(
+            F.col("__qv"), F.col("__cv"), F.col("__qn"), F.col("__cn")
+        ).alias("__cos"),
     )
     w = Window.partitionBy(query_id_col).orderBy(
         F.col("__cos").desc(), F.col("neighbor_id").asc()
@@ -140,16 +163,21 @@ def lsh_topk(
     mask = (1 << band_bits) - 1
 
     def with_bands(df: DataFrame, idc: str, vc: str, out_vec: str) -> DataFrame:
-        sig = rhp_signature(F.col(vc), dim, n_planes, seed)
+        out_norm = out_vec + "n"
+        base = df.select(
+            F.col(idc), F.col(vc).cast("array<double>").alias(out_vec)
+        ).withColumn(out_norm, l2_norm(F.col(out_vec)))
+        sig = rhp_signature(F.col(out_vec), dim, n_planes, seed)
         bands = F.array(
             *[
                 F.shiftright(sig, b * band_bits).bitwiseAND(F.lit(mask)).cast("long")
                 for b in range(n_bands)
             ]
         )
-        return df.select(
+        return base.select(
             F.col(idc),
-            F.col(vc).cast("array<double>").alias(out_vec),
+            F.col(out_vec),
+            F.col(out_norm),
             F.posexplode(bands).alias("band_idx", "band_key"),
         )
 
@@ -158,12 +186,14 @@ def lsh_topk(
     )
     qb = with_bands(queries, query_id_col, query_vec_col, "__qv")
     cand = cb.join(qb, on=["band_idx", "band_key"]).select(
-        query_id_col, "neighbor_id", "__qv", "__cv"
+        query_id_col, "neighbor_id", "__qv", "__cv", "__qvn", "__cvn"
     ).distinct()
     scored = cand.select(
         query_id_col,
         "neighbor_id",
-        cosine(F.col("__qv"), F.col("__cv")).alias("__cos"),
+        cosine_pre(
+            F.col("__qv"), F.col("__cv"), F.col("__qvn"), F.col("__cvn")
+        ).alias("__cos"),
     )
     w = Window.partitionBy(query_id_col).orderBy(
         F.col("__cos").desc(), F.col("neighbor_id").asc()
@@ -240,7 +270,7 @@ def ivf_topk(
     c = fan_out(corpus).select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).cast("array<double>").alias("__cv"),
-    )
+    ).withColumn("__cn", l2_norm(F.col("__cv")))
 
     sample_pd = (
         c.orderBy("neighbor_id")
@@ -253,12 +283,23 @@ def ivf_topk(
     cent = train_ivf_centroids(X, n_centroids, seed)
     kk = len(cent)
 
+    # centroid-literal norms are pre-folded driver-side (py_l2_norm is
+    # bitwise-equal to the Spark fold), so assignment costs one dot fold
+    # per (row, centroid) instead of three
     cent_lits = [F.lit([float(x) for x in ctr]) for ctr in cent]
+    cent_norms = [py_l2_norm(ctr) for ctr in cent]
     best = F.array_min(
         F.array(
             *[
                 F.struct(
-                    (-cosine(F.col("__cv"), cent_lits[j])).alias("negsim"),
+                    (
+                        -cosine_pre(
+                            F.col("__cv"),
+                            cent_lits[j],
+                            F.col("__cn"),
+                            F.lit(cent_norms[j]),
+                        )
+                    ).alias("negsim"),
                     F.lit(j).alias("cell"),
                 )
                 for j in range(kk)
@@ -273,11 +314,12 @@ def ivf_topk(
 
     q = queries.select(
         F.col(query_id_col), F.col(query_vec_col).cast("array<double>").alias("__qv")
-    )
+    ).withColumn("__qn", l2_norm(F.col("__qv")))
     # rank cells per query, keep n_probe
     qc = q.crossJoin(F.broadcast(cent_df)).select(
         query_id_col,
         "__qv",
+        "__qn",
         "cell",
         cosine(F.col("__qv"), F.col("centroid").cast("array<double>")).alias("__csim"),
     )
@@ -285,12 +327,14 @@ def ivf_topk(
     probes = (
         qc.withColumn("__r", F.row_number().over(wq))
         .filter(F.col("__r") <= n_probe)
-        .select(query_id_col, "__qv", "cell")
+        .select(query_id_col, "__qv", "__qn", "cell")
     )
     scored = assigned.join(F.broadcast(probes), on="cell").select(
         query_id_col,
         "neighbor_id",
-        cosine(F.col("__qv"), F.col("__cv")).alias("__cos"),
+        cosine_pre(
+            F.col("__qv"), F.col("__cv"), F.col("__qn"), F.col("__cn")
+        ).alias("__cos"),
     )
     w = Window.partitionBy(query_id_col).orderBy(
         F.col("__cos").desc(), F.col("neighbor_id").asc()
@@ -341,7 +385,7 @@ def embedding_near_dup_pairs(
             dim = int(first["d"]) if first else 0
         base = fan_out(df).select(
             F.col(id_col), F.col(vec_col).cast("array<double>").alias("__v")
-        )
+        ).withColumn("__n", l2_norm(F.col("__v")))
         sig = rhp_signature(F.col("__v"), dim, n_planes, seed)
         mask = (1 << band_bits) - 1
         bands = F.array(
@@ -351,7 +395,10 @@ def embedding_near_dup_pairs(
             ]
         )
         buckets = base.select(
-            F.col(id_col), F.col("__v"), F.posexplode(bands).alias("band_idx", "band_key")
+            F.col(id_col),
+            F.col("__v"),
+            F.col("__n"),
+            F.posexplode(bands).alias("band_idx", "band_key"),
         )
         a, b = buckets.alias("a"), buckets.alias("b")
         scored = a.join(
@@ -364,7 +411,9 @@ def embedding_near_dup_pairs(
         ).select(
             F.col(f"a.{id_col}").alias("id_a"),
             F.col(f"b.{id_col}").alias("id_b"),
-            cosine(F.col("a.__v"), F.col("b.__v")).alias("__cos"),
+            cosine_pre(
+                F.col("a.__v"), F.col("b.__v"), F.col("a.__n"), F.col("b.__n")
+            ).alias("__cos"),
         )
         # filter first (shrinks the distinct input), then dedup pairs
         # that collided in >1 band — scalar rows only by this point

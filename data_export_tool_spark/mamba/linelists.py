@@ -37,7 +37,11 @@ from data_export_tool_spark.functions.ethiopian import eth_date_str
 from data_export_tool_spark.mamba.follow_up import assemble_follow_up
 from data_export_tool_spark.mamba.schemas import HEI_IMMUNIZATION_FLAGS
 from data_export_tool_spark.operators.pivot import conditional_agg
-from data_export_tool_spark.operators.window_dedup import latest_per_key, ranked
+from data_export_tool_spark.operators.window_dedup import (
+    earliest_per_key,
+    latest_per_key,
+    ranked,
+)
 
 
 def _eth_pair(col, et_name: str, gc_name: str):
@@ -1400,3 +1404,806 @@ def pmtct_hei_linelist(
             F.col("date_of_birth"), F.col("dna_pcr_sample_collection_date")
         ).alias("AgeSampleCollectionYear"),
     )
+
+
+def tx_curr_hvl_linelist(
+    tables: Mapping[str, DataFrame],
+    report_start: dt.date,
+    report_end: dt.date,
+    follow_up: DataFrame | None = None,
+) -> DataFrame:
+    """Tx_Curr_HVL_LineList — high-viral-load cohort with the
+    confirmatory-test follow-through (Tx_Curr_HVL_LineList.sql:1-357).
+
+    The reference references its FollowUp CTE 12 times across 24 CTEs;
+    here every branch reads the one cached wide view. Operator mix:
+    seven W1/W2 window dedups (mixed ASC/DESC orders), the correlated
+    `regimen ... LIMIT 1` scalar subquery (:109-115) as an as-of join
+    (J9), and a ten-way LEFT JOIN assembly on client_id (:274-287).
+
+    Scale: every dedup/join keys on client_id, so on a client_id-
+    bucketed warehouse layout the whole report is one Exchange; the
+    as-of join is the groupBy-max-struct form (no row-id windows).
+    """
+    from data_export_tool_spark.operators.asof import asof_join
+
+    end = F.lit(report_end.isoformat()).cast("date")
+    end_minus_6m = F.add_months(end, -6)
+    fu_wide = follow_up if follow_up is not None else assemble_follow_up(tables)
+
+    # FollowUp CTE projection (:1-61)
+    _EAC_REPEAT = (
+        "Viral load after EAC: repeat viral load where initial viral load "
+        "greater than 50 and less than 1000 copies per ml"
+    )
+    _EAC_CONFIRM = (
+        "Viral load after EAC: confirmatory viral load where initial viral "
+        "load greater than 1000 copies per ml"
+    )
+    fu = fu_wide.select(
+        "encounter_id",
+        "client_id",
+        F.col("follow_up_date_followup_").alias("follow_up_date"),
+        "follow_up_status",
+        F.col("art_antiretroviral_start_date").alias("art_start_date"),
+        F.col("regimen_change").alias("switch"),
+        F.col("date_of_reported_hiv_viral_load").alias("viral_load_sent_date"),
+        F.col("date_viral_load_results_received").alias("viral_load_performed_date"),
+        "viral_load_test_status",
+        F.col("hiv_viral_load").alias("viral_load_count"),
+        "viral_load_test_indication",
+        "hiv_viral_load_status",
+        F.coalesce(
+            "at_3436_weeks_of_gestation",
+            "viral_load_after_eac_confirmatory_viral_load_where_initial_v",
+            "viral_load_after_eac_repeat_viral_load_where_initial_viral_l",
+            "every_six_months_until_mtct_ends",
+            "six_months_after_the_first_viral_load_test_at_postnatal_peri",
+            "three_months_after_delivery",
+            "at_the_first_antenatal_care_visit",
+            "annual_viral_load_test",
+            "second_viral_load_test_at_12_months_post_art",
+            "first_viral_load_test_at_6_months_or_longer_post_art",
+            "first_viral_load_test_at_3_months_or_longer_post_art",
+        ).alias("routine_vl_indication"),
+        F.coalesce(
+            "repeat_or_confirmatory_vl_initial_viral_load_greater_than_10",
+            "suspected_antiretroviral_failure",
+        ).alias("targeted_vl_indication"),
+        F.col("date_third_enhanced_adherence_counseling_provided").alias("eac_3"),
+        F.col("date_second_enhanced_adherence_counseling_provided").alias("eac_2"),
+        F.col("date_first_enhanced_adherence_counseling_provided").alias("eac_1"),
+        F.col("weight_text_").alias("weight"),
+        F.col("date_of_event").alias("hiv_confirmed_date"),
+        "pregnancy_status",
+        F.col("antiretroviral_art_dispensed_dose_i").alias("dispensed_dose"),
+        "regimen",
+        F.col("anitiretroviral_adherence_level").alias("adherence"),
+        "next_visit_date",
+        F.col("treatment_end_date").alias("art_dose_end_date"),
+    )
+
+    # tmp_vl_performed_date_1(_dedup) (:64-80): latest ROUTINE result at
+    # least 6 months old. NOT IN keeps MySQL 3VL: NULL routine drops out.
+    vl1 = latest_per_key(
+        fu.filter(
+            (F.col("viral_load_performed_date") <= end_minus_6m)
+            & ~F.col("routine_vl_indication").isin(_EAC_REPEAT, _EAC_CONFIRM)
+            & (
+                F.col("targeted_vl_indication").isNull()
+                | ~F.col("targeted_vl_indication").isin(
+                    "Suspected ART failure", "Suspected Antiretroviral failure"
+                )
+            )
+        ).select("encounter_id", "client_id", "viral_load_performed_date"),
+        keys=["client_id"],
+        order_by=["viral_load_performed_date"],
+        tiebreak="encounter_id",
+    )
+
+    # tmp_vl_sent_date / vl_sent_date (:82-94): latest send date among
+    # follow-ups sharing that result date
+    sent = latest_per_key(
+        fu.join(
+            vl1.select("client_id", "viral_load_performed_date"),
+            on=["client_id", "viral_load_performed_date"],
+            how="inner",
+        )
+        .filter((F.col("follow_up_date") <= end) & F.col("viral_load_sent_date").isNotNull())
+        .select("client_id", "encounter_id", F.col("viral_load_sent_date").alias("VL_Sent_Date")),
+        keys=["client_id"],
+        order_by=["VL_Sent_Date"],
+        tiebreak="encounter_id",
+    ).select("client_id", "VL_Sent_Date")
+
+    # vl_performed_date (:96-119) + the correlated LIMIT 1 regimen
+    # subquery (:109-115) as an as-of join on (client_id, ref date)
+    vlperf_base = (
+        fu.join(vl1.select("encounter_id"), on="encounter_id", how="inner")
+        .join(sent, on="client_id", how="left")
+        .select(
+            "encounter_id",
+            "client_id",
+            "viral_load_performed_date",
+            "viral_load_test_status",
+            "viral_load_count",
+            "VL_Sent_Date",
+            F.coalesce("VL_Sent_Date", "viral_load_performed_date").alias(
+                "viral_load_ref_date"
+            ),
+            F.col("routine_vl_indication").alias("routine_viral_load"),
+            F.col("targeted_vl_indication").alias("target"),
+        )
+    )
+    vlperf = asof_join(
+        vlperf_base,
+        fu.select("client_id", "follow_up_date", F.col("encounter_id").alias("rg_eid"), F.col("regimen").alias("hvl_regimen")),
+        on=["client_id"],
+        left_time="viral_load_ref_date",
+        right_time="follow_up_date",
+        tiebreak="rg_eid",
+        how="left",
+        direction="backward",
+        suffix="_rg",
+    ).select(
+        "client_id",
+        # vp_-prefixed: f_case carries same-named raw columns in the
+        # final assembly (hvl CTE reads these from vlperfdate, :255-257)
+        F.col("viral_load_performed_date").alias("vp_performed_date"),
+        F.col("viral_load_test_status").alias("vp_test_status"),
+        F.col("viral_load_count").alias("vp_count"),
+        "VL_Sent_Date",
+        "viral_load_ref_date",
+        "routine_viral_load",
+        "target",
+        "hvl_regimen",
+    )
+
+    # tmp_vl_performed_date_cf(_2) (:121-144): earliest confirmatory
+    # result at-or-after the routine result (ASC date, DESC encounter)
+    w_cf = Window.partitionBy("client_id").orderBy(
+        F.col("viral_load_performed_date").asc(), F.col("encounter_id").desc()
+    )
+    cf2 = (
+        fu.join(
+            vlperf.select(
+                "client_id",
+                F.col("vp_performed_date").alias("routine_perf_date"),
+            ),
+            on="client_id",
+            how="inner",
+        )
+        .filter(
+            (F.col("hiv_viral_load_status") == "Completed")
+            & (
+                (
+                    (F.col("viral_load_test_indication") == "Routine viral load test indication")
+                    & F.col("routine_vl_indication").isin(_EAC_REPEAT, _EAC_CONFIRM)
+                )
+                | (
+                    (F.col("viral_load_test_indication") == "Targeted viral load test indication")
+                    & F.col("targeted_vl_indication").isin(
+                        "Suspected ART failure", "Suspected Antiretroviral failure"
+                    )
+                )
+            )
+            & (F.col("viral_load_performed_date") >= F.col("routine_perf_date"))
+            & (F.col("viral_load_performed_date") <= end)
+        )
+        .withColumn("row_num", F.row_number().over(w_cf))
+        .filter(F.col("row_num") == 1)
+        .select(
+            "encounter_id",
+            "client_id",
+            F.col("viral_load_performed_date").alias("viral_load_perform_date"),
+        )
+    )
+
+    # tmp_switch_sub_date / switch_sub_date (:145-154): first regimen
+    # switch within [confirmatory date, report end]
+    switch_date = earliest_per_key(
+        fu.join(
+            cf2.select("client_id", "viral_load_perform_date"), on="client_id", how="inner"
+        )
+        .filter(
+            F.col("follow_up_date").between(F.col("viral_load_perform_date"), end)
+            & F.col("switch").isNotNull()
+            & (F.col("switch") == "Regimen switch type")
+        )
+        .select("client_id", "encounter_id", F.col("follow_up_date").alias("switch_date")),
+        keys=["client_id"],
+        order_by=["switch_date"],
+        tiebreak="encounter_id",
+    ).select("client_id", "switch_date")
+
+    # tmp_vl_sent_date_cf / vl_sent_date_cf (:156-168): EARLIEST send
+    # date among follow-ups sharing the confirmatory result date
+    w_sent_cf = Window.partitionBy("client_id").orderBy(
+        F.col("VL_Sent_Date").asc(), F.col("encounter_id").desc()
+    )
+    sent_cf = (
+        fu.withColumnRenamed("viral_load_performed_date", "viral_load_perform_date")
+        .join(
+            cf2.select("client_id", "viral_load_perform_date"),
+            on=["client_id", "viral_load_perform_date"],
+            how="inner",
+        )
+        .filter((F.col("follow_up_date") <= end) & F.col("viral_load_sent_date").isNotNull())
+        .select("client_id", "encounter_id", F.col("viral_load_sent_date").alias("VL_Sent_Date"))
+        .withColumn("row_num", F.row_number().over(w_sent_cf))
+        .filter(F.col("row_num") == 1)
+        .select("client_id", F.col("VL_Sent_Date").alias("VL_Sent_Date_cf"))
+    )
+
+    # tmp_vl_performed_date_cf_3 (:171-188)
+    cf3 = (
+        fu.join(cf2.select("encounter_id"), on="encounter_id", how="inner")
+        .join(sent_cf, on="client_id", how="left")
+        .select(
+            "client_id",
+            F.col("viral_load_performed_date").alias("viral_load_perform_date_cf"),
+            F.col("viral_load_test_status").alias("viral_load_status_cf_raw"),
+            F.col("viral_load_count").alias("viral_load_count_cf"),
+            F.col("VL_Sent_Date_cf").alias("viral_load_sent_date_cf"),
+            F.col("routine_vl_indication").alias("routine_viral_load_cf"),
+            F.col("targeted_vl_indication").alias("target_cf"),
+        )
+    )
+
+    # vl_perf_date_eac_1/2/3 (:189-215): earliest EAC-k date at-or-after
+    # the routine result (ASC date, DESC encounter)
+    def eac(col_name: str, out: str) -> DataFrame:
+        w = Window.partitionBy("client_id").orderBy(
+            F.col(col_name).asc(), F.col("encounter_id").desc()
+        )
+        return (
+            fu.join(
+                vlperf.select(
+                    "client_id",
+                    F.col("vp_performed_date").alias("routine_perf_date"),
+                ),
+                on="client_id",
+                how="inner",
+            )
+            .filter(
+                F.col(col_name).isNotNull()
+                & (F.col("routine_perf_date") <= F.col(col_name))
+                & (F.col(col_name) <= end)
+            )
+            .withColumn("row_num", F.row_number().over(w))
+            .filter(F.col("row_num") == 1)
+            .select("client_id", F.col(col_name).alias(out))
+        )
+
+    eac1 = eac("eac_1", "date_eac_provided_1")
+    eac2 = eac("eac_2", "date_eac_provided_2")
+    eac3 = eac("eac_3", "date_eac_provided_3")
+
+    # tmp_latest_follow_up (:216-235)
+    latest_fu = latest_per_key(
+        fu.filter(
+            F.col("follow_up_status").isNotNull() & (F.col("follow_up_date") <= end)
+        ).select("client_id", "encounter_id", "follow_up_date"),
+        keys=["client_id"],
+        order_by=["follow_up_date"],
+        tiebreak="encounter_id",
+    ).select("encounter_id")
+
+    # latest_alive_restart_regimen (:225-234)
+    latest_regimen = latest_per_key(
+        fu.filter(
+            F.col("follow_up_status").isin("Alive", "Restart medication")
+            & (F.col("follow_up_date") <= end)
+        ).select("client_id", "encounter_id", "follow_up_date", "regimen"),
+        keys=["client_id"],
+        order_by=["follow_up_date"],
+        tiebreak="encounter_id",
+    ).select("client_id", F.col("regimen").alias("latest_regimen"))
+
+    # hvl assembly (:236-287)
+    client = tables["mamba_dim_client"]
+    h = (
+        fu.join(latest_fu, on="encounter_id", how="inner")
+        .join(F.broadcast(latest_regimen), on="client_id", how="left")
+        .join(
+            F.broadcast(client.select("client_id", "patient_uuid", "date_of_birth", "sex")),
+            on="client_id",
+            how="left",
+        )
+        .join(vlperf, on="client_id", how="left")
+        .join(cf3, on="client_id", how="left")
+        .join(eac1, on="client_id", how="left")
+        .join(eac2, on="client_id", how="left")
+        .join(eac3, on="client_id", how="left")
+        .join(F.broadcast(switch_date), on="client_id", how="left")
+    )
+
+    art_dose = F.coalesce(F.col("latest_regimen"), F.col("regimen"))
+
+    def vl_status_case(count_col: str, status_col: str):
+        # the count is a free-text column; MySQL coerces it to DOUBLE in
+        # numeric comparisons (:302-306) — made explicit here
+        c, s = F.col(count_col).cast("double"), F.col(status_col)
+        return (
+            F.when(
+                c.isNotNull(),
+                F.when(c < 51, "Suppressed")
+                .when(c.between(51, 1000), "Low Level Viremia")
+                .when(c > 1000, "High VL"),
+            )
+            .when(s.like("Su%") | s.like("Undet%"), "Suppressed")
+            .when(s.like("Low Level Viremia%"), "Low Level Viremia")
+            .when(s.like("Det%") | s.like("Uns%") | s.like("High VL%"), "High VL")
+        )
+
+    # final projection + HVL cohort filter (:288-357)
+    out = h.select(
+        F.when(F.col("sex") == "FEMALE", "F")
+        .when(F.col("sex") == "MALE", "M")
+        .alias("Sex"),
+        F.col("weight").alias("Weight"),
+        complete_years_between(
+            F.col("date_of_birth"),
+            # vlsentdate.VL_Sent_Date else vlperfdate's result date (:237-238)
+            F.coalesce("VL_Sent_Date", "vp_performed_date"),
+        ).alias("Age"),
+        F.col("hiv_confirmed_date").alias("date_hiv_confirmed"),
+        "art_start_date",
+        F.col("follow_up_date").alias("FollowUpDate"),
+        F.col("pregnancy_status").alias("IsPregnant"),
+        F.col("dispensed_dose").alias("ARVDispendsedDose"),
+        art_dose.alias("art_dose"),
+        "next_visit_date",
+        "follow_up_status",
+        F.col("art_dose_end_date").alias("art_dose_End"),
+        F.col("vp_performed_date").alias("viral_load_perform_date"),
+        vl_status_case("vp_count", "vp_test_status").alias("viral_load_status"),
+        F.col("vp_count").alias("viral_load_count"),
+        F.col("VL_Sent_Date").alias("viral_load_sent_date"),
+        "viral_load_ref_date",
+        "routine_viral_load",
+        "target",
+        F.col("switch_date").alias("date_regimen_change"),
+        "date_eac_provided_1",
+        "date_eac_provided_2",
+        "date_eac_provided_3",
+        F.lit(None).cast("date").alias("date_eac_provided_4"),
+        F.lit(None).cast("date").alias("date_eac_provided_5"),
+        F.lit(None).cast("date").alias("date_eac_provided_6"),
+        "viral_load_sent_date_cf",
+        "viral_load_perform_date_cf",
+        vl_status_case("viral_load_count_cf", "viral_load_status_cf_raw").alias(
+            "viral_load_status_cf"
+        ),
+        "viral_load_count_cf",
+        "routine_viral_load_cf",
+        "target_cf",
+        F.col("patient_uuid").alias("PatientGUID"),
+        F.col("hvl_regimen").alias("hvl_Regimen"),
+        art_dose.alias("current_regimen"),
+        F.col("adherence").alias("Adherance"),
+        F.col("follow_up_status").alias("follow_up_status_text"),
+        # WHERE (:353-357) binds hvl's raw columns, not the CASE alias
+        F.col("vp_test_status").alias("__raw_status"),
+    )
+    return out.filter(
+        (
+            F.col("viral_load_count").cast("double").between(51, 1000)
+            | (F.col("viral_load_count").cast("double") > 1000)
+            | F.col("__raw_status").like("Low Level Viremia%")
+            | F.col("__raw_status").like("Det%")
+            | F.col("__raw_status").like("Uns%")
+            | F.col("__raw_status").like("High VL%")
+        )
+        & (F.datediff(end, F.col("art_start_date")) >= 0)
+    ).drop("__raw_status")
+
+
+def tx_curr_ahd_linelist(
+    tables: Mapping[str, DataFrame],
+    report_start: dt.date,
+    report_end: dt.date,
+    follow_up: DataFrame | None = None,
+) -> DataFrame:
+    """Tx_Curr_AHD_LineList — advanced-HIV-disease profile of the
+    on-treatment cohort (Tx_Curr_AHD_LineList.sql:1-428).
+
+    The reference is 46 CTEs / 21 LEFT JOINs, but 18 of the CTE pairs
+    are ONE shape: "latest non-null value of attribute X per patient"
+    (W1). Here each is a ``latest_per_key`` over the one cached wide
+    view, assembled with left joins on client_id.
+
+    Dialect pins (plans/dialect.py): the VISITECT `WHEN 'a' OR 'b'`
+    simple-CASE branch is dead (never matches) on both engines
+    (SURVEY.md §4.2); free-text numeric columns compare as
+    TRY_CAST-to-DOUBLE (malformed → NULL → false).
+
+    Scale: every dedup and join keys on the patient id — one logical
+    Exchange on a client_id-bucketed layout; the 18 attribute dedups
+    share that single partitioning.
+    """
+    end = F.lit(report_end.isoformat()).cast("date")
+    fu_wide = follow_up if follow_up is not None else assemble_follow_up(tables)
+
+    fu = fu_wide.select(
+        "encounter_id",
+        F.col("client_id").alias("PatientId"),
+        "follow_up_status",
+        F.col("follow_up_date_followup_").alias("follow_up_date"),
+        F.col("art_antiretroviral_start_date").alias("art_start_date"),
+        F.col("date_started_on_tuberculosis_prophy").alias("inh_started_date"),
+        F.col("date_completed_tuberculosis_prophyl").alias("inh_completed_date"),
+        F.col("tb_prophylaxis_type").alias("tb_prophylaxis_type"),
+        F.col("tpt_dispensed_dose_in_days_alternat").alias("tpt_dose_alt"),
+        F.col("tpt_side_effects").alias("tpt_side_effect"),
+        F.col("diagnostic_test").alias("diagnostic_test"),
+        F.col("tb_diagnostic_test_result").alias("diagnostic_test_result"),
+        F.col("lf_lam_result").alias("lf_lam"),
+        F.col("gene_xpert_result").alias("gene_xpert"),
+        F.col("tuberculosis_drug_treatment_start_d").alias("tb_rx_start_date"),
+        F.col("tpt_dispensed_dose_in_days_inh_").alias("tpt_dose_inh"),
+        F.col("was_the_patient_screened_for_tuberc").alias("tb_screened_flag"),
+        F.col("screening_test_result_tuberculosis").alias("tb_screening_flag"),
+        F.col("adherence").alias("tpt_adherence_raw"),
+        F.col("date_active_tbrx_completed").alias("tb_rx_completed_date"),
+        F.col("date_active_tbrx_dc").alias("tb_rx_discontinued_date"),
+        F.col("cervical_cancer_screening_status").alias("ccs_screen_done"),
+        F.col("date_of_reported_hiv_viral_load").alias("vl_sent_date_raw"),
+        F.col("date_viral_load_results_received").alias("vl_perform_date_raw"),
+        "viral_load_test_status",
+        F.col("hiv_viral_load").alias("viral_load_count"),
+        "treatment_end_date",
+        F.col("weight_text_").alias("Weight"),
+        "height",
+        F.col("date_of_event").alias("date_hiv_confirmed"),
+        "current_who_hiv_stage",
+        "cd4_count",
+        F.col("antiretroviral_art_dispensed_dose_i").alias("art_dose_days"),
+        "regimen",
+        F.col("anitiretroviral_adherence_level").alias("adherence_level"),
+        "pregnancy_status",
+        "method_of_family_planning",
+        "crag",
+        "cotrimoxazole_prophylaxis_start_dat",
+        "cotrimoxazole_prophylaxis_stop_date",
+        "current_functional_status",
+        "patient_diagnosed_with_active_tuber",
+        F.col("fluconazole_start_date").alias("Fluconazole_Start_Date"),
+        F.col("weight_for_age_status").alias("NSLessthanFive"),
+        F.col("nutritional_status_of_older_child_a").alias("NSAdolescent"),
+        F.col("nutritional_status_of_adult").alias("ns_adult"),
+        F.col("are_there_any_ois_").alias("No_OI"),
+        F.col("herpes_zoster").alias("Zoster"),
+        F.col("bacterial_pneumonia").alias("Bacterial_Pneumonia"),
+        F.col("extra_pulmonary_tuberculosis_tb").alias("Extra_Pulmonary_TB"),
+        F.col("candidiasis_of_the_esophagus").alias("Oesophageal_Candidiasis"),
+        F.col("candidiasis_vaginal").alias("Vaginal_Candidiasis"),
+        F.col("mouth_ulcer").alias("Mouth_Ulcer"),
+        F.col("diarrhea_chronic").alias("Chronic_Diarrhea"),
+        F.col("acute_diarrhea").alias("Acute_Diarrhea"),
+        F.col("toxoplasmosis").alias("CNS_Toxoplasmosis"),
+        F.col("meningitis_cryptococcal").alias("Cryptococcal_Meningitis"),
+        F.col("kaposi_sarcoma_oral").alias("Kaposi_Sarcoma"),
+        F.col("suspected_cervical_cancer").alias("Cervical_Cancer"),
+        F.col("pulmonary_tuberculosis_tb").alias("Pulmonary_TB"),
+        F.col("candidiasis_oral").alias("Oral_Candidiasis"),
+        F.col("pneumocystis_carinii_pneumonia_pcp").alias("Pneumocystis_Pneumonia"),
+        F.col("malignant_lymphoma_nonhodgkins").alias("NonHodgkins_Lymphoma"),
+        F.col("female_genital_ulcer_disease").alias("Genital_Ulcer"),
+        F.col("other_opportunistic_illnesses").alias("OI_Other"),
+        F.col("fluconazole_stop_date").alias("Fluconazole_End_Date"),
+        "nutritional_screening_result",
+        "dsd_category",
+        F.col("other_medications_med_1").alias("Med1"),
+        F.col("other_medications_med2").alias("Med2"),
+        "visitect_cd4_result",
+        "visitect_cd4_test_date",
+    )
+
+    def latest_attr(
+        src_col: str,
+        out_col: str,
+        order_col: str | None = None,
+        date_capped: bool = False,
+        extra_cols: tuple = (),
+    ) -> DataFrame:
+        """The AHD workhorse (:94-220): latest non-null value of one
+        attribute per patient, ordered by ``order_col`` (the attribute
+        itself for date attributes, else follow_up_date), optionally
+        capped at the report end."""
+        base = fu.filter(F.col(src_col).isNotNull())
+        if date_capped:
+            base = base.filter(F.col("follow_up_date") <= end)
+        order = order_col or "follow_up_date"
+        keep = ["PatientId", "encounter_id", src_col, order, *extra_cols]
+        return latest_per_key(
+            base.select(*dict.fromkeys(keep)),
+            keys=["PatientId"],
+            order_by=[order],
+            tiebreak="encounter_id",
+        ).select(
+            "PatientId",
+            F.col(src_col).alias(out_col),
+            *[F.col(c).alias(f"{out_col}__{c}") for c in extra_cols],
+        )
+
+    tpt_start = latest_attr("inh_started_date", "a_inh_started", "inh_started_date")
+    tpt_completed = latest_attr("inh_completed_date", "a_inh_completed", "inh_completed_date")
+    visitect = latest_per_key(
+        fu.filter(
+            F.col("visitect_cd4_test_date").isNotNull()
+            & (F.col("visitect_cd4_test_date") <= end)
+        ).select("PatientId", "encounter_id", "visitect_cd4_test_date", "visitect_cd4_result"),
+        keys=["PatientId"],
+        order_by=["visitect_cd4_test_date"],
+        tiebreak="encounter_id",
+    ).select(
+        "PatientId",
+        F.col("visitect_cd4_test_date").alias("a_visitect_date"),
+        F.col("visitect_cd4_result").alias("a_visitect_result"),
+    )
+    tpt_type = latest_attr("tb_prophylaxis_type", "a_tpt_type")
+    tpt_dose_alt = latest_attr("tpt_dose_alt", "a_tpt_dose_alt")
+    tpt_dose_inh = latest_attr("tpt_dose_inh", "a_tpt_dose_inh")
+    tpt_side_effect = latest_attr("tpt_side_effect", "a_tpt_side_effect")
+    tb_diag_test = latest_attr("diagnostic_test", "a_tb_diag_test", date_capped=True)
+    tb_diag_result = latest_attr(
+        "diagnostic_test_result", "a_tb_diag_result", date_capped=True
+    )
+    tb_lf_lam = latest_attr("lf_lam", "a_lf_lam", date_capped=True)
+    tb_gene_xpert = latest_attr("gene_xpert", "a_gene_xpert", date_capped=True)
+    tpt_screened = latest_attr("tb_screened_flag", "a_tb_screened")
+    tpt_screening = latest_attr("tb_screening_flag", "a_tb_screening", date_capped=True)
+    tpt_adherence = latest_attr("tpt_adherence_raw", "a_tpt_adherence")
+    tb_rx_started = latest_attr("tb_rx_start_date", "a_tb_rx_start", "tb_rx_start_date")
+    tb_rx_completed = latest_attr(
+        "tb_rx_completed_date", "a_tb_rx_completed", "tb_rx_completed_date"
+    )
+    tb_rx_discontinued = latest_attr(
+        "tb_rx_discontinued_date", "a_tb_rx_discontinued", "tb_rx_discontinued_date"
+    )
+    cca_screened = latest_attr("ccs_screen_done", "a_cca_screened")
+
+    # vl_sent_date (:222-228): NO not-null gate — latest by sent date
+    # (DESC, nulls last on all three engines) among pre-end follow-ups
+    vl_sent = latest_per_key(
+        fu.filter(F.col("follow_up_date") <= end).select(
+            "PatientId", "encounter_id", "vl_sent_date_raw"
+        ),
+        keys=["PatientId"],
+        order_by=["vl_sent_date_raw"],
+        tiebreak="encounter_id",
+    ).select("PatientId", F.col("vl_sent_date_raw").alias("a_vl_sent_date"))
+
+    # vl_performed_date (:231-256)
+    vl1 = latest_per_key(
+        fu.filter(
+            F.col("follow_up_status").isNotNull()
+            & F.col("art_start_date").isNotNull()
+            & (F.col("follow_up_date") <= end)
+            & F.col("vl_perform_date_raw").isNotNull()
+        ).select("PatientId", "encounter_id", "vl_perform_date_raw"),
+        keys=["PatientId"],
+        order_by=["vl_perform_date_raw"],
+        tiebreak="encounter_id",
+    ).select("encounter_id")
+    vlperf = (
+        fu.join(vl1, on="encounter_id", how="inner")
+        .join(vl_sent, on="PatientId", how="left")
+        .select(
+            "PatientId",
+            F.col("vl_perform_date_raw").alias("a_vl_perform_date"),
+            F.col("viral_load_test_status").alias("a_vl_status"),
+            F.col("viral_load_count").alias("a_vl_count"),
+            F.coalesce("a_vl_sent_date", "vl_perform_date_raw").alias(
+                "a_vl_ref_date"
+            ),
+        )
+    )
+
+    # latest_follow_up (:259-268): NOT date-capped
+    latest_fu = latest_per_key(
+        fu.filter(
+            F.col("follow_up_status").isNotNull() & F.col("art_start_date").isNotNull()
+        ).select("PatientId", "encounter_id", "follow_up_date"),
+        keys=["PatientId"],
+        order_by=["follow_up_date"],
+        tiebreak="encounter_id",
+    ).select("encounter_id")
+
+    # tx_curr (:270-286)
+    tx_curr = (
+        ranked(
+            fu.filter(
+                F.col("follow_up_status").isNotNull()
+                & F.col("art_start_date").isNotNull()
+                & (F.col("follow_up_date") <= end)
+            ).select(
+                "PatientId",
+                "encounter_id",
+                "follow_up_date",
+                "treatment_end_date",
+                "follow_up_status",
+            ),
+            ["PatientId"],
+            ["follow_up_date"],
+            tiebreak="encounter_id",
+        )
+        .filter(
+            (F.col("row_num") == 1)
+            & (F.col("treatment_end_date") >= end)
+            & F.col("follow_up_status").isin("Alive", "Restart medication")
+        )
+        .select("PatientId")
+    )
+
+    client = tables["mamba_dim_client"]
+    h = (
+        fu.join(latest_fu, on="encounter_id", how="inner")
+        .join(tx_curr, on="PatientId", how="inner")
+        .join(
+            F.broadcast(
+                client.select(
+                    F.col("client_id").alias("PatientId"),
+                    "patient_uuid",
+                    "date_of_birth",
+                    "sex",
+                )
+            ),
+            on="PatientId",
+            how="left",
+        )
+        .join(vlperf, on="PatientId", how="left")
+        .join(F.broadcast(visitect), on="PatientId", how="left")
+        .join(vl_sent, on="PatientId", how="left")
+        .join(F.broadcast(tpt_start), on="PatientId", how="left")
+        .join(F.broadcast(tpt_completed), on="PatientId", how="left")
+        .join(F.broadcast(tpt_type), on="PatientId", how="left")
+        .join(F.broadcast(tpt_dose_alt), on="PatientId", how="left")
+        .join(F.broadcast(tpt_dose_inh), on="PatientId", how="left")
+        .join(F.broadcast(tpt_side_effect), on="PatientId", how="left")
+        .join(F.broadcast(tpt_screened), on="PatientId", how="left")
+        .join(F.broadcast(tpt_screening), on="PatientId", how="left")
+        .join(F.broadcast(tpt_adherence), on="PatientId", how="left")
+        .join(F.broadcast(tb_diag_result), on="PatientId", how="left")
+        .join(F.broadcast(tb_diag_test), on="PatientId", how="left")
+        .join(F.broadcast(tb_lf_lam), on="PatientId", how="left")
+        .join(F.broadcast(tb_gene_xpert), on="PatientId", how="left")
+        .join(F.broadcast(tb_rx_started), on="PatientId", how="left")
+        .join(F.broadcast(tb_rx_completed), on="PatientId", how="left")
+        .join(F.broadcast(tb_rx_discontinued), on="PatientId", how="left")
+        .join(F.broadcast(cca_screened), on="PatientId", how="left")
+        .filter(F.col("follow_up_status") != "Dead")
+    )
+
+    age_years = complete_years_between(F.col("date_of_birth"), end)
+    cd4 = F.col("cd4_count").try_cast("double")
+
+    ahd_case = (
+        F.when(age_years < 5, "Yes")
+        .when(
+            (age_years >= 5)
+            & (
+                (
+                    F.col("a_visitect_result").isNull()
+                    & F.col("cd4_count").isNotNull()
+                    & (cd4 < 200)
+                )
+                | (F.col("a_visitect_result") == "VISITECT <200 copies/ml")
+            ),
+            "Yes",
+        )
+        .when(
+            (age_years >= 5)
+            & F.col("current_who_hiv_stage").isNotNull()
+            & F.col("current_who_hiv_stage").isin(
+                "WHO stage 3 adult", "WHO stage 3 peds", "WHO stage 4 peds"
+            ),
+            "Yes",
+        )
+        .when(
+            (age_years >= 5)
+            & F.col("current_who_hiv_stage").isNotNull()
+            & (F.col("current_who_hiv_stage") == "WHO stage 4 adult"),
+            "Yes",
+        )
+        .otherwise("No")
+    )
+
+    def diag_case(test_name: str):
+        t, r = F.col("a_tb_diag_test"), F.col("a_tb_diag_result")
+        return (
+            F.when((t == test_name) & (r == "Positive"), "Positive")
+            .when((t == test_name) & (r == "Negative"), "Negative")
+            .otherwise("")
+        )
+
+    return h.select(
+        F.when(F.col("sex") == "FEMALE", "F")
+        .when(F.col("sex") == "MALE", "M")
+        .alias("Sex"),
+        F.col("Weight"),
+        age_years.alias("Age"),
+        F.col("patient_uuid").alias("PatientGUID"),
+        F.col("height").alias("Height"),
+        F.col("date_hiv_confirmed").alias("HIV_Confirmed_Date"),
+        F.col("art_start_date").alias("ARTStartDate"),
+        period_diff_months(end, F.col("art_start_date")).alias("MonthsOnART"),
+        F.col("follow_up_date").alias("FollowUpDate"),
+        F.col("current_who_hiv_stage").alias("WHOStage"),
+        F.col("cd4_count").alias("CD4Count"),
+        # VISITECT simple-CASE: the `WHEN 'a' OR 'b'` arm is dead on
+        # both engines (dialect pin, SURVEY.md §4.2) — only the first
+        # arm can match
+        F.when(
+            F.col("a_visitect_result") == "VISITECT <200 copies/ml",
+            "<200 copies/ml",
+        ).alias("VISITECT_CD4_Test_Result"),
+        F.col("a_visitect_date").alias("VISITECT_CD4_Test_Date"),
+        F.col("art_dose_days").alias("ARTDoseDays"),
+        F.col("regimen").alias("ARVRegimen"),
+        F.col("follow_up_status").alias("FollowupStatus"),
+        F.col("adherence_level").alias("AdheranceLevel"),
+        F.col("pregnancy_status").alias("IsPregnant"),
+        F.col("method_of_family_planning").alias("FpMethodUsed"),
+        F.col("crag").alias("CrAg"),
+        F.coalesce("ns_adult", "NSAdolescent", "NSLessthanFive").alias(
+            "NutritionalStatus"
+        ),
+        F.col("current_functional_status").alias("FunctionalStatus"),
+        "No_OI",
+        "Zoster",
+        "Bacterial_Pneumonia",
+        "Extra_Pulmonary_TB",
+        "Oesophageal_Candidiasis",
+        "Vaginal_Candidiasis",
+        "Mouth_Ulcer",
+        "Chronic_Diarrhea",
+        "Acute_Diarrhea",
+        "CNS_Toxoplasmosis",
+        "Cryptococcal_Meningitis",
+        "Kaposi_Sarcoma",
+        "Cervical_Cancer",
+        "Pulmonary_TB",
+        "Oral_Candidiasis",
+        "Pneumocystis_Pneumonia",
+        "NonHodgkins_Lymphoma",
+        "Genital_Ulcer",
+        "OI_Other",
+        "Med1",
+        "Med2",
+        F.col("cotrimoxazole_prophylaxis_start_dat").alias("CotrimoxazoleStartDate"),
+        F.col("cotrimoxazole_prophylaxis_stop_date").alias("cortimoxazole_stop_date"),
+        "Fluconazole_Start_Date",
+        "Fluconazole_End_Date",
+        F.col("a_tpt_type").alias("TPT_Type"),
+        F.col("a_inh_started").alias("inhprophylaxis_started_date"),
+        F.col("a_inh_completed").alias("InhprophylaxisCompletedDate"),
+        F.col("a_tpt_dose_alt").alias("TPT_DoseDaysNumberALT"),
+        F.col("a_tpt_dose_inh").alias("TPT_DoseDaysNumberINH"),
+        F.coalesce("a_tpt_dose_inh", "a_tpt_dose_alt").alias("TPT_Dispensed_Dose"),
+        F.col("a_tpt_side_effect").alias("TPT_SideEffect"),
+        F.col("a_tpt_adherence").alias("TPT_Adherence"),
+        F.col("a_tb_screened").alias("tb_screened"),
+        F.col("a_tb_screening").alias("tb_screening_result"),
+        F.col("a_tb_diag_result").alias("TB_Diagnostic_Result"),
+        F.col("a_lf_lam").alias("LF_LAM_result"),
+        F.col("a_gene_xpert").alias("Gene_Xpert_result"),
+        diag_case("Smear microscopy only").alias("Smear_Microscopy_Result"),
+        diag_case("Additional test other than Gene-Xpert").alias(
+            "Additional_TB_Diagnostic_Test_Result"
+        ),
+        F.col("patient_diagnosed_with_active_tuber").alias("Active_TB"),
+        F.col("a_tb_rx_start").alias("ActiveTBTreatmentStartDate"),
+        F.col("a_tb_rx_completed").alias("ActiveTBTreatmentCompletedDate"),
+        F.col("a_tb_rx_discontinued").alias("ActiveTBTreatmentDiscontinuedDate"),
+        F.col("a_vl_perform_date").alias("Viral_Load_Perform_Date"),
+        F.col("a_vl_status").alias("Viral_Load_Status"),
+        F.col("a_vl_count").alias("Viral_Load_count"),
+        F.col("a_vl_sent_date").alias("VL_Sent_Date"),
+        F.col("a_vl_ref_date").alias("Viral_Load_Ref_Date"),
+        F.col("a_cca_screened").alias("CCA_Screened"),
+        F.col("dsd_category").alias("DSD_Category"),
+        ahd_case.alias("AHD"),
+        F.col("follow_up_status").alias("current_status"),
+    ).distinct()

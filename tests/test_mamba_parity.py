@@ -204,6 +204,26 @@ def test_pmtct_hei_linelist_parity(spark, fixture_env):
     _assert_parity(mine, oracle, "PMTCT_HEI_LineList.sql")
 
 
+def test_tx_curr_hvl_linelist_parity(spark, fixture_env):
+    from data_export_tool_spark.mamba.linelists import tx_curr_hvl_linelist
+
+    frames, con, _ = fixture_env
+    mine = tx_curr_hvl_linelist(frames, WINDOW_START, WINDOW_END).toPandas()
+    oracle = _reference_on_duckdb(con, "Tx_Curr_HVL_LineList.sql")
+    assert len(mine) > 0, "HVL cohort empty — fixture drift?"
+    _assert_parity(mine, oracle, "Tx_Curr_HVL_LineList.sql")
+
+
+def test_tx_curr_ahd_linelist_parity(spark, fixture_env):
+    from data_export_tool_spark.mamba.linelists import tx_curr_ahd_linelist
+
+    frames, con, _ = fixture_env
+    mine = tx_curr_ahd_linelist(frames, WINDOW_START, WINDOW_END).toPandas()
+    oracle = _reference_on_duckdb(con, "Tx_Curr_AHD_LineList.sql")
+    assert len(mine) > 20, "AHD cohort unexpectedly small — fixture drift?"
+    _assert_parity(mine, oracle, "Tx_Curr_AHD_LineList.sql")
+
+
 # ---- transpile path: every reference report through spark.sql ------------
 
 

@@ -51,6 +51,12 @@ def main() -> None:
         spec.builder(spark, sf_dir).write.format("noop").mode("overwrite").save()
         return time.perf_counter() - t0
 
+    # the m* entries are reference-report replicas over FIXED seeded
+    # fixtures — they don't scale with sf, so they'd distort the
+    # catalog-vs-sf metric; their correctness runs in the driver gate
+    # and their runtime in the pytest parity suite
+    specs = {n: s for n, s in specs.items() if not n.startswith("m0")}
+
     timings: dict[str, float] = {}
     for name, spec in sorted(specs.items()):
         run_once(spec)  # per-query warm run, discarded

@@ -28,10 +28,16 @@ class QuerySpec:
 
 
 def all_queries() -> dict[str, QuerySpec]:
-    from data_export_tool_spark.queries import docs, events_q, relational, vectors
+    from data_export_tool_spark.queries import (
+        docs,
+        events_q,
+        mamba_q,
+        relational,
+        vectors,
+    )
 
     specs: dict[str, QuerySpec] = {}
-    for mod in (relational, events_q, docs, vectors):
+    for mod in (relational, events_q, docs, vectors, mamba_q):
         for spec in mod.QUERIES:
             if spec.name in specs:
                 raise ValueError(f"duplicate query name: {spec.name}")

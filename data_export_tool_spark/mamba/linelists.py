@@ -2207,3 +2207,927 @@ def tx_curr_ahd_linelist(
         ahd_case.alias("AHD"),
         F.col("follow_up_status").alias("current_status"),
     ).distinct()
+
+
+def tx_curr_vl_eligible_linelist(
+    tables: Mapping[str, DataFrame],
+    report_start: dt.date,
+    report_end: dt.date,
+    follow_up: DataFrame | None = None,
+) -> DataFrame:
+    """Tx_Curr_VLEligible_LineList — next-VL-eligibility date per
+    on-treatment patient (Tx_Curr_VLEligible_LineList.sql:1-267).
+
+    Five W1 dedups over the cached wide view feed a 17-branch
+    eligibility CASE. Dialect pins: MySQL complete-unit TIMESTAMPDIFF
+    (functions.datetime_ext), free-text counts compared as doubles,
+    the `'' AS eligiblityDate` sentinel mapped to NULL on both engines
+    (QUERY_PATCHES policy, SURVEY.md §4.5).
+    """
+    end = F.lit(report_end.isoformat()).cast("date")
+    fu_wide = follow_up if follow_up is not None else assemble_follow_up(tables)
+
+    fu = fu_wide.select(
+        "client_id",
+        "encounter_id",
+        F.col("date_viral_load_results_received").alias("viral_load_perform_date"),
+        "follow_up_status",
+        F.col("follow_up_date_followup_").alias("follow_up_date"),
+        F.col("art_antiretroviral_start_date").alias("art_start_date"),
+        "viral_load_test_status",
+        F.col("hiv_viral_load").alias("viral_load_count"),
+        "pregnancy_status",
+        F.col("antiretroviral_art_dispensed_dose_i").alias("arv_dispensed_dose"),
+        "regimen",
+        "next_visit_date",
+        "treatment_end_date",
+        F.col("date_of_event").alias("date_hiv_confirmed"),
+        F.col("weight_text_").alias("weight"),
+        F.col("date_of_reported_hiv_viral_load").alias("viral_load_sent_date"),
+        "regimen_change",
+    )
+    capped = fu.filter(F.col("follow_up_date") <= end)
+
+    # vl_sent_date (:59-65): latest sent date (no NOT NULL gate; DESC
+    # puts NULLs last on MySQL/Spark/DuckDB alike)
+    vl_sent = latest_per_key(
+        capped.select("client_id", "encounter_id", F.col("viral_load_sent_date").alias("VL_Sent_Date")),
+        keys=["client_id"],
+        order_by=["VL_Sent_Date"],
+        tiebreak="encounter_id",
+    ).select("client_id", "VL_Sent_Date")
+
+    # switch_sub_date (:66-73): latest follow-up carrying any regimen change
+    switch = latest_per_key(
+        capped.filter(F.col("regimen_change").isNotNull()).select(
+            "client_id", "encounter_id", "follow_up_date"
+        ),
+        keys=["client_id"],
+        order_by=["follow_up_date"],
+        tiebreak="encounter_id",
+    ).select("client_id", F.col("follow_up_date").alias("switch_follow_up_date"))
+
+    # vl_performed_date(_2) (:74-98)
+    vl1 = latest_per_key(
+        capped.select("client_id", "encounter_id", "viral_load_perform_date"),
+        keys=["client_id"],
+        order_by=["viral_load_perform_date"],
+        tiebreak="encounter_id",
+    ).select("encounter_id")
+    vlperf = (
+        fu.join(vl1, on="encounter_id", how="inner")
+        .join(vl_sent, on="client_id", how="left")
+        .select(
+            "client_id",
+            F.col("viral_load_perform_date").alias("vp_performed_date"),
+            F.col("viral_load_test_status").alias("vp_test_status"),
+            F.col("viral_load_count").alias("vp_count"),
+            F.coalesce("VL_Sent_Date", "viral_load_perform_date").alias(
+                "vp_ref_date"
+            ),
+        )
+    )
+
+    # latest_follow_up (:99-105): NO status/art gates here
+    latest_fu = latest_per_key(
+        capped.select("client_id", "encounter_id", "follow_up_date"),
+        keys=["client_id"],
+        order_by=["follow_up_date"],
+        tiebreak="encounter_id",
+    ).select("encounter_id")
+
+    client = tables["mamba_dim_client"]
+    h = (
+        fu.join(latest_fu, on="encounter_id", how="inner")
+        .join(vlperf, on="client_id", how="left")
+        .join(F.broadcast(vl_sent), on="client_id", how="left")
+        .join(F.broadcast(switch), on="client_id", how="left")
+        .join(
+            F.broadcast(
+                client.select("client_id", "patient_uuid", "date_of_birth", "sex")
+            ),
+            on="client_id",
+            how="inner",
+        )
+    )
+
+    months_on_art = complete_months_between(F.col("art_start_date"), end)
+    days_on_art = F.datediff(end, F.col("art_start_date"))
+    years_on_art = complete_years_between(F.col("art_start_date"), end)
+    preg = F.col("pregnancy_status")
+    not_preg = preg.isNull() | (preg == "No")
+    sw = F.col("switch_follow_up_date")
+    ref = F.col("vp_ref_date")
+    cnt = F.col("vp_count").try_cast("double")
+    cnt_raw = F.col("vp_count")
+
+    def plus_days(col, n):
+        return F.date_add(col, n)
+
+    eligibility = (
+        F.when(
+            (days_on_art <= 12) & not_preg & sw.isNull() & ref.isNull()
+            & cnt_raw.isNull(),
+            plus_days(F.col("art_start_date"), 181),
+        )
+        .when(
+            (months_on_art <= 12) & not_preg & sw.isNull() & ref.isNotNull()
+            & (cnt_raw.isNull() | (cnt < 1000)),
+            plus_days(ref, 181),
+        )
+        .when(
+            (months_on_art > 12) & not_preg & sw.isNull() & ref.isNotNull()
+            & (cnt_raw.isNull() | (cnt < 1000)),
+            plus_days(ref, 365),
+        )
+        .when(
+            (months_on_art > 12) & not_preg & sw.isNull() & ref.isNull()
+            & cnt_raw.isNull(),
+            # INTERVAL 365 * TIMESTAMPDIFF(YEAR, art, end) DAY (:152-153)
+            F.date_add(F.col("art_start_date"), (F.lit(365) * years_on_art).cast("int")),
+        )
+        .when(
+            (months_on_art <= 12) & (preg == "Yes") & sw.isNull() & ref.isNotNull()
+            & (cnt_raw.isNull() | (cnt < 1000)),
+            plus_days(ref, 91),
+        )
+        .when(
+            (months_on_art <= 12) & (preg == "Yes") & sw.isNull() & ref.isNull()
+            & cnt_raw.isNull(),
+            plus_days(F.col("art_start_date"), 91),
+        )
+        .when(
+            (months_on_art > 12) & (preg == "Yes") & sw.isNull() & ref.isNull()
+            & cnt_raw.isNull(),
+            end,
+        )
+        .when(
+            (months_on_art > 12) & (preg == "Yes") & sw.isNull()
+            & (ref.isNotNull() & (ref != F.to_date(F.lit("1900-01-01"))))
+            & (cnt_raw.isNull() | (cnt < 1000)),
+            end,
+        )
+        .when(
+            (months_on_art > 12) & not_preg & sw.isNull() & ref.isNotNull()
+            & (cnt >= 1000),
+            plus_days(ref, 121),
+        )
+        .when(
+            (months_on_art <= 12) & not_preg & sw.isNull() & ref.isNotNull()
+            & (cnt >= 1000),
+            plus_days(ref, 121),
+        )
+        .when(
+            (months_on_art > 12) & sw.isNotNull() & ref.isNotNull()
+            & (ref >= sw) & ((cnt < 1000) | cnt_raw.isNull()),
+            plus_days(ref, 365),
+        )
+        .when(
+            (months_on_art > 12) & sw.isNotNull() & ref.isNotNull()
+            & (ref >= sw) & (cnt >= 1000),
+            plus_days(ref, 121),
+        )
+        .when(
+            (months_on_art > 12) & sw.isNotNull() & ref.isNotNull() & (ref < sw),
+            plus_days(sw, 181),
+        )
+        .when(
+            (months_on_art > 12) & sw.isNotNull() & ref.isNull(),
+            plus_days(sw, 181),
+        )
+        .when(
+            (months_on_art < 12) & sw.isNotNull() & ref.isNotNull()
+            & (cnt_raw.isNull() | (cnt < 1000)) & (ref >= sw)
+            & ((cnt < 1000) | cnt_raw.isNull()),
+            plus_days(ref, 365),
+        )
+        .when(
+            (months_on_art < 12) & sw.isNotNull() & ref.isNotNull()
+            & (ref >= sw) & (cnt >= 1000),
+            plus_days(ref, 91),
+        )
+        .when(
+            (months_on_art < 12) & sw.isNotNull() & ref.isNotNull()
+            & (cnt_raw.isNull() | (cnt < 1000)) & (ref < sw),
+            plus_days(sw, 181),
+        )
+        .when(
+            (months_on_art < 12) & sw.isNotNull() & ref.isNull(),
+            plus_days(sw, 181),
+        )
+        # ELSE '' sentinel → NULL (QUERY_PATCHES policy, both engines)
+        .otherwise(F.lit(None).cast("date"))
+    )
+
+    return (
+        h.filter(
+            F.col("follow_up_status").isin("Alive", "Restart medication")
+            & (F.col("treatment_end_date") >= end)
+            & (F.col("art_start_date") <= end)
+        )
+        .select(
+            F.col("sex").alias("Sex"),
+            F.col("weight").alias("Weight"),
+            complete_years_between(F.col("date_of_birth"), end).alias("age"),
+            "date_hiv_confirmed",
+            "art_start_date",
+            F.col("follow_up_date").alias("FollowUpDate"),
+            F.col("pregnancy_status").alias("IsPregnant"),
+            F.substring(F.col("regimen"), 1, 2).alias("ARVDispendsedDose"),
+            F.col("arv_dispensed_dose").alias("art_dose"),
+            "next_visit_date",
+            "follow_up_status",
+            F.col("treatment_end_date").alias("art_dose_End"),
+            F.col("vp_performed_date").alias("viral_load_perform_date"),
+            F.col("vp_test_status").alias("viral_load_status"),
+            F.col("vp_count").alias("viral_load_count"),
+            F.col("VL_Sent_Date").alias("viral_load_sent_date"),
+            F.col("vp_ref_date").alias("viral_load_ref_date"),
+            F.col("switch_follow_up_date").alias("date_regimen_change"),
+            eligibility.alias("eligiblityDate"),
+            F.col("patient_uuid").alias("PatientGUID"),
+        )
+    )
+
+
+def tx_curr_vl_eligible_new_linelist(
+    tables: Mapping[str, DataFrame],
+    report_start: dt.date,
+    report_end: dt.date,
+    follow_up: DataFrame | None = None,
+) -> DataFrame:
+    """Tx_Curr_VLEligibleNew_LineList — the revised VL-eligibility
+    algorithm (Tx_Curr_VLEligibleNew_LineList.sql:1-569).
+
+    Dialect pins carried over from the value-checked transpile path:
+
+    - `ELSE '12-31-9999'` in the eligibility CASE → NULL ("never
+      eligible"): the DuckDB-pinned reading types the CASE as
+      timestamp with that branch unreachable, and NULL is filtered by
+      `eligiblityDate <= REPORT_END_DATE` exactly like the sentinel;
+    - sentinel comparisons against '1900-01-01 00:00:00.000' become
+      date comparisons against 1900-01-01;
+    - `ISNULL(x) > CAST(50 AS float)` keeps MySQL's 1-arg ISNULL (0/1)
+      — the branch is structurally dead, reproduced literally;
+    - `lmp_date + 280` is the intended date-add (SURVEY.md §4.4 F16);
+    - 'Restart Medication' (capital M) never matches the lowercase
+      warehouse value — case-sensitive comparison policy (§4.7).
+    """
+    start = F.lit(report_start.isoformat()).cast("date")
+    end = F.lit(report_end.isoformat()).cast("date")
+    sentinel = F.to_date(F.lit("1900-01-01"))
+    fu_wide = follow_up if follow_up is not None else assemble_follow_up(tables)
+
+    fu = fu_wide.select(
+        "client_id",
+        "encounter_id",
+        F.col("date_viral_load_results_received").alias("viral_load_perform_date"),
+        "follow_up_status",
+        F.col("follow_up_date_followup_").alias("follow_up_date"),
+        F.col("art_antiretroviral_start_date").alias("art_start_date"),
+        "viral_load_test_status",
+        F.col("hiv_viral_load").alias("viral_load_count"),
+        F.coalesce(
+            "at_3436_weeks_of_gestation",
+            "viral_load_after_eac_confirmatory_viral_load_where_initial_v",
+            "viral_load_after_eac_repeat_viral_load_where_initial_viral_l",
+            "every_six_months_until_mtct_ends",
+            "six_months_after_the_first_viral_load_test_at_postnatal_peri",
+            "three_months_after_delivery",
+            "at_the_first_antenatal_care_visit",
+            "annual_viral_load_test",
+            "second_viral_load_test_at_12_months_post_art",
+            "first_viral_load_test_at_6_months_or_longer_post_art",
+            "first_viral_load_test_at_3_months_or_longer_post_art",
+        ).alias("routine_vl_indication"),
+        "pregnancy_status",
+        F.col("currently_breastfeeding_child").alias("breastfeeding_status"),
+        F.col("antiretroviral_art_dispensed_dose_i").alias("arv_dispensed_dose"),
+        "regimen",
+        "next_visit_date",
+        "treatment_end_date",
+        F.col("date_of_event").alias("date_hiv_confirmed"),
+        F.col("weight_text_").alias("weight"),
+        F.col("date_of_reported_hiv_viral_load").alias("viral_load_sent_date"),
+        "regimen_change",
+        F.col("date_of_last_menstrual_period_lmp_").alias("lmp_date"),
+    )
+    in_window = fu.filter(
+        (F.col("follow_up_date") >= start) & (F.col("follow_up_date") <= end)
+    )
+
+    # all_art_follow_ups (:61-70): latest in-window visit (any status)
+    all_art = latest_per_key(
+        in_window.select("client_id", "encounter_id", "follow_up_date", "follow_up_status"),
+        keys=["client_id"],
+        order_by=["follow_up_date"],
+        tiebreak="encounter_id",
+    ).select("client_id", F.col("follow_up_status").alias("aa_follow_up_status"))
+
+    # vl_sent_date (:72-80): latest sent date INSIDE the window
+    vl_sent = latest_per_key(
+        fu.filter(
+            F.col("viral_load_sent_date").isNotNull()
+            & (F.col("viral_load_sent_date") >= start)
+            & (F.col("viral_load_sent_date") <= end)
+        ).select("client_id", "encounter_id", F.col("viral_load_sent_date").alias("VL_Sent_Date")),
+        keys=["client_id"],
+        order_by=["VL_Sent_Date"],
+        tiebreak="encounter_id",
+    ).select("client_id", "VL_Sent_Date")
+
+    # switch_sub_date (:82-90)
+    switch = latest_per_key(
+        in_window.filter(F.col("regimen_change").isNotNull()).select(
+            "client_id", "encounter_id", "follow_up_date"
+        ),
+        keys=["client_id"],
+        order_by=["follow_up_date"],
+        tiebreak="encounter_id",
+    ).select("client_id", F.col("follow_up_date").alias("switch_date"))
+
+    # tmp_vl_performed_date_1/2 (:92-106): latest in-window result, or
+    # the NULL-result row when the patient has none in window
+    vl2 = latest_per_key(
+        fu.filter(
+            F.col("art_start_date").isNotNull()
+            & (
+                (
+                    F.col("viral_load_perform_date").isNotNull()
+                    & (F.col("viral_load_perform_date") >= start)
+                    & (F.col("viral_load_perform_date") <= end)
+                )
+                | F.col("viral_load_perform_date").isNull()
+            )
+        ).select("client_id", "encounter_id", "viral_load_perform_date"),
+        keys=["client_id"],
+        order_by=["viral_load_perform_date"],
+        tiebreak="encounter_id",
+    ).select("encounter_id")
+
+    # tmp_vl_performed_date_3 (:108-165): send-date-masked result view
+    perf = F.col("viral_load_perform_date")
+    sent_c = F.col("VL_Sent_Date")
+    cnt_raw = F.col("viral_load_count")
+    cnt = cnt_raw.try_cast("double")
+    isnull_cnt = F.when(cnt_raw.isNull(), 1).otherwise(0)
+    status = F.col("viral_load_test_status")
+    inferred = (
+        F.when(status.isNull() & (perf >= sent_c), F.lit(None).cast("string"))
+        .when(
+            (perf >= sent_c)
+            & (
+                status.like("Det%")
+                | status.like("Uns%")
+                | status.like("High VL%")
+                | status.like("Low Level Viremia%")
+            ),
+            "U",
+        )
+        .when((perf >= sent_c) & (status.like("Su%") | status.like("Undet%")), "S")
+        .when((perf >= sent_c) & (isnull_cnt > F.lit(50.0)), "U")
+        .when((perf >= sent_c) & (isnull_cnt <= F.lit(50.0)), "S")
+    )
+    vlperf = (
+        fu.join(vl2, on="encounter_id", how="inner")
+        .join(vl_sent, on="client_id", how="left")
+        .select(
+            "client_id",
+            F.when(perf < sent_c, F.lit(None).cast("date"))
+            .otherwise(perf)
+            .alias("vp_masked_perform_date"),
+            F.when(perf < sent_c, F.lit(None).cast("string"))
+            .otherwise(status)
+            .alias("vp_masked_status"),
+            F.when((cnt > 0) & (perf >= sent_c), cnt_raw.cast("decimal(12,2)"))
+            .alias("vp_count"),
+            inferred.alias("vp_status_inferred"),
+            F.coalesce(sent_c, perf).alias("vp_ref_date"),
+            F.col("routine_vl_indication").alias("vp_routine_indication"),
+        )
+    )
+
+    # latest_alive_restart (:166-174)
+    latest_ar = latest_per_key(
+        in_window.filter(
+            F.col("follow_up_status").isin("Alive", "Restart medication")
+        ).select("client_id", "encounter_id", "follow_up_date"),
+        keys=["client_id"],
+        order_by=["follow_up_date"],
+        tiebreak="encounter_id",
+    ).select("encounter_id")
+
+    client = tables["mamba_dim_client"]
+    h = (
+        fu.join(latest_ar, on="encounter_id", how="inner")
+        .join(
+            F.broadcast(
+                client.select(
+                    "client_id",
+                    "patient_uuid",
+                    "patient_name",
+                    "mobile_no",
+                    "mrn",
+                    "sex",
+                    "current_age",
+                    "date_of_birth",
+                )
+            ),
+            on="client_id",
+            how="left",
+        )
+        .join(vlperf, on="client_id", how="left")
+        .join(F.broadcast(vl_sent), on="client_id", how="left")
+        .join(F.broadcast(switch), on="client_id", how="left")
+        .join(all_art, on="client_id", how="left")
+        .filter(
+            F.col("aa_follow_up_status").isin("Alive", "Restart Medication")
+            & (F.datediff(start, F.col("art_start_date")) >= 0)
+        )
+    )
+
+    ref = F.col("vp_ref_date")
+    refp = F.col("vp_masked_perform_date")
+    sw = F.col("switch_date")
+    preg = F.col("pregnancy_status")
+    bf = F.col("breastfeeding_status")
+    vcnt_raw = F.col("vp_count")
+    vcnt = F.col("vp_count").cast("double")
+    art = F.col("art_start_date")
+    fud = F.col("follow_up_date")
+    lmp = F.col("lmp_date")
+    months_on_art = complete_months_between(art, end)
+    days_on_art = F.datediff(end, art)
+    not_preg = preg.isNull() | (preg == "No")
+    not_bf = bf.isNull() | (bf == "No")
+    no_switch = sw.isNull() | (sw == sentinel)
+    _EAC_6M = "First viral load test at 6 months or longer post ART"
+    _EAC_REP = (
+        "Viral load after EAC: repeat viral load where initial viral load "
+        "greater than 50 and less than 1000 copies per ml"
+    )
+    _EAC_CONF = (
+        "Viral load after EAC: confirmatory viral load where initial viral "
+        "load greater than 1000 copies per ml"
+    )
+
+    eligibility = (
+        F.when(ref.isNull() & (F.col("follow_up_status") == "Restart medication"), F.date_add(fud, 91))
+        .when(ref.isNull() & sw.isNotNull(), F.date_add(sw, 181))
+        .when(ref.isNull() & (preg == "Yes") & (F.datediff(end, art) > 90), F.date_add(art, 91))
+        .when(ref.isNull() & (days_on_art <= 180), F.lit(None).cast("date"))
+        .when(ref.isNull() & (days_on_art > 180), F.date_add(art, 181))
+        .when(
+            ref.isNotNull() & (ref < fud)
+            & (F.col("follow_up_status") == "Restart medication"),
+            F.date_add(fud, 91),
+        )
+        .when(ref.isNotNull() & (ref < sw) & sw.isNotNull(), F.date_add(sw, 181))
+        .when(ref.isNotNull() & (F.col("vp_status_inferred") == "U"), F.date_add(ref, 91))
+        .when(
+            ref.isNotNull()
+            & ((preg == "Yes") | (bf == "Yes"))
+            & F.col("vp_routine_indication").isin(_EAC_6M, _EAC_REP, _EAC_CONF),
+            F.date_add(ref, 91),
+        )
+        .when(
+            ref.isNotNull()
+            & ((preg == "Yes") | (bf == "Yes"))
+            & F.col("vp_routine_indication").isNotNull()
+            & ~F.col("vp_routine_indication").isin(_EAC_6M, _EAC_REP, _EAC_CONF),
+            F.date_add(ref, 181),
+        )
+        .when(ref.isNotNull(), F.date_add(ref, 365))
+        # ELSE '12-31-9999' sentinel → NULL (filtered like "never")
+        .otherwise(F.lit(None).cast("date"))
+    )
+
+    vl_status_final = (
+        F.when(ref.isNull() & (F.col("follow_up_status") == "Restart medication"), "client restarted ART")
+        .when(ref.isNull() & sw.isNotNull(), "Regimen Change")
+        .when(ref.isNull() & (preg == "Yes") & (F.datediff(end, art) > 90), "First VL for Pregnant")
+        .when(ref.isNull() & (days_on_art <= 180), "N/A")
+        .when(ref.isNull() & (days_on_art > 180), "First VL")
+        .when(
+            ref.isNotNull() & (ref < fud)
+            & (F.col("follow_up_status") == "Restart medication"),
+            "client restarted ART",
+        )
+        .when(ref.isNotNull() & (ref < sw) & sw.isNotNull(), "Regimen Change")
+        .when(
+            ref.isNotNull() & (F.col("vp_status_inferred") == "U"),
+            "Repeat/Confirmatory Viral Load test",
+        )
+        .when(
+            F.col("vp_status_inferred").isNotNull()
+            & ((preg == "Yes") | (bf == "Yes")),
+            "Pregnant/Breastfeeding and needs retesting",
+        )
+        .when(ref.isNotNull(), "Annual Viral Load Test")
+        .otherwise("Unassigned")
+    )
+
+    out = (
+        h.withColumn("eligiblityDate", eligibility)
+        .withColumn("vl_status_final", vl_status_final)
+        .filter(F.col("eligiblityDate") <= end)
+    )
+    return out.select(
+        F.when(F.col("sex") == "FEMALE", "F")
+        .when(F.col("sex") == "MALE", "M")
+        .alias("Sex"),
+        F.col("weight").alias("Weight"),
+        # Age anchors to the report START here (:535), unlike siblings
+        complete_years_between(F.col("date_of_birth"), start).alias("Age"),
+        "date_hiv_confirmed",
+        "art_start_date",
+        F.col("follow_up_date").alias("FollowUpDate"),
+        F.col("pregnancy_status").alias("IsPregnant"),
+        F.col("regimen").alias("ARVDispendsedDose"),
+        F.col("arv_dispensed_dose").alias("ARTDoseDays"),
+        "next_visit_date",
+        "follow_up_status",
+        F.col("treatment_end_date").alias("art_dose_End"),
+        F.col("vp_masked_perform_date").alias("viral_load_perform_date"),
+        F.col("vp_masked_status").alias("viral_load_status"),
+        F.col("vp_count").alias("viral_load_count"),
+        F.col("VL_Sent_Date").alias("viral_load_sent_date"),
+        F.coalesce("VL_Sent_Date", "vp_masked_perform_date").alias(
+            "viral_load_ref_date"
+        ),
+        F.col("switch_date").alias("date_regimen_change"),
+        "eligiblityDate",
+        F.col("patient_uuid").alias("PatientGUID"),
+        F.col("breastfeeding_status").alias("IsBreastfeeding"),
+        "vl_status_final",
+        F.when(F.col("pregnancy_status") == "Yes", "Yes")
+        .when(F.col("breastfeeding_status") == "Yes", "Yes")
+        .otherwise("No")
+        .alias("PMTCT_ART"),
+    )
+
+
+def tx_curr_cca_new_linelist(
+    tables: Mapping[str, DataFrame],
+    report_start: dt.date,
+    report_end: dt.date,
+    follow_up: DataFrame | None = None,
+) -> DataFrame:
+    """Tx_Curr_CCANew_LineList — cervical-cancer screening cascade, new
+    format (Tx_Curr_CCANew_LineList.sql:1-530).
+
+    Two symmetric per-client "screening episode" snapshots — the latest
+    'Cervical cancer screening performed' visit BEFORE the report start
+    (prev) and INSIDE the window (curr) — each a W1 dedup re-joined to
+    the full wide row, then a tx_curr-gated assembly over dim_client
+    with the eligibility ladder. All joins/dedups key on client_id.
+    """
+    start = F.lit(report_start.isoformat()).cast("date")
+    end = F.lit(report_end.isoformat()).cast("date")
+    fu_wide = follow_up if follow_up is not None else assemble_follow_up(tables)
+
+    fu = fu_wide.select(
+        "encounter_id",
+        "client_id",
+        F.col("follow_up_date_followup_").alias("follow_up_date"),
+        "follow_up_status",
+        F.col("treatment_end_date").alias("art_end_date"),
+        "hpv_dna_result_received_date",
+        "date_cytology_result_received",
+        F.col("next_follow_up_screening_date").alias("ccs_next_date"),
+        F.col("cervical_cancer_screening_status").alias("screening_status"),
+        F.col("hpv_dna_screening_result").alias("ccs_hpv_result"),
+        "cytology_result",
+        F.col("via_screening_result").alias("ccs_via_result"),
+        F.col("date_visual_inspection_of_the_cervi").alias("date_via_result"),
+        F.col("treatment_start_date").alias("ccs_treat_received_date"),
+        F.col("colposcopy_of_cervix_findings").alias("colposcopy_exam_finding"),
+        "colposcopy_exam_date",
+        F.col("purpose_for_visit_cervical_screening").alias("screening_type"),
+        F.col("cervical_cancer_screening_method_strategy").alias("screening_method"),
+        "hpv_subtype",
+        "date_hpv_test_was_done",
+        "cytology_sample_collection_date",
+        "biopsy_sample_collected_date",
+        "biopsy_result_received_date",
+        "biopsy_result",
+        F.col("treatment_of_precancerous_lesions_of_the_cervix").alias(
+            "ccs_precancerous_treat"
+        ),
+        "confirmed_cervical_cancer_cases_bas",
+        "referral_or_linkage_status",
+        "reason_for_referral_cacx",
+        "date_client_served_in_the_referred_",
+        "date_client_arrived_in_the_referred",
+        "date_patient_referred_out",
+        F.col("weight_text_").alias("weight"),
+        F.col("art_antiretroviral_start_date").alias("art_start_date"),
+        "next_visit_date",
+        "regimen",
+        F.col("antiretroviral_art_dispensed_dose_i").alias("dose_days"),
+        F.col("pre_test_counselling_for_cervical_c").alias("cca_counselling_given"),
+        F.col("ready_for_cervical_cancer_screening").alias("accepted"),
+    )
+
+    _VIA_POS_ELIG = "VIA positive: eligible for cryo/thermo-coagula"
+    _VIA_POS_NON = "VIA positive: non-eligible for cryo/thermo-coagula"
+    _HPV = "Human Papillomavirus test"
+    _VIA = "Visual Inspection of the Cervix with Acetic Acid (VIA)"
+    _ASCUS = (
+        "ASCUS (Atypical Squamous Cells of Undetermined Significance) on Pap Smear"
+    )
+
+    def episode(base: DataFrame) -> DataFrame:
+        """Latest screening-performed visit of ``base``, re-joined to
+        the full wide row (:61-68 / :215-225)."""
+        chosen = latest_per_key(
+            base.filter(
+                F.col("screening_status") == "Cervical cancer screening performed"
+            ).select("client_id", "encounter_id", "follow_up_date"),
+            keys=["client_id"],
+            order_by=["follow_up_date"],
+            tiebreak="encounter_id",
+        ).select("encounter_id")
+        return fu.join(chosen, on="encounter_id", how="inner")
+
+    def screen_done_date():
+        # identical CASE in both branches (:98-113 / :228-243)
+        return (
+            F.when(F.col("colposcopy_exam_date").isNotNull(), F.col("colposcopy_exam_date"))
+            .when(
+                F.col("date_cytology_result_received").isNotNull(),
+                F.col("date_cytology_result_received"),
+            )
+            .when(F.col("date_via_result").isNotNull(), F.col("date_via_result"))
+            .when(
+                F.col("hpv_dna_result_received_date").isNotNull()
+                & (F.col("ccs_hpv_result") == "Negative result"),
+                F.col("hpv_dna_result_received_date"),
+            )
+            .when(
+                F.col("follow_up_date").isNotNull()
+                & (F.col("screening_status") == "Cervical cancer screening performed"),
+                F.col("follow_up_date"),
+            )
+        )
+
+    def screen_result(cyt_positive_method: str, cyt_pos_colpo_vals: list):
+        via, cyt, colpo, hpv = (
+            F.col("ccs_via_result"),
+            F.col("cytology_result"),
+            F.col("colposcopy_exam_finding"),
+            F.col("ccs_hpv_result"),
+        )
+        m = F.col("screening_method")
+        cyt_pos_colpo = colpo.isNull() | colpo.isin(
+            [v for v in cyt_pos_colpo_vals if v is not None]
+        )
+        return (
+            F.when(
+                (m == _HPV) & via.isNull() & cyt.isNull() & colpo.isNull(),
+                "HPV_Positive-Requires VIA Triage",
+            )
+            .when(
+                (m == _HPV)
+                & (
+                    (via == _VIA_POS_ELIG)
+                    | (via == _VIA_POS_NON)
+                    | (
+                        (via.isNull() | (via == "Unknown"))
+                        & (cyt == "> Ascus")
+                        & ((colpo == "Low Grade") | (colpo == "High Grade"))
+                    )
+                ),
+                "HPV_Positive",
+            )
+            .when((m == _VIA) & ((via == _VIA_POS_ELIG) | (via == _VIA_POS_NON)), "VIA_Positive")
+            .when(
+                (m == cyt_positive_method) & (cyt == "> Ascus") & cyt_pos_colpo,
+                "CYT_Positive",
+            )
+            .when(
+                (m == _HPV)
+                & (
+                    (hpv == "Positive")
+                    & (
+                        (via == "VIA negative")
+                        | (
+                            (via.isNull() | (via == "Unknown"))
+                            & (
+                                (colpo == "Normal")
+                                | ((cyt == "Negative result") | (cyt == _ASCUS))
+                            )
+                        )
+                    )
+                ),
+                "HPV_Negative",
+            )
+            .when((m == _HPV) & (hpv == "Negative result"), "HPV_Negative")
+            .when((m == _VIA) & (via == "VIA negative"), "VIA_Negative")
+            .when(
+                ((m == "Cytology") & ((cyt == "Negative result") | (cyt == _ASCUS)))
+                | ((cyt == "> Ascus") & (colpo == "Normal")),
+                "CYT_Negative",
+            )
+            .when(via == _VIA_POS_NON, "VIA_Suspected")
+        )
+
+    _shared = [
+        ("screening_type", "Screen_Type"),
+        ("screening_method", "Screen_Method"),
+        ("hpv_subtype", "HPV_SubType"),
+        ("date_hpv_test_was_done", "HPV_DAN_SampleCollected_Date"),
+        ("hpv_dna_result_received_date", "HPV_DAN_ResultReceived_Date"),
+        ("ccs_hpv_result", "HPV_Result"),
+        ("date_via_result", "VIA_Screening_Date"),
+        ("ccs_via_result", "VIA_Screening_Result"),
+        ("cytology_sample_collection_date", "Cytology_SampleCollected_Date"),
+        ("date_cytology_result_received", "Cytology_ResultReceived_Date"),
+        ("cytology_result", "Cytology_Result"),
+        ("colposcopy_exam_date", "Colposcopy_Exam_Date"),
+        ("colposcopy_exam_finding", "Colposcopy_Exam_Result"),
+        ("biopsy_sample_collected_date", "Biopsy_SampleCollected_Date"),
+        ("biopsy_result_received_date", "Biopsy_ResultReceived_Date"),
+        ("biopsy_result", "Biopsy_Result"),
+        ("ccs_precancerous_treat", "TX_Received_for_PrecancerousLesion"),
+        ("confirmed_cervical_cancer_cases_bas", "TX_for_ConfirmedCxCaBasedOn_Biopsy"),
+        ("ccs_treat_received_date", "Date_TX_Given"),
+        ("referral_or_linkage_status", "ReferralStatus"),
+        ("reason_for_referral_cacx", "Reason_for_Referral"),
+        ("date_patient_referred_out", "Date_Referred_to_OtherHF"),
+        ("date_client_arrived_in_the_referred", "Date_Client_Arrived_in_RefferedHF"),
+        ("date_client_served_in_the_referred_", "Date_Client_Served_in_RefferedHF"),
+    ]
+
+    # prev_cxca (:61-213): the re-screening status ladder
+    prev_status = (
+        F.when(
+            (F.datediff(end, F.col("hpv_dna_result_received_date")) > 1095)
+            & (F.col("ccs_hpv_result") == "Negative result"),
+            "Need Re-Screening",
+        )
+        .when(
+            (F.datediff(end, F.col("date_via_result")) > 730)
+            & (F.col("ccs_via_result") == "VIA negative"),
+            "Need Re-Screening",
+        )
+        .when(
+            (F.datediff(end, F.col("date_cytology_result_received")) > 1095)
+            & (F.col("cytology_result") == "Negative result"),
+            "Need Re-Screening",
+        )
+        .when(
+            F.col("ccs_treat_received_date").isNull()
+            & (
+                (F.col("colposcopy_exam_finding") == "High Grade")
+                | (F.col("colposcopy_exam_finding") == "Low Grade")
+                | (F.col("cytology_result") == "> Ascus")
+                | (F.col("ccs_via_result") == _VIA_POS_ELIG)
+                | (F.col("ccs_via_result") == "VIA Positive: Non-Eligible for")
+            ),
+            "Need Re-Screening",
+        )
+        .when(
+            (F.datediff(end, F.col("ccs_treat_received_date")) > 181)
+            & F.col("ccs_treat_received_date").isNotNull(),
+            "Need Post Tx FU Screening",
+        )
+        .when(
+            (F.datediff(end, F.col("hpv_dna_result_received_date")) > 356)
+            & (F.col("ccs_hpv_result") == "Positive")
+            & (F.col("ccs_via_result") == "VIA negative"),
+            "Need Re-Screening",
+        )
+        .when(
+            (F.col("ccs_next_date") <= end) & F.col("ccs_next_date").isNotNull(),
+            "Need Re-Screening",
+        )
+    )
+    prev = episode(fu.filter(F.col("follow_up_date") <= start)).select(
+        "client_id",
+        prev_status.alias("PrevCxCaStatus"),
+        screen_done_date().alias("Prev_CSS_Screen_Done_Date_Calculated"),
+        *[F.col(src).alias(f"Prev_{out}") for src, out in _shared],
+        F.col("ccs_next_date").alias("prev_ccs_next_date"),
+        F.col("screening_status").alias("prev_screening_status"),
+        screen_result(
+            "Post-treatment follow-up at 1 year", [None, "Low Grade", "High Grade"]
+        ).alias("Prev_CCS_Screen_Result"),
+    )
+
+    # curr_cxca (:215-349)
+    curr = episode(
+        fu.filter(
+            (F.col("follow_up_date") >= start) & (F.col("follow_up_date") <= end)
+        )
+    ).select(
+        "client_id",
+        screen_done_date().alias("Curr_CSS_Screen_Done_Date_Calculated"),
+        *[F.col(src).alias(f"Curr_{out}") for src, out in _shared],
+        F.col("ccs_next_date").alias("curr_ccs_next_date"),
+        F.when(
+            (F.col("cca_counselling_given") == "Yes")
+            & F.col("follow_up_date").between(start, end),
+            "Yes",
+        )
+        .otherwise("No")
+        .alias("Counselled"),
+        F.col("accepted").alias("curr_accepted"),
+        screen_result("Cytology", [None, "Low Grade", "2"]).alias(
+            "Curr_CCS_Screen_Result"
+        ),
+    )
+
+    # tx_curr (:351-365)
+    tx = (
+        ranked(
+            fu.filter(F.col("follow_up_date") <= end).select(
+                "client_id",
+                "encounter_id",
+                "follow_up_date",
+                "follow_up_status",
+                "art_end_date",
+            ),
+            ["client_id"],
+            ["follow_up_date"],
+            tiebreak="encounter_id",
+        )
+        .filter(
+            (F.col("row_num") == 1)
+            & F.col("follow_up_status").isin("Alive", "Restart medication")
+            & (F.col("art_end_date") >= end)
+        )
+        .select("encounter_id", F.col("follow_up_status").alias("tc_status"))
+    )
+
+    client = tables["mamba_dim_client"]
+    age = complete_years_between(F.col("date_of_birth"), end)
+    h = (
+        fu.join(tx, on="encounter_id", how="inner")
+        .join(
+            F.broadcast(
+                client.select(
+                    "client_id", "patient_uuid", "mrn", "sex", "date_of_birth"
+                )
+            ),
+            on="client_id",
+            how="left",
+        )
+        .join(prev, on="client_id", how="left")
+        .join(curr, on="client_id", how="left")
+        .filter(
+            age.between(15, 100)
+            & (F.col("sex") == "FEMALE")
+            & (F.col("follow_up_date") < end)
+            & F.col("art_start_date").isNotNull()
+        )
+    )
+
+    eligibility = (
+        F.when(
+            F.col("PrevCxCaStatus").isNull() & F.col("prev_screening_status").isNull(),
+            "Never Screened",
+        )
+        .when(
+            F.col("PrevCxCaStatus").isNull()
+            & (
+                F.col("prev_ccs_next_date").isNull()
+                | (F.col("prev_ccs_next_date") > end)
+            ),
+            "Not Eligible",
+        )
+        .otherwise(F.col("PrevCxCaStatus"))
+    )
+
+    out = h.withColumn("EligibilityReason", eligibility).filter(
+        (F.col("EligibilityReason") != "Not Eligible") | (F.col("Counselled") == "Yes")
+    )
+    return out.select(
+        F.when(F.col("sex") == "FEMALE", "F")
+        .when(F.col("sex") == "MALE", "M")
+        .alias("Sex"),
+        F.col("weight").alias("Weight"),
+        age.alias("Age"),
+        F.col("follow_up_date").alias("FollowUpDate"),
+        F.col("art_start_date").alias("ArtStartDate"),
+        F.col("tc_status").alias("FollowUpStatus"),
+        "next_visit_date",
+        F.substring(F.col("regimen"), 1, 2).alias("ARVRegimen"),
+        F.substring(F.col("regimen"), 1, 1).alias("RegimenLine"),
+        F.col("dose_days").alias("ARTDoseDays"),
+        "Prev_CSS_Screen_Done_Date_Calculated",
+        F.col("prev_ccs_next_date").alias("Prev_AppointmentDate_4_CCS"),
+        "EligibilityReason",
+        *[f"Prev_{out_name}" for _, out_name in _shared],
+        "Prev_CCS_Screen_Result",
+        F.when(F.col("follow_up_date").between(start, end), "Yes")
+        .otherwise("No")
+        .alias("Seen"),
+        "Curr_CSS_Screen_Done_Date_Calculated",
+        "Counselled",
+        F.col("curr_accepted").alias("Accepted"),
+        *[f"Curr_{out_name}" for _, out_name in _shared],
+        "Curr_CCS_Screen_Result",
+        F.col("curr_ccs_next_date").alias("Next_AppointmentDate_4_CCS"),
+        F.col("patient_uuid").alias("PatientGUID"),
+    )

@@ -71,6 +71,17 @@ def _report_specs() -> list[QuerySpec]:
         ("m07_pmtct_hei", "PMTCT_HEI_LineList", LL.pmtct_hei_linelist),
         ("m08_tx_curr_hvl", "Tx_Curr_HVL_LineList", LL.tx_curr_hvl_linelist),
         ("m09_tx_curr_ahd", "Tx_Curr_AHD_LineList", LL.tx_curr_ahd_linelist),
+        (
+            "m10_vl_eligible",
+            "Tx_Curr_VLEligible_LineList",
+            LL.tx_curr_vl_eligible_linelist,
+        ),
+        (
+            "m11_vl_eligible_new",
+            "Tx_Curr_VLEligibleNew_LineList",
+            LL.tx_curr_vl_eligible_new_linelist,
+        ),
+        ("m12_cca_new", "Tx_Curr_CCANew_LineList", LL.tx_curr_cca_new_linelist),
     ]
 
     try:
@@ -98,8 +109,12 @@ def _report_specs() -> list[QuerySpec]:
                 case_map = {c.lower(): c for c in target}
                 cols = [case_map.get(c.lower(), c) for c in cols]
             return df.select(
-                *[F.col(f"`{c}`").cast("string").alias(cols[i])
-                  for i, c in enumerate(df.columns)]
+                *[
+                    F.regexp_replace(
+                        F.col(f"`{c}`").cast("string"), " 00:00:00$", ""
+                    ).alias(cols[i])
+                    for i, c in enumerate(df.columns)
+                ]
             )
 
         return build
@@ -155,9 +170,14 @@ def _build_oracles(reports, paths):
         )
         if n == 0:
             body = f"WITH {tables_cte}\n{sql}"
-        # all-VARCHAR outer select: the driver's canonicalization treats
-        # DATE and midnight TIMESTAMP differently across engines
-        body = f"SELECT COLUMNS(*)::VARCHAR FROM (\n{body}\n) __q"
+        # all-VARCHAR outer select with midnight-timestamp suffixes
+        # stripped (applied on the Spark side too): the driver's
+        # canonicalization treats DATE and midnight TIMESTAMP
+        # differently across engines
+        body = (
+            "SELECT regexp_replace(COLUMNS(*)::VARCHAR, ' 00:00:00$', '') "
+            f"FROM (\n{body}\n) __q"
+        )
         try:
             duck_cols[name] = list(con.sql(f"{body} LIMIT 0").df().columns)
         except Exception:

@@ -224,6 +224,47 @@ def test_tx_curr_ahd_linelist_parity(spark, fixture_env):
     _assert_parity(mine, oracle, "Tx_Curr_AHD_LineList.sql")
 
 
+def test_tx_curr_vl_eligible_linelist_parity(spark, fixture_env):
+    from data_export_tool_spark.mamba.linelists import tx_curr_vl_eligible_linelist
+    from data_export_tool_spark.mamba.reports import QUERY_PATCHES
+    from data_export_tool_spark.plans.dialect import shim_mysql_to_duckdb
+
+    frames, con, _ = fixture_env
+    mine = tx_curr_vl_eligible_linelist(frames, WINDOW_START, WINDOW_END).toPandas()
+    sql = open(
+        os.path.join(REFERENCE_SQL_DIR, "Tx_Curr_VLEligible_LineList.sql")
+    ).read()
+    oracle = con.sql(
+        shim_mysql_to_duckdb(
+            sql, PARAMS, QUERY_PATCHES.get("Tx_Curr_VLEligible_LineList")
+        )
+    ).df()
+    assert len(mine) > 20, "VL-eligible cohort unexpectedly small — fixture drift?"
+    _assert_parity(mine, oracle, "Tx_Curr_VLEligible_LineList.sql")
+
+
+def test_tx_curr_vl_eligible_new_linelist_parity(spark, fixture_env):
+    from data_export_tool_spark.mamba.linelists import (
+        tx_curr_vl_eligible_new_linelist,
+    )
+
+    frames, con, _ = fixture_env
+    mine = tx_curr_vl_eligible_new_linelist(frames, WINDOW_START, WINDOW_END).toPandas()
+    oracle = _reference_on_duckdb(con, "Tx_Curr_VLEligibleNew_LineList.sql")
+    assert len(mine) > 0, "VL-eligible-new cohort empty — fixture drift?"
+    _assert_parity(mine, oracle, "Tx_Curr_VLEligibleNew_LineList.sql")
+
+
+def test_tx_curr_cca_new_linelist_parity(spark, fixture_env):
+    from data_export_tool_spark.mamba.linelists import tx_curr_cca_new_linelist
+
+    frames, con, _ = fixture_env
+    mine = tx_curr_cca_new_linelist(frames, WINDOW_START, WINDOW_END).toPandas()
+    oracle = _reference_on_duckdb(con, "Tx_Curr_CCANew_LineList.sql")
+    assert len(mine) > 0, "CCANew cohort empty — fixture drift?"
+    _assert_parity(mine, oracle, "Tx_Curr_CCANew_LineList.sql")
+
+
 # ---- transpile path: every reference report through spark.sql ------------
 
 

@@ -55,7 +55,7 @@ def main() -> None:
     # fixtures — they don't scale with sf, so they'd distort the
     # catalog-vs-sf metric; their correctness runs in the driver gate
     # and their runtime in the pytest parity suite
-    specs = {n: s for n, s in specs.items() if not n.startswith("m0")}
+    specs = {n: s for n, s in specs.items() if not n.startswith("m")}
 
     timings: dict[str, float] = {}
     for name, spec in sorted(specs.items()):

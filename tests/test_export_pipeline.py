@@ -254,6 +254,42 @@ def test_connect_warehouse_partitions_follow_up_shards(spark):
     assert calls["mamba_dim_location"] is None
 
 
+# ---- CLI: reference config end-to-end -------------------------------------
+
+
+@pytest.mark.skipif(
+    not os.path.exists("/root/reference/export_config.json"),
+    reason="reference tree not available",
+)
+def test_cli_reference_config_end_to_end(spark, tmp_path):
+    """python -m data_export_tool_spark against the REFERENCE'S OWN
+    export_config.json over a parquet warehouse: all 12 reports run
+    through the shim, facility identity is looked up (S4), and the
+    checksummed package lands with the reference's naming."""
+    from data_export_tool_spark.__main__ import main
+    from data_export_tool_spark.mamba.fixture_store import (
+        ensure_fixture_parquet,
+        fixture_dir,
+    )
+
+    ensure_fixture_parquet()
+    rc = main(
+        [
+            "--config", "/root/reference/export_config.json",
+            "--month", "Sene",
+            "--year", "2015",
+            "--out", str(tmp_path),
+            "--parquet-warehouse", fixture_dir(),
+        ]
+    )
+    assert rc == 0
+    zips = list(tmp_path.glob("*_packaged18.zip"))
+    assert len(zips) == 1
+    assert zips[0].name == "AdamaGeneralHospitalH-12345_Sene_2015_packaged18.zip"
+    # CSVs deleted after packaging (reference parity)
+    assert not list(tmp_path.glob("*.csv"))
+
+
 # ---- dialect shim (§4/§7.4) ------------------------------------------------
 
 

@@ -1,0 +1,115 @@
+"""Physical-plan contracts (SURVEY.md §4 / the 100 TB design point).
+
+Correctness tests prove the numbers; these prove the PLANS — the
+properties that decide whether a query survives a 1000-executor,
+100 TB run: filters reach the parquet scan, projections prune the read
+schema, small dimensions broadcast, candidate generation never goes
+cartesian, and the as-of join carries no retry-unsafe row ids.
+Planning only — nothing executes.
+"""
+
+from __future__ import annotations
+
+import re
+
+import pytest
+
+from data_export_tool_spark.queries import all_queries
+
+SPECS = all_queries()
+
+
+def plan_of(spark, sf_dir, name: str) -> str:
+    df = SPECS[name].builder(spark, sf_dir)
+    return df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+
+
+def op_counts(plan: str) -> dict[str, int]:
+    """Unique physical operators by id (the formatted mode prints each
+    operator twice: once in the tree, once in the detail section)."""
+    ops: dict[int, str] = {}
+    for m in re.finditer(r"^\((\d+)\) (\S+)", plan, re.MULTILINE):
+        ops[int(m.group(1))] = m.group(2)
+    out: dict[str, int] = {}
+    for op in ops.values():
+        out[op] = out.get(op, 0) + 1
+    return out
+
+
+def test_filter_pushdown_reaches_scan(spark, sf_dir):
+    # q09's ship-window predicate must land in PushedFilters, not a
+    # post-scan Filter only
+    plan = plan_of(spark, sf_dir, "q09_shipments_in_window")
+    assert "PushedFilters: [" in plan
+    pushed = [
+        l for l in plan.splitlines() if "PushedFilters" in l and "[]" not in l
+    ]
+    assert pushed, "no non-empty PushedFilters in q09's scan"
+
+
+def test_column_pruning_in_read_schema(spark, sf_dir):
+    # q01 touches 7 of lineitem's 16 columns; the scan must not read
+    # the full row
+    plan = plan_of(spark, sf_dir, "q01_pricing_summary")
+    read = [l for l in plan.splitlines() if "ReadSchema" in l]
+    assert read
+    assert "l_comment" not in read[0], "scan reads unprojected columns"
+
+
+def test_dimension_joins_broadcast(spark, sf_dir):
+    # q16 joins region/nation dims: tiny sides must broadcast, never
+    # shuffle the fact on a dim join
+    plan = plan_of(spark, sf_dir, "q16_regional_sales")
+    assert "BroadcastHashJoin" in plan
+
+
+def test_minhash_lsh_no_cartesian(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "d04_doc_minhash_lsh")
+    assert "CartesianProduct" not in plan
+    # the candidate join is an equi-join on the band key
+    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_near_dup_default_no_collect_no_cartesian(spark, sf_dir):
+    # v02's default path: banded self-equi-join; the corpus is never
+    # broadcast wholesale and no all-pairs product appears
+    plan = plan_of(spark, sf_dir, "v02_embedding_near_dups")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_brute_force_broadcasts_queries_not_corpus(spark, sf_dir):
+    # v01: the tiny query batch broadcasts; the corpus is scanned once
+    plan = plan_of(spark, sf_dir, "v01_embedding_topk")
+    counts = op_counts(plan)
+    assert counts.get("BroadcastExchange", 0) == 1  # the query batch
+    # two scans total: query batch + ONE corpus pass
+    assert counts.get("Scan", 0) == 2
+
+
+def test_asof_join_plan_is_retry_safe(spark, sf_dir):
+    # the as-of rewrite must not rely on monotonically_increasing_id
+    # (recomputed on task retry) nor a global row_number window
+    plan = plan_of(spark, sf_dir, "q08_asof_last_shipment")
+    assert "monotonically_increasing_id" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_ivf_probe_join_broadcasts(spark, sf_dir):
+    # v04: probes (queries x n_probe cells) broadcast to the assigned
+    # corpus — the corpus itself never shuffles for the probe join
+    plan = plan_of(spark, sf_dir, "v04_embedding_ivf_topk")
+    assert "BroadcastHashJoin" in plan
+
+
+def test_simhash_single_aggregate_shuffle(spark, sf_dir):
+    # d07: per self-join side, the signature is explode + ONE
+    # map-side-combining groupBy — bounded exchange count: 2 fan_out
+    # repartitions + 2 signature aggregates + band join + final distinct
+    plan = plan_of(spark, sf_dir, "d07_doc_simhash_pairs")
+    counts = op_counts(plan)
+    n_exchanges = counts.get("Exchange", 0) + counts.get("BroadcastExchange", 0)
+    assert n_exchanges <= 7, counts
+    assert "CartesianProduct" not in plan

@@ -103,6 +103,27 @@ def hourly_counts_stream(
     )
 
 
+def dedup_stream(
+    events: DataFrame,
+    keys: list[str] | None = None,
+    watermark: str = "2 hours",
+    time_col: str = "ts",
+) -> DataFrame:
+    """Streaming exact-dedup: drop repeated ``keys`` within the
+    watermark horizon (``dropDuplicatesWithinWatermark`` — state for a
+    key is freed once the watermark passes its event time, so state
+    stays bounded at any stream length; a plain ``dropDuplicates`` on a
+    stream would accumulate keys forever).
+
+    The streaming twin of the batch exact-dedup tier
+    (operators/dedup.dedup_exact): at-most-once per key within the
+    lateness horizon. Duplicates separated by more than the watermark
+    can both survive — that's the bounded-state contract at 100 TB/day.
+    """
+    out = events.withWatermark(time_col, watermark)
+    return out.dropDuplicatesWithinWatermark(keys or ["event_id"])
+
+
 SESSION_OUTPUT_SCHEMA = StructType(
     [
         StructField("user_id", LongType()),

@@ -191,3 +191,57 @@ def test_conditional_agg_pivot(spark):
         },
     ).first()
     assert row.ti_total == 8 and row.nti_total == 2
+
+
+def test_salted_join_matches_unsalted(spark):
+    from data_export_tool_spark.operators.skew import salted_join
+
+    # one hot key (90% of rows) + a long tail
+    left = spark.createDataFrame(
+        [(1 if i < 900 else i, float(i)) for i in range(1000)], "k long, v double"
+    )
+    right = spark.createDataFrame(
+        [(i, f"r{i}") for i in range(0, 200)], "k long, name string"
+    )
+    expected = sorted(map(tuple, left.join(right, "k").collect()))
+    got = sorted(map(tuple, salted_join(left, right, on=["k"], salt=8).collect()))
+    assert got == expected
+    # left join keeps unmatched rows as nulls, same as unsalted
+    exp_l = sorted(map(tuple, left.join(right, "k", "left").collect()))
+    got_l = sorted(
+        map(tuple, salted_join(left, right, on=["k"], salt=8, how="left").collect())
+    )
+    assert got_l == exp_l
+
+
+def test_two_phase_agg_matches_direct(spark):
+    from data_export_tool_spark.operators.skew import two_phase_agg
+
+    df = spark.createDataFrame(
+        [(1 if i % 10 else 2, i, float(i % 7)) for i in range(1000)],
+        "k long, n long, x double",
+    )
+    got = {
+        r.k: (r.count_n, r.min_n, r.max_x)
+        for r in two_phase_agg(
+            df, ["k"], {"n": "count"}, salt=4
+        )
+        .join(two_phase_agg(df, ["k"], {"n": "min"}, salt=4), "k")
+        .join(two_phase_agg(df, ["k"], {"x": "max"}, salt=4), "k")
+        .collect()
+    }
+    exp = {
+        r.k: (r.c, r.mn, r.mx)
+        for r in df.groupBy("k")
+        .agg(
+            F.count("n").alias("c"),
+            F.min("n").alias("mn"),
+            F.max("x").alias("mx"),
+        )
+        .collect()
+    }
+    assert got == exp
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="non-decomposable"):
+        two_phase_agg(df, ["k"], {"x": "avg"})

@@ -68,6 +68,36 @@ def test_hourly_counts_stream_matches_batch(spark, sf_dir, event_drop_dir):
     assert got == expected
 
 
+def test_dedup_stream_matches_batch_distinct(spark, event_drop_dir, tmp_path):
+    """dropDuplicatesWithinWatermark twin: duplicated drops in, each
+    event_id out exactly once (all dups land within the horizon)."""
+    from data_export_tool_spark.streaming.events import dedup_stream
+
+    dup_dir = str(tmp_path / "dup_drops")
+    ev = spark.read.parquet(event_drop_dir)
+    if dict(ev.dtypes).get("ts") == "bigint":
+        ev = ev.withColumn("ts", F.timestamp_micros((F.col("ts") / 1000).cast("long")))
+    ev.write.mode("overwrite").parquet(dup_dir)
+    ev.write.mode("append").parquet(dup_dir)  # every event twice
+
+    stream = read_events_stream(spark, dup_dir, max_files_per_trigger=4)
+    out_dir = str(tmp_path / "dedup_out")
+    q = (
+        dedup_stream(stream)
+        .writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", str(tmp_path / "dedup_ckpt"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.read.parquet(out_dir)
+    n_unique = ev.select("event_id").distinct().count()
+    assert got.count() == n_unique
+    assert got.select("event_id").distinct().count() == n_unique
+
+
 def test_sessionize_stream_matches_batch_sessions(spark, event_drop_dir, tmp_path):
     """applyInPandasWithState sessionization with EVENT-TIME timeouts:
     every emitted session must be exactly a session the batch gap-split

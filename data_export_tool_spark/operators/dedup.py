@@ -268,23 +268,24 @@ def simhash(
         F.col(id_col),
         F.explode(F.split(normalize_text(F.col(text_col)), " ")).alias("tok"),
     ).withColumn("h", portable_hash64(F.col("tok")))
+    # the 64 vote aggregates and the 64-way signature OR are built as
+    # SQL strings (one JVM-side parse each) rather than 64×N Column
+    # calls — the py4j round trips to construct that tree cost multiple
+    # seconds per invocation, dwarfing the actual execution
     votes = toks.groupBy(id_col).agg(
         *[
-            F.sum(
-                F.when(F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) == 1, 1)
-                .otherwise(-1)
-            ).alias(f"v{i}")
+            F.expr(
+                f"sum(case when (shiftright(h, {i}) & 1) = 1"
+                f" then 1 else -1 end) as v{i}"
+            )
             for i in range(bits)
         ]
     )
-    sig = F.lit(0).cast("long")
-    for i in range(bits):
-        sig = sig.bitwiseOR(
-            F.when(
-                F.col(f"v{i}") > 0, F.shiftleft(F.lit(1).cast("long"), i)
-            ).otherwise(F.lit(0).cast("long"))
-        )
-    return votes.select(F.col(id_col), sig.alias("simhash"))
+    sig_sql = " | ".join(
+        f"(case when v{i} > 0 then shiftleft(1L, {i}) else 0L end)"
+        for i in range(bits)
+    )
+    return votes.select(F.col(id_col), F.expr(f"({sig_sql}) as simhash"))
 
 
 def hamming64(a: Column, b: Column) -> Column:

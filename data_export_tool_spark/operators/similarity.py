@@ -132,11 +132,37 @@ def _hyperplane(seed: int, dim: int) -> list[float]:
     return vals
 
 
-def rhp_signature(vec: Column, dim: int, n_planes: int = 16, seed: int = 42) -> Column:
-    """Random-hyperplane (SRP) LSH signature as a long bitmask."""
+def rhp_signature(
+    vec: Column | str, dim: int, n_planes: int = 16, seed: int = 42
+) -> Column:
+    """Random-hyperplane (SRP) LSH signature as a long bitmask.
+
+    Pass ``vec`` as a column NAME (str) where possible: the whole
+    signature is then built as ONE SQL string parsed JVM-side. The
+    Column form constructs n_planes higher-order-function folds through
+    py4j — hundreds of round trips that cost ~1s of pure Python/IPC
+    time per call site before Spark sees the plan. Both forms yield
+    bit-identical values (float repr round-trips exactly through the
+    SQL double-literal parser).
+    """
+    if isinstance(vec, str):
+        terms = []
+        for p in range(n_planes):
+            plane = ", ".join(
+                f"{float(v)!r}D" for v in _hyperplane(seed + p, dim)
+            )
+            d = (
+                f"aggregate(zip_with(CAST({vec} AS ARRAY<DOUBLE>), "
+                f"array({plane}), (x, y) -> x * y), 0.0D, "
+                f"(acc, v) -> acc + v)"
+            )
+            terms.append(
+                f"(case when {d} >= 0 then shiftleft(1L, {p}) else 0L end)"
+            )
+        return F.expr("(" + " | ".join(terms) + ")")
     sig = F.lit(0).cast("long")
     for p in range(n_planes):
-        plane = F.array(*[F.lit(v) for v in _hyperplane(seed + p, dim)])
+        plane = F.lit([float(v) for v in _hyperplane(seed + p, dim)])
         bit = F.when(dot(vec.cast("array<double>"), plane) >= 0, 1).otherwise(0)
         sig = sig.bitwiseOR(F.shiftleft(bit.cast("long"), p))
     return sig
@@ -167,7 +193,7 @@ def lsh_topk(
         base = df.select(
             F.col(idc), F.col(vc).cast("array<double>").alias(out_vec)
         ).withColumn(out_norm, l2_norm(F.col(out_vec)))
-        sig = rhp_signature(F.col(out_vec), dim, n_planes, seed)
+        sig = rhp_signature(out_vec, dim, n_planes, seed)
         bands = F.array(
             *[
                 F.shiftright(sig, b * band_bits).bitwiseAND(F.lit(mask)).cast("long")
@@ -185,15 +211,20 @@ def lsh_topk(
         id_col, "neighbor_id"
     )
     qb = with_bands(queries, query_id_col, query_vec_col, "__qv")
-    cand = cb.join(qb, on=["band_idx", "band_key"]).select(
-        query_id_col, "neighbor_id", "__qv", "__cv", "__qvn", "__cvn"
-    ).distinct()
-    scored = cand.select(
-        query_id_col,
-        "neighbor_id",
-        cosine_pre(
-            F.col("__qv"), F.col("__cv"), F.col("__qvn"), F.col("__cvn")
-        ).alias("__cos"),
+    # score every bucket collision, then distinct on the scalar
+    # (query, neighbor, cos) rows — duplicates from multi-band
+    # collisions cost one extra fold each, but the distinct never
+    # hashes/shuffles the 64-double vector payloads
+    scored = (
+        cb.join(qb, on=["band_idx", "band_key"])
+        .select(
+            query_id_col,
+            "neighbor_id",
+            cosine_pre(
+                F.col("__qv"), F.col("__cv"), F.col("__qvn"), F.col("__cvn")
+            ).alias("__cos"),
+        )
+        .distinct()
     )
     w = Window.partitionBy(query_id_col).orderBy(
         F.col("__cos").desc(), F.col("neighbor_id").asc()
@@ -386,7 +417,7 @@ def embedding_near_dup_pairs(
         base = fan_out(df).select(
             F.col(id_col), F.col(vec_col).cast("array<double>").alias("__v")
         ).withColumn("__n", l2_norm(F.col("__v")))
-        sig = rhp_signature(F.col("__v"), dim, n_planes, seed)
+        sig = rhp_signature("__v", dim, n_planes, seed)
         mask = (1 << band_bits) - 1
         bands = F.array(
             *[

@@ -316,28 +316,21 @@ def ivf_topk(
 
     # centroid-literal norms are pre-folded driver-side (py_l2_norm is
     # bitwise-equal to the Spark fold), so assignment costs one dot fold
-    # per (row, centroid) instead of three
-    cent_lits = [F.lit([float(x) for x in ctr]) for ctr in cent]
-    cent_norms = [py_l2_norm(ctr) for ctr in cent]
-    best = F.array_min(
-        F.array(
-            *[
-                F.struct(
-                    (
-                        -cosine_pre(
-                            F.col("__cv"),
-                            cent_lits[j],
-                            F.col("__cn"),
-                            F.lit(cent_norms[j]),
-                        )
-                    ).alias("negsim"),
-                    F.lit(j).alias("cell"),
-                )
-                for j in range(kk)
-            ]
+    # per (row, centroid) instead of three. The whole argmin is ONE SQL
+    # string (kk folds with embedded centroid literals) parsed JVM-side
+    # — the equivalent py4j Column tree costs ~1s to construct per call.
+    terms = []
+    for j in range(kk):
+        lits = ", ".join(f"{float(x)!r}D" for x in cent[j])
+        norm = py_l2_norm(cent[j])
+        terms.append(
+            f"named_struct('negsim', -(aggregate(zip_with(__cv, "
+            f"array({lits}), (x, y) -> x * y), 0.0D, (acc, v) -> acc + v)"
+            f" / (__cn * {float(norm)!r}D)), 'cell', {j})"
         )
+    assigned = c.withColumn(
+        "cell", F.expr(f"array_min(array({', '.join(terms)})).cell")
     )
-    assigned = c.withColumn("cell", best["cell"])
 
     centroids = [(i, [float(x) for x in ctr]) for i, ctr in enumerate(cent)]
     spark = corpus.sparkSession

@@ -29,6 +29,7 @@ class QuerySpec:
 
 def all_queries() -> dict[str, QuerySpec]:
     from data_export_tool_spark.queries import (
+        analytics,
         assets_q,
         docs,
         events_q,
@@ -38,7 +39,7 @@ def all_queries() -> dict[str, QuerySpec]:
     )
 
     specs: dict[str, QuerySpec] = {}
-    for mod in (relational, events_q, docs, vectors, assets_q, mamba_q):
+    for mod in (relational, analytics, events_q, docs, vectors, assets_q, mamba_q):
         for spec in mod.QUERIES:
             if spec.name in specs:
                 raise ValueError(f"duplicate query name: {spec.name}")

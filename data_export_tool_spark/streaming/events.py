@@ -124,6 +124,77 @@ def dedup_stream(
     return out.dropDuplicatesWithinWatermark(keys or ["event_id"])
 
 
+def enrich_stream(events: DataFrame, dim: DataFrame, on: str) -> DataFrame:
+    """Stream-static enrichment join: each micro-batch joins against the
+    (re-read-per-trigger) static dimension. Stateless — no watermark or
+    streaming state involved; Spark broadcasts the dim side when it fits
+    ``autoBroadcastJoinThreshold``, so the stream never shuffles.
+
+    The batch twin is the identical ``events.join(dim, on, "left")``;
+    the parity test pins stream output == batch output over the same
+    files.
+    """
+    return events.join(F.broadcast(dim), on=on, how="left")
+
+
+def upsert_sink(
+    stream: DataFrame,
+    target_path: str,
+    keys: list[str],
+    order_by: list[str] | None = None,
+    checkpoint: str | None = None,
+    trigger_available_now: bool = True,
+):
+    """Incremental CDC apply: each micro-batch of change rows is merged
+    into the parquet ``target_path`` with operators/upsert.merge_upsert
+    (update-beats-existing, optional version ordering) — the streaming
+    form of the c01 catalog entry.
+
+    Write protocol: merge → write to a staging dir → atomic directory
+    swap. Plain parquet cannot be overwritten while it is also the scan
+    source of the same job (and a crash mid-overwrite would corrupt the
+    table); the swap keeps the last committed snapshot intact until the
+    new one is fully written. This is exactly the commit problem table
+    formats (Delta/Iceberg) solve with metadata transactions — on a
+    real lake deployment ``foreachBatch`` would issue MERGE INTO
+    against such a table and the swap disappears; the merge plan
+    itself (one shuffle on the merge keys) is unchanged.
+    """
+    import shutil
+    from pathlib import Path
+
+    from data_export_tool_spark.operators.upsert import merge_upsert
+    from data_export_tool_spark.operators.window_dedup import latest_per_key
+
+    spark = stream.sparkSession
+
+    # foreachBatch functions execute on the DRIVER (only the plans they
+    # build run on executors), so plain imports are safe here
+    def apply_batch(batch: DataFrame, batch_id: int) -> None:
+        tgt = Path(target_path)
+        if tgt.exists():
+            current = spark.read.parquet(target_path)
+            merged = merge_upsert(current, batch, keys, order_by=order_by)
+        elif order_by is None:
+            merged = batch
+        else:
+            merged = latest_per_key(batch, keys, order_by)
+        staging = f"{target_path}__staging_{batch_id}"
+        merged.write.mode("overwrite").parquet(staging)
+        old = f"{target_path}__old_{batch_id}"
+        if tgt.exists():
+            tgt.rename(old)
+        Path(staging).rename(target_path)
+        shutil.rmtree(old, ignore_errors=True)
+
+    writer = stream.writeStream.foreachBatch(apply_batch).outputMode("update")
+    if checkpoint:
+        writer = writer.option("checkpointLocation", checkpoint)
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
 SESSION_OUTPUT_SCHEMA = StructType(
     [
         StructField("user_id", LongType()),

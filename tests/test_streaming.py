@@ -173,3 +173,82 @@ def test_sessionize_stream_matches_batch_sessions(spark, event_drop_dir, tmp_pat
     }
     assert got, "stream emitted no closed sessions"
     assert got <= expected
+
+
+def test_enrich_stream_matches_batch_join(spark, event_drop_dir, tmp_path):
+    """Stream-static broadcast join: stream output == batch left join
+    over the same files."""
+    from data_export_tool_spark.streaming.events import enrich_stream
+
+    dim = spark.createDataFrame(
+        [(i, "gold" if i % 3 == 0 else "basic") for i in range(0, 200)],
+        "user_id long, tier string",
+    )
+    stream = read_events_stream(spark, event_drop_dir, max_files_per_trigger=2)
+    q = (
+        enrich_stream(stream, dim, on="user_id")
+        .writeStream.format("memory")
+        .queryName("enrich_stream_test")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r.event_id, r.tier)
+        for r in spark.sql("SELECT event_id, tier FROM enrich_stream_test").collect()
+    }
+    ev = spark.read.parquet(event_drop_dir)
+    expected = {
+        (r.event_id, r.tier)
+        for r in ev.join(dim, "user_id", "left").select("event_id", "tier").collect()
+    }
+    assert got == expected
+
+
+def test_upsert_sink_applies_changesets_in_order(spark, tmp_path):
+    """foreachBatch CDC apply: sequential changeset drops merged into a
+    parquet target must equal the batch merge of the same changesets."""
+    import time as _time
+
+    from data_export_tool_spark.operators.upsert import merge_upsert
+    from data_export_tool_spark.streaming.events import upsert_sink
+
+    drops = tmp_path / "cs_drops"
+    drops.mkdir()
+    cs1 = spark.createDataFrame(
+        [(k, 1, f"v1-{k}") for k in range(1, 11)], "k long, seq long, payload string"
+    )
+    cs2 = spark.createDataFrame(
+        [(k, 2, f"v2-{k}") for k in range(5, 13)], "k long, seq long, payload string"
+    )
+    # FileStreamSource orders same-mtime files arbitrarily; sequential
+    # writes with a >1s gap pin the micro-batch order
+    cs1.coalesce(1).write.parquet(str(drops / "cs1"))
+    _time.sleep(1.2)
+    cs2.coalesce(1).write.parquet(str(drops / "cs2"))
+
+    stream = (
+        spark.readStream.schema("k long, seq long, payload string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(drops / "*"))
+    )
+    target = str(tmp_path / "target")
+    q = upsert_sink(
+        stream,
+        target,
+        keys=["k"],
+        order_by=["seq"],
+        checkpoint=str(tmp_path / "ckpt"),
+    )
+    q.awaitTermination(120)
+
+    got = {
+        (r.k, r.seq, r.payload) for r in spark.read.parquet(target).collect()
+    }
+    expected = {
+        (r.k, r.seq, r.payload)
+        for r in merge_upsert(cs1, cs2, ["k"], order_by=["seq"]).collect()
+    }
+    assert got == expected
+    assert len(got) == 12  # 1-4 from cs1, 5-12 from cs2

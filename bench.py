@@ -65,18 +65,35 @@ def main() -> None:
         )
 
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "catalog_total_wall",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf,
-                "protocol": f"median_of_{n_runs}_after_warmup",
-            }
-        )
-    )
+    out = {
+        "metric": "catalog_total_wall",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        "protocol": f"median_of_{n_runs}_after_warmup",
+    }
+    # the catalog GROWS round over round, so the headline total is not
+    # comparable across rounds; also publish the total over exactly the
+    # query set of each earlier round's recorded bench
+    import glob
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    for prior in sorted(glob.glob(os.path.join(here, "BENCH_r*.json"))):
+        try:
+            with open(prior) as fh:
+                prev = json.load(fh)
+            # driver-recorded files wrap the bench line under "parsed"
+            prev = prev.get("parsed", prev) or {}
+            shared = [q for q in prev.get("queries", {}) if q in timings]
+            if shared:
+                tag = os.path.basename(prior)[len("BENCH_") : -len(".json")]
+                out[f"subset_total_{tag}"] = round(
+                    sum(timings[q] for q in shared), 3
+                )
+        except (OSError, ValueError):
+            continue
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

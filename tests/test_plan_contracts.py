@@ -113,3 +113,46 @@ def test_simhash_single_aggregate_shuffle(spark, sf_dir):
     n_exchanges = counts.get("Exchange", 0) + counts.get("BroadcastExchange", 0)
     assert n_exchanges <= 7, counts
     assert "CartesianProduct" not in plan
+
+
+def test_running_window_single_exchange(spark, sf_dir):
+    # q17: cumulative sum + lag + row_number share ONE partitioning and
+    # ordering — a single Exchange on o_custkey, a single Sort feeding
+    # one Window operator (plus the presentational global sort)
+    plan = plan_of(spark, sf_dir, "q17_running_revenue")
+    counts = op_counts(plan)
+    assert counts.get("Window", 0) <= 2, counts  # frame + frameless group
+    # one shuffle for the window, one range-exchange for the output sort
+    assert counts.get("Exchange", 0) <= 2, counts
+
+
+def test_rollup_is_expand_plus_one_aggregate_pass(spark, sf_dir):
+    # q18: ROLLUP plans as Expand -> hash aggregate; all grouping levels
+    # in one pass over the fact, dims broadcast
+    plan = plan_of(spark, sf_dir, "q18_rollup_sales")
+    counts = op_counts(plan)
+    assert counts.get("Expand", 0) == 1, counts
+    assert "BroadcastHashJoin" in plan
+    assert counts.get("Exchange", 0) <= 2, counts  # agg shuffle + sort
+
+
+def test_pinned_pivot_runs_no_distinct_job(spark, sf_dir):
+    # q22 pins pivot values: ONE scan of orders and no distinct-values
+    # discovery pass (an unpinned pivot runs a separate collect job
+    # first — invisible in this plan but it would show as work before
+    # planning; the pinned plan is (status,priority) count -> pivotfirst)
+    plan = plan_of(spark, sf_dir, "q22_priority_pivot")
+    counts = op_counts(plan)
+    assert counts.get("Scan", 0) == 1, counts
+    assert counts.get("Exchange", 0) <= 3, counts
+    assert "pivotfirst" in plan
+
+
+def test_upsert_single_shuffle_on_merge_key(spark, sf_dir):
+    # c01: union + window dedup — the merge costs ONE exchange on the
+    # merge key (plus the presentational sort); no join appears at all
+    plan = plan_of(spark, sf_dir, "c01_orders_upsert")
+    counts = op_counts(plan)
+    joins = [k for k in counts if "Join" in k]
+    assert not joins, counts
+    assert counts.get("Exchange", 0) <= 2, counts

@@ -1,0 +1,127 @@
+"""Distributed connected components (duplicate-cluster resolution).
+
+Near-dup detection (MinHash-LSH, SimHash, embedding-cosine — see
+``operators/dedup.py`` / ``operators/similarity.py``) emits *pairs*;
+a training-data pipeline then needs the transitive closure of those
+pairs to pick one canonical document per duplicate *cluster*. That is
+connected components over the pair graph.
+
+Algorithm: iterative min-label propagation with pointer jumping
+(Shiloach-Vishkin style, the standard dataflow formulation — see e.g.
+Kiveris et al., "Connected Components in MapReduce and Beyond",
+SoCC'14, whose alternating-star algorithm has the same O(log n) round
+bound). Each round:
+
+1. neighbor-min: ``c(u) ← min(c(u), min over neighbors v of c(v))``
+   — one shuffle on the node id;
+2. pointer jump:  ``c(u) ← c(c(u))`` — one self-join of the label
+   table, halving chain lengths so convergence is O(log n) rounds even
+   for path graphs (plain label propagation needs O(diameter)).
+
+Scale notes (100 TB):
+- State per round is one (node, label) table — O(V) rows, never the
+  doc bodies. Labels are the numeric/string node ids themselves.
+- ``localCheckpoint`` truncates lineage each round; without it the
+  plan doubles per iteration and the job dies on plan-size long before
+  data size matters.
+- The convergence check is an aggregate (count of changed labels), one
+  tiny job per round on data already checkpointed.
+- Deterministic under retries/partitioning: every operation is a
+  commutative min — no ordering or partition-id dependence.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def connected_components(
+    edges: DataFrame,
+    src: str = "id_a",
+    dst: str = "id_b",
+    out_node: str = "node",
+    out_comp: str = "component_id",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Connected components of the undirected graph given by pair rows.
+
+    Returns one row per distinct node appearing in ``edges`` with its
+    component representative (the minimum node id in the component).
+    The result is deterministic and retry-safe (pure min-aggregation).
+
+    ``max_iter`` bounds the pointer-jumping loop; with jumping the
+    rounds needed are O(log n), so 25 covers any graph that fits in a
+    cluster. Raises if the loop fails to converge within the bound
+    (diagnosing a bug beats silently wrong clusters).
+    """
+    u, v = F.col(src), F.col(dst)
+    # materialize the (possibly expensive) pair pipeline ONCE before the
+    # symmetric union references it twice
+    pairs = edges.select(u.alias("u"), v.alias("v")).localCheckpoint(eager=True)
+    sym = (
+        pairs.select(F.col("u").alias("n"), F.col("v").alias("m"))
+        .union(pairs.select(F.col("v").alias("n"), F.col("u").alias("m")))
+    ).localCheckpoint(eager=True)
+    # labels start as each node's own id (self-edge min == identity)
+    labels = (
+        sym.groupBy("n").agg(F.least(F.min("m"), F.col("n")).alias("c"))
+    ).localCheckpoint(eager=True)
+
+    for _ in range(max_iter):
+        # 1) neighbor-min: pull each neighbor's current label
+        nbr = (
+            sym.join(labels.withColumnRenamed("n", "m"), "m")
+            .groupBy("n")
+            .agg(F.min("c").alias("c"))
+        )
+        stepped = (
+            labels.union(nbr).groupBy("n").agg(F.min("c").alias("c"))
+        )
+        # 2) pointer jump: c(u) <- c(c(u))
+        jump = labels.select(
+            F.col("n").alias("c"), F.col("c").alias("cc")
+        )
+        new_labels = (
+            stepped.join(jump, "c", "left")
+            .select("n", F.least(F.col("c"), F.col("cc")).alias("c"))
+        ).localCheckpoint(eager=True)
+
+        changed = (
+            new_labels.join(labels.withColumnRenamed("c", "c_old"), "n")
+            .filter(F.col("c") != F.col("c_old"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    else:
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} rounds"
+        )
+
+    return labels.select(
+        F.col("n").alias(out_node), F.col("c").alias(out_comp)
+    )
+
+
+def duplicate_clusters(
+    pairs: DataFrame,
+    src: str = "id_a",
+    dst: str = "id_b",
+    id_out: str = "doc_id",
+) -> DataFrame:
+    """Resolve near-dup pairs into clusters: one row per clustered doc
+    with its cluster representative (min doc id — the canonical "keep"
+    document) and the cluster size.
+
+    Composition: ``connected_components`` + one count window on the
+    component key. Docs not appearing in any pair are untouched (the
+    usual pipeline keeps them unconditionally; joining this result back
+    with ``how="left_anti"`` on ``doc_id != component_id`` drops
+    non-canonical members).
+    """
+    comp = connected_components(pairs, src=src, dst=dst, out_node=id_out)
+    w = F.count(F.lit(1)).over(Window.partitionBy("component_id"))
+    return comp.select(id_out, "component_id", w.alias("cluster_size"))

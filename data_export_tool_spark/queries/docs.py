@@ -312,6 +312,153 @@ WHERE bit_count(xor(a.sig, b2.sig)) <= 8
 D07_ORACLE = _simhash_oracle()
 
 
+# --------------------------------------------------------------------------
+# d08 — duplicate clusters: transitive closure of the LSH-gated Jaccard
+# pairs (d03) via distributed connected components, picking the min
+# doc_id as each cluster's canonical representative. The oracle runs
+# the identical pair pipeline then a recursive-CTE transitive closure
+# (O(n·m) — fine for the oracle, never the engine path).
+# --------------------------------------------------------------------------
+def d08_doc_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_export_tool_spark.operators.graph import duplicate_clusters
+
+    docs = Catalog(spark, sf_dir).load("documents")
+    cand = minhash_lsh_candidates(
+        docs, "doc_id", "text", num_hashes=_NUM_HASHES, bands=_BANDS, shingle_n=3
+    )
+    pairs = ngram_jaccard_pairs(
+        docs, "doc_id", "text", shingle_n=3, threshold=0.5, candidates=cand
+    )
+    return duplicate_clusters(pairs).orderBy("component_id", "doc_id")
+
+
+D08_ORACLE = f"""
+WITH RECURSIVE {_SHINGLES_CTE},
+{_minhash_cand_ctes()},
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM ex GROUP BY doc_id),
+inter AS (
+  SELECT c.id_a, c.id_b, COUNT(*) AS n_inter
+  FROM cand c
+  JOIN ex a ON a.doc_id = c.id_a
+  JOIN ex b ON b.doc_id = c.id_b AND b.s = a.s
+  GROUP BY 1, 2
+),
+pairs AS (
+  SELECT id_a, id_b
+  FROM inter
+  JOIN sizes sa ON sa.doc_id = id_a
+  JOIN sizes sb ON sb.doc_id = id_b
+  WHERE n_inter / (sa.n + sb.n - n_inter) >= 0.5
+),
+edges AS (
+  SELECT id_a AS u, id_b AS v FROM pairs
+  UNION SELECT id_b, id_a FROM pairs
+  UNION SELECT id_a, id_a FROM pairs
+  UNION SELECT id_b, id_b FROM pairs
+),
+reach AS (
+  SELECT u AS n, v AS r FROM edges
+  UNION
+  SELECT reach.n, e.v FROM reach JOIN edges e ON reach.r = e.u
+),
+comp AS (SELECT n AS doc_id, MIN(r) AS component_id FROM reach GROUP BY n)
+SELECT doc_id, component_id,
+       CAST(COUNT(*) OVER (PARTITION BY component_id) AS BIGINT) AS cluster_size
+FROM comp
+ORDER BY component_id, doc_id
+"""
+
+
+# --------------------------------------------------------------------------
+# d09 — deterministic per-language mixture sampling: keep-rate per lang
+# via a pure md5-bucket filter (operators/sampling.py). Rates chosen to
+# down-weight the dominant language — the standard data-mixture shape.
+# --------------------------------------------------------------------------
+_MIX_RATES = {"en": 0.5, "de": 0.3, "fr": 0.3, "es": 0.3, "zh": 0.1}
+
+
+def d09_doc_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_export_tool_spark.operators.sampling import (
+        deterministic_sample,
+        sample_bucket,
+    )
+
+    docs = fan_out(Catalog(spark, sf_dir).load("documents"))
+    kept = deterministic_sample(docs, "doc_id", strata_col="lang", rates=_MIX_RATES)
+    return kept.select(
+        "doc_id",
+        "lang",
+        "source",
+        sample_bucket(F.col("doc_id")).alias("sample_bucket"),
+    ).orderBy("doc_id")
+
+
+def _mixture_oracle() -> str:
+    bucket = "(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 9, 8))::UBIGINT % 1000000)"
+    thresh = (
+        "CASE lang "
+        + " ".join(
+            f"WHEN '{lang}' THEN {int(round(r * 1_000_000))}"
+            for lang, r in sorted(_MIX_RATES.items())
+        )
+        + " ELSE 0 END"
+    )
+    return f"""
+SELECT doc_id, lang, source, CAST({bucket} AS BIGINT) AS sample_bucket
+FROM documents
+WHERE {bucket} < {thresh}
+ORDER BY doc_id
+"""
+
+
+D09_ORACLE = _mixture_oracle()
+
+
+# --------------------------------------------------------------------------
+# d10 — token-budget shard packing: running token sum per language in
+# doc_id order; shard = start-offset // budget (contiguous token
+# ranges, documents never split).
+# --------------------------------------------------------------------------
+_SHARD_BUDGET = 2000
+
+
+def d10_doc_token_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_export_tool_spark.operators.sampling import pack_token_shards
+
+    docs = fan_out(Catalog(spark, sf_dir).load("documents"))
+    toks = docs.select("doc_id", "lang", token_count(F.col("text")).alias("n_tokens"))
+    packed = pack_token_shards(
+        toks, "n_tokens", budget=_SHARD_BUDGET, order_col="doc_id", strata_col="lang"
+    )
+    return packed.select(
+        "doc_id",
+        "lang",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.col("cum_tokens").cast("long").alias("cum_tokens"),
+        "shard_id",
+    ).orderBy("doc_id")
+
+
+D10_ORACLE = f"""
+WITH t AS (
+  SELECT doc_id, lang,
+         len(string_split(trim(text), ' ')) AS n_tok
+  FROM documents
+),
+w AS (
+  SELECT doc_id, lang, n_tok,
+         CAST(SUM(n_tok) OVER (PARTITION BY lang ORDER BY doc_id) AS BIGINT) AS cum
+  FROM t
+)
+SELECT doc_id, lang,
+       CAST(n_tok AS BIGINT) AS n_tokens,
+       cum AS cum_tokens,
+       ((cum - n_tok) // {_SHARD_BUDGET}) AS shard_id
+FROM w
+ORDER BY doc_id
+"""
+
+
 QUERIES = [
     QuerySpec("d01_doc_fingerprints", d01_doc_fingerprints, D01_ORACLE, "dedup:exact-key"),
     QuerySpec("d02_doc_exact_dups", d02_doc_exact_dups, D02_ORACLE, "dedup:exact"),
@@ -320,4 +467,7 @@ QUERIES = [
     QuerySpec("d05_doc_token_stats", d05_doc_token_stats, D05_ORACLE, "text:tokens/quality"),
     QuerySpec("d06_doc_language_id", d06_doc_language_id, D06_ORACLE, "text:langid"),
     QuerySpec("d07_doc_simhash_pairs", d07_doc_simhash_pairs, D07_ORACLE, "dedup:simhash"),
+    QuerySpec("d08_doc_dup_clusters", d08_doc_dup_clusters, D08_ORACLE, "dedup:clusters/connected-components"),
+    QuerySpec("d09_doc_mixture_sample", d09_doc_mixture_sample, D09_ORACLE, "sample:mixture"),
+    QuerySpec("d10_doc_token_shards", d10_doc_token_shards, D10_ORACLE, "pack:token-shards"),
 ]

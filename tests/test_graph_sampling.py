@@ -1,0 +1,125 @@
+"""Connected components, deterministic sampling, and shard packing."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+
+def _cc(spark, pairs, **kw):
+    from data_export_tool_spark.operators.graph import connected_components
+
+    df = spark.createDataFrame(pairs, ["id_a", "id_b"])
+    out = connected_components(df, **kw)
+    return {r["node"]: r["component_id"] for r in out.collect()}
+
+
+def _brute_cc(pairs):
+    """Union-find ground truth."""
+    parent: dict = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return {x: find(x) for x in parent}
+
+
+@pytest.mark.parametrize(
+    "pairs",
+    [
+        [(1, 2)],
+        [(1, 2), (2, 3), (3, 4)],  # path graph: pointer jumping exercised
+        [(1, 2), (3, 4), (5, 6), (2, 3)],  # merge of two chains + island
+        [(10, 1), (9, 1), (8, 1), (2, 9)],  # star with off-center min
+        [(i, i + 1) for i in range(1, 40)],  # long chain, log-round bound
+        [(1, 1), (2, 3), (3, 2)],  # self-loop + cycle
+    ],
+)
+def test_connected_components_matches_union_find(spark, pairs):
+    assert _cc(spark, pairs) == _brute_cc(pairs)
+
+
+def test_connected_components_string_ids(spark):
+    got = _cc(spark, [("b", "c"), ("a", "b"), ("x", "y")])
+    assert got == {"a": "a", "b": "a", "c": "a", "x": "x", "y": "x"}
+
+
+def test_duplicate_clusters_sizes(spark):
+    from data_export_tool_spark.operators.graph import duplicate_clusters
+
+    df = spark.createDataFrame([(1, 2), (2, 3), (7, 9)], ["id_a", "id_b"])
+    rows = {
+        r["doc_id"]: (r["component_id"], r["cluster_size"])
+        for r in duplicate_clusters(df).collect()
+    }
+    assert rows == {1: (1, 3), 2: (1, 3), 3: (1, 3), 7: (7, 2), 9: (7, 2)}
+
+
+def test_deterministic_sample_flat_rate_is_nested(spark):
+    from data_export_tool_spark.operators.sampling import deterministic_sample
+
+    df = spark.range(0, 2000).withColumnRenamed("id", "k")
+    small = {r["k"] for r in deterministic_sample(df, "k", 0.1).collect()}
+    big = {r["k"] for r in deterministic_sample(df, "k", 0.4).collect()}
+    assert small <= big  # nested: lower rate is a subset of higher
+    # rate is approximately honored (md5 buckets are uniform)
+    assert 0.05 < len(small) / 2000 < 0.15
+    assert 0.3 < len(big) / 2000 < 0.5
+    # deterministic across invocations
+    again = {r["k"] for r in deterministic_sample(df, "k", 0.1).collect()}
+    assert small == again
+
+
+def test_deterministic_sample_strata_rates(spark):
+    from data_export_tool_spark.operators.sampling import deterministic_sample
+
+    df = spark.range(0, 1000).select(
+        F.col("id").alias("k"),
+        F.when(F.col("id") % 2 == 0, "a").otherwise("b").alias("s"),
+    )
+    out = deterministic_sample(
+        df, "k", strata_col="s", rates={"a": 1.0, "b": 0.0}
+    )
+    got = out.groupBy("s").count().collect()
+    assert {r["s"]: r["count"] for r in got} == {"a": 500}
+
+
+def test_deterministic_sample_arg_validation(spark):
+    from data_export_tool_spark.operators.sampling import deterministic_sample
+
+    df = spark.range(3)
+    with pytest.raises(ValueError):
+        deterministic_sample(df, "id")
+    with pytest.raises(ValueError):
+        deterministic_sample(df, "id", 0.5, rates={"a": 0.1})
+    with pytest.raises(ValueError):
+        deterministic_sample(df, "id", rates={"a": 0.1})  # no strata_col
+
+
+def test_pack_token_shards_budget_and_order(spark):
+    from data_export_tool_spark.operators.sampling import pack_token_shards
+
+    rows = [(i, "x", 100) for i in range(10)]  # 10 docs x 100 tokens
+    df = spark.createDataFrame(rows, ["doc_id", "lang", "n_tok"])
+    out = pack_token_shards(
+        df, "n_tok", budget=250, order_col="doc_id", strata_col="lang"
+    ).collect()
+    by_id = {r["doc_id"]: r for r in out}
+    # start offsets 0,100,200,... // 250 -> shards 0,0,0,1,1,2,2,2,3,3
+    assert [by_id[i]["shard_id"] for i in range(10)] == [
+        0, 0, 0, 1, 1, 2, 2, 2, 3, 3,
+    ]
+    assert by_id[9]["cum_tokens"] == 1000
+    # no shard exceeds budget by more than one document
+    tot = {}
+    for r in out:
+        tot[r["shard_id"]] = tot.get(r["shard_id"], 0) + 100
+    assert all(t <= 250 + 100 for t in tot.values())

@@ -156,3 +156,26 @@ def test_upsert_single_shuffle_on_merge_key(spark, sf_dir):
     joins = [k for k in counts if "Join" in k]
     assert not joins, counts
     assert counts.get("Exchange", 0) <= 2, counts
+
+
+def test_mixture_sample_is_scanside_filter(spark, sf_dir):
+    # d09: the sampling predicate is a per-row filter directly over the
+    # scan — no shuffle, no join, no window; the one Exchange allowed is
+    # the presentational output sort
+    plan = plan_of(spark, sf_dir, "d09_doc_mixture_sample")
+    counts = op_counts(plan)
+    assert counts.get("Filter", 0) >= 1, counts
+    joins = [k for k in counts if "Join" in k]
+    assert not joins, counts
+    assert counts.get("Exchange", 0) <= 2, counts  # fan_out + output sort
+
+
+def test_token_shards_single_window_pass(spark, sf_dir):
+    # d10: running sum + shard id come out of ONE window (one exchange
+    # on the stratum key + one sort), never a self-join or second pass
+    plan = plan_of(spark, sf_dir, "d10_doc_token_shards")
+    counts = op_counts(plan)
+    assert counts.get("Window", 0) == 1, counts
+    joins = [k for k in counts if "Join" in k]
+    assert not joins, counts
+    assert counts.get("Exchange", 0) <= 3, counts  # fan_out + window + sort

@@ -93,7 +93,12 @@ def e03_event_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     with_gap = ev.select(
         "user_id",
         "event_id",
-        F.unix_millis(F.col("ts")).alias("ts_ms"),
+        # the events parquet may carry TIMESTAMP or TIMESTAMP_NTZ
+        # (driver-generated; the annotation changed between rounds) —
+        # unix_millis only accepts TIMESTAMP, and with the session
+        # pinned to UTC (session.py) the NTZ→TZ cast is wall-clock
+        # exact, matching DuckDB's epoch_ms on the naive value
+        F.unix_millis(F.col("ts").cast("timestamp")).alias("ts_ms"),
     ).withColumn(
         "new_session",
         F.when(

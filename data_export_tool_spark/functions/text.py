@@ -111,3 +111,54 @@ def doc_fingerprint_md5(text: Column) -> Column:
     """MD5 hex fingerprint of normalized text — used when an external
     oracle must reproduce the value (md5 is universal across engines)."""
     return F.md5(normalize_text(text))
+
+
+def word_ngrams_all(text: Column, n: int = 2) -> Column:
+    """ALL word n-grams of normalized text, duplicates preserved
+    (array<string>) — the repetition-analysis counterpart of
+    ``operators.dedup.word_shingles`` (which deduplicates for set
+    semantics). Same JVM higher-order build, no explode here."""
+    toks = F.split(normalize_text(text), " ")
+    n_g = F.greatest(F.size(toks) - F.lit(n - 1), F.lit(1))
+    return F.transform(
+        F.sequence(F.lit(1), n_g),
+        lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+    )
+
+
+#: PII redaction patterns — literal-class regexes valid in BOTH Java
+#: (Spark) and RE2-style engines (no backreferences, no lookbehind), so
+#: an external SQL oracle can replay them verbatim.
+PII_PATTERNS: tuple[tuple[str, str, str], ...] = (
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ipv4", r"\b(?:\d{1,3}\.){3}\d{1,3}\b", "<IP>"),
+    ("ssn", r"\b\d{3}-\d{2}-\d{4}\b", "<SSN>"),
+    ("phone", r"\+?\d[\d\- ()]{7,}\d", "<PHONE>"),
+)
+
+
+def redact_pii(text: Column) -> Column:
+    """Replace emails / IPv4s / SSN-shaped tokens / phone-ish numbers
+    with typed placeholder tags. Pure chained ``regexp_replace`` —
+    JVM-side, codegen-friendly, linear over a 100 TB corpus. Pattern
+    order matters (emails before phones so digits inside addresses
+    aren't half-eaten, SSNs before the looser phone class);
+    ``PII_PATTERNS`` is ordered accordingly."""
+    out = text
+    for _, pattern, tag in PII_PATTERNS:
+        out = F.regexp_replace(out, pattern, tag)
+    return out
+
+
+def pii_match_count(text: Column) -> Column:
+    """Total count of PII-pattern matches in ``text`` (all classes).
+    Counts each class on the PROGRESSIVELY redacted text (same order
+    as ``redact_pii``) so one span is never counted under two classes.
+    One ``regexp_count`` + ``regexp_replace`` pass per pattern, fully
+    JVM-side."""
+    total = F.lit(0)
+    cur = text
+    for _, pattern, tag in PII_PATTERNS:
+        total = total + F.regexp_count(cur, F.lit(pattern))
+        cur = F.regexp_replace(cur, pattern, tag)
+    return total

@@ -459,6 +459,142 @@ ORDER BY doc_id
 """
 
 
+# --------------------------------------------------------------------------
+# d11 — benchmark decontamination: per-training-doc fraction of distinct
+# word 5-grams that also occur in the eval slice (source = 'src0', the
+# stand-in benchmark). Eval n-grams are deduped once and broadcast;
+# training side explodes + joins + one map-side-combining count. The
+# oracle replays the identical two-sided definition.
+# --------------------------------------------------------------------------
+_EVAL_SOURCE = "src0"
+_CONTAM_N = 5
+_CONTAM_THRESHOLD = 0.2
+
+
+def d11_doc_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_export_tool_spark.operators.contamination import contamination_scores
+
+    docs = Catalog(spark, sf_dir).load("documents")
+    train = docs.where(F.col("source") != _EVAL_SOURCE)
+    holdout = docs.where(F.col("source") == _EVAL_SOURCE)
+    scored = contamination_scores(
+        fan_out(train),
+        holdout,
+        n=_CONTAM_N,
+        threshold=_CONTAM_THRESHOLD,
+        keep_cols=("source",),
+    )
+    return scored.select(
+        "doc_id",
+        "source",
+        "n_ngrams",
+        "n_matched",
+        "contamination",
+        F.col("contaminated").cast("int").alias("contaminated"),
+    ).orderBy("doc_id")
+
+
+_NGRAM5_CTE = rf"""
+norm5 AS (SELECT doc_id, source, {_NORM_SQL} AS t FROM documents),
+toks5 AS (SELECT doc_id, source, string_split(t, ' ') AS w FROM norm5),
+sh5 AS (
+  SELECT doc_id, source,
+         list_distinct([array_to_string(w[i:i+{_CONTAM_N - 1}], ' ')
+                        for i in generate_series(1, greatest(len(w)-{_CONTAM_N - 1}, 1))]) AS shingles
+  FROM toks5
+)
+"""
+
+D11_ORACLE = f"""
+WITH {_NGRAM5_CTE},
+ev AS (
+  SELECT DISTINCT unnest(shingles) AS ngram FROM sh5
+  WHERE source = '{_EVAL_SOURCE}'
+),
+train AS (SELECT doc_id, source, shingles FROM sh5 WHERE source <> '{_EVAL_SOURCE}'),
+tr_ex AS (SELECT doc_id, unnest(shingles) AS ngram FROM train),
+matched AS (
+  SELECT doc_id, COUNT(*) AS n_matched
+  FROM tr_ex JOIN ev USING (ngram)
+  GROUP BY doc_id
+),
+scored AS (
+  SELECT t.doc_id, t.source,
+         len(t.shingles) AS n_ngrams,
+         COALESCE(m.n_matched, 0) AS n_matched,
+         ROUND(COALESCE(m.n_matched, 0) / greatest(len(t.shingles), 1), 6)
+           AS contamination
+  FROM train t LEFT JOIN matched m ON t.doc_id = m.doc_id
+)
+SELECT doc_id, source,
+       CAST(n_ngrams AS INT) AS n_ngrams,
+       CAST(n_matched AS BIGINT) AS n_matched,
+       contamination,
+       CAST(contamination >= {_CONTAM_THRESHOLD} AS INT) AS contaminated
+FROM scored
+ORDER BY doc_id
+"""
+
+
+# --------------------------------------------------------------------------
+# d12 — repetition-based quality flags (Gopher/MassiveText-style): share
+# of the modal word bigram and fraction of duplicated trigrams. The
+# bigram mode needs one explode + two map-side-combining aggregations;
+# the trigram dup fraction is pure per-row column algebra.
+# --------------------------------------------------------------------------
+def d12_doc_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_export_tool_spark.operators.quality import repetition_stats
+
+    docs = fan_out(Catalog(spark, sf_dir).load("documents"))
+    stats = repetition_stats(docs, top2_threshold=0.1)
+    return stats.select(
+        "doc_id",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.col("top2_count").cast("long").alias("top2_count"),
+        "top2_frac",
+        "dup3_frac",
+        F.col("repetitive").cast("int").alias("repetitive"),
+    ).orderBy("doc_id")
+
+
+D12_ORACLE = rf"""
+WITH norm AS (SELECT doc_id, {_NORM_SQL} AS t,
+                     len(string_split(trim(text), ' ')) AS n_tokens
+              FROM documents),
+toks AS (SELECT doc_id, n_tokens, string_split(t, ' ') AS w FROM norm),
+grams AS (
+  SELECT doc_id, n_tokens,
+         [array_to_string(w[i:i+1], ' ')
+          for i in generate_series(1, greatest(len(w)-1, 1))] AS g2,
+         [array_to_string(w[i:i+2], ' ')
+          for i in generate_series(1, greatest(len(w)-2, 1))] AS g3
+  FROM toks
+),
+per_doc AS (
+  SELECT doc_id, n_tokens, len(g2) AS n2_total,
+         ROUND(1.0 - len(list_distinct(g3)) / greatest(len(g3), 1), 6) AS dup3_frac,
+         g2
+  FROM grams
+),
+counts AS (
+  SELECT doc_id, g, COUNT(*) AS c
+  FROM (SELECT doc_id, unnest(g2) AS g FROM per_doc)
+  GROUP BY doc_id, g
+),
+top2 AS (SELECT doc_id, MAX(c) AS top2_count FROM counts GROUP BY doc_id)
+SELECT p.doc_id,
+       CAST(p.n_tokens AS BIGINT) AS n_tokens,
+       CAST(t.top2_count AS BIGINT) AS top2_count,
+       ROUND(t.top2_count / greatest(p.n2_total, 1), 6) AS top2_frac,
+       p.dup3_frac,
+       CAST(t.top2_count > 1 AND
+            ROUND(t.top2_count / greatest(p.n2_total, 1), 6) >= 0.1 AS INT)
+         AS repetitive
+FROM per_doc p JOIN top2 t ON p.doc_id = t.doc_id
+ORDER BY p.doc_id
+"""
+
+
 QUERIES = [
     QuerySpec("d01_doc_fingerprints", d01_doc_fingerprints, D01_ORACLE, "dedup:exact-key"),
     QuerySpec("d02_doc_exact_dups", d02_doc_exact_dups, D02_ORACLE, "dedup:exact"),
@@ -470,4 +606,6 @@ QUERIES = [
     QuerySpec("d08_doc_dup_clusters", d08_doc_dup_clusters, D08_ORACLE, "dedup:clusters/connected-components"),
     QuerySpec("d09_doc_mixture_sample", d09_doc_mixture_sample, D09_ORACLE, "sample:mixture"),
     QuerySpec("d10_doc_token_shards", d10_doc_token_shards, D10_ORACLE, "pack:token-shards"),
+    QuerySpec("d11_doc_decontamination", d11_doc_decontamination, D11_ORACLE, "decontaminate:ngram-overlap"),
+    QuerySpec("d12_doc_repetition", d12_doc_repetition, D12_ORACLE, "quality:repetition"),
 ]

@@ -290,9 +290,111 @@ ORDER BY query_id, rank
 V04_ORACLE = _ivf_oracle()
 
 
+# --------------------------------------------------------------------------
+# v05 — int8 scalar-quantization reconstruction error per vector: the
+# storage-compression tier (4× smaller embeddings). Pure higher-order
+# column algebra, zero shuffles; the oracle replays scale/round/
+# reconstruct with list comprehensions, same left-to-right reductions.
+# --------------------------------------------------------------------------
+def v05_embedding_quant_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_export_tool_spark.operators.quantize import quantization_error_stats
+
+    emb = Catalog(spark, sf_dir).load("embeddings")
+    return quantization_error_stats(emb).orderBy("vec_id")
+
+
+V05_ORACLE = """
+WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+s AS (
+  SELECT vec_id, v,
+         CASE WHEN list_max(list_transform(v, x -> abs(x))) > 0
+              THEN 127.0 / list_max(list_transform(v, x -> abs(x)))
+              ELSE 1.0 END AS scale
+  FROM v
+),
+e AS (
+  SELECT vec_id, scale,
+         [v[i] - CAST(round(v[i] * scale) AS INT) / scale
+          for i in generate_series(1, len(v))] AS err,
+         len(v) AS dim
+  FROM s
+)
+SELECT vec_id,
+       ROUND(scale, 6) AS scale,
+       ROUND(list_sum(list_transform(err, x -> x * x)) / greatest(dim, 1)
+             * 1000, 6) AS mse_x1000,
+       ROUND(list_max(list_transform(err, x -> abs(x))), 6) AS max_abs_err
+FROM e
+ORDER BY vec_id
+"""
+
+
+# --------------------------------------------------------------------------
+# v06 — exact cosine top-k over the int8-DEQUANTIZED corpus (queries
+# stay full precision): quantized-ANN as a composition of the quantize
+# operator and the existing brute-force search — no new search code.
+# --------------------------------------------------------------------------
+def v06_embedding_quantized_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_export_tool_spark.operators.quantize import (
+        dequantized,
+        int8_scale,
+        quantize_int8,
+    )
+
+    emb = Catalog(spark, sf_dir).load("embeddings")
+    scale = int8_scale(F.col("embedding"))
+    corpus = emb.filter(F.col("vec_id") >= _N_QUERIES).select(
+        "vec_id",
+        dequantized(quantize_int8(F.col("embedding"), scale), scale).alias(
+            "embedding"
+        ),
+    )
+    return brute_force_topk(corpus, _query_vectors(spark, sf_dir), k=_K).orderBy(
+        "query_id", "rank"
+    )
+
+
+V06_ORACLE = f"""
+WITH q AS (
+  SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+  FROM embeddings WHERE vec_id < {_N_QUERIES}
+),
+raw AS (
+  SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS v
+  FROM embeddings WHERE vec_id >= {_N_QUERIES}
+),
+s AS (
+  SELECT neighbor_id, v,
+         CASE WHEN list_max(list_transform(v, x -> abs(x))) > 0
+              THEN 127.0 / list_max(list_transform(v, x -> abs(x)))
+              ELSE 1.0 END AS scale
+  FROM raw
+),
+c AS (
+  SELECT neighbor_id,
+         [CAST(round(v[i] * scale) AS INT) / scale
+          for i in generate_series(1, len(v))] AS cv
+  FROM s
+),
+scored AS (
+  SELECT query_id, neighbor_id,
+         list_cosine_similarity(qv, cv) AS cos,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY list_cosine_similarity(qv, cv) DESC,
+                                     neighbor_id ASC) AS rank
+  FROM q, c
+)
+SELECT query_id, rank, neighbor_id, ROUND(cos, 6) AS cosine_sim
+FROM scored WHERE rank <= {_K}
+ORDER BY query_id, rank
+"""
+
+
 QUERIES = [
     QuerySpec("v01_embedding_topk", v01_embedding_topk, V01_ORACLE, "ann:brute-force"),
     QuerySpec("v02_embedding_near_dups", v02_embedding_near_dups, V02_ORACLE, "dedup:cosine"),
     QuerySpec("v03_embedding_lsh_topk", v03_embedding_lsh_topk, V03_ORACLE, "ann:srp-lsh"),
     QuerySpec("v04_embedding_ivf_topk", v04_embedding_ivf_topk, V04_ORACLE, "ann:ivf"),
+    QuerySpec("v05_embedding_quant_error", v05_embedding_quant_error, V05_ORACLE, "quantize:int8-error"),
+    QuerySpec("v06_embedding_quantized_topk", v06_embedding_quantized_topk, V06_ORACLE, "quantize:int8-ann"),
 ]

@@ -1,0 +1,172 @@
+"""Curation-operator tests: benchmark decontamination, repetition
+quality flags, PII redaction, int8 embedding quantization."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from data_export_tool_spark.functions.text import (
+    pii_match_count,
+    redact_pii,
+    word_ngrams_all,
+)
+from data_export_tool_spark.operators.contamination import (
+    contamination_scores,
+    decontaminate,
+    eval_ngrams,
+)
+from data_export_tool_spark.operators.quality import repetition_stats
+from data_export_tool_spark.operators.quantize import (
+    dequantized,
+    int8_scale,
+    quantize_int8,
+    quantization_error_stats,
+)
+
+EVAL_DOC = "the quick brown fox jumps over the lazy dog near the river bank today"
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    rows = [
+        # verbatim copy of the eval doc → fully contaminated
+        (1, EVAL_DOC),
+        # shares a long prefix (8 tokens) → partially contaminated
+        (2, "the quick brown fox jumps over the lazy cat inside a warm cardboard box"),
+        # disjoint vocabulary → clean
+        (3, "regression tests guard the engine against silent plan changes at scale"),
+        # shorter than the shingle width → single whole-doc shingle, clean
+        (4, "tiny doc"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+@pytest.fixture(scope="module")
+def eval_df(spark):
+    return spark.createDataFrame([(100, EVAL_DOC)], "doc_id long, text string")
+
+
+class TestDecontamination:
+    def test_eval_ngrams_distinct(self, eval_df):
+        grams = eval_ngrams(eval_df, n=5).collect()
+        vals = [r.ngram for r in grams]
+        assert len(vals) == len(set(vals))
+        # 14 tokens → 10 5-grams, all unique in this sentence
+        assert len(vals) == 10
+
+    def test_scores(self, corpus, eval_df):
+        rows = {
+            r.doc_id: r
+            for r in contamination_scores(corpus, eval_df, n=5, threshold=0.2).collect()
+        }
+        assert rows[1].contamination == 1.0 and rows[1].contaminated
+        assert 0 < rows[2].contamination < 1.0
+        assert rows[3].n_matched == 0 and not rows[3].contaminated
+        assert rows[4].n_ngrams == 1 and rows[4].n_matched == 0
+
+    def test_decontaminate_drops_flagged(self, corpus, eval_df):
+        kept = decontaminate(corpus, eval_df, n=5, threshold=0.2)
+        ids = sorted(r.doc_id for r in kept.collect())
+        # doc 1 (verbatim) and doc 2 (4/10 overlap ≥ 0.2) are dropped
+        assert ids == [3, 4]
+        # schema preserved
+        assert kept.columns == corpus.columns
+
+    def test_shuffle_join_matches_broadcast(self, corpus, eval_df):
+        b = contamination_scores(corpus, eval_df, broadcast_eval=True)
+        s = contamination_scores(corpus, eval_df, broadcast_eval=False)
+        assert sorted(map(tuple, b.collect())) == sorted(map(tuple, s.collect()))
+
+
+class TestRepetition:
+    def test_ngrams_all_keeps_duplicates(self, spark):
+        df = spark.createDataFrame([("a b a b a",)], "text string")
+        grams = df.select(word_ngrams_all(F.col("text"), 2).alias("g")).head().g
+        assert grams == ["a b", "b a", "a b", "b a"]
+
+    def test_flags_repeated_bigram(self, spark):
+        rows = [
+            (1, "buy now " * 10),  # one bigram dominates
+            (2, "every word here is different from all other words present"),
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        stats = {r.doc_id: r for r in repetition_stats(df).collect()}
+        assert stats[1].repetitive and stats[1].top2_count >= 10
+        assert stats[1].dup3_frac > 0.5
+        assert not stats[2].repetitive
+        assert stats[2].dup3_frac == 0.0
+
+
+class TestPii:
+    CASES = [
+        ("mail me at jane.doe+spam@example.co.uk please", "<EMAIL>", 1),
+        ("server at 192.168.1.254 timed out", "<IP>", 1),
+        ("ssn 123-45-6789 on file", "<SSN>", 1),
+        ("call +1 (555) 123-4567 now", "<PHONE>", 1),
+        ("no sensitive content here", None, 0),
+    ]
+
+    def test_redacts_each_class(self, spark):
+        df = spark.createDataFrame(
+            [(i, t) for i, (t, _, _) in enumerate(self.CASES)],
+            "id long, text string",
+        )
+        out = df.select(
+            "id",
+            redact_pii(F.col("text")).alias("red"),
+            pii_match_count(F.col("text")).alias("n"),
+        ).collect()
+        for row, (orig, tag, n) in zip(sorted(out, key=lambda r: r.id), self.CASES):
+            assert row.n == n, orig
+            if tag:
+                assert tag in row.red and orig != row.red
+            else:
+                assert row.red == orig
+
+    def test_email_digits_not_double_counted(self, spark):
+        # the digits inside the address must not also count as a phone
+        df = spark.createDataFrame(
+            [("contact 123456789012@example.com now",)], "text string"
+        )
+        row = df.select(
+            redact_pii(F.col("text")).alias("red"),
+            pii_match_count(F.col("text")).alias("n"),
+        ).head()
+        assert row.n == 1
+        assert row.red == "contact <EMAIL> now"
+
+
+class TestQuantize:
+    def test_round_trip_error_bounded(self, spark):
+        rows = [
+            (1, [0.5, -1.0, 0.25, 0.125]),
+            (2, [100.0, -50.0, 25.0, 0.0]),
+            (3, [0.0, 0.0, 0.0, 0.0]),  # zero vector → identity
+        ]
+        df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+        scale = int8_scale(F.col("embedding"))
+        out = df.select(
+            "vec_id",
+            F.col("embedding"),
+            dequantized(quantize_int8(F.col("embedding"), scale), scale).alias("recon"),
+        ).collect()
+        for r in sorted(out, key=lambda r: r.vec_id):
+            max_abs = max(abs(x) for x in r.embedding) or 1.0
+            half_step = 0.5 * max_abs / 127.0
+            for a, b in zip(r.embedding, r.recon):
+                assert abs(a - b) <= half_step + 1e-12
+
+        stats = {r.vec_id: r for r in quantization_error_stats(df).collect()}
+        assert stats[3].mse_x1000 == 0.0 and stats[3].max_abs_err == 0.0
+        assert stats[1].max_abs_err <= 0.5 / stats[1].scale + 1e-9
+
+    def test_quantized_values_in_int8_range(self, spark):
+        df = spark.createDataFrame(
+            [(1, [3.0, -7.5, 7.5])], "vec_id long, embedding array<double>"
+        )
+        q = df.select(
+            quantize_int8(F.col("embedding"), int8_scale(F.col("embedding"))).alias("q")
+        ).head().q
+        assert all(-127 <= v <= 127 for v in q)
+        assert max(abs(v) for v in q) == 127

@@ -47,7 +47,11 @@ def repetition_stats(
         word_ngrams_all(F.col(text_col), 3).alias("_g3"),
     )
 
-    per_doc = base.select(
+    # the per-doc constants (n_tokens, totals, dup3_frac) ride through
+    # both aggregations as extra grouping keys — constant per doc_id,
+    # so they add no groups, but they save a second scan of the corpus
+    # and the doc_id join-back entirely: ONE scan, two shuffles, no join
+    exploded = base.select(
         id_col,
         "n_tokens",
         F.size("_g2").alias("n2_total"),
@@ -57,20 +61,15 @@ def repetition_stats(
             / F.greatest(F.size("_g3"), F.lit(1)).cast("double"),
             6,
         ).alias("dup3_frac"),
-        "_g2",
+        F.explode("_g2").alias("g2"),
     )
 
-    top2 = (
-        per_doc.select(id_col, F.explode("_g2").alias("g2"))
-        .groupBy(id_col, "g2")
-        .agg(F.count(F.lit(1)).alias("c"))
-        .groupBy(id_col)
-        .agg(F.max("c").alias("top2_count"))
-    )
-
+    doc_keys = [id_col, "n_tokens", "n2_total", "dup3_frac"]
     return (
-        per_doc.drop("_g2")
-        .join(top2, id_col)
+        exploded.groupBy(*doc_keys, "g2")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy(*doc_keys)
+        .agg(F.max("c").alias("top2_count"))
         .withColumn(
             "top2_frac",
             F.round(

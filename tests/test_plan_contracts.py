@@ -170,6 +170,51 @@ def test_mixture_sample_is_scanside_filter(spark, sf_dir):
     assert counts.get("Exchange", 0) <= 2, counts  # fan_out + output sort
 
 
+def test_decontamination_broadcasts_eval_ngrams(spark, sf_dir):
+    # d11: the eval-side n-gram set broadcasts (benchmarks are tiny
+    # next to a 100 TB corpus); the match is a broadcast hash join —
+    # never a shuffle of the exploded training n-grams against eval,
+    # and never a cartesian pairing
+    plan = plan_of(spark, sf_dir, "d11_doc_decontamination")
+    counts = op_counts(plan)
+    assert counts.get("BroadcastExchange", 0) >= 1, counts
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_repetition_stats_one_scan_no_join(spark, sf_dir):
+    # d12: the per-doc constants ride through the two aggregations as
+    # grouping keys, so the corpus is scanned ONCE and there is no
+    # join-back; exchanges = fan_out + 2 agg shuffles + output sort
+    plan = plan_of(spark, sf_dir, "d12_doc_repetition")
+    counts = op_counts(plan)
+    joins = [k for k in counts if "Join" in k]
+    assert not joins, counts
+    assert counts.get("Scan", 0) == 1, counts
+    assert counts.get("Exchange", 0) <= 4, counts
+
+
+def test_quant_error_is_shuffle_free(spark, sf_dir):
+    # v05: quantization error is a pure per-row projection — the only
+    # exchange permitted is the presentational output sort
+    plan = plan_of(spark, sf_dir, "v05_embedding_quant_error")
+    counts = op_counts(plan)
+    joins = [k for k in counts if "Join" in k]
+    assert not joins, counts
+    assert counts.get("Exchange", 0) <= 1, counts  # output sort only
+
+
+def test_quantized_topk_broadcasts_queries_not_corpus(spark, sf_dir):
+    # v06 composes quantize + brute-force search: same contract as v01
+    # (query batch broadcasts, corpus scanned once, no cartesian)
+    plan = plan_of(spark, sf_dir, "v06_embedding_quantized_topk")
+    counts = op_counts(plan)
+    assert counts.get("BroadcastExchange", 0) == 1, counts
+    assert counts.get("Scan", 0) == 2, counts
+    assert "CartesianProduct" not in plan
+
+
 def test_token_shards_single_window_pass(spark, sf_dir):
     # d10: running sum + shard id come out of ONE window (one exchange
     # on the stratum key + one sort), never a self-join or second pass

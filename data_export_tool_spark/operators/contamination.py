@@ -14,14 +14,13 @@ Scale design (100 TB training corpus, MB-GB eval set):
   suites are tiny relative to the corpus, so this side is broadcast by
   default (``broadcast_eval=True``); flip it off to get a plain
   shuffle-on-ngram equi-join when the eval set is genuinely large.
-- The training side explodes each document's distinct shingle array
-  and inner-joins the eval n-grams; a single map-side-combining
-  ``groupBy(doc_id).count()`` produces the matched counts. Documents
-  with zero overlap never survive the inner join, so the final
-  left join restores them with ``n_matched = 0`` — no per-document
-  state, no skew beyond the n-gram key distribution itself (hot
-  n-grams only multiply by the EVAL side's distinct set, which is 1
-  per n-gram by construction).
+- The training side explodes each document's distinct shingle array,
+  LEFT joins the eval n-grams to pick up a hit marker, and a single
+  map-side-combining aggregation counts n-grams + hits per document
+  in one pass — no second corpus branch, no join-back, no
+  per-document state, and no skew beyond the n-gram key distribution
+  itself (hot n-grams only multiply by the EVAL side's distinct set,
+  which is 1 per n-gram by construction).
 - Nothing ever shuffles document bodies: after shingling, only
   (doc_id, ngram) pairs and small count rows move.
 """
@@ -74,36 +73,44 @@ def contamination_scores(
     is an offline analyst step at this scale, not a re-run of the join.
     ``keep_cols`` are additional training columns carried through
     (metadata like source/lang; never the text body).
+
+    Single pass over the corpus: each exploded training n-gram LEFT
+    joins the (broadcast) eval set picking up a hit marker, and one
+    map-side-combining aggregation counts rows + hits per document.
+    Zero-overlap documents never leave the pipeline (their exploded
+    rows survive the left join), so there is no second corpus branch
+    and no join-back — the diamond-plan shape that would scan and
+    shingle a 100 TB corpus twice.
     """
-    ev = eval_ngrams(eval_df, text_col, n)
+    ev = eval_ngrams(eval_df, text_col, n).withColumn("_hit", F.lit(1))
     if broadcast_eval:
         ev = F.broadcast(ev)
 
-    keep = [F.col(c) for c in keep_cols]
-    totals = train_df.select(
+    # the shingle array is built exactly ONCE (only the explode
+    # consumes it — a separate size() projection would get the whole
+    # normalize/shingle expression inlined a second time by
+    # CollapseProject); because shingles are distinct per document,
+    # n_ngrams is simply the exploded row count per document
+    exploded = train_df.select(
         F.col(id_col),
-        *keep,
-        word_shingles(F.col(text_col), n).alias("_shingles"),
-    ).select(
-        id_col, *keep_cols, F.size("_shingles").alias("n_ngrams"), "_shingles"
+        *[F.col(c) for c in keep_cols],
+        F.explode(word_shingles(F.col(text_col), n)).alias("ngram"),
     )
 
-    matched = (
-        totals.select(id_col, F.explode("_shingles").alias("ngram"))
-        .join(ev, "ngram")
-        .groupBy(id_col)
-        .agg(F.count(F.lit(1)).alias("n_matched"))
+    scored = (
+        exploded.join(ev, "ngram", "left")
+        .groupBy(id_col, *keep_cols)
+        .agg(
+            F.count(F.lit(1)).cast("int").alias("n_ngrams"),
+            F.coalesce(F.sum("_hit"), F.lit(0)).alias("n_matched"),
+        )
     )
 
     contamination = F.round(
         F.col("n_matched") / F.greatest(F.col("n_ngrams"), F.lit(1)), 6
     )
-    return (
-        totals.drop("_shingles")
-        .join(matched, id_col, "left")
-        .withColumn("n_matched", F.coalesce(F.col("n_matched"), F.lit(0)))
-        .withColumn("contamination", contamination)
-        .withColumn("contaminated", F.col("contamination") >= F.lit(threshold))
+    return scored.withColumn("contamination", contamination).withColumn(
+        "contaminated", F.col("contamination") >= F.lit(threshold)
     )
 
 

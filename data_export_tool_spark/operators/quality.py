@@ -6,25 +6,53 @@ repeated bigram, or a high fraction of duplicated n-grams. Two
 signals, both cheap and exactly reproducible by a SQL oracle:
 
 - ``top2_frac``: occurrences of the document's most frequent word
-  bigram over total bigram occurrences. Computed by exploding ALL
-  bigrams (duplicates preserved) and two map-side-combining
-  aggregations — the shuffle carries (doc_id, bigram) pairs then
-  (doc_id) count rows, never document bodies.
+  bigram over total bigram occurrences. The modal count is the
+  longest run of equal adjacent elements in the SORTED bigram array —
+  ``array_sort`` + one ``aggregate`` fold per row, entirely inside
+  the projection.
 - ``dup3_frac``: 1 − distinct/total word trigrams. Pure per-row
   column algebra (``array_distinct``/``size`` over the higher-order
-  n-gram build) — zero shuffles.
+  n-gram build).
 
-At 100 TB both signals stay linear: the bigram aggregation is keyed on
-(doc_id, bigram), which is near-uniform (doc_id dominates), so no
-skew mitigation is needed.
+Both signals are per-row projections: ZERO shuffles, one corpus scan.
+At 100 TB that matters more than anything else — the alternative
+(explode every bigram and aggregate) moves tokens×corpus rows through
+an exchange; this shape moves nothing.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from data_export_tool_spark.functions.text import token_count, word_ngrams_all
+
+
+def max_run_length(arr: Column) -> Column:
+    """Longest run of equal adjacent elements in a SORTED array<string>
+    == the maximum multiplicity of any element — one JVM ``aggregate``
+    fold carrying (prev, run, best) state. Empty arrays fold to 0."""
+    return F.aggregate(
+        F.array_sort(arr),
+        F.struct(
+            F.lit(None).cast("string").alias("prev"),
+            F.lit(0).cast("long").alias("run"),
+            F.lit(0).cast("long").alias("best"),
+        ),
+        lambda acc, x: F.struct(
+            x.alias("prev"),
+            F.when(x.eqNullSafe(acc["prev"]), acc["run"] + 1)
+            .otherwise(F.lit(1).cast("long"))
+            .alias("run"),
+            F.greatest(
+                acc["best"],
+                F.when(x.eqNullSafe(acc["prev"]), acc["run"] + 1).otherwise(
+                    F.lit(1).cast("long")
+                ),
+            ).alias("best"),
+        ),
+        lambda acc: acc["best"],
+    )
 
 
 def repetition_stats(
@@ -47,29 +75,19 @@ def repetition_stats(
         word_ngrams_all(F.col(text_col), 3).alias("_g3"),
     )
 
-    # the per-doc constants (n_tokens, totals, dup3_frac) ride through
-    # both aggregations as extra grouping keys — constant per doc_id,
-    # so they add no groups, but they save a second scan of the corpus
-    # and the doc_id join-back entirely: ONE scan, two shuffles, no join
-    exploded = base.select(
-        id_col,
-        "n_tokens",
-        F.size("_g2").alias("n2_total"),
-        F.round(
-            F.lit(1.0)
-            - F.size(F.array_distinct("_g3"))
-            / F.greatest(F.size("_g3"), F.lit(1)).cast("double"),
-            6,
-        ).alias("dup3_frac"),
-        F.explode("_g2").alias("g2"),
-    )
-
-    doc_keys = [id_col, "n_tokens", "n2_total", "dup3_frac"]
     return (
-        exploded.groupBy(*doc_keys, "g2")
-        .agg(F.count(F.lit(1)).alias("c"))
-        .groupBy(*doc_keys)
-        .agg(F.max("c").alias("top2_count"))
+        base.select(
+            id_col,
+            "n_tokens",
+            F.size("_g2").alias("n2_total"),
+            F.round(
+                F.lit(1.0)
+                - F.size(F.array_distinct("_g3"))
+                / F.greatest(F.size("_g3"), F.lit(1)).cast("double"),
+                6,
+            ).alias("dup3_frac"),
+            max_run_length(F.col("_g2")).alias("top2_count"),
+        )
         .withColumn(
             "top2_frac",
             F.round(

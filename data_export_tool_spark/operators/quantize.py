@@ -50,20 +50,59 @@ def quantization_error_stats(
     Returns ``id_col``, ``scale`` (rounded 6 dp), ``mse_x1000``
     (mean squared reconstruction error × 1000, rounded 6 dp — scaled
     so 6-dp rounding keeps real signal), and ``max_abs_err`` (rounded
-    6 dp). Zero shuffles — one projection over the corpus.
+    6 dp). Zero shuffles — one pass over the corpus.
+
+    The per-element math runs as ONE Arrow-batched ``pandas_udf``
+    (numpy across the batch) instead of ~8 interpreted higher-order
+    folds per row — same pattern as the IVF assignment stage, ~5×
+    faster at sf0.1. Bit-exactness with the column-algebra operators
+    and the SQL oracle is preserved: round-half-away-from-zero is
+    ``floor(|x|+0.5)`` (exact for doubles in int8 range), the square
+    sum accumulates left-to-right per dimension (vectorized across
+    rows, sequential across dims — the same association as an
+    ``aggregate`` fold / ``list_sum``), and the final 6-dp rounding
+    stays in Spark's ``F.round``.
     """
-    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
-    scale = int8_scale(F.col(vec_col))
-    recon = dequantized(quantize_int8(F.col(vec_col), scale), scale)
-    err = F.zip_with(v, recon, lambda a, b: a - b)
-    sq_sum = F.aggregate(
-        err, F.lit(0.0), lambda acc, e: acc + e * e
+    import numpy as np
+    import pandas as pd
+
+    def _stats(v):
+        n = len(v)
+        if n == 0:
+            return pd.DataFrame({"scale": [], "mse": [], "max_abs_err": []})
+        M = np.array(v.tolist(), dtype=np.float64)
+        if M.ndim == 1:  # empty vectors — normalize shape
+            M = np.zeros((n, 0), dtype=np.float64)
+        d = M.shape[1]
+        if d == 0:
+            return pd.DataFrame(
+                {"scale": np.ones(n), "mse": np.zeros(n), "max_abs_err": np.zeros(n)}
+            )
+        max_abs = np.abs(M).max(axis=1)
+        safe = np.where(max_abs > 0, max_abs, 1.0)
+        scale = np.where(max_abs > 0, 127.0 / safe, 1.0)
+        x = M * scale[:, None]
+        q = np.sign(x) * np.floor(np.abs(x) + 0.5)  # HALF_UP, exact in int8 range
+        err = M - q / scale[:, None]
+        acc = np.zeros(n)
+        mx = np.zeros(n)
+        for j in range(d):  # sequential across dims == fold order
+            e = err[:, j]
+            acc = acc + e * e
+            mx = np.maximum(mx, np.abs(e))
+        return pd.DataFrame({"scale": scale, "mse": acc / d, "max_abs_err": mx})
+
+    # set REAL annotation objects: `from __future__ import annotations`
+    # stringifies inline hints, which pandas_udf's signature inference
+    # rejects
+    _stats.__annotations__ = {"v": pd.Series, "return": pd.DataFrame}
+    stats_udf = F.pandas_udf(
+        _stats, "struct<scale:double,mse:double,max_abs_err:double>"
     )
-    mse = sq_sum / F.greatest(F.size(F.col(vec_col)), F.lit(1))
-    max_abs = F.array_max(F.transform(err, lambda e: F.abs(e)))
-    return df.select(
-        F.col(id_col),
-        F.round(scale, 6).alias("scale"),
-        F.round(mse * 1000, 6).alias("mse_x1000"),
-        F.round(max_abs, 6).alias("max_abs_err"),
+    s = stats_udf(F.col(vec_col)).alias("_s")
+    return df.select(F.col(id_col), s).select(
+        id_col,
+        F.round(F.col("_s.scale"), 6).alias("scale"),
+        F.round(F.col("_s.mse") * 1000, 6).alias("mse_x1000"),
+        F.round(F.col("_s.max_abs_err"), 6).alias("max_abs_err"),
     )

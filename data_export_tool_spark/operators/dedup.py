@@ -84,6 +84,26 @@ def dedup_exact(
     return df.join(w_keep, on=id_col, how="left_semi")
 
 
+def dedup_exact_single_pass(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Window-form exact dedup: keep the min-id row per normalized
+    fingerprint in ONE pass — a window over the 16-byte fingerprint
+    instead of ``dedup_exact``'s aggregate + semi-join, which plans as
+    a diamond that scans (and fingerprints) the input twice. Use this
+    form inside larger pipelines where the input is itself an
+    expensive subplan."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("__fp")
+    return (
+        df.withColumn("__fp", F.md5(normalize_text(F.col(text_col))))
+        .withColumn("__keep", F.min(id_col).over(w) == F.col(id_col))
+        .where(F.col("__keep"))
+        .drop("__fp", "__keep")
+    )
+
+
 def minhash_signatures(
     df: DataFrame,
     id_col: str = "doc_id",

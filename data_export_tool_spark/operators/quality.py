@@ -55,6 +55,25 @@ def max_run_length(arr: Column) -> Column:
     )
 
 
+def is_repetitive(text: Column, top2_threshold: float = 0.1) -> Column:
+    """Boolean repetition verdict as a pure COLUMN expression (the
+    modal bigram occurs more than once and holds at least
+    ``top2_threshold`` of all bigram slots). Same definition
+    (including the 6-dp rounding) as ``repetition_stats``'s
+    ``repetitive`` column.
+
+    Performance: PROJECT this column, don't put it straight into a
+    ``where`` — interpreted Filter predicates get no common-
+    subexpression elimination, so the higher-order fold costs ~10×
+    more as a filter condition than as a projected column (measured at
+    sf0.1). Filter on the projected boolean above a pushdown barrier
+    (a window/aggregate), as ``d13_curation_pipeline`` does."""
+    g2 = word_ngrams_all(text, 2)
+    top2 = max_run_length(g2)
+    frac = F.round(top2 / F.greatest(F.size(g2), F.lit(1)), 6)
+    return (top2 > 1) & (frac >= F.lit(top2_threshold))
+
+
 def repetition_stats(
     df: DataFrame,
     id_col: str = "doc_id",

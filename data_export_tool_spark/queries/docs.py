@@ -595,6 +595,173 @@ ORDER BY p.doc_id
 """
 
 
+# --------------------------------------------------------------------------
+# d13 — the END-TO-END curation pipeline, composed from the individual
+# operators as ONE lazy DataFrame plan:
+#   repetition quality filter (scan-level column predicate)
+#   → exact dedup (single-pass window form, keep min doc_id)
+#   → benchmark decontamination vs the src0 slice
+#   → deterministic per-language mixture sampling
+#   → token-budget shard packing.
+# Every stage verdict is per-document (depends only on that document's
+# text/id — never on which OTHER documents survived), so the filters
+# commute; ordering the per-row predicate first and using the window
+# dedup + keep_cols-carrying decontamination keeps the whole pipeline
+# at ONE corpus scan with exactly three shuffles (fingerprint window,
+# contamination count, shard window). The oracle replays the same five
+# stages as chained CTEs (in dedup-first order — equivalent by the
+# commutativity above).
+# --------------------------------------------------------------------------
+def d13_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from data_export_tool_spark.operators.contamination import contamination_scores
+    from data_export_tool_spark.operators.quality import is_repetitive
+    from data_export_tool_spark.operators.sampling import (
+        deterministic_sample,
+        pack_token_shards,
+    )
+
+    docs = Catalog(spark, sf_dir).load("documents")
+    train = fan_out(docs.where(F.col("source") != _EVAL_SOURCE))
+    holdout = docs.where(F.col("source") == _EVAL_SOURCE)
+
+    # the repetition flag and the dedup fingerprint are computed in the
+    # SAME projection feeding the dedup window, and the filter runs
+    # ABOVE the window. Two reasons this exact shape matters:
+    # interpreted Filter predicates get no common-subexpression
+    # elimination (the higher-order fold in is_repetitive costs ~10x
+    # more as a filter condition than as a projected column), and a
+    # filter on a non-partition column cannot be pushed back through
+    # the window — so the flag is evaluated exactly once per row,
+    # inside a CSE-enabled Project.
+    w_fp = Window.partitionBy("__fp")
+    flagged = train.select(
+        "doc_id",
+        "lang",
+        "source",
+        "text",
+        is_repetitive(F.col("text")).alias("__rep"),
+        F.md5(normalize_text(F.col("text"))).alias("__fp"),
+    ).withColumn("__keep", F.min("doc_id").over(w_fp) == F.col("doc_id"))
+    with_tok = flagged.where(F.col("__keep") & ~F.col("__rep")).select(
+        "doc_id",
+        "lang",
+        "source",
+        token_count(F.col("text")).alias("n_tokens"),
+        "text",
+    )
+    # metadata rides through the contamination aggregation as grouping
+    # keys, so no join-back to recover lang/source/n_tokens afterwards
+    scored = contamination_scores(
+        with_tok,
+        holdout,
+        n=_CONTAM_N,
+        threshold=_CONTAM_THRESHOLD,
+        keep_cols=("lang", "source", "n_tokens"),
+    )
+    clean = scored.where(~F.col("contaminated"))
+    sampled = deterministic_sample(
+        clean, "doc_id", strata_col="lang", rates=_MIX_RATES
+    )
+    packed = pack_token_shards(
+        sampled, "n_tokens", budget=_SHARD_BUDGET, order_col="doc_id", strata_col="lang"
+    )
+    return packed.select(
+        "doc_id",
+        "lang",
+        "source",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.col("cum_tokens").cast("long").alias("cum_tokens"),
+        "shard_id",
+    ).orderBy("doc_id")
+
+
+def _d13_oracle() -> str:
+    bucket = "(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 9, 8))::UBIGINT % 1000000)"
+    thresh = (
+        "CASE lang "
+        + " ".join(
+            f"WHEN '{lang}' THEN {int(round(r * 1_000_000))}"
+            for lang, r in sorted(_MIX_RATES.items())
+        )
+        + " ELSE 0 END"
+    )
+    n = _CONTAM_N
+    return rf"""
+WITH norm AS (
+  SELECT doc_id, lang, source, {_NORM_SQL} AS t,
+         len(string_split(trim(text), ' ')) AS n_tokens
+  FROM documents
+),
+train AS (SELECT * FROM norm WHERE source <> '{_EVAL_SOURCE}'),
+keepers AS (SELECT MIN(doc_id) AS doc_id FROM train GROUP BY md5(t)),
+s1 AS (SELECT train.* FROM train JOIN keepers USING (doc_id)),
+evsh AS (
+  SELECT DISTINCT unnest(
+    list_distinct([array_to_string(w[i:i+{n - 1}], ' ')
+                   for i in generate_series(1, greatest(len(w)-{n - 1}, 1))])
+  ) AS ngram
+  FROM (SELECT string_split(t, ' ') AS w FROM norm WHERE source = '{_EVAL_SOURCE}')
+),
+s1sh AS (
+  SELECT doc_id,
+         list_distinct([array_to_string(w[i:i+{n - 1}], ' ')
+                        for i in generate_series(1, greatest(len(w)-{n - 1}, 1))]) AS shingles
+  FROM (SELECT doc_id, string_split(t, ' ') AS w FROM s1)
+),
+s1ex AS (SELECT doc_id, unnest(shingles) AS ngram FROM s1sh),
+contam AS (
+  SELECT e.doc_id,
+         COUNT(*) AS n_ngrams,
+         COUNT(v.ngram) AS n_matched
+  FROM s1ex e LEFT JOIN evsh v ON e.ngram = v.ngram
+  GROUP BY e.doc_id
+),
+s2 AS (
+  SELECT s1.* FROM s1
+  JOIN contam ON s1.doc_id = contam.doc_id
+  WHERE ROUND(n_matched / greatest(n_ngrams, 1), 6) < {_CONTAM_THRESHOLD}
+),
+rep AS (
+  SELECT doc_id,
+         MAX(c) AS top2_count,
+         SUM(c) AS n2_total
+  FROM (
+    SELECT doc_id, g, COUNT(*) AS c
+    FROM (
+      SELECT doc_id, unnest([array_to_string(w[i:i+1], ' ')
+             for i in generate_series(1, greatest(len(w)-1, 1))]) AS g
+      FROM (SELECT doc_id, string_split(t, ' ') AS w FROM s2)
+    )
+    GROUP BY doc_id, g
+  )
+  GROUP BY doc_id
+),
+s3 AS (
+  SELECT s2.* FROM s2
+  JOIN rep ON s2.doc_id = rep.doc_id
+  WHERE NOT (top2_count > 1
+             AND ROUND(top2_count / greatest(n2_total, 1), 6) >= 0.1)
+),
+s4 AS (SELECT * FROM s3 WHERE {bucket} < {thresh}),
+w AS (
+  SELECT doc_id, lang, source, n_tokens,
+         CAST(SUM(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id) AS BIGINT) AS cum
+  FROM s4
+)
+SELECT doc_id, lang, source,
+       CAST(n_tokens AS BIGINT) AS n_tokens,
+       cum AS cum_tokens,
+       ((cum - n_tokens) // {_SHARD_BUDGET}) AS shard_id
+FROM w
+ORDER BY doc_id
+"""
+
+
+D13_ORACLE = _d13_oracle()
+
+
 QUERIES = [
     QuerySpec("d01_doc_fingerprints", d01_doc_fingerprints, D01_ORACLE, "dedup:exact-key"),
     QuerySpec("d02_doc_exact_dups", d02_doc_exact_dups, D02_ORACLE, "dedup:exact"),
@@ -608,4 +775,5 @@ QUERIES = [
     QuerySpec("d10_doc_token_shards", d10_doc_token_shards, D10_ORACLE, "pack:token-shards"),
     QuerySpec("d11_doc_decontamination", d11_doc_decontamination, D11_ORACLE, "decontaminate:ngram-overlap"),
     QuerySpec("d12_doc_repetition", d12_doc_repetition, D12_ORACLE, "quality:repetition"),
+    QuerySpec("d13_curation_pipeline", d13_curation_pipeline, D13_ORACLE, "pipeline:dedup+decontam+quality+mixture+shards"),
 ]

@@ -215,6 +215,23 @@ def test_quantized_topk_broadcasts_queries_not_corpus(spark, sf_dir):
     assert "CartesianProduct" not in plan
 
 
+def test_curation_pipeline_two_scans_linear(spark, sf_dir):
+    # d13 composes five curation stages into one plan: the corpus is
+    # scanned ONCE (plus one holdout scan), the eval n-grams broadcast,
+    # and the only shuffles are fan_out, the dedup-fingerprint window,
+    # the contamination count, the eval distinct, the shard window, and
+    # the output sort — no joins other than the broadcast, no cartesian
+    plan = plan_of(spark, sf_dir, "d13_curation_pipeline")
+    counts = op_counts(plan)
+    assert counts.get("Scan", 0) == 2, counts
+    assert counts.get("Window", 0) == 2, counts
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    joins = [k for k in counts if "Join" in k]
+    assert joins == ["BroadcastHashJoin"], counts
+    assert counts.get("Exchange", 0) <= 6, counts
+
+
 def test_token_shards_single_window_pass(spark, sf_dir):
     # d10: running sum + shard id come out of ONE window (one exchange
     # on the stratum key + one sort), never a self-join or second pass

@@ -40,13 +40,19 @@ def canonicalize(df_pandas):
 
 def main() -> int:
     import duckdb
+    import os
+
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])
+
+    # oracles that embed data-derived literals (v04's IVF centroids)
+    # must train from the SAME sf dir the queries run at — set before
+    # the queries module is imported (it reads the env at import time)
+    os.environ.setdefault("SPARK_GRAFT_ORACLE_SF_DIR", sf_dir)
 
     from data_export_tool_spark.catalog import TESTDATA_TABLES
     from data_export_tool_spark.session import get_spark
     from data_export_tool_spark.queries import all_queries
-
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
 
     spark = get_spark("parity-check")
     con = duckdb.connect()

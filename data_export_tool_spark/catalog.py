@@ -37,6 +37,27 @@ TESTDATA_TABLES = (
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
+def normalize_event_times(df: DataFrame, col: str = "ts") -> DataFrame:
+    """Normalize a driver-generated event-time column to TimestampType.
+
+    The testdata generator's parquet annotation for ``events.ts`` is not
+    stable round-to-round: it has shipped as TIMESTAMP(NANOS) (read as
+    nanos-longs under the legacy conf), TIMESTAMP, and TIMESTAMP_NTZ.
+    Every consumer (batch catalog, file streams, tests) funnels through
+    this one function so a new annotation breaks one place, not three.
+    With the session pinned to UTC (session.py) the NTZ→TZ cast is
+    wall-clock exact.
+    """
+    dtype = dict(df.dtypes).get(col)
+    if dtype == "bigint":  # TIMESTAMP(NANOS) read as nanos-longs
+        df = df.withColumn(
+            col, F.timestamp_micros((F.col(col) / 1000).cast("long"))
+        )
+    elif dtype == "timestamp_ntz":
+        df = df.withColumn(col, F.col(col).cast("timestamp"))
+    return df
+
+
 class Catalog:
     """Resolve table names to DataFrames from a base directory of parquet.
 
@@ -63,13 +84,8 @@ class Catalog:
         if name not in self._cache:
             self.spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
             df = self.spark.read.parquet(self.path(name))
-            for field in df.schema:
-                meta_ok = name == "events" and field.name == "ts"
-                if meta_ok and field.dataType.simpleString() == "bigint":
-                    df = df.withColumn(
-                        "ts",
-                        F.timestamp_micros((F.col("ts") / 1000).cast("long")),
-                    )
+            if name == "events":
+                df = normalize_event_times(df, "ts")
             self._cache[name] = df
         return self._cache[name]
 

@@ -60,9 +60,14 @@ EVENT_SCHEMA = StructType(
 def read_events_stream(
     spark: SparkSession, path: str, max_files_per_trigger: int = 1
 ) -> DataFrame:
-    """File-source stream over event parquet drops. (The driver's
-    events.parquet carries TIMESTAMP(NANOS); reading as nanos-longs +
-    converting matches Catalog.load.)"""
+    """File-source stream over event parquet drops.
+
+    The driver's events.parquet timestamp annotation varies round-to-
+    round (TIMESTAMP(NANOS)/TIMESTAMP/TIMESTAMP_NTZ); the shared
+    ``catalog.normalize_event_times`` owns the policy so the stream and
+    batch paths can't diverge."""
+    from data_export_tool_spark.catalog import normalize_event_times
+
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     schema = (
         spark.read.parquet(path).schema
@@ -74,10 +79,7 @@ def read_events_stream(
     )
     if schema is not None:
         reader = reader.schema(schema)
-    df = reader.load(path)
-    if dict(df.dtypes).get("ts") == "bigint":
-        df = df.withColumn("ts", F.timestamp_micros((F.col("ts") / 1000).cast("long")))
-    return df
+    return normalize_event_times(reader.load(path), "ts")
 
 
 def hourly_counts_stream(

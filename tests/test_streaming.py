@@ -9,7 +9,7 @@ import shutil
 import pytest
 from pyspark.sql import functions as F
 
-from data_export_tool_spark.catalog import Catalog
+from data_export_tool_spark.catalog import Catalog, normalize_event_times
 from data_export_tool_spark.streaming.events import (
     hourly_counts_stream,
     read_events_stream,
@@ -24,6 +24,32 @@ def event_drop_dir(spark, sf_dir, tmp_path_factory):
     ev = Catalog(spark, sf_dir).load("events")
     ev.repartition(4).write.mode("overwrite").parquet(out)
     return out
+
+
+def test_ntz_events_parquet_normalized_on_every_path(spark, tmp_path):
+    """Regression for the round-2 breakage: the driver regenerated
+    events.parquet as TIMESTAMP_NTZ and un-casted ``unix_millis(ts)``
+    callers died. All three read paths (helper, Catalog.load, file
+    stream) must surface plain TIMESTAMP regardless of the parquet
+    annotation."""
+    ntz = spark.createDataFrame(
+        [(1, "2024-03-01 10:00:00", 7, "click", 1.0, "{}")],
+        "event_id long, ts string, user_id long, event_type string,"
+        " value double, props string",
+    ).withColumn("ts", F.col("ts").cast("timestamp_ntz"))
+    base = tmp_path / "ntzdata"
+    base.mkdir()
+    path = str(base / "events.parquet")
+    ntz.write.parquet(path)
+    assert dict(spark.read.parquet(path).dtypes)["ts"] == "timestamp_ntz"
+
+    assert dict(normalize_event_times(spark.read.parquet(path)).dtypes)["ts"] == "timestamp"
+    loaded = Catalog(spark, str(base)).load("events")
+    assert dict(loaded.dtypes)["ts"] == "timestamp"
+    # unix_millis is the call that broke in round 2
+    assert loaded.select(F.unix_millis("ts")).first()[0] is not None
+    stream = read_events_stream(spark, path)
+    assert stream.isStreaming and dict(stream.dtypes)["ts"] == "timestamp"
 
 
 def test_hourly_counts_stream_matches_batch(spark, sf_dir, event_drop_dir):
@@ -50,9 +76,7 @@ def test_hourly_counts_stream_matches_batch(spark, sf_dir, event_drop_dir):
     # batch twin over the same re-staged files
     batch = e01_events_hourly(spark, sf_dir)
     # recompute batch on the SAME restaged data for an apples-to-apples set
-    ev = spark.read.parquet(event_drop_dir)
-    if dict(ev.dtypes).get("ts") == "bigint":
-        ev = ev.withColumn("ts", F.timestamp_micros((F.col("ts") / 1000).cast("long")))
+    ev = normalize_event_times(spark.read.parquet(event_drop_dir))
     expected = {
         (r.hour, r.event_type): (r.n_events, r.sum_value)
         for r in ev.groupBy(
@@ -74,9 +98,7 @@ def test_dedup_stream_matches_batch_distinct(spark, event_drop_dir, tmp_path):
     from data_export_tool_spark.streaming.events import dedup_stream
 
     dup_dir = str(tmp_path / "dup_drops")
-    ev = spark.read.parquet(event_drop_dir)
-    if dict(ev.dtypes).get("ts") == "bigint":
-        ev = ev.withColumn("ts", F.timestamp_micros((F.col("ts") / 1000).cast("long")))
+    ev = normalize_event_times(spark.read.parquet(event_drop_dir))
     ev.write.mode("overwrite").parquet(dup_dir)
     ev.write.mode("append").parquet(dup_dir)  # every event twice
 
@@ -111,11 +133,7 @@ def test_sessionize_stream_matches_batch_sessions(spark, event_drop_dir, tmp_pat
     # watermark drop most events, which is correct streaming behavior
     # but not a parity scenario
     ordered_dir = str(tmp_path / "ordered_drops")
-    ev_src = spark.read.parquet(event_drop_dir)
-    if dict(ev_src.dtypes).get("ts") == "bigint":
-        ev_src = ev_src.withColumn(
-            "ts", F.timestamp_micros((F.col("ts") / 1000).cast("long"))
-        )
+    ev_src = normalize_event_times(spark.read.parquet(event_drop_dir))
     lo, hi = ev_src.agg(
         F.unix_millis(F.min("ts")), F.unix_millis(F.max("ts"))
     ).first()

@@ -42,7 +42,7 @@ def main() -> None:
     specs = all_queries()
 
     # warm-up: JVM JIT + parquet footer caches (discarded per BASELINE.md)
-    specs["q03_latest_order_per_customer"].builder(spark, sf_dir).write.format(
+    specs["q03_customer_order_profile"].builder(spark, sf_dir).write.format(
         "noop"
     ).mode("overwrite").save()
 

@@ -129,11 +129,26 @@ def word_ngrams_all(text: Column, n: int = 2) -> Column:
 #: PII redaction patterns — literal-class regexes valid in BOTH Java
 #: (Spark) and RE2-style engines (no backreferences, no lookbehind), so
 #: an external SQL oracle can replay them verbatim.
+#:
+#: The phone class is a bounded heuristic with three alternatives —
+#: international (+ prefix), parenthesized area code, and three
+#: separator-joined groups of 3-4/3-4/2-6 digits. It deliberately does
+#: NOT match bare digit runs (order ids, ISBNs, timestamps) or
+#: date-shaped 4-2-2 strings; the residual false-positive surface is
+#: separator-joined triples that happen to look phone-shaped (e.g.
+#: "123-456-7890" as a part number), which is accepted and documented
+#: rather than chasing locale-perfect phone grammar.
 PII_PATTERNS: tuple[tuple[str, str, str], ...] = (
     ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
     ("ipv4", r"\b(?:\d{1,3}\.){3}\d{1,3}\b", "<IP>"),
     ("ssn", r"\b\d{3}-\d{2}-\d{4}\b", "<SSN>"),
-    ("phone", r"\+?\d[\d\- ()]{7,}\d", "<PHONE>"),
+    (
+        "phone",
+        r"\+\d[\d\- ()]{6,16}\d"
+        r"|\(\d{2,4}\)[\- ]?\d{3,4}[\- ]?\d{2,6}"
+        r"|\d{3,4}[\- ]\d{3,4}[\- ]\d{2,6}",
+        "<PHONE>",
+    ),
 )
 
 

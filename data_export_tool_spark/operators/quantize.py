@@ -66,18 +66,62 @@ def quantization_error_stats(
     import numpy as np
     import pandas as pd
 
+    def _row_stats(r):
+        """Fold-order-exact stats for ONE vector; NaNs for null/dirty
+        rows (→ SQL NULL), mirroring how the pure-column operators
+        propagate null embeddings instead of failing the stage."""
+        if r is None:
+            return (np.nan, np.nan, np.nan)
+        try:
+            x = np.asarray(r, dtype=np.float64)
+        except (TypeError, ValueError):  # e.g. a null element inside
+            return (np.nan, np.nan, np.nan)
+        if x.size == 0:
+            return (1.0, 0.0, 0.0)
+        ma = np.abs(x).max()
+        scale = 127.0 / ma if ma > 0 else 1.0
+        xs = x * scale
+        q = np.sign(xs) * np.floor(np.abs(xs) + 0.5)
+        err = x - q / scale
+        acc = 0.0
+        mx = 0.0
+        for e in err:  # sequential across dims == fold order
+            acc += e * e
+            mx = max(mx, abs(e))
+        return (scale, acc / x.size, mx)
+
     def _stats(v):
         n = len(v)
         if n == 0:
             return pd.DataFrame({"scale": [], "mse": [], "max_abs_err": []})
-        M = np.array(v.tolist(), dtype=np.float64)
-        if M.ndim == 1:  # empty vectors — normalize shape
-            M = np.zeros((n, 0), dtype=np.float64)
-        d = M.shape[1]
-        if d == 0:
+        rows = v.tolist()
+        # vectorized fast path needs a clean rectangular batch; one
+        # null or ragged row must not crash the stage (ADVICE r2), so
+        # such batches take the per-row path below. (Arrow hands list
+        # values over as numpy arrays — membership tests like `None in
+        # rows` would broadcast elementwise, so compare identities.)
+        has_null = any(r is None for r in rows)
+        dims = {len(r) for r in rows if r is not None}
+        clean = not has_null and len(dims) == 1
+        if clean and next(iter(dims)) == 0:
             return pd.DataFrame(
                 {"scale": np.ones(n), "mse": np.zeros(n), "max_abs_err": np.zeros(n)}
             )
+        if clean:
+            try:
+                M = np.array(rows, dtype=np.float64)
+            except (TypeError, ValueError):  # null elements inside rows
+                clean = False
+        if not clean:
+            per = [_row_stats(r) for r in rows]
+            return pd.DataFrame(
+                {
+                    "scale": [p[0] for p in per],
+                    "mse": [p[1] for p in per],
+                    "max_abs_err": [p[2] for p in per],
+                }
+            )
+        d = M.shape[1]
         max_abs = np.abs(M).max(axis=1)
         safe = np.where(max_abs > 0, max_abs, 1.0)
         scale = np.where(max_abs > 0, 127.0 / safe, 1.0)

@@ -79,36 +79,98 @@ def pack_token_shards(
     budget: int,
     order_col: str = "doc_id",
     strata_col: str | None = None,
+    num_ranges: int = 32,
+    range_bounds: list | None = None,
+    bounds_df: DataFrame | None = None,
 ) -> DataFrame:
     """Assign each row to a fixed-token-budget training shard.
 
     Rows are laid out in ``order_col`` order (within ``strata_col`` if
     given); a running token sum places each row at a byte-offset-like
     position, and the shard id is ``start_offset // budget`` — i.e.
-    contiguous token ranges, deterministically, in one window pass.
+    contiguous token ranges, deterministic, documents never split (a
+    row straddling a boundary belongs to the shard its first token
+    falls in). Adds ``cum_tokens`` and ``shard_id``.
 
-    Adds ``cum_tokens`` (running total including this row) and
-    ``shard_id``. A row straddling a boundary belongs to the shard its
-    first token falls in (shards can overflow by at most one document,
-    the standard "don't split documents" packing).
+    Scale — TWO-PHASE PREFIX SUM (the r2 fix): a plain
+    ``Window.partitionBy(stratum).orderBy(order)`` serializes each
+    stratum onto ONE task (an 80%-English corpus sorts 80 TB on one
+    executor; with no stratum it is a global single-partition sort).
+    Instead the order domain is pre-split into ``num_ranges``
+    contiguous ranges; phase 1 computes within-range running sums with
+    stratum×range parallelism, phase 2 aggregates one total per range
+    (reusing phase 1's shuffle via ReusedExchange — the expensive
+    upstream is computed once), prefix-sums those metadata-sized
+    totals, and broadcast-joins the per-range offsets back. Identical
+    output to the single-window form for ANY choice of ranges, because
+    ranges partition the order domain contiguously.
 
-    Scale: one shuffle (the window partition/sort). With a stratum
-    column, parallelism = number of strata and each stratum sorts
-    independently; for a single giant stratum, pre-split into
-    hash-ranges and pack per range (two-phase prefix sum) — the window
-    form is kept here because shard layout is usually per-source/
-    per-language anyway.
+    Range boundaries (which never affect output values, only balance):
+    ``range_bounds`` if given, else approx quantiles of ``order_col``
+    over ``bounds_df`` (pass a cheap relation, e.g. the raw table, so
+    planning doesn't execute an expensive upstream) or ``df`` itself.
+    ``num_ranges=1`` keeps the classic one-window form.
     """
-    if strata_col is None:
-        w = Window.orderBy(order_col)
-    else:
-        w = Window.partitionBy(strata_col).orderBy(order_col)
-    cum = F.sum(token_col).over(
-        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    return df.withColumn("cum_tokens", cum).withColumn(
-        "shard_id",
-        F.floor((F.col("cum_tokens") - F.col(token_col)) / F.lit(budget)).cast(
-            "long"
+    strata = [strata_col] if strata_col is not None else []
+
+    if num_ranges <= 1:
+        w = (
+            Window.partitionBy(*strata).orderBy(order_col)
+            if strata
+            else Window.orderBy(order_col)
+        )
+        cum = F.sum(token_col).over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        return df.withColumn("cum_tokens", cum).withColumn(
+            "shard_id",
+            F.floor(
+                (F.col("cum_tokens") - F.col(token_col)) / F.lit(budget)
+            ).cast("long"),
+        )
+
+    if range_bounds is None:
+        src = bounds_df if bounds_df is not None else df
+        probs = [i / num_ranges for i in range(1, num_ranges)]
+        range_bounds = src.stat.approxQuantile(order_col, probs, 0.01)
+    # contiguous, order-monotone range id: how many cut points this key
+    # exceeds (a higher-order count over ≤num_ranges-1 literals —
+    # JVM-side, no shuffle)
+    cuts = F.array(*[F.lit(b) for b in sorted(range_bounds)])
+    rng = F.size(F.filter(cuts, lambda b: F.col(order_col) > b))
+
+    w_range = Window.partitionBy(*strata, "__rng").orderBy(order_col)
+    within = df.withColumn("__rng", rng).withColumn(
+        "__wc",
+        F.sum(token_col).over(
+            w_range.rowsBetween(Window.unboundedPreceding, Window.currentRow)
         ),
+    )
+    # one row per (stratum, range): the range total is the LAST running
+    # sum, so the aggregate consumes phase 1's exchange (same clustering
+    # keys → no new shuffle, and the join side below reuses the same
+    # shuffle files via ReusedExchange)
+    totals = within.groupBy(*strata, "__rng").agg(F.max("__wc").alias("__tot"))
+    w_off = (
+        Window.partitionBy(*strata).orderBy("__rng")
+        if strata
+        else Window.orderBy("__rng")
+    )
+    offsets = totals.withColumn(
+        "__off",
+        F.coalesce(
+            F.sum("__tot").over(w_off.rowsBetween(Window.unboundedPreceding, -1)),
+            F.lit(0).cast("long"),
+        ),
+    ).drop("__tot")
+    out = within.join(F.broadcast(offsets), on=strata + ["__rng"])
+    return (
+        out.withColumn("cum_tokens", F.col("__wc") + F.col("__off"))
+        .withColumn(
+            "shard_id",
+            F.floor(
+                (F.col("cum_tokens") - F.col(token_col)) / F.lit(budget)
+            ).cast("long"),
+        )
+        .drop("__rng", "__wc", "__off")
     )

@@ -322,8 +322,9 @@ ORDER BY o_orderkey
 """
 
 
+# q17 is folded into relational.q12_date_window_battery in the
+# 50-entry consolidated catalog; the builder stays importable.
 QUERIES = [
-    QuerySpec("q17_running_revenue", q17_running_revenue, Q17_ORACLE, "W:cumulative/lag"),
     QuerySpec("q18_rollup_sales", q18_rollup_sales, Q18_ORACLE, "A:rollup/grouping"),
     QuerySpec("q19_customer_set_ops", q19_customer_set_ops, Q19_ORACLE, "set-ops"),
     QuerySpec(

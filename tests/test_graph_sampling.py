@@ -123,3 +123,36 @@ def test_pack_token_shards_budget_and_order(spark):
     for r in out:
         tot[r["shard_id"]] = tot.get(r["shard_id"], 0) + 100
     assert all(t <= 250 + 100 for t in tot.values())
+
+
+def test_pack_token_shards_two_phase_matches_single_window(spark):
+    """The two-phase prefix-sum form must be value-identical to the
+    one-window form for ANY range split — with and without strata, and
+    regardless of num_ranges (boundaries only affect balance)."""
+    from data_export_tool_spark.operators.sampling import pack_token_shards
+
+    rows = [
+        (i, ["en", "de", "fr"][i % 3], (i * 37) % 90 + 10) for i in range(200)
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "lang", "n_tok"])
+
+    def snap(out):
+        return {
+            r["doc_id"]: (r["cum_tokens"], r["shard_id"]) for r in out.collect()
+        }
+
+    for strata in ("lang", None):
+        base = snap(
+            pack_token_shards(
+                df, "n_tok", budget=500, order_col="doc_id",
+                strata_col=strata, num_ranges=1,
+            )
+        )
+        for nr in (4, 16, 64):
+            got = snap(
+                pack_token_shards(
+                    df, "n_tok", budget=500, order_col="doc_id",
+                    strata_col=strata, num_ranges=nr,
+                )
+            )
+            assert got == base, (strata, nr)

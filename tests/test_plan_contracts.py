@@ -26,6 +26,17 @@ def plan_of(spark, sf_dir, name: str) -> str:
     )
 
 
+def executed_plan_of(spark, sf_dir, name: str) -> str:
+    """Final ADAPTIVE plan: AQE decides exchange/stage reuse at runtime,
+    so contracts about reuse must read the plan after an action (cheap
+    at the tests' sf0.001)."""
+    df = SPECS[name].builder(spark, sf_dir)
+    df.collect()
+    return df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+
+
 def op_counts(plan: str) -> dict[str, int]:
     """Unique physical operators by id (the formatted mode prints each
     operator twice: once in the tree, once in the detail section)."""
@@ -66,8 +77,11 @@ def test_dimension_joins_broadcast(spark, sf_dir):
 
 
 def test_minhash_lsh_no_cartesian(spark, sf_dir):
-    plan = plan_of(spark, sf_dir, "d04_doc_minhash_lsh")
+    # merged d03 entry: LSH candidate generation + Jaccard verify —
+    # nothing in either stage may go cartesian
+    plan = plan_of(spark, sf_dir, "d03_doc_near_dup_pairs")
     assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
     # the candidate join is an equi-join on the band key
     assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan or "BroadcastHashJoin" in plan
 
@@ -81,12 +95,14 @@ def test_near_dup_default_no_collect_no_cartesian(spark, sf_dir):
 
 
 def test_brute_force_broadcasts_queries_not_corpus(spark, sf_dir):
-    # v01: the tiny query batch broadcasts; the corpus is scanned once
-    plan = plan_of(spark, sf_dir, "v01_embedding_topk")
+    # merged v01 entry = exact tier UNION int8-dequantized tier; PER
+    # TIER the tiny query batch broadcasts and the corpus is scanned
+    # once — so exactly 2 broadcasts and 4 scans, and never a cartesian
+    plan = plan_of(spark, sf_dir, "v01_embedding_exact_tiers")
     counts = op_counts(plan)
-    assert counts.get("BroadcastExchange", 0) == 1  # the query batch
-    # two scans total: query batch + ONE corpus pass
-    assert counts.get("Scan", 0) == 2
+    assert counts.get("BroadcastExchange", 0) == 2, counts  # one per tier
+    assert counts.get("Scan", 0) == 4, counts  # (queries + corpus) × 2
+    assert "CartesianProduct" not in plan
 
 
 def test_asof_join_plan_is_retry_safe(spark, sf_dir):
@@ -98,10 +114,12 @@ def test_asof_join_plan_is_retry_safe(spark, sf_dir):
 
 
 def test_ivf_probe_join_broadcasts(spark, sf_dir):
-    # v04: probes (queries x n_probe cells) broadcast to the assigned
-    # corpus — the corpus itself never shuffles for the probe join
-    plan = plan_of(spark, sf_dir, "v04_embedding_ivf_topk")
+    # merged v03 entry, IVF half: probes (queries x n_probe cells)
+    # broadcast to the assigned corpus — the corpus itself never
+    # shuffles for the probe join
+    plan = plan_of(spark, sf_dir, "v03_embedding_ann_topk")
     assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
 
 
 def test_simhash_single_aggregate_shuffle(spark, sf_dir):
@@ -116,10 +134,12 @@ def test_simhash_single_aggregate_shuffle(spark, sf_dir):
 
 
 def test_running_window_single_exchange(spark, sf_dir):
-    # q17: cumulative sum + lag + row_number share ONE partitioning and
-    # ordering — a single Exchange on o_custkey, a single Sort feeding
-    # one Window operator (plus the presentational global sort)
-    plan = plan_of(spark, sf_dir, "q17_running_revenue")
+    # merged q12 battery: cumulative sum + lag + row_number share ONE
+    # partitioning and ordering — a single Exchange on o_custkey, a
+    # single Sort feeding the Window operators (plus the
+    # presentational global sort); the date/Ethiopian columns are
+    # per-row projections that add no exchange
+    plan = plan_of(spark, sf_dir, "q12_date_window_battery")
     counts = op_counts(plan)
     assert counts.get("Window", 0) <= 2, counts  # frame + frameless group
     # one shuffle for the window, one range-exchange for the output sort
@@ -183,16 +203,18 @@ def test_decontamination_broadcasts_eval_ngrams(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" not in plan
 
 
-def test_repetition_stats_one_scan_no_join(spark, sf_dir):
-    # d12: the per-doc constants ride through the two aggregations as
-    # grouping keys, so the corpus is scanned ONCE and there is no
-    # join-back; exchanges = fan_out + 2 agg shuffles + output sort
-    plan = plan_of(spark, sf_dir, "d12_doc_repetition")
+def test_doc_profile_one_scan_one_window_no_join(spark, sf_dir):
+    # merged d01 profile: every stat (fingerprint, token/char/punct,
+    # repetition folds) is a per-row projection; the only shuffle-
+    # bearing operator is the fingerprint window for dup_count/keep_id.
+    # One corpus scan, no joins, exchanges = fan_out + window + sort.
+    plan = plan_of(spark, sf_dir, "d01_doc_profile")
     counts = op_counts(plan)
     joins = [k for k in counts if "Join" in k]
     assert not joins, counts
     assert counts.get("Scan", 0) == 1, counts
-    assert counts.get("Exchange", 0) <= 4, counts
+    assert counts.get("Window", 0) == 1, counts
+    assert counts.get("Exchange", 0) <= 3, counts
 
 
 def test_quant_error_is_shuffle_free(spark, sf_dir):
@@ -205,39 +227,63 @@ def test_quant_error_is_shuffle_free(spark, sf_dir):
     assert counts.get("Exchange", 0) <= 1, counts  # output sort only
 
 
-def test_quantized_topk_broadcasts_queries_not_corpus(spark, sf_dir):
-    # v06 composes quantize + brute-force search: same contract as v01
-    # (query batch broadcasts, corpus scanned once, no cartesian)
-    plan = plan_of(spark, sf_dir, "v06_embedding_quantized_topk")
-    counts = op_counts(plan)
-    assert counts.get("BroadcastExchange", 0) == 1, counts
-    assert counts.get("Scan", 0) == 2, counts
-    assert "CartesianProduct" not in plan
+# (the v06 quantized-top-k contract is folded into
+# test_brute_force_broadcasts_queries_not_corpus — the merged v01
+# entry pins both tiers' plans at once)
 
 
 def test_curation_pipeline_two_scans_linear(spark, sf_dir):
     # d13 composes five curation stages into one plan: the corpus is
-    # scanned ONCE (plus one holdout scan), the eval n-grams broadcast,
-    # and the only shuffles are fan_out, the dedup-fingerprint window,
-    # the contamination count, the eval distinct, the shard window, and
-    # the output sort — no joins other than the broadcast, no cartesian
+    # scanned ONCE for the pipeline (plus one holdout scan and one
+    # pruned doc_id scan for shard-range bounds), the eval n-grams
+    # broadcast, and the shuffles are fan_out, the dedup-fingerprint
+    # window, the contamination count, the eval distinct, the
+    # (stratum,range) shard window, the metadata-sized offsets window,
+    # and the output sort — joins are broadcast-only, no cartesian, no
+    # single-partition data shuffle
     plan = plan_of(spark, sf_dir, "d13_curation_pipeline")
     counts = op_counts(plan)
-    assert counts.get("Scan", 0) == 2, counts
-    assert counts.get("Window", 0) == 2, counts
+    # fingerprint window and within-range shard window each print on
+    # two branches of the static tree (shared exchanges, deduped at
+    # runtime — reuse assert below) + the offsets window
+    assert counts.get("Window", 0) == 5, counts
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
-    joins = [k for k in counts if "Join" in k]
+    assert "SinglePartition" not in plan
+    joins = sorted(set(k for k in counts if k.endswith("Join")))
     assert joins == ["BroadcastHashJoin"], counts
-    assert counts.get("Exchange", 0) <= 6, counts
+    # the static plan duplicates the shared shard-window exchange (and
+    # with it the corpus scan) on the join/totals branches; the
+    # executed ADAPTIVE plan reuses the shuffle, so the corpus is read
+    # once for the pipeline + once for the holdout slice
+    final = executed_plan_of(spark, sf_dir, "d13_curation_pipeline")
+    assert "ReusedExchange" in final or "ReusedQueryStage" in final or (
+        "StageReuse" in final
+    ), final[:2000]
 
 
-def test_token_shards_single_window_pass(spark, sf_dir):
-    # d10: running sum + shard id come out of ONE window (one exchange
-    # on the stratum key + one sort), never a self-join or second pass
+def test_token_shards_two_phase_no_single_partition(spark, sf_dir):
+    # d10: two-phase prefix-sum packing (r2 scale fix). Contracts:
+    # (1) NO single-partition Exchange or global Sort anywhere — the
+    #     old form serialized each stratum (or everything) onto one
+    #     task; the data shuffle is keyed on (stratum, range), and
+    #     even the metadata-sized offsets window partitions by stratum;
+    # (2) the per-range totals reuse phase 1's shuffle (ReusedExchange)
+    #     instead of recomputing the packing input;
+    # (3) offsets come back via broadcast join — the corpus-side rows
+    #     never shuffle again.
     plan = plan_of(spark, sf_dir, "d10_doc_token_shards")
     counts = op_counts(plan)
-    assert counts.get("Window", 0) == 1, counts
-    joins = [k for k in counts if "Join" in k]
-    assert not joins, counts
-    assert counts.get("Exchange", 0) <= 3, counts  # fan_out + window + sort
+    assert "SinglePartition" not in plan, "single-partition exchange in packed plan"
+    joins = [k for k in counts if k.endswith("Join")]
+    assert joins == ["BroadcastHashJoin"], counts
+    # within-range window (printed on both the join and totals branches
+    # — the exchange beneath it is shared, see the reuse assert below)
+    # + the metadata-sized offsets window
+    assert counts.get("Window", 0) == 3, counts
+    # static plan duplicates the shared (stratum,range) exchange on the
+    # join and totals branches; the executed ADAPTIVE plan must reuse it
+    final = executed_plan_of(spark, sf_dir, "d10_doc_token_shards")
+    assert "ReusedExchange" in final or "ReusedQueryStage" in final or (
+        "StageReuse" in final
+    ), final[:2000]

@@ -47,12 +47,12 @@ def test_query_matches_oracle(name, spark, sf_dir, duck):
     if spec.oracle is None:
         assert len(sdf) >= 0  # rows-only contract: just runs
         return
-    if name == "v04_embedding_ivf_topk" and "sf0.01/" not in sf_dir + "/":
-        # the IVF oracle embeds centroids trained from the DRIVER
-        # gate's sf0.01 parquet; at other scale factors the engine
-        # trains on different data, so only the sf0.01 value compare
-        # is meaningful (tools/check_parity.py covers it)
-        assert len(sdf) == 50
+    if name == "v03_embedding_ann_topk" and "sf0.01/" not in sf_dir + "/":
+        # the merged entry's IVF half embeds oracle centroids trained
+        # from the DRIVER gate's sf0.01 parquet; at other scale factors
+        # the engine trains on different data, so only the sf0.01 value
+        # compare is meaningful (tools/check_parity.py covers it)
+        assert len(sdf) == 100  # srp_lsh 50 + ivf 50
         return
     ddf = duck.sql(spec.oracle).df()
     assert sorted(sdf.columns) == sorted(ddf.columns)

@@ -45,10 +45,18 @@ def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     only = set(sys.argv[2:])
 
-    # oracles that embed data-derived literals (v04's IVF centroids)
-    # must train from the SAME sf dir the queries run at — set before
-    # the queries module is imported (it reads the env at import time)
-    os.environ.setdefault("SPARK_GRAFT_ORACLE_SF_DIR", sf_dir)
+    # oracles that embed data-derived literals (the IVF centroids in
+    # the merged ANN entry) must train from the SAME sf dir the queries
+    # run at — set UNCONDITIONALLY before the queries module is
+    # imported (it reads the env at import time); a setdefault here
+    # once let a stale exported value silently override the CLI arg
+    prev = os.environ.get("SPARK_GRAFT_ORACLE_SF_DIR")
+    if prev is not None and prev != sf_dir:
+        print(
+            f"WARN  overriding SPARK_GRAFT_ORACLE_SF_DIR={prev!r} "
+            f"with CLI sf_dir {sf_dir!r}"
+        )
+    os.environ["SPARK_GRAFT_ORACLE_SF_DIR"] = sf_dir
 
     from data_export_tool_spark.catalog import TESTDATA_TABLES
     from data_export_tool_spark.session import get_spark

@@ -67,8 +67,18 @@ def _decode_image_stub(payload: bytes) -> tuple[int, int]:
     return side, max(1, side // 2)
 
 
-def extract_features(assets: DataFrame, batch_target_rows: int = 1024) -> DataFrame:
+def extract_features(
+    assets: DataFrame,
+    batch_target_rows: int = 1024,
+    decoder=None,
+) -> DataFrame:
     """Decode + feature-extract binary assets via mapInPandas.
+
+    ``decoder`` is the injection seam: a callable ``bytes -> (width,
+    height)`` shipped to executors by value. Default is the
+    deterministic stub (no image libraries in this container); a real
+    deployment passes e.g. ``lambda b: PIL.Image.open(io.BytesIO(b))
+    .size`` without editing the operator — the plan shape is identical.
 
     Plan shape: one narrow Arrow-batched pass, no shuffle; payload
     bytes never leave the executor. Decode failures are recorded as
@@ -76,6 +86,8 @@ def extract_features(assets: DataFrame, batch_target_rows: int = 1024) -> DataFr
     a 100 TB scan).
     """
     import pandas as pd
+
+    decode = decoder if decoder is not None else _decode_image_stub
 
     def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
         import numpy as np
@@ -89,10 +101,10 @@ def extract_features(assets: DataFrame, batch_target_rows: int = 1024) -> DataFr
                 raw = bytes(payload) if payload is not None else b""
                 sizes.append(len(raw))
                 try:
-                    w, h = _decode_image_stub(raw)
+                    w, h = decode(raw)
                     widths.append(w)
                     heights.append(h)
-                except ValueError:
+                except Exception:  # injected codecs raise arbitrary errors
                     widths.append(None)
                     heights.append(None)
                 # content fingerprint: md5-derived (python hash() is

@@ -52,6 +52,15 @@ def get_spark(
         # sort-merge joins to broadcast at runtime when a side turns out
         # small after filtering.
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # Let a join whose keys are a SUPERSET of both sides' identical
+        # hash partitioning reuse that partitioning instead of
+        # reshuffling on the full key list. This is what makes
+        # bucket-by-client_id tables serve joins on (client_id, date)
+        # — e.g. the as-of winners join-back — with zero exchanges
+        # (plan-contract-tested). Trade-off: parallelism is capped at
+        # the subset key's cardinality, which is exactly the bucketed
+        # layout's intent.
+        .config("spark.sql.requireAllClusterKeysForCoPartition", "false")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")

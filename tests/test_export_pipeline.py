@@ -189,10 +189,14 @@ def test_mysql_jdbc_option_mapping():
 
 
 def test_config_to_export_end_to_end(spark, tmp_path):
-    """Config-only path: export_config.json (queries_path +
-    db_properties) → registry → warehouse views (parquet-backed JDBC
-    stand-in) → run_export."""
+    """The single-run S2+S4+S5+S6+S7 integration: export_config.json
+    (queries_path + db_properties) → registry → warehouse views
+    (parquet-backed JDBC stand-in) → facility lookup → CSV with
+    facility columns → checksummed zip package with the reference's
+    naming, source CSVs cleaned up."""
+    import hashlib
     import json
+    import zipfile
 
     (tmp_path / "q").mkdir()
     (tmp_path / "q" / "Loc.sql").write_text(
@@ -229,12 +233,35 @@ def test_config_to_export_end_to_end(spark, tmp_path):
 
     out = run_export(
         spark, reg, None, "Sene", 2015, str(tmp_path / "out"),
-        month_label="Sene", cleanup_csvs=False,
+        zip_name="AdamaGeneralHospitalH-12345_Sene_2015",
+        month_label="Sene",
     )
+    # S6 naming contract (facility sanitized in the file name)
     path = out["Loc"]
-    assert path and os.path.exists(path)
-    header = open(path).readline().strip().split(",")
-    assert header == ["location_id", "name", "Region", "Woreda", "Facility", "HMISCode"]
+    assert os.path.basename(path) == "Loc_AdamaGeneralHospitalH-12345_Sene_2015.csv"
+    # S7: checksummed double-zip package; source CSVs cleaned up after
+    final = tmp_path / "out" / "AdamaGeneralHospitalH-12345_Sene_2015_packaged18.zip"
+    assert final.exists()
+    assert not os.path.exists(path)
+    with zipfile.ZipFile(final) as zf:
+        names = sorted(zf.namelist())
+        assert names == [
+            "AdamaGeneralHospitalH-12345_Sene_2015.zip",
+            "AdamaGeneralHospitalH-12345_Sene_2015_checksum.txt",
+        ]
+        inner = zf.read(names[0])
+        assert zf.read(names[1]).decode() == hashlib.sha256(inner).hexdigest()
+        with zipfile.ZipFile(zf.open(names[0])) as inner_zf:
+            data = inner_zf.read("Loc_AdamaGeneralHospitalH-12345_Sene_2015.csv")
+    # S5: facility-identity columns appended after the query columns,
+    # raw facility name in the column values (S4 looked it up)
+    lines = data.decode().splitlines()
+    assert lines[0].split(",") == [
+        "location_id", "name", "Region", "Woreda", "Facility", "HMISCode",
+    ]
+    assert lines[1].split(",")[2:] == [
+        "Oromia", "Adama", "Adama General Hospital", "H-12345",
+    ]
 
 
 def test_connect_warehouse_partitions_follow_up_shards(spark):

@@ -34,6 +34,31 @@ def test_extract_features_plumbing(spark):
     assert again == {k: v.feat_hash for k, v in out.items()}
 
 
+def test_extract_features_codec_injection(spark):
+    # a user-supplied decoder flows through the mapInPandas seam; rows
+    # it rejects degrade to NULL dims exactly like the stub's failures.
+    # (Defined locally so cloudpickle ships it by value — the tests
+    # module isn't importable on executor workers, exactly like a
+    # user's ad-hoc codec wouldn't be.)
+    def header_codec(raw: bytes) -> tuple[int, int]:
+        if raw.startswith(b"\xff\xd8"):
+            return 640, 480
+        if raw.startswith(b"\x89PNG"):
+            return 800, 600
+        raise ValueError("unknown format")
+
+    out = {
+        r.asset_id: r
+        for r in extract_features(_assets(spark), decoder=header_codec).collect()
+    }
+    assert (out[1].thumb_width, out[1].thumb_height) == (640, 480)
+    assert (out[2].thumb_width, out[2].thumb_height) == (800, 600)
+    assert out[3].thumb_width is None  # empty payload rejected
+    assert out[4].thumb_width is None  # video magic unknown to codec
+    # fingerprints/byte counts are codec-independent
+    assert out[2].n_bytes == 5004
+
+
 def test_frame_sample_plan(spark):
     frames = frame_sample_plan(_assets(spark), every_ms=1000).collect()
     # only the video asset expands; 3500ms at 1000ms cadence → 0,1000,2000,3000

@@ -105,6 +105,52 @@ def test_brute_force_broadcasts_queries_not_corpus(spark, sf_dir):
     assert "CartesianProduct" not in plan
 
 
+def test_asof_join_bucketed_inputs_no_exchange(spark, tmp_path):
+    """asof.py's scale claim: with both sides pre-bucketed on the join
+    key, the whole rewrite (probe distinct → equi-join → MAX-struct agg
+    → winners join-back) runs WITHOUT a single Exchange — bucket
+    metadata satisfies every distribution requirement (grouping and
+    join keys are supersets of the bucket key). Broadcast is disabled
+    so the test can't pass by broadcasting the small test tables."""
+    from data_export_tool_spark.catalog import write_bucketed
+    from data_export_tool_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame(
+        [(k, d) for k in range(50) for d in (10, 20)], "k long, ref long"
+    )
+    right = spark.createDataFrame(
+        [(k, t, f"p{k}-{t}") for k in range(50) for t in (5, 15, 25)],
+        "k long, t long, payload string",
+    )
+    write_bucketed(left, "t_asof_left_bkt", "k", num_buckets=4, sort_col="k")
+    write_bucketed(right, "t_asof_right_bkt", "k", num_buckets=4, sort_col="k")
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        joined = asof_join(
+            spark.table("t_asof_left_bkt"),
+            spark.table("t_asof_right_bkt"),
+            on=["k"],
+            left_time="ref",
+            right_time="t",
+        )
+        plan = joined._jdf.queryExecution().explainString(
+            spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+                "formatted"
+            )
+        )
+        counts = op_counts(plan)
+        assert counts.get("Exchange", 0) == 0, counts
+        assert counts.get("BroadcastExchange", 0) == 0, counts
+        # and the answer is still right
+        got = {(r.k, r.ref): r.t for r in joined.collect()}
+        assert got[(7, 10)] == 5 and got[(7, 20)] == 15
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql("DROP TABLE IF EXISTS t_asof_left_bkt")
+        spark.sql("DROP TABLE IF EXISTS t_asof_right_bkt")
+
+
 def test_asof_join_plan_is_retry_safe(spark, sf_dir):
     # the as-of rewrite must not rely on monotonically_increasing_id
     # (recomputed on task retry) nor a global row_number window

@@ -49,6 +49,41 @@ def op_counts(plan: str) -> dict[str, int]:
     return out
 
 
+#: entries where a BroadcastNestedLoopJoin is the DESIGNED plan — a
+#: deliberately tiny side cross-joined against the other (J8's 1-row
+#: aggregate combine in q07/m02; the ~5-row query batch versus the
+#: corpus in the brute-force search tiers). Everything else must plan
+#: pure equi-joins.
+_BNLJ_BY_DESIGN = {
+    "q07_cohort_counters",
+    "m02_tx_curr_outcome",
+    "v01_embedding_exact_tiers",
+    "v03_embedding_ann_topk",
+}
+
+
+def test_whole_catalog_never_goes_cartesian(spark, sf_dir):
+    """Global guard over ALL 50 catalog entries: no CartesianProduct
+    anywhere, and BroadcastNestedLoopJoin only in the whitelisted
+    tiny-side-by-design plans. A regression that degrades any join to
+    an all-pairs product fails here before it reaches the driver."""
+    simple = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+        "simple"
+    )
+    offenders = {}
+    for name, spec in SPECS.items():
+        plan = (
+            spec.builder(spark, sf_dir)
+            ._jdf.queryExecution()
+            .explainString(simple)
+        )
+        if "CartesianProduct" in plan:
+            offenders[name] = "CartesianProduct"
+        elif "BroadcastNestedLoopJoin" in plan and name not in _BNLJ_BY_DESIGN:
+            offenders[name] = "BroadcastNestedLoopJoin"
+    assert not offenders, offenders
+
+
 def test_filter_pushdown_reaches_scan(spark, sf_dir):
     # q09's ship-window predicate must land in PushedFilters, not a
     # post-scan Filter only

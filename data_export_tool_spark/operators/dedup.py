@@ -213,15 +213,22 @@ def ngram_jaccard_pairs(
 
     if candidates is not None:
         # candidate-gated intersection: |cand| × shingles-per-doc rows,
-        # independent of shingle hotness
+        # independent of shingle hotness. The b-side join is LEFT with
+        # a match marker so candidate pairs with DISJOINT shingle sets
+        # survive with n_inter=0 — the candidate subplan is consumed
+        # exactly once (a threshold of 0.0 then returns every candidate
+        # with its score, which is how d03's merged entry reports both
+        # LSH stages without re-evaluating candidate generation)
         ca = candidates.select("id_a", "id_b")
         a_sh = sh.select(F.col(id_col).alias("id_a"), "sh")
-        b_sh = sh.select(F.col(id_col).alias("id_b"), "sh")
+        b_sh = sh.select(F.col(id_col).alias("id_b"), "sh").withColumn(
+            "__m", F.lit(1)
+        )
         inter = (
             ca.join(a_sh, "id_a")
-            .join(b_sh, ["id_b", "sh"])
+            .join(b_sh, ["id_b", "sh"], "left")
             .groupBy("id_a", "id_b")
-            .agg(F.count(F.lit(1)).alias("n_inter"))
+            .agg(F.count("__m").alias("n_inter"))
         )
     else:
         a = sh.alias("a")

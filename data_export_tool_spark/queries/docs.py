@@ -302,20 +302,19 @@ def d03_doc_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     cand = minhash_lsh_candidates(
         docs, "doc_id", "text", num_hashes=_NUM_HASHES, bands=_BANDS, shingle_n=3
     )
+    # threshold 0.0 + the verify tier's left-join intersection keeps
+    # EVERY candidate pair with its exact score (jaccard 0 for disjoint
+    # shingle sets) — the candidate subplan is evaluated once, no
+    # join-back
     scored = ngram_jaccard_pairs(
         docs, "doc_id", "text", shingle_n=3, threshold=0.0, candidates=cand
     )
-    jac = F.coalesce(F.col("jaccard"), F.lit(0.0))
-    return (
-        cand.join(scored, ["id_a", "id_b"], "left")
-        .select(
-            "id_a",
-            "id_b",
-            jac.alias("jaccard"),
-            (jac >= F.lit(0.5)).cast("int").alias("is_dup"),
-        )
-        .orderBy("id_a", "id_b")
-    )
+    return scored.select(
+        "id_a",
+        "id_b",
+        "jaccard",
+        (F.col("jaccard") >= F.lit(0.5)).cast("int").alias("is_dup"),
+    ).orderBy("id_a", "id_b")
 
 
 D03_PAIRS_ORACLE = f"""

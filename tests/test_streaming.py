@@ -51,6 +51,16 @@ def test_ntz_events_parquet_normalized_on_every_path(spark, tmp_path):
     stream = read_events_stream(spark, path)
     assert stream.isStreaming and dict(stream.dtypes)["ts"] == "timestamp"
 
+    # ANY table's NTZ columns normalize at the catalog boundary, not
+    # just events.ts — the annotation drift isn't column-specific
+    ntz_orders = spark.createDataFrame(
+        [(1, "2024-03-01 10:00:00")], "o_orderkey long, o_orderdate string"
+    ).withColumn("o_orderdate", F.col("o_orderdate").cast("timestamp_ntz"))
+    ntz_orders.write.parquet(str(base / "orders.parquet"))
+    loaded_orders = Catalog(spark, str(base)).load("orders")
+    assert dict(loaded_orders.dtypes)["o_orderdate"] == "timestamp"
+    assert loaded_orders.select(F.unix_millis("o_orderdate")).first()[0] is not None
+
 
 def test_hourly_counts_stream_matches_batch(spark, sf_dir, event_drop_dir):
     stream = read_events_stream(spark, event_drop_dir, max_files_per_trigger=2)

@@ -480,3 +480,45 @@ def embedding_near_dup_pairs(
     return fan_out(df.select(id_col, vec_col)).mapInPandas(
         score, schema="id_a long, id_b long, cosine_sim double"
     )
+
+
+def semantic_dedup(
+    df: DataFrame,
+    threshold: float = 0.9,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int | None = None,
+    n_planes: int = 16,
+    band_bits: int = 4,
+    seed: int = 42,
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023, public
+    recipe): drop every document whose embedding is a near-duplicate of
+    a kept one, keeping the min-id representative per duplicate
+    cluster. Pure composition of existing scale-safe operators:
+
+        SRP-banded candidate pairs + exact-cosine verify
+          (``embedding_near_dup_pairs`` — bucketed, no all-pairs)
+        → transitive closure via distributed connected components
+          (``operators.graph.duplicate_clusters`` — O(log n) rounds)
+        → anti-join the non-canonical members out of ``df``.
+
+    Returns ``df``'s surviving rows with all original columns.
+    Documents in no near-dup pair are untouched. One new shuffle beyond
+    the composed operators (the final anti-join on ``id_col``).
+    """
+    from data_export_tool_spark.operators.graph import duplicate_clusters
+
+    pairs = embedding_near_dup_pairs(
+        df,
+        threshold=threshold,
+        id_col=id_col,
+        vec_col=vec_col,
+        dim=dim,
+        n_planes=n_planes,
+        band_bits=band_bits,
+        seed=seed,
+    )
+    clusters = duplicate_clusters(pairs.select("id_a", "id_b"), id_out=id_col)
+    drop = clusters.where(F.col(id_col) != F.col("component_id")).select(id_col)
+    return df.join(drop, on=id_col, how="left_anti")

@@ -115,3 +115,37 @@ def test_near_dup_pairs_symmetric_threshold(spark):
              embedding_near_dup_pairs(df, threshold=0.9).collect()}
     assert set(pairs) == {(1, 2)}
     assert pairs[(1, 2)] > 0.99
+
+
+def test_semantic_dedup_keeps_min_id_per_cluster(spark):
+    """SemDeDup composition: identical/near-identical vectors collapse
+    to the min-id representative; distinct vectors all survive."""
+    import math
+
+    from data_export_tool_spark.operators.similarity import semantic_dedup
+
+    def unit(angle):
+        return [math.cos(angle), math.sin(angle)] + [0.0] * 6
+
+    rows = [
+        # cluster A: 3 nearly-identical vectors (ids 1, 2, 3)
+        (1, unit(0.00)), (2, unit(0.01)), (3, unit(0.02)),
+        # cluster B: 2 nearly-identical vectors (ids 10, 11)
+        (10, unit(1.50)), (11, unit(1.51)),
+        # singletons far from everything
+        (20, unit(3.00)), (21, unit(4.40)),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    kept = sorted(
+        r.vec_id for r in semantic_dedup(df, threshold=0.99, dim=8).collect()
+    )
+    assert kept == [1, 10, 20, 21]
+    # surviving rows keep their original columns
+    out = semantic_dedup(df, threshold=0.99, dim=8)
+    assert out.columns == ["vec_id", "embedding"]
+    # a lower threshold merges nothing extra here; a trivial threshold
+    # of 1.01 (> any cosine) keeps everything
+    all_kept = sorted(
+        r.vec_id for r in semantic_dedup(df, threshold=1.01, dim=8).collect()
+    )
+    assert all_kept == [1, 2, 3, 10, 11, 20, 21]

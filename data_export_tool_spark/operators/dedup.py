@@ -365,3 +365,40 @@ def simhash_near_duplicates(
         .distinct()
         .filter(F.col("hamming") <= max_hamming)
     )
+
+
+def dedup_against(
+    df: DataFrame,
+    seen: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    fingerprint_col: str = "fingerprint",
+) -> DataFrame:
+    """Incremental (cross-snapshot) exact dedup: drop rows whose
+    normalized-content fingerprint already exists in ``seen`` — the
+    fingerprint store written from previously-ingested snapshots.
+
+    One anti-join on the 16-byte md5 key; the new snapshot never joins
+    document bodies, and the store side is just the fingerprint column
+    (use ``fingerprint_store`` to produce/extend it). This is the daily
+    ingest shape at 100 TB: full-corpus re-dedup is a one-time batch
+    job, incremental drops are an anti-join against the running store.
+    """
+    fp = F.md5(normalize_text(F.col(text_col)))
+    store = seen.select(F.col(fingerprint_col).alias("__fp")).distinct()
+    return (
+        df.withColumn("__fp", fp)
+        .join(store, on="__fp", how="left_anti")
+        .drop("__fp")
+    )
+
+
+def fingerprint_store(
+    df: DataFrame, text_col: str = "text", fingerprint_col: str = "fingerprint"
+) -> DataFrame:
+    """Distinct normalized-content fingerprints of ``df`` — the
+    persistable store ``dedup_against`` checks new snapshots against.
+    Union with the previous store and write back to roll it forward."""
+    return df.select(
+        F.md5(normalize_text(F.col(text_col))).alias(fingerprint_col)
+    ).distinct()

@@ -96,3 +96,34 @@ def test_simhash_near_duplicates_pairs(docs):
     }
     assert (1, 2) in pairs and (1, 5) in pairs
     assert (4, 6) not in pairs
+
+
+def test_incremental_dedup_against_store(spark):
+    """Cross-snapshot dedup: docs whose (normalized) content was seen
+    in a previous snapshot drop; new content survives; the rolled-
+    forward store covers both snapshots."""
+    from data_export_tool_spark.operators.dedup import (
+        dedup_against,
+        fingerprint_store,
+    )
+
+    snap1 = spark.createDataFrame(
+        [(1, "the cat sat"), (2, "something else entirely")],
+        "doc_id long, text string",
+    )
+    store = fingerprint_store(snap1)
+    snap2 = spark.createDataFrame(
+        [
+            (10, "The cat   sat!"),  # normalizes to snap1 doc 1 → drop
+            (11, "completely new text"),
+            (12, "something else entirely"),  # exact repeat → drop
+        ],
+        "doc_id long, text string",
+    )
+    kept = sorted(r.doc_id for r in dedup_against(snap2, store).collect())
+    assert kept == [11]
+    # roll the store forward: union of both snapshots' fingerprints
+    rolled = store.unionByName(fingerprint_store(snap2)).distinct()
+    assert rolled.count() == 3  # cat-sat, something-else, new-text
+    none_left = dedup_against(snap2, rolled).count()
+    assert none_left == 0

@@ -42,6 +42,19 @@ def dequantized(qvec: Column, scale: Column) -> Column:
     return F.transform(qvec, lambda q: q.cast("double") / scale)
 
 
+def quantize_dequantize(vec: Column, scale: Column) -> Column:
+    """Fused ``dequantized(quantize_int8(vec, scale), scale)`` as ONE
+    ``transform`` — value-identical (same int cast between round and
+    divide) but skips materializing the intermediate int array per row.
+    Use when only the reconstruction is needed (quantized-ANN search),
+    not the stored int8 codes."""
+    return F.transform(
+        vec,
+        lambda x: F.round(x.cast("double") * scale).cast("int").cast("double")
+        / scale,
+    )
+
+
 def quantization_error_stats(
     df: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding"
 ) -> DataFrame:

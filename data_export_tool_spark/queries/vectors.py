@@ -336,18 +336,15 @@ ORDER BY vec_id
 # --------------------------------------------------------------------------
 def v06_embedding_quantized_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from data_export_tool_spark.operators.quantize import (
-        dequantized,
         int8_scale,
-        quantize_int8,
+        quantize_dequantize,
     )
 
     emb = Catalog(spark, sf_dir).load("embeddings")
     scale = int8_scale(F.col("embedding"))
     corpus = emb.filter(F.col("vec_id") >= _N_QUERIES).select(
         "vec_id",
-        dequantized(quantize_int8(F.col("embedding"), scale), scale).alias(
-            "embedding"
-        ),
+        quantize_dequantize(F.col("embedding"), scale).alias("embedding"),
     )
     return brute_force_topk(corpus, _query_vectors(spark, sf_dir), k=_K).orderBy(
         "query_id", "rank"

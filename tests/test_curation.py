@@ -205,6 +205,21 @@ class TestQuantize:
         assert stats[4].mse_x1000 == 0.0
         assert stats[1].scale == pytest.approx(127.0, rel=1e-6)
 
+    def test_fused_quantize_dequantize_is_identical(self, spark):
+        from data_export_tool_spark.operators.quantize import quantize_dequantize
+
+        df = spark.createDataFrame(
+            [(1, [0.5, -1.0, 0.25, 0.0]), (2, [100.0, -50.0, 25.5, 3.3])],
+            "vec_id long, embedding array<double>",
+        )
+        scale = int8_scale(F.col("embedding"))
+        rows = df.select(
+            dequantized(quantize_int8(F.col("embedding"), scale), scale).alias("a"),
+            quantize_dequantize(F.col("embedding"), scale).alias("b"),
+        ).collect()
+        for r in rows:
+            assert r.a == r.b  # bitwise-identical doubles
+
     def test_quantized_values_in_int8_range(self, spark):
         df = spark.createDataFrame(
             [(1, [3.0, -7.5, 7.5])], "vec_id long, embedding array<double>"

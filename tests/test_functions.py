@@ -184,3 +184,20 @@ def test_token_count_and_quality(spark):
     for r in rows[:3]:
         assert 0.0 <= r.q <= 1.0
     assert rows[3].lang == "und"
+
+
+def test_bpe_token_count_and_stopword_ratio(spark):
+    from data_export_tool_spark.functions.text import stopword_ratio, token_count
+
+    df = spark.createDataFrame(
+        [("the cat, the hat!",), ("hello world",)], "text string"
+    )
+    rows = df.select(
+        token_count(F.col("text")).alias("ws"),
+        token_count(F.col("text"), bpe=True).alias("bpe"),
+        F.round(stopword_ratio(F.col("text")), 6).alias("sw"),
+    ).collect()
+    # whitespace: 4 tokens; BPE-ish also counts the ',' and '!' runs
+    assert rows[0].ws == 4 and rows[0].bpe == 6
+    assert rows[0].sw == 0.5  # 'the' twice out of 4 whitespace tokens
+    assert rows[1].ws == 2 and rows[1].bpe == 2 and rows[1].sw == 0.0

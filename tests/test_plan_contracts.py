@@ -140,6 +140,21 @@ def test_brute_force_broadcasts_queries_not_corpus(spark, sf_dir):
     assert "CartesianProduct" not in plan
 
 
+def test_linelists_read_wide_view_from_cache(spark, sf_dir):
+    """J10 (CTE reuse) as a hard plan pin: the reference re-states its
+    11-way FollowUp CTE in every report (HVL references it 12 times);
+    the engine assembles the wide view once and caches it, so every
+    branch of a line-list plan must read InMemoryTableScan, never
+    re-join the 11 shards."""
+    plan = plan_of(spark, sf_dir, "m08_tx_curr_hvl")
+    assert "InMemoryTableScan" in plan
+    # the 11-shard assembly join itself must not appear outside the
+    # cached relation: every encounter_id equi-join in the plan body
+    # would re-run the assembly per reference
+    body = plan.split("InMemoryRelation")[0]
+    assert body.count("SortMergeJoin") < 11, "wide view re-assembled in plan body"
+
+
 def test_asof_join_bucketed_inputs_no_exchange(spark, tmp_path):
     """asof.py's scale claim: with both sides pre-bucketed on the join
     key, the whole rewrite (probe distinct → equi-join → MAX-struct agg

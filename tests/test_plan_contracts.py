@@ -176,6 +176,31 @@ def test_linelists_read_wide_view_from_cache(spark, sf_dir):
     assert body.count("SortMergeJoin") < 11, "wide view re-assembled in plan body"
 
 
+def test_minhash_signatures_bucketed_input_no_exchange(spark, sf_dir):
+    """The 100 TB dedup layout claim: a documents table bucketed by
+    doc_id serves MinHash signature generation with ZERO exchanges —
+    the shingle explode preserves the bucket partitioning, so the
+    16-aggregate groupBy(doc_id) consumes it directly (fan_out no-ops
+    at adequate partition counts and keeps the layout)."""
+    from data_export_tool_spark.catalog import write_bucketed
+    from data_export_tool_spark.operators.dedup import minhash_signatures
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    write_bucketed(docs, "t_docs_bkt_plan", "doc_id", num_buckets=8)
+    try:
+        sigs = minhash_signatures(spark.table("t_docs_bkt_plan"))
+        plan = sigs._jdf.queryExecution().explainString(
+            spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+                "formatted"
+            )
+        )
+        counts = op_counts(plan)
+        assert counts.get("Exchange", 0) == 0, counts
+        assert counts.get("BroadcastExchange", 0) == 0, counts
+    finally:
+        spark.sql("DROP TABLE IF EXISTS t_docs_bkt_plan")
+
+
 def test_asof_join_bucketed_inputs_no_exchange(spark, tmp_path):
     """asof.py's scale claim: with both sides pre-bucketed on the join
     key, the whole rewrite (probe distinct → equi-join → MAX-struct agg

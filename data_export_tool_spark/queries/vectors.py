@@ -426,7 +426,9 @@ def v01_embedding_exact_tiers(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _strip_order_by(sql: str) -> str:
     """Drop the trailing presentational ORDER BY so the oracle body can
     be embedded as a tagged subquery."""
-    head, _, _ = sql.rpartition("ORDER BY")
+    head, sep, _ = sql.rpartition("ORDER BY")
+    if not sep:  # misuse guard: a body without ORDER BY would silently vanish
+        raise ValueError("oracle body must end with a presentational ORDER BY")
     return head
 
 

@@ -84,23 +84,63 @@ def dedup_exact(
     return df.join(w_keep, on=id_col, how="left_semi")
 
 
-def dedup_exact_single_pass(
+def duplicate_keepers(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:
-    """Window-form exact dedup: keep the min-id row per normalized
-    fingerprint in ONE pass — a window over the 16-byte fingerprint
-    instead of ``dedup_exact``'s aggregate + semi-join, which plans as
-    a diamond that scans (and fingerprints) the input twice. Use this
-    form inside larger pipelines where the input is itself an
-    expensive subplan."""
-    from pyspark.sql import Window
+    """(``__fp``, ``__keep_id``) for every fingerprint that occurs MORE
+    than once — the pre-aggregated dedup decision table.
 
-    w = Window.partitionBy("__fp")
+    This is the skew-safe half of ``dedup_exact_two_phase``: the
+    groupBy gets a map-side partial aggregate, so a mega-duplicate
+    cluster (empty docs, boilerplate pages repeated 10⁷–10⁸× in a real
+    corpus) collapses to one row per map partition BEFORE the shuffle —
+    the hot fingerprint never lands as raw rows on a single task. The
+    ``dup_count > 1`` filter keeps the table proportional to the number
+    of duplicate CLUSTERS, not corpus size, so the decision join below
+    usually broadcasts.
+    """
+    return (
+        df.select(
+            F.col(id_col),
+            F.md5(normalize_text(F.col(text_col))).alias("__fp"),
+        )
+        .groupBy("__fp")
+        .agg(
+            F.min(id_col).alias("__keep_id"),
+            F.count(F.lit(1)).alias("__dc"),
+        )
+        .where(F.col("__dc") > 1)
+        .select("__fp", "__keep_id")
+    )
+
+
+def dedup_exact_two_phase(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Exact dedup via pre-aggregated decision + join-back — the
+    100 TB-safe replacement for the former window form
+    (``Window.partitionBy(fingerprint)``).
+
+    Why not a window: a window shuffle cannot partial-aggregate, so the
+    hottest fingerprint (a boilerplate page duplicated 10⁸×) serializes
+    onto ONE task, with whatever payload columns the rows carry — and
+    AQE skew-splitting applies to joins, not windows. Here the decision
+    is ``duplicate_keepers`` (map-side combine absorbs the hot key; the
+    result holds only duplicated fingerprints) LEFT-joined back: a row
+    survives iff its fingerprint is unique (no match) or it is the
+    cluster keeper. Joins DO get AQE skew handling, and when the
+    duplicate-cluster table is small it broadcasts — the payload side
+    then never shuffles at all. Same shape as the two-phase aggregate
+    template in ``operators/skew.py``.
+    """
+    keepers = duplicate_keepers(df, id_col, text_col)
     return (
         df.withColumn("__fp", F.md5(normalize_text(F.col(text_col))))
-        .withColumn("__keep", F.min(id_col).over(w) == F.col(id_col))
-        .where(F.col("__keep"))
-        .drop("__fp", "__keep")
+        .join(keepers, on="__fp", how="left")
+        .where(
+            F.col("__keep_id").isNull() | (F.col("__keep_id") == F.col(id_col))
+        )
+        .drop("__fp", "__keep_id")
     )
 
 

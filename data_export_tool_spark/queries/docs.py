@@ -71,18 +71,20 @@ ORDER BY doc_id
 
 # --------------------------------------------------------------------------
 # d01+d02+d05+d12 merged catalog entry — ONE per-document profile scan:
-# content fingerprint (exact-dedup key), window-form duplicate stats
-# (dup_count / keep_id over the fingerprint — the single-pass dedup
-# shape of operators/dedup.dedup_exact_single_pass), token/char/punct
-# stats, and the Gopher-style repetition metrics. Everything except the
-# fingerprint window is a per-row projection (higher-order folds, no
-# explode), so the plan is one scan + one shuffle on the 16-byte
-# fingerprint + the presentational sort — the profile every curation
-# pipeline computes anyway, at the cost of its cheapest member.
+# content fingerprint (exact-dedup key), duplicate stats (dup_count /
+# keep_id per fingerprint), token/char/punct stats, and the
+# Gopher-style repetition metrics. The duplicate stats are a TWO-PHASE
+# aggregate + join-back (operators/dedup.duplicate_keepers shape), NOT
+# a Window over the fingerprint: a window shuffle cannot
+# partial-aggregate, so a mega-duplicate cluster (10⁷–10⁸ copies of a
+# boilerplate page in a real corpus) would serialize onto one task —
+# and AQE skew-splitting applies to joins, not windows. The groupBy's
+# map-side combine collapses the hot key per partition before the
+# shuffle, and the join-back is AQE-skew-splittable. Column pruning
+# keeps the stats branch to (doc_id, fingerprint): the heavy per-row
+# folds (ngrams, punct, runs) are computed once, on the output branch.
 # --------------------------------------------------------------------------
 def d01_doc_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window
-
     from data_export_tool_spark.functions.text import word_ngrams_all
     from data_export_tool_spark.operators.quality import max_run_length
 
@@ -108,10 +110,12 @@ def d01_doc_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("dup3_frac"),
     )
-    w = Window.partitionBy("fingerprint")
+    stats = base.groupBy("fingerprint").agg(
+        F.count(F.lit(1)).alias("dup_count"),
+        F.min("doc_id").alias("keep_id"),
+    )
     return (
-        base.withColumn("dup_count", F.count(F.lit(1)).over(w))
-        .withColumn("keep_id", F.min("doc_id").over(w))
+        base.join(stats, on="fingerprint")
         .withColumn(
             "top2_frac",
             F.round(
@@ -808,23 +812,24 @@ ORDER BY p.doc_id
 # d13 — the END-TO-END curation pipeline, composed from the individual
 # operators as ONE lazy DataFrame plan:
 #   repetition quality filter (scan-level column predicate)
-#   → exact dedup (single-pass window form, keep min doc_id)
+#   → exact dedup (two-phase keepers aggregate + broadcast decision
+#     join, keep min doc_id — see the in-function comment)
 #   → benchmark decontamination vs the src0 slice
 #   → deterministic per-language mixture sampling
 #   → token-budget shard packing.
 # Every stage verdict is per-document (depends only on that document's
 # text/id — never on which OTHER documents survived), so the filters
-# commute; ordering the per-row predicate first and using the window
-# dedup + keep_cols-carrying decontamination keeps the whole pipeline
-# at ONE corpus scan with exactly three shuffles (fingerprint window,
-# contamination count, shard window). The oracle replays the same five
-# stages as chained CTEs (in dedup-first order — equivalent by the
-# commutativity above).
+# commute; the payload path is one corpus scan whose only data
+# shuffles are the contamination count and the (stratum,range) shard
+# window — the dedup decision and shard offsets come back via
+# broadcast joins, and the narrow keepers branch adds one pruned
+# (doc_id,text) scan. The oracle replays the same five stages as
+# chained CTEs (in dedup-first order — equivalent by the commutativity
+# above).
 # --------------------------------------------------------------------------
 def d13_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window
-
     from data_export_tool_spark.operators.contamination import contamination_scores
+    from data_export_tool_spark.operators.dedup import duplicate_keepers
     from data_export_tool_spark.operators.quality import is_repetitive
     from data_export_tool_spark.operators.sampling import (
         deterministic_sample,
@@ -835,16 +840,20 @@ def d13_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     train = fan_out(docs.where(F.col("source") != _EVAL_SOURCE))
     holdout = docs.where(F.col("source") == _EVAL_SOURCE)
 
-    # the repetition flag and the dedup fingerprint are computed in the
-    # SAME projection feeding the dedup window, and the filter runs
-    # ABOVE the window. Two reasons this exact shape matters:
-    # interpreted Filter predicates get no common-subexpression
-    # elimination (the higher-order fold in is_repetitive costs ~10x
-    # more as a filter condition than as a projected column), and a
-    # filter on a non-partition column cannot be pushed back through
-    # the window — so the flag is evaluated exactly once per row,
-    # inside a CSE-enabled Project.
-    w_fp = Window.partitionBy("__fp")
+    # the dedup decision is TWO-PHASE (duplicate_keepers shape), not a
+    # fingerprint window: text-carrying rows must never shuffle on a
+    # key whose real-world distribution has 10⁸-row hot clusters — a
+    # window cannot partial-aggregate and AQE cannot skew-split it.
+    # The keepers branch column-prunes to (doc_id, text→md5): a narrow
+    # map-side-combined aggregate, filtered to DUPLICATED fingerprints
+    # only, so the decision table is proportional to duplicate clusters
+    # and broadcasts; the payload rows then never shuffle for dedup at
+    # all (and if it ever outgrows broadcast, the join is
+    # AQE-skew-splittable). Keepers are computed over ALL train rows
+    # (pre-repetition-filter) to match the oracle's stage order; the
+    # repetition flag stays a projected column (interpreted Filter
+    # predicates get no common-subexpression elimination — the
+    # higher-order fold costs ~10× more as a filter condition).
     flagged = train.select(
         "doc_id",
         "lang",
@@ -852,8 +861,12 @@ def d13_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         "text",
         is_repetitive(F.col("text")).alias("__rep"),
         F.md5(normalize_text(F.col("text"))).alias("__fp"),
-    ).withColumn("__keep", F.min("doc_id").over(w_fp) == F.col("doc_id"))
-    with_tok = flagged.where(F.col("__keep") & ~F.col("__rep")).select(
+    )
+    keepers = duplicate_keepers(train, "doc_id", "text")
+    deduped = flagged.where(~F.col("__rep")).join(
+        keepers, on="__fp", how="left"
+    ).where(F.col("__keep_id").isNull() | (F.col("__keep_id") == F.col("doc_id")))
+    with_tok = deduped.select(
         "doc_id",
         "lang",
         "source",

@@ -98,6 +98,47 @@ def test_simhash_near_duplicates_pairs(docs):
     assert (4, 6) not in pairs
 
 
+def test_dedup_two_phase_matches_window_semantics(docs):
+    """dedup_exact_two_phase (pre-aggregated decision + join-back) must
+    keep exactly the min-id row per fingerprint — same answer as the
+    semi-join form, different (skew-safe) plan."""
+    from data_export_tool_spark.operators.dedup import dedup_exact_two_phase
+
+    kept = sorted(r.doc_id for r in dedup_exact_two_phase(docs).collect())
+    assert kept == [1, 3, 4, 6]
+
+
+def test_dedup_two_phase_hot_cluster(spark):
+    """The 100 TB skew scenario in miniature: 10⁵ copies of ONE
+    normalized text (a mega-duplicate cluster) plus a sprinkle of
+    unique docs. The two-phase shape must (a) return the single keeper
+    for the hot fingerprint and every unique doc, and (b) plan the
+    decision as a map-side-combined aggregate — no Window over the
+    fingerprint, which would serialize the hot cluster onto one task."""
+    from data_export_tool_spark.operators.dedup import dedup_exact_two_phase
+
+    n_hot = 100_000
+    hot = spark.range(n_hot).select(
+        F.col("id").alias("doc_id"),
+        F.lit("boilerplate page repeated everywhere").alias("text"),
+    )
+    uniq = spark.range(n_hot, n_hot + 50).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("unique document number "), F.col("id")).alias("text"),
+    )
+    df = hot.unionByName(uniq)
+    out = dedup_exact_two_phase(df)
+    plan = out._jdf.queryExecution().explainString(
+        out.sparkSession._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    )
+    assert "Window" not in plan, "dedup decision regressed to a window"
+    assert "partial_min" in plan, "decision aggregate lost map-side combine"
+    kept = sorted(r.doc_id for r in out.collect())
+    assert kept == [0] + list(range(n_hot, n_hot + 50))
+
+
 def test_incremental_dedup_against_store(spark):
     """Cross-snapshot dedup: docs whose (normalized) content was seen
     in a previous snapshot drop; new content survives; the rolled-

@@ -345,18 +345,28 @@ def test_decontamination_broadcasts_eval_ngrams(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" not in plan
 
 
-def test_doc_profile_one_scan_one_window_no_join(spark, sf_dir):
+def test_doc_profile_dedup_stats_two_phase_no_window(spark, sf_dir):
     # merged d01 profile: every stat (fingerprint, token/char/punct,
-    # repetition folds) is a per-row projection; the only shuffle-
-    # bearing operator is the fingerprint window for dup_count/keep_id.
-    # One corpus scan, no joins, exchanges = fan_out + window + sort.
+    # repetition folds) is a per-row projection; dup_count/keep_id come
+    # from a TWO-PHASE aggregate + join-back, NEVER a
+    # Window.partitionBy(fingerprint) — a window shuffle cannot
+    # partial-aggregate, so a real corpus's mega-duplicate cluster
+    # (boilerplate duplicated 10⁷×) would serialize onto one task; the
+    # groupBy's map-side combine absorbs the hot key and the join-back
+    # is AQE-skew-splittable. Column pruning keeps the stats branch to
+    # (doc_id, fingerprint) — the heavy folds run once.
     plan = plan_of(spark, sf_dir, "d01_doc_profile")
     counts = op_counts(plan)
-    joins = [k for k in counts if "Join" in k]
-    assert not joins, counts
-    assert counts.get("Scan", 0) == 1, counts
-    assert counts.get("Window", 0) == 1, counts
-    assert counts.get("Exchange", 0) <= 3, counts
+    assert counts.get("Window", 0) == 0, counts
+    # the decision aggregate map-side-combines (partial_min/partial_count)
+    assert "partial_min" in plan and "partial_count" in plan, counts
+    joins = [k for k in counts if k.endswith("Join")]
+    assert joins and all(
+        j in ("BroadcastHashJoin", "SortMergeJoin", "ShuffledHashJoin")
+        for j in joins
+    ), counts
+    assert counts.get("Scan", 0) == 2, counts  # payload + pruned stats branch
+    assert "CartesianProduct" not in plan
 
 
 def test_quant_error_is_shuffle_free(spark, sf_dir):
@@ -376,19 +386,23 @@ def test_quant_error_is_shuffle_free(spark, sf_dir):
 
 def test_curation_pipeline_two_scans_linear(spark, sf_dir):
     # d13 composes five curation stages into one plan: the corpus is
-    # scanned ONCE for the pipeline (plus one holdout scan and one
-    # pruned doc_id scan for shard-range bounds), the eval n-grams
-    # broadcast, and the shuffles are fan_out, the dedup-fingerprint
-    # window, the contamination count, the eval distinct, the
-    # (stratum,range) shard window, the metadata-sized offsets window,
-    # and the output sort — joins are broadcast-only, no cartesian, no
+    # scanned ONCE for the payload path (plus the pruned keepers
+    # branch and the holdout slice), the eval n-grams broadcast, and
+    # the data shuffles are fan_out, the contamination count, the eval
+    # distinct, the (stratum,range) shard window, the metadata-sized
+    # offsets window, and the output sort. The dedup decision is the
+    # two-phase keepers aggregate (map-side partial_min — NO
+    # fingerprint window: windows can't partial-aggregate, so a hot
+    # duplicate cluster would serialize onto one task) joined back by
+    # broadcast — joins are broadcast-only, no cartesian, no
     # single-partition data shuffle
     plan = plan_of(spark, sf_dir, "d13_curation_pipeline")
     counts = op_counts(plan)
-    # fingerprint window and within-range shard window each print on
-    # two branches of the static tree (shared exchanges, deduped at
-    # runtime — reuse assert below) + the offsets window
-    assert counts.get("Window", 0) == 5, counts
+    # within-range shard window prints on two branches of the static
+    # tree (shared exchange, deduped at runtime — reuse assert below)
+    # + the offsets window; the dedup window is GONE
+    assert counts.get("Window", 0) == 3, counts
+    assert "partial_min" in plan, "keepers aggregate lost its map-side combine"
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "SinglePartition" not in plan

@@ -50,8 +50,12 @@ def normalize_event_times(df: DataFrame, col: str = "ts") -> DataFrame:
     """
     dtype = dict(df.dtypes).get(col)
     if dtype == "bigint":  # TIMESTAMP(NANOS) read as nanos-longs
+        # exact integer division: `/` is a DOUBLE divide, and 2024-era
+        # nano counts (~1.7e18) exceed double's 53-bit exact range
+        # (ULP ≈ 256 ns), so truncating the float quotient can land one
+        # microsecond off
         df = df.withColumn(
-            col, F.timestamp_micros((F.col(col) / 1000).cast("long"))
+            col, F.timestamp_micros(F.expr(f"`{col}` div 1000"))
         )
     elif dtype == "timestamp_ntz":
         df = df.withColumn(col, F.col(col).cast("timestamp"))

@@ -56,7 +56,10 @@ def _dedup_like_duckdb(columns: list[str]) -> list[str]:
 #: builder call used to re-read ~26 parquet schemas and re-build the
 #: 11-way shard join (~2s of py4j/analysis per call × 12 reports in the
 #: driver gate); the frames and the cached wide view are identical
-#: across reports, so construct them once per SparkSession.
+#: across reports, so construct them once per SparkSession. Only the
+#: CURRENT application's entry is kept — a stale entry holds DataFrames
+#: bound to a stopped SparkSession, so a long-lived process that cycles
+#: sessions would otherwise accumulate dead JVM references.
 _FIXTURE_CACHE: dict[str, tuple[dict, DataFrame]] = {}
 
 
@@ -65,6 +68,7 @@ def _fixture_frames(spark: SparkSession, paths: dict) -> tuple[dict, DataFrame]:
 
     app = spark.sparkContext.applicationId
     if app not in _FIXTURE_CACHE:
+        _FIXTURE_CACHE.clear()  # evict entries of stopped sessions
         frames = {t: spark.read.parquet(p) for t, p in paths.items()}
         _FIXTURE_CACHE[app] = (frames, assemble_follow_up(frames))
     return _FIXTURE_CACHE[app]

@@ -1,13 +1,16 @@
-"""Multimodal (binary) column operators — Spark plumbing, stubbed codecs.
+"""Multimodal (binary) column operators.
 
 A 100 TB training-data pipeline treats images/audio/video as opaque
 ``binary`` columns with typed metadata, processed by Arrow-batched
-Pandas functions over ``mapInPandas``. The Spark side here — schema,
-partition sizing, UDF signature, batch iteration — is real and tested;
-the codec step is stubbed (deterministic fake or NotImplementedError)
-because no image/audio libraries exist in this container. Swapping
-``_decode_image_stub`` for PIL/torchvision is a one-function change
-that alters no plan shape.
+Pandas functions over ``mapInPandas``. The Spark side — schema,
+partition sizing, UDF signature, batch iteration — is real and tested,
+and so is the DEFAULT codec: a pure-Python header-only dimension
+parser for PNG (IHDR chunk), GIF (logical screen descriptor) and
+JPEG (SOFn frame scan) — the three formats whose headers are fully
+public and parseable without an image library. Full pixel decode /
+resampling still needs PIL/torchvision (absent in this container);
+``decoder=`` remains the injection seam for that, and swapping it in
+alters no plan shape.
 """
 
 from __future__ import annotations
@@ -56,15 +59,87 @@ FEATURE_SCHEMA = (
 )
 
 
-def _decode_image_stub(payload: bytes) -> tuple[int, int]:
-    """STUB decode: a real implementation would parse the image header
-    (PIL.Image.open). Deterministic fake derived from content length so
-    tests can assert plumbing end-to-end. Raises on empty payloads the
-    way a real decoder raises on corrupt files."""
+class ImageDecodeError(ValueError):
+    """Payload is not a parseable PNG/GIF/JPEG (or is truncated).
+
+    The injection contract for custom decoders: signal corrupt or
+    unsupported payloads by raising ``ValueError`` (this class or any
+    other subclass) — those become NULL dimensions. Any OTHER exception
+    type (TypeError from a wrong-arity lambda, ImportError from a
+    missing codec library, ...) is treated as a systematic failure and
+    propagates as a task failure instead of silently nulling every row.
+    """
+
+
+#: JPEG start-of-frame markers that carry dimensions (baseline,
+#: extended/progressive/lossless, arithmetic variants). C4/C8/CC are
+#: DHT/JPG/DAC — tables, not frames.
+_JPEG_SOF_MARKERS = frozenset(
+    range(0xC0, 0xD0)
+) - {0xC4, 0xC8, 0xCC}
+
+
+def decode_image_dimensions(payload: bytes) -> tuple[int, int]:
+    """(width, height) from the image header alone — pure Python, no
+    image library, O(header) not O(pixels).
+
+    Formats (all public specs):
+    - PNG: 8-byte signature, then the IHDR chunk holds width/height as
+      big-endian u32 at fixed offsets 16/20.
+    - GIF: ``GIF87a``/``GIF89a`` signature, then the logical screen
+      descriptor holds width/height as little-endian u16 at offsets 6/8.
+    - JPEG: ``FFD8`` SOI, then a marker walk (each segment is
+      ``FF <marker> <u16 length>``) to the first SOFn frame header,
+      whose payload is precision u8, height u16, width u16 big-endian.
+
+    Raises :class:`ImageDecodeError` on anything else (including empty
+    or truncated payloads) — callers map that to NULL dimensions.
+    """
     if not payload:
-        raise ValueError("empty payload (corrupt asset)")
-    side = max(1, len(payload) % 4096)
-    return side, max(1, side // 2)
+        raise ImageDecodeError("empty payload (corrupt asset)")
+    if payload[:8] == b"\x89PNG\r\n\x1a\n":
+        if len(payload) < 24 or payload[12:16] != b"IHDR":
+            raise ImageDecodeError("truncated PNG (no IHDR)")
+        w = int.from_bytes(payload[16:20], "big")
+        h = int.from_bytes(payload[20:24], "big")
+        if not (0 < w <= 1 << 31 and 0 < h <= 1 << 31):
+            raise ImageDecodeError("PNG dimensions out of range")
+        return w, h
+    if payload[:6] in (b"GIF87a", b"GIF89a"):
+        if len(payload) < 10:
+            raise ImageDecodeError("truncated GIF (no screen descriptor)")
+        w = int.from_bytes(payload[6:8], "little")
+        h = int.from_bytes(payload[8:10], "little")
+        if w == 0 or h == 0:
+            raise ImageDecodeError("GIF dimensions out of range")
+        return w, h
+    if payload[:2] == b"\xff\xd8":  # JPEG SOI
+        pos = 2
+        n = len(payload)
+        while pos + 4 <= n:
+            if payload[pos] != 0xFF:
+                raise ImageDecodeError("JPEG marker desync")
+            marker = payload[pos + 1]
+            if marker == 0xFF:  # fill bytes before a marker are legal
+                pos += 1
+                continue
+            if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+                pos += 2  # standalone markers carry no length
+                continue
+            seg_len = int.from_bytes(payload[pos + 2 : pos + 4], "big")
+            if seg_len < 2:
+                raise ImageDecodeError("JPEG segment length underflow")
+            if marker in _JPEG_SOF_MARKERS:
+                if pos + 9 > n:
+                    raise ImageDecodeError("truncated JPEG SOF")
+                h = int.from_bytes(payload[pos + 5 : pos + 7], "big")
+                w = int.from_bytes(payload[pos + 7 : pos + 9], "big")
+                if w == 0 or h == 0:
+                    raise ImageDecodeError("JPEG dimensions out of range")
+                return w, h
+            pos += 2 + seg_len
+        raise ImageDecodeError("JPEG has no SOF frame header")
+    raise ImageDecodeError("unrecognized image format")
 
 
 def extract_features(
@@ -75,19 +150,24 @@ def extract_features(
     """Decode + feature-extract binary assets via mapInPandas.
 
     ``decoder`` is the injection seam: a callable ``bytes -> (width,
-    height)`` shipped to executors by value. Default is the
-    deterministic stub (no image libraries in this container); a real
-    deployment passes e.g. ``lambda b: PIL.Image.open(io.BytesIO(b))
-    .size`` without editing the operator — the plan shape is identical.
+    height)`` shipped to executors by value. Default is
+    :func:`decode_image_dimensions` — a real pure-Python header parser
+    for PNG/GIF/JPEG; a deployment with image libraries passes e.g.
+    ``lambda b: PIL.Image.open(io.BytesIO(b)).size`` without editing
+    the operator — the plan shape is identical.
 
     Plan shape: one narrow Arrow-batched pass, no shuffle; payload
-    bytes never leave the executor. Decode failures are recorded as
-    NULL dimensions, not task failures (a corrupt asset must not kill
-    a 100 TB scan).
+    bytes never leave the executor. PER-ROW decode failures —
+    signalled by ``ValueError`` per the injection contract
+    (:class:`ImageDecodeError`) — are recorded as NULL dimensions, not
+    task failures (a corrupt asset must not kill a 100 TB scan). Any
+    other exception type is a systematic failure (wrong-arity lambda,
+    missing import inside the codec) and PROPAGATES: a decoder broken
+    on 100% of assets must fail the job, not emit all-NULL columns.
     """
     import pandas as pd
 
-    decode = decoder if decoder is not None else _decode_image_stub
+    decode = decoder if decoder is not None else decode_image_dimensions
 
     def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
         import numpy as np
@@ -104,12 +184,14 @@ def extract_features(
                     w, h = decode(raw)
                     widths.append(w)
                     heights.append(h)
-                except Exception:  # injected codecs raise arbitrary errors
+                except ValueError:  # the documented corrupt-asset signal
                     widths.append(None)
                     heights.append(None)
-                # content fingerprint: md5-derived (python hash() is
-                # per-process salted for bytes — not reproducible)
-                digest = hashlib.md5(raw).digest()
+                # content fingerprint: md5 over the UPPERCASE HEX of the
+                # bytes (python hash() is per-process salted; and SQL
+                # engines can md5 strings but often not blobs — hex-then-
+                # md5 is reproducible anywhere: DuckDB md5(hex(payload)))
+                digest = hashlib.md5(raw.hex().upper().encode("ascii")).digest()
                 hashes.append(int.from_bytes(digest[:8], "big") & 0x7FFFFFFFFFFFFFFF)
             yield pd.DataFrame(
                 {

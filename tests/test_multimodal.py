@@ -1,17 +1,86 @@
-"""Multimodal binary-column plumbing tests (stubbed codecs)."""
+"""Multimodal binary-column tests: the real header-only image codec
+(PNG/GIF/JPEG dimension parsing) plus the mapInPandas plumbing."""
 
 from __future__ import annotations
 
+import pytest
+
 from data_export_tool_spark.operators.multimodal import (
+    ImageDecodeError,
+    decode_image_dimensions,
     extract_features,
     frame_sample_plan,
 )
 
 
+def _png(w: int, h: int) -> bytes:
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + (13).to_bytes(4, "big")
+        + b"IHDR"
+        + w.to_bytes(4, "big")
+        + h.to_bytes(4, "big")
+        + b"\x08\x02\x00\x00\x00"
+        + b"\x00\x00\x00\x00"  # CRC placeholder (parsers don't check)
+    )
+
+
+def _gif(w: int, h: int, version: bytes = b"89a") -> bytes:
+    return (
+        b"GIF" + version + w.to_bytes(2, "little") + h.to_bytes(2, "little")
+        + b"\xf7\x00\x00"
+    )
+
+
+def _jpeg(w: int, h: int, sof: int = 0xC0) -> bytes:
+    app0 = b"\xff\xe0" + (16).to_bytes(2, "big") + b"JFIF\x00\x01\x02\x00" + b"\x00" * 6
+    sof_seg = (
+        bytes([0xFF, sof])
+        + (17).to_bytes(2, "big")
+        + b"\x08"
+        + h.to_bytes(2, "big")
+        + w.to_bytes(2, "big")
+        + b"\x03" + b"\x01\x22\x00" + b"\x02\x11\x01" + b"\x03\x11\x01"
+    )
+    return b"\xff\xd8" + app0 + sof_seg + b"\xff\xd9"
+
+
+def test_decode_dimensions_png_gif_jpeg():
+    assert decode_image_dimensions(_png(640, 480)) == (640, 480)
+    assert decode_image_dimensions(_png(1, 1 << 20)) == (1, 1 << 20)
+    assert decode_image_dimensions(_gif(320, 200)) == (320, 200)
+    assert decode_image_dimensions(_gif(65535, 1, b"87a")) == (65535, 1)
+    assert decode_image_dimensions(_jpeg(1920, 1080)) == (1920, 1080)
+    # progressive (SOF2) and extended-sequential (SOF1) frames
+    assert decode_image_dimensions(_jpeg(800, 600, sof=0xC2)) == (800, 600)
+    assert decode_image_dimensions(_jpeg(12, 34, sof=0xC1)) == (12, 34)
+    # restart markers / fill bytes before the SOF are skipped
+    weird = b"\xff\xd8" + b"\xff\xff" + b"\xff\xd0" + _jpeg(5, 7)[2:]
+    assert decode_image_dimensions(weird) == (5, 7)
+
+
+@pytest.mark.parametrize(
+    "payload",
+    [
+        b"",
+        b"not an image at all",
+        b"\x89PNG\r\n\x1a\n\x00\x00",  # truncated before IHDR
+        b"\x89PNG\r\n\x1a\n" + (13).to_bytes(4, "big") + b"XXXX" + b"\x00" * 13,
+        b"GIF89a\x00",  # truncated screen descriptor
+        b"\xff\xd8\xff\xe0\x00\x04\x00\x00\xff\xd9",  # JPEG without SOF
+        b"\xff\xd8zz",  # marker desync
+        _png(0, 10),  # zero dimension
+    ],
+)
+def test_decode_dimensions_rejects_corrupt(payload):
+    with pytest.raises(ImageDecodeError):
+        decode_image_dimensions(payload)
+
+
 def _assets(spark):
     rows = [
-        (1, "image/jpeg", bytearray(b"\xff\xd8" + b"x" * 100), 0, 0, None),
-        (2, "image/png", bytearray(b"\x89PNG" + b"y" * 5000), 0, 0, None),
+        (1, "image/jpeg", bytearray(_jpeg(640, 360) + b"x" * 100), 0, 0, None),
+        (2, "image/png", bytearray(_png(1024, 768) + b"y" * 5000), 0, 0, None),
         (3, "image/jpeg", bytearray(b""), 0, 0, None),  # corrupt/empty
         (4, "video/mp4", bytearray(b"ftyp" + b"z" * 64), 0, 0, 3500),
     ]
@@ -22,16 +91,33 @@ def _assets(spark):
     )
 
 
-def test_extract_features_plumbing(spark):
+def test_extract_features_real_codec(spark):
     out = {r.asset_id: r for r in extract_features(_assets(spark)).collect()}
-    assert out[1].n_bytes == 102
-    assert out[2].n_bytes == 5004
+    # the DEFAULT codec parses real headers (trailing junk is fine —
+    # only the header is read)
+    assert (out[1].thumb_width, out[1].thumb_height) == (640, 360)
+    assert (out[2].thumb_width, out[2].thumb_height) == (1024, 768)
+    assert out[1].n_bytes == len(_jpeg(640, 360)) + 100
+    assert out[2].n_bytes == len(_png(1024, 768)) + 5000
     # corrupt asset → NULL dims, row preserved (no task failure)
     assert out[3].thumb_width is None and out[3].n_bytes == 0
+    # video payload has no image header → NULL dims, bytes intact
+    assert out[4].thumb_width is None and out[4].n_bytes == 68
     # deterministic fingerprints
-    assert out[1].feat_hash == out[1].feat_hash >= 0
+    assert out[1].feat_hash >= 0
     again = {r.asset_id: r.feat_hash for r in extract_features(_assets(spark)).collect()}
     assert again == {k: v.feat_hash for k, v in out.items()}
+
+
+def test_systematic_codec_failure_propagates(spark):
+    # a decoder broken on EVERY row (wrong arity → TypeError) must fail
+    # the job, not silently emit all-NULL dimensions (ValueError is the
+    # only documented corrupt-asset signal)
+    def broken():  # pragma: no cover - never called successfully
+        return (1, 1)
+
+    with pytest.raises(Exception):
+        extract_features(_assets(spark), decoder=broken).collect()
 
 
 def test_extract_features_codec_injection(spark):
@@ -56,7 +142,7 @@ def test_extract_features_codec_injection(spark):
     assert out[3].thumb_width is None  # empty payload rejected
     assert out[4].thumb_width is None  # video magic unknown to codec
     # fingerprints/byte counts are codec-independent
-    assert out[2].n_bytes == 5004
+    assert out[2].n_bytes == len(_png(1024, 768)) + 5000
 
 
 def test_frame_sample_plan(spark):

@@ -58,11 +58,15 @@ def main() -> None:
     specs = {n: s for n, s in specs.items() if not n.startswith("m")}
 
     timings: dict[str, float] = {}
+    spreads: dict[str, float] = {}
     for name, spec in sorted(specs.items()):
         run_once(spec)  # per-query warm run, discarded
-        timings[name] = round(
-            statistics.median(run_once(spec) for _ in range(n_runs)), 3
-        )
+        runs = sorted(run_once(spec) for _ in range(n_runs))
+        timings[name] = round(statistics.median(runs), 3)
+        # max-min of the timed runs: how much same-commit same-process
+        # noise this query carries, so a cross-round delta smaller than
+        # the spread can be read as noise rather than regression
+        spreads[name] = round(runs[-1] - runs[0], 3)
 
     total = round(sum(timings.values()), 3)
     out = {
@@ -79,20 +83,41 @@ def main() -> None:
     import glob
 
     here = os.path.dirname(os.path.abspath(__file__))
+    latest_prev: dict[str, float] = {}
     for prior in sorted(glob.glob(os.path.join(here, "BENCH_r*.json"))):
         try:
             with open(prior) as fh:
                 prev = json.load(fh)
             # driver-recorded files wrap the bench line under "parsed"
             prev = prev.get("parsed", prev) or {}
+            if prev.get("sf") != sf:  # deltas only make sense at equal scale
+                continue
             shared = [q for q in prev.get("queries", {}) if q in timings]
             if shared:
                 tag = os.path.basename(prior)[len("BENCH_") : -len(".json")]
                 out[f"subset_total_{tag}"] = round(
                     sum(timings[q] for q in shared), 3
                 )
+                latest_prev = prev["queries"]
         except (OSError, ValueError):
             continue
+
+    # per-query regression guard vs the latest committed round: flag a
+    # slip when the delta exceeds BOTH 25% of the prior time and this
+    # run's own observed noise spread, so pure JVM jitter doesn't alarm
+    if latest_prev:
+        out["prev_deltas"] = {
+            q: round(timings[q] - latest_prev[q], 3)
+            for q in sorted(timings)
+            if q in latest_prev
+        }
+        out["regressions"] = sorted(
+            q
+            for q in timings
+            if q in latest_prev
+            and timings[q] - latest_prev[q] > max(0.25 * latest_prev[q], spreads[q])
+        )
+    out["spreads"] = spreads
     print(json.dumps(out))
 
 

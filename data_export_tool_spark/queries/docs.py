@@ -20,7 +20,7 @@ from data_export_tool_spark.functions.text import (
     punct_ratio,
     token_count,
 )
-from data_export_tool_spark.parallelism import fan_out
+from data_export_tool_spark.parallelism import fan_out, pin_above_exchange
 from data_export_tool_spark.operators.dedup import (
     exact_duplicates,
     minhash_lsh_candidates,
@@ -851,15 +851,16 @@ def d13_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     # all (and if it ever outgrows broadcast, the join is
     # AQE-skew-splittable). Keepers are computed over ALL train rows
     # (pre-repetition-filter) to match the oracle's stage order; the
-    # repetition flag stays a projected column (interpreted Filter
-    # predicates get no common-subexpression elimination — the
-    # higher-order fold costs ~10× more as a filter condition).
+    # repetition verdict is pinned ABOVE the fan-out exchange
+    # (pin_above_exchange) so its filter can't sink into the serial
+    # small-file scan — at scale the scan is parallel and the pin is
+    # free (see parallelism.py).
     flagged = train.select(
         "doc_id",
         "lang",
         "source",
         "text",
-        is_repetitive(F.col("text")).alias("__rep"),
+        pin_above_exchange(is_repetitive(F.col("text"))).alias("__rep"),
         F.md5(normalize_text(F.col("text"))).alias("__fp"),
     )
     keepers = duplicate_keepers(train, "doc_id", "text")

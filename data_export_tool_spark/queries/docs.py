@@ -10,6 +10,8 @@ oracle can match exactly.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -611,6 +613,42 @@ _SHARD_BUDGET = 2000
 #: bench/gate repetition
 _SHARD_BOUNDS_CACHE: dict[str, list[float]] = {}
 
+#: rows a single range-task's prefix-sum window absorbs comfortably —
+#: the packing input is metadata-narrow (id, stratum, token count ≈
+#: tens of bytes/row), so 2M rows ≈ a few hundred MB of sort spill
+#: headroom per task
+_ROWS_PER_RANGE = 2_000_000
+
+
+def _documents_rows(sf_dir: str) -> int | None:
+    """documents row count from the parquet footer — a driver-side
+    metadata read, no Spark job. None when the layout isn't a local
+    single file (e.g. a sharded production table): the caller then
+    keeps the scale path rather than guessing."""
+    try:
+        import pyarrow.parquet as pq
+
+        path = os.path.join(sf_dir, "documents.parquet")
+        return pq.ParquetFile(path).metadata.num_rows
+    except Exception:
+        return None
+
+
+def _shard_num_ranges(sf_dir: str, cap: int = 32) -> int:
+    """Range count for two-phase packing, degraded to 1 when every
+    stratum provably fits one task's window (tiny local inputs): the
+    output is identical for ANY range count, and the two-phase form
+    costs ~3 extra stages that never amortize at toy scale. At
+    production scale the footer count is large (or unreadable → None)
+    and the full two-phase shape is kept. Contract tests pin the scale
+    shape via SPARK_GRAFT_FORCE_TWO_PHASE=1."""
+    if os.environ.get("SPARK_GRAFT_FORCE_TWO_PHASE"):
+        return cap
+    rows = _documents_rows(sf_dir)
+    if rows is None:
+        return cap
+    return max(1, min(cap, rows // _ROWS_PER_RANGE))
+
 
 def _doc_id_bounds(
     spark: SparkSession, sf_dir: str, num_ranges: int = 32
@@ -625,6 +663,15 @@ def _doc_id_bounds(
     return _SHARD_BOUNDS_CACHE[key]
 
 
+def _shard_pack_kwargs(spark: SparkSession, sf_dir: str) -> dict:
+    """kwargs for ``pack_token_shards``: two-phase with raw-table
+    quantile bounds at scale, classic one-window form when degraded."""
+    n = _shard_num_ranges(sf_dir)
+    if n <= 1:
+        return {"num_ranges": 1}
+    return {"range_bounds": _doc_id_bounds(spark, sf_dir, n)}
+
+
 def d10_doc_token_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     from data_export_tool_spark.operators.sampling import pack_token_shards
 
@@ -637,9 +684,9 @@ def d10_doc_token_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
         budget=_SHARD_BUDGET,
         order_col="doc_id",
         strata_col="lang",
-        # boundaries from the RAW table's doc_id quantiles (memoized) —
-        # planning never executes the packing input twice
-        range_bounds=_doc_id_bounds(spark, sf_dir),
+        # two-phase with memoized raw-table quantile boundaries at
+        # scale; degraded to the one-window form on provably tiny input
+        **_shard_pack_kwargs(spark, sf_dir),
     )
     return packed.select(
         "doc_id",
@@ -893,9 +940,10 @@ def d13_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         budget=_SHARD_BUDGET,
         order_col="doc_id",
         strata_col="lang",
-        # memoized raw-table boundaries: planning must not execute the
-        # whole curation pipeline just to sample doc_id quantiles
-        range_bounds=_doc_id_bounds(spark, sf_dir),
+        # memoized raw-table boundaries at scale (planning must not
+        # execute the whole curation pipeline just to sample doc_id
+        # quantiles); one-window form on provably tiny input
+        **_shard_pack_kwargs(spark, sf_dir),
     )
     return packed.select(
         "doc_id",

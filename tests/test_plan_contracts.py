@@ -384,7 +384,10 @@ def test_quant_error_is_shuffle_free(spark, sf_dir):
 # entry pins both tiers' plans at once)
 
 
-def test_curation_pipeline_two_scans_linear(spark, sf_dir):
+def test_curation_pipeline_two_scans_linear(spark, sf_dir, monkeypatch):
+    # pin the SCALE shape: packing degrades to one window on tiny local
+    # input (output-identical), but the contract is about 100 TB plans
+    monkeypatch.setenv("SPARK_GRAFT_FORCE_TWO_PHASE", "1")
     # d13 composes five curation stages into one plan: the corpus is
     # scanned ONCE for the payload path (plus the pruned keepers
     # branch and the holdout slice), the eval n-grams broadcast, and
@@ -418,7 +421,8 @@ def test_curation_pipeline_two_scans_linear(spark, sf_dir):
     ), final[:2000]
 
 
-def test_token_shards_two_phase_no_single_partition(spark, sf_dir):
+def test_token_shards_two_phase_no_single_partition(spark, sf_dir, monkeypatch):
+    monkeypatch.setenv("SPARK_GRAFT_FORCE_TWO_PHASE", "1")
     # d10: two-phase prefix-sum packing (r2 scale fix). Contracts:
     # (1) NO single-partition Exchange or global Sort anywhere — the
     #     old form serialized each stratum (or everything) onto one

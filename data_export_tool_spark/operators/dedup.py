@@ -423,6 +423,14 @@ def dedup_against(
     (use ``fingerprint_store`` to produce/extend it). This is the daily
     ingest shape at 100 TB: full-corpus re-dedup is a one-time batch
     job, incremental drops are an anti-join against the running store.
+
+    Layout: persist the store bucketed AND sorted by the fingerprint
+    column (``catalog.write_bucketed(store, name, "fingerprint",
+    sort_col="fingerprint")``). Bucket metadata then serves both the
+    store-side distinct and its side of the sort-merge anti-join with
+    ZERO exchanges — only the (much smaller) daily snapshot shuffles
+    (plan contract:
+    ``test_incremental_dedup_bucketed_store_no_store_exchange``).
     """
     fp = F.md5(normalize_text(F.col(text_col)))
     store = seen.select(F.col(fingerprint_col).alias("__fp")).distinct()

@@ -247,6 +247,50 @@ def test_asof_join_bucketed_inputs_no_exchange(spark, tmp_path):
         spark.sql("DROP TABLE IF EXISTS t_asof_right_bkt")
 
 
+def test_incremental_dedup_bucketed_store_no_store_exchange(spark, sf_dir):
+    """Incremental-ingest layout claim: with the fingerprint store
+    persisted bucketed (and sorted) by ``fingerprint``, the daily
+    ``dedup_against`` anti-join re-shuffles ONLY the new snapshot —
+    the store's distinct and its side of the sort-merge anti-join are
+    served by bucket metadata with zero Exchange. Broadcast is
+    disabled so the test can't pass by broadcasting the small store."""
+    from data_export_tool_spark.catalog import write_bucketed
+    from data_export_tool_spark.operators.dedup import (
+        dedup_against,
+        fingerprint_store,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    store = fingerprint_store(docs.filter("doc_id % 2 = 0"))
+    write_bucketed(
+        store,
+        "t_fp_store_bkt",
+        "fingerprint",
+        num_buckets=8,
+        sort_col="fingerprint",
+    )
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        kept = dedup_against(docs, spark.table("t_fp_store_bkt"))
+        plan = kept._jdf.queryExecution().explainString(
+            spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+                "formatted"
+            )
+        )
+        counts = op_counts(plan)
+        assert "Bucketed: true" in plan, "store scan ignored bucket layout"
+        # exactly ONE exchange: the new snapshot hashing onto the
+        # store's fingerprint partitioning; none on the store branch
+        assert counts.get("Exchange", 0) == 1, counts
+        assert counts.get("BroadcastExchange", 0) == 0, counts
+        # and the anti-join semantics hold: every kept row is odd-id
+        assert kept.filter("doc_id % 2 = 0").count() == 0
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql("DROP TABLE IF EXISTS t_fp_store_bkt")
+
+
 def test_asof_join_plan_is_retry_safe(spark, sf_dir):
     # the as-of rewrite must not rely on monotonically_increasing_id
     # (recomputed on task retry) nor a global row_number window

@@ -144,6 +144,61 @@ class TestPii:
             assert row.n == 0, row.text
             assert row.red == row.text
 
+    def test_negative_controls_zero_redactions(self, spark):
+        # VERDICT r3 #7: pin the phone-class claim with a table of
+        # known non-PII shapes — every row must come back byte-identical
+        # with zero matches across ALL classes. (The documented,
+        # accepted false-positive surface — separator-joined 3-4/3-4/2+
+        # triples like part number "123-456-7890" or a space-grouped
+        # card number — is deliberately NOT in this table.)
+        clean = [
+            "isbn-10 0-306-40615-2 reprint",  # 1-3-5-1 grouping
+            "uuid 550e8400-e29b-41d4-a716-446655440000",  # hex groups
+            "released v2.10.3 yesterday",  # 3-part version
+            "meeting at 12:34:56 UTC",  # colon-separated time
+            "aspect ratio 16:9 letterbox",
+            "serial 12-34-56 stamped",  # groups too short for any class
+            "due 31/12/2024 midnight",  # slash date
+            "total 1,234,567.89 USD",  # comma-grouped money
+            "approx 6.022e23 atoms",  # scientific notation
+            "color #ff5733 swatch",  # hex color
+            "commit a1b2c3d4 deployed",  # short git sha
+            "pages 100-200 assigned",  # single hyphen range
+            "grew 12.5% q/q",
+            "coords 40.7128, -74.0060 downtown",  # lat/lon pair
+        ]
+        df = spark.createDataFrame([(t,) for t in clean], "text string")
+        out = df.select(
+            "text",
+            redact_pii(F.col("text")).alias("red"),
+            pii_match_count(F.col("text")).alias("n"),
+        ).collect()
+        for row in out:
+            assert row.n == 0, f"false positive in: {row.text!r}"
+            assert row.red == row.text
+
+    def test_locale_variant_phones_redact(self, spark):
+        # ...and the bounded class still catches the phone shapes it
+        # documents: international +prefix, parenthesized area code,
+        # and separator-joined 3-4/3-4/2-6 groups, across locales
+        positives = [
+            "ring +44 20 7946 0958 today",  # UK international
+            "fax +81-3-1234-5678 office",  # JP international, hyphens
+            "dial (089) 1234-5678 munich",  # parenthesized area code
+            "cell 555 123 4567 anytime",  # space-joined triple
+        ]
+        df = spark.createDataFrame([(t,) for t in positives], "text string")
+        out = df.select(
+            "text",
+            redact_pii(F.col("text")).alias("red"),
+            pii_match_count(F.col("text")).alias("n"),
+        ).collect()
+        for row in out:
+            assert row.n == 1, f"missed phone in: {row.text!r}"
+            assert "<PHONE>" in row.red, row.red
+            # the tag replaced the digits — none of the number remains
+            assert not any(ch.isdigit() for ch in row.red), row.red
+
     def test_email_digits_not_double_counted(self, spark):
         # the digits inside the address must not also count as a phone
         df = spark.createDataFrame(

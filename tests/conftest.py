@@ -27,3 +27,44 @@ def spark():
 @pytest.fixture(scope="session")
 def sf_dir():
     return SF_DIR
+
+
+def _current_round() -> int | None:
+    """Latest round number from the driver's PROGRESS.jsonl, if any."""
+    import json
+
+    path = os.path.join(os.path.dirname(os.path.dirname(__file__)), "PROGRESS.jsonl")
+    try:
+        with open(path) as fh:
+            rounds = [json.loads(ln).get("round") for ln in fh if ln.strip()]
+        return max(r for r in rounds if isinstance(r, int))
+    except (OSError, ValueError):
+        return None
+
+
+def record_stream_parity(twin: str, rows_compared: int, match: bool) -> None:
+    """Append a stream-vs-batch twin parity result to the repo-root
+    STREAMPARITY artifact (VERDICT r3 #8: X21–X25 need machine-readable
+    evidence round-over-round, and the 50-entry driver catalog has no
+    slot for streaming). Merged read-modify-write — the suite runs in
+    one process, so no locking needed."""
+    import json
+    import time
+
+    n = _current_round()
+    name = f"STREAMPARITY_r{n:02d}.json" if n else "STREAMPARITY.json"
+    path = os.path.join(os.path.dirname(os.path.dirname(__file__)), name)
+    try:
+        with open(path) as fh:
+            doc = json.load(fh)
+    except (OSError, ValueError):
+        doc = {"twins": {}}
+    doc["twins"][twin] = {
+        "rows_compared": int(rows_compared),
+        "match": bool(match),
+        "ts": round(time.time(), 1),
+    }
+    doc["all_match"] = all(t["match"] for t in doc["twins"].values())
+    with open(path, "w") as fh:
+        json.dump(doc, fh, indent=1, sort_keys=True)
+        fh.write("\n")

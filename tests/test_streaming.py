@@ -14,6 +14,7 @@ from data_export_tool_spark.streaming.events import (
     hourly_counts_stream,
     read_events_stream,
 )
+from tests.conftest import record_stream_parity
 
 
 @pytest.fixture(scope="module")
@@ -99,6 +100,7 @@ def test_hourly_counts_stream_matches_batch(spark, sf_dir, event_drop_dir):
         )
         .collect()
     }
+    record_stream_parity("hourly_windowed_agg", len(expected), got == expected)
     assert got == expected
 
 
@@ -126,8 +128,12 @@ def test_dedup_stream_matches_batch_distinct(spark, event_drop_dir, tmp_path):
     q.awaitTermination(120)
     got = spark.read.parquet(out_dir)
     n_unique = ev.select("event_id").distinct().count()
-    assert got.count() == n_unique
-    assert got.select("event_id").distinct().count() == n_unique
+    ok = (
+        got.count() == n_unique
+        and got.select("event_id").distinct().count() == n_unique
+    )
+    record_stream_parity("watermark_dedup", n_unique, ok)
+    assert ok
 
 
 def test_sessionize_stream_matches_batch_sessions(spark, event_drop_dir, tmp_path):
@@ -199,6 +205,8 @@ def test_sessionize_stream_matches_batch_sessions(spark, event_drop_dir, tmp_pat
         )
         for r in rows
     }
+    ok = bool(got) and got <= expected
+    record_stream_parity("stateful_sessionize", len(got), ok)
     assert got, "stream emitted no closed sessions"
     assert got <= expected
 
@@ -231,6 +239,7 @@ def test_enrich_stream_matches_batch_join(spark, event_drop_dir, tmp_path):
         (r.event_id, r.tier)
         for r in ev.join(dim, "user_id", "left").select("event_id", "tier").collect()
     }
+    record_stream_parity("static_enrich_join", len(expected), got == expected)
     assert got == expected
 
 
@@ -278,5 +287,7 @@ def test_upsert_sink_applies_changesets_in_order(spark, tmp_path):
         (r.k, r.seq, r.payload)
         for r in merge_upsert(cs1, cs2, ["k"], order_by=["seq"]).collect()
     }
+    ok = got == expected and len(got) == 12  # 1-4 from cs1, 5-12 from cs2
+    record_stream_parity("cdc_upsert_sink", len(expected), ok)
     assert got == expected
-    assert len(got) == 12  # 1-4 from cs1, 5-12 from cs2
+    assert len(got) == 12

@@ -2746,7 +2746,14 @@ def tx_curr_vl_eligible_new_linelist(
         F.col("regimen").alias("ARVDispendsedDose"),
         F.col("arv_dispensed_dose").alias("ARTDoseDays"),
         "next_visit_date",
-        "follow_up_status",
+        # the OUTPUT status is the latest in-window visit of ANY status
+        # (all_art_follow_ups.follow_up_status, :179) — NOT f_case's
+        # Alive/Restart-medication row, which can differ when the very
+        # latest visit carries e.g. 'Restart Medication' (capital M,
+        # outside latest_alive_restart's lowercase-m filter but inside
+        # the output filter's list); the eligibility/vl_status CASEs
+        # above keep using f_case's status like the reference does
+        F.col("aa_follow_up_status").alias("follow_up_status"),
         F.col("treatment_end_date").alias("art_dose_End"),
         F.col("vp_masked_perform_date").alias("viral_load_perform_date"),
         F.col("vp_masked_status").alias("viral_load_status"),

@@ -1,0 +1,98 @@
+"""Multi-seed line-list parity fuzz (VERDICT r3 #6).
+
+The main parity suite (test_mamba_parity.py) pins all 12 reports on
+the seed-42 fixture corpus. This module re-runs the full 12-report
+parity at ADDITIONAL seeds so the case-variant / sentinel-date /
+tie-break edges (SURVEY.md §4 quirks 7–8) are exercised on different
+draws: each seed shifts which patients carry lowercase status strings,
+1900-01-01 sentinel dates, same-day duplicate visits, and Pagume-week
+birthdays. Slow by design (marked ``slow``); still in the default
+pytest run because it is reference-parity evidence, not a stress toy.
+"""
+
+from __future__ import annotations
+
+import os
+
+import duckdb
+import pytest
+
+from data_export_tool_spark.mamba.fixtures import (
+    WINDOW_END,
+    WINDOW_START,
+    create_fixture_frames,
+)
+from data_export_tool_spark.plans.dialect import (
+    install_duckdb_macros,
+    shim_mysql_to_duckdb,
+)
+from tests.test_mamba_parity import PARAMS, REFERENCE_SQL_DIR, _assert_parity
+
+pytestmark = [
+    pytest.mark.slow,
+    pytest.mark.skipif(
+        not os.path.isdir(REFERENCE_SQL_DIR), reason="reference tree not available"
+    ),
+]
+
+#: extra seeds beyond the main suite's 42 — three corpora total ≥ the
+#: verdict's bar, 36 report runs across this module + the main suite
+EXTRA_SEEDS = (7, 1234)
+
+
+def _report_pairs():
+    from data_export_tool_spark.mamba import linelists as LL
+
+    return [
+        ("Tx_Curr_LineList", LL.tx_curr_linelist),
+        ("Tx_Curr_OutComeList", LL.tx_curr_outcome),
+        ("Tx_Curr_VLTestReceived_LineList", LL.tx_curr_vl_received_linelist),
+        ("Tx_Curr_CCA_LineList", LL.tx_curr_cca_linelist),
+        ("Tx_Curr_TPT_LineList", LL.tx_curr_tpt_linelist),
+        ("PMTCT_Maternal_LineList", LL.pmtct_maternal_linelist),
+        ("PMTCT_HEI_LineList", LL.pmtct_hei_linelist),
+        ("Tx_Curr_HVL_LineList", LL.tx_curr_hvl_linelist),
+        ("Tx_Curr_AHD_LineList", LL.tx_curr_ahd_linelist),
+        ("Tx_Curr_VLEligible_LineList", LL.tx_curr_vl_eligible_linelist),
+        ("Tx_Curr_VLEligibleNew_LineList", LL.tx_curr_vl_eligible_new_linelist),
+        ("Tx_Curr_CCANew_LineList", LL.tx_curr_cca_new_linelist),
+    ]
+
+
+@pytest.fixture(scope="module", params=EXTRA_SEEDS, ids=lambda s: f"seed{s}")
+def seeded_env(request, spark, tmp_path_factory):
+    seed = request.param
+    out = str(tmp_path_factory.mktemp(f"mamba_seed{seed}"))
+    frames = create_fixture_frames(spark, seed=seed)
+    con = duckdb.connect()
+    install_duckdb_macros(con)
+    for name, df in frames.items():
+        path = os.path.join(out, name)
+        df.write.mode("overwrite").parquet(path)
+        con.sql(f"CREATE VIEW {name} AS SELECT * FROM '{path}/*.parquet'")
+    return seed, frames, con
+
+
+@pytest.mark.parametrize("query_file", [n for n, _ in _report_pairs()])
+def test_linelist_parity_across_seeds(query_file, spark, seeded_env):
+    from data_export_tool_spark.mamba.reports import QUERY_PATCHES
+
+    seed, frames, con = seeded_env
+    builder = dict(_report_pairs())[query_file]
+    mine = builder(frames, WINDOW_START, WINDOW_END).toPandas()
+    sql = open(os.path.join(REFERENCE_SQL_DIR, f"{query_file}.sql")).read()
+    oracle = con.sql(
+        shim_mysql_to_duckdb(sql, PARAMS, QUERY_PATCHES.get(query_file))
+    ).df()
+    _assert_parity(mine, oracle, f"{query_file}@seed{seed}")
+
+
+def test_seeded_corpora_are_nontrivial(spark, seeded_env):
+    """The fuzz only means something if the alternative corpus still
+    exercises the cohorts: total line-list rows must be substantial."""
+    seed, frames, con = seeded_env
+    total = sum(
+        builder(frames, WINDOW_START, WINDOW_END).count()
+        for _, builder in _report_pairs()
+    )
+    assert total > 100, f"seed {seed} produced a near-empty corpus ({total} rows)"

@@ -47,6 +47,26 @@ def pin_above_exchange(col: Column) -> Column:
     return F.element_at(F.shuffle(F.array(col)), 1)
 
 
+def sort_after_stage(df: DataFrame, *cols: str) -> DataFrame:
+    """Global sort with a round-robin exchange inserted below it.
+
+    A global ``orderBy`` needs range boundaries, and Spark computes
+    them with a SAMPLING JOB that consumes the sort's entire child —
+    re-executing every upstream expression — unless the child is a
+    materialized shuffle stage. When the upstream is expensive per-row
+    compute reached only through scans and broadcast joins (text
+    folds, Arrow-batched decodes), that sampling pass silently doubles
+    the query's cost at ANY scale. The inserted narrow exchange gives
+    AQE a materialized stage to sample instead: one extra shuffle of
+    the (already projected, payload-free) output rows in exchange for
+    computing the expensive expressions exactly once. Use when
+    upstream compute per row outweighs shuffling the output row; keep
+    plain ``orderBy`` when the upstream is cheap or already ends in a
+    shuffle (aggregate/window/join exchange)."""
+    spark = df.sparkSession
+    return df.repartition(spark.sparkContext.defaultParallelism).orderBy(*cols)
+
+
 def fan_out(df: DataFrame, target: int | None = None) -> DataFrame:
     """Repartition ``df`` up to the session's default parallelism iff it
     currently has fewer partitions; no-op (and no shuffle) otherwise."""

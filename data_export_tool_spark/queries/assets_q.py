@@ -80,7 +80,13 @@ def synth_assets(spark: SparkSession, sf_dir: str) -> DataFrame:
 # x01 — decode + feature-extract over mapInPandas (Arrow batches)
 # --------------------------------------------------------------------------
 def x01_asset_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return extract_features(synth_assets(spark, sf_dir)).orderBy("asset_id")
+    # sort via a materialized stage: a plain orderBy's range-sampling
+    # pass would run the Arrow-batched header decode TWICE
+    from data_export_tool_spark.parallelism import sort_after_stage
+
+    return sort_after_stage(
+        extract_features(synth_assets(spark, sf_dir)), "asset_id"
+    )
 
 
 #: the oracle replays the byte construction (identical PNG header for

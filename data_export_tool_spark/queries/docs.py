@@ -22,7 +22,11 @@ from data_export_tool_spark.functions.text import (
     punct_ratio,
     token_count,
 )
-from data_export_tool_spark.parallelism import fan_out, pin_above_exchange
+from data_export_tool_spark.parallelism import (
+    fan_out,
+    pin_above_exchange,
+    sort_after_stage,
+)
 from data_export_tool_spark.operators.dedup import (
     exact_duplicates,
     minhash_lsh_candidates,
@@ -145,7 +149,11 @@ def d01_doc_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             "dup3_frac",
             "repetitive",
         )
-        .orderBy("doc_id")
+        # sort via a materialized stage: the n-gram folds above reach
+        # the sort through broadcast joins only, and a plain orderBy's
+        # range-sampling pass would re-execute them all (see
+        # parallelism.sort_after_stage)
+        .transform(lambda d: sort_after_stage(d, "doc_id"))
     )
 
 

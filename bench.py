@@ -69,6 +69,14 @@ def main() -> None:
         spreads[name] = round(runs[-1] - runs[0], 3)
 
     total = round(sum(timings.values()), 3)
+
+    def loadavg() -> float | None:
+        try:
+            with open("/proc/loadavg") as fh:
+                return float(fh.read().split()[0])
+        except (OSError, ValueError):
+            return None
+
     out = {
         "metric": "catalog_total_wall",
         "value": total,
@@ -76,6 +84,11 @@ def main() -> None:
         "queries": timings,
         "sf": sf,
         "protocol": f"median_of_{n_runs}_after_warmup",
+        # host contention marker: this VM shares hardware, and a noisy
+        # neighbor inflates EVERY query uniformly (observed 41.6s vs
+        # 64.0s for the identical commit an hour apart at 1-min load
+        # 4 vs 12) — read cross-round deltas against this figure
+        "loadavg_1m": loadavg(),
     }
     # the catalog GROWS round over round, so the headline total is not
     # comparable across rounds; also publish the total over exactly the

@@ -245,3 +245,48 @@ def test_two_phase_agg_matches_direct(spark):
 
     with _pytest.raises(ValueError, match="non-decomposable"):
         two_phase_agg(df, ["k"], {"x": "avg"})
+
+
+def test_pin_above_exchange_value_identity_and_barrier(spark):
+    from pyspark.sql import functions as F
+
+    from data_export_tool_spark.parallelism import pin_above_exchange
+
+    df = spark.createDataFrame(
+        [(i, i % 3 == 0) for i in range(100)], "id long, flag boolean"
+    ).withColumn("flag", F.when(F.col("id") % 7 == 0, None).otherwise(F.col("flag")))
+    pinned = df.repartition(4).select(
+        "id", pin_above_exchange(F.col("flag")).alias("p")
+    )
+    # value identity, nulls included
+    got = {(r.id, r.p) for r in pinned.collect()}
+    exp = {(r.id, r.flag) for r in df.collect()}
+    assert got == exp
+    # the barrier holds: a filter on the pinned alias must NOT be
+    # substituted below the Project/Exchange (the optimizer strips
+    # foldable wrappers like isnull(rand()) — shuffle(array(col)) must
+    # survive), so the plan keeps a Filter ABOVE the Exchange
+    plan = pinned.where("p")._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+    tree = plan.split("\n\n")[0]
+    assert tree.index("Filter") < tree.index("Exchange"), tree
+
+
+def test_sort_after_stage_matches_plain_orderby(spark):
+    from pyspark.sql import functions as F
+
+    from data_export_tool_spark.parallelism import sort_after_stage
+
+    df = spark.createDataFrame(
+        [(i * 37 % 101, f"r{i}") for i in range(101)], "k long, s string"
+    )
+    plain = [tuple(r) for r in df.orderBy("k").collect()]
+    staged = [tuple(r) for r in sort_after_stage(df, "k").collect()]
+    assert staged == plain
+    # and the stage is really there: a round-robin exchange below the sort
+    plan = sort_after_stage(df, "k")._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+    assert "RoundRobinPartitioning" in plan, plan
+    assert "rangepartitioning" in plan.lower(), plan

@@ -445,6 +445,14 @@ def test_curation_pipeline_two_scans_linear(spark, sf_dir, monkeypatch):
     # single-partition data shuffle
     plan = plan_of(spark, sf_dir, "d13_curation_pipeline")
     counts = op_counts(plan)
+    # the repetition verdict must be evaluated in the (parallel,
+    # post-exchange) Project, never substituted into a Filter
+    # condition — if the pin_above_exchange barrier is ever optimized
+    # away again, the fold reappears in a scan-side "Condition :" and
+    # runs serially on the single-file scan (the 12s d13 regression)
+    for line in plan.splitlines():
+        if line.startswith("Condition"):
+            assert "array_sort(transform(sequence" not in line, line[:200]
     # within-range shard window prints on two branches of the static
     # tree (shared exchange, deduped at runtime — reuse assert below)
     # + the offsets window; the dedup window is GONE

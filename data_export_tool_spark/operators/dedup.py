@@ -44,6 +44,16 @@ def word_shingles(text: Column, n: int = 3) -> Column:
     )
 
 
+def null_safe_fp_key(text: Column) -> Column:
+    """Join-safe fingerprint key: md5 of normalized text, with NULL
+    text mapped to a sentinel that cannot collide with a 32-hex md5
+    digest. GROUP BY in every SQL engine clusters NULLs together, but
+    an EQUI-JOIN on a nullable key never matches NULL — so any
+    aggregate-then-join-back dedup shape must key on this, not the raw
+    (nullable) fingerprint."""
+    return F.coalesce(F.md5(normalize_text(text)), F.lit("<NULL_TEXT>"))
+
+
 def exact_duplicates(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:
@@ -98,11 +108,17 @@ def duplicate_keepers(
     ``dup_count > 1`` filter keeps the table proportional to the number
     of duplicate CLUSTERS, not corpus size, so the decision join below
     usually broadcasts.
+
+    ``__fp`` is null-safe: NULL-text rows form ONE cluster (matching
+    GROUP BY semantics, where both MySQL and DuckDB treat NULLs as
+    equal), via a sentinel that cannot collide with a 32-hex md5. A
+    plain equi-join on a nullable key would never match the NULL
+    cluster and silently keep every NULL-text row.
     """
     return (
         df.select(
             F.col(id_col),
-            F.md5(normalize_text(F.col(text_col))).alias("__fp"),
+            null_safe_fp_key(F.col(text_col)).alias("__fp"),
         )
         .groupBy("__fp")
         .agg(
@@ -135,7 +151,7 @@ def dedup_exact_two_phase(
     """
     keepers = duplicate_keepers(df, id_col, text_col)
     return (
-        df.withColumn("__fp", F.md5(normalize_text(F.col(text_col))))
+        df.withColumn("__fp", null_safe_fp_key(F.col(text_col)))
         .join(keepers, on="__fp", how="left")
         .where(
             F.col("__keep_id").isNull() | (F.col("__keep_id") == F.col(id_col))
@@ -432,10 +448,9 @@ def dedup_against(
     (plan contract:
     ``test_incremental_dedup_bucketed_store_no_store_exchange``).
     """
-    fp = F.md5(normalize_text(F.col(text_col)))
     store = seen.select(F.col(fingerprint_col).alias("__fp")).distinct()
     return (
-        df.withColumn("__fp", fp)
+        df.withColumn("__fp", null_safe_fp_key(F.col(text_col)))
         .join(store, on="__fp", how="left_anti")
         .drop("__fp")
     )
@@ -446,7 +461,14 @@ def fingerprint_store(
 ) -> DataFrame:
     """Distinct normalized-content fingerprints of ``df`` — the
     persistable store ``dedup_against`` checks new snapshots against.
-    Union with the previous store and write back to roll it forward."""
+    Union with the previous store and write back to roll it forward.
+
+    Keys are ``null_safe_fp_key`` values (NULL text → sentinel), so the
+    store never carries a NULL key: the anti-join then drops repeat
+    NULL-text rows like any other duplicate, and the bucketed layout
+    (bucket column = this key) keeps its zero-exchange property — a
+    coalesce wrapped around the key at JOIN time would discard the
+    bucket metadata instead."""
     return df.select(
-        F.md5(normalize_text(F.col(text_col))).alias(fingerprint_col)
+        null_safe_fp_key(F.col(text_col)).alias(fingerprint_col)
     ).distinct()

@@ -102,7 +102,9 @@ def decode_image_dimensions(payload: bytes) -> tuple[int, int]:
             raise ImageDecodeError("truncated PNG (no IHDR)")
         w = int.from_bytes(payload[16:20], "big")
         h = int.from_bytes(payload[20:24], "big")
-        if not (0 < w <= 1 << 31 and 0 < h <= 1 << 31):
+        # PNG spec caps dimensions at 2^31 - 1; anything larger would
+        # also overflow the Int32 output column downstream
+        if not (0 < w < 1 << 31 and 0 < h < 1 << 31):
             raise ImageDecodeError("PNG dimensions out of range")
         return w, h
     if payload[:6] in (b"GIF87a", b"GIF89a"):
@@ -152,9 +154,18 @@ def extract_features(
     ``decoder`` is the injection seam: a callable ``bytes -> (width,
     height)`` shipped to executors by value. Default is
     :func:`decode_image_dimensions` — a real pure-Python header parser
-    for PNG/GIF/JPEG; a deployment with image libraries passes e.g.
-    ``lambda b: PIL.Image.open(io.BytesIO(b)).size`` without editing
-    the operator — the plan shape is identical.
+    for PNG/GIF/JPEG. A deployment with image libraries must translate
+    its library's corrupt-input errors to the contract's ``ValueError``
+    (PIL, for instance, raises ``UnidentifiedImageError`` — an OSError
+    subclass — on bad bytes)::
+
+        def pil_dims(b):
+            try:
+                return PIL.Image.open(io.BytesIO(b)).size
+            except PIL.UnidentifiedImageError as e:
+                raise ImageDecodeError(str(e)) from e
+
+    The plan shape is identical whichever decoder is injected.
 
     Plan shape: one narrow Arrow-batched pass, no shuffle; payload
     bytes never leave the executor. PER-ROW decode failures —
@@ -181,12 +192,19 @@ def extract_features(
                 raw = bytes(payload) if payload is not None else b""
                 sizes.append(len(raw))
                 try:
-                    w, h = decode(raw)
-                    widths.append(w)
-                    heights.append(h)
+                    dims = decode(raw)
                 except ValueError:  # the documented corrupt-asset signal
+                    dims = None
+                if dims is None:
                     widths.append(None)
                     heights.append(None)
+                else:
+                    # unpack OUTSIDE the try: a decoder returning the
+                    # wrong shape is a systematic failure and must
+                    # raise, not masquerade as per-row corruption
+                    w, h = dims
+                    widths.append(w)
+                    heights.append(h)
                 # content fingerprint: md5 over the UPPERCASE HEX of the
                 # bytes (python hash() is per-process salted; and SQL
                 # engines can md5 strings but often not blobs — hex-then-

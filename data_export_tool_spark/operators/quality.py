@@ -28,31 +28,43 @@ from pyspark.sql import functions as F
 from data_export_tool_spark.functions.text import token_count, word_ngrams_all
 
 
-def max_run_length(arr: Column) -> Column:
-    """Longest run of equal adjacent elements in a SORTED array<string>
-    == the maximum multiplicity of any element — one JVM ``aggregate``
-    fold carrying (prev, run, best) state. Empty arrays fold to 0."""
+def _sorted_run_fold(arr: Column, finish) -> Column:
+    """One JVM ``aggregate`` fold over ``array_sort(arr)`` carrying
+    (prev, run, best, n): the longest run of equal adjacent elements
+    (== max multiplicity of any element) and the element count, handed
+    to ``finish`` for the final projection. Shared by
+    ``max_run_length`` and ``is_repetitive`` so the run-length
+    recurrence lives in exactly one place. Empty arrays fold to
+    best=0, n=0; a NULL array folds to NULL."""
+
+    def run(acc, x):
+        return (
+            F.when(x.eqNullSafe(acc["prev"]), acc["run"] + 1)
+            .otherwise(F.lit(1).cast("long"))
+        )
+
     return F.aggregate(
         F.array_sort(arr),
         F.struct(
             F.lit(None).cast("string").alias("prev"),
             F.lit(0).cast("long").alias("run"),
             F.lit(0).cast("long").alias("best"),
+            F.lit(0).cast("long").alias("n"),
         ),
         lambda acc, x: F.struct(
             x.alias("prev"),
-            F.when(x.eqNullSafe(acc["prev"]), acc["run"] + 1)
-            .otherwise(F.lit(1).cast("long"))
-            .alias("run"),
-            F.greatest(
-                acc["best"],
-                F.when(x.eqNullSafe(acc["prev"]), acc["run"] + 1).otherwise(
-                    F.lit(1).cast("long")
-                ),
-            ).alias("best"),
+            run(acc, x).alias("run"),
+            F.greatest(acc["best"], run(acc, x)).alias("best"),
+            (acc["n"] + 1).alias("n"),
         ),
-        lambda acc: acc["best"],
+        finish,
     )
+
+
+def max_run_length(arr: Column) -> Column:
+    """Longest run of equal adjacent elements in a SORTED array<string>
+    == the maximum multiplicity of any element."""
+    return _sorted_run_fold(arr, lambda acc: acc["best"])
 
 
 def is_repetitive(text: Column, top2_threshold: float = 0.1) -> Column:
@@ -70,28 +82,8 @@ def is_repetitive(text: Column, top2_threshold: float = 0.1) -> Column:
     subexpression elimination would rescue a multi-reference form —
     the previous 3-reference version cost ~8× more as a filter,
     measured at sf0.1)."""
-    g2 = word_ngrams_all(text, 2)
-    return F.aggregate(
-        F.array_sort(g2),
-        F.struct(
-            F.lit(None).cast("string").alias("prev"),
-            F.lit(0).cast("long").alias("run"),
-            F.lit(0).cast("long").alias("best"),
-            F.lit(0).cast("long").alias("n"),
-        ),
-        lambda acc, x: F.struct(
-            x.alias("prev"),
-            F.when(x.eqNullSafe(acc["prev"]), acc["run"] + 1)
-            .otherwise(F.lit(1).cast("long"))
-            .alias("run"),
-            F.greatest(
-                acc["best"],
-                F.when(x.eqNullSafe(acc["prev"]), acc["run"] + 1).otherwise(
-                    F.lit(1).cast("long")
-                ),
-            ).alias("best"),
-            (acc["n"] + 1).alias("n"),
-        ),
+    return _sorted_run_fold(
+        word_ngrams_all(text, 2),
         lambda acc: (acc["best"] > 1)
         & (
             F.round(acc["best"] / F.greatest(acc["n"], F.lit(1)), 6)

@@ -97,11 +97,17 @@ def d01_doc_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = fan_out(Catalog(spark, sf_dir).load("documents"))
     g2 = word_ngrams_all(F.col("text"), 2)
     g3 = word_ngrams_all(F.col("text"), 3)
+    from data_export_tool_spark.operators.dedup import null_safe_fp_key
+
     base = docs.select(
         "doc_id",
         "lang",
         "n_chars",
         F.md5(normalize_text(F.col("text"))).alias("fingerprint"),
+        # join key only: NULL-text rows must survive the stats join and
+        # cluster together (equi-joins never match raw NULL keys); the
+        # OUTPUT fingerprint column above stays NULL like the oracle's
+        null_safe_fp_key(F.col("text")).alias("__fpk"),
         token_count(F.col("text")).alias("n_tokens"),
         F.length(F.regexp_replace(F.col("text"), r"\s+", "")).alias(
             "n_chars_nospace"
@@ -116,12 +122,12 @@ def d01_doc_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("dup3_frac"),
     )
-    stats = base.groupBy("fingerprint").agg(
+    stats = base.groupBy("__fpk").agg(
         F.count(F.lit(1)).alias("dup_count"),
         F.min("doc_id").alias("keep_id"),
     )
     return (
-        base.join(stats, on="fingerprint")
+        base.join(stats, on="__fpk")
         .withColumn(
             "top2_frac",
             F.round(
@@ -655,7 +661,9 @@ def _shard_num_ranges(sf_dir: str, cap: int = 32) -> int:
     rows = _documents_rows(sf_dir)
     if rows is None:
         return cap
-    return max(1, min(cap, rows // _ROWS_PER_RANGE))
+    # ceil: a 3.9M-row table must get 2 ranges, not degrade to a
+    # single-task window nearly twice the per-range budget
+    return max(1, min(cap, -(-rows // _ROWS_PER_RANGE)))
 
 
 def _doc_id_bounds(
@@ -884,7 +892,10 @@ ORDER BY p.doc_id
 # --------------------------------------------------------------------------
 def d13_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     from data_export_tool_spark.operators.contamination import contamination_scores
-    from data_export_tool_spark.operators.dedup import duplicate_keepers
+    from data_export_tool_spark.operators.dedup import (
+        duplicate_keepers,
+        null_safe_fp_key,
+    )
     from data_export_tool_spark.operators.quality import is_repetitive
     from data_export_tool_spark.operators.sampling import (
         deterministic_sample,
@@ -916,7 +927,9 @@ def d13_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         "source",
         "text",
         pin_above_exchange(is_repetitive(F.col("text"))).alias("__rep"),
-        F.md5(normalize_text(F.col("text"))).alias("__fp"),
+        # null-safe key: NULL-text rows must land in keepers' NULL
+        # cluster (equi-joins never match raw NULL fingerprints)
+        null_safe_fp_key(F.col("text")).alias("__fp"),
     )
     keepers = duplicate_keepers(train, "doc_id", "text")
     deduped = flagged.where(~F.col("__rep")).join(

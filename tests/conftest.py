@@ -49,7 +49,6 @@ def record_stream_parity(twin: str, rows_compared: int, match: bool) -> None:
     slot for streaming). Merged read-modify-write — the suite runs in
     one process, so no locking needed."""
     import json
-    import time
 
     n = _current_round()
     name = f"STREAMPARITY_r{n:02d}.json" if n else "STREAMPARITY.json"
@@ -59,10 +58,12 @@ def record_stream_parity(twin: str, rows_compared: int, match: bool) -> None:
             doc = json.load(fh)
     except (OSError, ValueError):
         doc = {"twins": {}}
+    # deterministic content (no timestamps): re-running the suite with
+    # unchanged results rewrites an IDENTICAL file, keeping the
+    # committed artifact clean in git
     doc["twins"][twin] = {
         "rows_compared": int(rows_compared),
         "match": bool(match),
-        "ts": round(time.time(), 1),
     }
     doc["all_match"] = all(t["match"] for t in doc["twins"].values())
     with open(path, "w") as fh:

@@ -168,3 +168,31 @@ def test_incremental_dedup_against_store(spark):
     assert rolled.count() == 3  # cat-sat, something-else, new-text
     none_left = dedup_against(snap2, rolled).count()
     assert none_left == 0
+
+
+def test_null_text_rows_dedup_as_one_cluster(spark):
+    # GROUP BY semantics: NULL texts are one cluster in every SQL
+    # engine, but a plain equi-join on the nullable fingerprint never
+    # matches NULL — the two-phase join-back form silently kept every
+    # NULL-text row until the key became null-safe. All three forms
+    # must agree: one survivor (min id) from the NULL cluster.
+    from data_export_tool_spark.operators.dedup import (
+        dedup_against,
+        dedup_exact,
+        dedup_exact_two_phase,
+        fingerprint_store,
+    )
+
+    df = spark.createDataFrame(
+        [(1, None), (2, None), (3, "a a"), (4, "a a"), (5, "b")],
+        "doc_id long, text string",
+    )
+    expect = [1, 3, 5]
+    assert sorted(r.doc_id for r in dedup_exact(df).collect()) == expect
+    assert sorted(r.doc_id for r in dedup_exact_two_phase(df).collect()) == expect
+    # incremental: a later snapshot's NULL-text row is a repeat too
+    store = fingerprint_store(df)
+    snap2 = spark.createDataFrame(
+        [(6, None), (7, "a a"), (8, "new")], "doc_id long, text string"
+    )
+    assert sorted(r.doc_id for r in dedup_against(snap2, store).collect()) == [8]

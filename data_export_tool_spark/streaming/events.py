@@ -139,6 +139,51 @@ def enrich_stream(events: DataFrame, dim: DataFrame, on: str) -> DataFrame:
     return events.join(F.broadcast(dim), on=on, how="left")
 
 
+def correlate_streams(
+    events: DataFrame,
+    left_type: str = "click",
+    right_type: str = "purchase",
+    on: str = "user_id",
+    within: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Stream-STREAM interval join: pair each ``left_type`` event with
+    every ``right_type`` event of the same ``on`` key that follows it
+    within ``within`` (the classic click→purchase attribution shape).
+
+    Structured Streaming's stream-stream inner join needs BOTH sides
+    watermarked plus a time-range join condition so it can bound state:
+    a buffered left event is dropped once the watermark passes
+    ``left.ts + within`` — state stays proportional to the lateness
+    horizon, not the stream length. The batch twin is the identical
+    self-join with the same range predicate; with availableNow
+    processing and a watermark at least as large as the data's
+    disorder, stream output == batch output (pinned by the parity
+    test + STREAMPARITY artifact).
+    """
+    base = events.withWatermark("ts", watermark)
+    left = base.filter(F.col("event_type") == left_type).select(
+        F.col(on).alias("__k"),
+        F.col("event_id").alias("left_id"),
+        F.col("ts").alias("left_ts"),
+    )
+    right = base.filter(F.col("event_type") == right_type).select(
+        F.col(on).alias("__k2"),
+        F.col("event_id").alias("right_id"),
+        F.col("ts").alias("right_ts"),
+    )
+    joined = left.join(
+        right,
+        (F.col("__k") == F.col("__k2"))
+        & (F.col("right_ts") >= F.col("left_ts"))
+        & (F.col("right_ts") <= F.col("left_ts") + F.expr(f"interval {within}")),
+        "inner",
+    )
+    return joined.select(
+        F.col("__k").alias(on), "left_id", "left_ts", "right_id", "right_ts"
+    )
+
+
 def upsert_sink(
     stream: DataFrame,
     target_path: str,

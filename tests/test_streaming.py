@@ -243,6 +243,54 @@ def test_enrich_stream_matches_batch_join(spark, event_drop_dir, tmp_path):
     assert got == expected
 
 
+def test_correlate_streams_matches_batch_interval_join(
+    spark, event_drop_dir, tmp_path
+):
+    """Stream-stream interval join twin: click→purchase attribution
+    pairs from the stream must equal the batch self-join with the same
+    range predicate (watermark ≥ the drops' disorder, availableNow)."""
+    from data_export_tool_spark.streaming.events import correlate_streams
+
+    stream = read_events_stream(spark, event_drop_dir, max_files_per_trigger=2)
+    out_dir = str(tmp_path / "corr_out")
+    q = (
+        correlate_streams(stream, watermark="240 hours")
+        .writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", str(tmp_path / "corr_ckpt"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r.user_id, r.left_id, r.right_id)
+        for r in spark.read.parquet(out_dir).collect()
+    }
+
+    ev = normalize_event_times(spark.read.parquet(event_drop_dir))
+    clicks = ev.filter("event_type = 'click'").select(
+        "user_id", F.col("event_id").alias("left_id"), F.col("ts").alias("lts")
+    )
+    buys = ev.filter("event_type = 'purchase'").select(
+        F.col("user_id").alias("u2"),
+        F.col("event_id").alias("right_id"),
+        F.col("ts").alias("rts"),
+    )
+    expected = {
+        (r.user_id, r.left_id, r.right_id)
+        for r in clicks.join(
+            buys,
+            (F.col("user_id") == F.col("u2"))
+            & (F.col("rts") >= F.col("lts"))
+            & (F.col("rts") <= F.col("lts") + F.expr("interval 1 hour")),
+        ).collect()
+    }
+    assert expected, "fixture produced no click→purchase pairs"
+    record_stream_parity("interval_join", len(expected), got == expected)
+    assert got == expected
+
+
 def test_upsert_sink_applies_changesets_in_order(spark, tmp_path):
     """foreachBatch CDC apply: sequential changeset drops merged into a
     parquet target must equal the batch merge of the same changesets."""

@@ -29,6 +29,19 @@ from collections.abc import Sequence
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.types import ArrayType, MapType, StructType
+
+
+def _orderable(dt) -> bool:
+    """Whether a data type participates in struct MAX/MIN ordering —
+    MapType (at any nesting depth) does not."""
+    if isinstance(dt, MapType):
+        return False
+    if isinstance(dt, ArrayType):
+        return _orderable(dt.elementType)
+    if isinstance(dt, StructType):
+        return all(_orderable(f.dataType) for f in dt.fields)
+    return True
 
 
 def asof_join(
@@ -61,6 +74,8 @@ def asof_join(
     """
     if how not in ("left", "inner"):
         raise ValueError(f"how must be left|inner, got {how}")
+    # a bare string would iterate per CHARACTER ("key" → k, e, y)
+    on = [on] if isinstance(on, str) else list(on)
 
     overlap = set(left.columns) & set(right.columns)
     r = right
@@ -93,18 +108,37 @@ def asof_join(
     cands = probes.join(r, on=list(on), how="inner").filter(
         F.col(rt).isNotNull() & cond
     )
-    # order key first (time, then tiebreaks), then the full right row;
-    # struct MAX/MIN compares lexicographically
-    best_struct = F.struct(
-        F.col(rt),
-        *[F.col(t) for t in tbs],
-        F.struct(*[F.col(c) for c in payload]).alias("__payload"),
-    )
-    best = (
-        cands.groupBy(*probe_keys)
-        .agg(agg(best_struct).alias("__b"))
-        .select(*probe_keys, F.col("__b.__payload.*"))
-    )
+    if all(_orderable(r.schema[c].dataType) for c in payload):
+        # order key first (time, then tiebreaks), then the full right
+        # row; struct MAX/MIN compares lexicographically — fully
+        # deterministic even when tiebreaks don't pin a unique row
+        best_struct = F.struct(
+            F.col(rt),
+            *[F.col(t) for t in tbs],
+            F.struct(*[F.col(c) for c in payload]).alias("__payload"),
+        )
+        best = (
+            cands.groupBy(*probe_keys)
+            .agg(agg(best_struct).alias("__b"))
+            .select(*probe_keys, F.col("__b.__payload.*"))
+        )
+    else:
+        # a map-typed payload column cannot participate in struct
+        # ordering (AnalysisException) — rank on (time, tiebreaks)
+        # only via max_by/min_by and carry the payload as the VALUE;
+        # ties beyond the tiebreaks are then engine-pick, so callers
+        # with map payloads should pass a unique tiebreak
+        pick = F.max_by if agg is F.max else F.min_by
+        order_struct = F.struct(F.col(rt), *[F.col(t) for t in tbs])
+        best = (
+            cands.groupBy(*probe_keys)
+            .agg(
+                pick(
+                    F.struct(*[F.col(c) for c in payload]), order_struct
+                ).alias("__b")
+            )
+            .select(*probe_keys, F.col("__b.*"))
+        )
     return left.join(best, on=probe_keys, how=how)
 
 
@@ -122,11 +156,19 @@ def range_join(
     (PMTCT_Maternal_LineList.sql:38-42; Tx_Curr_HVL_LineList.sql:151).
 
     Expressed as an equi+range condition so Catalyst keeps a sort-merge
-    join on the equi keys and applies the range as a join filter.
+    join on the equi keys and applies the range as a join filter. The
+    right side's copy of each equi-key column is dropped from the
+    result (they are equal by the join condition), so selecting a key
+    by bare name is unambiguous; other same-named columns keep both
+    copies — disambiguate via ``left[name]`` / ``right[name]``.
     """
+    on = [on] if isinstance(on, str) else list(on)
     cond = None
     for k in on:
         c = left[k] == right[k]
         cond = c if cond is None else (cond & c)
     cond = cond & left[point].between(right[lower], right[upper])
-    return left.join(right, on=cond, how=how)
+    joined = left.join(right, on=cond, how=how)
+    for k in on:
+        joined = joined.drop(right[k])
+    return joined

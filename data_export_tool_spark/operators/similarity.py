@@ -45,16 +45,23 @@ def l2_norm(a: Column) -> Column:
 
 
 def cosine(a: Column, b: Column) -> Column:
-    return dot(a, b) / (l2_norm(a) * l2_norm(b))
+    return cosine_pre(a, b, l2_norm(a), l2_norm(b))
 
 
 def cosine_pre(a: Column, b: Column, norm_a: Column, norm_b: Column) -> Column:
-    """Cosine with PRE-computed norms — bitwise-identical to ``cosine``
-    (the norm fold yields the same double whether evaluated per pair or
-    once per row) but evaluates one interpreted HOF fold per pair
-    instead of three. Use whenever a vector participates in many pairs.
-    """
-    return dot(a, b) / (norm_a * norm_b)
+    """Cosine with PRE-computed norms — bitwise-identical to the naive
+    form for nonzero vectors (the norm fold yields the same double
+    whether evaluated per pair or once per row) but evaluates one
+    interpreted HOF fold per pair instead of three.
+
+    Zero-norm guard: 0/0 is NaN, and Spark sorts NaN ABOVE every real
+    double in descending order — an all-zero embedding (padding or a
+    failed embed job) would otherwise rank as the TOP neighbor of
+    every query in the top-k paths. Zero-norm pairs yield NULL
+    instead: NULLs sort last under ``desc()`` and fail every
+    ``>= threshold`` filter, so such rows can never displace a real
+    match."""
+    return F.when(norm_a * norm_b > 0, dot(a, b) / (norm_a * norm_b))
 
 
 def py_l2_norm(vec) -> float:
@@ -145,6 +152,10 @@ def rhp_signature(
     bit-identical values (float repr round-trips exactly through the
     SQL double-literal parser).
     """
+    if not 0 < n_planes <= 64:
+        # shiftleft masks its shift amount mod 64, so plane 64 would
+        # silently alias onto bit 0 and corrupt every signature
+        raise ValueError(f"n_planes must be in 1..64, got {n_planes}")
     if isinstance(vec, str):
         terms = []
         for p in range(n_planes):
@@ -168,6 +179,25 @@ def rhp_signature(
     return sig
 
 
+def band_keys(sig: Column, n_planes: int, band_bits: int) -> Column:
+    """Split an ``n_planes``-bit SRP signature into its band keys
+    (array<long>) — THE banding algebra, shared by every LSH consumer
+    so bucket keys can never diverge between them. ``band_bits`` must
+    divide ``n_planes``: a remainder would mean trailing signature bits
+    silently never contribute to any band."""
+    if n_planes % band_bits != 0:
+        raise ValueError(
+            f"band_bits ({band_bits}) must divide n_planes ({n_planes})"
+        )
+    mask = (1 << band_bits) - 1
+    return F.array(
+        *[
+            F.shiftright(sig, b * band_bits).bitwiseAND(F.lit(mask)).cast("long")
+            for b in range(n_planes // band_bits)
+        ]
+    )
+
+
 def lsh_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -185,21 +215,13 @@ def lsh_topk(
     rank within candidates. Recall < 1 by construction; the scale path
     when the query set itself is large (both sides bucket on band key →
     an equi-join instead of a cross join)."""
-    n_bands = n_planes // band_bits
-    mask = (1 << band_bits) - 1
-
     def with_bands(df: DataFrame, idc: str, vc: str, out_vec: str) -> DataFrame:
         out_norm = out_vec + "n"
         base = df.select(
             F.col(idc), F.col(vc).cast("array<double>").alias(out_vec)
         ).withColumn(out_norm, l2_norm(F.col(out_vec)))
         sig = rhp_signature(out_vec, dim, n_planes, seed)
-        bands = F.array(
-            *[
-                F.shiftright(sig, b * band_bits).bitwiseAND(F.lit(mask)).cast("long")
-                for b in range(n_bands)
-            ]
-        )
+        bands = band_keys(sig, n_planes, band_bits)
         return base.select(
             F.col(idc),
             F.col(out_vec),
@@ -239,21 +261,38 @@ def lsh_topk(
 
 
 def train_ivf_centroids(X, n_centroids: int, seed: int = 42, iters: int = 10):
-    """Deterministic Lloyd's k-means over a bounded sample (numpy,
+    """Deterministic SPHERICAL k-means over a bounded sample (numpy,
     driver-side). Same sample + same seed → bit-identical centroids, so
     an external oracle that feeds the same sample through this function
     replays the quantizer exactly (the SRP-LSH trick, applied to IVF).
-    """
+
+    Spherical, because cells are ASSIGNED and PROBED by cosine
+    downstream: rows and centroids are L2-normalized each iteration, so
+    training clusters directions. Plain Euclidean Lloyd's on raw
+    vectors would place centroids by magnitude — directions that cosine
+    assignment spreads across several cells collapse into one, and true
+    neighbors land in unprobed cells (recall loss with no benefit).
+    Zero-norm rows keep their raw values (they carry no direction)."""
     import numpy as np
 
+    def unit(M):
+        n = np.linalg.norm(M, axis=1, keepdims=True)
+        return np.where(n > 0, M / np.where(n > 0, n, 1.0), M)
+
+    X = unit(np.asarray(X, dtype=np.float64))
     rng = np.random.RandomState(seed)
     kk = min(n_centroids, len(X))
     cent = X[np.sort(rng.choice(len(X), size=kk, replace=False))]
     for _ in range(iters):
         d2 = (X * X).sum(1, keepdims=True) - 2 * X @ cent.T + (cent * cent).sum(1)
         lab = d2.argmin(1)
-        new = np.array(
-            [X[lab == j].mean(0) if (lab == j).any() else cent[j] for j in range(kk)]
+        new = unit(
+            np.array(
+                [
+                    X[lab == j].mean(0) if (lab == j).any() else cent[j]
+                    for j in range(kk)
+                ]
+            )
         )
         if np.allclose(new, cent):
             break
@@ -441,13 +480,7 @@ def embedding_near_dup_pairs(
             F.col(id_col), F.col(vec_col).cast("array<double>").alias("__v")
         ).withColumn("__n", l2_norm(F.col("__v")))
         sig = rhp_signature("__v", dim, n_planes, seed)
-        mask = (1 << band_bits) - 1
-        bands = F.array(
-            *[
-                F.shiftright(sig, b * band_bits).bitwiseAND(F.lit(mask)).cast("long")
-                for b in range(n_planes // band_bits)
-            ]
-        )
+        bands = band_keys(sig, n_planes, band_bits)
         buckets = base.select(
             F.col(id_col),
             F.col("__v"),
@@ -507,8 +540,12 @@ def embedding_near_dup_pairs(
                 }
             )
 
+    # derive the pair-id type from the input id column — hardcoding
+    # `long` would break (or garbage-coerce) string/int ids that the
+    # default LSH path handles fine
+    id_type = df.schema[id_col].dataType.simpleString()
     return fan_out(df.select(id_col, vec_col)).mapInPandas(
-        score, schema="id_a long, id_b long, cosine_sim double"
+        score, schema=f"id_a {id_type}, id_b {id_type}, cosine_sim double"
     )
 
 

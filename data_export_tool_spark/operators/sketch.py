@@ -31,6 +31,8 @@ def approx_distinct(
     """HLL++ distinct count of ``col`` (optionally grouped by ``by``).
     ``rsd`` is the target relative standard deviation; 0.02 ≈ the
     default sketch of ~1.5 KB per group regardless of cardinality."""
+    if isinstance(by, str):  # a bare string would group per CHARACTER
+        by = [by]
     out = out_col or f"approx_distinct_{col}"
     agg = F.approx_count_distinct(col, rsd=rsd).alias(out)
     return df.groupBy(*by).agg(agg) if by else df.agg(agg)
@@ -47,9 +49,17 @@ def approx_quantiles(
     """Greenwald-Khanna approximate quantiles of ``col``; guaranteed
     rank error ≤ ``relative_error``·N. Returns one array column in
     probability order."""
+    import math
+
+    if isinstance(by, str):
+        by = [by]
+    if not 0 < relative_error <= 1:
+        raise ValueError(f"relative_error must be in (0, 1]: {relative_error}")
     out = out_col or f"approx_q_{col}"
+    # ceil, not truncate: accuracy=int(1/0.003)=333 would guarantee
+    # only 1/333 > 0.003 rank error, breaking the documented bound
     agg = F.percentile_approx(
-        col, list(probabilities), int(1.0 / relative_error)
+        col, list(probabilities), math.ceil(1.0 / relative_error)
     ).alias(out)
     return df.groupBy(*by).agg(agg) if by else df.agg(agg)
 

@@ -22,7 +22,6 @@ from pyspark.sql import DataFrame, functions as F
 
 from data_export_tool_spark.operators.window_dedup import latest_per_key
 
-VERSION_COL = "__version"
 _TIEBREAK = "__is_update"
 
 
@@ -45,6 +44,7 @@ def merge_upsert(
     Column sets must match (union-by-name); schema drift belongs in a
     projection before the merge, not silently inside it.
     """
+    keys = [keys] if isinstance(keys, str) else list(keys)
     if set(target.columns) != set(updates.columns):
         missing = set(target.columns) ^ set(updates.columns)
         raise ValueError(f"target/updates column mismatch: {sorted(missing)}")

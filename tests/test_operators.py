@@ -290,3 +290,22 @@ def test_sort_after_stage_matches_plain_orderby(spark):
     )
     assert "RoundRobinPartitioning" in plan, plan
     assert "rangepartitioning" in plan.lower(), plan
+
+
+def test_asof_join_map_payload_and_string_on(spark):
+    # map-typed payload columns cannot participate in struct ordering;
+    # the rewrite must fall back to max_by on (time, tiebreaks). Also:
+    # a bare-string `on` must mean one column, not its characters.
+    from pyspark.sql import functions as F
+
+    from data_export_tool_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame([(1, 20), (2, 20)], "k long, ref long")
+    right = spark.createDataFrame(
+        [(1, 5, "a"), (1, 15, "b"), (2, 25, "c")], "k long, t long, tag string"
+    ).withColumn("attrs", F.create_map(F.lit("x"), F.col("tag")))
+    out = asof_join(
+        left, right, on="k", left_time="ref", right_time="t", tiebreak="t"
+    ).orderBy("k").collect()
+    assert [(r.k, r.t, r.tag) for r in out] == [(1, 15, "b"), (2, None, None)]
+    assert out[0].attrs == {"x": "b"}

@@ -149,3 +149,51 @@ def test_semantic_dedup_keeps_min_id_per_cluster(spark):
         r.vec_id for r in semantic_dedup(df, threshold=1.01, dim=8).collect()
     )
     assert all_kept == [1, 2, 3, 10, 11, 20, 21]
+
+
+def test_zero_norm_vectors_never_rank(spark):
+    # 0/0 cosine is NaN, and Spark sorts NaN ABOVE every real double in
+    # desc order - an all-zero embedding (padding / failed embed job)
+    # must NOT become everyone's rank-1 neighbor
+    from data_export_tool_spark.operators.similarity import brute_force_topk
+
+    corpus = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.9, 0.1]), (3, [0.0, 0.0])],
+        "vec_id long, embedding array<double>",
+    )
+    queries = spark.createDataFrame(
+        [(100, [1.0, 0.0])], "query_id long, query_vec array<double>"
+    )
+    rows = brute_force_topk(corpus, queries, k=2).orderBy("rank").collect()
+    assert [r.neighbor_id for r in rows] == [1, 2]
+    assert all(r.cosine_sim == r.cosine_sim for r in rows)  # no NaN survives
+
+
+def test_small_corpus_near_dups_respects_id_type(spark):
+    from data_export_tool_spark.operators.similarity import (
+        embedding_near_dup_pairs,
+    )
+
+    df = spark.createDataFrame(
+        [("a", [1.0, 0.0]), ("b", [0.999, 0.01]), ("c", [0.0, 1.0])],
+        "doc_id string, embedding array<double>",
+    )
+    pairs = embedding_near_dup_pairs(
+        df, threshold=0.99, id_col="doc_id", small_corpus=True
+    ).collect()
+    assert {(r.id_a, r.id_b) for r in pairs} == {("a", "b")}
+
+
+def test_lsh_parameter_guards(spark):
+    import pytest as _pytest
+
+    from data_export_tool_spark.operators.similarity import (
+        band_keys,
+        rhp_signature,
+    )
+    from pyspark.sql import functions as F
+
+    with _pytest.raises(ValueError, match="n_planes"):
+        rhp_signature("v", dim=4, n_planes=96)
+    with _pytest.raises(ValueError, match="divide"):
+        band_keys(F.lit(0).cast("long"), n_planes=16, band_bits=5)

@@ -32,9 +32,11 @@ def tokens(text: Column) -> Column:
 def token_count(text: Column, bpe: bool = False) -> Column:
     """Token count: whitespace tokens, or a BPE-ish proxy that also
     splits on letter/digit/punctuation boundaries (closer to how a
-    subword tokenizer scales with punctuation-dense text)."""
+    subword tokenizer scales with punctuation-dense text). Empty and
+    whitespace-only text counts 0 in BOTH modes (``split('', ..)``
+    yields ``[""]``, which must not count as a token)."""
     if not bpe:
-        return F.size(tokens(text))
+        return F.size(F.filter(tokens(text), lambda t: t != ""))
     # split on whitespace AND transitions between word chars and
     # non-word chars: count word-chunks + standalone punctuation runs.
     pieces = F.split(F.trim(text), r"(?<=\W)(?=\w)|(?<=\w)(?=\W)|\s+")
@@ -42,8 +44,11 @@ def token_count(text: Column, bpe: bool = False) -> Column:
 
 
 def punct_ratio(text: Column) -> Column:
-    """Fraction of characters that are not alphanumeric/space."""
-    stripped = F.regexp_replace(text, r"[A-Za-z0-9\s]", "")
+    """Fraction of characters that are not letters/digits/whitespace.
+    Unicode classes, not ASCII: an ASCII-only class would count every
+    accented/Cyrillic/CJK letter as punctuation and quality_score
+    would systematically downgrade non-English documents."""
+    stripped = F.regexp_replace(text, r"[\p{L}\p{N}\s]", "")
     return F.length(stripped) / F.greatest(F.length(text), F.lit(1))
 
 
@@ -78,14 +83,34 @@ def quality_score(text: Column) -> Column:
     )
 
 
+def _probe_is_unsegmented(probes: tuple[str, ...]) -> bool:
+    """True when a language's probes are CJK-script (the text carries
+    no whitespace word boundaries, so token equality can never hit)."""
+    return any(ord(ch) >= 0x2E80 for p in probes for ch in p)
+
+
 def language_guess(text: Column) -> Column:
     """Stopword-probe language ID over LANG_PROBES; 'und' if no probe
-    hits. Ties break by probe order (en first) via strict >."""
-    toks = tokens(F.lower(text))
+    hits. Ties break by probe order (en first) via strict >.
+
+    Space-delimited languages count probe TOKENS; unsegmented scripts
+    (zh) count probe substring OCCURRENCES — whitespace tokenization
+    leaves Chinese sentences as single tokens, so an equality probe
+    would never fire and zh text would always return 'und'."""
+    lowered = F.lower(text)
+    toks = tokens(lowered)
     best_lang = F.lit("und")
     best_hits = F.lit(0)
     for lang, probes in LANG_PROBES.items():
-        hits = F.size(F.filter(toks, lambda t: t.isin(list(probes))))
+        if _probe_is_unsegmented(probes):
+            hits = F.lit(0)
+            for p in probes:
+                occ = (
+                    F.length(lowered) - F.length(F.replace(lowered, F.lit(p)))
+                ) / F.lit(len(p))
+                hits = hits + occ.cast("int")
+        else:
+            hits = F.size(F.filter(toks, lambda t: t.isin(list(probes))))
         is_better = hits > best_hits
         best_lang = F.when(is_better, F.lit(lang)).otherwise(best_lang)
         best_hits = F.when(is_better, hits).otherwise(best_hits)

@@ -46,6 +46,11 @@ def eval_ngrams(
         eval_df.select(
             F.explode(word_shingles(F.col(text_col), n)).alias("ngram")
         )
+        # a doc that normalizes to empty (null/whitespace/punct-only)
+        # produces the single shingle "" — not an n-gram; without this
+        # filter every empty train doc would "collide" with an empty
+        # eval doc at contamination 1.0
+        .filter(F.col("ngram") != "")
         .distinct()
     )
 

@@ -29,19 +29,14 @@ from data_export_tool_spark.parallelism import fan_out
 
 
 def word_shingles(text: Column, n: int = 3) -> Column:
-    """Distinct word n-gram shingles (array<string>) of normalized text.
-
-    Built with ``sequence``+``transform``+``slice`` — all JVM
+    """Distinct word n-gram shingles (array<string>) of normalized text
+    — the set-semantics counterpart of ``text.word_ngrams_all`` (one
+    shared n-gram builder; this just deduplicates). All JVM
     higher-order functions, no explode until the consumer needs one.
     """
-    toks = F.split(normalize_text(text), " ")
-    n_sh = F.greatest(F.size(toks) - F.lit(n - 1), F.lit(1))
-    return F.array_distinct(
-        F.transform(
-            F.sequence(F.lit(1), n_sh),
-            lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
-        )
-    )
+    from data_export_tool_spark.functions.text import word_ngrams_all
+
+    return F.array_distinct(word_ngrams_all(text, n))
 
 
 def null_safe_fp_key(text: Column) -> Column:

@@ -36,6 +36,33 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
+def _stored_rdd_ids(sc) -> set[int]:
+    infos = sc._jsc.sc().getRDDStorageInfo()
+    return {infos[i].id() for i in range(len(infos))}
+
+
+def _checkpoint(df: DataFrame) -> tuple[DataFrame, set[int]]:
+    """localCheckpoint + the storage ids the checkpoint created, so the
+    caller can free them when the table is superseded. Neither
+    ``DataFrame.unpersist`` nor reference-drop GC releases local-
+    checkpoint blocks (verified empirically on 4.1) — only unpersisting
+    the underlying RDD via the context's persistent-RDD map does."""
+    sc = df.sparkSession.sparkContext
+    before = _stored_rdd_ids(sc)
+    out = df.localCheckpoint(eager=True)
+    return out, _stored_rdd_ids(sc) - before
+
+
+def _release(sc, ids: set[int]) -> None:
+    """Unpersist exactly the given checkpoint-created RDD ids."""
+    jmap = sc._jsc.sc().getPersistentRDDs()
+    it = jmap.iterator()
+    while it.hasNext():
+        kv = it.next()
+        if kv._1() in ids:
+            kv._2().unpersist(False)
+
+
 def connected_components(
     edges: DataFrame,
     src: str = "id_a",
@@ -56,17 +83,20 @@ def connected_components(
     (diagnosing a bug beats silently wrong clusters).
     """
     u, v = F.col(src), F.col(dst)
+    sc = edges.sparkSession.sparkContext
     # materialize the (possibly expensive) pair pipeline ONCE before the
     # symmetric union references it twice
-    pairs = edges.select(u.alias("u"), v.alias("v")).localCheckpoint(eager=True)
-    sym = (
+    pairs, pairs_ids = _checkpoint(edges.select(u.alias("u"), v.alias("v")))
+    sym, sym_ids = _checkpoint(
         pairs.select(F.col("u").alias("n"), F.col("v").alias("m"))
         .union(pairs.select(F.col("v").alias("n"), F.col("u").alias("m")))
-    ).localCheckpoint(eager=True)
+    )
+    # pairs fed sym's (materialized) checkpoint; free it immediately
+    _release(sc, pairs_ids)
     # labels start as each node's own id (self-edge min == identity)
-    labels = (
+    labels, labels_ids = _checkpoint(
         sym.groupBy("n").agg(F.least(F.min("m"), F.col("n")).alias("c"))
-    ).localCheckpoint(eager=True)
+    )
 
     for _ in range(max_iter):
         # 1) neighbor-min: pull each neighbor's current label
@@ -82,10 +112,10 @@ def connected_components(
         jump = labels.select(
             F.col("n").alias("c"), F.col("c").alias("cc")
         )
-        new_labels = (
+        new_labels, new_ids = _checkpoint(
             stepped.join(jump, "c", "left")
             .select("n", F.least(F.col("c"), F.col("cc")).alias("c"))
-        ).localCheckpoint(eager=True)
+        )
 
         changed = (
             new_labels.join(labels.withColumnRenamed("c", "c_old"), "n")
@@ -93,7 +123,11 @@ def connected_components(
             .limit(1)
             .count()
         )
-        labels = new_labels
+        # the superseded round's O(V) checkpoint blocks are dead the
+        # moment the convergence probe finishes — free them NOW, or up
+        # to max_iter label tables pile up in executor storage
+        _release(sc, labels_ids)
+        labels, labels_ids = new_labels, new_ids
         if changed == 0:
             break
     else:
@@ -101,6 +135,7 @@ def connected_components(
             f"connected_components did not converge in {max_iter} rounds"
         )
 
+    _release(sc, sym_ids)  # the edge table is dead once labels are final
     return labels.select(
         F.col("n").alias(out_node), F.col("c").alias(out_comp)
     )

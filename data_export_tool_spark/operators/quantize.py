@@ -100,7 +100,11 @@ def quantization_error_stats(
         mx = 0.0
         for e in err:  # sequential across dims == fold order
             acc += e * e
-            mx = max(mx, abs(e))
+            # np.maximum, NOT python max: max(0.0, nan) silently drops
+            # the NaN, so a NaN-bearing vector would report a different
+            # max_abs_err depending on which batch (vectorized vs this
+            # fallback) its neighbors put it in
+            mx = np.maximum(mx, abs(e))
         return (scale, acc / x.size, mx)
 
     def _stats(v):
@@ -139,7 +143,12 @@ def quantization_error_stats(
         safe = np.where(max_abs > 0, max_abs, 1.0)
         scale = np.where(max_abs > 0, 127.0 / safe, 1.0)
         x = M * scale[:, None]
-        q = np.sign(x) * np.floor(np.abs(x) + 0.5)  # HALF_UP, exact in int8 range
+        # HALF_UP emulation; matches Spark's BigDecimal F.round for all
+        # int8-range values EXCEPT doubles within 1 ULP of a .5
+        # boundary (e.g. 0.49999999999999994, where |x|+0.5 rounds to
+        # exactly 1.0 in binary64 but the decimal repr rounds to 0) —
+        # a measure-zero representation edge, accepted and documented
+        q = np.sign(x) * np.floor(np.abs(x) + 0.5)
         err = M - q / scale[:, None]
         acc = np.zeros(n)
         mx = np.zeros(n)

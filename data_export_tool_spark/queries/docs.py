@@ -187,9 +187,9 @@ top2 AS (SELECT doc_id, MAX(c) AS top2_count FROM counts GROUP BY doc_id),
 per AS (
   SELECT g.doc_id, g.lang, g.n_chars,
          md5(g.t) AS fingerprint,
-         len(string_split(trim(g.text), ' ')) AS n_tokens,
+         len(list_filter(string_split(trim(g.text), ' '), x -> x <> '')) AS n_tokens,
          length(regexp_replace(g.text, '\s+', '', 'g')) AS n_chars_nospace,
-         ROUND(length(regexp_replace(g.text, '[A-Za-z0-9\s]', '', 'g'))
+         ROUND(length(regexp_replace(g.text, '[\p{{L}}\p{{N}}\s]', '', 'g'))
                / greatest(length(g.text), 1), 6) AS punct_ratio,
          len(g.g2) AS n2_total,
          t.top2_count,
@@ -402,9 +402,9 @@ D05_ORACLE = r"""
 SELECT
   doc_id,
   lang,
-  len(string_split(trim(text), ' ')) AS n_tokens,
+  len(list_filter(string_split(trim(text), ' '), x -> x <> '')) AS n_tokens,
   length(regexp_replace(text, '\s+', '', 'g')) AS n_chars_nospace,
-  ROUND(length(regexp_replace(text, '[A-Za-z0-9\s]', '', 'g'))
+  ROUND(length(regexp_replace(text, '[\p{L}\p{N}\s]', '', 'g'))
         / greatest(length(text), 1), 6) AS punct_ratio
 FROM documents
 ORDER BY doc_id
@@ -427,8 +427,20 @@ def d06_doc_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _langid_oracle() -> str:
+    from data_export_tool_spark.functions.text import _probe_is_unsegmented
+
     hit_cols = []
     for lang, probes in LANG_PROBES.items():
+        if _probe_is_unsegmented(probes):
+            # unsegmented scripts (zh): substring OCCURRENCE counts —
+            # mirror of language_guess; // because DuckDB CAST(.. AS
+            # INT) rounds where Spark's cast truncates
+            occ = " + ".join(
+                f"((length(lower(text)) - length(replace(lower(text), '{p}', ''))) // {len(p)})"
+                for p in probes
+            )
+            hit_cols.append(f"({occ}) AS h_{lang}")
+            continue
         plist = ", ".join(f"'{p}'" for p in probes)
         hit_cols.append(
             f"len(list_filter(string_split(lower(text), ' '), x -> x IN ({plist}))) AS h_{lang}"
@@ -716,7 +728,7 @@ def d10_doc_token_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
 D10_ORACLE = f"""
 WITH t AS (
   SELECT doc_id, lang,
-         len(string_split(trim(text), ' ')) AS n_tok
+         len(list_filter(string_split(trim(text), ' '), x -> x <> '')) AS n_tok
   FROM documents
 ),
 w AS (
@@ -782,8 +794,10 @@ sh5 AS (
 D11_ORACLE = f"""
 WITH {_NGRAM5_CTE},
 ev AS (
-  SELECT DISTINCT unnest(shingles) AS ngram FROM sh5
-  WHERE source = '{_EVAL_SOURCE}'
+  SELECT DISTINCT ngram FROM (
+    SELECT unnest(shingles) AS ngram FROM sh5
+    WHERE source = '{_EVAL_SOURCE}'
+  ) WHERE ngram <> ''
 ),
 train AS (SELECT doc_id, source, shingles FROM sh5 WHERE source <> '{_EVAL_SOURCE}'),
 tr_ex AS (SELECT doc_id, unnest(shingles) AS ngram FROM train),
@@ -835,7 +849,7 @@ def d12_doc_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 D12_ORACLE = rf"""
 WITH norm AS (SELECT doc_id, {_NORM_SQL} AS t,
-                     len(string_split(trim(text), ' ')) AS n_tokens
+                     len(list_filter(string_split(trim(text), ' '), x -> x <> '')) AS n_tokens
               FROM documents),
 toks AS (SELECT doc_id, n_tokens, string_split(t, ' ') AS w FROM norm),
 grams AS (
@@ -990,18 +1004,20 @@ def _d13_oracle() -> str:
     return rf"""
 WITH norm AS (
   SELECT doc_id, lang, source, {_NORM_SQL} AS t,
-         len(string_split(trim(text), ' ')) AS n_tokens
+         len(list_filter(string_split(trim(text), ' '), x -> x <> '')) AS n_tokens
   FROM documents
 ),
 train AS (SELECT * FROM norm WHERE source <> '{_EVAL_SOURCE}'),
 keepers AS (SELECT MIN(doc_id) AS doc_id FROM train GROUP BY md5(t)),
 s1 AS (SELECT train.* FROM train JOIN keepers USING (doc_id)),
 evsh AS (
-  SELECT DISTINCT unnest(
-    list_distinct([array_to_string(w[i:i+{n - 1}], ' ')
-                   for i in generate_series(1, greatest(len(w)-{n - 1}, 1))])
-  ) AS ngram
-  FROM (SELECT string_split(t, ' ') AS w FROM norm WHERE source = '{_EVAL_SOURCE}')
+  SELECT DISTINCT ngram FROM (
+    SELECT unnest(
+      list_distinct([array_to_string(w[i:i+{n - 1}], ' ')
+                     for i in generate_series(1, greatest(len(w)-{n - 1}, 1))])
+    ) AS ngram
+    FROM (SELECT string_split(t, ' ') AS w FROM norm WHERE source = '{_EVAL_SOURCE}')
+  ) WHERE ngram <> ''
 ),
 s1sh AS (
   SELECT doc_id,

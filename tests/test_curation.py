@@ -284,3 +284,29 @@ class TestQuantize:
         ).head().q
         assert all(-127 <= v <= 127 for v in q)
         assert max(abs(v) for v in q) == 127
+
+
+def test_contamination_empty_docs_never_collide(spark):
+    # docs that normalize to empty produce the "" shingle; the eval
+    # side must drop it, or every empty train doc "matches" an empty
+    # eval doc at contamination 1.0 with zero actual overlap
+    from pyspark.sql import functions as F
+
+    from data_export_tool_spark.operators.contamination import (
+        contamination_scores,
+    )
+
+    train = spark.createDataFrame(
+        [(1, "!!! ???"), (2, "real shared words appear here today five")],
+        "doc_id long, text string",
+    )
+    ev = spark.createDataFrame(
+        [(10, "..."), (11, "real shared words appear here today five")],
+        "doc_id long, text string",
+    )
+    rows = {
+        r.doc_id: r.contamination
+        for r in contamination_scores(train, ev, n=5).collect()
+    }
+    assert rows[1] == 0.0  # punctuation-only doc matches nothing
+    assert rows[2] > 0.5  # genuine overlap still detected

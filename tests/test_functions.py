@@ -201,3 +201,47 @@ def test_bpe_token_count_and_stopword_ratio(spark):
     assert rows[0].ws == 4 and rows[0].bpe == 6
     assert rows[0].sw == 0.5  # 'the' twice out of 4 whitespace tokens
     assert rows[1].ws == 2 and rows[1].bpe == 2 and rows[1].sw == 0.0
+
+
+def test_token_count_empty_and_bpe_agree(spark):
+    from pyspark.sql import functions as F
+
+    from data_export_tool_spark.functions.text import token_count
+
+    df = spark.createDataFrame(
+        [("",), ("   ",), ("one two",), (None,)], "text string"
+    )
+    rows = df.select(
+        token_count(F.col("text")).alias("ws"),
+        token_count(F.col("text"), bpe=True).alias("bpe"),
+    ).collect()
+    assert [r.ws for r in rows] == [0, 0, 2, None]
+    # empty/whitespace must agree across modes (split('') yields [""])
+    assert rows[0].bpe == 0 and rows[1].bpe == 0
+
+
+def test_punct_ratio_unicode_letters_not_punctuation(spark):
+    from pyspark.sql import functions as F
+
+    from data_export_tool_spark.functions.text import punct_ratio
+
+    df = spark.createDataFrame(
+        [("schöne Grüße für Sie",), ("hello, world!",)], "text string"
+    )
+    rows = df.select(F.round(punct_ratio(F.col("text")), 3).alias("p")).collect()
+    assert rows[0].p == 0.0  # accented letters are letters, not punct
+    assert 0.0 < rows[1].p < 0.2  # the comma and bang still count
+
+
+def test_language_guess_unsegmented_zh(spark):
+    from pyspark.sql import functions as F
+
+    from data_export_tool_spark.functions.text import language_guess
+
+    df = spark.createDataFrame(
+        [("这是一个测试，的确如此",), ("the cat and the hat is a cat",)],
+        "text string",
+    )
+    rows = df.select(language_guess(F.col("text")).alias("g")).collect()
+    assert rows[0].g == "zh"  # substring probes fire without whitespace
+    assert rows[1].g == "en"

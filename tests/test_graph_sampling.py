@@ -156,3 +156,25 @@ def test_pack_token_shards_two_phase_matches_single_window(spark):
                 )
             )
             assert got == base, (strata, nr)
+
+
+def test_connected_components_releases_superseded_checkpoints(spark):
+    # each round's label table is localCheckpoint'ed; superseded rounds
+    # must be UNPERSISTED (neither DataFrame.unpersist nor GC frees
+    # local-checkpoint blocks) or O(V) tables pile up per round
+    from data_export_tool_spark.operators.graph import (
+        _stored_rdd_ids,
+        connected_components,
+    )
+
+    sc = spark.sparkContext
+    before = _stored_rdd_ids(sc)
+    # a path graph forces several pointer-jumping rounds
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(64)], "id_a long, id_b long"
+    )
+    out = connected_components(edges)
+    assert out.select("component_id").distinct().count() == 1
+    leaked = _stored_rdd_ids(sc) - before
+    # only the FINAL labels checkpoint may remain cached
+    assert len(leaked) <= 1, leaked

@@ -84,6 +84,16 @@ class Catalog:
         which Spark has no native type for — it's read as nanos-longs
         (legacy conf) and normalized to TimestampType (µs) here, once,
         at the catalog boundary.
+
+        Session-visible side effect, by design: ``nanosAsLong`` is also
+        declared in ``session.get_spark`` and must stay on for the
+        SESSION's lifetime (the conf is consulted when a scan
+        *executes*, not when it is defined — restoring it after load()
+        would flip the semantics of this catalog's own lazy plans).
+        The set here covers externally-created sessions; direct
+        ``spark.read.parquet`` callers in the same session therefore
+        also see NANOS columns as longs and should read through the
+        catalog.
         """
         if name not in self._cache:
             self.spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")

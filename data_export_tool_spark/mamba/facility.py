@@ -51,10 +51,15 @@ def facility_details_df(resolve: TableResolver) -> DataFrame:
     tag = resolve("mamba_fact_location_tag")
     tag_map = resolve("mamba_fact_location_tag_map")
     loc = resolve("mamba_dim_location")
+    # the hint goes on the FILTERED one-row tag side — broadcasting the
+    # unfiltered map/dim side would ship the big table to the driver
     return (
-        tag.where(F.col("name") == "Facility Location")
-        .select("location_tag_id")
-        .join(F.broadcast(tag_map), "location_tag_id")
+        F.broadcast(
+            tag.where(F.col("name") == "Facility Location").select(
+                "location_tag_id"
+            )
+        )
+        .join(tag_map, "location_tag_id")
         .join(loc, "location_id")
         .select(
             F.col("state_province").alias("Region"),
@@ -70,9 +75,12 @@ def hmis_code_df(resolve: TableResolver) -> DataFrame:
     attr = resolve("mamba_fact_location_attribute")
     attr_type = resolve("mamba_fact_location_attribute_type")
     return (
-        attr_type.where(F.col("name") == "hmiscode")
-        .select(F.col("location_attribute_type_id").alias("attribute_type_id"))
-        .join(F.broadcast(attr), "attribute_type_id")
+        F.broadcast(
+            attr_type.where(F.col("name") == "hmiscode").select(
+                F.col("location_attribute_type_id").alias("attribute_type_id")
+            )
+        )
+        .join(attr, "attribute_type_id")
         .select(F.col("value_reference").alias("HMISCode"))
     )
 

@@ -43,7 +43,15 @@ def resolve_report_window(month: int | str, year: int) -> ReportWindow:
     end = Eth(20, month, year); start = Eth(21, month-1, year) with the
     Meskerem→Pagume/previous-year wrap (export.py:367-375).
     """
-    m = MONTH_INDEX[month] if isinstance(month, str) else int(month)
+    if isinstance(month, str):
+        if month not in MONTH_INDEX:
+            raise ValueError(
+                f"unknown Ethiopian month name {month!r}; "
+                f"expected one of {sorted(MONTH_INDEX)}"
+            )
+        m = MONTH_INDEX[month]
+    else:
+        m = int(month)
     if not 1 <= m <= 12:
         raise ValueError(f"Ethiopian report month must be 1-12, got {m}")
     end = eth_to_gregorian(year, m, 20)

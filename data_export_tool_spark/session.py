@@ -62,6 +62,12 @@ def get_spark(
         # layout's intent.
         .config("spark.sql.requireAllClusterKeysForCoPartition", "false")
         .config("spark.sql.session.timeZone", "UTC")
+        # TIMESTAMP(NANOS) parquet (the driver's events table) has no
+        # native Spark type; read it as nanos-longs and normalize at
+        # the catalog boundary. Declared HERE so the session-wide
+        # semantics are visible up front, not only as a side effect of
+        # the first Catalog.load.
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
     )

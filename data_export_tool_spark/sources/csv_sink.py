@@ -32,12 +32,17 @@ def with_facility_columns(
     df: DataFrame, region: str, woreda: str, facility: str, hmis_code: str
 ) -> DataFrame:
     """S5: append the constant facility-identity columns after the
-    query's own columns (export.py:294-296,304)."""
-    return (
-        df.withColumn("Region", F.lit(region))
-        .withColumn("Woreda", F.lit(woreda))
-        .withColumn("Facility", F.lit(facility))
-        .withColumn("HMISCode", F.lit(hmis_code))
+    query's own columns (export.py:294-296,304). APPEND, not
+    ``withColumn``: the reference adds its tuple unconditionally, so a
+    query that selects its own ``Region``/``Facility``/... column keeps
+    BOTH (duplicate-named) columns in order — ``withColumn`` would
+    silently overwrite the query's per-row data in place."""
+    return df.select(
+        "*",
+        F.lit(region).alias("Region"),
+        F.lit(woreda).alias("Woreda"),
+        F.lit(facility).alias("Facility"),
+        F.lit(hmis_code).alias("HMISCode"),
     )
 
 
@@ -70,7 +75,24 @@ def write_query_csv(
         # directory-of-parts for extracts too large for one file
         df.write.option("header", True).mode("overwrite").csv(path)
         return path
-    pdf = df.toPandas()
+    # Arrow-first conversion with NULLABLE integer dtypes: a plain
+    # toPandas() under Arrow coerces an integer column containing any
+    # NULL to float64, and to_csv then writes '123456.0' where the
+    # reference's csv.writer writes '123456'. Int64/Int32 pandas
+    # extension dtypes print integers and leave NULLs empty.
+    import pandas as pd
+    import pyarrow as pa
+
+    _INT_DTYPES = {
+        pa.int8(): pd.Int8Dtype(),
+        pa.int16(): pd.Int16Dtype(),
+        pa.int32(): pd.Int32Dtype(),
+        pa.int64(): pd.Int64Dtype(),
+    }
+    try:
+        pdf = df.toArrow().to_pandas(types_mapper=_INT_DTYPES.get)
+    except Exception:  # non-Arrow-convertible schema → plain path
+        pdf = df.toPandas()
     if len(pdf) == 0:
         return None
     pdf.to_csv(path, index=False)

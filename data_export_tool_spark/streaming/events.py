@@ -69,11 +69,22 @@ def read_events_stream(
     from data_export_tool_spark.catalog import normalize_event_times
 
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    schema = (
-        spark.read.parquet(path).schema
-        if not spark.conf.get("spark.sql.streaming.schemaInference", None)
-        else None
+    # conf values are STRINGS — `not "false"` is False, which would
+    # skip the explicit schema exactly when inference is disabled
+    infer = (
+        str(spark.conf.get("spark.sql.streaming.schemaInference", "false"))
+        .lower()
+        == "true"
     )
+    schema = None
+    if not infer:
+        try:
+            schema = spark.read.parquet(path).schema
+        except Exception:
+            # directory exists but no drop has landed yet (producer
+            # not started): fall back to the module's known layout so
+            # the stream can be DEFINED before the first file arrives
+            schema = EVENT_SCHEMA
     reader = spark.readStream.format("parquet").option(
         "maxFilesPerTrigger", max_files_per_trigger
     )
@@ -129,14 +140,16 @@ def dedup_stream(
 def enrich_stream(events: DataFrame, dim: DataFrame, on: str) -> DataFrame:
     """Stream-static enrichment join: each micro-batch joins against the
     (re-read-per-trigger) static dimension. Stateless — no watermark or
-    streaming state involved; Spark broadcasts the dim side when it fits
-    ``autoBroadcastJoinThreshold``, so the stream never shuffles.
+    streaming state involved; Spark broadcasts the dim side when it
+    fits ``autoBroadcastJoinThreshold`` (no forced hint: a dimension
+    bigger than memory must be able to degrade to a shuffled join
+    instead of dying on a forced broadcast).
 
     The batch twin is the identical ``events.join(dim, on, "left")``;
     the parity test pins stream output == batch output over the same
     files.
     """
-    return events.join(F.broadcast(dim), on=on, how="left")
+    return events.join(dim, on=on, how="left")
 
 
 def correlate_streams(
@@ -197,16 +210,22 @@ def upsert_sink(
     (update-beats-existing, optional version ordering) — the streaming
     form of the c01 catalog entry.
 
-    Write protocol: merge → write to a staging dir → atomic directory
-    swap. Plain parquet cannot be overwritten while it is also the scan
-    source of the same job (and a crash mid-overwrite would corrupt the
-    table); the swap keeps the last committed snapshot intact until the
-    new one is fully written. This is exactly the commit problem table
-    formats (Delta/Iceberg) solve with metadata transactions — on a
-    real lake deployment ``foreachBatch`` would issue MERGE INTO
+    Write protocol: merge → write to a staging dir → directory swap
+    (rename target aside, rename staging in, drop the old copy), with
+    a RECOVERY pre-step so a crash at any point between those renames
+    is repaired on checkpoint replay: no-target-but-old-exists means
+    the crash hit between the two renames — the old copy IS the last
+    committed snapshot and is restored before merging; target-and-old
+    both present means the crash hit after the swap — the old copy is
+    dead and dropped. Without the pre-step a replayed batch would
+    rebuild the table from that batch alone, silently discarding all
+    previously merged history. This is exactly the commit problem
+    table formats (Delta/Iceberg) solve with metadata transactions —
+    on a real lake deployment ``foreachBatch`` would issue MERGE INTO
     against such a table and the swap disappears; the merge plan
     itself (one shuffle on the merge keys) is unchanged.
     """
+    import glob
     import shutil
     from pathlib import Path
 
@@ -219,6 +238,14 @@ def upsert_sink(
     # build run on executors), so plain imports are safe here
     def apply_batch(batch: DataFrame, batch_id: int) -> None:
         tgt = Path(target_path)
+        olds = sorted(glob.glob(f"{target_path}__old_*"))
+        if olds and not tgt.exists():
+            # crashed between the two renames: the newest old copy is
+            # the last committed snapshot — restore it
+            Path(olds[-1]).rename(target_path)
+            olds = olds[:-1]
+        for left_over in olds:  # post-swap crash leftovers are dead
+            shutil.rmtree(left_over, ignore_errors=True)
         if tgt.exists():
             current = spark.read.parquet(target_path)
             merged = merge_upsert(current, batch, keys, order_by=order_by)

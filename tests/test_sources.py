@@ -46,3 +46,33 @@ def test_csv_permissive_corrupt_rows(spark, tmp_path):
     rows = df.collect()
     assert len(rows) == 3
     assert sum(r._corrupt_record is not None for r in rows) == 1
+
+
+def test_csv_sink_nullable_int_columns_stay_integral(spark, tmp_path):
+    # Arrow toPandas coerces a LongType column with any NULL to
+    # float64, and to_csv then writes '123.0' where the reference's
+    # csv.writer writes '123' — the sink must keep integers integral
+    from data_export_tool_spark.sources.csv_sink import write_query_csv
+
+    df = spark.createDataFrame(
+        [(1, 123456, "a"), (2, None, "b")], "id long, enc long, s string"
+    )
+    path = write_query_csv(df, str(tmp_path), "q", "Fac", "H1", "Meskerem", 2016)
+    body = open(path).read()
+    assert "123456" in body and "123456.0" not in body
+    # the NULL cell is empty, like csv.writer(None)
+    lines = body.strip().splitlines()
+    assert lines[2].split(",")[1] == ""
+
+
+def test_facility_columns_append_not_replace(spark):
+    # the reference APPENDS its identity tuple unconditionally
+    # (export.py:294-304); a query selecting its own 'Region' column
+    # must keep BOTH values, not have its data overwritten in place
+    from data_export_tool_spark.sources.csv_sink import with_facility_columns
+
+    df = spark.createDataFrame([("north", 1)], "Region string, v long")
+    out = with_facility_columns(df, "Addis", "W", "F", "H")
+    assert out.columns == ["Region", "v", "Region", "Woreda", "Facility", "HMISCode"]
+    row = out.collect()[0]
+    assert row[0] == "north" and row[2] == "Addis"

@@ -339,3 +339,64 @@ def test_upsert_sink_applies_changesets_in_order(spark, tmp_path):
     record_stream_parity("cdc_upsert_sink", len(expected), ok)
     assert got == expected
     assert len(got) == 12
+
+
+def test_read_events_stream_defined_before_first_drop(spark, tmp_path):
+    # a file stream must be definable over an existing-but-empty drop
+    # directory (producer not started yet): schema falls back to the
+    # module's EVENT_SCHEMA instead of dying on batch inference
+    empty = tmp_path / "no_drops_yet"
+    empty.mkdir()
+    stream = read_events_stream(spark, str(empty))
+    assert stream.isStreaming
+    assert dict(stream.dtypes)["ts"] == "timestamp"
+
+
+def test_upsert_sink_recovers_mid_swap_crash(spark, tmp_path):
+    # simulate a crash BETWEEN the two swap renames: target gone, the
+    # last committed snapshot sitting in __old_N. A replayed batch must
+    # restore it before merging, not rebuild from the batch alone.
+    import time as _time
+    from pathlib import Path
+
+    from data_export_tool_spark.streaming.events import upsert_sink
+
+    drops = tmp_path / "cs"
+    drops.mkdir()
+    cs1 = spark.createDataFrame(
+        [(k, 1, f"v1-{k}") for k in range(1, 6)], "k long, seq long, payload string"
+    )
+    cs1.coalesce(1).write.parquet(str(drops / "cs1"))
+    target = str(tmp_path / "tgt")
+    stream = (
+        spark.readStream.schema("k long, seq long, payload string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(drops / "*"))
+    )
+    q = upsert_sink(
+        stream, target, keys=["k"], order_by=["seq"],
+        checkpoint=str(tmp_path / "ck"),
+    )
+    q.awaitTermination(120)
+    assert spark.read.parquet(target).count() == 5
+
+    # crash simulation: target renamed aside, new snapshot never landed
+    Path(target).rename(f"{target}__old_7")
+    _time.sleep(1.1)
+    cs2 = spark.createDataFrame(
+        [(k, 2, f"v2-{k}") for k in range(4, 8)], "k long, seq long, payload string"
+    )
+    cs2.coalesce(1).write.parquet(str(drops / "cs2"))
+    stream2 = (
+        spark.readStream.schema("k long, seq long, payload string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(drops / "*"))
+    )
+    q2 = upsert_sink(
+        stream2, target, keys=["k"], order_by=["seq"],
+        checkpoint=str(tmp_path / "ck"),
+    )
+    q2.awaitTermination(120)
+    got = {(r.k, r.seq) for r in spark.read.parquet(target).collect()}
+    # history (k=1..3 from cs1) survived the crash; cs2 upserted 4..7
+    assert got == {(1, 1), (2, 1), (3, 1), (4, 2), (5, 2), (6, 2), (7, 2)}

@@ -32,30 +32,47 @@ def period_diff_months(b: Column, a: Column) -> Column:
     return (F.year(b) * 12 + F.month(b)) - (F.year(a) * 12 + F.month(a))
 
 
+def _time_of_day_micros(c: Column) -> Column:
+    """Microseconds since midnight — 0 for DateType inputs, so the
+    complete-unit helpers below are exact at both date and timestamp
+    grain (MySQL compares the full (day, time) tail, and a DATE-only
+    comparison would call 23:00→01:00 a complete day)."""
+    t = c.cast("timestamp")
+    return F.unix_micros(t) - F.unix_micros(F.date_trunc("DAY", t))
+
+
 def complete_months_between(start: Column, end: Column) -> Column:
     """MySQL ``TIMESTAMPDIFF(MONTH, start, end)``: whole months elapsed.
 
-    Counts calendar months then subtracts one if the end day-of-month
-    hasn't reached the start day-of-month.
+    Counts calendar months then subtracts one if the end (day-of-month,
+    time-of-day) tail hasn't reached the start's.
     """
     months = period_diff_months(end, start)
-    return months - F.when(F.dayofmonth(end) < F.dayofmonth(start), 1).otherwise(0)
+    not_reached = F.struct(
+        F.dayofmonth(end), _time_of_day_micros(end)
+    ) < F.struct(F.dayofmonth(start), _time_of_day_micros(start))
+    return months - F.when(not_reached, 1).otherwise(0)
 
 
 def complete_years_between(start: Column, end: Column) -> Column:
     """MySQL ``TIMESTAMPDIFF(YEAR, start, end)`` — age computation
     (Tx_Curr_LineList.sql:93)."""
     years = F.year(end) - F.year(start)
-    not_reached = (F.month(end) < F.month(start)) | (
-        (F.month(end) == F.month(start)) & (F.dayofmonth(end) < F.dayofmonth(start))
-    )
+    not_reached = F.struct(
+        F.month(end), F.dayofmonth(end), _time_of_day_micros(end)
+    ) < F.struct(F.month(start), F.dayofmonth(start), _time_of_day_micros(start))
     return years - F.when(not_reached, 1).otherwise(0)
 
 
 def complete_weeks_between(start: Column, end: Column) -> Column:
     """MySQL ``TIMESTAMPDIFF(WEEK, ...)`` — gestation weeks
-    (Tx_Curr_VLEligibleNew_LineList.sql:396-397)."""
-    return (F.datediff(end, start) / 7).cast("int")
+    (Tx_Curr_VLEligibleNew_LineList.sql:396-397). Complete 24h periods
+    (time-aware) divided by 7, truncating toward zero like MySQL."""
+    micros = F.unix_micros(end.cast("timestamp")) - F.unix_micros(
+        start.cast("timestamp")
+    )
+    days = (micros / F.lit(86_400_000_000)).cast("long")
+    return (days / 7).cast("int")
 
 
 def mysql_if(cond: Column, a: Column, b: Column) -> Column:

@@ -118,6 +118,39 @@ def gregorian_to_eth_py(d: _dt.date) -> tuple[int, int, int]:
     return year, month, day
 
 
+def eth_parts_sql(
+    days_since_epoch: str, int_div: str = "div"
+) -> tuple[str, str, str]:
+    """(day, month, year) Ethiopian-calendar expressions as SQL TEXT —
+    the SINGLE source of the Julian-day arithmetic for every SQL-text
+    consumer (the Spark inline shim, the Spark SQL UDF below, and the
+    DuckDB oracle macro), so the epoch constants and div/mod chain can
+    never drift between the engine and its oracles. ``days_since_epoch``
+    is the dialect's days-since-1970-01-01 expression;``int_div`` its
+    integer-division operator (Spark ``div``, DuckDB ``//``)."""
+    off = f"({days_since_epoch} + {JDN_UNIX_EPOCH - JDN_EPOCH_AMETE_MIHRET})"
+    r = f"({off} % 1461)"
+    n = f"({r} % 365 + 365 * ({r} {int_div} 1460))"
+    year = (
+        f"(4 * ({off} {int_div} 1461) + ({r} {int_div} 365)"
+        f" - ({r} {int_div} 1460))"
+    )
+    month = f"({n} {int_div} 30 + 1)"
+    day = f"({n} % 30 + 1)"
+    return day, month, year
+
+
+def eth_dmy_sql(
+    days_since_epoch: str, int_div: str = "div", str_type: str = "STRING"
+) -> str:
+    """The 'D/M/Y' rendering as SQL text, from :func:`eth_parts_sql`."""
+    d, m, y = eth_parts_sql(days_since_epoch, int_div)
+    return (
+        f"concat(CAST({d} AS {str_type}), '/', "
+        f"CAST({m} AS {str_type}), '/', CAST({y} AS {str_type}))"
+    )
+
+
 def register_sql_functions(spark: SparkSession) -> None:
     """Make the conversion callable from ``spark.sql`` text, so shimmed
     reference SQL (plans.dialect) can keep its call sites.
@@ -129,15 +162,7 @@ def register_sql_functions(spark: SparkSession) -> None:
     serialization boundary. Honors ``fmt`` ('D/M/Y' and 'Y-M-D';
     anything else raises, matching ``gregorian_to_eth``).
     """
-    off = f"(datediff(d, DATE'1970-01-01') + {JDN_UNIX_EPOCH} - {JDN_EPOCH_AMETE_MIHRET})"
-    r = f"({off} % 1461)"
-    n = f"({r} % 365 + 365 * CAST({r} / 1460 AS INT))"
-    year = (
-        f"(4 * CAST({off} / 1461 AS INT) + CAST({r} / 365 AS INT)"
-        f" - CAST({r} / 1460 AS INT))"
-    )
-    month = f"(CAST({n} / 30 AS INT) + 1)"
-    day = f"({n} % 30 + 1)"
+    day, month, year = eth_parts_sql("datediff(d, DATE'1970-01-01')")
     spark.sql(
         f"""
         CREATE OR REPLACE TEMPORARY FUNCTION

@@ -41,7 +41,25 @@ REPORT_NAMES: tuple[str, ...] = (
     "PMTCT_HEI_LineList",
 )
 
-def _ti_status_patches() -> list[tuple[str, str]]:
+def locate_ti_flag_table(has_column) -> str | None:
+    """Find which follow-up shard table actually carries the
+    transferred-in flag. ``has_column`` is a callable
+    ``table_name -> bool`` (e.g. probing ``spark.table(t).columns``).
+    Returns None when no registered shard has it — the caller then
+    falls back to the fixture layout's assignment."""
+    candidates = ["mamba_flat_encounter_follow_up"] + [
+        f"mamba_flat_encounter_follow_up_{i}" for i in range(1, 13)
+    ]
+    for t in candidates:
+        try:
+            if has_column(t):
+                return t
+        except Exception:
+            continue
+    return None
+
+
+def _ti_status_patches(flag_table: str | None = None) -> list[tuple[str, str]]:
     """U2 reconstruction (SURVEY.md §2i): ``fn_get_ti_status(client,
     start, end)`` is a MambaETL stored function whose body isn't in the
     reference repo. Reconstructed from its call contract and the
@@ -56,10 +74,21 @@ def _ti_status_patches() -> list[tuple[str, str]]:
     path on both engines anyway — SURVEY.md J9/U2 prescribe
     de-correlation).
     """
-    from data_export_tool_spark.mamba.schemas import follow_up_shard_assignment
+    if flag_table is None:
+        # default: the SYNTHETIC fixture layout's shard assignment.
+        # Real MambaETL warehouses place columns differently —
+        # run_reference_report probes the live catalog via
+        # locate_ti_flag_table and passes the actual table in.
+        from data_export_tool_spark.mamba.schemas import (
+            follow_up_shard_assignment,
+        )
 
-    shard = follow_up_shard_assignment()["transferred_in_check_this_for_all_t"]
-    flag_table = "mamba_flat_encounter_follow_up" + ("" if shard == 0 else f"_{shard}")
+        shard = follow_up_shard_assignment()[
+            "transferred_in_check_this_for_all_t"
+        ]
+        flag_table = "mamba_flat_encounter_follow_up" + (
+            "" if shard == 0 else f"_{shard}"
+        )
     ti_cte = (
         "ti_clients AS (SELECT DISTINCT f0.client_id "
         f"FROM mamba_flat_encounter_follow_up f0 JOIN {flag_table} fk "
@@ -185,10 +214,21 @@ def run_reference_report(
     used this way as running in MySQL-compat mode from then on.
     """
     sql = load_reference_sql(name, sql_dir)
-    shimmed = shim_mysql_to_spark(sql, params, QUERY_PATCHES.get(name))
     if parquet_views is not None:
         session = mysql_compat_session(spark, parquet_views)
     else:
         session = spark
         session.conf.set("spark.sql.ansi.enabled", "false")
+    patches = QUERY_PATCHES.get(name)
+    if name == "Tx_Curr_OutComeList":
+        # the TI flag's shard placement varies per warehouse — probe
+        # the session's actual tables; the fixture-layout default only
+        # applies when no registered shard carries the column
+        def has_column(t: str) -> bool:
+            return "transferred_in_check_this_for_all_t" in session.table(t).columns
+
+        located = locate_ti_flag_table(has_column)
+        if located is not None:
+            patches = _ti_status_patches(flag_table=located)
+    shimmed = shim_mysql_to_spark(sql, params, patches)
     return session.sql(shimmed)

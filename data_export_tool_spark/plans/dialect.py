@@ -64,14 +64,29 @@ def _strip_hash_comments(sql: str) -> str:
     return "".join(out)
 
 
+def _literal_spans(sql: str) -> list[tuple[int, int]]:
+    """[start, end) spans of single/double-quoted string literals."""
+    return [
+        m.span() for m in re.finditer(r"'(?:[^']|'')*'|\"(?:[^\"])*\"", sql)
+    ]
+
+
 def _find_call(sql: str, func: str, start: int = 0) -> tuple[int, int, list[str]] | None:
     """Locate ``func( ... )`` at or after ``start``; returns
     (call_start, call_end_exclusive, top_level_args) with balanced
-    parens and string-literal awareness."""
+    parens and string-literal awareness — including the initial name
+    match: a literal like ``'checked IF(x)'`` must never trigger a
+    rewrite (or an unbalanced-parens error) from text inside quotes."""
     pat = re.compile(rf"\b{func}\s*\(", re.IGNORECASE)
-    m = pat.search(sql, start)
-    if not m:
-        return None
+    spans = _literal_spans(sql)
+    while True:
+        m = pat.search(sql, start)
+        if not m:
+            return None
+        if any(s <= m.start() < e for s, e in spans):
+            start = m.end()
+            continue
+        break
     i = m.end()
     depth = 1
     args: list[str] = []
@@ -136,17 +151,28 @@ def _render_isnull(args: list[str]) -> str:
     return f"(CASE WHEN {args[0]} IS NULL THEN 1 ELSE 0 END)"
 
 
-def _render_period_diff(args: list[str]) -> str:
+def _render_period_diff(args: list[str], int_div: str = "div") -> str:
     """PERIOD_DIFF(p1, p2) where p is DATE_FORMAT(d,'%Y%m') or a yyyymm
-    int expression → month-count subtraction."""
+    int expression → month-count subtraction. ``int_div`` is the
+    target's integer-division operator (Spark ``div``, DuckDB ``//`` —
+    DuckDB has no DIV keyword, so a shared literal would make the
+    oracle side unparseable)."""
 
     def months_of(p: str) -> str:
         found = _find_call(p, "DATE_FORMAT")
-        if found is not None and p[: found[0]].strip() == "":
+        # the DATE_FORMAT call must span the WHOLE operand: matching a
+        # prefix only would silently drop trailing text like `+ 1`
+        if (
+            found is not None
+            and p[: found[0]].strip() == ""
+            and p[found[1] :].strip() == ""
+        ):
             # cast: the operand may be a substituted string literal
             d = f"CAST({found[2][0]} AS DATE)"
             return f"(year({d}) * 12 + month({d}))"
-        return f"(CAST({p} AS INT) DIV 100 * 12 + CAST({p} AS INT) % 100)"
+        return (
+            f"(CAST({p} AS INT) {int_div} 100 * 12 + CAST({p} AS INT) % 100)"
+        )
 
     return f"({months_of(args[0])} - {months_of(args[1])})"
 
@@ -232,36 +258,52 @@ DUCKDB_MACRO_PRELUDE: tuple[str, ...] = (
     # which row ROW_NUMBER ... ORDER BY col ASC picks when the key is
     # NULL-heavy (e.g. PMTCT_HEI CPT_Start).
     "SET default_null_order='nulls_first_on_asc_last_on_desc'",
-    "CREATE OR REPLACE MACRO eth_off(d) AS "
-    "(CAST(d AS DATE) - DATE '1970-01-01') + 716732",
-    "CREATE OR REPLACE MACRO eth_n(d) AS "
-    "eth_off(d) % 1461 % 365 + 365 * ((eth_off(d) % 1461) // 1460)",
-    "CREATE OR REPLACE MACRO eth_year_(d) AS "
-    "4 * (eth_off(d) // 1461) + ((eth_off(d) % 1461) // 365) "
-    "- ((eth_off(d) % 1461) // 1460)",
+    # body generated from functions.ethiopian's single arithmetic
+    # template (see _ETH_DMY_DUCKDB below) — never hand-edit a copy
     "CREATE OR REPLACE MACRO fn_gregorian_to_ethiopian_calendar(d, fmt) AS "
-    "CASE WHEN d IS NULL THEN NULL ELSE "
-    "concat(CAST(eth_n(d) % 30 + 1 AS VARCHAR), '/', "
-    "CAST(eth_n(d) // 30 + 1 AS VARCHAR), '/', "
-    "CAST(eth_year_(d) AS VARCHAR)) END",
+    "CASE WHEN d IS NULL THEN NULL ELSE {eth_dmy} END",
+    # complete units at TIMESTAMP grain (time-of-day included): MySQL's
+    # TIMESTAMPDIFF counts complete 24h periods / complete months whose
+    # (day, time) tail has been reached — a DATE cast would call
+    # 23:00→01:00 a full day. `//` truncates toward zero like MySQL.
     "CREATE OR REPLACE MACRO mysql_tsdiff_day(a, b) AS "
-    "date_diff('day', CAST(a AS DATE), CAST(b AS DATE))",
+    "date_diff('microsecond', CAST(a AS TIMESTAMP), CAST(b AS TIMESTAMP))"
+    " // 86400000000",
     "CREATE OR REPLACE MACRO mysql_tsdiff_week(a, b) AS "
-    "date_diff('day', CAST(a AS DATE), CAST(b AS DATE)) // 7",
+    "mysql_tsdiff_day(a, b) // 7",
     "CREATE OR REPLACE MACRO mysql_tsdiff_month(a, b) AS "
     "((year(CAST(b AS DATE)) * 12 + month(CAST(b AS DATE))) "
     " - (year(CAST(a AS DATE)) * 12 + month(CAST(a AS DATE)))) "
-    "- CASE WHEN day(CAST(b AS DATE)) < day(CAST(a AS DATE)) THEN 1 ELSE 0 END",
+    "- CASE WHEN (day(CAST(b AS DATE)), CAST(CAST(b AS TIMESTAMP) AS TIME)) "
+    "< (day(CAST(a AS DATE)), CAST(CAST(a AS TIMESTAMP) AS TIME)) "
+    "THEN 1 ELSE 0 END",
     "CREATE OR REPLACE MACRO mysql_tsdiff_year(a, b) AS "
     "(year(CAST(b AS DATE)) - year(CAST(a AS DATE))) "
-    "- CASE WHEN (month(CAST(b AS DATE)) < month(CAST(a AS DATE))) "
-    "OR (month(CAST(b AS DATE)) = month(CAST(a AS DATE)) "
-    "AND day(CAST(b AS DATE)) < day(CAST(a AS DATE))) THEN 1 ELSE 0 END",
+    "- CASE WHEN (month(CAST(b AS DATE)), day(CAST(b AS DATE)), "
+    "CAST(CAST(b AS TIMESTAMP) AS TIME)) "
+    "< (month(CAST(a AS DATE)), day(CAST(a AS DATE)), "
+    "CAST(CAST(a AS TIMESTAMP) AS TIME)) THEN 1 ELSE 0 END",
 )
 
 
+def _eth_dmy_duckdb() -> str:
+    from data_export_tool_spark.functions.ethiopian import eth_dmy_sql
+
+    return eth_dmy_sql(
+        "(CAST(d AS DATE) - DATE '1970-01-01')", int_div="//", str_type="VARCHAR"
+    )
+
+
+def duckdb_macro_statements() -> list[str]:
+    """The prelude with the template-generated Ethiopian body
+    substituted — the form every consumer must use (embedding the raw
+    ``DUCKDB_MACRO_PRELUDE`` would ship the ``{eth_dmy}`` placeholder)."""
+    eth = _eth_dmy_duckdb()
+    return [stmt.replace("{eth_dmy}", eth) for stmt in DUCKDB_MACRO_PRELUDE]
+
+
 def install_duckdb_macros(con) -> None:
-    for stmt in DUCKDB_MACRO_PRELUDE:
+    for stmt in duckdb_macro_statements():
         con.sql(stmt)
 
 
@@ -354,27 +396,33 @@ def _numeric_compare_casts(segment: str) -> str:
 
 
 def _eth_inline_expr(d: str) -> str:
-    """Inline Spark SQL for the Ethiopian 'D/M/Y' rendering — the same
-    Julian-day arithmetic as functions.ethiopian, emitted as text so
-    shimmed reference SQL stays fully JVM-side (no UDF). NULL dates
-    propagate through datediff→concat naturally. Catalyst's common-
-    subexpression elimination collapses the repeated `off` term."""
-    off = f"(datediff(CAST({d} AS DATE), DATE '1970-01-01') + 716732)"
-    n = f"({off} % 1461 % 365 + 365 * (({off} % 1461) div 1460))"
-    yr = (
-        f"(4 * ({off} div 1461) + (({off} % 1461) div 365)"
-        f" - (({off} % 1461) div 1460))"
-    )
-    return (
-        f"concat(CAST({n} % 30 + 1 AS STRING), '/', "
-        f"CAST({n} div 30 + 1 AS STRING), '/', CAST({yr} AS STRING))"
+    """Inline Spark SQL for the Ethiopian 'D/M/Y' rendering — text
+    generated from functions.ethiopian's ONE arithmetic template, so
+    shimmed reference SQL stays fully JVM-side (no UDF) and can never
+    drift from the Column-API/oracle forms. NULL dates propagate
+    through datediff→concat naturally; Catalyst's common-subexpression
+    elimination collapses the repeated offset term."""
+    from data_export_tool_spark.functions.ethiopian import eth_dmy_sql
+
+    return eth_dmy_sql(
+        f"datediff(CAST({d} AS DATE), DATE '1970-01-01')",
+        int_div="div",
+        str_type="STRING",
     )
 
 
 def _render_eth_fn(args: list[str]) -> str:
     if len(args) != 2:
         raise ValueError("fn_gregorian_to_ethiopian_calendar expects 2 args")
-    # the corpus only ever passes 'D/M/Y' (19 sites)
+    # the corpus only ever passes 'D/M/Y' (19 sites); silently emitting
+    # D/M/Y for any OTHER requested format would be a wrong answer, so
+    # fail loudly instead
+    fmt = args[1].strip().strip("'\"").upper()
+    if fmt != "D/M/Y":
+        raise ValueError(
+            f"fn_gregorian_to_ethiopian_calendar: unsupported format "
+            f"{args[1]!r} (the shim renders 'D/M/Y' only)"
+        )
     return _eth_inline_expr(args[0])
 
 
@@ -399,7 +447,12 @@ def shim_mysql_to_spark(
     """
     out = _strip_hash_comments(sql)
     for pat, repl in patches or []:
-        out = re.sub(pat, repl, out, flags=re.IGNORECASE | re.DOTALL)
+        out, n = re.subn(pat, repl, out, flags=re.IGNORECASE | re.DOTALL)
+        if n == 0:
+            # a patch that no longer matches means the reference SQL
+            # drifted — the semantics it pins (tie-breaks, GROUP BY
+            # drops, TI joins) would be SILENTLY lost; fail loudly
+            raise ValueError(f"query patch matched nothing: {pat!r}")
     out = _rewrite_calls(out, "fn_gregorian_to_ethiopian_calendar", _render_eth_fn)
     out = _rewrite_calls(out, "PERIOD_DIFF", _render_period_diff)
     out = _rewrite_calls(out, "DATE_ADD", _render_date_addsub(+1))
@@ -425,9 +478,16 @@ def shim_mysql_to_duckdb(
     rewrites so the oracle comparison stays apples-to-apples."""
     out = _strip_hash_comments(sql)
     for pat, repl in patches or []:
-        out = re.sub(pat, repl, out, flags=re.IGNORECASE | re.DOTALL)
+        out, n = re.subn(pat, repl, out, flags=re.IGNORECASE | re.DOTALL)
+        if n == 0:
+            # a patch that no longer matches means the reference SQL
+            # drifted — the semantics it pins (tie-breaks, GROUP BY
+            # drops, TI joins) would be SILENTLY lost; fail loudly
+            raise ValueError(f"query patch matched nothing: {pat!r}")
     out = _TSDIFF_RE.sub(lambda m: f"mysql_tsdiff_{m.group(1).lower()}(", out)
-    out = _rewrite_calls(out, "PERIOD_DIFF", _render_period_diff)
+    out = _rewrite_calls(
+        out, "PERIOD_DIFF", lambda a: _render_period_diff(a, int_div="//")
+    )
     out = _rewrite_calls(out, "DATE_ADD", _render_date_addsub_duckdb(+1))
     out = _rewrite_calls(out, "DATE_SUB", _render_date_addsub_duckdb(-1))
     out = _rewrite_calls(out, "DATE_FORMAT", _render_date_format_duckdb)

@@ -14,6 +14,7 @@ shim into ``spark.sql``; DataFrame-built queries skip the shim.
 from __future__ import annotations
 
 import json
+import logging
 import os
 from collections.abc import Callable, Sequence
 from dataclasses import dataclass, field
@@ -41,6 +42,15 @@ class FacilityIdentity:
         """Filename form: spaces/underscores stripped (export.py:269;
         the appended COLUMN keeps the raw name, export.py:294-296)."""
         return self.facility.replace(" ", "").replace("_", "")
+
+    @property
+    def hmis_sanitized(self) -> str:
+        """The reference sanitizes the HMIS code once (export.py:279)
+        and uses the sanitized value BOTH in filenames (:298) and the
+        appended column (:295-296) — unlike the facility name, whose
+        raw form goes into the column. Sanitizing here keeps caller-
+        constructed identities on the same contract as looked-up ones."""
+        return self.hmis_code.replace(" ", "").replace("_", "")
 
 
 QueryBuilder = Callable[[SparkSession, ReportWindow], DataFrame]
@@ -158,14 +168,25 @@ def run_export(
     spark.conf.set("spark.sql.ansi.enabled", "false")
     try:
         for name, sql in registry.sql_queries.items():
-            shimmed = shim_mysql_to_spark(
-                sql, window.as_params(), QUERY_PATCHES.get(name)
-            )
-            df = spark.sql(shimmed)
-            written[name] = _sink(df, out_dir, name, facility, label, eth_year)
+            # per-query isolation like the reference (export.py:287-293):
+            # one broken report logs and is skipped; the other reports
+            # still export and the zip is still produced
+            try:
+                shimmed = shim_mysql_to_spark(
+                    sql, window.as_params(), QUERY_PATCHES.get(name)
+                )
+                df = spark.sql(shimmed)
+                written[name] = _sink(df, out_dir, name, facility, label, eth_year)
+            except Exception:
+                logging.exception("Error executing query %r — skipping", name)
+                written[name] = None
         for name, builder in registry.df_queries.items():
-            df = builder(spark, window)
-            written[name] = _sink(df, out_dir, name, facility, label, eth_year)
+            try:
+                df = builder(spark, window)
+                written[name] = _sink(df, out_dir, name, facility, label, eth_year)
+            except Exception:
+                logging.exception("Error executing query %r — skipping", name)
+                written[name] = None
     finally:
         if prior_ansi is not None:
             spark.conf.set("spark.sql.ansi.enabled", prior_ansi)
@@ -186,16 +207,21 @@ def _sink(
     year: int,
 ) -> str | None:
     full = with_facility_columns(
-        df, facility.region, facility.woreda, facility.facility, facility.hmis_code
+        df,
+        facility.region,
+        facility.woreda,
+        facility.facility,
+        facility.hmis_sanitized,
     )
     # filename uses the sanitized facility name (export.py:298); the
-    # appended column above keeps the raw one (export.py:294-296)
+    # appended column above keeps the raw one (export.py:294-296) —
+    # except the HMIS code, which the reference sanitizes everywhere
     return write_query_csv(
         full,
         out_dir,
         name,
         facility.facility_sanitized,
-        facility.hmis_code,
+        facility.hmis_sanitized,
         month_label,
         year,
     )

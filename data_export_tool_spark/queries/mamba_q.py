@@ -168,7 +168,7 @@ def _build_oracles(reports, paths):
         load_reference_sql,
     )
     from data_export_tool_spark.plans.dialect import (
-        DUCKDB_MACRO_PRELUDE,
+        duckdb_macro_statements,
         install_duckdb_macros,
         shim_mysql_to_duckdb,
     )
@@ -178,7 +178,7 @@ def _build_oracles(reports, paths):
         "REPORT_START_DATE": WINDOW_START.isoformat(),
         "REPORT_END_DATE": WINDOW_END.isoformat(),
     }
-    prelude = ";\n".join(DUCKDB_MACRO_PRELUDE)
+    prelude = ";\n".join(duckdb_macro_statements())
     tables_cte = ",\n".join(
         f"{t} AS (SELECT * FROM '{p}')" for t, p in paths.items()
     )

@@ -1215,7 +1215,10 @@ def pmtct_hei_linelist(
 
     # CPT_Start (:86-102): earliest dosed follow-up (NULL dates sort
     # first under ASC — MySQL/Spark agree); CPT_Stop (:103-111): MAX
-    # date with dose = 'DC'
+    # date with dose = 'DC'. The reference window has NO tie-break
+    # (§4.8): two same-day dosed visits pick arbitrarily in MySQL —
+    # pinned to encounter_id ASC on every target (QUERY_PATCHES adds
+    # the same to the SQL paths; caught by the seed-2004 parity fuzz)
     hei_fu_all = tables["mamba_flat_encounter_hei_followup"].join(
         tables["mamba_flat_encounter_hei_followup_1"], "encounter_id"
     )
@@ -1228,6 +1231,7 @@ def pmtct_hei_linelist(
             keys=["client_id"],
             order_by=["followup_date_followup"],
             descending=False,
+            tiebreak="encounter_id",
         )
         .filter(F.col("row_num") == 1)
         .select(
@@ -1242,13 +1246,15 @@ def pmtct_hei_linelist(
         .agg(F.max("followup_date_followup").alias("CPTDiscontinuedDate"))
     )
 
-    # FinalOutcome (:112-121) / Future_Visit (:122-128)
+    # FinalOutcome (:112-121) / Future_Visit (:122-128); the outcome
+    # window is also tie-break-free in the reference — same pin
     fo = ranked(
         tables["mamba_flat_encounter_hei_final_outcome"].filter(
             F.col("date_when_final_outcome_was_known") <= end
         ),
         keys=["client_id"],
         order_by=["date_when_final_outcome_was_known"],
+        tiebreak="encounter_id",
     ).filter(F.col("row_num") == 1)
     future = (
         tables["mamba_flat_encounter_hei_followup"]

@@ -158,6 +158,22 @@ QUERY_PATCHES: dict[str, list[tuple[str, str]]] = {
             r"\1, f.encounter_id DESC)\2",
         ),
     ],
+    # Tie-break-free windows (SURVEY.md §4.8, caught by the multi-seed
+    # parity fuzz at seed 2004): CPT_Start orders by followup date ASC
+    # and FinalOutcome by outcome date DESC with NO encounter
+    # tie-break, so same-day rows pick arbitrarily in MySQL. Pinned to
+    # the sibling windows' encounter_id convention on both targets
+    # (the engine's DataFrame builder pins the same).
+    "PMTCT_HEI_LineList": [
+        (
+            r"(ORDER\s+BY\s+f\.followup_date_followup\s+ASC)(\s*\)\s*as\s+rn\b)",
+            r"\1, f.encounter_id ASC\2",
+        ),
+        (
+            r"(ORDER\s+BY\s+date_when_final_outcome_was_known\s+DESC)(\s*\)\s*as\s+row_num\b)",
+            r"\1, encounter_id DESC\2",
+        ),
+    ],
     # Sentinel '' as a date-typed CASE result (SURVEY.md §4.5,
     # Tx_Curr_VLEligible_LineList.sql:234): MySQL's loose typing lets a
     # date column carry ''; the engine's documented policy maps the

@@ -36,8 +36,16 @@ pytestmark = [
 ]
 
 #: extra seeds beyond the main suite's 42 — three corpora total ≥ the
-#: verdict's bar, 36 report runs across this module + the main suite
-EXTRA_SEEDS = (7, 1234)
+#: verdict's bar, 36 report runs across this module + the main suite.
+#: Override for deeper sweeps: SPARK_GRAFT_PARITY_SEEDS="3001,3002,..."
+#: (round-4 sweeps ran seeds 2001-2005 and 3001-3010 clean — 180
+#: report parity runs — after seed 2004 exposed and fixed the
+#: tie-break-free PMTCT_HEI windows)
+EXTRA_SEEDS = tuple(
+    int(s)
+    for s in os.environ.get("SPARK_GRAFT_PARITY_SEEDS", "7,1234").split(",")
+    if s.strip()
+)
 
 
 def _report_pairs():

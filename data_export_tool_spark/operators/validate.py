@@ -1,0 +1,259 @@
+"""Data-quality validation suite (extended surface).
+
+A 100 TB ingest without validation is a liability: one silently-null
+join key or a schema drift between snapshots corrupts everything
+downstream. The reference's only integrity surface is schema
+introspection (`export_debug.py:24-36` SHOW TABLES / DESCRIBE); this
+module carries the checks a production pipeline actually runs, each
+expressed so Catalyst can partial-aggregate:
+
+- ``profile_columns`` — per-column null rate / distinct count /
+  min / max in ONE aggregation pass over the table (every metric is a
+  partial-aggregable expression, so the scan is map-side combined and
+  the exchange carries one row per partition, not per value).
+- ``run_checks`` — a declarative expectation battery (not-null,
+  range, set membership, regex conformity, uniqueness, custom
+  predicate) evaluated in ONE aggregation pass; per-row predicates
+  become ``sum(when(violation, 1))`` columns of the same aggregate.
+- ``referential_integrity`` — orphaned foreign keys via a real
+  LEFT ANTI join (AQE picks broadcast when the parent's key
+  projection is small; the child is never collected).
+- ``schema_drift`` — added / removed / retyped columns between two
+  snapshots. Pure driver-side metadata (StructType diff) — zero jobs.
+
+All outputs are DataFrames so the checks compose into pipelines and
+land in the same sinks as the data they guard.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Callable, Sequence
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+def profile_columns(
+    df: DataFrame,
+    columns: Sequence[str] | None = None,
+    exact_distinct: bool = False,
+    rsd: float = 0.05,
+) -> DataFrame:
+    """Per-column profile in one aggregation pass.
+
+    Returns one row per profiled column:
+    ``(column, n_rows, n_null, null_frac, n_distinct, min_value,
+    max_value)`` with min/max rendered as strings so heterogeneous
+    column types share one output schema.
+
+    ``n_distinct`` uses HyperLogLog (``approx_count_distinct``,
+    relative error ``rsd``) by default — at 100 TB an exact distinct
+    per column is an expand+shuffle per column, while the HLL sketch
+    is a fixed-size partial aggregate. ``exact_distinct=True`` opts
+    into the exact form for small tables and oracle tests.
+
+    Shape: a single ``agg`` with 5·k expressions → 1 wide row →
+    ``stack`` back to long form. One scan, one (tiny) exchange.
+    """
+    cols = list(columns) if columns is not None else list(df.columns)
+    aggs: list[Column] = [F.count(F.lit(1)).alias("__n")]
+    for c in cols:
+        aggs.append(F.count(F.col(c)).alias(f"__nn_{c}"))
+        if exact_distinct:
+            aggs.append(F.count_distinct(F.col(c)).alias(f"__nd_{c}"))
+        else:
+            aggs.append(F.approx_count_distinct(c, rsd).alias(f"__nd_{c}"))
+        aggs.append(F.min(F.col(c)).cast("string").alias(f"__mn_{c}"))
+        aggs.append(F.max(F.col(c)).cast("string").alias(f"__mx_{c}"))
+    wide = df.agg(*aggs)
+
+    # stack(k, 'name', nn, nd, mn, mx, ...) → long form; the input is
+    # one row, so this is a driver-scale reshape, not a shuffle
+    stack_args: list[str] = []
+    for c in cols:
+        stack_args += [f"'{c}'", f"`__nn_{c}`", f"`__nd_{c}`", f"`__mn_{c}`", f"`__mx_{c}`"]
+    stacked = wide.select(
+        F.col("__n").alias("n_rows"),
+        F.expr(
+            f"stack({len(cols)}, {', '.join(stack_args)}) "
+            "AS (column, n_nonnull, n_distinct, min_value, max_value)"
+        ),
+    )
+    return stacked.select(
+        "column",
+        "n_rows",
+        (F.col("n_rows") - F.col("n_nonnull")).alias("n_null"),
+        F.round(
+            (F.col("n_rows") - F.col("n_nonnull"))
+            / F.greatest(F.col("n_rows"), F.lit(1)).cast("double"),
+            6,
+        ).alias("null_frac"),
+        F.col("n_distinct").cast("long").alias("n_distinct"),
+        "min_value",
+        "max_value",
+    )
+
+
+@dataclass(frozen=True)
+class Check:
+    """One expectation: ``violation`` is a Column that is true on rows
+    BREAKING the expectation (``kind='row'``), or a 0-argument builder
+    returning an aggregate violation-count Column (``kind='agg'``,
+    used by uniqueness where the expectation is not per-row)."""
+
+    name: str
+    kind: str  # 'row' | 'agg'
+    violation: Column | Callable[[], Column]
+
+
+def not_null(col: str) -> Check:
+    return Check(f"not_null({col})", "row", F.col(col).isNull())
+
+
+def in_range(col: str, lo, hi) -> Check:
+    c = F.col(col)
+    return Check(
+        f"in_range({col},{lo},{hi})",
+        "row",
+        c.isNotNull() & ~c.between(F.lit(lo), F.lit(hi)),
+    )
+
+
+def in_set(col: str, values: Sequence) -> Check:
+    c = F.col(col)
+    return Check(
+        f"in_set({col})", "row", c.isNotNull() & ~c.isin(list(values))
+    )
+
+
+def matches(col: str, pattern: str) -> Check:
+    c = F.col(col)
+    return Check(
+        f"matches({col})", "row", c.isNotNull() & ~c.rlike(pattern)
+    )
+
+
+def satisfies(name: str, predicate: Column) -> Check:
+    """Custom row expectation: ``predicate`` true on GOOD rows."""
+    return Check(name, "row", ~F.coalesce(predicate, F.lit(False)))
+
+
+def unique(col: str) -> Check:
+    """Duplicate count = count(col) − count(DISTINCT col). Exact
+    distinct is an expand under partial aggregation — acceptable here
+    because a uniqueness GATE must be exact to be a gate at all."""
+    return Check(
+        f"unique({col})",
+        "agg",
+        lambda: (F.count(F.col(col)) - F.count_distinct(F.col(col))),
+    )
+
+
+def run_checks(df: DataFrame, checks: Sequence[Check]) -> DataFrame:
+    """Evaluate every expectation in ONE aggregation pass.
+
+    Returns one row per check: ``(check, n_rows, violations, passed)``.
+    Row-kind checks compile to ``sum(when(violation,1))`` columns of a
+    single ``agg`` — the scan is shared and map-side combined; agg-kind
+    checks contribute their own aggregate expression to the same pass.
+    """
+    aggs: list[Column] = [F.count(F.lit(1)).alias("__n")]
+    for i, ch in enumerate(checks):
+        if ch.kind == "row":
+            expr = F.sum(F.when(ch.violation, 1).otherwise(0))
+        elif ch.kind == "agg":
+            expr = ch.violation()
+        else:  # pragma: no cover - constructor functions never do this
+            raise ValueError(f"unknown check kind {ch.kind!r}")
+        aggs.append(F.coalesce(expr, F.lit(0)).cast("long").alias(f"__v{i}"))
+    wide = df.agg(*aggs)
+
+    stack_args: list[str] = []
+    for i, ch in enumerate(checks):
+        stack_args += ["'" + ch.name.replace("'", "''") + "'", f"`__v{i}`"]
+    return wide.select(
+        F.col("__n").alias("n_rows"),
+        F.expr(
+            f"stack({len(checks)}, {', '.join(stack_args)}) AS (check, violations)"
+        ),
+    ).select(
+        "check",
+        "n_rows",
+        "violations",
+        (F.col("violations") == 0).alias("passed"),
+    )
+
+
+def referential_integrity(
+    child: DataFrame,
+    child_key: str,
+    parent: DataFrame,
+    parent_key: str,
+    broadcast_parent: bool = False,
+) -> DataFrame:
+    """Rows of ``child`` whose non-null ``child_key`` has no match in
+    ``parent`` — a LEFT ANTI join on the parent's key projection (one
+    column, deduplicated by the join itself). NULL keys are excluded:
+    a null FK is a ``not_null`` concern, not an orphan.
+
+    ``broadcast_parent=True`` hints the key projection broadcast-able
+    (a dimension's key column almost always is); otherwise AQE decides
+    from the observed size.
+    """
+    keys = parent.select(F.col(parent_key).alias(child_key))
+    if broadcast_parent:
+        keys = F.broadcast(keys)
+    return child.where(F.col(child_key).isNotNull()).join(
+        keys, on=child_key, how="left_anti"
+    )
+
+
+def schema_drift(
+    old: DataFrame | T.StructType, new: DataFrame | T.StructType
+) -> list[dict]:
+    """Column-level diff between two snapshots' schemas: list of
+    ``{"column", "change", "before", "after"}`` with change in
+    ``added | removed | retyped``. Pure metadata — zero Spark jobs.
+    Nested types compare by their full simpleString."""
+    old_s = old.schema if isinstance(old, DataFrame) else old
+    new_s = new.schema if isinstance(new, DataFrame) else new
+    old_t = {f.name: f.dataType.simpleString() for f in old_s.fields}
+    new_t = {f.name: f.dataType.simpleString() for f in new_s.fields}
+    out: list[dict] = []
+    for name in sorted(old_t.keys() | new_t.keys()):
+        if name not in new_t:
+            out.append(
+                {"column": name, "change": "removed", "before": old_t[name], "after": None}
+            )
+        elif name not in old_t:
+            out.append(
+                {"column": name, "change": "added", "before": None, "after": new_t[name]}
+            )
+        elif old_t[name] != new_t[name]:
+            out.append(
+                {
+                    "column": name,
+                    "change": "retyped",
+                    "before": old_t[name],
+                    "after": new_t[name],
+                }
+            )
+    return out
+
+
+def schema_drift_df(
+    spark: SparkSession, old: DataFrame | T.StructType, new: DataFrame | T.StructType
+) -> DataFrame:
+    """``schema_drift`` as a (tiny) DataFrame so drift reports land in
+    the same sinks as the data they describe."""
+    schema = T.StructType(
+        [
+            T.StructField("column", T.StringType()),
+            T.StructField("change", T.StringType()),
+            T.StructField("before", T.StringType()),
+            T.StructField("after", T.StringType()),
+        ]
+    )
+    return spark.createDataFrame(schema_drift(old, new), schema)

@@ -1,0 +1,199 @@
+"""Data-quality validation suite vs DuckDB oracles (operators/validate.py).
+
+Every metric the suite emits is recomputed by DuckDB SQL over the same
+parquet and compared exactly — profiling and expectation counts are
+deterministic, so the parity is bit-for-bit (no approx paths in tests
+except the HLL smoke check, which asserts the documented error bound
+rather than equality)."""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from data_export_tool_spark.operators import validate as V
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def duck():
+    con = duckdb.connect()
+    for t in ("orders", "lineitem", "customer"):
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{SF}/{t}.parquet'")
+    yield con
+    con.close()
+
+
+def test_profile_matches_duckdb_exact(spark, duck):
+    cols = ["o_custkey", "o_orderstatus", "o_totalprice", "o_orderdate"]
+    got = {
+        r["column"]: r.asDict()
+        for r in V.profile_columns(
+            spark.read.parquet(f"{SF}/orders.parquet"), cols, exact_distinct=True
+        ).collect()
+    }
+    for c in cols:
+        o = duck.sql(
+            f"SELECT count(*) AS n, count({c}) AS nn, count(DISTINCT {c}) AS nd,"
+            f" CAST(min({c}) AS VARCHAR) AS mn, CAST(max({c}) AS VARCHAR) AS mx"
+            " FROM orders"
+        ).fetchone()
+        g = got[c]
+        assert g["n_rows"] == o[0]
+        assert g["n_null"] == o[0] - o[1]
+        assert g["n_distinct"] == o[2]
+        # numeric/date renderings agree in value; normalize via float or str
+        assert g["min_value"].rstrip("0").rstrip(".") == o[3].rstrip("0").rstrip(".")
+        assert g["max_value"].rstrip("0").rstrip(".") == o[4].rstrip("0").rstrip(".")
+
+
+def test_profile_hll_within_bound(spark):
+    prof = {
+        r["column"]: r
+        for r in V.profile_columns(
+            spark.read.parquet(f"{SF}/orders.parquet"), ["o_custkey"], rsd=0.02
+        ).collect()
+    }
+    exact = {
+        r["column"]: r
+        for r in V.profile_columns(
+            spark.read.parquet(f"{SF}/orders.parquet"),
+            ["o_custkey"],
+            exact_distinct=True,
+        ).collect()
+    }
+    nd, nde = prof["o_custkey"]["n_distinct"], exact["o_custkey"]["n_distinct"]
+    assert abs(nd - nde) <= 0.1 * nde  # 5 sigma of the requested 2% rsd
+
+
+def test_profile_single_aggregation_pass(spark):
+    plan = V.profile_columns(
+        spark.read.parquet(f"{SF}/orders.parquet"), ["o_custkey", "o_totalprice"]
+    )._jdf.queryExecution().executedPlan().toString()
+    # one scan, one partial+final aggregate pair, no join/window
+    assert plan.count("Scan parquet") == 1
+    assert "Window" not in plan and "Join" not in plan
+
+
+def test_checks_match_duckdb(spark, duck):
+    orders = spark.read.parquet(f"{SF}/orders.parquet")
+    checks = [
+        V.not_null("o_custkey"),
+        V.in_range("o_totalprice", 0, 300000),
+        V.in_set("o_orderstatus", ["O", "F", "P"]),
+        V.matches("o_orderpriority", r"^\d-[A-Z ]+$"),
+        V.unique("o_orderkey"),
+        V.unique("o_custkey"),
+        V.satisfies("positive_price", F.col("o_totalprice") > 0),
+    ]
+    got = {r["check"]: r.asDict() for r in V.run_checks(orders, checks).collect()}
+
+    oracle = {
+        "not_null(o_custkey)": "count(*) FILTER (o_custkey IS NULL)",
+        "in_range(o_totalprice,0,300000)": "count(*) FILTER (o_totalprice IS NOT NULL AND o_totalprice NOT BETWEEN 0 AND 300000)",
+        "in_set(o_orderstatus)": "count(*) FILTER (o_orderstatus IS NOT NULL AND o_orderstatus NOT IN ('O','F','P'))",
+        "matches(o_orderpriority)": r"count(*) FILTER (o_orderpriority IS NOT NULL AND NOT regexp_matches(o_orderpriority, '^\d-[A-Z ]+$'))",
+        "unique(o_orderkey)": "count(o_orderkey) - count(DISTINCT o_orderkey)",
+        "unique(o_custkey)": "count(o_custkey) - count(DISTINCT o_custkey)",
+        "positive_price": "count(*) FILTER (NOT coalesce(o_totalprice > 0, FALSE))",
+    }
+    n_rows = duck.sql("SELECT count(*) FROM orders").fetchone()[0]
+    for name, expr in oracle.items():
+        want = duck.sql(f"SELECT {expr} FROM orders").fetchone()[0]
+        assert got[name]["violations"] == want, name
+        assert got[name]["n_rows"] == n_rows
+        assert got[name]["passed"] == (want == 0)
+    # the battery over this clean fixture: FK/PK/format checks pass,
+    # o_custkey is deliberately NOT unique
+    assert not got["unique(o_custkey)"]["passed"]
+    assert got["unique(o_orderkey)"]["passed"]
+
+
+def test_checks_single_aggregation_pass(spark):
+    orders = spark.read.parquet(f"{SF}/orders.parquet")
+    plan = (
+        V.run_checks(orders, [V.not_null("o_custkey"), V.in_range("o_totalprice", 0, 1e9)])
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan.count("Scan parquet") == 1
+    assert "Join" not in plan and "Window" not in plan
+
+
+def test_referential_integrity_clean_and_dirty(spark, duck):
+    orders = spark.read.parquet(f"{SF}/orders.parquet")
+    customer = spark.read.parquet(f"{SF}/customer.parquet")
+    clean = V.referential_integrity(orders, "o_custkey", customer, "c_custkey")
+    want = duck.sql(
+        "SELECT count(*) FROM orders o WHERE o.o_custkey IS NOT NULL AND"
+        " NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)"
+    ).fetchone()[0]
+    assert clean.count() == want == 0
+
+    dirty = orders.unionByName(
+        orders.limit(3).withColumn("o_custkey", F.col("o_custkey") + F.lit(10_000_000))
+    )
+    orphans = V.referential_integrity(
+        dirty, "o_custkey", customer, "c_custkey", broadcast_parent=True
+    )
+    assert orphans.count() == 3
+    assert all(r["o_custkey"] > 10_000_000 for r in orphans.collect())
+    # null FKs are not orphans
+    withnull = orders.unionByName(
+        orders.limit(2).withColumn("o_custkey", F.lit(None).cast("long"))
+    )
+    assert (
+        V.referential_integrity(withnull, "o_custkey", customer, "c_custkey").count()
+        == 0
+    )
+
+
+def test_referential_integrity_plans_anti_join(spark):
+    orders = spark.read.parquet(f"{SF}/orders.parquet")
+    customer = spark.read.parquet(f"{SF}/customer.parquet")
+    plan = (
+        V.referential_integrity(
+            orders, "o_custkey", customer, "c_custkey", broadcast_parent=True
+        )
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "LeftAnti" in plan
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoop" not in plan
+
+
+def test_schema_drift(spark):
+    old = T.StructType(
+        [
+            T.StructField("a", T.LongType()),
+            T.StructField("b", T.StringType()),
+            T.StructField("c", T.ArrayType(T.FloatType())),
+        ]
+    )
+    new = T.StructType(
+        [
+            T.StructField("a", T.DoubleType()),  # retyped
+            T.StructField("c", T.ArrayType(T.FloatType())),  # unchanged
+            T.StructField("d", T.DateType()),  # added
+        ]
+    )
+    diff = V.schema_drift(old, new)
+    assert diff == [
+        {"column": "a", "change": "retyped", "before": "bigint", "after": "double"},
+        {"column": "b", "change": "removed", "before": "string", "after": None},
+        {"column": "d", "change": "added", "before": None, "after": "date"},
+    ]
+    ddf = V.schema_drift_df(spark, old, new)
+    assert [r["change"] for r in ddf.orderBy("column").collect()] == [
+        "retyped",
+        "removed",
+        "added",
+    ]
+    # identical schemas → empty diff, and DataFrame inputs accepted
+    df = spark.range(3).withColumn("x", F.lit("s"))
+    assert V.schema_drift(df, df) == []

@@ -72,3 +72,127 @@ def exact_quantiles(
     use only on already-reduced groups."""
     probs = ", ".join(repr(float(p)) + "D" for p in probabilities)
     return F.expr(f"percentile({col}, array({probs}))")
+
+
+# ---------------------------------------------------------------------------
+# Heavy hitters / frequent items
+#
+# "Top domains", "most repeated boilerplate", "hottest join keys" are
+# the questions a corpus triage pass asks first. Two tiers:
+#
+# - exact_topk: groupBy + count + take-ordered. Partial aggregation
+#   absorbs the skew map-side (the hottest key combines within each
+#   task before the exchange), and the final LIMIT k is a
+#   TakeOrderedAndProject — no global sort materializes.
+# - Misra-Gries candidates + exact recount (topk_two_pass): when the
+#   column's cardinality is so large that even the (key,count)
+#   aggregate is a heavy shuffle (e.g. URL or shingle columns at
+#   100 TB), a per-partition Misra-Gries summary of capacity m bounds
+#   the exchange to ≤ m rows PER PARTITION regardless of cardinality.
+#   Merging per-partition summaries by summing weights preserves the
+#   classic guarantee: any item with true count > N/(m+1) survives,
+#   and merged weights undercount by at most N/(m+1)  [Misra & Gries
+#   1982; merge property per Agarwal et al., "Mergeable Summaries",
+#   PODS 2012]. A second pass recounts ONLY the ≤ m candidates via a
+#   broadcast semi-join — so the reported counts are EXACT while the
+#   full-cardinality shuffle never happens.
+# ---------------------------------------------------------------------------
+
+
+def exact_topk(
+    df: DataFrame, col: str, k: int, by: Sequence[str] = ()
+) -> DataFrame:
+    """Exact top-``k`` most frequent values of ``col`` (optionally per
+    ``by`` group), ties broken by item value ascending so the result
+    is deterministic. Nulls are excluded. Output:
+    ``(*by, item string, cnt long)``."""
+    if isinstance(by, str):
+        by = [by]
+    counted = (
+        df.where(F.col(col).isNotNull())
+        .groupBy(*by, F.col(col).cast("string").alias("item"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    if by:
+        from pyspark.sql import Window
+
+        w = Window.partitionBy(*by).orderBy(F.desc("cnt"), F.asc("item"))
+        return (
+            counted.withColumn("__rn", F.row_number().over(w))
+            .where(F.col("__rn") <= k)
+            .drop("__rn")
+        )
+    return counted.orderBy(F.desc("cnt"), F.asc("item")).limit(k)
+
+
+def mg_candidates(df: DataFrame, col: str, capacity: int) -> DataFrame:
+    """One-pass per-partition Misra-Gries summaries, merged by a
+    (small) sum aggregation. Output ``(item string, weight long)``
+    with ≤ ``capacity`` rows; ``weight`` UNDERCOUNTS the true
+    frequency by at most N/(capacity+1). Every item whose true count
+    exceeds that bound is guaranteed present.
+
+    The per-partition pass is an Arrow-batched ``mapInPandas`` (state
+    carries across the partition's batches); the merge shuffles at
+    most capacity rows per partition — cardinality-independent."""
+    import pandas as pd
+
+    if capacity < 1:
+        raise ValueError(f"capacity must be >= 1: {capacity}")
+
+    def summarize(batches):
+        counters: dict[str, int] = {}
+        for pdf in batches:
+            for v in pdf.iloc[:, 0].dropna().astype(str):
+                if v in counters:
+                    counters[v] += 1
+                elif len(counters) < capacity:
+                    counters[v] = 1
+                else:
+                    # decrement-all step; drop zeros
+                    dead = []
+                    for key in counters:
+                        counters[key] -= 1
+                        if counters[key] == 0:
+                            dead.append(key)
+                    for key in dead:
+                        del counters[key]
+        if counters:
+            yield pd.DataFrame(
+                {"item": list(counters), "weight": list(counters.values())}
+            )
+
+    summaries = df.select(F.col(col).cast("string")).mapInPandas(
+        summarize, schema="item string, weight long"
+    )
+    return (
+        summaries.groupBy("item")
+        .agg(F.sum("weight").alias("weight"))
+        .orderBy(F.desc("weight"), F.asc("item"))
+        .limit(capacity)
+    )
+
+
+def topk_two_pass(
+    df: DataFrame, col: str, k: int, capacity: int | None = None
+) -> DataFrame:
+    """Exact counts for the top-``k`` hitters WITHOUT a
+    full-cardinality shuffle: Misra-Gries candidates (pass 1), then an
+    exact recount of only those candidates via broadcast semi-join
+    (pass 2; the per-item partial aggregate absorbs the hitters'
+    skew map-side). Correct whenever the k-th hitter's true count
+    exceeds N/(capacity+1) — at the default capacity 8·k+64 that
+    covers any realistically skewed distribution; for a near-uniform
+    column use ``exact_topk``. Output ``(item string, cnt long)``,
+    count-desc then item-asc."""
+    cap = capacity if capacity is not None else 8 * k + 64
+    cands = mg_candidates(df, col, cap).select("item")
+    return (
+        df.select(F.col(col).cast("string").alias("item"))
+        .where(F.col("item").isNotNull())
+        .join(F.broadcast(cands), "item")
+        .groupBy("item")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.desc("cnt"), F.asc("item"))
+        .limit(k)
+    )

@@ -78,3 +78,104 @@ def test_merge_upsert_rejects_schema_drift(spark):
     updates = spark.createDataFrame([(1, "a", 2)], "k long, s string, extra long")
     with pytest.raises(ValueError, match="column mismatch"):
         merge_upsert(target, updates, ["k"])
+
+
+# ---------------------------------------------------------------------------
+# Heavy hitters (sketch.exact_topk / mg_candidates / topk_two_pass)
+# ---------------------------------------------------------------------------
+
+
+def _zipf_df(spark, n=20_000, n_items=500, seed=7):
+    """Deterministic zipf-ish skew: item i drawn with weight ~ 1/(i+1).
+    Built column-side (no python rng) so every run is identical."""
+    return (
+        spark.range(n, numPartitions=8)
+        .withColumn("u", F.abs(F.hash(F.col("id") + F.lit(seed))) % 1000000 / 1000000.0)
+        # inverse-CDF of a truncated zeta-ish distribution via pow
+        .withColumn(
+            "item",
+            F.concat(
+                F.lit("k"),
+                F.floor(F.pow(F.lit(n_items + 1.0), F.col("u")) - 1).cast("long"),
+            ),
+        )
+        .select("item")
+    )
+
+
+def test_exact_topk_matches_duckdb(spark, sf_dir):
+    import duckdb
+
+    from data_export_tool_spark.operators.sketch import exact_topk
+
+    got = [
+        (r["item"], r["cnt"])
+        for r in exact_topk(
+            spark.read.parquet(f"{sf_dir}/documents.parquet"), "lang", 3
+        ).collect()
+    ]
+    want = duckdb.sql(
+        f"SELECT lang AS item, count(*) AS cnt FROM '{sf_dir}/documents.parquet'"
+        " WHERE lang IS NOT NULL GROUP BY 1 ORDER BY cnt DESC, item LIMIT 3"
+    ).fetchall()
+    assert got == [(i, c) for i, c in want]
+
+
+def test_exact_topk_grouped(spark):
+    from data_export_tool_spark.operators.sketch import exact_topk
+
+    df = spark.createDataFrame(
+        [("a", "x")] * 5 + [("a", "y")] * 3 + [("a", "z")] + [("b", "y")] * 2 + [("b", "x")],
+        "g string, v string",
+    )
+    got = {
+        (r["g"], r["item"]): r["cnt"]
+        for r in exact_topk(df, "v", 2, by=["g"]).collect()
+    }
+    assert got == {("a", "x"): 5, ("a", "y"): 3, ("b", "y"): 2, ("b", "x"): 1}
+
+
+def test_mg_guarantee_and_two_pass_exactness(spark):
+    from data_export_tool_spark.operators.sketch import (
+        exact_topk,
+        mg_candidates,
+        topk_two_pass,
+    )
+
+    df = _zipf_df(spark)
+    exact = [(r["item"], r["cnt"]) for r in exact_topk(df, "item", 10).collect()]
+    n = df.count()
+
+    # MG guarantee: every item with count > N/(cap+1) is in the summary
+    cap = 64
+    cands = {r["item"] for r in mg_candidates(df, "item", cap).collect()}
+    for item, cnt in exact:
+        if cnt > n / (cap + 1):
+            assert item in cands, (item, cnt, n)
+
+    # two-pass returns the SAME items with EXACT counts as the
+    # full-shuffle form, at a candidate-bounded exchange
+    got = [(r["item"], r["cnt"]) for r in topk_two_pass(df, "item", 10).collect()]
+    assert got == exact
+
+
+def test_two_pass_plan_broadcasts_candidates(spark):
+    from data_export_tool_spark.operators.sketch import topk_two_pass
+
+    df = _zipf_df(spark, n=2000)
+    plan = topk_two_pass(df, "item", 5)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+
+
+def test_exact_topk_plans_take_ordered(spark, sf_dir):
+    from data_export_tool_spark.operators.sketch import exact_topk
+
+    plan = (
+        exact_topk(spark.read.parquet(f"{sf_dir}/documents.parquet"), "lang", 3)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    # LIMIT k over an aggregate must be TakeOrdered, not a global Sort
+    assert "TakeOrderedAndProject" in plan
+    assert "HashAggregate" in plan

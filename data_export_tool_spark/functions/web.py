@@ -1,0 +1,174 @@
+"""URL canonicalization and domain analytics (extended surface).
+
+Web-crawl corpora are keyed by URL, and URL-level exact dedup is the
+first, cheapest dedup tier a training pipeline runs (before any
+content hashing): the same page is typically fetched under dozens of
+spellings — scheme/host case, default ports, fragments, tracking
+parameters. Everything here is pure JVM column algebra
+(``try_parse_url`` / regex / array ops; the ``try_`` form yields NULL
+on malformed input instead of raising under ANSI mode) — zero
+shuffles, zero Python in the hot path — so canonicalization rides
+inside the scan projection at 100 TB.
+
+Canonical form implemented (the uncontroversial subset of RFC 3986
+§6 plus the de-facto tracking-param strip):
+
+- scheme and host lowercased; userinfo dropped
+- default ports dropped (``:80`` for http, ``:443`` for https);
+  non-default ports kept
+- fragment (``#...``) dropped
+- tracking query parameters dropped (``utm_*``, ``fbclid``,
+  ``gclid``, ``msclkid``, ``igshid``, ``mc_eid``, ``ref``,
+  ``ref_src``); remaining parameters kept IN ORDER (param
+  reordering changes semantics for some sites, so we don't sort)
+- empty path normalized to ``/``
+
+``registered_domain`` groups hosts by their registrable domain using
+the public-suffix *heuristic* (a literal set of the common two-level
+suffixes like ``co.uk``); it is not a full Public Suffix List — the
+PSL is a large external artifact, and the heuristic is the standard
+dependency-free approximation.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+TRACKING_PARAM_RE = r"^(utm_[^=]*|fbclid|gclid|msclkid|igshid|mc_eid|ref|ref_src)="
+
+# common second-level public suffixes; host "a.b.co.uk" → registered
+# domain "b.co.uk" (3 labels) instead of "co.uk" (2)
+_TWO_LEVEL_SUFFIXES = [
+    "co.uk", "org.uk", "ac.uk", "gov.uk", "me.uk", "net.uk",
+    "com.au", "net.au", "org.au", "edu.au", "gov.au",
+    "co.jp", "or.jp", "ne.jp", "ac.jp", "go.jp",
+    "com.br", "net.br", "org.br", "gov.br",
+    "co.in", "net.in", "org.in", "gen.in", "firm.in",
+    "com.cn", "net.cn", "org.cn", "gov.cn", "edu.cn",
+    "com.mx", "org.mx", "gob.mx",
+    "com.ar", "com.tr", "com.tw", "com.sg", "com.my", "com.hk",
+    "co.za", "org.za", "co.kr", "or.kr", "co.nz", "net.nz", "org.nz",
+    "com.co", "com.pe", "com.ve", "com.ua", "com.pl", "com.ru",
+]
+
+
+def url_host(url: Column) -> Column:
+    """Lowercased hostname of ``url`` (no port, no userinfo); NULL for
+    unparseable values."""
+    return F.lower(F.try_parse_url(url, F.lit("HOST")))
+
+
+def _port_suffix(url: Column) -> Column:
+    """':port' to re-attach after the host: empty when absent or when
+    it is the scheme's default."""
+    scheme = F.lower(F.try_parse_url(url, F.lit("PROTOCOL")))
+    authority = F.try_parse_url(url, F.lit("AUTHORITY"))
+    port = F.regexp_extract(F.coalesce(authority, F.lit("")), r":(\d+)$", 1)
+    is_default = (
+        ((scheme == "http") & (port == "80"))
+        | ((scheme == "https") & (port == "443"))
+    )
+    return F.when(
+        (port == "") | is_default, F.lit("")
+    ).otherwise(F.concat(F.lit(":"), port))
+
+
+def _clean_query(url: Column) -> Column:
+    """'?k=v&...' with tracking parameters removed; empty string when
+    nothing survives (or there was no query)."""
+    q = F.try_parse_url(url, F.lit("QUERY"))
+    kept = F.filter(
+        F.split(F.coalesce(q, F.lit("")), "&"),
+        lambda kv: (kv != "") & ~kv.rlike(TRACKING_PARAM_RE),
+    )
+    joined = F.array_join(kept, "&")
+    return F.when(joined == "", F.lit("")).otherwise(F.concat(F.lit("?"), joined))
+
+
+def normalize_url(url: Column) -> Column:
+    """Canonical URL per the module contract; NULL when the value has
+    no parseable scheme+host."""
+    scheme = F.lower(F.try_parse_url(url, F.lit("PROTOCOL")))
+    host = url_host(url)
+    path = F.try_parse_url(url, F.lit("PATH"))
+    path = F.when(F.coalesce(path, F.lit("")) == "", F.lit("/")).otherwise(path)
+    out = F.concat(
+        scheme, F.lit("://"), host, _port_suffix(url), path, _clean_query(url)
+    )
+    return F.when(scheme.isNull() | host.isNull(), F.lit(None)).otherwise(out)
+
+
+def registered_domain(host: Column) -> Column:
+    """Registrable domain of a lowercase hostname: last two labels,
+    or last three when the last two form a known two-level public
+    suffix (heuristic; see module docstring). IP literals and
+    single-label hosts pass through unchanged."""
+    labels = F.split(host, r"\.")
+    n = F.size(labels)
+    last2 = F.array_join(F.slice(labels, n - 1, 2), ".")
+    last3 = F.array_join(F.slice(labels, n - 2, 3), ".")
+    is_ip = host.rlike(r"^\d{1,3}(\.\d{1,3}){3}$")
+    return (
+        F.when(host.isNull(), F.lit(None))
+        .when(is_ip | (n <= 2), host)
+        .when(last2.isin(_TWO_LEVEL_SUFFIXES), last3)
+        .otherwise(last2)
+    )
+
+
+def url_dedup(
+    df: DataFrame, url_col: str = "url", id_col: str = "doc_id"
+) -> DataFrame:
+    """URL-level exact dedup: keep one row per canonical URL (the
+    minimum ``id_col``, so the choice is deterministic). Same
+    two-phase de-skewed shape as content dedup
+    (`operators/dedup.keep_first_exact`): a map-side-combinable
+    ``groupBy(canonical).agg(min(id))`` joined back — a mega-cluster
+    URL cannot serialize onto one task, and rows with an unparseable
+    URL (canonical NULL) are all kept."""
+    canon = df.withColumn("__curl", normalize_url(F.col(url_col)))
+    keepers = (
+        canon.where(F.col("__curl").isNotNull())
+        .groupBy("__curl")
+        .agg(F.min(F.col(id_col)).alias("__keep_id"))
+    )
+    return (
+        canon.join(keepers, "__curl", "left")
+        .where(F.col("__keep_id").isNull() | (F.col(id_col) == F.col("__keep_id")))
+        .drop("__curl", "__keep_id")
+    )
+
+
+def domain_stats(
+    df: DataFrame, url_col: str = "url", weight_col: str | None = None
+) -> DataFrame:
+    """Per-registered-domain corpus profile: document count (and
+    summed ``weight_col`` when given) — the aggregate a crawl-mix
+    audit reads first. One partial-aggregable pass."""
+    base = df.select(
+        registered_domain(url_host(F.col(url_col))).alias("domain"),
+        *( [F.col(weight_col)] if weight_col else [] ),
+    ).where(F.col("domain").isNotNull())
+    aggs = [F.count(F.lit(1)).alias("n_docs")]
+    if weight_col:
+        aggs.append(F.sum(weight_col).alias(f"sum_{weight_col}"))
+    return base.groupBy("domain").agg(*aggs)
+
+
+def filter_domains(
+    df: DataFrame, blocklist: DataFrame | list[str], url_col: str = "url"
+) -> DataFrame:
+    """Drop rows whose registered domain is blocklisted. A literal
+    list compiles to an ``isin`` predicate (pushed into the scan
+    projection); a DataFrame blocklist (column ``domain``) runs as a
+    broadcast LEFT ANTI join — blocklists are small by nature, and
+    broadcasting keeps the corpus un-shuffled."""
+    dom = registered_domain(url_host(F.col(url_col)))
+    if isinstance(blocklist, list):
+        return df.where(dom.isNull() | ~dom.isin(blocklist))
+    return df.withColumn("__dom", dom).join(
+        F.broadcast(blocklist.select(F.col("domain").alias("__dom"))),
+        "__dom",
+        "left_anti",
+    ).drop("__dom")

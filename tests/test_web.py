@@ -1,0 +1,140 @@
+"""URL canonicalization / domain analytics (functions/web.py)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from data_export_tool_spark.functions import web as W
+
+
+def _norm(spark, urls):
+    df = spark.createDataFrame([(u,) for u in urls], "url string")
+    return [
+        r["c"] for r in df.select(W.normalize_url(F.col("url")).alias("c")).collect()
+    ]
+
+
+CANON_CASES = [
+    # scheme/host case, default port, fragment
+    ("HTTP://WWW.Example.COM:80/Path/X#frag", "http://www.example.com/Path/X"),
+    ("https://example.com:443/a", "https://example.com/a"),
+    # non-default port kept
+    ("http://example.com:8080/a", "http://example.com:8080/a"),
+    # empty path -> /
+    ("https://example.com", "https://example.com/"),
+    # tracking params stripped, real params kept in order
+    (
+        "https://a.io/p?utm_source=x&q=1&fbclid=z&b=2&gclid=7",
+        "https://a.io/p?q=1&b=2",
+    ),
+    ("https://a.io/p?utm_campaign=x", "https://a.io/p"),
+    ("https://a.io/p?ref=hn&keep=1", "https://a.io/p?keep=1"),
+    # userinfo dropped
+    ("http://user:pw@example.com/x", "http://example.com/x"),
+    # already canonical -> unchanged
+    ("https://sub.example.co.uk/deep/path?x=1", "https://sub.example.co.uk/deep/path?x=1"),
+]
+
+
+def test_normalize_url_battery(spark):
+    got = _norm(spark, [u for u, _ in CANON_CASES])
+    assert got == [want for _, want in CANON_CASES]
+
+
+def test_normalize_url_unparseable_is_null(spark):
+    got = _norm(spark, ["not a url", "", "ftp-ish"])
+    # no scheme+host -> NULL (never a half-canonical string)
+    assert got == [None, None, None]
+
+
+def test_registered_domain(spark):
+    cases = [
+        ("www.example.com", "example.com"),
+        ("a.b.example.co.uk", "example.co.uk"),
+        ("news.bbc.co.uk", "bbc.co.uk"),
+        ("example.com", "example.com"),
+        ("com", "com"),
+        ("192.168.10.1", "192.168.10.1"),  # IP literal passes through
+        ("deep.sub.domain.example.org", "example.org"),
+        ("shop.example.com.au", "example.com.au"),
+        (None, None),
+    ]
+    df = spark.createDataFrame([(h,) for h, _ in cases], "h string")
+    got = [
+        r["d"]
+        for r in df.select(W.registered_domain(F.col("h")).alias("d")).collect()
+    ]
+    assert got == [want for _, want in cases]
+
+
+def test_url_dedup_keeps_min_id_per_canonical(spark):
+    rows = [
+        (1, "HTTP://Example.com:80/a?utm_source=x"),
+        (2, "http://example.com/a"),  # same canonical as 1 -> dropped (id 1 kept)
+        (3, "http://example.com/b"),
+        (4, "garbage"),  # unparseable -> kept
+        (5, "not a url"),  # unparseable -> kept
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, url string")
+    kept = sorted(r["doc_id"] for r in W.url_dedup(df).collect())
+    assert kept == [1, 3, 4, 5]
+
+
+def test_url_dedup_two_phase_plan(spark):
+    df = spark.createDataFrame([(1, "http://a.io/x")], "doc_id long, url string")
+    plan = W.url_dedup(df)._jdf.queryExecution().executedPlan().toString()
+    # de-skewed shape: partial-aggregable min, no window over the url key
+    assert "Window" not in plan
+    assert "partial_min" in plan or "HashAggregate" in plan
+
+
+def test_domain_stats(spark):
+    rows = [
+        (1, "http://a.example.com/1", 10),
+        (2, "https://b.example.com/2", 20),
+        (3, "http://other.org/x", 5),
+        (4, "junk", 99),  # unparseable -> excluded
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, url string, n_chars int")
+    got = {
+        r["domain"]: (r["n_docs"], r["sum_n_chars"])
+        for r in W.domain_stats(df, weight_col="n_chars").collect()
+    }
+    assert got == {"example.com": (2, 30), "other.org": (1, 5)}
+
+
+def test_filter_domains_list_and_df(spark):
+    rows = [
+        (1, "http://spam.example.com/x"),
+        (2, "http://ok.org/y"),
+        (3, "bad url"),  # unparseable -> kept (list form)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, url string")
+    kept = sorted(
+        r["doc_id"] for r in W.filter_domains(df, ["example.com"]).collect()
+    )
+    assert kept == [2, 3]
+
+    bl = spark.createDataFrame([("example.com",)], "domain string")
+    out = W.filter_domains(df, bl)
+    kept_df = sorted(r["doc_id"] for r in out.collect())
+    # anti-join form drops NULL-domain rows' matches only; doc 3 has
+    # NULL domain and a NULL join key never matches -> kept
+    assert kept_df == [2, 3]
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+
+
+def test_normalization_is_scan_side(spark, sf_dir):
+    # canonicalization over a parquet column stays inside the scan
+    # projection: one scan, no exchange
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    plan = (
+        docs.select(W.normalize_url(F.col("source")).alias("c"))
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange" not in plan
+    assert plan.count("Scan parquet") == 1

@@ -174,3 +174,92 @@ def pack_token_shards(
         )
         .drop("__rng", "__wc", "__off")
     )
+
+
+def stratified_sample_k(
+    df: DataFrame,
+    key_col: str,
+    strata_col: str,
+    k: int,
+    mod: int = SAMPLE_MOD,
+) -> DataFrame:
+    """EXACTLY ``min(k, stratum size)`` deterministic rows per stratum
+    (the "give me 10k eval docs per language" operator), without ever
+    running a per-stratum window over the full corpus.
+
+    The naive form — ``row_number() OVER (PARTITION BY stratum ORDER
+    BY hash)`` ≤ k — serializes each stratum onto one task: a 40%-of-
+    corpus stratum means a 40 TB task. Instead:
+
+    1. per-stratum counts (map-side-combined aggregate over a
+       column-pruned scan);
+    2. oversampled hash filter: keep ``bucket < mod·(k+slack)/n`` with
+       ``slack = 6·√k + 64`` — survivors per stratum concentrate at
+       k+slack (>6σ margin), so the corpus collapses to ~k rows per
+       stratum BEFORE any window runs;
+    3. exact trim: ``row_number`` over the (tiny) survivor set;
+    4. declarative rescue: strata whose survivors undershot
+       ``min(k, n)`` (probability < 1e-9 each, but "exact" must mean
+       exact) are re-selected from the base table with the full
+       window — the rescue branch is part of the plan but processes
+       zero rows unless the bound actually failed.
+
+    Selection is a pure function of ``md5(key)`` — re-runs and
+    incremental backfills pick identical rows. NULL strata form their
+    own stratum (null-safe joins throughout). Output: the original
+    columns of the selected rows.
+    """
+    import math
+
+    if k < 1:
+        raise ValueError(f"k must be >= 1: {k}")
+    slack = int(6 * math.sqrt(k)) + 64
+    cols = list(df.columns)
+    withb = df.withColumn("__b", sample_bucket(F.col(key_col), mod))
+
+    counts = (
+        df.groupBy(F.col(strata_col).alias("__s"))
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .withColumn(
+            "__t",
+            F.least(
+                F.lit(mod).cast("long"),
+                F.ceil(F.lit(float(mod)) * F.lit(k + slack) / F.col("__n")).cast(
+                    "long"
+                ),
+            ),
+        )
+    )
+    on_s = F.col(strata_col).eqNullSafe(F.col("__s"))
+    surv = withb.join(F.broadcast(counts), on_s).where(F.col("__b") < F.col("__t"))
+
+    surv_counts = surv.groupBy(F.col("__s").alias("__s2")).agg(
+        F.count(F.lit(1)).alias("__sc")
+    )
+    status = F.broadcast(
+        counts.join(
+            surv_counts, F.col("__s").eqNullSafe(F.col("__s2")), "left"
+        ).select(
+            "__s",
+            (
+                F.coalesce(F.col("__sc"), F.lit(0))
+                >= F.least(F.lit(k).cast("long"), F.col("__n"))
+            ).alias("__ok"),
+        )
+    )
+
+    w = Window.partitionBy(strata_col).orderBy("__b", key_col)
+    trimmed = (
+        surv.drop("__s", "__n", "__t")
+        .join(status.where(F.col("__ok")), on_s, "left_semi")
+        .withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") <= k)
+        .select(*cols)
+    )
+    rescued = (
+        withb.join(status.where(~F.col("__ok")), on_s, "left_semi")
+        .withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") <= k)
+        .select(*cols)
+    )
+    return trimmed.unionByName(rescued)

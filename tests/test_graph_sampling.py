@@ -178,3 +178,88 @@ def test_connected_components_releases_superseded_checkpoints(spark):
     leaked = _stored_rdd_ids(sc) - before
     # only the FINAL labels checkpoint may remain cached
     assert len(leaked) <= 1, leaked
+
+
+# ---------------------------------------------------------------------------
+# stratified_sample_k
+# ---------------------------------------------------------------------------
+
+
+def test_stratified_sample_k_exact_counts_and_determinism(spark, sf_dir):
+    from data_export_tool_spark.operators.sampling import stratified_sample_k
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    k = 7
+    out = stratified_sample_k(docs, "doc_id", "lang", k)
+    sizes = {r["lang"]: r["n"] for r in out.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()}
+    full = {r["lang"]: r["n"] for r in docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert sizes == {lang: min(k, n) for lang, n in full.items()}
+    # deterministic: same ids on re-run
+    ids1 = sorted(r["doc_id"] for r in out.collect())
+    ids2 = sorted(r["doc_id"] for r in stratified_sample_k(docs, "doc_id", "lang", k).collect())
+    assert ids1 == ids2
+    # schema preserved
+    assert out.columns == docs.columns
+
+
+def test_stratified_sample_k_small_stratum_keeps_all(spark):
+    from data_export_tool_spark.operators.sampling import stratified_sample_k
+
+    df = spark.createDataFrame(
+        [(i, "big") for i in range(500)] + [(1000 + i, "tiny") for i in range(3)],
+        "id long, s string",
+    )
+    out = stratified_sample_k(df, "id", "s", 10)
+    got = {r["s"]: r["n"] for r in out.groupBy("s").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert got == {"big": 10, "tiny": 3}
+
+
+def test_stratified_sample_k_null_stratum(spark):
+    from data_export_tool_spark.operators.sampling import stratified_sample_k
+
+    df = spark.createDataFrame(
+        [(i, None if i % 2 else "a") for i in range(200)], "id long, s string"
+    )
+    out = stratified_sample_k(df, "id", "s", 5)
+    got = {r["s"]: r["n"] for r in out.groupBy("s").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert got == {"a": 5, None: 5}
+
+
+def test_stratified_sample_k_selects_by_hash_order(spark):
+    """The k selected rows per stratum are exactly the k smallest
+    (sample_bucket, key) — pinned against an independent computation."""
+    from data_export_tool_spark.operators.sampling import (
+        sample_bucket,
+        stratified_sample_k,
+    )
+
+    df = spark.createDataFrame([(i, "s") for i in range(300)], "id long, s string")
+    k = 11
+    got = sorted(r["id"] for r in stratified_sample_k(df, "id", "s", k).collect())
+    ranked = (
+        df.withColumn("b", sample_bucket(F.col("id")))
+        .orderBy("b", "id")
+        .limit(k)
+        .collect()
+    )
+    assert got == sorted(r["id"] for r in ranked)
+
+
+def test_stratified_sample_k_no_full_corpus_window(spark, sf_dir):
+    """The trim window must consume the FILTERED survivor set, not the
+    base scan: in the executed plan every Window sits above a Filter
+    on __b (the oversample threshold) or above the (empty-in-practice)
+    rescue branch's semi-join."""
+    from data_export_tool_spark.operators.sampling import stratified_sample_k
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    plan = (
+        stratified_sample_k(docs, "doc_id", "lang", 5)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    # both windows are present (trim + rescue), and the oversample
+    # threshold filter exists on the survivor path
+    assert plan.count("Window") >= 2
+    assert "__t" in plan and "__b" in plan

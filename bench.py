@@ -57,11 +57,22 @@ def main() -> None:
     # and their runtime in the pytest parity suite
     specs = {n: s for n, s in specs.items() if not n.startswith("m")}
 
+    def gc_barrier() -> None:
+        # A long catalog session accumulates shuffle/broadcast garbage,
+        # and a collection landing INSIDE a timed run shows up as a
+        # sporadic multi-second spike on an unchanged plan (observed:
+        # v02 1.6→4.2 s run-to-run; stable 2.0-2.3 s with this
+        # barrier). Collecting BETWEEN runs moves the pause out of the
+        # measurement — standard JVM bench hygiene.
+        spark.sparkContext._jvm.System.gc()
+
     timings: dict[str, float] = {}
     spreads: dict[str, float] = {}
     for name, spec in sorted(specs.items()):
         run_once(spec)  # per-query warm run, discarded
-        runs = sorted(run_once(spec) for _ in range(n_runs))
+        runs = sorted(
+            (gc_barrier() or run_once(spec)) for _ in range(n_runs)
+        )
         timings[name] = round(statistics.median(runs), 3)
         # max-min of the timed runs: how much same-commit same-process
         # noise this query carries, so a cross-round delta smaller than

@@ -122,12 +122,33 @@ def d01_doc_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("dup3_frac"),
     )
-    stats = base.groupBy("__fpk").agg(
-        F.count(F.lit(1)).alias("dup_count"),
-        F.min("doc_id").alias("keep_id"),
+    # scale shape: two-phase aggregate + join-back (see block comment).
+    # On provably tiny inputs (parquet footer rows ≤ one task's worth —
+    # same policy as _shard_num_ranges) the window form is identical
+    # output for ~half the cost (one scan, no second normalize+md5
+    # pass, no join); large or unreadable layouts keep the two-phase
+    # shape, and SPARK_GRAFT_FORCE_TWO_PHASE=1 pins it for contracts.
+    rows = _documents_rows(sf_dir)
+    two_phase = (
+        bool(os.environ.get("SPARK_GRAFT_FORCE_TWO_PHASE"))
+        or rows is None
+        or rows > _ROWS_PER_RANGE
     )
+    if two_phase:
+        stats = base.groupBy("__fpk").agg(
+            F.count(F.lit(1)).alias("dup_count"),
+            F.min("doc_id").alias("keep_id"),
+        )
+        joined = base.join(stats, on="__fpk")
+    else:
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("__fpk")
+        joined = base.withColumn(
+            "dup_count", F.count(F.lit(1)).over(w)
+        ).withColumn("keep_id", F.min("doc_id").over(w))
     return (
-        base.join(stats, on="__fpk")
+        joined
         .withColumn(
             "top2_frac",
             F.round(

@@ -310,3 +310,18 @@ def test_contamination_empty_docs_never_collide(spark):
     }
     assert rows[1] == 0.0  # punctuation-only doc matches nothing
     assert rows[2] > 0.5  # genuine overlap still detected
+
+
+def test_d01_two_phase_and_window_forms_agree(spark, sf_dir, monkeypatch):
+    """d01 auto-degrades its dup-stats branch to a window on provably
+    tiny inputs (parquet footer row count) — the two forms must be
+    row-identical, so the driver's sf0.01 gate (window form) also
+    vouches for the forced two-phase scale shape."""
+    from data_export_tool_spark.queries.docs import d01_doc_profile
+
+    monkeypatch.delenv("SPARK_GRAFT_FORCE_TWO_PHASE", raising=False)
+    degraded = sorted(map(tuple, d01_doc_profile(spark, sf_dir).collect()))
+    monkeypatch.setenv("SPARK_GRAFT_FORCE_TWO_PHASE", "1")
+    forced = sorted(map(tuple, d01_doc_profile(spark, sf_dir).collect()))
+    assert degraded == forced
+    assert len(degraded) > 0

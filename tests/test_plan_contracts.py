@@ -389,7 +389,8 @@ def test_decontamination_broadcasts_eval_ngrams(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" not in plan
 
 
-def test_doc_profile_dedup_stats_two_phase_no_window(spark, sf_dir):
+def test_doc_profile_dedup_stats_two_phase_no_window(spark, sf_dir, monkeypatch):
+    monkeypatch.setenv("SPARK_GRAFT_FORCE_TWO_PHASE", "1")
     # merged d01 profile: every stat (fingerprint, token/char/punct,
     # repetition folds) is a per-row projection; dup_count/keep_id come
     # from a TWO-PHASE aggregate + join-back, NEVER a

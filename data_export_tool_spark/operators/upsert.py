@@ -55,3 +55,104 @@ def merge_upsert(
         both, list(keys), list(order_by or []), tiebreak=_TIEBREAK
     )
     return merged.drop(_TIEBREAK)
+
+
+def snapshot_diff(
+    old: DataFrame,
+    new: DataFrame,
+    keys: Sequence[str],
+    compare_cols: Sequence[str] | None = None,
+) -> DataFrame:
+    """The inverse of ``merge_upsert``: the changeset that turns
+    snapshot ``old`` into snapshot ``new``.
+
+    Output: one row per changed key with ``change_type`` in
+    ``insert | update | delete`` plus the NEW side's columns (the OLD
+    side's values for deletes, since the new side has none). Unchanged
+    keys produce no row. ``compare_cols`` restricts which non-key
+    columns define "changed" (default: all shared non-key columns).
+
+    Change detection hashes the canonical struct of the compared
+    columns (``xxhash64(struct(...))``) — one 64-bit compare per key
+    instead of N column compares, null-safe by construction (a NULL
+    inside a struct hashes deterministically, and a hash equality
+    false-positive needs a 2⁻⁶⁴ collision on a same-key row pair).
+    Merge KEYS join by plain equality — a NULL key is not a stable
+    identity, so such rows report as delete + insert rather than
+    matching each other.
+
+    Scale shape: ONE full-outer shuffle join on the snapshot keys —
+    there is no cheaper complete diff. On snapshots both written
+    bucketed by ``keys`` (``catalog.write_bucketed``) the join plans
+    with ZERO Exchange (pinned in tests/test_plan_contracts.py); AQE
+    skew-splits a hot key otherwise. Both sides are column-pruned to
+    keys + compared columns before the join.
+    """
+    keys = [keys] if isinstance(keys, str) else list(keys)
+    shared = [c for c in new.columns if c in set(old.columns)]
+    if compare_cols is None:
+        compare = [c for c in shared if c not in keys]
+    else:
+        compare = list(compare_cols)
+        missing = [c for c in compare if c not in shared]
+        if missing:
+            raise ValueError(f"compare_cols not in both snapshots: {missing}")
+    out_cols = keys + [c for c in shared if c not in keys]
+
+    def hashed(df: DataFrame, side: str) -> DataFrame:
+        return df.select(
+            *[F.col(k).alias(f"{side}_{k}") for k in keys],
+            *[F.col(c).alias(f"{side}_{c}") for c in out_cols if c not in keys],
+            F.xxhash64(F.struct(*[F.col(c) for c in compare])).alias(
+                f"{side}_h"
+            ),
+            F.lit(1).alias(f"{side}_present"),
+        )
+
+    o, n = hashed(old, "o"), hashed(new, "n")
+    # plain equality, NOT eqNullSafe: Spark compiles `<=>` join keys to
+    # coalesce(k, default), which no longer matches bucket columns and
+    # forces an Exchange on bucketed snapshots. A NULL merge key is not
+    # a stable row identity anyway — such rows surface as a delete
+    # (old side) plus an insert (new side), which is the honest answer.
+    cond = [F.col(f"o_{k}") == F.col(f"n_{k}") for k in keys]
+    joined = o.join(n, cond, "full_outer")
+    change = (
+        F.when(F.col("o_present").isNull(), F.lit("insert"))
+        .when(F.col("n_present").isNull(), F.lit("delete"))
+        .when(F.col("o_h") != F.col("n_h"), F.lit("update"))
+    )
+    return (
+        joined.withColumn("change_type", change)
+        .where(F.col("change_type").isNotNull())
+        .select(
+            "change_type",
+            *[
+                F.coalesce(F.col(f"n_{k}"), F.col(f"o_{k}")).alias(k)
+                for k in keys
+            ],
+            *[
+                F.when(
+                    F.col("change_type") == "delete", F.col(f"o_{c}")
+                )
+                .otherwise(F.col(f"n_{c}"))
+                .alias(c)
+                for c in out_cols
+                if c not in keys
+            ],
+        )
+    )
+
+
+def apply_diff(
+    target: DataFrame, diff: DataFrame, keys: Sequence[str]
+) -> DataFrame:
+    """Replay a ``snapshot_diff`` changeset onto ``target``:
+    inserts/updates merge via ``merge_upsert``, deletes anti-join
+    away. ``apply_diff(old, snapshot_diff(old, new, keys), keys)``
+    is row-identical to ``new`` (pinned by tests)."""
+    keys = [keys] if isinstance(keys, str) else list(keys)
+    upserts = diff.where(F.col("change_type") != "delete").drop("change_type")
+    deletes = diff.where(F.col("change_type") == "delete").select(*keys)
+    kept = target.join(deletes, on=keys, how="left_anti")
+    return merge_upsert(kept, upserts.select(*target.columns), keys)

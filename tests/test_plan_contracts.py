@@ -500,3 +500,42 @@ def test_token_shards_two_phase_no_single_partition(spark, sf_dir, monkeypatch):
     assert "ReusedExchange" in final or "ReusedQueryStage" in final or (
         "StageReuse" in final
     ), final[:2000]
+
+
+def test_snapshot_diff_bucketed_snapshots_no_exchange(spark):
+    """snapshot_diff's scale claim: on snapshots both bucketed by the
+    diff keys, the full-outer join plans with ZERO Exchange — bucket
+    metadata satisfies the join's distribution requirement on both
+    sides. Broadcast disabled so small test tables can't cheat."""
+    from data_export_tool_spark.catalog import write_bucketed
+    from data_export_tool_spark.operators.upsert import snapshot_diff
+
+    old = spark.createDataFrame(
+        [(k, f"v{k}") for k in range(100)], "k long, v string"
+    )
+    new = spark.createDataFrame(
+        [(k, f"v{k + (k % 13 == 0)}") for k in range(2, 102)], "k long, v string"
+    )
+    write_bucketed(old, "t_snap_old_bkt", "k", num_buckets=4, sort_col="k")
+    write_bucketed(new, "t_snap_new_bkt", "k", num_buckets=4, sort_col="k")
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        diff = snapshot_diff(
+            spark.table("t_snap_old_bkt"), spark.table("t_snap_new_bkt"), ["k"]
+        )
+        plan = diff._jdf.queryExecution().explainString(
+            spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+                "formatted"
+            )
+        )
+        counts = op_counts(plan)
+        assert counts.get("Exchange", 0) == 0, counts
+        assert counts.get("BroadcastExchange", 0) == 0, counts
+        got = {r["k"]: r["change_type"] for r in diff.collect()}
+        assert got[0] == "delete" and got[101] == "insert" and got[13] == "update"
+        assert 3 not in got  # unchanged
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql("DROP TABLE IF EXISTS t_snap_old_bkt")
+        spark.sql("DROP TABLE IF EXISTS t_snap_new_bkt")

@@ -179,3 +179,124 @@ def test_exact_topk_plans_take_ordered(spark, sf_dir):
     # LIMIT k over an aggregate must be TakeOrdered, not a global Sort
     assert "TakeOrderedAndProject" in plan
     assert "HashAggregate" in plan
+
+
+# ---------------------------------------------------------------------------
+# snapshot_diff / apply_diff
+# ---------------------------------------------------------------------------
+
+
+def test_snapshot_diff_classifies_changes(spark):
+    from data_export_tool_spark.operators.upsert import snapshot_diff
+
+    old = spark.createDataFrame(
+        [(1, "a", 10), (2, "b", 20), (3, "c", 30), (4, None, 40)],
+        "k long, s string, v long",
+    )
+    new = spark.createDataFrame(
+        [(1, "a", 10), (2, "B", 20), (4, None, 40), (5, "e", 50)],
+        "k long, s string, v long",
+    )
+    got = {
+        r["k"]: (r["change_type"], r["s"], r["v"])
+        for r in snapshot_diff(old, new, ["k"]).collect()
+    }
+    # k=1 unchanged -> absent; k=4 unchanged (NULL==NULL inside struct hash)
+    assert got == {
+        2: ("update", "B", 20),
+        3: ("delete", "c", 30),
+        5: ("insert", "e", 50),
+    }
+
+
+def test_snapshot_diff_compare_cols_subset(spark):
+    from data_export_tool_spark.operators.upsert import snapshot_diff
+
+    old = spark.createDataFrame([(1, "a", 10)], "k long, s string, v long")
+    new = spark.createDataFrame([(1, "a", 99)], "k long, s string, v long")
+    # v changed but only s is compared -> no change reported
+    assert snapshot_diff(old, new, ["k"], compare_cols=["s"]).count() == 0
+    assert (
+        snapshot_diff(old, new, ["k"], compare_cols=["v"]).collect()[0][
+            "change_type"
+        ]
+        == "update"
+    )
+    with pytest.raises(ValueError):
+        snapshot_diff(old, new, ["k"], compare_cols=["nope"])
+
+
+def test_snapshot_diff_matches_duckdb(spark, sf_dir):
+    import duckdb
+
+    from data_export_tool_spark.operators.upsert import snapshot_diff
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    # perturb: drop keys %97==0 (deletes), bump price %31==0 (updates),
+    # append 5 fresh keys (inserts)
+    new = (
+        orders.where(F.col("o_orderkey") % 97 != 0)
+        .withColumn(
+            "o_totalprice",
+            F.when(
+                F.col("o_orderkey") % 31 == 0, F.col("o_totalprice") + 1
+            ).otherwise(F.col("o_totalprice")),
+        )
+        .unionByName(
+            orders.limit(5).withColumn(
+                "o_orderkey", F.col("o_orderkey") + F.lit(90_000_000)
+            )
+        )
+    )
+    got = {
+        r["o_orderkey"]: r["change_type"]
+        for r in snapshot_diff(orders, new, ["o_orderkey"]).collect()
+    }
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW o AS SELECT * FROM '{sf_dir}/orders.parquet'")
+    dels = {
+        r[0]
+        for r in con.sql("SELECT o_orderkey FROM o WHERE o_orderkey % 97 = 0").fetchall()
+    }
+    upds = {
+        r[0]
+        for r in con.sql(
+            "SELECT o_orderkey FROM o WHERE o_orderkey % 31 = 0 AND o_orderkey % 97 != 0"
+        ).fetchall()
+    }
+    ins = {
+        r[0] + 90_000_000
+        for r in con.sql("SELECT o_orderkey FROM o LIMIT 5").fetchall()
+    }
+    con.close()
+    want = (
+        {k: "delete" for k in dels}
+        | {k: "update" for k in upds}
+        | {k: "insert" for k in ins}
+    )
+    assert got == want
+
+
+def test_apply_diff_roundtrip(spark, sf_dir):
+    from data_export_tool_spark.operators.upsert import apply_diff, snapshot_diff
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    new = (
+        orders.where(F.col("o_orderkey") % 53 != 0)
+        .withColumn(
+            "o_orderpriority",
+            F.when(F.col("o_orderkey") % 7 == 0, F.lit("X-RECLASS")).otherwise(
+                F.col("o_orderpriority")
+            ),
+        )
+        .unionByName(
+            orders.limit(3).withColumn(
+                "o_orderkey", F.col("o_orderkey") + F.lit(80_000_000)
+            )
+        )
+    )
+    diff = snapshot_diff(orders, new, ["o_orderkey"])
+    replayed = apply_diff(orders, diff, ["o_orderkey"])
+    a = sorted(map(tuple, replayed.collect()))
+    b = sorted(map(tuple, new.collect()))
+    assert a == b

@@ -374,3 +374,74 @@ def sessionize_stream(events: DataFrame, watermark: str = "2 hours") -> DataFram
             timeoutConf=GroupStateTimeout.EventTimeTimeout,
         )
     )
+
+
+def windowed_topk_counts(
+    events: DataFrame,
+    item_col: str = "user_id",
+    window_len: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Watermarked per-(window, item) counts in APPEND mode — the
+    candidate stage of streaming top-k. Rows emit only when their
+    window CLOSES (watermark passes window end), which is what makes
+    downstream ranking sound: every group of a window finalizes at the
+    same watermark advance, so a closed window's rows always arrive in
+    the same micro-batch and ``rank_window_topk`` can rank complete
+    windows inside ``foreachBatch``. State is bounded by the watermark
+    horizon (open windows only)."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(
+            F.window("ts", window_len).alias("win"),
+            F.col(item_col).alias("item"),
+        )
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select(F.col("win.start").alias("win_start"), "item", "cnt")
+    )
+
+
+def rank_window_topk(counts: DataFrame, k: int) -> DataFrame:
+    """Top-``k`` items per window by count (ties broken by item value
+    ascending — deterministic). Shared by the streaming sink and the
+    batch twin, so stream and batch can never rank differently."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("win_start").orderBy(F.desc("cnt"), F.asc("item"))
+    return (
+        counts.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("win_start", "rank", "item", "cnt")
+    )
+
+
+def topk_sink(
+    events: DataFrame,
+    target_path: str,
+    k: int = 3,
+    item_col: str = "user_id",
+    window_len: str = "1 hour",
+    watermark: str = "2 hours",
+    checkpoint: str | None = None,
+):
+    """Streaming heavy-hitters: append per-closed-window top-``k``
+    item counts to ``target_path``. The per-batch window ranking runs
+    over only the batch's (closed-window) aggregate rows — tiny — so
+    the Window here is not a scale concern; the heavy state
+    (per-item counts) lives in the watermarked streaming aggregation,
+    bounded by the horizon. The batch twin is
+    ``rank_window_topk(<same groupBy on the static table>, k)``."""
+    counts = windowed_topk_counts(events, item_col, window_len, watermark)
+
+    def apply_batch(batch: DataFrame, batch_id: int) -> None:
+        ranked = rank_window_topk(batch, k)
+        ranked.write.mode("append").parquet(target_path)
+
+    writer = (
+        counts.writeStream.foreachBatch(apply_batch)
+        .outputMode("append")
+        .trigger(availableNow=True)
+    )
+    if checkpoint:
+        writer = writer.option("checkpointLocation", checkpoint)
+    return writer.start()

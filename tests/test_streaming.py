@@ -400,3 +400,88 @@ def test_upsert_sink_recovers_mid_swap_crash(spark, tmp_path):
     got = {(r.k, r.seq) for r in spark.read.parquet(target).collect()}
     # history (k=1..3 from cs1) survived the crash; cs2 upserted 4..7
     assert got == {(1, 1), (2, 1), (3, 1), (4, 2), (5, 2), (6, 2), (7, 2)}
+
+
+def test_topk_sink_matches_batch_on_closed_windows(
+    spark, sf_dir, event_drop_dir, tmp_path
+):
+    """Streaming heavy-hitters twin: per-closed-window top-k item
+    counts from the foreachBatch sink must equal the batch ranking of
+    the same windows. Append mode only emits windows the watermark has
+    closed, so parity is asserted over exactly those windows — the
+    trailing (still-open) windows are the bounded-state contract, not
+    missing data."""
+    from data_export_tool_spark.streaming.events import (
+        rank_window_topk,
+        read_events_stream,
+        topk_sink,
+    )
+
+    # time-ordered drops (same rationale as the sessionize twin): a
+    # real stream arrives roughly in event-time order; random file
+    # order would make the watermark legitimately DROP late rows in
+    # append mode, which is correct behavior but not a parity scenario
+    ordered_dir = str(tmp_path / "topk_drops")
+    ev_src = normalize_event_times(spark.read.parquet(event_drop_dir))
+    lo, hi = ev_src.agg(
+        F.unix_millis(F.min("ts")), F.unix_millis(F.max("ts"))
+    ).first()
+    import time as _time
+
+    for i in range(4):
+        a = lo + (hi - lo) * i // 4
+        b = lo + (hi - lo) * (i + 1) // 4 + (1 if i == 3 else 0)
+        ev_src.filter(
+            (F.unix_millis("ts") >= a) & (F.unix_millis("ts") < b)
+        ).coalesce(1).write.mode("append").parquet(ordered_dir)
+        _time.sleep(1.1)
+
+    out = str(tmp_path / "topk_out")
+    stream = read_events_stream(spark, ordered_dir, max_files_per_trigger=1)
+    q = topk_sink(
+        stream,
+        out,
+        k=3,
+        item_col="event_type",
+        checkpoint=str(tmp_path / "ckpt"),
+    )
+    q.awaitTermination(120)
+
+    got = {
+        (r.win_start, r.rank): (r.item, r.cnt)
+        for r in spark.read.parquet(out).collect()
+    }
+    assert got, "no window closed — watermark never advanced"
+
+    ev = ev_src
+    batch_counts = (
+        ev.groupBy(
+            F.window("ts", "1 hour").alias("win"),
+            F.col("event_type").alias("item"),
+        )
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select(F.col("win.start").alias("win_start"), "item", "cnt")
+    )
+    expected_all = {
+        (r.win_start, r.rank): (r.item, r.cnt)
+        for r in rank_window_topk(batch_counts, 3).collect()
+    }
+    emitted_windows = {w for (w, _) in got}
+    expected = {
+        key: v for key, v in expected_all.items() if key[0] in emitted_windows
+    }
+    record_stream_parity("windowed_topk", len(expected), got == expected)
+    assert got == expected
+    # and the emitted set is exactly the closed windows: every window
+    # strictly before the final watermark position must be present
+    max_ts = ev.agg(F.max("ts")).first()[0]
+    import datetime
+
+    horizon = max_ts - datetime.timedelta(hours=2)
+    missing = {
+        w
+        for (w, _) in expected_all
+        if w + datetime.timedelta(hours=1) <= horizon.replace(minute=0, second=0, microsecond=0)
+        and w not in emitted_windows
+    }
+    assert not missing, f"closed windows never emitted: {sorted(missing)[:3]}"

@@ -35,7 +35,10 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-TRACKING_PARAM_RE = r"^(utm_[^=]*|fbclid|gclid|msclkid|igshid|mc_eid|ref|ref_src)="
+#: case-insensitive — marketing URLs are frequently hand-pasted with
+#: uppercase parameter names (UTM_SOURCE=), and a case-sensitive strip
+#: would leave two canonical spellings of the same page
+TRACKING_PARAM_RE = r"^(?i)(utm_[^=]*|fbclid|gclid|msclkid|igshid|mc_eid|ref|ref_src)="
 
 # common second-level public suffixes; host "a.b.co.uk" → registered
 # domain "b.co.uk" (3 labels) instead of "co.uk" (2)
@@ -64,14 +67,18 @@ def _port_suffix(url: Column) -> Column:
     it is the scheme's default."""
     scheme = F.lower(F.try_parse_url(url, F.lit("PROTOCOL")))
     authority = F.try_parse_url(url, F.lit("AUTHORITY"))
-    port = F.regexp_extract(F.coalesce(authority, F.lit("")), r":(\d+)$", 1)
+    port_s = F.regexp_extract(F.coalesce(authority, F.lit("")), r":(\d+)$", 1)
+    # compare and re-render NUMERICALLY: ':0080' is the default http
+    # port and ':08080' must canonicalize to ':8080', or the same page
+    # keeps two canonical spellings
+    port = F.when(port_s == "", F.lit(None)).otherwise(port_s.cast("int"))
     is_default = (
-        ((scheme == "http") & (port == "80"))
-        | ((scheme == "https") & (port == "443"))
+        ((scheme == "http") & (port == 80))
+        | ((scheme == "https") & (port == 443))
     )
     return F.when(
-        (port == "") | is_default, F.lit("")
-    ).otherwise(F.concat(F.lit(":"), port))
+        port.isNull() | is_default, F.lit("")
+    ).otherwise(F.concat(F.lit(":"), port.cast("string")))
 
 
 def _clean_query(url: Column) -> Column:

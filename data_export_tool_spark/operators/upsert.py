@@ -150,9 +150,49 @@ def apply_diff(
     """Replay a ``snapshot_diff`` changeset onto ``target``:
     inserts/updates merge via ``merge_upsert``, deletes anti-join
     away. ``apply_diff(old, snapshot_diff(old, new, keys), keys)``
-    is row-identical to ``new`` (pinned by tests)."""
+    is row-identical to ``new`` (pinned by tests, including NULL-key
+    rows).
+
+    NULL-key rows need their own path on both sides: a keyed
+    anti-join can never match a NULL key (so their deletes would
+    silently no-op), and ``merge_upsert``'s key-partitioned window
+    GROUPS NULL keys together (so distinct NULL-key inserts would
+    collapse to one). ``snapshot_diff`` reports every NULL-key old
+    row as a delete carrying its FULL row payload — so NULL-key
+    deletes anti-join on the entire row null-safely (removing exactly
+    the rows the diff names, duplicates included), and NULL-key
+    inserts append verbatim, bypassing the merge window."""
     keys = [keys] if isinstance(keys, str) else list(keys)
-    upserts = diff.where(F.col("change_type") != "delete").drop("change_type")
-    deletes = diff.where(F.col("change_type") == "delete").select(*keys)
-    kept = target.join(deletes, on=keys, how="left_anti")
-    return merge_upsert(kept, upserts.select(*target.columns), keys)
+    cols = list(target.columns)
+    null_key = None
+    for k in keys:
+        c = F.col(k).isNull()
+        null_key = c if null_key is None else (null_key | c)
+
+    upserts = diff.where(F.col("change_type") != "delete").select(*cols)
+    deletes = diff.where(F.col("change_type") == "delete")
+
+    # keyed deletes: anti-join on the keys
+    kept = target.join(
+        deletes.where(~null_key).select(*keys), on=keys, how="left_anti"
+    )
+    # NULL-key deletes: anti-join on the whole row, null-safe — the
+    # diff carries the full payload for deletes, so this removes
+    # exactly the named rows (all copies, matching the diff's
+    # all-copies delete report)
+    nk_del = deletes.where(null_key).select(*cols)
+    kept = kept.alias("t").join(
+        nk_del.alias("d"),
+        on=[
+            F.col(f"t.{c}").eqNullSafe(F.col(f"d.{c}")) for c in cols
+        ],
+        how="left_anti",
+    ).select("t.*")
+
+    merged = merge_upsert(
+        kept.where(~null_key), upserts.where(~null_key), keys
+    )
+    # NULL-key survivors pass through; NULL-key inserts append verbatim
+    return merged.unionByName(kept.where(null_key)).unionByName(
+        upserts.where(null_key)
+    )

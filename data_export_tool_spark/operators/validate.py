@@ -35,6 +35,33 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 
+def _sql_str(s: str) -> str:
+    """SQL string literal (single quotes doubled)."""
+    return "'" + s.replace("'", "''") + "'"
+
+
+_PROFILE_SCHEMA = T.StructType(
+    [
+        T.StructField("column", T.StringType()),
+        T.StructField("n_rows", T.LongType()),
+        T.StructField("n_null", T.LongType()),
+        T.StructField("null_frac", T.DoubleType()),
+        T.StructField("n_distinct", T.LongType()),
+        T.StructField("min_value", T.StringType()),
+        T.StructField("max_value", T.StringType()),
+    ]
+)
+
+_CHECKS_SCHEMA = T.StructType(
+    [
+        T.StructField("check", T.StringType()),
+        T.StructField("n_rows", T.LongType()),
+        T.StructField("violations", T.LongType()),
+        T.StructField("passed", T.BooleanType()),
+    ]
+)
+
+
 def profile_columns(
     df: DataFrame,
     columns: Sequence[str] | None = None,
@@ -58,22 +85,43 @@ def profile_columns(
     ``stack`` back to long form. One scan, one (tiny) exchange.
     """
     cols = list(columns) if columns is not None else list(df.columns)
+    if not cols:
+        # stack(0, ...) is a parse error; an empty request is an empty
+        # (but correctly-typed) report, not a crash
+        return df.sparkSession.createDataFrame(
+            [], _PROFILE_SCHEMA
+        )
+    # Column RESOLUTION parses names (dots, backticks) in both F.col
+    # and df[...], so legal-but-hostile parquet names (o'clock, a`b)
+    # break direct reference. Rename everything positionally via toDF
+    # (verbatim, no parsing), profile the safe names, and emit the
+    # ORIGINAL name as an escaped string literal in the output.
+    safe_all = [f"__pc{i}" for i in range(len(df.columns))]
+    pos = {name: i for i, name in enumerate(df.columns)}
+    missing = [c for c in cols if c not in pos]
+    if missing:
+        raise ValueError(f"columns not in DataFrame: {missing}")
+    work = df.toDF(*safe_all)
+
     aggs: list[Column] = [F.count(F.lit(1)).alias("__n")]
     for c in cols:
-        aggs.append(F.count(F.col(c)).alias(f"__nn_{c}"))
+        s = safe_all[pos[c]]
+        aggs.append(F.count(F.col(s)).alias(f"__nn_{s}"))
         if exact_distinct:
-            aggs.append(F.count_distinct(F.col(c)).alias(f"__nd_{c}"))
+            aggs.append(F.count_distinct(F.col(s)).alias(f"__nd_{s}"))
         else:
-            aggs.append(F.approx_count_distinct(c, rsd).alias(f"__nd_{c}"))
-        aggs.append(F.min(F.col(c)).cast("string").alias(f"__mn_{c}"))
-        aggs.append(F.max(F.col(c)).cast("string").alias(f"__mx_{c}"))
-    wide = df.agg(*aggs)
+            aggs.append(F.approx_count_distinct(s, rsd).alias(f"__nd_{s}"))
+        aggs.append(F.min(F.col(s)).cast("string").alias(f"__mn_{s}"))
+        aggs.append(F.max(F.col(s)).cast("string").alias(f"__mx_{s}"))
+    wide = work.agg(*aggs)
 
     # stack(k, 'name', nn, nd, mn, mx, ...) → long form; the input is
-    # one row, so this is a driver-scale reshape, not a shuffle
+    # one row, so this is a driver-scale reshape, not a shuffle. Only
+    # the display literal carries the original name (quote-escaped)
     stack_args: list[str] = []
     for c in cols:
-        stack_args += [f"'{c}'", f"`__nn_{c}`", f"`__nd_{c}`", f"`__mn_{c}`", f"`__mx_{c}`"]
+        s = safe_all[pos[c]]
+        stack_args += [_sql_str(c), f"__nn_{s}", f"__nd_{s}", f"__mn_{s}", f"__mx_{s}"]
     stacked = wide.select(
         F.col("__n").alias("n_rows"),
         F.expr(
@@ -159,6 +207,8 @@ def run_checks(df: DataFrame, checks: Sequence[Check]) -> DataFrame:
     single ``agg`` — the scan is shared and map-side combined; agg-kind
     checks contribute their own aggregate expression to the same pass.
     """
+    if not checks:
+        return df.sparkSession.createDataFrame([], _CHECKS_SCHEMA)
     aggs: list[Column] = [F.count(F.lit(1)).alias("__n")]
     for i, ch in enumerate(checks):
         if ch.kind == "row":
@@ -172,7 +222,7 @@ def run_checks(df: DataFrame, checks: Sequence[Check]) -> DataFrame:
 
     stack_args: list[str] = []
     for i, ch in enumerate(checks):
-        stack_args += ["'" + ch.name.replace("'", "''") + "'", f"`__v{i}`"]
+        stack_args += [_sql_str(ch.name), f"`__v{i}`"]
     return wide.select(
         F.col("__n").alias("n_rows"),
         F.expr(

@@ -423,6 +423,7 @@ def topk_sink(
     window_len: str = "1 hour",
     watermark: str = "2 hours",
     checkpoint: str | None = None,
+    trigger_available_now: bool = True,
 ):
     """Streaming heavy-hitters: append per-closed-window top-``k``
     item counts to ``target_path``. The per-batch window ranking runs
@@ -430,18 +431,28 @@ def topk_sink(
     the Window here is not a scale concern; the heavy state
     (per-item counts) lives in the watermarked streaming aggregation,
     bounded by the horizon. The batch twin is
-    ``rank_window_topk(<same groupBy on the static table>, k)``."""
+    ``rank_window_topk(<same groupBy on the static table>, k)``.
+
+    Idempotence: foreachBatch is at-least-once, so each batch writes
+    to its own ``batch_id=N`` partition directory with overwrite — a
+    replayed batch after a crash rewrites the same directory instead
+    of appending duplicate rank rows. Readers see ``batch_id`` as a
+    discovered partition column (write provenance for free).
+
+    ``trigger_available_now=False`` runs as a continuous stream
+    (micro-batch cadence from the source) instead of drain-and-stop.
+    """
     counts = windowed_topk_counts(events, item_col, window_len, watermark)
 
     def apply_batch(batch: DataFrame, batch_id: int) -> None:
         ranked = rank_window_topk(batch, k)
-        ranked.write.mode("append").parquet(target_path)
+        ranked.write.mode("overwrite").parquet(
+            f"{target_path}/batch_id={batch_id}"
+        )
 
-    writer = (
-        counts.writeStream.foreachBatch(apply_batch)
-        .outputMode("append")
-        .trigger(availableNow=True)
-    )
+    writer = counts.writeStream.foreachBatch(apply_batch).outputMode("append")
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
     if checkpoint:
         writer = writer.option("checkpointLocation", checkpoint)
     return writer.start()

@@ -300,3 +300,35 @@ def test_apply_diff_roundtrip(spark, sf_dir):
     a = sorted(map(tuple, replayed.collect()))
     b = sorted(map(tuple, new.collect()))
     assert a == b
+
+
+def test_apply_diff_null_key_rows_roundtrip(spark):
+    """Review finding: NULL-key deletes never matched the keyed
+    anti-join, and multiple NULL-key inserts collapsed through the
+    merge window. Both round-trips must now hold exactly."""
+    from data_export_tool_spark.operators.upsert import apply_diff, snapshot_diff
+
+    def rt(old_rows, new_rows):
+        old = spark.createDataFrame(old_rows, "k long, s string")
+        new = spark.createDataFrame(new_rows, "k long, s string")
+        diff = snapshot_diff(old, new, ["k"])
+        got = sorted(
+            map(tuple, apply_diff(old, diff, ["k"]).collect()),
+            key=lambda t: (t[0] is None, t),
+        )
+        want = sorted(
+            map(tuple, new.collect()), key=lambda t: (t[0] is None, t)
+        )
+        assert got == want, (got, want)
+
+    # NULL-key delete actually removed
+    rt([(None, "a"), (1, "x")], [(1, "x")])
+    # multiple distinct NULL-key inserts all appended
+    rt([(1, "x")], [(1, "x"), (None, "a"), (None, "b")])
+    # duplicate NULL-key copies: two deleted, one reinserted
+    rt([(None, "a"), (None, "a"), (1, "x")], [(None, "a"), (1, "x")])
+    # mixed churn
+    rt(
+        [(None, "a"), (1, "x"), (2, "y")],
+        [(None, "b"), (1, "x2"), (3, "z")],
+    )

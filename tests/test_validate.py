@@ -197,3 +197,39 @@ def test_schema_drift(spark):
     # identical schemas → empty diff, and DataFrame inputs accepted
     df = spark.range(3).withColumn("x", F.lit("s"))
     assert V.schema_drift(df, df) == []
+
+
+def test_empty_requests_return_typed_empty(spark):
+    """Review finding: stack(0, ) was a ParseException. Empty check /
+    column requests must return correctly-typed empty results."""
+    df = spark.read.parquet(f"{SF}/orders.parquet")
+    p = V.profile_columns(df, [])
+    assert p.count() == 0
+    assert p.columns == [
+        "column", "n_rows", "n_null", "null_frac", "n_distinct",
+        "min_value", "max_value",
+    ]
+    c = V.run_checks(df, [])
+    assert c.count() == 0
+    assert c.columns == ["check", "n_rows", "violations", "passed"]
+
+
+def test_hostile_column_names_profile(spark, tmp_path):
+    """Review finding: quotes/backticks in legal parquet column names
+    broke the interpolated stack() SQL."""
+    path = str(tmp_path / "hostile.parquet")
+    spark.createDataFrame([(1, "a"), (2, None)]).toDF(
+        "o'clock", "a`b"
+    ).write.parquet(path)
+    prof = {
+        r["column"]: r.asDict()
+        for r in V.profile_columns(
+            spark.read.parquet(path), exact_distinct=True
+        ).collect()
+    }
+    assert prof["o'clock"]["n_distinct"] == 2
+    assert prof["a`b"]["n_null"] == 1
+    checks = V.run_checks(
+        spark.read.parquet(path), [V.not_null("`a``b`")]
+    )
+    assert checks.collect()[0]["violations"] == 1

@@ -138,3 +138,18 @@ def test_normalization_is_scan_side(spark, sf_dir):
     )
     assert "Exchange" not in plan
     assert plan.count("Scan parquet") == 1
+
+
+def test_normalize_url_review_edges(spark):
+    """Review findings: zero-padded default ports and uppercase
+    tracking params must canonicalize identically to their lowercase /
+    unpadded spellings."""
+    cases = [
+        ("http://example.com:0080/x", "http://example.com/x"),
+        ("https://example.com:00443/x", "https://example.com/x"),
+        ("http://example.com:08080/x", "http://example.com:8080/x"),
+        ("https://a.io/p?UTM_SOURCE=x&q=1", "https://a.io/p?q=1"),
+        ("https://a.io/p?FBCLID=z", "https://a.io/p"),
+    ]
+    got = _norm(spark, [u for u, _ in cases])
+    assert got == [want for _, want in cases]

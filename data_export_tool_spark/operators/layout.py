@@ -1,0 +1,107 @@
+"""Multi-dimensional data-skipping layout: Z-order writes.
+
+Parquet readers skip files/row-groups whose column min/max statistics
+exclude a predicate. A single-column sort gives perfect skipping on
+that column and none on any other; interleaving the bits of several
+columns' bucket ranks (a Z-order / Morton curve — public technique,
+used by every lake engine) bounds EVERY interleaved column's range
+within each file, so selective predicates on any of them skip most of
+a 100 TB table.
+
+Everything is pure column algebra: per-column min/max from one tiny
+aggregate (driver-side, 1 row), linear bucketing via ``width_bucket``,
+bit interleave as a fixed chain of shift/or terms, then a single
+``repartitionByRange`` + ``sortWithinPartitions`` on the Z value —
+one range exchange, no UDFs, no driver data.
+
+Linear (min/max) bucketing is the standard dependency-free variant;
+heavily skewed columns get fewer effective buckets than a
+quantile-based rank would give, which costs skipping ratio but never
+correctness (stats-based skipping is safe for ANY layout).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def zorder_key(
+    df: DataFrame, cols: Sequence[str], bits: int | None = None
+) -> Column:
+    """The 64-bit Z (Morton) value interleaving ``cols``.
+
+    Each column is mapped to a ``bits``-bit bucket rank between its
+    observed min and max (one driver-side aggregate on ``df``), and
+    ranks are bit-interleaved column-major: bit ``b`` of column ``i``
+    lands at position ``b·k + i``. ``bits`` defaults to the largest
+    width fitting all columns in 63 bits (16 for 2-3 columns).
+    NULLs rank lowest (bucket 0) — they cluster together, which is
+    what a NULL-heavy scan wants.
+    """
+    k = len(cols)
+    if k < 2:
+        raise ValueError("zorder needs >= 2 columns (use a plain sort for 1)")
+    if bits is None:
+        bits = min(16, 63 // k)
+    if bits * k > 63:
+        raise ValueError(f"{bits} bits x {k} cols exceeds a 64-bit key")
+    n_buckets = 1 << bits
+
+    row = df.agg(
+        *[F.min(c).cast("double").alias(f"mn_{i}") for i, c in enumerate(cols)],
+        *[F.max(c).cast("double").alias(f"mx_{i}") for i, c in enumerate(cols)],
+    ).first()
+
+    z = F.lit(0).cast("long")
+    for i, c in enumerate(cols):
+        mn, mx = row[f"mn_{i}"], row[f"mx_{i}"]
+        if mn is None or mx is None or mn == mx:
+            continue  # constant/all-null column contributes nothing
+        # width_bucket yields 1..n for in-range, 0/n+1 for the open
+        # ends; clamp to 0..n-1
+        q = F.least(
+            F.lit(n_buckets - 1),
+            F.greatest(
+                F.lit(0),
+                F.width_bucket(
+                    F.col(c).cast("double"), F.lit(mn), F.lit(mx), F.lit(n_buckets)
+                )
+                - 1,
+            ),
+        ).cast("long")
+        q = F.coalesce(q, F.lit(0))
+        for b in range(bits):
+            z = z.bitwiseOR(
+                F.shiftleft(
+                    F.shiftright(q, b).bitwiseAND(F.lit(1)), b * k + i
+                )
+            )
+    return z
+
+
+def write_zordered(
+    df: DataFrame,
+    path: str,
+    cols: Sequence[str],
+    num_files: int | None = None,
+    bits: int | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Write ``df`` as parquet laid out along the Z-curve of ``cols``:
+    range-partition on the Z value (→ ``num_files`` output files with
+    disjoint Z ranges), sort within each partition, drop the key.
+    Readers filtering on ANY of ``cols`` then skip files via parquet
+    min/max stats. One range exchange total."""
+    z = zorder_key(df, cols, bits)
+    out = df.withColumn("__z", z)
+    n = num_files or df.sparkSession.sparkContext.defaultParallelism
+    (
+        out.repartitionByRange(n, "__z")
+        .sortWithinPartitions("__z")
+        .drop("__z")
+        .write.mode(mode)
+        .parquet(path)
+    )

@@ -467,3 +467,85 @@ def fingerprint_store(
     return df.select(
         null_safe_fp_key(F.col(text_col)).alias(fingerprint_col)
     ).distinct()
+
+
+def dedup_lines(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_count: int = 1,
+    min_chars: int = 10,
+) -> DataFrame:
+    """Corpus-wide LINE-level exact dedup (the RefinedWeb/CCNet-style
+    sub-document pass): drop every line whose trimmed form occurs more
+    than ``max_count`` times across the whole corpus — boilerplate
+    (cookie banners, nav menus, license headers) repeats across
+    millions of pages while real prose doesn't. Lines shorter than
+    ``min_chars`` after trimming are exempt (blank lines, list
+    bullets, code braces legitimately repeat).
+
+    Returns one row per input row: ``id_col``, ``text_col`` (surviving
+    lines re-joined with \\n, original order), ``n_lines`` and
+    ``n_lines_removed``. NULL text passes through unchanged.
+
+    Scale shape: posexplode the lines (narrow), ONE map-side-combined
+    ``groupBy(line)`` over the >min_chars lines to find the duplicated
+    ones (partial aggregation absorbs the boilerplate hot keys — the
+    same two-phase argument as document-level exact dedup), join the
+    (small: only lines breaching ``max_count``) blocklist back by line
+    hash, and re-assemble per document with ``sort_array(collect_list
+    (struct(pos, line)))``. Three shuffles total — line-count, line
+    join, doc reassembly — each on scalar keys, never on full
+    documents.
+    """
+    lines = df.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), "\n")).alias("__pos", "__line"),
+    ).withColumn("__t", F.trim(F.col("__line")))
+
+    eligible = F.length(F.col("__t")) >= min_chars
+    # hash the line for the count/join key: 8-byte keys through both
+    # shuffles instead of full line text
+    keyed = lines.withColumn("__h", F.xxhash64(F.col("__t")))
+
+    banned = (
+        keyed.where(eligible)
+        .groupBy("__h")
+        .agg(F.count(F.lit(1)).alias("__c"))
+        .where(F.col("__c") > max_count)
+        .select("__h")
+    )
+    kept = keyed.join(
+        banned.withColumn("__banned", F.lit(True)), on="__h", how="left"
+    ).withColumn(
+        "__drop", eligible & F.coalesce(F.col("__banned"), F.lit(False))
+    )
+
+    out = kept.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        F.sum(F.col("__drop").cast("long")).alias("n_lines_removed"),
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.when(
+                            ~F.col("__drop"),
+                            F.struct(F.col("__pos"), F.col("__line")),
+                        )
+                    )
+                ),
+                lambda s: s["__line"],
+            ),
+            "\n",
+        ).alias(text_col),
+    )
+    # NULL text never exploded — reattach those rows unchanged
+    nulls = df.where(F.col(text_col).isNull()).select(
+        F.col(id_col),
+        F.lit(0).cast("long").alias("n_lines"),
+        F.lit(0).cast("long").alias("n_lines_removed"),
+        F.col(text_col),
+    )
+    return out.select(id_col, "n_lines", "n_lines_removed", text_col).unionByName(
+        nulls
+    )

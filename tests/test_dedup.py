@@ -196,3 +196,95 @@ def test_null_text_rows_dedup_as_one_cluster(spark):
         [(6, None), (7, "a a"), (8, "new")], "doc_id long, text string"
     )
     assert sorted(r.doc_id for r in dedup_against(snap2, store).collect()) == [8]
+
+
+# ---------------------------------------------------------------------------
+# corpus-wide line-level dedup (dedup_lines)
+# ---------------------------------------------------------------------------
+
+
+def test_dedup_lines_semantics(spark):
+    from data_export_tool_spark.operators.dedup import dedup_lines
+
+    boiler = "accept all cookies to continue"
+    rows = [
+        (1, f"{boiler}\nunique prose of doc one\nok"),
+        (2, f"{boiler}\nanother document body here"),
+        (3, f"{boiler}\nthird text entirely different"),
+        (4, None),
+        (5, "short\nok\n-"),  # only sub-min lines -> untouched
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r.asDict() for r in dedup_lines(df).collect()}
+
+    # the boilerplate line (3 occurrences > max_count=1) is dropped
+    assert got[1]["text"] == "unique prose of doc one\nok"
+    assert got[1]["n_lines"] == 3 and got[1]["n_lines_removed"] == 1
+    assert got[2]["text"] == "another document body here"
+    assert got[3]["text"] == "third text entirely different"
+    # NULL passes through
+    assert got[4]["text"] is None
+    # short lines exempt even though 'ok'/'short' repeat nowhere
+    assert got[5]["text"] == "short\nok\n-"
+    assert got[5]["n_lines_removed"] == 0
+
+
+def test_dedup_lines_order_and_max_count(spark):
+    from data_export_tool_spark.operators.dedup import dedup_lines
+
+    dup = "this exact line appears twice only"
+    df = spark.createDataFrame(
+        [
+            (1, f"alpha first line of text\n{dup}\nomega last line of text"),
+            (2, f"{dup}\nsomething else entirely here"),
+        ],
+        "doc_id long, text string",
+    )
+    # max_count=2 tolerates the pair
+    tolerant = {r["doc_id"]: r["text"] for r in dedup_lines(df, max_count=2).collect()}
+    assert tolerant[1] == f"alpha first line of text\n{dup}\nomega last line of text"
+    # max_count=1 drops it, preserving surrounding order
+    strict = {r["doc_id"]: r["text"] for r in dedup_lines(df, max_count=1).collect()}
+    assert strict[1] == "alpha first line of text\nomega last line of text"
+    assert strict[2] == "something else entirely here"
+
+
+def test_dedup_lines_matches_duckdb(spark, sf_dir):
+    import duckdb
+
+    from data_export_tool_spark.operators.dedup import dedup_lines
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    got = {
+        r["doc_id"]: (r["text"], r["n_lines_removed"])
+        for r in dedup_lines(docs, max_count=1, min_chars=10).collect()
+    }
+    want = {
+        k: (t, n)
+        for k, t, n in duckdb.sql(
+            f"""
+    WITH lines AS (
+      SELECT doc_id, u.pair.pos AS pos, u.pair.line AS line,
+             trim(u.pair.line) AS t
+      FROM (SELECT doc_id, string_split(text, chr(10)) AS parts
+            FROM read_parquet('{sf_dir}/documents.parquet')),
+           unnest(list_transform(parts, (x, i) -> struct_pack(line := x, pos := i))) AS u(pair)
+    ),
+    banned AS (
+      SELECT t FROM lines WHERE length(t) >= 10 GROUP BY t HAVING count(*) > 1
+    ),
+    marked AS (
+      SELECT l.*, (length(l.t) >= 10 AND b.t IS NOT NULL) AS dropped
+      FROM lines l LEFT JOIN banned b ON l.t = b.t
+    )
+    SELECT doc_id,
+           coalesce(string_agg(line, chr(10) ORDER BY pos) FILTER (NOT dropped), '') AS text,
+           CAST(count(*) FILTER (dropped) AS BIGINT) AS n_removed
+    FROM marked GROUP BY doc_id
+    """
+        ).fetchall()
+    }
+    nulls = {r["doc_id"] for r in docs.where(F.col("text").isNull()).collect()}
+    assert set(got) == set(want) | nulls
+    for k, v in want.items():
+        assert got[k] == v, k

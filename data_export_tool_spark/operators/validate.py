@@ -307,3 +307,61 @@ def schema_drift_df(
         ]
     )
     return spark.createDataFrame(schema_drift(old, new), schema)
+
+
+def profile_drift(
+    old_profile: DataFrame,
+    new_profile: DataFrame,
+    null_frac_tol: float = 0.05,
+    distinct_ratio_tol: float = 0.5,
+) -> DataFrame:
+    """Compare two ``profile_columns`` outputs (today's snapshot vs
+    yesterday's): per column, the null-rate delta, the distinct-count
+    ratio, and min/max boundary movement, with a ``flagged`` verdict
+    when null-rate moved more than ``null_frac_tol`` (absolute) or the
+    distinct ratio left ``[1-tol, 1/(1-tol)]``. Columns present in
+    only one profile are flagged as added/removed. Profiles are
+    per-column rows (already tiny), so this is a driver-scale join —
+    the expensive part was the two profiling passes, not the diff."""
+    o = old_profile.select(
+        F.col("column"),
+        F.col("null_frac").alias("old_null_frac"),
+        F.col("n_distinct").alias("old_n_distinct"),
+        F.col("min_value").alias("old_min"),
+        F.col("max_value").alias("old_max"),
+    )
+    n = new_profile.select(
+        F.col("column"),
+        F.col("null_frac").alias("new_null_frac"),
+        F.col("n_distinct").alias("new_n_distinct"),
+        F.col("min_value").alias("new_min"),
+        F.col("max_value").alias("new_max"),
+    )
+    j = o.join(n, "column", "full_outer")
+    status = (
+        F.when(F.col("old_null_frac").isNull(), F.lit("added"))
+        .when(F.col("new_null_frac").isNull(), F.lit("removed"))
+        .otherwise(F.lit("common"))
+    )
+    null_delta = F.round(F.col("new_null_frac") - F.col("old_null_frac"), 6)
+    distinct_ratio = F.round(
+        F.col("new_n_distinct")
+        / F.greatest(F.col("old_n_distinct"), F.lit(1)).cast("double"),
+        6,
+    )
+    lo = 1.0 - distinct_ratio_tol
+    flagged = (
+        (status != "common")
+        | (F.abs(null_delta) > null_frac_tol)
+        | (distinct_ratio < lo)
+        | (distinct_ratio > 1.0 / lo)
+    )
+    return j.select(
+        "column",
+        status.alias("status"),
+        null_delta.alias("null_frac_delta"),
+        distinct_ratio.alias("distinct_ratio"),
+        (F.col("old_min") != F.col("new_min")).alias("min_moved"),
+        (F.col("old_max") != F.col("new_max")).alias("max_moved"),
+        F.coalesce(flagged, F.lit(True)).alias("flagged"),
+    )

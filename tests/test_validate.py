@@ -233,3 +233,25 @@ def test_hostile_column_names_profile(spark, tmp_path):
         spark.read.parquet(path), [V.not_null("`a``b`")]
     )
     assert checks.collect()[0]["violations"] == 1
+
+
+def test_profile_drift(spark):
+    orders = spark.read.parquet(f"{SF}/orders.parquet")
+    old = V.profile_columns(orders, ["o_custkey", "o_totalprice"], exact_distinct=True)
+    # perturbed snapshot: o_custkey nulled for half the rows, a column dropped
+    perturbed = orders.withColumn(
+        "o_custkey",
+        F.when(F.col("o_orderkey") % 2 == 0, F.col("o_custkey")),
+    )
+    new = V.profile_columns(perturbed, ["o_custkey"], exact_distinct=True)
+    got = {r["column"]: r.asDict() for r in V.profile_drift(old, new).collect()}
+
+    assert got["o_totalprice"]["status"] == "removed"
+    assert got["o_totalprice"]["flagged"]
+    c = got["o_custkey"]
+    assert c["status"] == "common"
+    assert c["null_frac_delta"] > 0.4  # half the keys nulled
+    assert c["flagged"]
+    # identical profiles -> nothing flagged
+    same = {r["column"]: r["flagged"] for r in V.profile_drift(old, old).collect()}
+    assert same == {"o_custkey": False, "o_totalprice": False}

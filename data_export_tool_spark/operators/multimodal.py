@@ -244,3 +244,106 @@ def frame_sample_plan(assets: DataFrame, every_ms: int = 1000) -> DataFrame:
         )
         .select("asset_id", "media_type", "frame_ts_ms", "payload")
     )
+
+
+# ---------------------------------------------------------------------------
+# Audio metadata (same design as the image codec: a REAL pure-Python
+# parser for the one format whose header is fully public and
+# library-free — RIFF/WAVE — and the documented ValueError contract as
+# the injection seam for compressed codecs)
+# ---------------------------------------------------------------------------
+
+AUDIO_FEATURE_SCHEMA = (
+    "asset_id long, media_type string, n_bytes long, "
+    "sample_rate int, channels int, duration_ms long"
+)
+
+
+class AudioDecodeError(ValueError):
+    """Corrupt/unsupported audio payload. Injected decoders signal
+    per-row failures with ``ValueError`` (this class or any subclass);
+    any other exception type is treated as systematic and propagates.
+    """
+
+
+def decode_wav_metadata(payload: bytes) -> tuple[int, int, int]:
+    """``(sample_rate, channels, n_frames)`` from a RIFF/WAVE header —
+    pure chunk-walk over the public container layout (RIFF magic,
+    'fmt ' chunk fields, 'data' chunk size; chunk sizes pad to even).
+    No audio library, no sample decode. Raises
+    :class:`AudioDecodeError` on anything that is not a well-formed
+    PCM-style WAV."""
+    if len(payload) < 12 or payload[0:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise AudioDecodeError("not a RIFF/WAVE payload")
+    off = 12
+    sample_rate = channels = bits = None
+    data_size = None
+    while off + 8 <= len(payload):
+        cid = payload[off : off + 4]
+        size = int.from_bytes(payload[off + 4 : off + 8], "little")
+        body = off + 8
+        if cid == b"fmt ":
+            if body + 16 > len(payload):
+                raise AudioDecodeError("truncated fmt chunk")
+            channels = int.from_bytes(payload[body + 2 : body + 4], "little")
+            sample_rate = int.from_bytes(payload[body + 4 : body + 8], "little")
+            bits = int.from_bytes(payload[body + 14 : body + 16], "little")
+        elif cid == b"data":
+            data_size = min(size, len(payload) - body)
+        off = body + size + (size & 1)  # chunks pad to even
+    if not sample_rate or not channels or not bits or data_size is None:
+        raise AudioDecodeError("missing fmt/data chunk")
+    bytes_per_frame = channels * max(bits // 8, 1)
+    return sample_rate, channels, data_size // bytes_per_frame
+
+
+def audio_features(
+    assets: DataFrame,
+    decoder=None,
+) -> DataFrame:
+    """Audio metadata extraction via one narrow Arrow-batched pass —
+    the audio twin of :func:`extract_features`, with the identical
+    failure contract: per-row ``ValueError`` → NULL metadata columns;
+    any other exception propagates as a systematic decoder failure.
+    Default decoder is the real WAV parser; inject a library-backed
+    callable ``bytes -> (sample_rate, channels, n_frames)`` for
+    compressed formats."""
+    import pandas as pd
+
+    decode = decoder if decoder is not None else decode_wav_metadata
+
+    def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import numpy as np
+
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            rates, chans, durs, sizes = [], [], [], []
+            for payload in pdf["payload"]:
+                raw = bytes(payload) if payload is not None else b""
+                sizes.append(len(raw))
+                try:
+                    meta = decode(raw)
+                except ValueError:
+                    meta = None
+                if meta is None:
+                    rates.append(None)
+                    chans.append(None)
+                    durs.append(None)
+                else:
+                    sr, ch, n_frames = meta
+                    rates.append(sr)
+                    chans.append(ch)
+                    durs.append((n_frames * 1000) // max(sr, 1))
+            yield pd.DataFrame(
+                {
+                    "asset_id": pdf["asset_id"],
+                    "media_type": pdf["media_type"],
+                    "n_bytes": np.array(sizes, dtype="int64"),
+                    "sample_rate": pd.array(rates, dtype="Int32"),
+                    "channels": pd.array(chans, dtype="Int32"),
+                    "duration_ms": pd.array(durs, dtype="Int64"),
+                }
+            )
+
+    return assets.mapInPandas(run, schema=AUDIO_FEATURE_SCHEMA)

@@ -150,3 +150,82 @@ def test_frame_sample_plan(spark):
     # only the video asset expands; 3500ms at 1000ms cadence → 0,1000,2000,3000
     assert {f.asset_id for f in frames} == {4}
     assert sorted(f.frame_ts_ms for f in frames) == [0, 1000, 2000, 3000]
+
+
+# ---------------------------------------------------------------------------
+# audio: WAV metadata codec + audio_features
+# ---------------------------------------------------------------------------
+
+
+def _make_wav(sample_rate=16000, channels=1, n_frames=1600, bits=16):
+    """A real WAV built with the stdlib wave module — the parser is
+    tested against the reference writer, not a hand-rolled fixture."""
+    import io
+    import wave
+
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(channels)
+        w.setsampwidth(bits // 8)
+        w.setframerate(sample_rate)
+        w.writeframes(b"\x00" * (n_frames * channels * (bits // 8)))
+    return buf.getvalue()
+
+
+def test_decode_wav_metadata_against_stdlib_writer():
+    from data_export_tool_spark.operators.multimodal import decode_wav_metadata
+
+    assert decode_wav_metadata(_make_wav(16000, 1, 1600)) == (16000, 1, 1600)
+    assert decode_wav_metadata(_make_wav(44100, 2, 4410)) == (44100, 2, 4410)
+    assert decode_wav_metadata(_make_wav(8000, 1, 80, bits=8)) == (8000, 1, 80)
+
+
+def test_decode_wav_metadata_rejects_corrupt():
+    import pytest as _pytest
+
+    from data_export_tool_spark.operators.multimodal import (
+        AudioDecodeError,
+        decode_wav_metadata,
+    )
+
+    for bad in [b"", b"RIFF", b"RIFFxxxxWAVE", b"\x89PNG" + b"\x00" * 40,
+                _make_wav()[:20]]:
+        with _pytest.raises(AudioDecodeError):
+            decode_wav_metadata(bad)
+
+
+def test_audio_features_mixed_batch(spark):
+    from data_export_tool_spark.operators.multimodal import audio_features
+
+    wav = _make_wav(22050, 2, 22050)  # exactly 1000 ms
+    rows = [
+        (1, "audio/wav", bytearray(wav)),
+        (2, "audio/mpeg", bytearray(b"ID3\x04corrupt-or-compressed")),
+        (3, "audio/wav", None),
+    ]
+    df = spark.createDataFrame(rows, "asset_id long, media_type string, payload binary")
+    got = {r["asset_id"]: r.asDict() for r in audio_features(df).collect()}
+    assert got[1]["sample_rate"] == 22050
+    assert got[1]["channels"] == 2
+    assert got[1]["duration_ms"] == 1000
+    assert got[1]["n_bytes"] == len(wav)
+    # undecodable rows -> NULL metadata, job survives
+    assert got[2]["sample_rate"] is None and got[2]["duration_ms"] is None
+    assert got[3]["sample_rate"] is None and got[3]["n_bytes"] == 0
+
+
+def test_audio_features_systematic_failure_propagates(spark):
+    from data_export_tool_spark.operators.multimodal import audio_features
+
+    df = spark.createDataFrame(
+        [(1, "audio/wav", bytearray(b"RIFFxxxxWAVE"))],
+        "asset_id long, media_type string, payload binary",
+    )
+
+    def broken(_payload):
+        raise RuntimeError("codec import missing on executor")
+
+    import pytest as _pytest
+
+    with _pytest.raises(Exception, match="codec import missing"):
+        audio_features(df, decoder=broken).collect()

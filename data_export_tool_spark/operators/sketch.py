@@ -100,12 +100,22 @@ def exact_quantiles(
 
 
 def exact_topk(
-    df: DataFrame, col: str, k: int, by: Sequence[str] = ()
+    df: DataFrame, col: str, k: int, by: Sequence[str] = (), n_salts: int = 16
 ) -> DataFrame:
     """Exact top-``k`` most frequent values of ``col`` (optionally per
     ``by`` group), ties broken by item value ascending so the result
     is deterministic. Nulls are excluded. Output:
-    ``(*by, item string, cnt long)``."""
+    ``(*by, item string, cnt long)``.
+
+    The grouped trim is SALTED two-stage: a window over the bare
+    ``by`` partition would put ALL of a group's distinct items on one
+    task (a URL column grouped by language = millions of rows on the
+    'en' task). Stage 1 ranks within ``(by, crc32(item) % n_salts)``
+    cells — bounded partitions — and keeps k per cell; stage 2 ranks
+    the surviving ≤ n_salts·k rows per group. Exact: a group's true
+    top-k item is by definition in its salt cell's top-k. Output is
+    identical for any ``n_salts``.
+    """
     if isinstance(by, str):
         by = [by]
     counted = (
@@ -116,11 +126,17 @@ def exact_topk(
     if by:
         from pyspark.sql import Window
 
-        w = Window.partitionBy(*by).orderBy(F.desc("cnt"), F.asc("item"))
+        w1 = Window.partitionBy(*by, "__salt").orderBy(
+            F.desc("cnt"), F.asc("item")
+        )
+        w2 = Window.partitionBy(*by).orderBy(F.desc("cnt"), F.asc("item"))
         return (
-            counted.withColumn("__rn", F.row_number().over(w))
+            counted.withColumn("__salt", F.crc32(F.col("item")) % n_salts)
+            .withColumn("__rn1", F.row_number().over(w1))
+            .where(F.col("__rn1") <= k)
+            .withColumn("__rn", F.row_number().over(w2))
             .where(F.col("__rn") <= k)
-            .drop("__rn")
+            .drop("__salt", "__rn1", "__rn")
         )
     return counted.orderBy(F.desc("cnt"), F.asc("item")).limit(k)
 

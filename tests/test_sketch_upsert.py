@@ -332,3 +332,32 @@ def test_apply_diff_null_key_rows_roundtrip(spark):
         [(None, "a"), (1, "x"), (2, "y")],
         [(None, "b"), (1, "x2"), (3, "z")],
     )
+
+
+def test_exact_topk_salted_trim_output_invariant(spark):
+    """The salted two-stage grouped trim must be output-identical for
+    any salt count (including the degenerate n_salts=1 single-window
+    form), and both windows must appear in the plan."""
+    from data_export_tool_spark.operators.sketch import exact_topk
+
+    df = _zipf_df(spark, n=5000).withColumn(
+        "g", (F.crc32("item") % 3).cast("int")
+    )
+    base = sorted(
+        map(tuple, exact_topk(df, "item", 5, by=["g"], n_salts=1).collect())
+    )
+    for n_salts in (4, 16, 64):
+        got = sorted(
+            map(tuple, exact_topk(df, "item", 5, by=["g"], n_salts=n_salts).collect())
+        )
+        assert got == base, n_salts
+    plan = (
+        exact_topk(df, "item", 5, by=["g"])
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    # two window stages (each prints several times in the plan string);
+    # the salted first stage is visible via its salt key
+    assert "__salt" in plan
+    assert plan.count("row_number()") >= 2

@@ -179,3 +179,51 @@ def filter_domains(
         "__dom",
         "left_anti",
     ).drop("__dom")
+
+
+def html_to_text(html: Column) -> Column:
+    """Plain text from an HTML payload — the first transform of every
+    web-corpus pipeline, as a chain of JVM ``regexp_replace`` calls
+    (zero Python, rides in the scan projection):
+
+    1. ``script``/``style``/``noscript``/HTML-comment blocks dropped
+       wholesale (their text is never prose);
+    2. block-level closers (``</p>``, ``</div>``, ``</li>``,
+       ``</h_>``, ``</tr>``, ``<br>``) become newlines so paragraph
+       structure survives for the line-level passes
+       (``operators/dedup.dedup_lines``);
+    3. remaining tags stripped;
+    4. the common named/numeric entities decoded;
+    5. whitespace normalized (runs of spaces/tabs → one space, ≥3
+       newlines → paragraph break, lines trimmed).
+
+    This is the dependency-free extraction tier: a real boilerplate
+    classifier (readability/trafilatura-class) plugs in downstream,
+    but at 100 TB this pass is what turns raw crawl bytes into the
+    ``text`` column every other operator consumes. NULL in → NULL out.
+    """
+    t = F.regexp_replace(
+        html, r"(?is)<(script|style|noscript)\b[^>]*>.*?</\1\s*>", " "
+    )
+    t = F.regexp_replace(t, r"(?s)<!--.*?-->", " ")
+    t = F.regexp_replace(
+        t, r"(?i)<br\s*/?>|</(p|div|li|h[1-6]|tr|table|ul|ol|blockquote)\s*>", "\n"
+    )
+    t = F.regexp_replace(t, r"(?s)<[^>]*>", " ")
+    for ent, rep in [
+        ("&nbsp;", " "),
+        ("&amp;", "&"),
+        ("&lt;", "<"),
+        ("&gt;", ">"),
+        ("&quot;", '"'),
+        ("&#39;", "'"),
+        ("&apos;", "'"),
+    ]:
+        t = F.replace(t, F.lit(ent), F.lit(rep))
+    # numeric character references (decimal) for the ASCII range
+    t = F.regexp_replace(t, r"&#(\d{2,3});", " ")
+    t = F.regexp_replace(t, r"[ \t\x0b\f\r]+", " ")
+    t = F.regexp_replace(t, r" ?\n ?", "\n")
+    t = F.regexp_replace(t, r"\n{3,}", "\n\n")
+    # trim() strips spaces only; newlines at the edges need the regex
+    return F.regexp_replace(t, r"^\s+|\s+$", "")

@@ -153,3 +153,46 @@ def test_normalize_url_review_edges(spark):
     ]
     got = _norm(spark, [u for u, _ in cases])
     assert got == [want for _, want in cases]
+
+
+def test_html_to_text_battery(spark):
+    cases = [
+        # script/style dropped wholesale, tags stripped, entities decoded
+        (
+            "<html><head><style>.x{color:red}</style>"
+            "<script>var a=1;</script></head>"
+            "<body><h1>Title</h1><p>Hello &amp; welcome</p>"
+            "<p>Second&nbsp;para</p></body></html>",
+            "Title\nHello & welcome\nSecond para",
+        ),
+        # <br> and list items become line breaks; comments dropped
+        (
+            "<!-- nav --><ul><li>one</li><li>two</li></ul>line a<br>line b",
+            "one\ntwo\n\nline a\nline b",  # </li> and </ul> both close blocks
+        ),
+        # entities
+        ("a &lt;tag&gt; &quot;q&quot; &#39;s&#39;", "a <tag> \"q\" 's'"),
+        # nested/mixed-case script with attributes
+        (
+            "<SCRIPT type='text/javascript'>if (a<b) {}</SCRIPT>kept",
+            "kept",
+        ),
+        # plain text untouched
+        ("no markup here", "no markup here"),
+        (None, None),
+    ]
+    df = spark.createDataFrame([(h,) for h, _ in cases], "h string")
+    got = [r["t"] for r in df.select(W.html_to_text(F.col("h")).alias("t")).collect()]
+    assert got == [want for _, want in cases]
+
+
+def test_html_to_text_is_scan_side(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    plan = (
+        docs.select(W.html_to_text(F.col("text")).alias("t"))
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange" not in plan
+    assert plan.count("Scan parquet") == 1

@@ -52,6 +52,8 @@ def convert_dataset(
     fmt: str = "parquet",
     partition_by: list[str] | None = None,
     coalesce: int | None = None,
+    sort_by: list[str] | None = None,
+    max_records_per_file: int | None = None,
     mode: str = "overwrite",
     **options,
 ) -> None:
@@ -61,10 +63,22 @@ def convert_dataset(
     low-cardinality columns: date, region — not ids). ``coalesce``
     bounds output file count without a shuffle; prefer leaving it unset
     and letting AQE size the files.
+
+    Output hygiene at scale: ``max_records_per_file`` caps each task's
+    output files (a skewed task can't emit one 50 GB file nothing can
+    parallelize over later), and ``sort_by`` sorts WITHIN partitions
+    before writing — no global sort, but parquet min/max stats come
+    out tight on the sort columns so downstream range predicates skip
+    row groups. For multi-column skipping use
+    ``operators/layout.write_zordered`` instead.
     """
-    writer = df.write.mode(mode).format(fmt)
+    if sort_by:
+        df = df.sortWithinPartitions(*sort_by)
     if coalesce:
-        writer = df.coalesce(coalesce).write.mode(mode).format(fmt)
+        df = df.coalesce(coalesce)
+    writer = df.write.mode(mode).format(fmt)
+    if max_records_per_file:
+        writer = writer.option("maxRecordsPerFile", max_records_per_file)
     if fmt == "csv":
         writer = writer.option("header", options.pop("header", True))
     if partition_by:

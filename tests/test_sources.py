@@ -76,3 +76,36 @@ def test_facility_columns_append_not_replace(spark):
     assert out.columns == ["Region", "v", "Region", "Woreda", "Facility", "HMISCode"]
     row = out.collect()[0]
     assert row[0] == "north" and row[2] == "Addis"
+
+
+def test_convert_dataset_output_hygiene(spark, tmp_path):
+    """max_records_per_file bounds every output file; sort_by tightens
+    per-file parquet min/max stats without a global sort."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from data_export_tool_spark.sources.readers import convert_dataset
+
+    df = spark.range(10_000, numPartitions=2).select(
+        F.col("id"), (F.col("id") % 97).alias("v")
+    )
+    out = str(tmp_path / "hygiene")
+    convert_dataset(
+        df, out, sort_by=["id"], max_records_per_file=1500
+    )
+    files = glob.glob(f"{out}/*.parquet")
+    assert len(files) >= 7  # 10k rows / 1500 cap needs >= 7 files
+    total = 0
+    for f in files:
+        md = pq.ParquetFile(f).metadata
+        assert md.num_rows <= 1500
+        total += md.num_rows
+        # sorted-within: each file's id range is contiguous-tight
+        idx = md.schema.names.index("id")
+        mn = min(md.row_group(g).column(idx).statistics.min for g in range(md.num_row_groups))
+        mx = max(md.row_group(g).column(idx).statistics.max for g in range(md.num_row_groups))
+        assert mx - mn + 1 <= 5001  # half a partition's span, not 10k
+    assert total == 10_000
+    got = spark.read.parquet(out).agg(F.count(F.lit(1)), F.sum("id")).first()
+    assert tuple(got) == (10_000, sum(range(10_000)))

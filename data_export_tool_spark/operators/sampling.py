@@ -263,3 +263,44 @@ def stratified_sample_k(
         .select(*cols)
     )
     return trimmed.unionByName(rescued)
+
+
+def weighted_sample_k(
+    df: DataFrame,
+    key_col: str,
+    weight_col: str,
+    k: int,
+    mod: int = SAMPLE_MOD,
+) -> DataFrame:
+    """Deterministic weighted sampling WITHOUT replacement: ``k`` rows
+    drawn with probability proportional to ``weight_col``, reproducible
+    across re-runs (the weighted analog of ``deterministic_sample``).
+
+    Efraimidis–Spirakis A-ES keys (public algorithm): each row gets
+    ``u^(1/w)`` for a uniform ``u`` — here the md5 bucket mapped to
+    (0,1] — and the k LARGEST keys are the sample. Computed in log
+    space (``ln(u)/w``, taking the k largest, i.e. closest to zero)
+    for numerical stability. Non-positive / NULL weights are excluded
+    (they have zero probability by definition).
+
+    Scale shape: a pure scan-side projection for the key plus ONE
+    TakeOrdered (no global sort materializes). Determinism: the key
+    is a pure function of (row key, weight), so re-runs and backfills
+    select identical rows.
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1: {k}")
+    # u in (0, 1]: shift the [0, mod) bucket by 1
+    u = (sample_bucket(F.col(key_col), mod) + 1).cast("double") / F.lit(
+        float(mod)
+    )
+    es_key = F.log(u) / F.col(weight_col).cast("double")
+    return (
+        df.where(
+            F.col(weight_col).isNotNull() & (F.col(weight_col) > 0)
+        )
+        .withColumn("__es", es_key)
+        .orderBy(F.desc("__es"), F.asc(key_col))
+        .limit(k)
+        .drop("__es")
+    )

@@ -263,3 +263,57 @@ def test_stratified_sample_k_no_full_corpus_window(spark, sf_dir):
     # threshold filter exists on the survivor path
     assert plan.count("Window") >= 2
     assert "__t" in plan and "__b" in plan
+
+
+# ---------------------------------------------------------------------------
+# weighted_sample_k
+# ---------------------------------------------------------------------------
+
+
+def test_weighted_sample_k_deterministic_and_sized(spark):
+    from data_export_tool_spark.operators.sampling import weighted_sample_k
+
+    df = spark.createDataFrame(
+        [(i, float(1 + i % 7)) for i in range(2000)], "id long, w double"
+    )
+    a = sorted(r["id"] for r in weighted_sample_k(df, "id", "w", 50).collect())
+    b = sorted(r["id"] for r in weighted_sample_k(df, "id", "w", 50).collect())
+    assert a == b and len(a) == 50
+    # zero/negative/null weights never selected
+    df2 = spark.createDataFrame(
+        [(1, 0.0), (2, -3.0), (3, None), (4, 5.0)], "id long, w double"
+    )
+    assert [r["id"] for r in weighted_sample_k(df2, "id", "w", 10).collect()] == [4]
+
+
+def test_weighted_sample_k_bias(spark):
+    """Statistical sanity: rows with 10x the weight must be selected
+    far more often. Deterministic (hash-driven), so exact assertion on
+    the realized composition rather than a flaky statistical test."""
+    from data_export_tool_spark.operators.sampling import weighted_sample_k
+
+    # 1000 heavy rows (w=10) + 1000 light rows (w=1); expect the 200-
+    # row sample dominated by heavy rows (E[heavy] ~ 182 under A-ES)
+    df = spark.createDataFrame(
+        [(i, 10.0 if i < 1000 else 1.0) for i in range(2000)],
+        "id long, w double",
+    )
+    got = [r["id"] for r in weighted_sample_k(df, "id", "w", 200).collect()]
+    n_heavy = sum(1 for i in got if i < 1000)
+    assert n_heavy > 140, n_heavy  # >3x the uniform expectation of 100... (uniform would be 100)
+
+
+def test_weighted_sample_k_plans_take_ordered(spark):
+    from data_export_tool_spark.operators.sampling import weighted_sample_k
+
+    df = spark.range(1000).select(
+        F.col("id"), (F.col("id") % 5 + 1).cast("double").alias("w")
+    )
+    plan = (
+        weighted_sample_k(df, "id", "w", 10)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "TakeOrderedAndProject" in plan
+    assert "Exchange rangepartitioning" not in plan  # no global sort

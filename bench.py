@@ -142,8 +142,8 @@ def main() -> None:
     # few genuinely-optimized big movers) and (b) a 0.35 s absolute
     # floor under which this host simply cannot testify. A real
     # regression (r3's d13 +2.06 s / +54%) clears both comfortably.
-    if latest_prev:
-        shared = [q for q in timings if q in latest_prev]
+    shared = [q for q in timings if q in latest_prev]
+    if shared:  # median() raises on empty (disjoint query sets)
         shift = statistics.median(
             timings[q] / max(latest_prev[q], 1e-9) for q in shared
         )

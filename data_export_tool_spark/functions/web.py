@@ -210,18 +210,24 @@ def html_to_text(html: Column) -> Column:
         t, r"(?i)<br\s*/?>|</(p|div|li|h[1-6]|tr|table|ul|ol|blockquote)\s*>", "\n"
     )
     t = F.regexp_replace(t, r"(?s)<[^>]*>", " ")
+    # entity decode order matters: ampersand forms (&amp; / &#38;) go
+    # LAST, or '&amp;lt;' (the literal text '&lt;') would double-decode
+    # into '<'. Unknown numeric refs are left INTACT — replacing them
+    # with whitespace would silently delete content.
     for ent, rep in [
         ("&nbsp;", " "),
-        ("&amp;", "&"),
         ("&lt;", "<"),
+        ("&#60;", "<"),
         ("&gt;", ">"),
+        ("&#62;", ">"),
         ("&quot;", '"'),
+        ("&#34;", '"'),
         ("&#39;", "'"),
         ("&apos;", "'"),
+        ("&amp;", "&"),
+        ("&#38;", "&"),
     ]:
         t = F.replace(t, F.lit(ent), F.lit(rep))
-    # numeric character references (decimal) for the ASCII range
-    t = F.regexp_replace(t, r"&#(\d{2,3});", " ")
     t = F.regexp_replace(t, r"[ \t\x0b\f\r]+", " ")
     t = F.regexp_replace(t, r" ?\n ?", "\n")
     t = F.regexp_replace(t, r"\n{3,}", "\n\n")

@@ -508,15 +508,24 @@ def dedup_lines(
     # shuffles instead of full line text
     keyed = lines.withColumn("__h", F.xxhash64(F.col("__t")))
 
+    # count and join on (hash, trimmed text), not the hash alone: at
+    # 10^10+ distinct lines a 64-bit collision is reachable, and a
+    # hash-only ban would delete an innocent colliding line (or merge
+    # two lines' counts past max_count). The hash still leads the key
+    # so the shuffle partitioner sees 8 bytes of entropy first, and
+    # map-side combine reduces to distinct lines per partition either
+    # way; the banned side stays small and broadcastable.
     banned = (
         keyed.where(eligible)
-        .groupBy("__h")
+        .groupBy("__h", "__t")
         .agg(F.count(F.lit(1)).alias("__c"))
         .where(F.col("__c") > max_count)
-        .select("__h")
+        .select("__h", "__t")
     )
     kept = keyed.join(
-        banned.withColumn("__banned", F.lit(True)), on="__h", how="left"
+        banned.withColumn("__banned", F.lit(True)),
+        on=["__h", "__t"],
+        how="left",
     ).withColumn(
         "__drop", eligible & F.coalesce(F.col("__banned"), F.lit(False))
     )

@@ -55,6 +55,17 @@ def funnel_steps(
     k = len(steps)
     if k < 1:
         raise ValueError("funnel needs at least one step")
+    if len(set(steps)) != k:
+        # array_position resolves a repeated name to its FIRST index,
+        # so a later duplicate step could never be reached — reject
+        # loudly instead of silently capping the funnel
+        raise ValueError(f"duplicate step names: {steps}")
+    if within is not None and not __import__("re").fullmatch(
+        r"\d+\s+[A-Za-z]+", within.strip()
+    ):
+        # `within` is interpolated into an INTERVAL expression; accept
+        # only the '<n> <unit>' shape (no expression injection)
+        raise ValueError(f"within must look like '7 days': {within!r}")
     step_idx = F.array_position(
         F.array(*[F.lit(s) for s in steps]), F.col(type_col)
     )  # 1-based; 0 when not a step (filtered out anyway)
@@ -130,12 +141,15 @@ def funnel_counts(
             for i in range(k)
         ]
     )
+    def q(name: str) -> str:  # step names are data-derived strings
+        return "'" + name.replace("'", "''") + "'"
+
     stacked = counts.select(
         F.expr(
             "stack({}, {}) AS (step, step_name, n_users)".format(
                 k,
                 ", ".join(
-                    f"{i + 1}, '{s}', __c{i}"
+                    f"{i + 1}, {q(s)}, __c{i}"
                     for i, s in enumerate(steps)
                 ),
             )
@@ -181,10 +195,14 @@ def retention_matrix(
     active = events.select(
         F.col(user_col), F.date_trunc(period, F.col(ts_col)).alias("__p")
     ).distinct()
-    div = {"day": 86400, "week": 604800}.get(period)
-    if div:
-        offset = (
-            (F.unix_timestamp("__p") - F.unix_timestamp("__cohort")) / div
+    # calendar arithmetic, never raw epoch division: under a non-UTC
+    # session timezone a DST week is 604800-3600 seconds and truncating
+    # division would fold week 1 into offset 0
+    if period == "day":
+        offset = F.datediff(F.col("__p"), F.col("__cohort")).cast("long")
+    elif period == "week":
+        offset = F.floor(
+            F.datediff(F.col("__p"), F.col("__cohort")) / 7
         ).cast("long")
     else:  # month: calendar difference
         offset = (

@@ -293,6 +293,11 @@ def decode_wav_metadata(payload: bytes) -> tuple[int, int, int]:
         off = body + size + (size & 1)  # chunks pad to even
     if not sample_rate or not channels or not bits or data_size is None:
         raise AudioDecodeError("missing fmt/data chunk")
+    # a corrupt-but-walkable header with absurd u32/u16 fields must be
+    # a per-row decode error, not an Int32 overflow that kills the
+    # whole mapInPandas stage downstream
+    if sample_rate > 2_147_483_647 or channels > 32_767 or bits > 256:
+        raise AudioDecodeError("implausible fmt fields (corrupt header)")
     bytes_per_frame = channels * max(bits // 8, 1)
     return sample_rate, channels, data_size // bytes_per_frame
 

@@ -290,8 +290,11 @@ def weighted_sample_k(
     """
     if k < 1:
         raise ValueError(f"k must be >= 1: {k}")
-    # u in (0, 1]: shift the [0, mod) bucket by 1
-    u = (sample_bucket(F.col(key_col), mod) + 1).cast("double") / F.lit(
+    # u strictly inside (0, 1): the midpoint shift keeps u < 1 — at
+    # u == 1 the key log(1)/w = 0 is the MAXIMUM for every weight, so
+    # the ~n/mod rows landing on the top bucket would fill the sample
+    # regardless of their weights
+    u = (sample_bucket(F.col(key_col), mod) + 0.5).cast("double") / F.lit(
         float(mod)
     )
     es_key = F.log(u) / F.col(weight_col).cast("double")

@@ -72,10 +72,14 @@ def convert_dataset(
     row groups. For multi-column skipping use
     ``operators/layout.write_zordered`` instead.
     """
-    if sort_by:
-        df = df.sortWithinPartitions(*sort_by)
+    # coalesce BEFORE the sort: the reverse order concatenates sorted
+    # runs inside each merged partition, leaving per-file min/max stats
+    # spanning nearly the full range — exactly what sort_by promises
+    # to prevent
     if coalesce:
         df = df.coalesce(coalesce)
+    if sort_by:
+        df = df.sortWithinPartitions(*sort_by)
     writer = df.write.mode(mode).format(fmt)
     if max_records_per_file:
         writer = writer.option("maxRecordsPerFile", max_records_per_file)

@@ -161,3 +161,21 @@ def test_retention_matrix_matches_duckdb(spark, sf_dir):
     for (cohort, off), n in got.items():
         if off == 0:
             assert n == sizes[cohort]
+
+
+def test_funnel_validation_review_edges(spark):
+    ev = spark.createDataFrame(
+        [(1, dt.datetime(2024, 1, 1), "view")],
+        "user_id long, ts timestamp, event_type string",
+    )
+    with pytest.raises(ValueError, match="duplicate step"):
+        funnel_steps(ev, ["view", "click", "view"])
+    with pytest.raises(ValueError, match="within must look like"):
+        funnel_steps(ev, ["view"], within="7 days); DROP TABLE x")
+    # step names with quotes survive the stack literal
+    ev2 = spark.createDataFrame(
+        [(1, dt.datetime(2024, 1, 1), "add'to'cart")],
+        "user_id long, ts timestamp, event_type string",
+    )
+    rows = funnel_counts(ev2, ["add'to'cart"]).collect()
+    assert rows[0]["step_name"] == "add'to'cart" and rows[0]["n_users"] == 1

@@ -317,3 +317,25 @@ def test_weighted_sample_k_plans_take_ordered(spark):
     )
     assert "TakeOrderedAndProject" in plan
     assert "Exchange rangepartitioning" not in plan  # no global sort
+
+
+def test_weighted_sample_k_top_bucket_not_privileged(spark):
+    """Review finding: u == 1 gave es_key = 0 (the maximum) to rows on
+    the top md5 bucket, selecting them regardless of weight. A
+    negligible-weight row sitting on the top bucket must lose to
+    heavy rows."""
+    import hashlib
+
+    from data_export_tool_spark.operators.sampling import (
+        SAMPLE_MOD,
+        weighted_sample_k,
+    )
+
+    def bucket(k):
+        return int(hashlib.md5(str(k).encode()).hexdigest()[8:16], 16) % SAMPLE_MOD
+
+    top = next(i for i in range(10_000_000) if bucket(i) == SAMPLE_MOD - 1)
+    rows = [(top, 1e-9)] + [(10_000_000 + j, 1000.0) for j in range(50)]
+    df = spark.createDataFrame(rows, "id long, w double")
+    got = {r["id"] for r in weighted_sample_k(df, "id", "w", 10).collect()}
+    assert top not in got

@@ -229,3 +229,21 @@ def test_audio_features_systematic_failure_propagates(spark):
 
     with _pytest.raises(Exception, match="codec import missing"):
         audio_features(df, decoder=broken).collect()
+
+
+def test_audio_implausible_header_is_per_row_null(spark):
+    """Review finding: a walkable RIFF header with absurd u32 fields
+    overflowed the Int32 batch array and killed the stage. It must be
+    a per-row NULL like any other corrupt asset."""
+    from data_export_tool_spark.operators.multimodal import audio_features
+
+    bad = bytearray(_make_wav(16000, 1, 16))
+    # fmt chunk starts at offset 12+8; sample_rate at fmt_body+4
+    sr_off = 12 + 8 + 4
+    bad[sr_off : sr_off + 4] = (0xFFFFFFF0).to_bytes(4, "little")
+    df = spark.createDataFrame(
+        [(1, "audio/wav", bad), (2, "audio/wav", bytearray(_make_wav()))],
+        "asset_id long, media_type string, payload binary",
+    )
+    got = {r["asset_id"]: r["sample_rate"] for r in audio_features(df).collect()}
+    assert got[1] is None and got[2] == 16000

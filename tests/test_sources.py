@@ -109,3 +109,26 @@ def test_convert_dataset_output_hygiene(spark, tmp_path):
     assert total == 10_000
     got = spark.read.parquet(out).agg(F.count(F.lit(1)), F.sum("id")).first()
     assert tuple(got) == (10_000, sum(range(10_000)))
+
+
+def test_convert_dataset_sort_with_coalesce(spark, tmp_path):
+    """Review finding: sorting before coalesce concatenated sorted runs
+    per merged file, spanning ~the full range. Coalesce-then-sort must
+    keep each file's range a fraction of the whole."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from data_export_tool_spark.sources.readers import convert_dataset
+
+    df = spark.range(8000, numPartitions=16).select(F.col("id"))
+    out = str(tmp_path / "coalesced_sorted")
+    convert_dataset(df, out, sort_by=["id"], coalesce=4)
+    for f in glob.glob(f"{out}/*.parquet"):
+        md = pq.ParquetFile(f).metadata
+        idx = md.schema.names.index("id")
+        mn = min(md.row_group(g).column(idx).statistics.min for g in range(md.num_row_groups))
+        mx = max(md.row_group(g).column(idx).statistics.max for g in range(md.num_row_groups))
+        # a sorted-run concatenation would span ~8000; a sorted merged
+        # partition spans ~its share
+        assert mx - mn < 4000, (mn, mx)

@@ -196,3 +196,18 @@ def test_html_to_text_is_scan_side(spark, sf_dir):
     )
     assert "Exchange" not in plan
     assert plan.count("Scan parquet") == 1
+
+
+def test_html_entities_review_edges(spark):
+    """Review findings: escaped entities must not double-decode, and
+    numeric refs must decode (common) or survive (unknown), never
+    vanish."""
+    cases = [
+        ("&amp;lt;b&amp;gt;", "&lt;b&gt;"),  # escaped markup stays text
+        ("Tom &#38; Jerry", "Tom & Jerry"),
+        ("a &#60;tag&#62; &#34;q&#34;", 'a <tag> "q"'),
+        ("A&#66;C", "A&#66;C"),  # unknown ref left intact, not deleted
+    ]
+    df = spark.createDataFrame([(h,) for h, _ in cases], "h string")
+    got = [r["t"] for r in df.select(W.html_to_text(F.col("h")).alias("t")).collect()]
+    assert got == [want for _, want in cases]

@@ -192,6 +192,85 @@ def mg_candidates(df: DataFrame, col: str, capacity: int) -> DataFrame:
     )
 
 
+def grouped_topk_two_pass(
+    df: DataFrame,
+    col: str,
+    k: int,
+    by: str,
+    capacity: int | None = None,
+    n_groups_hint: int | None = None,
+) -> DataFrame:
+    """Per-group heavy hitters WITHOUT a full-cardinality shuffle:
+    Misra-Gries candidates over the composite ``(group, item)`` key,
+    exact recount of only those candidates, then the salted per-group
+    trim. Output ``(by, item string, cnt long)``.
+
+    Guarantee: the MG pass retains any composite whose count exceeds
+    N_total/(capacity+1). Default capacity scales with the group count
+    (``n_groups_hint``, or one cheap distinct-count job when absent):
+    ``G·(8k+64)``, which makes the per-group retention threshold
+    ≈ (N/G)/(8k+64) — the ungrouped bound applied to an average-sized
+    group. SMALL groups in a skewed group-size distribution see a
+    weaker bound (their hitters compete against the global N); for
+    exact results on such groups use ``exact_topk``, which pays the
+    full (group,item) aggregate instead. Reported counts are always
+    exact; the approximation only affects which items make the
+    candidate set.
+    """
+    sep = "\x1f"  # ASCII unit separator: absent from real-world keys
+    composite = F.concat_ws(
+        sep, F.coalesce(F.col(by).cast("string"), F.lit("<null>")),
+        F.col(col).cast("string"),
+    )
+    if capacity is None:
+        g = n_groups_hint
+        if g is None:
+            g = df.select(by).distinct().count()
+        capacity = max(1, int(g)) * (8 * k + 64)
+    cands = (
+        mg_candidates(
+            df.where(F.col(col).isNotNull()).select(composite.alias("item")),
+            "item",
+            capacity,
+        )
+        .select(
+            # limit=2: an item containing the separator keeps its tail
+            F.split(F.col("item"), sep, 2).getItem(0).alias("__g"),
+            F.split(F.col("item"), sep, 2).getItem(1).alias("item"),
+        )
+    )
+    joined = (
+        df.where(F.col(col).isNotNull())
+        .select(
+            F.coalesce(F.col(by).cast("string"), F.lit("<null>")).alias(
+                "__g"
+            ),
+            F.col(col).cast("string").alias("item"),
+        )
+        .join(F.broadcast(cands), ["__g", "item"])
+        .groupBy("__g", "item")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    from pyspark.sql import Window
+
+    w1 = Window.partitionBy("__g", "__salt").orderBy(F.desc("cnt"), F.asc("item"))
+    w2 = Window.partitionBy("__g").orderBy(F.desc("cnt"), F.asc("item"))
+    out = (
+        joined.withColumn("__salt", F.crc32(F.col("item")) % 16)
+        .withColumn("__rn1", F.row_number().over(w1))
+        .where(F.col("__rn1") <= k)
+        .withColumn("__rn", F.row_number().over(w2))
+        .where(F.col("__rn") <= k)
+    )
+    return out.select(
+        F.when(F.col("__g") == "<null>", F.lit(None))
+        .otherwise(F.col("__g"))
+        .alias(by),
+        "item",
+        "cnt",
+    )
+
+
 def topk_two_pass(
     df: DataFrame, col: str, k: int, capacity: int | None = None
 ) -> DataFrame:

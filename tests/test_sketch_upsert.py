@@ -361,3 +361,44 @@ def test_exact_topk_salted_trim_output_invariant(spark):
     # the salted first stage is visible via its salt key
     assert "__salt" in plan
     assert plan.count("row_number()") >= 2
+
+
+def test_grouped_topk_two_pass_matches_exact(spark):
+    from data_export_tool_spark.operators.sketch import (
+        exact_topk,
+        grouped_topk_two_pass,
+    )
+
+    df = _zipf_df(spark, n=12_000).withColumn(
+        "g", (F.crc32("item") % 3).cast("int")
+    )
+    want = sorted(
+        (r["g"], r["item"], r["cnt"])
+        for r in exact_topk(df, "item", 5, by=["g"]).collect()
+    )
+    got = sorted(
+        (int(r["g"]), r["item"], r["cnt"])
+        for r in grouped_topk_two_pass(df, "item", 5, by="g").collect()
+    )
+    assert got == want
+    # NULL group forms its own stratum and round-trips to NULL
+    dfn = df.withColumn(
+        "g", F.when(F.col("g") == 0, F.lit(None)).otherwise(F.col("g"))
+    )
+    got_n = {
+        r["g"] for r in grouped_topk_two_pass(dfn, "item", 3, by="g").collect()
+    }
+    assert None in got_n
+
+
+def test_grouped_topk_candidates_broadcast(spark):
+    from data_export_tool_spark.operators.sketch import grouped_topk_two_pass
+
+    df = _zipf_df(spark, n=2000).withColumn("g", F.lit("only"))
+    plan = (
+        grouped_topk_two_pass(df, "item", 4, by="g", n_groups_hint=1)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastHashJoin" in plan

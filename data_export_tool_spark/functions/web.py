@@ -17,10 +17,12 @@ Canonical form implemented (the uncontroversial subset of RFC 3986
 - default ports dropped (``:80`` for http, ``:443`` for https);
   non-default ports kept
 - fragment (``#...``) dropped
-- tracking query parameters dropped (``utm_*``, ``fbclid``,
-  ``gclid``, ``msclkid``, ``igshid``, ``mc_eid``, ``ref``,
-  ``ref_src``); remaining parameters kept IN ORDER (param
-  reordering changes semantics for some sites, so we don't sort)
+- tracking query parameters dropped (default set ``utm_*``,
+  ``fbclid``, ``gclid``, ``msclkid``, ``igshid``, ``mc_eid`` —
+  configurable per call; bare ``ref``/``ref_src`` are NOT stripped
+  by default because they select content on many sites); remaining
+  parameters kept IN ORDER (param reordering changes semantics for
+  some sites, so we don't sort)
 - empty path normalized to ``/``
 
 ``registered_domain`` groups hosts by their registrable domain using
@@ -35,10 +37,23 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-#: case-insensitive — marketing URLs are frequently hand-pasted with
-#: uppercase parameter names (UTM_SOURCE=), and a case-sensitive strip
-#: would leave two canonical spellings of the same page
-TRACKING_PARAM_RE = r"^(?i)(utm_[^=]*|fbclid|gclid|msclkid|igshid|mc_eid|ref|ref_src)="
+#: default query parameters stripped by ``normalize_url`` — pure
+#: analytics campaign tags that never select content. Each entry is a
+#: regex alternative matched case-insensitively against the parameter
+#: NAME (marketing URLs are frequently hand-pasted as UTM_SOURCE=, and
+#: a case-sensitive strip would leave two canonical spellings of the
+#: same page). Deliberately EXCLUDES bare ``ref``/``ref_src``: those
+#: are content-selecting on many sites (GitHub ``?ref=<branch>``), so
+#: stripping them would merge distinct pages and ``url_dedup`` would
+#: then drop real content — callers whose corpus uses them as pure
+#: referrer tags pass a widened ``tracking_params`` explicitly.
+DEFAULT_TRACKING_PARAMS = (
+    "utm_[^=]*", "fbclid", "gclid", "msclkid", "igshid", "mc_eid",
+)
+
+
+def _tracking_re(tracking_params) -> str:
+    return "^(?i)(" + "|".join(tracking_params) + ")="
 
 # common second-level public suffixes; host "a.b.co.uk" → registered
 # domain "b.co.uk" (3 labels) instead of "co.uk" (2)
@@ -81,27 +96,36 @@ def _port_suffix(url: Column) -> Column:
     ).otherwise(F.concat(F.lit(":"), port.cast("string")))
 
 
-def _clean_query(url: Column) -> Column:
+def _clean_query(
+    url: Column, tracking_params=DEFAULT_TRACKING_PARAMS
+) -> Column:
     """'?k=v&...' with tracking parameters removed; empty string when
     nothing survives (or there was no query)."""
     q = F.try_parse_url(url, F.lit("QUERY"))
+    pat = _tracking_re(tracking_params)
     kept = F.filter(
         F.split(F.coalesce(q, F.lit("")), "&"),
-        lambda kv: (kv != "") & ~kv.rlike(TRACKING_PARAM_RE),
+        lambda kv: (kv != "") & ~kv.rlike(pat),
     )
     joined = F.array_join(kept, "&")
     return F.when(joined == "", F.lit("")).otherwise(F.concat(F.lit("?"), joined))
 
 
-def normalize_url(url: Column) -> Column:
+def normalize_url(
+    url: Column, tracking_params=DEFAULT_TRACKING_PARAMS
+) -> Column:
     """Canonical URL per the module contract; NULL when the value has
-    no parseable scheme+host."""
+    no parseable scheme+host. ``tracking_params`` is the strip list
+    (regex alternatives over parameter names) — see
+    ``DEFAULT_TRACKING_PARAMS`` for what the default covers and why
+    ``ref`` is not in it."""
     scheme = F.lower(F.try_parse_url(url, F.lit("PROTOCOL")))
     host = url_host(url)
     path = F.try_parse_url(url, F.lit("PATH"))
     path = F.when(F.coalesce(path, F.lit("")) == "", F.lit("/")).otherwise(path)
     out = F.concat(
-        scheme, F.lit("://"), host, _port_suffix(url), path, _clean_query(url)
+        scheme, F.lit("://"), host, _port_suffix(url), path,
+        _clean_query(url, tracking_params),
     )
     return F.when(scheme.isNull() | host.isNull(), F.lit(None)).otherwise(out)
 
@@ -125,7 +149,10 @@ def registered_domain(host: Column) -> Column:
 
 
 def url_dedup(
-    df: DataFrame, url_col: str = "url", id_col: str = "doc_id"
+    df: DataFrame,
+    url_col: str = "url",
+    id_col: str = "doc_id",
+    tracking_params=DEFAULT_TRACKING_PARAMS,
 ) -> DataFrame:
     """URL-level exact dedup: keep one row per canonical URL (the
     minimum ``id_col``, so the choice is deterministic). Same
@@ -134,7 +161,9 @@ def url_dedup(
     ``groupBy(canonical).agg(min(id))`` joined back — a mega-cluster
     URL cannot serialize onto one task, and rows with an unparseable
     URL (canonical NULL) are all kept."""
-    canon = df.withColumn("__curl", normalize_url(F.col(url_col)))
+    canon = df.withColumn(
+        "__curl", normalize_url(F.col(url_col), tracking_params)
+    )
     keepers = (
         canon.where(F.col("__curl").isNotNull())
         .groupBy("__curl")

@@ -311,10 +311,16 @@ def ivf_train_from_corpus(
     vec_col: str = "embedding",
     seed: int = 42,
 ):
-    """The training step of ``ivf_topk``, callable separately: the
-    deterministic first-N-by-id sample + driver-side Lloyd's. Returns
-    the centroid array — identical to what ``ivf_topk`` trains inline,
-    so callers can memoize it (per corpus) and pass ``centroids=`` to
+    """The training step of ``ivf_topk``, callable separately: a
+    deterministic HASH-ordered sample (first N by ``md5(id)``, a
+    TakeOrdered — no count job, no RNG over the data) + driver-side
+    Lloyd's. Hash order rather than id order: a corpus written
+    clustered by id (by ingest date, by source shard) would hand
+    first-N-by-id a single cluster and the quantizer would place every
+    centroid inside it; md5 scatters the sample uniformly over the
+    corpus while staying deterministic and memoizable. Returns the
+    centroid array — identical to what ``ivf_topk`` trains inline, so
+    callers can memoize it (per corpus) and pass ``centroids=`` to
     skip the per-plan-build sample collection."""
     import numpy as np
 
@@ -322,7 +328,9 @@ def ivf_train_from_corpus(
         corpus.select(
             F.col(id_col), F.col(vec_col).cast("array<double>").alias("__cv")
         )
-        .orderBy(id_col)
+        # secondary id key: md5 ties are impossible in practice but the
+        # sample must be a deterministic FUNCTION of the corpus
+        .orderBy(F.md5(F.col(id_col).cast("string")), F.col(id_col))
         .limit(ivf_sample_cap(n_centroids))
         .toPandas()
         .sort_values(id_col)
@@ -356,7 +364,7 @@ def ivf_topk(
 
     Quantizer training only needs enough points to place coarse cells,
     so Lloyd's runs driver-side (numpy) on a bounded DETERMINISTIC
-    sample — the first ``ivf_sample_cap`` corpus rows by id
+    sample — the first ``ivf_sample_cap`` corpus rows by ``md5(id)``
     (TakeOrdered, no count job, no RNG over the data) — making the
     whole pipeline value-reproducible by an external oracle that trains
     on the same fixed sample.

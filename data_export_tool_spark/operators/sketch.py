@@ -192,6 +192,40 @@ def mg_candidates(df: DataFrame, col: str, capacity: int) -> DataFrame:
     )
 
 
+#: composite-key encoding for the grouped MG pass: the group value is
+#: made separator-free (escape '\x10'→'\x10\x10', then '\x1f'→
+#: '\x10\x1f') and non-NULL groups get a '\x01' marker byte, NULL a
+#: lone '\x00' — so a group CONTAINING the separator splits correctly
+#: and no real value can collide with the NULL marker. Decoding
+#: reverses the two replaces in the opposite order; both passes are
+#: left-to-right non-overlapping, which round-trips every '\x10'/'\x1f'
+#: run (each encoded '\x1f' is preceded by an odd count of '\x10's, so
+#: the first decode pass strips exactly the escape that produced it).
+_G_ESC, _G_SEP, _G_NULL, _G_MARK = "\x10", "\x1f", "\x00", "\x01"
+
+
+def _enc_group(g):
+    escaped = F.replace(
+        F.replace(g, F.lit(_G_ESC), F.lit(_G_ESC + _G_ESC)),
+        F.lit(_G_SEP),
+        F.lit(_G_ESC + _G_SEP),
+    )
+    return F.when(g.isNull(), F.lit(_G_NULL)).otherwise(
+        F.concat(F.lit(_G_MARK), escaped)
+    )
+
+
+def _dec_group(g):
+    unescaped = F.replace(
+        F.replace(
+            F.substring(g, 2, 2147483646), F.lit(_G_ESC + _G_SEP), F.lit(_G_SEP)
+        ),
+        F.lit(_G_ESC + _G_ESC),
+        F.lit(_G_ESC),
+    )
+    return F.when(g == _G_NULL, F.lit(None).cast("string")).otherwise(unescaped)
+
+
 def grouped_topk_two_pass(
     df: DataFrame,
     col: str,
@@ -217,10 +251,9 @@ def grouped_topk_two_pass(
     exact; the approximation only affects which items make the
     candidate set.
     """
-    sep = "\x1f"  # ASCII unit separator: absent from real-world keys
+    sep = _G_SEP
     composite = F.concat_ws(
-        sep, F.coalesce(F.col(by).cast("string"), F.lit("<null>")),
-        F.col(col).cast("string"),
+        sep, _enc_group(F.col(by).cast("string")), F.col(col).cast("string")
     )
     if capacity is None:
         g = n_groups_hint
@@ -242,9 +275,7 @@ def grouped_topk_two_pass(
     joined = (
         df.where(F.col(col).isNotNull())
         .select(
-            F.coalesce(F.col(by).cast("string"), F.lit("<null>")).alias(
-                "__g"
-            ),
+            _enc_group(F.col(by).cast("string")).alias("__g"),
             F.col(col).cast("string").alias("item"),
         )
         .join(F.broadcast(cands), ["__g", "item"])
@@ -263,9 +294,7 @@ def grouped_topk_two_pass(
         .where(F.col("__rn") <= k)
     )
     return out.select(
-        F.when(F.col("__g") == "<null>", F.lit(None))
-        .otherwise(F.col("__g"))
-        .alias(by),
+        _dec_group(F.col("__g")).alias(by),
         "item",
         "cnt",
     )

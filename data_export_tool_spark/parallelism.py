@@ -20,8 +20,61 @@ the Repartition node, so scans keep their ``PushedFilters``.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+
+#: rows a single task absorbs comfortably for the two-phase degrade
+#: policy below — metadata-narrow rows (id, key, count ≈ tens of
+#: bytes), so 2M rows ≈ a few hundred MB of sort/window spill headroom
+ROWS_PER_TASK = 2_000_000
+
+
+def footer_row_count(path: str) -> int | None:
+    """Row count from a local parquet file's footer — a driver-side
+    metadata read, no Spark job. None when the layout isn't a local
+    single file (e.g. a sharded production table): callers then keep
+    the scale path rather than guessing."""
+    try:
+        import pyarrow.parquet as pq
+
+        return pq.ParquetFile(path).metadata.num_rows
+    except Exception:
+        return None
+
+
+def two_phase_preferred(
+    path: str, rows_per_task: int = ROWS_PER_TASK
+) -> bool:
+    """THE tiny-input degrade policy, shared by every two-phase
+    operator (exact-dedup join-back, shard packing, the funnel fold):
+    keep the de-skewed two-phase scale shape unless the parquet footer
+    PROVES the input fits one task's window, in which case the cheaper
+    single-pass/window form is identical output for ~half the cost.
+    Large or unreadable layouts always keep the scale shape;
+    ``SPARK_GRAFT_FORCE_TWO_PHASE=1`` pins it for plan contracts."""
+    if os.environ.get("SPARK_GRAFT_FORCE_TWO_PHASE"):
+        return True
+    rows = footer_row_count(path)
+    return rows is None or rows > rows_per_task
+
+
+def degraded_range_count(
+    path: str, cap: int = 32, rows_per_task: int = ROWS_PER_TASK
+) -> int:
+    """Range count for two-phase range-partitioned operators under the
+    same policy: ``cap`` at scale (or when the footer is unreadable /
+    forced), else just enough ranges that each stays within one task's
+    row budget — 1 for provably tiny inputs. Ceil division: a 3.9M-row
+    table must get 2 ranges, not degrade to a single-task window
+    nearly twice the per-range budget."""
+    if os.environ.get("SPARK_GRAFT_FORCE_TWO_PHASE"):
+        return cap
+    rows = footer_row_count(path)
+    if rows is None:
+        return cap
+    return max(1, min(cap, -(-rows // rows_per_task)))
 
 
 def pin_above_exchange(col: Column) -> Column:

@@ -23,9 +23,11 @@ from data_export_tool_spark.functions.text import (
     token_count,
 )
 from data_export_tool_spark.parallelism import (
+    degraded_range_count,
     fan_out,
     pin_above_exchange,
     sort_after_stage,
+    two_phase_preferred,
 )
 from data_export_tool_spark.operators.dedup import (
     exact_duplicates,
@@ -123,18 +125,12 @@ def d01_doc_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("dup3_frac"),
     )
     # scale shape: two-phase aggregate + join-back (see block comment).
-    # On provably tiny inputs (parquet footer rows ≤ one task's worth —
-    # same policy as _shard_num_ranges) the window form is identical
+    # On provably tiny inputs (shared policy:
+    # parallelism.two_phase_preferred) the window form is identical
     # output for ~half the cost (one scan, no second normalize+md5
     # pass, no join); large or unreadable layouts keep the two-phase
     # shape, and SPARK_GRAFT_FORCE_TWO_PHASE=1 pins it for contracts.
-    rows = _documents_rows(sf_dir)
-    two_phase = (
-        bool(os.environ.get("SPARK_GRAFT_FORCE_TWO_PHASE"))
-        or rows is None
-        or rows > _ROWS_PER_RANGE
-    )
-    if two_phase:
+    if two_phase_preferred(_documents_path(sf_dir)):
         stats = base.groupBy("__fpk").agg(
             F.count(F.lit(1)).alias("dup_count"),
             F.min("doc_id").alias("keep_id"),
@@ -660,43 +656,18 @@ _SHARD_BUDGET = 2000
 #: bench/gate repetition
 _SHARD_BOUNDS_CACHE: dict[str, list[float]] = {}
 
-#: rows a single range-task's prefix-sum window absorbs comfortably —
-#: the packing input is metadata-narrow (id, stratum, token count ≈
-#: tens of bytes/row), so 2M rows ≈ a few hundred MB of sort spill
-#: headroom per task
-_ROWS_PER_RANGE = 2_000_000
-
-
-def _documents_rows(sf_dir: str) -> int | None:
-    """documents row count from the parquet footer — a driver-side
-    metadata read, no Spark job. None when the layout isn't a local
-    single file (e.g. a sharded production table): the caller then
-    keeps the scale path rather than guessing."""
-    try:
-        import pyarrow.parquet as pq
-
-        path = os.path.join(sf_dir, "documents.parquet")
-        return pq.ParquetFile(path).metadata.num_rows
-    except Exception:
-        return None
+def _documents_path(sf_dir: str) -> str:
+    return os.path.join(sf_dir, "documents.parquet")
 
 
 def _shard_num_ranges(sf_dir: str, cap: int = 32) -> int:
-    """Range count for two-phase packing, degraded to 1 when every
-    stratum provably fits one task's window (tiny local inputs): the
-    output is identical for ANY range count, and the two-phase form
-    costs ~3 extra stages that never amortize at toy scale. At
-    production scale the footer count is large (or unreadable → None)
-    and the full two-phase shape is kept. Contract tests pin the scale
-    shape via SPARK_GRAFT_FORCE_TWO_PHASE=1."""
-    if os.environ.get("SPARK_GRAFT_FORCE_TWO_PHASE"):
-        return cap
-    rows = _documents_rows(sf_dir)
-    if rows is None:
-        return cap
-    # ceil: a 3.9M-row table must get 2 ranges, not degrade to a
-    # single-task window nearly twice the per-range budget
-    return max(1, min(cap, -(-rows // _ROWS_PER_RANGE)))
+    """Range count for two-phase packing — the shared degrade policy
+    (parallelism.degraded_range_count) over the documents table: the
+    output is identical for ANY range count, and the two-phase form's
+    ~3 extra stages never amortize at toy scale, so provably-tiny
+    inputs get 1 range. Contract tests pin the scale shape via
+    SPARK_GRAFT_FORCE_TWO_PHASE=1."""
+    return degraded_range_count(_documents_path(sf_dir), cap)
 
 
 def _doc_id_bounds(

@@ -3,7 +3,7 @@
 Every tier is value-oracle-checked: brute-force cosine top-k is the
 exact baseline; SRP-LSH and the banded near-dup pairs replay bit-exactly
 in DuckDB (deterministic hyperplanes embedded as literals); IVF trains
-its quantizer on a DETERMINISTIC sample (first-N corpus ids) with
+its quantizer on a DETERMINISTIC sample (first-N corpus ids by md5 hash order) with
 driver-side Lloyd's, so the oracle feeds the same sample through the
 same training function and embeds the resulting centroids as literals.
 All math is double-precision on both engines.
@@ -200,7 +200,8 @@ V03_ORACLE = _lsh_oracle()
 
 # --------------------------------------------------------------------------
 # v04 — IVF ANN top-k. The quantizer is deterministic (first-N corpus
-# ids → driver-side Lloyd's, operators/similarity.train_ivf_centroids),
+# rows in md5-of-id hash order → driver-side Lloyd's,
+# operators/similarity.train_ivf_centroids),
 # so the oracle trains on the SAME fixed sample read straight from the
 # correctness-gate parquet and embeds the resulting centroids as DOUBLE
 # literals, then replays assignment (argmax cosine, ties → lowest
@@ -256,9 +257,17 @@ def _ivf_oracle(seed: int = 42) -> str | None:
     import numpy as np
 
     con = duckdb.connect()
+    # same hash-ordered deterministic sample the engine takes
+    # (similarity.ivf_train_from_corpus), re-sorted by id so Lloyd's
+    # sees rows in the identical order; DuckDB and Spark agree on
+    # md5(decimal-string) hex
     sample = con.sql(
-        f"SELECT CAST(embedding AS DOUBLE[]) AS v FROM '{path}' "
-        f"WHERE vec_id >= {_N_QUERIES} ORDER BY vec_id LIMIT {ivf_sample_cap(_N_CENTROIDS)}"
+        f"SELECT v FROM ("
+        f"  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM '{path}'"
+        f"  WHERE vec_id >= {_N_QUERIES}"
+        f"  ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id"
+        f"  LIMIT {ivf_sample_cap(_N_CENTROIDS)}"
+        f") ORDER BY vec_id"
     ).fetchall()
     con.close()
     X = np.array([r[0] for r in sample], dtype=np.float64)

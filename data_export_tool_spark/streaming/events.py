@@ -238,7 +238,15 @@ def upsert_sink(
     # build run on executors), so plain imports are safe here
     def apply_batch(batch: DataFrame, batch_id: int) -> None:
         tgt = Path(target_path)
-        olds = sorted(glob.glob(f"{target_path}__old_*"))
+        # sort by the NUMERIC batch-id suffix: lexicographic order puts
+        # '__old_10' before '__old_2', and after a silently-failed
+        # cleanup (rmtree ignore_errors) plus a between-renames crash
+        # the string-newest dir could be a stale snapshot — restoring
+        # it would discard the committed one
+        olds = sorted(
+            glob.glob(f"{target_path}__old_*"),
+            key=lambda p: int(p.rsplit("_", 1)[-1]),
+        )
         if olds and not tgt.exists():
             # crashed between the two renames: the newest old copy is
             # the last committed snapshot — restore it

@@ -104,6 +104,33 @@ def test_ivf_topk_deterministic(split):
     assert sorted(map(tuple, a)) == sorted(map(tuple, b))
 
 
+def test_ivf_training_sample_is_hash_ordered(spark, monkeypatch):
+    # the quantizer sample must be the first-N rows by md5(id) — a
+    # deterministic scatter over the corpus — not first-N by id, which
+    # on an id-clustered layout would train every centroid inside one
+    # cluster. Pin the exact subset via a Python md5 replay.
+    import hashlib
+
+    import numpy as np
+
+    from data_export_tool_spark.operators import similarity as sim
+
+    monkeypatch.setattr(sim, "ivf_sample_cap", lambda n: 12)
+    rows = [(i, [float(i), float(i % 7), 1.0, 0.0]) for i in range(50)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+    got = sim.ivf_train_from_corpus(df, n_centroids=3)
+
+    expect_ids = sorted(
+        sorted(range(50), key=lambda i: (hashlib.md5(str(i).encode()).hexdigest(), i))[:12]
+    )
+    X = np.array(
+        [[float(i), float(i % 7), 1.0, 0.0] for i in expect_ids], dtype=np.float64
+    )
+    want = sim.train_ivf_centroids(X, 3, seed=42)
+    assert np.allclose(np.asarray(got), np.asarray(want))
+
+
 def test_near_dup_pairs_symmetric_threshold(spark):
     rows = [
         (1, [1.0, 0.0, 0.0, 0.0]),

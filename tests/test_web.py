@@ -29,7 +29,10 @@ CANON_CASES = [
         "https://a.io/p?q=1&b=2",
     ),
     ("https://a.io/p?utm_campaign=x", "https://a.io/p"),
-    ("https://a.io/p?ref=hn&keep=1", "https://a.io/p?keep=1"),
+    # content-selecting params survive the default strip: 'ref' is a
+    # branch/anchor selector on many sites (GitHub '?ref=<branch>'),
+    # so the default list leaves it alone
+    ("https://a.io/p?ref=hn&keep=1", "https://a.io/p?ref=hn&keep=1"),
     # userinfo dropped
     ("http://user:pw@example.com/x", "http://example.com/x"),
     # already canonical -> unchanged
@@ -40,6 +43,22 @@ CANON_CASES = [
 def test_normalize_url_battery(spark):
     got = _norm(spark, [u for u, _ in CANON_CASES])
     assert got == [want for _, want in CANON_CASES]
+
+
+def test_normalize_url_widened_strip_list(spark):
+    # a corpus whose 'ref' really is a referrer tag opts in explicitly
+    df = spark.createDataFrame(
+        [("https://a.io/p?ref=hn&keep=1",), ("https://a.io/p?utm_source=x",)],
+        "url string",
+    )
+    wide = (*W.DEFAULT_TRACKING_PARAMS, "ref", "ref_src")
+    got = [
+        r["c"]
+        for r in df.select(
+            W.normalize_url(F.col("url"), tracking_params=wide).alias("c")
+        ).collect()
+    ]
+    assert got == ["https://a.io/p?keep=1", "https://a.io/p"]
 
 
 def test_normalize_url_unparseable_is_null(spark):

@@ -1,8 +1,12 @@
 """Benchmark harness: runs the engine's query catalog end-to-end.
 
-Prints ONE JSON line:
-    {"metric": "...", "value": <total_sec>, "unit": "sec",
-     "queries": {"q01_...": sec, ...}, "sf": 0.1}
+Prints ONE COMPACT JSON line (the driver captures only the final ~2000
+characters of stdout, so the line carries just the headline fields):
+    {"metric":"catalog_total_wall","value":<total_sec>,"unit":"sec",
+     "queries":{"q01_...":sec,...},"sf":0.1,"loadavg_1m":...,
+     "global_shift":...,"regressions":[...],"subset_total_r03":...}
+Everything bulky (per-query spreads, prev-round deltas, protocol
+notes) goes to BENCH_DETAIL.json in the repo root instead.
 
 Env: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
      SPARK_GRAFT_CPUS (default 32),
@@ -15,6 +19,11 @@ SPARK_GRAFT_BENCH_RUNS runs — single-run numbers at this scale carry
 the same commit). Execution is measured with a `noop` sink (full
 pipeline runs, nothing is collected to the driver) — the number is the
 engine, not pandas conversion.
+
+Run set = the 50-entry driver catalog minus the m* reference-report
+replicas (fixed-seed fixtures that don't scale with sf) plus the
+bench-only b* specs (queries/bench_extra.py) guarding operators that
+landed after the catalog freeze.
 """
 
 from __future__ import annotations
@@ -31,6 +40,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 def main() -> None:
     from data_export_tool_spark.session import get_spark
     from data_export_tool_spark.queries import all_queries
+    from data_export_tool_spark.queries import bench_extra
 
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0.1)
@@ -54,8 +64,13 @@ def main() -> None:
     # the m* entries are reference-report replicas over FIXED seeded
     # fixtures — they don't scale with sf, so they'd distort the
     # catalog-vs-sf metric; their correctness runs in the driver gate
-    # and their runtime in the pytest parity suite
+    # and their runtime in the pytest parity suite. The b* bench-only
+    # specs join the run set so post-freeze operators stay guarded.
     specs = {n: s for n, s in specs.items() if not n.startswith("m")}
+    for spec in bench_extra.QUERIES:
+        if spec.name in specs:
+            raise ValueError(f"bench-extra name collides: {spec.name}")
+        specs[spec.name] = spec
 
     def gc_barrier() -> None:
         # A long catalog session accumulates shuffle/broadcast garbage,
@@ -94,12 +109,16 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "sf": sf,
-        "protocol": f"median_of_{n_runs}_after_warmup",
         # host contention marker: this VM shares hardware, and a noisy
         # neighbor inflates EVERY query uniformly (observed 41.6s vs
         # 64.0s for the identical commit an hour apart at 1-min load
         # 4 vs 12) — read cross-round deltas against this figure
         "loadavg_1m": loadavg(),
+    }
+    detail = {
+        "protocol": f"median_of_{n_runs}_after_warmup",
+        "sf": sf,
+        "n_queries": len(timings),
     }
     # the catalog GROWS round over round, so the headline total is not
     # comparable across rounds; also publish the total over exactly the
@@ -127,8 +146,9 @@ def main() -> None:
             continue
 
     # per-query regression guard vs the latest committed round: flag a
-    # slip when the delta exceeds BOTH 25% of the prior time and this
-    # run's own observed noise spread, so pure JVM jitter doesn't alarm.
+    # slip when, after normalizing out the whole-run shift, the delta
+    # exceeds ALL of (a) 35% of the prior time, (b) this run's own
+    # observed noise spread, and (c) a 0.35 s absolute floor.
     # Deltas are NORMALIZED by the global shift first: this VM's
     # contention inflates every query uniformly (observed whole-run
     # swings of ±15% with loadavg 1.4→12), and an un-normalized guard
@@ -139,16 +159,17 @@ def main() -> None:
     # queries drifting +0.15..0.40 s with loadavg 1.4→12 and the
     # flagged set DIFFERENT each run — so the guard needs (a) the
     # median per-query ratio as the global-shift estimate (robust to a
-    # few genuinely-optimized big movers) and (b) a 0.35 s absolute
+    # few genuinely-optimized big movers) and (b) the 0.35 s absolute
     # floor under which this host simply cannot testify. A real
-    # regression (r3's d13 +2.06 s / +54%) clears both comfortably.
+    # regression (r3's d13 +2.06 s / +54%) clears all three
+    # comfortably.
     shared = [q for q in timings if q in latest_prev]
     if shared:  # median() raises on empty (disjoint query sets)
         shift = statistics.median(
             timings[q] / max(latest_prev[q], 1e-9) for q in shared
         )
         out["global_shift"] = round(shift, 3)
-        out["prev_deltas"] = {
+        detail["prev_deltas"] = {
             q: round(timings[q] - latest_prev[q], 3) for q in sorted(shared)
         }
         out["regressions"] = sorted(
@@ -157,8 +178,17 @@ def main() -> None:
             if timings[q] / shift - latest_prev[q]
             > max(0.35 * latest_prev[q], spreads[q], 0.35)
         )
-    out["spreads"] = spreads
-    print(json.dumps(out))
+    detail["spreads"] = spreads
+    detail["loadavg_1m"] = out["loadavg_1m"]
+    try:
+        with open(os.path.join(here, "BENCH_DETAIL.json"), "w") as fh:
+            json.dump(detail, fh, indent=1, sort_keys=True)
+    except OSError:
+        pass  # detail is best-effort; the stdout line is the contract
+    # compact separators: the driver parses the LAST ~2000 stdout
+    # chars, so the line must stay short — r4's padded line overflowed
+    # that window and the round's perf number went unrecorded
+    print(json.dumps(out, separators=(",", ":")))
 
 
 if __name__ == "__main__":

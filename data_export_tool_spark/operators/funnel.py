@@ -6,12 +6,15 @@ for 100 TB event logs:
 
 - ``funnel_steps`` finds, per user, the earliest strictly-increasing
   timestamp chain hitting each step in order (the standard funnel
-  semantics) in ONE shuffle: group the user's events, sort in-array,
-  and walk the chain with a single ``aggregate`` fold — no per-step
-  join cascade (k steps as joins = k shuffles of the full log).
-  Per-user state is the user's own event list, which is the bounded
-  quantity in any real log (and the same bound sessionization
-  already relies on).
+  semantics) in ONE shuffle: hash-repartition the step-typed events
+  by user, sort within partitions by (user, ts), and STREAM a
+  carry-state fold over the Arrow batches (``mapInPandas``). Per-user
+  state is at most k completion timestamps — a bot account with 10⁸
+  events flows through the fold batch by batch and never materializes
+  as one value (the earlier ``collect_list`` form put a hot user's
+  whole event array on a single task; same failure class as a window
+  over a mega-duplicate fingerprint). No per-step join cascade
+  (k steps as joins = k shuffles of the full log).
 - ``funnel_counts`` reduces that to the per-step conversion table.
 - ``retention_matrix`` buckets each user by first-seen period
   (cohort) and counts distinct active users per (cohort, period
@@ -21,10 +24,35 @@ for 100 TB event logs:
 
 from __future__ import annotations
 
+import re
 from collections.abc import Sequence
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.types import IntegerType, StructField, StructType
+
+#: INTERVAL units accepted by ``within`` — both the SQL interval
+#: grammar and pandas DateOffset understand these, so the window
+#: arithmetic is identical wherever it is evaluated
+_WITHIN_UNITS = {
+    "year", "month", "week", "day", "hour", "minute", "second",
+    "millisecond", "microsecond",
+}
+
+
+def _parse_within(within: str):
+    """'<n> <unit>' → pandas DateOffset. Raises on anything else —
+    the value reaches date arithmetic, so accept only the strict
+    shape (no expression injection, no silently-ignored units)."""
+    m = re.fullmatch(r"(\d+)\s+([A-Za-z]+)", within.strip())
+    if not m:
+        raise ValueError(f"within must look like '7 days': {within!r}")
+    n, unit = int(m.group(1)), m.group(2).lower().rstrip("s")
+    if unit not in _WITHIN_UNITS:
+        raise ValueError(f"unsupported within unit {unit!r}: {within!r}")
+    import pandas as pd
+
+    return pd.DateOffset(**{unit + "s": n})
 
 
 def funnel_steps(
@@ -45,81 +73,149 @@ def funnel_steps(
 
     Earliest-chain is the standard greedy semantics and is optimal:
     taking the earliest valid completion of each step never prevents
-    a later step that any other choice would have allowed.
+    a later step that any other choice would have allowed. The chain
+    is UNIQUE per user, so the streamed fold below computes exactly
+    what a per-user sorted in-memory walk would.
 
-    ONE exchange: ``groupBy(user)`` over events pre-filtered to the
-    step types (scan-level ``isin`` pushdown), then an in-array sort +
-    fold. No joins.
+    Scale shape — ONE exchange, O(k) state: events pre-filtered to
+    the step types (scan-level ``isin`` pushdown) are hash-partitioned
+    by user and sorted within partitions by (user, ts, step); a
+    ``mapInPandas`` fold then streams the partition's Arrow batches,
+    carrying (user, completed-step timestamps) across batch
+    boundaries. A user's events are contiguous in the sorted
+    partition, so per-user state is never more than k timestamps and
+    a 10⁸-event hot user costs linear streaming, not one giant
+    in-memory array. Within a batch the fold is vectorized: user
+    segment boundaries come from one shifted comparison, and each
+    chain advance is a ``searchsorted`` on the segment's step-typed
+    timestamps — Python work is O(users · k · log batch), not
+    O(events).
     """
     steps = list(steps)
     k = len(steps)
     if k < 1:
         raise ValueError("funnel needs at least one step")
     if len(set(steps)) != k:
-        # array_position resolves a repeated name to its FIRST index,
-        # so a later duplicate step could never be reached — reject
-        # loudly instead of silently capping the funnel
+        # a repeated name resolves to its FIRST index, so a later
+        # duplicate step could never be reached — reject loudly
+        # instead of silently capping the funnel
         raise ValueError(f"duplicate step names: {steps}")
-    if within is not None and not __import__("re").fullmatch(
-        r"\d+\s+[A-Za-z]+", within.strip()
-    ):
-        # `within` is interpolated into an INTERVAL expression; accept
-        # only the '<n> <unit>' shape (no expression injection)
-        raise ValueError(f"within must look like '7 days': {within!r}")
+    offset = _parse_within(within) if within is not None else None
     step_idx = F.array_position(
         F.array(*[F.lit(s) for s in steps]), F.col(type_col)
     )  # 1-based; 0 when not a step (filtered out anyway)
 
-    grouped = (
-        events.where(F.col(type_col).isin(steps) & F.col(ts_col).isNotNull())
-        .select(
-            F.col(user_col),
-            F.struct(
-                F.col(ts_col).alias("ts"), step_idx.cast("int").alias("s")
-            ).alias("ev"),
-        )
-        .groupBy(user_col)
-        .agg(F.array_sort(F.collect_list("ev")).alias("__evs"))
-    )
-
-    # fold state: (done: array<timestamp> of completed step times)
-    # advance when the event is the NEXT step, strictly later than the
-    # previous completion, and (if bounded) within `within` of step 1
-    # try_element_at, not element_at: ANSI mode evaluates both sides of
-    # a boolean OR, so element_at(acc, -1) on the empty seed would
-    # throw even under the n == 0 guard
-    def advance(acc, ev):
-        n = F.size(acc)
-        is_next = ev["s"] == n + 1
-        after_prev = (n == 0) | (ev["ts"] > F.try_element_at(acc, F.lit(-1)))
-        in_window = (
-            F.lit(True)
-            if within is None
-            else (n == 0)
-            | (ev["ts"] <= F.try_element_at(acc, F.lit(1)) + F.expr(f"INTERVAL {within}"))
-        )
-        return F.when(
-            is_next & after_prev & in_window & (n < k),
-            F.concat(acc, F.array(ev["ts"])),
-        ).otherwise(acc)
-
-    done = F.aggregate(
-        F.col("__evs"),
-        F.array().cast("array<timestamp>"),
-        advance,
-    )
-    out = grouped.select(
-        user_col,
-        done.alias("__done"),
+    pre = events.where(
+        F.col(type_col).isin(steps) & F.col(ts_col).isNotNull()
     ).select(
-        user_col,
-        *[
-            F.try_element_at(F.col("__done"), F.lit(i + 1)).alias(f"ts_{i + 1}")
-            for i in range(k)
-        ],
-        F.size("__done").alias("n_steps"),
+        F.col(user_col),
+        F.col(ts_col).alias("__ts"),
+        step_idx.cast("int").alias("__s"),
     )
-    return out
+    # the one exchange; secondary sort makes each user's events one
+    # contiguous ts-ordered run (ties additionally by step index so
+    # the scan order is fully deterministic — outcome-neutral either
+    # way, since equal timestamps never advance the chain)
+    part = pre.repartition(F.col(user_col)).sortWithinPartitions(
+        user_col, "__ts", "__s"
+    )
+
+    ts_type = pre.schema["__ts"].dataType
+    out_schema = StructType(
+        [pre.schema[user_col]]
+        + [StructField(f"ts_{i + 1}", ts_type, True) for i in range(k)]
+        + [StructField("n_steps", IntegerType(), False)]
+    )
+
+    def fold(batches):
+        import numpy as np
+        import pandas as pd
+
+        have = False  # an open user carried across batches
+        cur = None  # its key
+        done: list = []  # its completed step times (≤ k)
+        stopped = False  # chain can never advance again (window)
+        win_end = None
+
+        out_users: list = []
+        out_done: list = []
+
+        def flush():
+            out_users.append(cur)
+            out_done.append(list(done))
+
+        def emit():
+            data = {user_col: out_users}
+            for i in range(k):
+                data[f"ts_{i + 1}"] = pd.to_datetime(
+                    pd.Series(
+                        [d[i] if len(d) > i else None for d in out_done],
+                        dtype="object",
+                    )
+                )
+            data["n_steps"] = pd.Series(
+                [len(d) for d in out_done], dtype="int32"
+            )
+            return pd.DataFrame(data)
+
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            users = pdf[user_col].values
+            ts = pdf["__ts"].values
+            ss = pdf["__s"].values
+            change = np.empty(len(users), dtype=bool)
+            change[0] = True
+            if len(users) > 1:
+                eq = users[1:] == users[:-1]
+                # NaN-safe: a NULL-user run must stay ONE segment
+                both_na = pd.isna(users[1:]) & pd.isna(users[:-1])
+                change[1:] = ~(eq | both_na)
+            starts = np.flatnonzero(change)
+            ends = np.append(starts[1:], len(users))
+            for st, en in zip(starts, ends):
+                u = users[st]
+                same = have and (
+                    (not pd.isna(u) and not pd.isna(cur) and u == cur)
+                    or (pd.isna(u) and pd.isna(cur))
+                )
+                if not same:
+                    if have:
+                        flush()
+                    cur, done, stopped, win_end = u, [], False, None
+                    have = True
+                if stopped or len(done) >= k:
+                    continue
+                seg_ts, seg_s = ts[st:en], ss[st:en]
+                while len(done) < k:
+                    cand = seg_ts[seg_s == len(done) + 1]
+                    if len(done) == 0:
+                        pos = 0
+                    else:
+                        # strictly later than the previous completion
+                        pos = np.searchsorted(cand, done[-1], side="right")
+                    if pos >= len(cand):
+                        break  # next step may still arrive in a later batch
+                    t = cand[pos]
+                    if win_end is not None and pd.Timestamp(t) > win_end:
+                        # every later candidate is larger still — the
+                        # chain can never advance again
+                        stopped = True
+                        break
+                    done.append(t)
+                    if offset is not None and len(done) == 1:
+                        win_end = pd.Timestamp(done[0]) + offset
+            if out_users:
+                yield emit()
+                out_users, out_done = [], []
+        if have:
+            flush()
+        if out_users:
+            yield emit()
+
+    return part.mapInPandas(fold, out_schema).select(
+        user_col, *[f"ts_{i + 1}" for i in range(k)], "n_steps"
+    )
 
 
 def funnel_counts(

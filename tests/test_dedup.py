@@ -6,6 +6,8 @@ from __future__ import annotations
 import pytest
 from pyspark.sql import functions as F
 
+from tests.conftest import record_opcheck
+
 from data_export_tool_spark.operators.dedup import (
     dedup_exact,
     exact_duplicates,
@@ -285,6 +287,10 @@ def test_dedup_lines_matches_duckdb(spark, sf_dir):
         ).fetchall()
     }
     nulls = {r["doc_id"] for r in docs.where(F.col("text").isNull()).collect()}
+    ok = set(got) == set(want) | nulls and all(
+        got[k] == v for k, v in want.items()
+    )
+    record_opcheck("dedup_lines", len(want), ok)
     assert set(got) == set(want) | nulls
     for k, v in want.items():
         assert got[k] == v, k

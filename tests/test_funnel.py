@@ -11,6 +11,7 @@ import pytest
 from pyspark.sql import functions as F
 
 from data_export_tool_spark.catalog import Catalog
+from tests.conftest import record_opcheck
 from data_export_tool_spark.operators.funnel import (
     funnel_counts,
     funnel_steps,
@@ -62,6 +63,11 @@ def test_funnel_steps_matches_reference(spark, sf_dir):
     want = _py_funnel(_rows(spark, sf_dir), STEPS)
     # users with no step events at all don't appear in the Spark output
     want = {u: d for u, d in want.items() if d or u in got}
+    record_opcheck(
+        "funnel_steps", len(got),
+        got == {u: d for u, d in want.items() if u in got},
+        oracle="python-reference",
+    )
     assert got == {u: d for u, d in want.items() if u in got}
     assert set(got) == {
         u for u, evs in want.items()
@@ -122,6 +128,75 @@ def test_funnel_single_exchange(spark, sf_dir):
     assert "PushedFilters" in plan and "event_type" in plan
 
 
+def test_funnel_hot_user_streams(spark):
+    """The 100 TB skew scenario in miniature (same shape as
+    test_dedup_two_phase_hot_cluster): ONE user with 10⁵ step-typed
+    events — a bot/service account — plus normal users. The fold must
+    stream the hot user across many Arrow batches with O(k) state:
+    forced tiny batches make the carry-state path the only way to a
+    correct answer, and the plan must show the mapInPandas shape (no
+    per-user collect_list array, no join cascade)."""
+    n_hot = 100_000
+    prev = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch", None)
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "1000")
+    try:
+        # hot user 7: views at t0+i sec for i<n_hot, ONE click after
+        # them all, ONE purchase after that -> chain completes at the
+        # very end, so state must survive every batch boundary
+        hot = spark.range(n_hot).select(
+            F.lit(7).cast("long").alias("user_id"),
+            (
+                F.lit("2024-01-01 00:00:00").cast("timestamp")
+                + F.make_interval(secs=F.col("id").cast("double"))
+            ).alias("ts"),
+            F.lit("view").alias("event_type"),
+        )
+        tail = spark.createDataFrame(
+            [
+                (7, dt.datetime(2024, 1, 3, 0, 0, 0), "click"),
+                (7, dt.datetime(2024, 1, 3, 0, 0, 1), "purchase"),
+                # normal user sanity rows in the same run
+                (8, dt.datetime(2024, 1, 1, 0, 0, 0), "view"),
+                (8, dt.datetime(2024, 1, 1, 0, 0, 1), "purchase"),
+            ],
+            "user_id long, ts timestamp, event_type string",
+        )
+        out = funnel_steps(hot.unionByName(tail), STEPS)
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "collect_list" not in plan, "funnel regressed to array form"
+        assert "MapInPandas" in plan
+        assert "Join" not in plan
+        got = {r["user_id"]: r for r in out.collect()}
+        assert got[7]["n_steps"] == 3
+        assert got[7]["ts_1"] == dt.datetime(2024, 1, 1, 0, 0, 0)
+        assert got[7]["ts_2"] == dt.datetime(2024, 1, 3, 0, 0, 0)
+        assert got[7]["ts_3"] == dt.datetime(2024, 1, 3, 0, 0, 1)
+        assert got[8]["n_steps"] == 1  # purchase can't follow view directly
+    finally:
+        if prev is None:
+            spark.conf.unset("spark.sql.execution.arrow.maxRecordsPerBatch")
+        else:
+            spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", prev)
+
+
+def test_funnel_within_month_units(spark):
+    # calendar units flow through the pandas DateOffset window: 1
+    # month after Jan 31 is Feb 29 (2024 is a leap year), NOT 30 days
+    rows = [
+        (1, dt.datetime(2024, 1, 31, 12, 0, 0), "view"),
+        (1, dt.datetime(2024, 2, 29, 11, 59, 0), "click"),  # inside
+        (1, dt.datetime(2024, 3, 1, 0, 0, 0), "purchase"),  # outside
+        (2, dt.datetime(2024, 1, 31, 12, 0, 0), "view"),
+        (2, dt.datetime(2024, 2, 29, 12, 0, 1), "click"),  # outside
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp, event_type string")
+    got = {
+        r["user_id"]: r["n_steps"]
+        for r in funnel_steps(df, STEPS, within="1 month").collect()
+    }
+    assert got == {1: 2, 2: 1}
+
+
 def test_retention_matrix_matches_duckdb(spark, sf_dir):
     ev = Catalog(spark, sf_dir).load("events")
     got = {
@@ -148,6 +223,7 @@ def test_retention_matrix_matches_duckdb(spark, sf_dir):
     """
         ).fetchall()
     }
+    record_opcheck("retention_matrix", len(want), got == want)
     assert got == want
     # offset-0 cell of each cohort equals the cohort size
     sizes = {

@@ -5,6 +5,8 @@ from __future__ import annotations
 import pytest
 from pyspark.sql import functions as F
 
+from tests.conftest import record_opcheck
+
 
 def _cc(spark, pairs, **kw):
     from data_export_tool_spark.operators.graph import connected_components
@@ -242,6 +244,11 @@ def test_stratified_sample_k_selects_by_hash_order(spark):
         .limit(k)
         .collect()
     )
+    record_opcheck(
+        "stratified_sample_k", k,
+        got == sorted(r["id"] for r in ranked),
+        oracle="hash-order-replay",
+    )
     assert got == sorted(r["id"] for r in ranked)
 
 
@@ -278,6 +285,10 @@ def test_weighted_sample_k_deterministic_and_sized(spark):
     )
     a = sorted(r["id"] for r in weighted_sample_k(df, "id", "w", 50).collect())
     b = sorted(r["id"] for r in weighted_sample_k(df, "id", "w", 50).collect())
+    record_opcheck(
+        "weighted_sample_k", 50, a == b and len(a) == 50,
+        oracle="determinism+size-law",
+    )
     assert a == b and len(a) == 50
     # zero/negative/null weights never selected
     df2 = spark.createDataFrame(

@@ -9,6 +9,8 @@ import glob
 import pytest
 from pyspark.sql import functions as F
 
+from tests.conftest import record_opcheck
+
 from data_export_tool_spark.operators.layout import write_zordered, zorder_key
 
 
@@ -68,6 +70,14 @@ def test_zorder_bounds_every_dimension(spark, grid, tmp_path):
     b = grid.agg(
         F.count(F.lit(1)), F.sum("x"), F.sum("y"), F.sum("noise")
     ).first()
+    bounded = (
+        _avg_rel_width(zx, 0, 199) < 0.45 and _avg_rel_width(zy, 0, 199) < 0.45
+    )
+    record_opcheck(
+        "zorder_layout", len(zx) + len(zy),
+        bounded and tuple(a) == tuple(b),
+        oracle="parquet-footer",
+    )
     assert tuple(a) == tuple(b)
 
 

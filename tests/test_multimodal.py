@@ -5,6 +5,8 @@ from __future__ import annotations
 
 import pytest
 
+from tests.conftest import record_opcheck
+
 from data_export_tool_spark.operators.multimodal import (
     ImageDecodeError,
     decode_image_dimensions,
@@ -175,9 +177,17 @@ def _make_wav(sample_rate=16000, channels=1, n_frames=1600, bits=16):
 def test_decode_wav_metadata_against_stdlib_writer():
     from data_export_tool_spark.operators.multimodal import decode_wav_metadata
 
-    assert decode_wav_metadata(_make_wav(16000, 1, 1600)) == (16000, 1, 1600)
-    assert decode_wav_metadata(_make_wav(44100, 2, 4410)) == (44100, 2, 4410)
-    assert decode_wav_metadata(_make_wav(8000, 1, 80, bits=8)) == (8000, 1, 80)
+    cases = [
+        ((16000, 1, 1600), {}),
+        ((44100, 2, 4410), {}),
+        ((8000, 1, 80), {"bits": 8}),
+    ]
+    ok = all(
+        decode_wav_metadata(_make_wav(*want, **kw)) == want
+        for want, kw in cases
+    )
+    record_opcheck("audio_wav_codec", len(cases), ok, oracle="stdlib-wave-writer")
+    assert ok
 
 
 def test_decode_wav_metadata_rejects_corrupt():

@@ -5,6 +5,8 @@ from __future__ import annotations
 import pytest
 from pyspark.sql import functions as F
 
+from tests.conftest import record_opcheck
+
 from data_export_tool_spark.operators.sketch import (
     approx_distinct,
     approx_quantiles,
@@ -118,6 +120,7 @@ def test_exact_topk_matches_duckdb(spark, sf_dir):
         f"SELECT lang AS item, count(*) AS cnt FROM '{sf_dir}/documents.parquet'"
         " WHERE lang IS NOT NULL GROUP BY 1 ORDER BY cnt DESC, item LIMIT 3"
     ).fetchall()
+    record_opcheck("exact_topk", len(want), got == [(i, c) for i, c in want])
     assert got == [(i, c) for i, c in want]
 
 
@@ -156,6 +159,7 @@ def test_mg_guarantee_and_two_pass_exactness(spark):
     # two-pass returns the SAME items with EXACT counts as the
     # full-shuffle form, at a candidate-bounded exchange
     got = [(r["item"], r["cnt"]) for r in topk_two_pass(df, "item", 10).collect()]
+    record_opcheck("topk_two_pass", len(exact), got == exact, oracle="exact-recount")
     assert got == exact
 
 
@@ -274,6 +278,7 @@ def test_snapshot_diff_matches_duckdb(spark, sf_dir):
         | {k: "update" for k in upds}
         | {k: "insert" for k in ins}
     )
+    record_opcheck("snapshot_diff", len(want), got == want)
     assert got == want
 
 
@@ -379,6 +384,9 @@ def test_grouped_topk_two_pass_matches_exact(spark):
     got = sorted(
         (int(r["g"]), r["item"], r["cnt"])
         for r in grouped_topk_two_pass(df, "item", 5, by="g").collect()
+    )
+    record_opcheck(
+        "grouped_topk_two_pass", len(want), got == want, oracle="exact-recount"
     )
     assert got == want
     # NULL group forms its own stratum and round-trips to NULL

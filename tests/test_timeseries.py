@@ -7,6 +7,7 @@ import pytest
 from pyspark.sql import functions as F
 
 from data_export_tool_spark.catalog import Catalog
+from tests.conftest import record_opcheck
 from data_export_tool_spark.operators.timeseries import fill_gaps, resample
 
 
@@ -37,6 +38,7 @@ def test_resample_matches_duckdb(spark, sf_dir):
     """
         ).fetchall()
     }
+    record_opcheck("timeseries_resample", len(want), got == want)
     assert got == want
 
 
@@ -99,6 +101,7 @@ def test_fill_gaps_matches_duckdb_axis(spark, sf_dir):
     """
         ).fetchall()
     }
+    record_opcheck("timeseries_fill_gaps", len(want_axis), got_axis == want_axis)
     assert got_axis == want_axis
     # every original bucket present and not flagged as gap
     n_real = dense.where(~F.col("is_gap")).count()

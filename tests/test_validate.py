@@ -14,6 +14,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from data_export_tool_spark.operators import validate as V
+from tests.conftest import record_opcheck
 
 SF = "/root/testdata/sf0.001"
 
@@ -35,6 +36,7 @@ def test_profile_matches_duckdb_exact(spark, duck):
             spark.read.parquet(f"{SF}/orders.parquet"), cols, exact_distinct=True
         ).collect()
     }
+    oks = []
     for c in cols:
         o = duck.sql(
             f"SELECT count(*) AS n, count({c}) AS nn, count(DISTINCT {c}) AS nd,"
@@ -42,12 +44,16 @@ def test_profile_matches_duckdb_exact(spark, duck):
             " FROM orders"
         ).fetchone()
         g = got[c]
-        assert g["n_rows"] == o[0]
-        assert g["n_null"] == o[0] - o[1]
-        assert g["n_distinct"] == o[2]
-        # numeric/date renderings agree in value; normalize via float or str
-        assert g["min_value"].rstrip("0").rstrip(".") == o[3].rstrip("0").rstrip(".")
-        assert g["max_value"].rstrip("0").rstrip(".") == o[4].rstrip("0").rstrip(".")
+        # numeric/date renderings agree in value; normalize via str strip
+        oks.append(
+            g["n_rows"] == o[0]
+            and g["n_null"] == o[0] - o[1]
+            and g["n_distinct"] == o[2]
+            and g["min_value"].rstrip("0").rstrip(".") == o[3].rstrip("0").rstrip(".")
+            and g["max_value"].rstrip("0").rstrip(".") == o[4].rstrip("0").rstrip(".")
+        )
+    record_opcheck("validate_profile", len(cols), all(oks))
+    assert all(oks), list(zip(cols, oks))
 
 
 def test_profile_hll_within_bound(spark):
@@ -101,11 +107,16 @@ def test_checks_match_duckdb(spark, duck):
         "positive_price": "count(*) FILTER (NOT coalesce(o_totalprice > 0, FALSE))",
     }
     n_rows = duck.sql("SELECT count(*) FROM orders").fetchone()[0]
+    oks = {}
     for name, expr in oracle.items():
         want = duck.sql(f"SELECT {expr} FROM orders").fetchone()[0]
-        assert got[name]["violations"] == want, name
-        assert got[name]["n_rows"] == n_rows
-        assert got[name]["passed"] == (want == 0)
+        oks[name] = (
+            got[name]["violations"] == want
+            and got[name]["n_rows"] == n_rows
+            and got[name]["passed"] == (want == 0)
+        )
+    record_opcheck("validate_checks", len(oracle), all(oks.values()))
+    assert all(oks.values()), oks
     # the battery over this clean fixture: FK/PK/format checks pass,
     # o_custkey is deliberately NOT unique
     assert not got["unique(o_custkey)"]["passed"]
@@ -132,6 +143,7 @@ def test_referential_integrity_clean_and_dirty(spark, duck):
         "SELECT count(*) FROM orders o WHERE o.o_custkey IS NOT NULL AND"
         " NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)"
     ).fetchone()[0]
+    record_opcheck("validate_referential_integrity", 1, clean.count() == want == 0)
     assert clean.count() == want == 0
 
     dirty = orders.unionByName(

@@ -5,6 +5,8 @@ from __future__ import annotations
 import pytest
 from pyspark.sql import functions as F
 
+from tests.conftest import record_opcheck
+
 from data_export_tool_spark.functions import web as W
 
 
@@ -42,6 +44,11 @@ CANON_CASES = [
 
 def test_normalize_url_battery(spark):
     got = _norm(spark, [u for u, _ in CANON_CASES])
+    record_opcheck(
+        "web_normalize_url", len(CANON_CASES),
+        got == [want for _, want in CANON_CASES],
+        oracle="literal-battery",
+    )
     assert got == [want for _, want in CANON_CASES]
 
 

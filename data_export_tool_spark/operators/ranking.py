@@ -1,0 +1,193 @@
+"""Lexical relevance over the documents table: BM25 search and TF-IDF
+keyword extraction.
+
+A corpus engine needs a no-model retrieval tier next to the embedding
+ANN: BM25 is the standard (Robertson-Spärck Jones; the exact formula
+below is the Lucene/standard variant) and TF-IDF keywords are the
+classic corpus-triage summary. Both are pure DataFrame algebra over a
+shared scan-side tokenizer.
+
+Scale shapes:
+
+- ``bm25_search`` touches only the QUERY's terms: the token explode is
+  filtered to the query vocabulary before any shuffle, so the exchange
+  carries (doc, term) pairs for matching terms only — at 100 TB the
+  shuffle is proportional to the posting lists of the query terms, not
+  the corpus. Corpus stats (N, avg length) are one partial-aggregable
+  pass. Per-term document frequencies fall out of the same (doc, term)
+  aggregate; the per-term idf table is broadcast back. Final top-k is
+  a TakeOrdered, no global sort.
+- ``top_terms_per_doc`` aggregates the full (doc, term) matrix — the
+  honest full-vocabulary pass (partial aggregation absorbs hot terms
+  map-side) — then ranks within each document, a window whose
+  partition is bounded by the document's own vocabulary (never
+  corpus-scale).
+
+Tokenization contract (shared, and replayed by the DuckDB oracles):
+lowercase, split on non-alphanumeric runs, drop empties and tokens
+shorter than ``min_len``.
+"""
+
+from __future__ import annotations
+
+import math
+import re
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+#: the split regex — identical semantics in Java regex (Spark) and
+#: DuckDB's string_split_regex
+TOKEN_SPLIT_RE = r"[^a-z0-9]+"
+
+
+def _tokens(text, min_len: int = 2):
+    toks = F.split(F.lower(text), TOKEN_SPLIT_RE)
+    return F.filter(toks, lambda t: F.length(t) >= min_len)
+
+
+def tokenize_query(query: str | Sequence[str], min_len: int = 2) -> list[str]:
+    """The same contract applied to the query string; deduplicated,
+    order-preserving."""
+    if isinstance(query, str):
+        parts = re.split(TOKEN_SPLIT_RE, query.lower())
+    else:
+        parts = [p for q in query for p in re.split(TOKEN_SPLIT_RE, q.lower())]
+    seen: dict[str, None] = {}
+    for p in parts:
+        if len(p) >= min_len:
+            seen.setdefault(p, None)
+    return list(seen)
+
+
+def bm25_search(
+    docs: DataFrame,
+    query: str | Sequence[str],
+    k: int = 10,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k1: float = 1.2,
+    b: float = 0.75,
+    min_len: int = 2,
+) -> DataFrame:
+    """Top-``k`` documents for ``query`` by BM25. Output
+    ``(id_col, score double, n_terms_matched int)``, score-desc then
+    id-asc (deterministic). Documents matching no query term are not
+    returned.
+
+    idf uses the non-negative BM25+ form
+    ``ln(1 + (N - df + 0.5) / (df + 0.5))``; tf saturation is the
+    standard ``tf·(k1+1) / (tf + k1·(1 - b + b·len/avglen))``.
+    """
+    terms = tokenize_query(query, min_len)
+    if not terms:
+        raise ValueError(f"query has no usable terms: {query!r}")
+
+    toks = docs.select(
+        F.col(id_col),
+        _tokens(F.col(text_col), min_len).alias("__toks"),
+    ).where(F.col("__toks").isNotNull())
+    # corpus stats: one partial-aggregable pass
+    stats = toks.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.avg(F.size("__toks")).alias("avg_len"),
+    ).first()
+    n_docs, avg_len = stats["n_docs"], stats["avg_len"]
+    if not n_docs:
+        raise ValueError("empty corpus")
+
+    # (doc, term, tf, doc_len) for QUERY terms only — the explode is
+    # pre-filtered, so the exchange carries matching postings only
+    matched = (
+        toks.select(
+            F.col(id_col),
+            F.size("__toks").alias("__len"),
+            F.explode(
+                F.filter(
+                    F.col("__toks"),
+                    lambda t: t.isin(terms),
+                )
+            ).alias("__term"),
+        )
+        .groupBy(id_col, "__term")
+        .agg(F.count(F.lit(1)).alias("__tf"), F.first("__len").alias("__len"))
+    )
+    # per-term document frequency falls out of the same aggregate
+    dfreq = matched.groupBy("__term").agg(F.count(F.lit(1)).alias("__df"))
+    idf = dfreq.withColumn(
+        "__idf",
+        F.log(
+            F.lit(1.0)
+            + (F.lit(float(n_docs)) - F.col("__df") + 0.5) / (F.col("__df") + 0.5)
+        ),
+    )
+    scored = matched.join(F.broadcast(idf), "__term").withColumn(
+        "__s",
+        F.col("__idf")
+        * (F.col("__tf") * (k1 + 1))
+        / (
+            F.col("__tf")
+            + k1 * (1 - b + b * F.col("__len") / F.lit(float(avg_len)))
+        ),
+    )
+    return (
+        scored.groupBy(id_col)
+        .agg(
+            F.round(F.sum("__s"), 6).alias("score"),
+            F.count(F.lit(1)).cast("int").alias("n_terms_matched"),
+        )
+        .orderBy(F.desc("score"), F.asc(id_col))
+        .limit(k)
+    )
+
+
+def top_terms_per_doc(
+    docs: DataFrame,
+    k: int = 5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_len: int = 3,
+    min_df: int = 1,
+) -> DataFrame:
+    """TF-IDF keyword extraction: the ``k`` highest-scoring terms per
+    document. Output ``(id_col, term, tf int, score double, rank int)``
+    with rank 1..k by score desc, term asc (deterministic ties).
+
+    ``min_df`` drops corpus-hapax noise below the given document
+    frequency. idf = ln((N+1)/(df+1)) + 1 (smoothed, always > 0), tf is
+    the raw in-document count.
+    """
+    toks = docs.select(
+        F.col(id_col),
+        _tokens(F.col(text_col), min_len).alias("__toks"),
+    ).where(F.col("__toks").isNotNull())
+    n_docs = toks.count()
+    if not n_docs:
+        raise ValueError("empty corpus")
+    tf = (
+        toks.select(F.col(id_col), F.explode("__toks").alias("term"))
+        .groupBy(id_col, "term")
+        .agg(F.count(F.lit(1)).cast("int").alias("tf"))
+    )
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("__df"))
+    if min_df > 1:
+        dfreq = dfreq.where(F.col("__df") >= min_df)
+    idf = dfreq.withColumn(
+        "__idf",
+        F.log((F.lit(float(n_docs)) + 1.0) / (F.col("__df") + 1.0)) + 1.0,
+    )
+    from pyspark.sql import Window
+
+    # the window partition is one document's distinct terms — bounded
+    # by document length, never by corpus size
+    w = Window.partitionBy(id_col).orderBy(
+        F.desc("score"), F.asc("term")
+    )
+    return (
+        tf.join(idf.select("term", "__idf"), "term")
+        .withColumn("score", F.round(F.col("tf") * F.col("__idf"), 6))
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(id_col, "term", "tf", "score", "rank")
+    )

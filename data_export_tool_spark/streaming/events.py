@@ -11,6 +11,10 @@ same semantics as incremental streams:
 - ``sessionize_stream``: gap-based sessions via
   ``applyInPandasWithState`` (custom stateful operator — the Spark
   primitive for operators the built-ins can't express).
+- ``funnel_stream``: watermark-buffered funnel progression — the
+  stateful twin of ``operators.funnel.funnel_steps`` (buffer until the
+  watermark passes, fold in event-time order, emit prefix-exact
+  chains).
 
 Scale notes: windowed aggregation state is keyed by (window,
 event_type) — bounded by cardinality × retention. Sessionization
@@ -37,6 +41,7 @@ try:  # pragma: no cover - trivial registration
 except Exception:
     pass
 from pyspark.sql.types import (
+    ArrayType,
     DoubleType,
     LongType,
     StringType,
@@ -379,6 +384,115 @@ def sessionize_stream(events: DataFrame, watermark: str = "2 hours") -> DataFram
             outputStructType=SESSION_OUTPUT_SCHEMA,
             stateStructType=SESSION_STATE_SCHEMA,
             outputMode="append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )
+
+
+FUNNEL_STATE_SCHEMA = StructType(
+    [
+        StructField("done", ArrayType(LongType())),
+        StructField("pend_ts", ArrayType(LongType())),
+        StructField("pend_s", ArrayType(LongType())),
+    ]
+)
+
+
+def funnel_stream(
+    events: DataFrame,
+    steps: list[str],
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Streaming funnel progression — the stateful twin of
+    ``operators.funnel.funnel_steps``, with the watermark-buffer
+    pattern every out-of-order-correct sequence matcher uses (Flink
+    CEP does exactly this): events newer than the watermark are
+    BUFFERED in per-user state, and only once the watermark passes an
+    event's time is it folded into the greedy chain in event-time
+    order. The emitted chain is therefore always a PREFIX of the batch
+    fold over the same (non-late) events — never a divergent guess
+    from arrival order.
+
+    Emits one row per user per batch in which the user was touched
+    (``update`` semantics): ``(user_id, n_steps, ts_1..ts_k)`` with the
+    chain as of the current watermark; the final emission per user is
+    the settled chain. Late events (older than the watermark on
+    arrival) are dropped, same policy as ``sessionize_stream``. An
+    event-time timeout re-fires the fold when the watermark passes a
+    buffered event even if the user receives no further events.
+
+    State = completed chain (≤ k timestamps) + the pending buffer,
+    which is bounded by the user's event volume within one watermark
+    horizon — the honest cost of exact out-of-order funnels; shrink
+    the watermark to shrink state.
+    """
+    import pandas as pd
+
+    k = len(steps)
+    if k < 1 or len(set(steps)) != k:
+        raise ValueError(f"steps must be non-empty and unique: {steps}")
+    idx = {s: i + 1 for i, s in enumerate(steps)}
+
+    out_schema = StructType(
+        [StructField("user_id", LongType()), StructField("n_steps", LongType())]
+        + [StructField(f"ts_{i + 1}", TimestampType()) for i in range(k)]
+    )
+
+    def fn(key, pdf_iter, state: GroupState):
+        (user_id,) = key
+        if state.exists:
+            done, pend_ts, pend_s = (list(x) for x in state.get)
+        else:
+            done, pend_ts, pend_s = [], [], []
+        # state timestamps are MICROSECONDS (parquet/batch precision —
+        # truncating to ms would emit chains the batch fold disagrees
+        # with at sub-ms event times); the GroupState watermark/timeout
+        # API itself speaks milliseconds
+        wm_us = state.getCurrentWatermarkMs() * 1000
+
+        if not state.hasTimedOut:
+            for pdf in pdf_iter:
+                sel = pdf[pdf["event_type"].isin(idx)]
+                if len(sel) == 0:
+                    continue
+                ts_us = pd.to_datetime(sel["ts"]).astype("int64") // 1_000
+                for t, ty in zip(ts_us, sel["event_type"]):
+                    if t >= wm_us:  # late events drop, as in sessionize
+                        pend_ts.append(int(t))
+                        pend_s.append(idx[ty])
+
+        # fold every buffered event the watermark has passed, in
+        # event-time order (ties by step index, matching the batch fold)
+        ready = sorted(
+            (t, s) for t, s in zip(pend_ts, pend_s) if t < wm_us
+        )
+        rest = [(t, s) for t, s in zip(pend_ts, pend_s) if t >= wm_us]
+        for t, s in ready:
+            n = len(done)
+            if n < k and s == n + 1 and (n == 0 or t > done[-1]):
+                done.append(t)
+        pend_ts, pend_s = [t for t, _ in rest], [s for _, s in rest]
+        state.update((done, pend_ts, pend_s))
+        if pend_ts:
+            state.setTimeoutTimestamp(
+                max(min(pend_ts) // 1000 + 1, wm_us // 1000 + 1)
+            )
+
+        row = {"user_id": [user_id], "n_steps": [len(done)]}
+        for i in range(k):
+            row[f"ts_{i + 1}"] = pd.to_datetime(
+                [done[i] if len(done) > i else None], unit="us"
+            )
+        yield pd.DataFrame(row)
+
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            fn,
+            outputStructType=out_schema,
+            stateStructType=FUNNEL_STATE_SCHEMA,
+            outputMode="update",
             timeoutConf=GroupStateTimeout.EventTimeTimeout,
         )
     )

@@ -485,3 +485,74 @@ def test_topk_sink_matches_batch_on_closed_windows(
         and w not in emitted_windows
     }
     assert not missing, f"closed windows never emitted: {sorted(missing)[:3]}"
+
+
+def test_funnel_stream_prefix_of_batch(spark, sf_dir, tmp_path):
+    """Streaming funnel twin: with ts-sliced drops arriving in order,
+    every emitted chain must be a PREFIX of the batch fold over the
+    same events (the watermark buffer folds strictly in event-time
+    order, so the stream can never emit a completion the batch
+    disagrees with), and the stream must make real progress."""
+    import time
+
+    from data_export_tool_spark.operators.funnel import funnel_steps
+    from data_export_tool_spark.streaming.events import funnel_stream
+
+    steps = ["view", "click", "purchase"]
+    ev = Catalog(spark, sf_dir).load("events").where(F.col("ts").isNotNull())
+    bounds = ev.select(F.unix_millis("ts").alias("ms")).approxQuantile(
+        "ms", [0.25, 0.5, 0.75], 0.0
+    )
+    drop_dir = str(tmp_path / "funnel_drops")
+    lo = None
+    for hi in [*bounds, None]:
+        sel = ev
+        if lo is not None:
+            sel = sel.where(F.unix_millis("ts") >= lo)
+        if hi is not None:
+            sel = sel.where(F.unix_millis("ts") < hi)
+        sel.repartition(1).write.mode("append").parquet(drop_dir)
+        lo = hi
+        time.sleep(1.05)  # file-source ordering is by mtime (1s granularity)
+
+    stream = read_events_stream(spark, drop_dir, max_files_per_trigger=1)
+    out = funnel_stream(stream, steps, watermark="30 minutes")
+    q = (
+        out.writeStream.format("memory")
+        .queryName("funnel_stream_test")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+
+    emitted = spark.sql("SELECT * FROM funnel_stream_test").collect()
+    # n_steps is monotone per user, so the settled chain is the max row
+    got = {}
+    for r in emitted:
+        cur = got.get(r["user_id"])
+        if cur is None or r["n_steps"] > cur["n_steps"]:
+            got[r["user_id"]] = r
+
+    batch = {
+        r["user_id"]: r
+        for r in funnel_steps(
+            normalize_event_times(spark.read.parquet(drop_dir)), steps
+        ).collect()
+    }
+    checked = 0
+    ok = True
+    for u, r in got.items():
+        n = r["n_steps"]
+        b = batch.get(u)
+        if b is None or n > b["n_steps"]:
+            ok = False
+            break
+        for i in range(1, int(n) + 1):
+            checked += 1
+            if r[f"ts_{i}"] != b[f"ts_{i}"]:
+                ok = False
+    progressed = sum(int(r["n_steps"]) for r in got.values())
+    ok = ok and progressed > 0 and checked > 0
+    record_stream_parity("funnel_progression", checked, ok)
+    assert ok, (progressed, checked)

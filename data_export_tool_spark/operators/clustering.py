@@ -35,6 +35,19 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import IntegerType
 
+# The Arrow-batch functions below reference module-level helpers
+# (_as_matrix, _unit_rows); ship the module BY VALUE so executors
+# whose Python workers lack this package on sys.path can still run
+# them (same policy as streaming/events.py).
+try:  # pragma: no cover - trivial registration
+    import sys as _sys
+
+    from pyspark import cloudpickle as _cloudpickle
+
+    _cloudpickle.register_pickle_by_value(_sys.modules[__name__])
+except Exception:
+    pass
+
 
 def _as_matrix(series):
     import numpy as np

@@ -100,3 +100,43 @@ def fill_gaps(
         for c in locf_cols:
             out = out.withColumn(c, F.last(c, ignorenulls=True).over(w))
     return out
+
+
+def rolling(
+    resampled: DataFrame,
+    period_seconds: int,
+    window_periods: int,
+    aggs: Mapping[str, tuple[str, str]],
+    keys: Sequence[str] = (),
+    bucket_col: str = "bucket_start",
+) -> DataFrame:
+    """Trailing-window aggregates over a ``resample`` output: for each
+    (key, bucket) row, aggregate the last ``window_periods`` buckets
+    (current included) per ``aggs`` — ``{out_name: (in_col, fn)}``
+    with ``fn`` in avg/sum/min/max/count. The moving-average /
+    rolling-sum tier dashboards layer over the rollup.
+
+    Computed with a RANGE window over the bucket epoch (missing
+    buckets simply contribute nothing — compose with ``fill_gaps``
+    first for gap-aware denominators). Scale: the window partition is
+    per key over BUCKETS, calendar-bounded like ``fill_gaps``'s LOCF —
+    never proportional to raw row volume.
+    """
+    if isinstance(keys, str):
+        keys = [keys]
+    if window_periods < 1:
+        raise ValueError(f"window_periods must be >= 1: {window_periods}")
+    fns = {"avg": F.avg, "sum": F.sum, "min": F.min, "max": F.max,
+           "count": F.count}
+    lo = -(window_periods - 1) * period_seconds
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy(F.unix_timestamp(F.col(bucket_col)))
+        .rangeBetween(lo, 0)
+    )
+    out = resampled
+    for name, (col, fn) in aggs.items():
+        if fn not in fns:
+            raise ValueError(f"unsupported rolling fn {fn!r} for {name}")
+        out = out.withColumn(name, fns[fn](F.col(col)).over(w))
+    return out

@@ -144,6 +144,111 @@ def snapshot_diff(
     )
 
 
+def scd2_init(
+    snapshot: DataFrame,
+    effective_ts,
+    valid_from: str = "valid_from",
+    valid_to: str = "valid_to",
+    is_current: str = "is_current",
+) -> DataFrame:
+    """Bootstrap a type-2 slowly-changing-dimension history from the
+    first snapshot: every row becomes the open current version."""
+    return snapshot.select(
+        "*",
+        F.lit(effective_ts).cast("timestamp").alias(valid_from),
+        F.lit(None).cast("timestamp").alias(valid_to),
+        F.lit(True).alias(is_current),
+    )
+
+
+def scd2_apply(
+    history: DataFrame,
+    snapshot: DataFrame,
+    keys: Sequence[str],
+    effective_ts,
+    compare_cols: Sequence[str] | None = None,
+    valid_from: str = "valid_from",
+    valid_to: str = "valid_to",
+    is_current: str = "is_current",
+) -> DataFrame:
+    """Advance an SCD-2 history to a new full snapshot: the standard
+    lakehouse dimension-history maintenance (Kimball type 2), built on
+    ``snapshot_diff``.
+
+    ``history`` carries the payload columns plus ``valid_from``/
+    ``valid_to``/``is_current``; ``snapshot`` is the complete new state
+    observed at ``effective_ts``. Per business key:
+
+    - changed payload → the open version closes (``valid_to`` =
+      effective_ts, ``is_current`` = false) and a new open version
+      appends;
+    - key absent from the snapshot → the open version closes with no
+      successor (a soft delete the history remembers);
+    - new key → a new open version appends;
+    - unchanged → untouched. Closed historical versions always pass
+      through untouched.
+
+    Scale shape: ONE ``snapshot_diff`` (a single full-outer join on
+    the keys — no cheaper complete change detection exists) plus a
+    semi/anti-join pair of the open generation against the (churn-
+    sized) diff keys — AQE broadcasts the diff side when the day's
+    churn is small, which is the normal case for a dimension. History
+    rows never rewrite in place, so the operator composes with an
+    append-only lake layout.
+
+    Business keys must be non-NULL: ``snapshot_diff`` reports a NULL
+    key as delete+insert every run (a NULL key is not a stable
+    identity), which under SCD2 would re-version such rows on every
+    apply.
+    """
+    keys = [keys] if isinstance(keys, str) else list(keys)
+    meta = {valid_from, valid_to, is_current}
+    payload_cols = [c for c in history.columns if c not in meta]
+
+    current = history.where(F.col(is_current))
+    d = snapshot_diff(
+        current.select(*payload_cols), snapshot, keys, compare_cols
+    )
+    changed_keys = d.where(F.col("change_type") != "insert").select(*keys)
+
+    closed_now = (
+        current.join(changed_keys, on=keys, how="left_semi")
+        .withColumn(valid_to, F.lit(effective_ts).cast("timestamp"))
+        .withColumn(is_current, F.lit(False))
+    )
+    still_open = current.join(changed_keys, on=keys, how="left_anti")
+    new_versions = scd2_init(
+        d.where(F.col("change_type") != "delete").select(*payload_cols),
+        effective_ts,
+        valid_from,
+        valid_to,
+        is_current,
+    )
+    return (
+        history.where(~F.col(is_current))
+        .unionByName(closed_now)
+        .unionByName(still_open)
+        .unionByName(new_versions)
+    )
+
+
+def scd2_lookup(
+    history: DataFrame,
+    as_of,
+    valid_from: str = "valid_from",
+    valid_to: str = "valid_to",
+) -> DataFrame:
+    """The dimension as it stood at ``as_of``: versions whose validity
+    interval covers the instant (``valid_from <= as_of < valid_to``,
+    open versions have NULL ``valid_to``). A pure filter — partition
+    pruning applies when the history is partitioned by validity."""
+    ts = F.lit(as_of).cast("timestamp")
+    return history.where(
+        (F.col(valid_from) <= ts)
+        & (F.col(valid_to).isNull() | (F.col(valid_to) > ts))
+    )
+
+
 def apply_diff(
     target: DataFrame, diff: DataFrame, keys: Sequence[str]
 ) -> DataFrame:

@@ -125,6 +125,41 @@ def b09_cluster_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     return assign_clusters(emb, _KMEANS_CACHE[sf_dir])
 
 
+def b10_scd2_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import datetime as dt
+
+    from data_export_tool_spark.operators.upsert import scd2_apply, scd2_init
+
+    orders = Catalog(spark, sf_dir).load("orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    snap1 = orders.where(F.col("o_orderkey") % 97 != 0).withColumn(
+        "o_totalprice",
+        F.when(
+            F.col("o_orderkey") % 31 == 0, F.col("o_totalprice") + 1
+        ).otherwise(F.col("o_totalprice")),
+    )
+    return scd2_apply(
+        scd2_init(orders, dt.datetime(2024, 1, 1)),
+        snap1,
+        ["o_orderkey"],
+        dt.datetime(2024, 2, 1),
+    )
+
+
+def b11_rolling_7d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_export_tool_spark.operators.timeseries import resample, rolling
+
+    ev = Catalog(spark, sf_dir).load("events")
+    daily = resample(
+        ev, "1 day", {"n": F.count(F.lit(1)).cast("long")}, keys=["event_type"]
+    )
+    return rolling(
+        daily, 86400, 7, {"n_7d": ("n", "sum"), "avg_7d": ("n", "avg")},
+        keys=["event_type"],
+    )
+
+
 QUERIES = [
     QuerySpec("b01_funnel_conversion", b01_funnel_conversion, None),
     QuerySpec("b02_retention_weekly", b02_retention_weekly, None),
@@ -135,4 +170,6 @@ QUERIES = [
     QuerySpec("b07_bm25_search", b07_bm25_search, None),
     QuerySpec("b08_chunk_documents", b08_chunk_documents, None),
     QuerySpec("b09_cluster_assign", b09_cluster_assign, None),
+    QuerySpec("b10_scd2_apply", b10_scd2_apply, None),
+    QuerySpec("b11_rolling_7d", b11_rolling_7d, None),
 ]

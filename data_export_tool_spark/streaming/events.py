@@ -455,7 +455,16 @@ def funnel_stream(
                 sel = pdf[pdf["event_type"].isin(idx)]
                 if len(sel) == 0:
                     continue
-                ts_us = pd.to_datetime(sel["ts"]).astype("int64") // 1_000
+                # normalize to ns BEFORE the integer view: depending
+                # on the pandas/Arrow pairing the series arrives as
+                # datetime64[ns] OR datetime64[us], and a bare
+                # astype(int64) silently yields different units
+                ts_us = (
+                    pd.to_datetime(sel["ts"])
+                    .astype("datetime64[ns]")
+                    .astype("int64")
+                    // 1_000
+                )
                 for t, ty in zip(ts_us, sel["event_type"]):
                     if t >= wm_us:  # late events drop, as in sessionize
                         pend_ts.append(int(t))

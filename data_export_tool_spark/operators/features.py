@@ -1,0 +1,205 @@
+"""Featurization for training-data pipelines: deterministic text
+embeddings (feature hashing), quantile binning, and column scaling.
+
+The glue between the text analytics and the vector operators: a 100 TB
+corpus without model-generated embeddings still needs a vector column
+for near-dup detection, clustering, and ANN smoke paths.
+``hashed_embedding`` is the classic feature-hashing trick (Weinberger
+et al. 2009 / HashingTF): token → hash bucket → count vector, L2
+normalized. Hashing uses ``crc32`` of the raw token bytes — available
+bit-identically JVM-side (``F.crc32``) and in the Python stdlib
+(``zlib.crc32``), so an external oracle replays vectors exactly
+(xxhash64 would be faster but has no stdlib twin to verify against).
+
+All three fit/apply pairs follow the same scale contract: the FIT is
+one partial-aggregable pass (or a driver-side quantile sketch read),
+the APPLY is a pure scan-side projection with the fitted parameters
+embedded as literals/broadcasts — nothing shuffles at apply time.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import ArrayType, DoubleType
+
+# Arrow-batch functions reference module helpers; ship by value (same
+# policy as streaming/events.py and clustering.py).
+try:  # pragma: no cover - trivial registration
+    import sys as _sys
+
+    from pyspark import cloudpickle as _cloudpickle
+
+    _cloudpickle.register_pickle_by_value(_sys.modules[__name__])
+except Exception:
+    pass
+
+#: shared tokenizer contract with operators/ranking.py
+from data_export_tool_spark.operators.ranking import TOKEN_SPLIT_RE
+
+
+def _token_buckets(text: Column, dim: int, min_len: int) -> Column:
+    toks = F.filter(
+        F.split(F.lower(text), TOKEN_SPLIT_RE),
+        lambda t: F.length(t) >= min_len,
+    )
+    return F.transform(toks, lambda t: F.crc32(t.cast("binary")) % dim)
+
+
+def hashed_embedding(
+    df: DataFrame,
+    dim: int = 64,
+    text_col: str = "text",
+    out_col: str = "embedding",
+    min_len: int = 2,
+    normalize: bool = True,
+) -> DataFrame:
+    """Append a ``dim``-sized ``array<double>`` feature-hashed
+    embedding of ``text_col``: token counts by ``crc32(token) % dim``
+    bucket, L2-normalized by default. NULL text → NULL vector; a text
+    with no usable tokens → the zero vector (which the cosine
+    operators already guard as NULL-similarity).
+
+    Shape: bucket ids are computed JVM-side in the scan projection;
+    one Arrow batch pass bincounts them per row (C-speed per row, no
+    per-token Python). A projection — no shuffle, all columns kept.
+    """
+    import numpy as np
+    import pandas as pd
+
+    if dim < 1:
+        raise ValueError(f"dim must be >= 1: {dim}")
+
+    def _vec(buckets):
+        out = []
+        for b in buckets:
+            if b is None:
+                out.append(None)
+                continue
+            v = np.bincount(
+                np.asarray(b, dtype=np.int64), minlength=dim
+            ).astype(np.float64)
+            if normalize:
+                n = float(np.linalg.norm(v))
+                if n > 0:
+                    v = v / n
+            out.append(v.tolist())
+        return pd.Series(out, dtype="object")
+
+    _vec.__annotations__ = {"buckets": pd.Series, "return": pd.Series}
+    vec_udf = F.pandas_udf(_vec, ArrayType(DoubleType()))
+    return df.withColumn(
+        out_col, vec_udf(_token_buckets(F.col(text_col), dim, min_len))
+    )
+
+
+def py_hashed_embedding(
+    text: str | None, dim: int = 64, min_len: int = 2, normalize: bool = True
+) -> list[float] | None:
+    """Driver-side replay twin of ``hashed_embedding`` for oracles:
+    same tokenizer, same crc32 bucket, same normalization."""
+    import math
+    import re
+    import zlib
+
+    if text is None:
+        return None
+    toks = [
+        t
+        for t in re.split(TOKEN_SPLIT_RE, text.lower())
+        if len(t) >= min_len
+    ]
+    v = [0.0] * dim
+    for t in toks:
+        v[zlib.crc32(t.encode("utf-8")) % dim] += 1.0
+    if normalize:
+        n = math.sqrt(sum(x * x for x in v))
+        if n > 0:
+            v = [x / n for x in v]
+    return v
+
+
+def fit_quantile_bins(
+    df: DataFrame, col: str, n_bins: int, relative_error: float = 0.001
+) -> list[float]:
+    """The ``n_bins - 1`` interior cut points of ``col`` (Greenwald-
+    Khanna sketch — one pass, driver holds only the cuts)."""
+    if n_bins < 2:
+        raise ValueError(f"n_bins must be >= 2: {n_bins}")
+    probs = [i / n_bins for i in range(1, n_bins)]
+    return df.stat.approxQuantile(col, probs, relative_error)
+
+
+def apply_quantile_bins(
+    df: DataFrame, col: str, cuts: Sequence[float], out_col: str | None = None
+) -> DataFrame:
+    """Assign each row its bin: the count of cut points the value
+    exceeds (0-based, monotone in the value; NULL → NULL). A pure
+    scan-side projection — the same cut-counting algebra the shard
+    packer uses for its range ids."""
+    out = out_col or f"{col}_bin"
+    arr = F.array(*[F.lit(float(c)) for c in sorted(cuts)])
+    bin_id = F.size(F.filter(arr, lambda c: F.col(col) > c))
+    return df.withColumn(
+        out, F.when(F.col(col).isNotNull(), bin_id).cast("int")
+    )
+
+
+def fit_scaler(df: DataFrame, cols: Sequence[str]) -> dict:
+    """Per-column (mean, stddev, min, max) in ONE partial-aggregable
+    pass — the parameters both ``zscore`` and ``minmax`` application
+    need."""
+    if isinstance(cols, str):
+        cols = [cols]
+    aggs = []
+    for c in cols:
+        aggs += [
+            F.avg(c).alias(f"__m_{c}"),
+            F.stddev_samp(c).alias(f"__s_{c}"),
+            F.min(c).alias(f"__lo_{c}"),
+            F.max(c).alias(f"__hi_{c}"),
+        ]
+    row = df.agg(*aggs).first()
+    return {
+        c: {
+            "mean": row[f"__m_{c}"],
+            "std": row[f"__s_{c}"],
+            "min": row[f"__lo_{c}"],
+            "max": row[f"__hi_{c}"],
+        }
+        for c in cols
+    }
+
+
+def apply_scaler(
+    df: DataFrame, params: dict, method: str = "zscore", suffix: str = "_scaled"
+) -> DataFrame:
+    """Scale each fitted column as a scan-side projection. ``zscore``:
+    (x − mean)/std (std 0 or NULL → 0.0 for non-null x); ``minmax``:
+    (x − min)/(max − min) (degenerate range → 0.0). NULL in → NULL
+    out."""
+    if method not in ("zscore", "minmax"):
+        raise ValueError(f"unknown method: {method}")
+    out = df
+    for c, p in params.items():
+        x = F.col(c)
+        if method == "zscore":
+            denom = p["std"]
+            scaled = (
+                F.lit(0.0)
+                if not denom
+                else (x - F.lit(p["mean"])) / F.lit(denom)
+            )
+        else:
+            rng = (p["max"] - p["min"]) if p["max"] is not None else None
+            scaled = (
+                F.lit(0.0)
+                if not rng
+                else (x - F.lit(p["min"])) / F.lit(rng)
+            )
+        out = out.withColumn(
+            c + suffix, F.when(x.isNotNull(), scaled).cast("double")
+        )
+    return out

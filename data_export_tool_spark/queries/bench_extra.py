@@ -160,6 +160,13 @@ def b11_rolling_7d(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def b12_hashed_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_export_tool_spark.operators.features import hashed_embedding
+
+    docs = Catalog(spark, sf_dir).load("documents")
+    return hashed_embedding(docs, dim=64).select("doc_id", "embedding")
+
+
 QUERIES = [
     QuerySpec("b01_funnel_conversion", b01_funnel_conversion, None),
     QuerySpec("b02_retention_weekly", b02_retention_weekly, None),
@@ -172,4 +179,5 @@ QUERIES = [
     QuerySpec("b09_cluster_assign", b09_cluster_assign, None),
     QuerySpec("b10_scd2_apply", b10_scd2_apply, None),
     QuerySpec("b11_rolling_7d", b11_rolling_7d, None),
+    QuerySpec("b12_hashed_embedding", b12_hashed_embedding, None),
 ]

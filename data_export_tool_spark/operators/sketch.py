@@ -193,37 +193,27 @@ def mg_candidates(df: DataFrame, col: str, capacity: int) -> DataFrame:
 
 
 #: composite-key encoding for the grouped MG pass: the group value is
-#: made separator-free (escape '\x10'→'\x10\x10', then '\x1f'→
-#: '\x10\x1f') and non-NULL groups get a '\x01' marker byte, NULL a
-#: lone '\x00' — so a group CONTAINING the separator splits correctly
-#: and no real value can collide with the NULL marker. Decoding
-#: reverses the two replaces in the opposite order; both passes are
-#: left-to-right non-overlapping, which round-trips every '\x10'/'\x1f'
-#: run (each encoded '\x1f' is preceded by an odd count of '\x10's, so
-#: the first decode pass strips exactly the escape that produced it).
-_G_ESC, _G_SEP, _G_NULL, _G_MARK = "\x10", "\x1f", "\x00", "\x01"
+#: BASE64-encoded (output alphabet A-Za-z0-9+/= — provably
+#: separator-free, so the composite's first '\x1f' always sits at the
+#: group/item boundary and any byte sequence round-trips), with a lone
+#: '\x00' marking NULL (not a base64 string, so no real value can
+#: collide). An escape-char scheme was tried first and property
+#: testing falsified it: escaping '\x1f' as '\x10\x1f' leaves the raw
+#: separator byte inside the encoded value, and two-pass global
+#: replaces cannot decode escape/substitute boundaries unambiguously.
+_G_SEP, _G_NULL = "\x1f", "\x00"
 
 
 def _enc_group(g):
-    escaped = F.replace(
-        F.replace(g, F.lit(_G_ESC), F.lit(_G_ESC + _G_ESC)),
-        F.lit(_G_SEP),
-        F.lit(_G_ESC + _G_SEP),
-    )
     return F.when(g.isNull(), F.lit(_G_NULL)).otherwise(
-        F.concat(F.lit(_G_MARK), escaped)
+        F.base64(g.cast("binary"))
     )
 
 
 def _dec_group(g):
-    unescaped = F.replace(
-        F.replace(
-            F.substring(g, 2, 2147483646), F.lit(_G_ESC + _G_SEP), F.lit(_G_SEP)
-        ),
-        F.lit(_G_ESC + _G_ESC),
-        F.lit(_G_ESC),
+    return F.when(g == _G_NULL, F.lit(None).cast("string")).otherwise(
+        F.unbase64(g).cast("string")
     )
-    return F.when(g == _G_NULL, F.lit(None).cast("string")).otherwise(unescaped)
 
 
 def grouped_topk_two_pass(

@@ -176,3 +176,152 @@ def test_stratified_sample_k_size_law(spark, strata, k):
         for r in out.groupBy("s").agg(F.count(F.lit(1)).alias("n")).collect()
     }
     assert sizes == {s: min(k, n) for s, n in strata.items()}
+
+
+# --- grouped-MG composite-key encoding round-trips --------------------------
+
+_hostile_group = st.one_of(
+    st.none(),
+    st.text(
+        alphabet="\x1f\x10\x00\x01ab<>n " ,
+        max_size=8,
+    ),
+)
+
+
+@SLOW
+@given(st.lists(_hostile_group, min_size=1, max_size=6, unique=True))
+def test_mg_group_encoding_round_trips(spark, groups):
+    """enc→dec is the identity for ANY group value — including values
+    containing the separator, the escape char, or spellings of the old
+    NULL sentinel — and encoded values never contain the separator, so
+    the composite split can't mis-attribute a group."""
+    from data_export_tool_spark.operators.sketch import (
+        _G_SEP,
+        _dec_group,
+        _enc_group,
+    )
+
+    df = spark.createDataFrame([(g,) for g in groups], "g string")
+    out = df.select(
+        F.col("g"),
+        _enc_group(F.col("g")).alias("e"),
+        _dec_group(_enc_group(F.col("g"))).alias("d"),
+    ).collect()
+    for r in out:
+        assert r["d"] == r["g"], (r["g"], r["e"], r["d"])
+        assert _G_SEP not in r["e"]
+
+
+def test_grouped_topk_hostile_group_values(spark):
+    """Adversarial groups: one containing the separator, one literally
+    matching the old sentinel spelling, one NULL — each must keep its
+    own counts (ADVICE r4: the previous encoding merged or split
+    them)."""
+    from data_export_tool_spark.operators.sketch import grouped_topk_two_pass
+
+    rows = (
+        [("a\x1fb", "x")] * 5
+        + [("a", "x")] * 3
+        + [("\x01<null>", "x")] * 4
+        + [(None, "x")] * 2
+        + [("a\x1fb", "y")] * 1
+    )
+    df = spark.createDataFrame(rows, "g string, item string")
+    got = {
+        (r["g"], r["item"]): r["cnt"]
+        for r in grouped_topk_two_pass(df, "item", 2, by="g", n_groups_hint=4).collect()
+    }
+    assert got == {
+        ("a\x1fb", "x"): 5,
+        ("a\x1fb", "y"): 1,
+        ("a", "x"): 3,
+        ("\x01<null>", "x"): 4,
+        (None, "x"): 2,
+    }
+
+
+# --- chunking coverage/overlap law ------------------------------------------
+
+@SLOW
+@given(
+    st.integers(min_value=1, max_value=120),
+    st.integers(min_value=2, max_value=40),
+    st.integers(min_value=0, max_value=10),
+)
+def test_chunking_coverage_law(spark, n_tokens, chunk, overlap):
+    from data_export_tool_spark.operators.chunking import chunk_documents
+
+    if overlap >= chunk:
+        overlap = chunk - 1
+    text = " ".join(f"t{i}" for i in range(n_tokens))
+    df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    rows = (
+        chunk_documents(df, chunk_tokens=chunk, overlap=overlap)
+        .orderBy("chunk_id")
+        .collect()
+    )
+    # stitching chunks (dropping each successor's overlap) rebuilds the
+    # document exactly — full coverage, no duplication, order kept
+    joined: list[str] = []
+    for r in rows:
+        toks = r["chunk_text"].split()
+        joined.extend(toks if not joined else toks[overlap:])
+    assert joined == text.split()
+    # every chunk except the last is full-size
+    for r in rows[:-1]:
+        assert r["n_tokens"] == chunk
+
+
+# --- funnel fold vs direct reference on random event soups ------------------
+
+_soup = st.lists(
+    st.tuples(
+        st.integers(min_value=1, max_value=4),  # user
+        st.integers(min_value=0, max_value=40),  # ts offset seconds
+        st.sampled_from(["view", "click", "purchase", "noise"]),
+    ),
+    min_size=0,
+    max_size=30,
+)
+
+
+@SLOW
+@given(_soup)
+def test_funnel_fold_matches_reference_property(spark, rows):
+    import datetime as dt
+
+    from data_export_tool_spark.operators.funnel import funnel_steps
+
+    steps = ["view", "click", "purchase"]
+    t0 = dt.datetime(2024, 1, 1)
+    data = [
+        (u, t0 + dt.timedelta(seconds=s), ty) for u, s, ty in rows
+    ]
+    df = spark.createDataFrame(
+        data, "user_id long, ts timestamp, event_type string"
+    ) if data else spark.createDataFrame(
+        [], "user_id long, ts timestamp, event_type string"
+    )
+    got = {
+        r["user_id"]: [
+            r[f"ts_{i + 1}"] for i in range(3) if r[f"ts_{i + 1}"] is not None
+        ]
+        for r in funnel_steps(df, steps).collect()
+    }
+    # independent greedy reference
+    idx = {s: i for i, s in enumerate(steps)}
+    by_user: dict = {}
+    for u, ts, ty in data:
+        by_user.setdefault(u, []).append((ts, ty))
+    want = {}
+    for u, evs in by_user.items():
+        done: list = []
+        for ts, ty in sorted(evs, key=lambda e: (e[0], idx.get(e[1], 99))):
+            if ty in idx and idx[ty] == len(done) and len(done) < 3 and (
+                not done or ts > done[-1]
+            ):
+                done.append(ts)
+        if any(t in idx for _, t in evs):
+            want[u] = done
+    assert got == want

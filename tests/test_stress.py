@@ -158,12 +158,15 @@ def test_stress_pack_token_shards_budget_law(spark):
     # shards are contiguous: per (lang, shard) the row count implied by
     # the budget law holds — every shard except the last is "full"
     # (its span crosses at least budget tokens)
+    # span = last row's END offset minus first row's START offset;
+    # start = cum - tok, so the group min/max give both ends exactly
     spans = (
         out.groupBy("lang", "shard_id")
         .agg(
-            (F.max("cum_tokens") - F.min("cum_tokens") + F.first("n_tokens")).alias(
-                "span"
-            )
+            (
+                F.max("cum_tokens")
+                - F.min(F.col("cum_tokens") - F.col("n_tokens"))
+            ).alias("span")
         )
         .collect()
     )

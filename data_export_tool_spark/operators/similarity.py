@@ -339,6 +339,27 @@ def ivf_train_from_corpus(
     return train_ivf_centroids(X, n_centroids, seed)
 
 
+def _cell_assign_expr(cent) -> Column:
+    """argmax-cosine cell id over columns ``__cv``/``__cn``.
+
+    Centroid-literal norms are pre-folded driver-side (py_l2_norm is
+    bitwise-equal to the Spark fold), so assignment costs one dot fold
+    per (row, centroid) instead of three. The whole argmin is ONE SQL
+    string (k folds with embedded centroid literals) parsed JVM-side —
+    the equivalent py4j Column tree costs ~1s to construct per call.
+    Ties go to the lowest cell (array_min on (negsim, cell) structs)."""
+    terms = []
+    for j in range(len(cent)):
+        lits = ", ".join(f"{float(x)!r}D" for x in cent[j])
+        norm = py_l2_norm(cent[j])
+        terms.append(
+            f"named_struct('negsim', -(aggregate(zip_with(__cv, "
+            f"array({lits}), (x, y) -> x * y), 0.0D, (acc, v) -> acc + v)"
+            f" / (__cn * {float(norm)!r}D)), 'cell', {j})"
+        )
+    return F.expr(f"array_min(array({', '.join(terms)})).cell")
+
+
 def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -391,23 +412,7 @@ def ivf_topk(
         cent = np.asarray(centroids, dtype=np.float64)
     kk = len(cent)
 
-    # centroid-literal norms are pre-folded driver-side (py_l2_norm is
-    # bitwise-equal to the Spark fold), so assignment costs one dot fold
-    # per (row, centroid) instead of three. The whole argmin is ONE SQL
-    # string (kk folds with embedded centroid literals) parsed JVM-side
-    # — the equivalent py4j Column tree costs ~1s to construct per call.
-    terms = []
-    for j in range(kk):
-        lits = ", ".join(f"{float(x)!r}D" for x in cent[j])
-        norm = py_l2_norm(cent[j])
-        terms.append(
-            f"named_struct('negsim', -(aggregate(zip_with(__cv, "
-            f"array({lits}), (x, y) -> x * y), 0.0D, (acc, v) -> acc + v)"
-            f" / (__cn * {float(norm)!r}D)), 'cell', {j})"
-        )
-    assigned = c.withColumn(
-        "cell", F.expr(f"array_min(array({', '.join(terms)})).cell")
-    )
+    assigned = c.withColumn("cell", _cell_assign_expr(cent))
 
     centroids = [(i, [float(x) for x in ctr]) for i, ctr in enumerate(cent)]
     spark = corpus.sparkSession
@@ -597,3 +602,150 @@ def semantic_dedup(
     clusters = duplicate_clusters(pairs.select("id_a", "id_b"), id_out=id_col)
     drop = clusters.where(F.col(id_col) != F.col("component_id")).select(id_col)
     return df.join(drop, on=id_col, how="left_anti")
+
+
+# ---------------------------------------------------------------------------
+# Persistent IVF index: cell-partitioned parquet layout
+# ---------------------------------------------------------------------------
+
+
+def write_ivf_index(
+    corpus: DataFrame,
+    path: str,
+    n_centroids: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+    centroids=None,
+) -> None:
+    """Persist the IVF layout ``ivf_topk`` builds in memory: the corpus
+    written PARTITIONED BY its coarse cell (one directory per cell,
+    vectors stored as double arrays with the row norm pre-folded) plus
+    the centroid matrix as JSON metadata next to it.
+
+    This is what makes IVF pay at 100 TB: a search that probes
+    ``n_probe`` of ``n_centroids`` cells then READS only that fraction
+    of the corpus from storage — partition pruning does the skipping
+    before a single byte of the unprobed cells is touched, which an
+    in-memory assignment can never do. Rewriting the layout costs one
+    full pass (the same cost every ANN index build pays).
+
+    Metadata is written with local-filesystem I/O; a lake deployment
+    would swap in its object-store client for the same two artifacts.
+    """
+    import json
+    import os
+
+    import numpy as np
+
+    if centroids is None:
+        cent = ivf_train_from_corpus(
+            corpus, n_centroids, id_col=id_col, vec_col=vec_col, seed=seed
+        )
+    else:
+        cent = np.asarray(centroids, dtype=np.float64)
+    assigned = (
+        corpus.select(
+            F.col(id_col).alias("neighbor_id"),
+            F.col(vec_col).cast("array<double>").alias("__cv"),
+        )
+        .withColumn("__cn", l2_norm(F.col("__cv")))
+        .withColumn("cell", _cell_assign_expr(cent))
+    )
+    assigned.write.partitionBy("cell").mode("overwrite").parquet(
+        os.path.join(path, "data")
+    )
+    with open(os.path.join(path, "centroids.json"), "w") as fh:
+        json.dump(
+            {"centroids": [[float(x) for x in c] for c in cent]}, fh
+        )
+
+
+def _py_cosine(a, b) -> float:
+    """Sequential-fold cosine — bitwise-equal to the Spark fold the
+    in-memory path evaluates, so driver-side probe selection can never
+    diverge from ``ivf_topk``'s JVM probe ranking."""
+    acc = 0.0
+    for x, y in zip(a, b):
+        acc = acc + float(x) * float(y)
+    na, nb = py_l2_norm(a), py_l2_norm(b)
+    return acc / (na * nb) if na * nb > 0 else float("-inf")
+
+
+def ivf_index_topk(
+    spark,
+    path: str,
+    queries: DataFrame,
+    k: int = 10,
+    n_probe: int = 4,
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+) -> DataFrame:
+    """ANN top-k against a ``write_ivf_index`` layout. Value-identical
+    to ``ivf_topk`` over the same centroids (same probe rule: cosine
+    desc, cell asc; same exact-cosine rank), but the corpus scan
+    carries a LITERAL cell filter, so partition pruning reads only the
+    probed cells' files.
+
+    The query batch is collected to the driver to derive that literal
+    (probe ranking is a k·n_probe·dim driver computation using the
+    same sequential-fold arithmetic as the JVM path) — the standing
+    assumption of every ANN API: queries are request-sized, the corpus
+    is not.
+    """
+    import json
+    import os
+
+    with open(os.path.join(path, "centroids.json")) as fh:
+        cent = json.load(fh)["centroids"]
+
+    q_rows = queries.select(
+        F.col(query_id_col), F.col(query_vec_col).cast("array<double>").alias("__qv")
+    ).collect()
+    if not q_rows:
+        raise ValueError("empty query batch")
+    probes = []  # (query_id, cell)
+    for r in q_rows:
+        sims = sorted(
+            ((_py_cosine(r["__qv"], c), -j) for j, c in enumerate(cent)),
+            reverse=True,
+        )
+        probes += [(r[query_id_col], -negj) for _, negj in sims[:n_probe]]
+    cells = sorted({c for _, c in probes})
+
+    probe_df = F.broadcast(
+        spark.createDataFrame(probes, [query_id_col, "cell"])
+    )
+    q_df = F.broadcast(
+        spark.createDataFrame(
+            [(r[query_id_col], r["__qv"]) for r in q_rows],
+            [query_id_col, "__qv"],
+        ).withColumn("__qn", l2_norm(F.col("__qv").cast("array<double>")))
+    )
+    data = spark.read.parquet(os.path.join(path, "data")).where(
+        F.col("cell").isin(cells)
+    )
+    scored = (
+        data.join(probe_df, on="cell")
+        .join(q_df, on=query_id_col)
+        .select(
+            query_id_col,
+            "neighbor_id",
+            cosine_pre(
+                F.col("__qv").cast("array<double>"),
+                F.col("__cv"),
+                F.col("__qn"),
+                F.col("__cn"),
+            ).alias("__cos"),
+        )
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("__cos").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            query_id_col, "rank", "neighbor_id", F.round("__cos", 6).alias("cosine_sim")
+        )
+    )

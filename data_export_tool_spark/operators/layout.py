@@ -105,3 +105,40 @@ def write_zordered(
         .write.mode(mode)
         .parquet(path)
     )
+
+
+def compact_parquet(
+    spark,
+    src: str,
+    dst: str,
+    target_mb: int = 256,
+) -> int:
+    """Small-file compaction: rewrite a parquet table into
+    ``ceil(total_bytes / target_mb)`` files. Returns the output file
+    count.
+
+    The lake-maintenance op every streaming/incremental writer needs —
+    a sink emitting one file per micro-batch per partition turns a
+    table into millions of KB-files whose per-file open/footer cost
+    dominates scans. Sizing reads file LENGTHS from the filesystem
+    (driver-side metadata via the Hadoop FS API — works on any
+    supported FS, no data read), and the rewrite uses ``coalesce``:
+    pure compaction narrows partitions without a shuffle (repartition
+    would shuffle every byte to achieve the same file count).
+    """
+    import math
+
+    jvm = spark.sparkContext._jvm
+    conf = spark.sparkContext._jsc.hadoopConfiguration()
+    path = jvm.org.apache.hadoop.fs.Path(src)
+    fs = path.getFileSystem(conf)
+    total = 0
+    it = fs.listFiles(path, True)
+    while it.hasNext():
+        f = it.next()
+        name = f.getPath().getName()
+        if not name.startswith("_") and not name.startswith("."):
+            total += f.getLen()
+    n_out = max(1, math.ceil(total / (target_mb * 1024 * 1024)))
+    spark.read.parquet(src).coalesce(n_out).write.mode("overwrite").parquet(dst)
+    return n_out

@@ -140,3 +140,54 @@ def rolling(
             raise ValueError(f"unsupported rolling fn {fn!r} for {name}")
         out = out.withColumn(name, fns[fn](F.col(col)).over(w))
     return out
+
+
+def detect_anomalies(
+    resampled: DataFrame,
+    period_seconds: int,
+    window_periods: int,
+    value_col: str,
+    keys: Sequence[str] = (),
+    n_sigmas: float = 3.0,
+    min_periods: int = 3,
+    bucket_col: str = "bucket_start",
+) -> DataFrame:
+    """Rolling z-score anomaly flags over a ``resample`` grid: each
+    bucket's value is compared against the mean/stddev of the
+    ``window_periods`` buckets strictly BEFORE it (the classic
+    trailing baseline — excluding the current bucket, so a spike
+    cannot mask itself by inflating its own baseline).
+
+    Adds ``baseline_mean``, ``baseline_std``, ``is_anomaly``
+    (|x − mean| > n_sigmas·std). ``is_anomaly`` is NULL while the
+    baseline holds fewer than ``min_periods`` observed buckets (cold
+    start) and false when the baseline variance is zero-or-NULL but
+    the value equals the mean. Same calendar-bounded per-key window
+    scale argument as ``rolling``/LOCF.
+    """
+    if isinstance(keys, str):
+        keys = [keys]
+    if window_periods < 1:
+        raise ValueError(f"window_periods must be >= 1: {window_periods}")
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy(F.unix_timestamp(F.col(bucket_col)))
+        .rangeBetween(-window_periods * period_seconds, -period_seconds)
+    )
+    mean = F.avg(value_col).over(w)
+    std = F.stddev_samp(value_col).over(w)
+    n = F.count(value_col).over(w)
+    dev = F.abs(F.col(value_col) - F.col("baseline_mean"))
+    return (
+        resampled.withColumn("baseline_mean", mean)
+        .withColumn("baseline_std", std)
+        .withColumn("__n_base", n)
+        .withColumn(
+            "is_anomaly",
+            F.when(F.col("__n_base") < min_periods, F.lit(None).cast("boolean"))
+            .otherwise(
+                dev > F.lit(n_sigmas) * F.coalesce(F.col("baseline_std"), F.lit(0.0))
+            ),
+        )
+        .drop("__n_base")
+    )

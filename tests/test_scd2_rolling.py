@@ -252,3 +252,89 @@ def test_scd2_join_after_apply_matches_lookup(spark):
     at0 = {r["k"]: r["v"] for r in scd2_lookup(h, T0).collect()}
     at1 = {r["k"]: r["v"] for r in scd2_lookup(h, T1).collect()}
     assert got == {1: at0[1], 2: at0[2], 3: at1[1], 4: at1[2]}
+
+
+def test_detect_anomalies_matches_duckdb(spark, sf_dir):
+    from data_export_tool_spark.catalog import Catalog
+    from data_export_tool_spark.operators.timeseries import detect_anomalies
+
+    ev = Catalog(spark, sf_dir).load("events")
+    daily = resample(
+        ev, "1 day", {"n": F.count(F.lit(1)).cast("double")}, keys=["event_type"]
+    )
+    out = detect_anomalies(daily, 86400, 7, "n", keys=["event_type"], n_sigmas=2.0)
+    got = {
+        (r["event_type"], str(r["bucket_start"])[:10]): (
+            None if r["baseline_mean"] is None else round(r["baseline_mean"], 6),
+            r["is_anomaly"],
+        )
+        for r in out.collect()
+    }
+    want = {
+        (t, str(b)[:10]): (
+            None if m is None else round(float(m), 6),
+            None if flag is None else bool(flag),
+        )
+        for t, b, m, flag in duckdb.sql(
+            f"""
+    WITH daily AS (
+      SELECT event_type, date_trunc('day', ts) AS b,
+             CAST(count(*) AS DOUBLE) AS n
+      FROM read_parquet('{sf_dir}/events.parquet')
+      WHERE ts IS NOT NULL GROUP BY 1, 2
+    ),
+    r AS (
+      SELECT event_type, b, n,
+             avg(n) OVER w AS m, stddev_samp(n) OVER w AS s,
+             count(n) OVER w AS c
+      FROM daily
+      WINDOW w AS (PARTITION BY event_type ORDER BY b
+                   RANGE BETWEEN INTERVAL 7 DAY PRECEDING
+                             AND INTERVAL 1 DAY PRECEDING)
+    )
+    SELECT event_type, b, m,
+           CASE WHEN c < 3 THEN NULL
+                ELSE abs(n - m) > 2.0 * coalesce(s, 0.0) END
+    FROM r
+    """
+        ).fetchall()
+    }
+    record_opcheck("timeseries_anomalies", len(want), got == want)
+    assert got == want
+
+
+def test_detect_anomalies_flags_spike(spark):
+    import datetime as dtm
+
+    from data_export_tool_spark.operators.timeseries import detect_anomalies
+
+    rows = [
+        ("k", dtm.datetime(2024, 1, 1 + i), 10.0 + (i % 2)) for i in range(8)
+    ] + [("k", dtm.datetime(2024, 1, 9), 500.0)]
+    df = spark.createDataFrame(rows, "k string, bucket_start timestamp, n double")
+    out = {
+        str(r["bucket_start"])[:10]: r["is_anomaly"]
+        for r in detect_anomalies(df, 86400, 5, "n", keys=["k"]).collect()
+    }
+    assert out["2024-01-09"] is True
+    assert out["2024-01-01"] is None  # cold start
+    assert out["2024-01-08"] is False
+
+
+def test_compact_parquet(spark, sf_dir, tmp_path):
+    from data_export_tool_spark.operators.layout import compact_parquet
+
+    import glob
+
+    src = str(tmp_path / "fragmented")
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs.repartition(64).write.parquet(src)
+    assert len(glob.glob(f"{src}/part-*")) == 64
+
+    dst = str(tmp_path / "compacted")
+    n_out = compact_parquet(spark, src, dst, target_mb=1024)
+    files = glob.glob(f"{dst}/part-*")
+    assert n_out == 1 and len(files) == 1  # tiny table -> one file
+    a = sorted(map(tuple, spark.read.parquet(dst).collect()))
+    b = sorted(map(tuple, docs.collect()))
+    assert a == b

@@ -1,0 +1,93 @@
+"""Fuzzy edit-distance joins (operators/fuzzy.py) vs the quadratic
+DuckDB truth."""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from tests.conftest import record_opcheck
+from data_export_tool_spark.operators.fuzzy import (
+    deletion_neighborhood,
+    fuzzy_dedup_pairs,
+    fuzzy_pairs,
+)
+
+NAMES = [
+    (1, "jonathan smith"),
+    (2, "jonathon smith"),   # 1 substitution of 1
+    (3, "jon smith"),
+    (4, "john smith"),       # 1 edit of 3
+    (5, "smith jonathan"),   # far from all
+    (6, "aquamarine"),
+    (7, "aquamarine"),       # exact dup of 6
+    (8, "aquamarines"),      # 1 insertion of 6/7
+    (9, None),
+    (10, ""),                # empty string: matches nothing but itself
+]
+
+
+@pytest.fixture(scope="module")
+def names(spark):
+    return spark.createDataFrame(NAMES, "id long, name string")
+
+
+def test_fuzzy_dedup_pairs_matches_quadratic_truth(spark, names):
+    for d in (1, 2):
+        got = {
+            (r["id_a"], r["id_b"]): r["distance"]
+            for r in fuzzy_dedup_pairs(
+                names, max_distance=d, id_col="id", text_col="name"
+            ).collect()
+        }
+        vals = ", ".join(
+            f"({i}, '{n}')" for i, n in NAMES if n is not None
+        )
+        want = {
+            (a, b): int(dist)
+            for a, b, dist in duckdb.sql(
+                f"""
+        WITH t(id, name) AS (VALUES {vals})
+        SELECT a.id, b.id, levenshtein(a.name, b.name) AS d
+        FROM t a JOIN t b ON a.id < b.id
+        WHERE levenshtein(a.name, b.name) <= {d}
+        """
+            ).fetchall()
+        }
+        record_opcheck(
+            f"fuzzy_dedup_pairs_d{d}", len(want), got == want
+        )
+        assert got == want, d
+
+
+def test_fuzzy_pairs_cross_sides(spark):
+    left = spark.createDataFrame(
+        [(1, "color"), (2, "flavour")], "id long, name string"
+    )
+    right = spark.createDataFrame(
+        [(10, "colour"), (11, "flavor"), (12, "texture")],
+        "id long, name string",
+    )
+    got = {
+        (r["left_id"], r["right_id"]): r["distance"]
+        for r in fuzzy_pairs(left, right, max_distance=1).collect()
+    }
+    assert got == {(1, 10): 1, (2, 11): 1}
+
+
+def test_deletion_neighborhood_contents(spark):
+    df = spark.createDataFrame([("abc",), ("",)], "s string")
+    rows = df.select(
+        F.col("s"), deletion_neighborhood(F.col("s"), 1).alias("n")
+    ).collect()
+    by_s = {r["s"]: sorted(r["n"]) for r in rows}
+    assert by_s["abc"] == ["ab", "abc", "ac", "bc"]
+    assert by_s[""] == [""]
+
+
+def test_fuzzy_no_cartesian_plan(spark, names):
+    plan = (
+        fuzzy_dedup_pairs(names, 1)._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Cartesian" not in plan and "BroadcastNestedLoop" not in plan

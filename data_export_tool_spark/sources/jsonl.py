@@ -1,4 +1,5 @@
-"""JSONL corpus ingestion with a quarantine contract.
+"""Line-oriented corpus ingestion (JSONL + headerless CSV) with a
+quarantine contract.
 
 LLM corpora arrive as JSON-lines; at 100 TB a malformed record must
 neither kill the job (FAILFAST) nor silently become a row of NULLs
@@ -69,6 +70,56 @@ def load_jsonl(
         )
     )
     # from_json yields NULL (not a struct) for irrecoverably bad input
+    bad = F.col("__r").isNull() | F.col(f"__r.{CORRUPT_COL}").isNotNull()
+    good = parsed.where(~bad).select(
+        *[F.col(f"__r.{f.name}").alias(f.name) for f in schema.fields]
+    )
+    quarantine = parsed.where(bad).select(F.col("value").alias("raw"))
+    return good, quarantine
+
+
+def load_csv(
+    spark: SparkSession,
+    path: str,
+    schema: StructType | str,
+    sep: str = ",",
+) -> tuple[DataFrame, DataFrame]:
+    """The CSV twin of ``load_jsonl``: headerless CSV shards (the
+    standard large-scale layout — schema lives outside the data)
+    parsed with ``from_csv`` under the same PERMISSIVE quarantine
+    contract and the same single-scan split. A record quarantines when
+    a declared field's value cannot be coerced to its type OR the row
+    has fewer fields than the schema (``from_csv`` is strict about
+    arity — stricter than the csv datasource's silent NULL-padding,
+    which is the point: a producer that dropped a column should land
+    in the repair queue, not as NULLs). Files WITH a header row should
+    drop it upstream or let it quarantine (a header rarely coerces to
+    a typed schema)."""
+    if isinstance(schema, str):
+        from pyspark.sql.types import _parse_datatype_string
+
+        schema = _parse_datatype_string(schema)
+    if CORRUPT_COL in schema.fieldNames():
+        raise ValueError(f"schema must not declare {CORRUPT_COL!r}")
+    read_schema = StructType(
+        list(schema.fields) + [StructField(CORRUPT_COL, StringType(), True)]
+    )
+    parsed = (
+        spark.read.text(path)
+        .where(F.trim(F.col("value")) != "")
+        .select(
+            F.col("value"),
+            F.from_csv(
+                F.col("value"),
+                read_schema.simpleString(),
+                {
+                    "mode": "PERMISSIVE",
+                    "columnNameOfCorruptRecord": CORRUPT_COL,
+                    "sep": sep,
+                },
+            ).alias("__r"),
+        )
+    )
     bad = F.col("__r").isNull() | F.col(f"__r.{CORRUPT_COL}").isNotNull()
     good = parsed.where(~bad).select(
         *[F.col(f"__r.{f.name}").alias(f.name) for f in schema.fields]

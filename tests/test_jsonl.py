@@ -68,3 +68,26 @@ def test_jsonl_round_trip(spark, tmp_path, corpus_path):
     write_jsonl(good, out, compression=None)
     back = spark.read.schema("doc_id long, text string, n long").json(out)
     assert sorted(map(tuple, back.collect())) == sorted(map(tuple, good.collect()))
+
+
+def test_load_csv_splits_good_and_quarantine(spark, tmp_path):
+    from data_export_tool_spark.sources.jsonl import load_csv
+
+    lines = [
+        "1,alpha,10",
+        "2,beta,20",
+        "3,gamma,not-a-number",  # type coercion failure -> quarantine
+        "4,delta",  # short row -> quarantined (arity is part of the contract)
+        "x,epsilon,5",  # bad id -> quarantine
+    ]
+    p = tmp_path / "corpus.csv"
+    p.write_text("\n".join(lines) + "\n")
+    good, quarantine = load_csv(
+        spark, str(p), "doc_id long, text string, n long"
+    )
+    rows = {r["doc_id"]: (r["text"], r["n"]) for r in good.collect()}
+    assert rows == {1: ("alpha", 10), 2: ("beta", 20)}
+    bad = sorted(r["raw"] for r in quarantine.collect())
+    assert bad == ["3,gamma,not-a-number", "4,delta", "x,epsilon,5"]
+    plan = good._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("FileScan text") == 1

@@ -313,3 +313,100 @@ def topk_two_pass(
         .orderBy(F.desc("cnt"), F.asc("item"))
         .limit(k)
     )
+
+
+# ---------------------------------------------------------------------------
+# Stored sketches (Apache DataSketches via Spark SQL): HLL / Theta
+#
+# The incremental-analytics pattern exact aggregates can't give: sketch
+# each partition (day, source, shard) ONCE into a storable binary
+# column, then answer distinct-count questions across arbitrary
+# partition subsets by MERGING sketches — kilobytes moved instead of a
+# rescan of raw data. Theta sketches additionally support set algebra
+# (union/intersection/difference estimates), i.e. audience overlap
+# without a join.
+# ---------------------------------------------------------------------------
+
+
+def _quote(name: str) -> str:
+    return "`" + name.replace("`", "``") + "`"
+
+
+def distinct_sketch(
+    df: DataFrame,
+    col: str,
+    by: Sequence[str] = (),
+    kind: str = "hll",
+    lg_k: int = 12,
+) -> DataFrame:
+    """Per-group serialized distinct-count sketch of ``col`` —
+    ``(*by, sketch binary)``. ``kind`` 'hll' (smallest) or 'theta'
+    (supports set algebra downstream). The binary column round-trips
+    through parquet: persist per-partition sketches once, merge
+    forever."""
+    if kind not in ("hll", "theta"):
+        raise ValueError(f"kind must be hll|theta: {kind}")
+    if isinstance(by, str):
+        by = [by]
+    agg = F.expr(
+        f"{kind}_sketch_agg({_quote(col)}, {int(lg_k)})"
+    ).alias("sketch")
+    return df.groupBy(*by).agg(agg) if by else df.agg(agg)
+
+
+def merge_distinct_estimate(
+    sketches: DataFrame,
+    by: Sequence[str] = (),
+    sketch_col: str = "sketch",
+    kind: str = "hll",
+    out_col: str = "n_distinct_est",
+) -> DataFrame:
+    """Merge stored sketches (optionally per ``by`` group) and estimate
+    the distinct count — the cross-partition rollup that never touches
+    raw data. One tiny aggregation of kilobyte values."""
+    if kind not in ("hll", "theta"):
+        raise ValueError(f"kind must be hll|theta: {kind}")
+    if isinstance(by, str):
+        by = [by]
+    merged = F.expr(
+        f"{kind}_sketch_estimate({kind}_union_agg({_quote(sketch_col)}))"
+    ).cast("long").alias(out_col)
+    return (
+        sketches.groupBy(*by).agg(merged) if by else sketches.agg(merged)
+    )
+
+
+def theta_overlap(
+    df: DataFrame,
+    col: str,
+    label_col: str,
+    label_a,
+    label_b,
+    lg_k: int = 12,
+) -> DataFrame:
+    """Audience-overlap estimates WITHOUT a join: one row with
+    ``n_a, n_b, n_union, n_intersection, n_only_a`` distinct-count
+    estimates of ``col`` between the two ``label_col`` segments. Two
+    theta sketches built in one pass (conditional aggregation), set
+    algebra on the sketch pair."""
+    # labels are DATA values: route them through the DSL (typed
+    # literals), never into an interpolated SQL string
+    prep = df.select(
+        F.when(F.col(label_col) == F.lit(label_a), F.col(col)).alias("__xa"),
+        F.when(F.col(label_col) == F.lit(label_b), F.col(col)).alias("__xb"),
+    )
+    la, lb = F.lit(label_a), F.lit(label_b)
+    pair = prep.agg(
+        F.expr(f"theta_sketch_agg(__xa, {int(lg_k)})").alias("__a"),
+        F.expr(f"theta_sketch_agg(__xb, {int(lg_k)})").alias("__b"),
+    )
+    est = lambda e: F.expr(f"theta_sketch_estimate({e})").cast("long")
+    return pair.select(
+        la.alias("label_a"),
+        lb.alias("label_b"),
+        est("__a").alias("n_a"),
+        est("__b").alias("n_b"),
+        est("theta_union(__a, __b)").alias("n_union"),
+        est("theta_intersection(__a, __b)").alias("n_intersection"),
+        est("theta_difference(__a, __b)").alias("n_only_a"),
+    )

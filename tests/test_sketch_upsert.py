@@ -410,3 +410,110 @@ def test_grouped_topk_candidates_broadcast(spark):
         .toString()
     )
     assert "BroadcastHashJoin" in plan
+
+
+# ---------------------------------------------------------------------------
+# stored sketches (HLL / Theta)
+# ---------------------------------------------------------------------------
+
+
+def test_stored_sketches_merge_across_partitions(spark, sf_dir, tmp_path):
+    """THE stored-sketch law: sketch each day once, persist the binary
+    column through parquet, merge the partials later — the estimate
+    must match a direct whole-table sketch exactly (merging is
+    lossless for these sketches) and sit within the documented error
+    of the exact distinct count."""
+    import duckdb
+
+    from data_export_tool_spark.catalog import Catalog
+    from data_export_tool_spark.operators.sketch import (
+        distinct_sketch,
+        merge_distinct_estimate,
+    )
+
+    ev = Catalog(spark, sf_dir).load("events")
+    daily = distinct_sketch(
+        ev.withColumn("day", F.to_date("ts")), "user_id", by=["day"]
+    )
+    store = str(tmp_path / "daily_sketches")
+    daily.write.parquet(store)  # binary column round-trips
+
+    est = merge_distinct_estimate(spark.read.parquet(store)).first()[
+        "n_distinct_est"
+    ]
+    direct = merge_distinct_estimate(distinct_sketch(ev, "user_id")).first()[
+        "n_distinct_est"
+    ]
+    exact = duckdb.sql(
+        f"SELECT count(DISTINCT user_id) FROM read_parquet('{sf_dir}/events.parquet')"
+    ).fetchone()[0]
+    ok = est == direct and abs(est - exact) / exact < 0.05
+    from tests.conftest import record_opcheck
+
+    record_opcheck("stored_sketch_merge", 1, ok)
+    assert ok, (est, direct, exact)
+
+
+def test_stored_sketches_grouped_and_theta(spark, sf_dir):
+    import duckdb
+
+    from data_export_tool_spark.catalog import Catalog
+    from data_export_tool_spark.operators.sketch import (
+        distinct_sketch,
+        merge_distinct_estimate,
+        theta_overlap,
+    )
+
+    ev = Catalog(spark, sf_dir).load("events")
+    got = {
+        r["event_type"]: r["n_distinct_est"]
+        for r in merge_distinct_estimate(
+            distinct_sketch(ev, "user_id", by=["event_type"], kind="theta"),
+            by=["event_type"],
+            kind="theta",
+        ).collect()
+    }
+    want = {
+        t: int(n)
+        for t, n in duckdb.sql(
+            f"SELECT event_type, count(DISTINCT user_id)"
+            f" FROM read_parquet('{sf_dir}/events.parquet') GROUP BY 1"
+        ).fetchall()
+    }
+    assert set(got) == set(want)
+    assert all(abs(got[t] - want[t]) / want[t] < 0.05 for t in want)
+
+    ov = theta_overlap(ev, "user_id", "event_type", "view", "purchase").first()
+    exact = duckdb.sql(
+        f"""
+    SELECT count(DISTINCT CASE WHEN event_type='view' THEN user_id END),
+           count(DISTINCT CASE WHEN event_type='purchase' THEN user_id END),
+           count(DISTINCT CASE WHEN event_type IN ('view','purchase') THEN user_id END)
+    FROM read_parquet('{sf_dir}/events.parquet')
+    """
+    ).fetchone()
+    assert abs(ov["n_a"] - exact[0]) / exact[0] < 0.05
+    assert abs(ov["n_b"] - exact[1]) / exact[1] < 0.05
+    assert abs(ov["n_union"] - exact[2]) / exact[2] < 0.05
+    inter_exact = exact[0] + exact[1] - exact[2]
+    assert abs(ov["n_intersection"] - inter_exact) <= max(0.1 * inter_exact, 5)
+    # estimates from set ops on the same sketch pair are mutually
+    # consistent in practice but not guaranteed additive — tolerance
+    assert abs((ov["n_only_a"] + ov["n_intersection"]) - ov["n_a"]) <= max(
+        0.05 * ov["n_a"], 2
+    )
+
+
+def test_distinct_sketch_validation(spark):
+    from data_export_tool_spark.operators.sketch import (
+        distinct_sketch,
+        merge_distinct_estimate,
+    )
+
+    df = spark.createDataFrame([(1,)], "x long")
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        distinct_sketch(df, "x", kind="cpc")
+    with _pytest.raises(ValueError):
+        merge_distinct_estimate(df, kind="bloom")

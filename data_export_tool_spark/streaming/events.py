@@ -157,6 +157,24 @@ def enrich_stream(events: DataFrame, dim: DataFrame, on: str) -> DataFrame:
     return events.join(dim, on=on, how="left")
 
 
+def enrich_stream_scd2(
+    events: DataFrame,
+    history: DataFrame,
+    keys: list[str],
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Stream-static TEMPORAL enrichment: each streaming event picks
+    the SCD-2 dimension version valid at its event time — the
+    streaming twin of ``operators.upsert.scd2_join`` (same function;
+    stream-static joins accept the validity-interval residual because
+    the static side is re-read per micro-batch, so a dimension update
+    between batches is picked up automatically). Stateless: no
+    watermark, no streaming state."""
+    from data_export_tool_spark.operators.upsert import scd2_join
+
+    return scd2_join(events, history, keys, ts_col=ts_col, how="left")
+
+
 def correlate_streams(
     events: DataFrame,
     left_type: str = "click",

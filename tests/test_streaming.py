@@ -556,3 +556,52 @@ def test_funnel_stream_prefix_of_batch(spark, sf_dir, tmp_path):
     ok = ok and progressed > 0 and checked > 0
     record_stream_parity("funnel_progression", checked, ok)
     assert ok, (progressed, checked)
+
+
+def test_enrich_stream_scd2_matches_batch(spark, event_drop_dir, tmp_path):
+    """Stream-static temporal join twin: streaming events enriched
+    against an SCD-2 history must equal the batch scd2_join over the
+    same files."""
+    import datetime as dtm
+
+    from data_export_tool_spark.operators.upsert import scd2_join
+    from data_export_tool_spark.streaming.events import enrich_stream_scd2
+
+    ev_batch = normalize_event_times(spark.read.parquet(event_drop_dir))
+    lo, hi = ev_batch.agg(F.min("ts"), F.max("ts")).first()
+    mid = lo + (hi - lo) / 2
+    users = [r["user_id"] for r in ev_batch.select("user_id").distinct().collect()]
+    hist_rows = []
+    for u in users:
+        hist_rows.append((u, f"tier1_{u}", lo, mid, False))
+        hist_rows.append((u, f"tier2_{u}", mid, None, True))
+    hist = spark.createDataFrame(
+        hist_rows,
+        "user_id long, tier string, valid_from timestamp,"
+        " valid_to timestamp, is_current boolean",
+    )
+
+    stream = read_events_stream(spark, event_drop_dir, max_files_per_trigger=2)
+    out = enrich_stream_scd2(stream, hist, ["user_id"])
+    q = (
+        out.writeStream.format("memory")
+        .queryName("scd2_enrich_test")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    got = {
+        r["event_id"]: r["tier"]
+        for r in spark.sql("SELECT event_id, tier FROM scd2_enrich_test").collect()
+    }
+    want = {
+        r["event_id"]: r["tier"]
+        for r in scd2_join(ev_batch, hist, ["user_id"]).collect()
+    }
+    record_stream_parity("scd2_temporal_enrich", len(want), got == want)
+    assert got == want
+    # both generations actually exercised
+    assert any(v and v.startswith("tier1_") for v in got.values())
+    assert any(v and v.startswith("tier2_") for v in got.values())

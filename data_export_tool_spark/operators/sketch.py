@@ -376,6 +376,47 @@ def merge_distinct_estimate(
     )
 
 
+def topk_sketch(
+    df: DataFrame, col: str, by: Sequence[str] = ()
+) -> DataFrame:
+    """Per-group serialized frequent-items sketch of ``col``
+    (DataSketches ``approx_top_k_accumulate``) — ``(*by, sketch)``.
+    Same stored-partials pattern as ``distinct_sketch``: persist per
+    partition, combine across any subset later."""
+    if isinstance(by, str):
+        by = [by]
+    agg = F.expr(f"approx_top_k_accumulate({_quote(col)})").alias("sketch")
+    return df.groupBy(*by).agg(agg) if by else df.agg(agg)
+
+
+def merge_topk_estimate(
+    sketches: DataFrame,
+    k: int,
+    by: Sequence[str] = (),
+    sketch_col: str = "sketch",
+) -> DataFrame:
+    """Combine stored top-k sketches and emit the estimated top ``k``
+    as one row per item: ``(*by, item, est_count)``, count-desc then
+    item-asc."""
+    if isinstance(by, str):
+        by = [by]
+    merged = F.expr(
+        f"approx_top_k_estimate(approx_top_k_combine({_quote(sketch_col)}),"
+        f" {int(k)})"
+    ).alias("__top")
+    base = (
+        sketches.groupBy(*by).agg(merged) if by else sketches.agg(merged)
+    )
+    return base.select(
+        *by,
+        F.explode("__top").alias("__e"),
+    ).select(
+        *by,
+        F.col("__e.item").alias("item"),
+        F.col("__e.count").alias("est_count"),
+    ).orderBy(*by, F.desc("est_count"), F.asc("item"))
+
+
 def theta_overlap(
     df: DataFrame,
     col: str,

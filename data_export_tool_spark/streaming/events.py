@@ -157,6 +157,37 @@ def enrich_stream(events: DataFrame, dim: DataFrame, on: str) -> DataFrame:
     return events.join(dim, on=on, how="left")
 
 
+def dedup_against_store_stream(
+    docs: DataFrame,
+    store: DataFrame,
+    text_col: str = "text",
+    fingerprint_col: str = "fingerprint",
+) -> DataFrame:
+    """Streaming incremental corpus dedup: drop arriving documents
+    whose normalized-content fingerprint already exists in the
+    persisted store — the streaming twin of
+    ``operators.dedup.dedup_against`` for a continuous ingest feed.
+
+    Structured Streaming does not support stream-static LEFT ANTI, so
+    the anti-join is expressed as the equivalent marker left-outer
+    join + IS NULL filter (stream-static left outer IS supported; the
+    static store re-reads per micro-batch, so a store rolled forward
+    between batches applies automatically). Stateless — duplicates
+    WITHIN the stream are the separate ``dedup_stream`` watermark
+    contract; this operator is the against-history tier."""
+    from data_export_tool_spark.operators.dedup import null_safe_fp_key
+
+    marked = store.select(
+        F.col(fingerprint_col).alias("__fp")
+    ).distinct().withColumn("__seen", F.lit(1))
+    return (
+        docs.withColumn("__fp", null_safe_fp_key(F.col(text_col)))
+        .join(marked, on="__fp", how="left")
+        .where(F.col("__seen").isNull())
+        .drop("__fp", "__seen")
+    )
+
+
 def enrich_stream_scd2(
     events: DataFrame,
     history: DataFrame,

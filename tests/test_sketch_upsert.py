@@ -517,3 +517,36 @@ def test_distinct_sketch_validation(spark):
         distinct_sketch(df, "x", kind="cpc")
     with _pytest.raises(ValueError):
         merge_distinct_estimate(df, kind="bloom")
+
+
+def test_stored_topk_sketches_merge(spark, sf_dir, tmp_path):
+    """Top-k sketch partials persisted per day combine into the same
+    leaders an exact count yields on this comfortably-skewed column."""
+    import duckdb
+
+    from data_export_tool_spark.catalog import Catalog
+    from data_export_tool_spark.operators.sketch import (
+        merge_topk_estimate,
+        topk_sketch,
+    )
+
+    ev = Catalog(spark, sf_dir).load("events")
+    daily = topk_sketch(ev.withColumn("day", F.to_date("ts")), "event_type", by=["day"])
+    store = str(tmp_path / "topk_sketches")
+    daily.write.parquet(store)
+    got = [
+        (r["item"], r["est_count"])
+        for r in merge_topk_estimate(
+            spark.read.parquet(store).drop("day"), k=3
+        ).collect()
+    ]
+    want = duckdb.sql(
+        f"SELECT event_type, count(*) FROM read_parquet('{sf_dir}/events.parquet')"
+        " GROUP BY 1 ORDER BY 2 DESC, 1 LIMIT 3"
+    ).fetchall()
+    # items must agree; estimated counts within 5% of exact
+    ok = [i for i, _ in got] == [i for i, _ in want] and all(
+        abs(gc - wc) / wc < 0.05 for (_, gc), (_, wc) in zip(got, want)
+    )
+    record_opcheck("stored_topk_sketch", len(want), ok)
+    assert ok, (got, want)

@@ -605,3 +605,51 @@ def test_enrich_stream_scd2_matches_batch(spark, event_drop_dir, tmp_path):
     # both generations actually exercised
     assert any(v and v.startswith("tier1_") for v in got.values())
     assert any(v and v.startswith("tier2_") for v in got.values())
+
+
+def test_dedup_against_store_stream_matches_batch(spark, sf_dir, tmp_path):
+    """Streaming against-history dedup twin: documents re-staged as
+    drops, store = fingerprints of an earlier corpus slice; the
+    streamed survivors must equal the batch dedup_against result."""
+    from data_export_tool_spark.operators.dedup import (
+        dedup_against,
+        fingerprint_store,
+    )
+    from data_export_tool_spark.streaming.events import (
+        dedup_against_store_stream,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    seen = fingerprint_store(docs.where(F.col("doc_id") % 3 == 0))
+    drop_dir = str(tmp_path / "doc_drops")
+    docs.repartition(4).write.parquet(drop_dir)
+
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 2)
+        .parquet(drop_dir)
+    )
+    out = dedup_against_store_stream(stream, seen)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("store_dedup_test")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    got = sorted(
+        r["doc_id"]
+        for r in spark.sql("SELECT doc_id FROM store_dedup_test").collect()
+    )
+    want = sorted(
+        r["doc_id"]
+        for r in dedup_against(
+            spark.read.parquet(drop_dir), seen
+        ).collect()
+    )
+    record_stream_parity("store_dedup", len(want), got == want)
+    assert got == want
+    assert got, "stream dropped everything"
+    assert len(got) < docs.count(), "nothing was deduped"

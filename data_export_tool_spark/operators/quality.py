@@ -145,3 +145,132 @@ def repetition_stats(
             "repetitive",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Gopher-style document quality rules (Rae et al. 2021, §A1.1 — the
+# published heuristic battery most corpus-curation pipelines start
+# from). Every rule is scan-side column algebra over the whitespace
+# token / line structure — no Python, fully SQL-replayable — and the
+# per-rule verdicts are exposed individually so threshold tuning is an
+# analyst query, not a re-run.
+# ---------------------------------------------------------------------------
+
+#: the Gopher "must contain ≥ 2 of these" stop set (public list)
+GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+
+def gopher_quality_flags(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_mean_word_len: float = 3.0,
+    max_mean_word_len: float = 10.0,
+    max_symbol_word_ratio: float = 0.1,
+    max_bullet_line_frac: float = 0.9,
+    max_ellipsis_line_frac: float = 0.3,
+    min_alpha_word_frac: float = 0.8,
+    min_stopword_hits: int = 2,
+) -> DataFrame:
+    """Per-document Gopher rule verdicts plus the metrics behind them:
+    ``(id_col, n_words, mean_word_len, symbol_word_ratio,
+    bullet_line_frac, ellipsis_line_frac, alpha_word_frac,
+    stopword_hits, ok_* one boolean per rule, gopher_keep)``.
+    NULL/empty text fails the word-count rule and keeps NULL metrics
+    where undefined. Thresholds default to the published values."""
+    words = F.filter(
+        F.split(F.trim(F.coalesce(F.col(text_col), F.lit(""))), r"\s+"),
+        lambda w: w != "",
+    )
+    lines = F.filter(
+        F.split(F.coalesce(F.col(text_col), F.lit("")), r"\n"),
+        lambda l: F.trim(l) != "",
+    )
+    n_words = F.size(words)
+    n_lines = F.size(lines)
+    mean_wl = F.when(
+        n_words > 0,
+        F.aggregate(
+            words, F.lit(0).cast("long"),
+            lambda acc, w: acc + F.length(w),
+        )
+        / n_words.cast("double"),
+    )
+    n_symbol = F.size(
+        F.filter(words, lambda w: w.contains("#") | w.contains("..."))
+    )
+    n_bullet = F.size(
+        F.filter(
+            lines,
+            lambda l: F.trim(l).rlike(r"^([\-\*•‣◦])"),
+        )
+    )
+    n_ellipsis = F.size(F.filter(lines, lambda l: F.trim(l).endswith("...")))
+    n_alpha = F.size(F.filter(words, lambda w: w.rlike(r"\p{L}")))
+    stop_hits = F.size(
+        F.array_intersect(
+            F.transform(words, lambda w: F.lower(w)),
+            F.array(*[F.lit(s) for s in GOPHER_STOPWORDS]),
+        )
+    )
+
+    base = df.select(
+        F.col(id_col),
+        n_words.alias("n_words"),
+        F.round(mean_wl, 6).alias("mean_word_len"),
+        F.round(
+            n_symbol / F.greatest(n_words, F.lit(1)).cast("double"), 6
+        ).alias("symbol_word_ratio"),
+        F.round(
+            n_bullet / F.greatest(n_lines, F.lit(1)).cast("double"), 6
+        ).alias("bullet_line_frac"),
+        F.round(
+            n_ellipsis / F.greatest(n_lines, F.lit(1)).cast("double"), 6
+        ).alias("ellipsis_line_frac"),
+        F.round(
+            n_alpha / F.greatest(n_words, F.lit(1)).cast("double"), 6
+        ).alias("alpha_word_frac"),
+        stop_hits.alias("stopword_hits"),
+    )
+    out = (
+        base.withColumn(
+            "ok_word_count",
+            F.col("n_words").between(min_words, max_words),
+        )
+        .withColumn(
+            "ok_mean_word_len",
+            F.coalesce(
+                F.col("mean_word_len").between(
+                    min_mean_word_len, max_mean_word_len
+                ),
+                F.lit(False),
+            ),
+        )
+        .withColumn(
+            "ok_symbol_ratio", F.col("symbol_word_ratio") < max_symbol_word_ratio
+        )
+        .withColumn(
+            "ok_bullet_lines", F.col("bullet_line_frac") < max_bullet_line_frac
+        )
+        .withColumn(
+            "ok_ellipsis_lines",
+            F.col("ellipsis_line_frac") < max_ellipsis_line_frac,
+        )
+        .withColumn(
+            "ok_alpha_words", F.col("alpha_word_frac") > min_alpha_word_frac
+        )
+        .withColumn(
+            "ok_stopwords", F.col("stopword_hits") >= min_stopword_hits
+        )
+    )
+    rules = [
+        "ok_word_count", "ok_mean_word_len", "ok_symbol_ratio",
+        "ok_bullet_lines", "ok_ellipsis_lines", "ok_alpha_words",
+        "ok_stopwords",
+    ]
+    keep = None
+    for r in rules:
+        keep = F.col(r) if keep is None else (keep & F.col(r))
+    return out.withColumn("gopher_keep", keep)

@@ -1,0 +1,113 @@
+"""Gopher quality rule battery (operators/quality.py) vs a DuckDB
+replay of every metric and verdict."""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from tests.conftest import record_opcheck
+from data_export_tool_spark.operators.quality import (
+    GOPHER_STOPWORDS,
+    gopher_quality_flags,
+)
+
+
+def test_gopher_flags_match_duckdb(spark, sf_dir):
+    got = {
+        r["doc_id"]: (
+            r["n_words"],
+            r["mean_word_len"],
+            r["symbol_word_ratio"],
+            r["bullet_line_frac"],
+            r["ellipsis_line_frac"],
+            r["alpha_word_frac"],
+            r["stopword_hits"],
+            r["gopher_keep"],
+        )
+        # min_stopword_hits=1: the synthetic corpus carries at most one
+        # distinct stop word per doc, and the test needs both verdicts
+        # to occur (the operator default stays at the published 2)
+        for r in gopher_quality_flags(
+            spark.read.parquet(f"{sf_dir}/documents.parquet"),
+            min_stopword_hits=1,
+        ).collect()
+    }
+    stops = ", ".join(f"'{s}'" for s in GOPHER_STOPWORDS)
+    want = {
+        row[0]: (
+            int(row[1]),
+            None if row[2] is None else round(float(row[2]), 6),
+            round(float(row[3]), 6),
+            round(float(row[4]), 6),
+            round(float(row[5]), 6),
+            round(float(row[6]), 6),
+            int(row[7]),
+            None if row[8] is None else bool(row[8]),
+        )
+        for row in duckdb.sql(
+            f"""
+    WITH base AS (
+      SELECT doc_id,
+        list_filter(string_split_regex(trim(coalesce(text, '')), '\\s+'),
+                    w -> w != '') AS words,
+        list_filter(string_split(coalesce(text, ''), chr(10)),
+                    l -> trim(l) != '') AS lines
+      FROM read_parquet('{sf_dir}/documents.parquet')
+    ),
+    m AS (
+      SELECT doc_id,
+        len(words) AS n_words,
+        CASE WHEN len(words) > 0 THEN
+          list_sum(list_transform(words, w -> length(w)))::DOUBLE / len(words)
+        END AS mwl,
+        len(list_filter(words, w -> contains(w, '#') OR contains(w, '...')))
+          ::DOUBLE / greatest(len(words), 1) AS swr,
+        len(list_filter(lines, l -> regexp_matches(trim(l), '^([-*•‣◦])')))
+          ::DOUBLE / greatest(len(lines), 1) AS blf,
+        len(list_filter(lines, l -> trim(l) LIKE '%...'))
+          ::DOUBLE / greatest(len(lines), 1) AS elf,
+        len(list_filter(words, w -> regexp_matches(w, '\\p{{L}}')))
+          ::DOUBLE / greatest(len(words), 1) AS awf,
+        len(list_intersect(list_transform(words, w -> lower(w)),
+                           [{stops}])) AS sh
+      FROM base
+    )
+    SELECT doc_id, n_words, round(mwl, 6), round(swr, 6), round(blf, 6),
+           round(elf, 6), round(awf, 6), sh,
+           (n_words BETWEEN 50 AND 100000)
+           AND coalesce(mwl BETWEEN 3.0 AND 10.0, FALSE)
+           AND round(swr, 6) < 0.1 AND round(blf, 6) < 0.9
+           AND round(elf, 6) < 0.3 AND round(awf, 6) > 0.8
+           AND sh >= 1 AS keep
+    FROM m
+    """
+        ).fetchall()
+    }
+    ok = set(got) == set(want) and all(got[k] == want[k] for k in want)
+    record_opcheck("gopher_quality_flags", len(want), ok)
+    if not ok:
+        diffs = [(k, got[k], want[k]) for k in want if got[k] != want[k]][:5]
+        assert ok, diffs
+    # the battery discriminates on this corpus: both verdicts occur
+    keeps = {v[-1] for v in got.values()}
+    assert True in keeps and False in keeps
+
+
+def test_gopher_flags_edges(spark):
+    rows = [
+        (1, None),
+        (2, ""),
+        (3, "- a\n- b\n- c"),  # all bullet lines, too short
+        (4, " ".join(["the", "be", "to", "of", "and"] * 20)),  # stopword soup
+        (5, "####### " * 60),  # symbol words, no alpha
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in gopher_quality_flags(df).collect()}
+    assert got[1]["n_words"] == 0 and got[1]["gopher_keep"] is False
+    assert got[2]["n_words"] == 0 and got[2]["gopher_keep"] is False
+    assert got[3]["bullet_line_frac"] == 1.0 and not got[3]["ok_bullet_lines"]
+    assert got[4]["stopword_hits"] >= 2 and got[4]["ok_stopwords"]
+    assert got[5]["alpha_word_frac"] == 0.0 and not got[5]["ok_alpha_words"]
+    assert not got[5]["ok_symbol_ratio"]

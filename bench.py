@@ -138,9 +138,15 @@ def main() -> None:
             shared = [q for q in prev.get("queries", {}) if q in timings]
             if shared:
                 tag = os.path.basename(prior)[len("BENCH_") : -len(".json")]
-                out[f"subset_total_{tag}"] = round(
+                # only the LATEST comparable subset rides in the compact
+                # stdout line (capture-window budget); every round's
+                # subset lands in the detail file
+                detail[f"subset_total_{tag}"] = round(
                     sum(timings[q] for q in shared), 3
                 )
+                out[f"subset_total_{tag}"] = detail[f"subset_total_{tag}"]
+                for k in [k for k in out if k.startswith("subset_total_") and k != f"subset_total_{tag}"]:
+                    del out[k]
                 latest_prev = prev["queries"]
         except (OSError, ValueError):
             continue

@@ -167,6 +167,37 @@ def b12_hashed_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hashed_embedding(docs, dim=64).select("doc_id", "embedding")
 
 
+def b13_fuzzy_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_export_tool_spark.operators.fuzzy import fuzzy_dedup_pairs
+
+    docs = Catalog(spark, sf_dir).load("documents")
+    # short-key fuzzing over the source column's registrable tail —
+    # the entity-resolution shape (names/titles), not whole documents
+    keys = docs.select(
+        "doc_id", F.substring(F.col("source"), 9, 24).alias("name")
+    )
+    return fuzzy_dedup_pairs(keys, max_distance=1, id_col="doc_id", text_col="name")
+
+
+def b14_gopher_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_export_tool_spark.operators.quality import gopher_quality_flags
+
+    return gopher_quality_flags(Catalog(spark, sf_dir).load("documents"))
+
+
+def b15_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_export_tool_spark.operators.sketch import (
+        distinct_sketch,
+        merge_distinct_estimate,
+    )
+
+    ev = Catalog(spark, sf_dir).load("events")
+    daily = distinct_sketch(
+        ev.withColumn("day", F.to_date("ts")), "user_id", by=["day"]
+    )
+    return merge_distinct_estimate(daily)
+
+
 QUERIES = [
     QuerySpec("b01_funnel_conversion", b01_funnel_conversion, None),
     QuerySpec("b02_retention_weekly", b02_retention_weekly, None),
@@ -180,4 +211,7 @@ QUERIES = [
     QuerySpec("b10_scd2_apply", b10_scd2_apply, None),
     QuerySpec("b11_rolling_7d", b11_rolling_7d, None),
     QuerySpec("b12_hashed_embedding", b12_hashed_embedding, None),
+    QuerySpec("b13_fuzzy_dedup", b13_fuzzy_dedup, None),
+    QuerySpec("b14_gopher_flags", b14_gopher_flags, None),
+    QuerySpec("b15_sketch_rollup", b15_sketch_rollup, None),
 ]

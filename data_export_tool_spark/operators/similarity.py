@@ -479,6 +479,15 @@ def embedding_near_dup_pairs(
     band collision probability is ≈1. An external oracle replays the
     hyperplanes as literals (see queries/vectors.py).
 
+    Mega-cluster caveat: the PAIR OUTPUT itself is quadratic in a
+    duplicate cluster's size — B near-identical vectors legitimately
+    form B·(B−1)/2 pairs, and no candidate scheme can shrink what the
+    contract demands. When a corpus may contain 10⁵+-member clusters,
+    skip the pair enumeration: ``semantic_dedup`` only needs a
+    spanning structure (pairs → connected components → keep min-id),
+    or cluster first (``operators.clustering.kmeans_fit``) and dedup
+    within cells, the SemDeDup-at-scale recipe.
+
     ``small_corpus=True`` opts into the exact all-pairs path: the (id,
     unit-vector) matrix is collected and broadcast, and ``mapInPandas``
     scores each Arrow batch against it with one BLAS matmul. Exact

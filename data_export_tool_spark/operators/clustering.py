@@ -242,6 +242,11 @@ def kmeans_fit(
                 )
                 .collect()
             )
+            # the round's broadcast is fully consumed once the partial
+            # sums are collected — release it, or a long-lived session
+            # (the bench loop, repeated fits) accumulates one dead
+            # centroid matrix per iteration on driver AND executors
+            b_c.unpersist(blocking=False)
             new_C = C.copy()
             for r in merged:
                 if r["cnt"] > 0:

@@ -126,6 +126,17 @@ def funnel_steps(
         + [StructField(f"ts_{i + 1}", ts_type, True) for i in range(k)]
         + [StructField("n_steps", IntegerType(), False)]
     )
+    # Arrow hands a nullable integral user column to pandas as float64
+    # (NaN = NULL); the fold's keys must be normalized back before they
+    # re-enter the declared integral output schema, or the NaN either
+    # raises on conversion or corrupts under unsafe cast. Caveat
+    # (inherent to the Arrow float path, documented contract): integral
+    # ids >= 2^53 in a column that also contains NULLs lose precision
+    # in that float round-trip — pre-filter NULL users to keep the
+    # column int64 end-to-end if ids that large are possible.
+    key_integral = pre.schema[user_col].dataType.typeName() in {
+        "byte", "short", "integer", "long",
+    }
 
     def fold(batches):
         import numpy as np
@@ -145,7 +156,17 @@ def funnel_steps(
             out_done.append(list(done))
 
         def emit():
-            data = {user_col: out_users}
+            keys = [
+                None
+                if pd.isna(u)
+                else (
+                    int(u)
+                    if key_integral and isinstance(u, (float, np.floating))
+                    else u
+                )
+                for u in out_users
+            ]
+            data = {user_col: pd.Series(keys, dtype="object")}
             for i in range(k):
                 data[f"ts_{i + 1}"] = pd.to_datetime(
                     pd.Series(

@@ -13,10 +13,14 @@ No cartesian anywhere; the join key cardinality is the variant space.
 
 Neighborhood size is C(len, d)-ish (len²/2 for d=2) — fine for the
 short keys entity resolution works on. Strings longer than
-``max_len`` contribute their ``max_len``-prefix's neighborhood only:
-still exact for pairs whose edits touch the prefix region, an
-approximation for edits concentrated beyond it (documented contract;
-raise ``max_len`` for longer keys).
+``max_len`` contribute their ``max_len``-prefix's neighborhood only —
+an approximation: exact for substitutions confined to the prefix,
+but an insertion/deletion INSIDE the prefix shifts tail characters
+across the prefix boundary (the two prefixes then differ by up to
+d+1 edits), so a true distance-d pair whose edits are indels near
+the boundary can be missed, as can pairs whose edits lie beyond the
+prefix entirely. Raise ``max_len`` above the longest key for exact
+behavior.
 """
 
 from __future__ import annotations
@@ -65,16 +69,35 @@ def fuzzy_pairs(
     right_id: str = "id",
     right_col: str = "name",
     max_len: int = 64,
+    max_variant_group: int | None = None,
 ) -> DataFrame:
     """All cross-side pairs with ``levenshtein <= max_distance``.
     Output ``(left_id, left_val, right_id, right_val, distance)``,
     deduplicated. NULL strings never match.
 
     Plan shape: two scan-side neighborhood explodes, one equi-join on
-    the variant string, exact levenshtein on candidates only, distinct
-    on the (ids, distance) scalars. The explode factor is the
-    neighborhood size — bounded by ``max_len`` and ``max_distance``,
-    independent of row count.
+    the variant string with a length-band residual
+    (``|len(a) − len(b)| <= d`` — a pair violating it cannot be within
+    distance d, so the filter is free recall-neutral pruning applied
+    BEFORE any levenshtein), then a groupBy on (left_id, right_id)
+    that collapses the multi-variant candidate multiplicity — a
+    distance-d pair shares up to the whole deletion neighborhood
+    (~len²/2 variants at d=2), and evaluating levenshtein per shared
+    variant was the dominant cost — and finally ONE bounded
+    ``levenshtein(a, b, d)`` per unique candidate pair (the 3-arg form
+    early-exits as soon as the running distance exceeds d, returning
+    −1). The explode factor is the neighborhood size — bounded by
+    ``max_len`` and ``max_distance``, independent of row count.
+
+    ``max_variant_group``: optional hot-variant guard. A low-entropy
+    key column can send a huge fraction of rows through ONE variant
+    (every string of length ≤ d collides on ""), and within that
+    colliding group the candidate join is inherently quadratic — the
+    SymSpell bound degenerates, same as a hot LSH bucket. When set,
+    variants shared by more than this many rows PER SIDE are dropped
+    from candidate generation (pairs reachable only through dropped
+    variants are missed — a documented recall trade, exactly the
+    dedup-tier bucket-cap contract). Default None = exact.
     """
     l = left.where(F.col(left_col).isNotNull()).select(
         F.col(left_id).alias("left_id"),
@@ -90,15 +113,52 @@ def fuzzy_pairs(
             deletion_neighborhood(F.col(right_col), max_distance, max_len)
         ).alias("__v"),
     )
-    return (
-        l.join(r, "__v")
-        .drop("__v")
-        .withColumn(
-            "distance", F.levenshtein(F.col("left_val"), F.col("right_val"))
-        )
-        .where(F.col("distance") <= max_distance)
-        .distinct()
+    if max_variant_group is not None:
+        l = _cap_variant_groups(l, max_variant_group)
+        r = _cap_variant_groups(r, max_variant_group)
+    la, ra = l.alias("L"), r.alias("R")
+    cand = la.join(
+        ra,
+        on=[
+            F.col("L.__v") == F.col("R.__v"),
+            # length band: |len(a)-len(b)| > d ⇒ lev(a,b) > d
+            F.abs(
+                F.length(F.col("L.left_val")) - F.length(F.col("R.right_val"))
+            )
+            <= max_distance,
+        ],
+    ).select("L.left_id", "L.left_val", "R.right_id", "R.right_val")
+    # one row per candidate pair BEFORE the levenshtein: left_val /
+    # right_val are functions of their ids, so first() is
+    # value-deterministic; the exchange hashes the two id scalars, not
+    # the value strings, and partial aggregation collapses the variant
+    # multiplicity map-side
+    uniq = cand.groupBy("left_id", "right_id").agg(
+        F.first("left_val").alias("left_val"),
+        F.first("right_val").alias("right_val"),
     )
+    return (
+        uniq.withColumn(
+            "distance",
+            F.levenshtein(
+                F.col("left_val"), F.col("right_val"), max_distance
+            ),
+        )
+        .where(F.col("distance") >= 0)
+        .select("left_id", "left_val", "right_id", "right_val", "distance")
+    )
+
+
+def _cap_variant_groups(side: DataFrame, cap: int) -> DataFrame:
+    """Drop variants whose per-side group exceeds ``cap`` (two-phase
+    count + join-back; the count exchange carries (variant, n) only)."""
+    hot = (
+        side.groupBy("__v")
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .where(F.col("__n") > cap)
+        .select("__v")
+    )
+    return side.join(hot, on="__v", how="left_anti")
 
 
 def fuzzy_dedup_pairs(
@@ -107,24 +167,23 @@ def fuzzy_dedup_pairs(
     id_col: str = "id",
     text_col: str = "name",
     max_len: int = 64,
+    max_variant_group: int | None = None,
 ) -> DataFrame:
     """Within-corpus near-match pairs (``id_a < id_b``) — the fuzzy
     counterpart of the exact/MinHash dedup tiers, for short key
-    columns. Same neighborhood blocking as ``fuzzy_pairs``."""
+    columns. Same neighborhood blocking as ``fuzzy_pairs`` (already
+    unique per (id_a, id_b) — no extra distinct needed)."""
     base = df.where(F.col(text_col).isNotNull()).select(
         F.col(id_col), F.col(text_col)
     )
     pairs = fuzzy_pairs(
-        base, base, max_distance, id_col, text_col, id_col, text_col, max_len
+        base, base, max_distance, id_col, text_col, id_col, text_col,
+        max_len, max_variant_group,
     )
-    return (
-        pairs.where(F.col("left_id") < F.col("right_id"))
-        .select(
-            F.col("left_id").alias("id_a"),
-            F.col("right_id").alias("id_b"),
-            F.col("left_val").alias("val_a"),
-            F.col("right_val").alias("val_b"),
-            "distance",
-        )
-        .distinct()
+    return pairs.where(F.col("left_id") < F.col("right_id")).select(
+        F.col("left_id").alias("id_a"),
+        F.col("right_id").alias("id_b"),
+        F.col("left_val").alias("val_a"),
+        F.col("right_val").alias("val_b"),
+        "distance",
     )

@@ -127,6 +127,17 @@ def compact_parquet(
     would shuffle every byte to achieve the same file count).
     """
     import math
+    import os
+
+    if os.path.abspath(src) == os.path.abspath(dst):
+        # mode("overwrite") DELETES dst before the lazy read of src has
+        # pulled a single row — in-place compaction would destroy the
+        # table. Refuse; compact to a sibling dir and swap.
+        raise ValueError(
+            f"compact_parquet src and dst must differ (got {src!r}): "
+            "overwrite deletes the destination before the source is "
+            "read — write to a new path, then rename"
+        )
 
     jvm = spark.sparkContext._jvm
     conf = spark.sparkContext._jsc.hadoopConfiguration()

@@ -107,6 +107,29 @@ def test_funnel_strict_order_and_ties(spark):
     assert got == {1: 3, 2: 1, 3: 1, 4: 1}
 
 
+def test_funnel_nullable_long_user_key(spark):
+    """A nullable LONG user column reaches the fold as float64 + NaN
+    (Arrow's null representation for integral pandas columns); the
+    emit path must hand back intact long keys and a true NULL row —
+    not a raise and not a corrupted cast (round-6 ADVICE item)."""
+    t0 = dt.datetime(2024, 1, 1, 10, 0, 0)
+    rows = [
+        (1, t0, "view"), (1, t0 + dt.timedelta(minutes=1), "click"),
+        (None, t0, "view"),
+        (None, t0 + dt.timedelta(minutes=1), "click"),
+        (None, t0 + dt.timedelta(minutes=2), "purchase"),
+        (7, t0, "view"),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp, event_type string")
+    out = funnel_steps(df, STEPS).collect()
+    got = {r["user_id"]: r["n_steps"] for r in out}
+    assert got == {1: 2, None: 3, 7: 1}
+    # keys came back as real longs, not floats squeezed through Arrow
+    assert all(
+        isinstance(r["user_id"], int) for r in out if r["user_id"] is not None
+    )
+
+
 def test_funnel_counts_monotone(spark, sf_dir):
     ev = Catalog(spark, sf_dir).load("events")
     rows = funnel_counts(ev, STEPS).orderBy("step").collect()

@@ -91,3 +91,32 @@ def test_fuzzy_no_cartesian_plan(spark, names):
         fuzzy_dedup_pairs(names, 1)._jdf.queryExecution().executedPlan().toString()
     )
     assert "Cartesian" not in plan and "BroadcastNestedLoop" not in plan
+
+
+def test_fuzzy_max_variant_group_guard(spark):
+    """The hot-variant cap: single-char strings all collide on the ""
+    variant at d=1 — with the cap they are pruned from candidate
+    generation (documented recall trade), while pairs reachable
+    through cold variants survive."""
+    rows = [(i, s) for i, s in enumerate("abcdefgh")] + [
+        (100, "aquamarine"),
+        (101, "aquamarines"),
+    ]
+    df = spark.createDataFrame(rows, "id long, name string")
+    uncapped = {
+        (r["id_a"], r["id_b"])
+        for r in fuzzy_dedup_pairs(df, max_distance=1).collect()
+    }
+    # every single-char pair is within distance 1 (sub via "" is d<=2
+    # but a->b is one substitution): C(8,2)=28 pairs + the long pair
+    assert (100, 101) in uncapped and len(uncapped) == 29
+    capped = {
+        (r["id_a"], r["id_b"])
+        for r in fuzzy_dedup_pairs(
+            df, max_distance=1, max_variant_group=4
+        ).collect()
+    }
+    # "" is shared by all 8 single-char rows (> cap) -> pruned; each
+    # single-char string's own variant is shared by 1 row only, so
+    # the single-char pairs vanish; the cold long pair survives
+    assert capped == {(100, 101)}

@@ -338,3 +338,11 @@ def test_compact_parquet(spark, sf_dir, tmp_path):
     a = sorted(map(tuple, spark.read.parquet(dst).collect()))
     b = sorted(map(tuple, docs.collect()))
     assert a == b
+
+    # in-place compaction must refuse: overwrite deletes dst before the
+    # lazy src read pulls a row, destroying the table (round-6 ADVICE)
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="must differ"):
+        compact_parquet(spark, src, src, target_mb=1024)
+    assert len(glob.glob(f"{src}/part-*")) == 64  # untouched

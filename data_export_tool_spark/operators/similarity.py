@@ -483,10 +483,12 @@ def embedding_near_dup_pairs(
     duplicate cluster's size — B near-identical vectors legitimately
     form B·(B−1)/2 pairs, and no candidate scheme can shrink what the
     contract demands. When a corpus may contain 10⁵+-member clusters,
-    skip the pair enumeration: ``semantic_dedup`` only needs a
-    spanning structure (pairs → connected components → keep min-id),
-    or cluster first (``operators.clustering.kmeans_fit``) and dedup
-    within cells, the SemDeDup-at-scale recipe.
+    skip the pair enumeration: ``embedding_near_dup_edges`` emits a
+    SPANNING edge set (star edges within big buckets — O(B) per
+    bucket) and ``semantic_dedup`` builds on it, so transitive dedup
+    never pays the quadratic; or cluster first
+    (``operators.clustering.kmeans_fit``) and dedup within cells, the
+    SemDeDup-at-scale recipe.
 
     ``small_corpus=True`` opts into the exact all-pairs path: the (id,
     unit-vector) matrix is collected and broadcast, and ``mapInPandas``
@@ -571,6 +573,132 @@ def embedding_near_dup_pairs(
     )
 
 
+def embedding_near_dup_edges(
+    df: DataFrame,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int | None = None,
+    n_planes: int = 16,
+    band_bits: int = 4,
+    seed: int = 42,
+    star_bucket_threshold: int = 256,
+) -> DataFrame:
+    """SPANNING near-dup edge set ``(id_a, id_b)`` — the mega-cluster-
+    safe candidate stage for transitive dedup. NOT the full pair
+    contract: it guarantees two vectors that ``embedding_near_dup_pairs``
+    would pair via a SMALL band bucket end up in the same connected
+    component, and that big-bucket members connect through their
+    bucket hub — it does not enumerate every qualifying pair.
+
+    Per (band_idx, band_key) bucket, routed by bucket size:
+
+    - **size ≤ star_bucket_threshold** → full within-bucket a<b pair
+      join + exact-cosine verify (identical recall to the pair
+      operator for these buckets).
+    - **size > star_bucket_threshold** → STAR edges only: every member
+      is verified against the bucket hub (min id in the bucket), so a
+      B-member bucket emits ≤ B−1 edges instead of B(B−1)/2. A
+      10⁵-member boilerplate cluster costs 10⁵ verified edges, not
+      10¹⁰ pairs. Recall trade (the standard SemDeDup-at-scale move):
+      an edge attests hub↔member, so two members similar to each other
+      but NOT to the hub above ``threshold`` are not connected through
+      this bucket — for near-identical duplicate clusters (the regime
+      that produces mega-buckets) hub similarity ≈ member similarity
+      and the trade is free.
+
+    Scale shape: bucket stats (count + min id) are a partial-aggregable
+    groupBy whose key space is ≤ n_bands·2^band_bits — broadcast back,
+    zero extra shuffle on the vector side (falls back to a plain join
+    when band_bits makes the key space large). Star verification joins
+    member vectors by id (uniform key, no skew) against the broadcast
+    hub-vector table. No stage materializes O(B²) anything.
+    """
+    if dim is None:
+        first = df.select(F.size(vec_col).alias("d")).first()
+        dim = int(first["d"]) if first else 0
+    base = fan_out(df).select(
+        F.col(id_col), F.col(vec_col).cast("array<double>").alias("__v")
+    ).withColumn("__n", l2_norm(F.col("__v")))
+    sig = rhp_signature("__v", dim, n_planes, seed)
+    bands = band_keys(sig, n_planes, band_bits)
+    buckets = base.select(
+        F.col(id_col),
+        F.col("__v"),
+        F.col("__n"),
+        F.posexplode(bands).alias("band_idx", "band_key"),
+    )
+    n_bands = n_planes // band_bits
+    stats = buckets.groupBy("band_idx", "band_key").agg(
+        F.count(F.lit(1)).alias("__bsz"), F.min(id_col).alias("__hub")
+    )
+    # the band-key space bounds the stats row count; broadcast while
+    # that bound is comfortably driver-sized
+    stats_is_tiny = n_bands * (1 << band_bits) <= (1 << 20)
+    stats_side = F.broadcast(stats) if stats_is_tiny else stats
+    bk = buckets.join(stats_side, on=["band_idx", "band_key"])
+
+    small = bk.where(F.col("__bsz") <= star_bucket_threshold)
+    a, b = small.alias("a"), small.alias("b")
+    small_edges = (
+        a.join(
+            b,
+            on=[
+                F.col("a.band_idx") == F.col("b.band_idx"),
+                F.col("a.band_key") == F.col("b.band_key"),
+                F.col(f"a.{id_col}") < F.col(f"b.{id_col}"),
+            ],
+        )
+        .where(
+            cosine_pre(
+                F.col("a.__v"), F.col("b.__v"), F.col("a.__n"), F.col("b.__n")
+            )
+            >= threshold
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+        )
+    )
+
+    big = bk.where(F.col("__bsz") > star_bucket_threshold)
+    # O(B·n_bands) candidate edges, scalars only — distinct BEFORE the
+    # vector joins so each (hub, member) is verified once
+    big_cand = (
+        big.where(F.col(id_col) != F.col("__hub"))
+        .select(F.col("__hub").alias("id_a"), F.col(id_col).alias("id_b"))
+        .distinct()
+    )
+    hubs = stats.where(F.col("__bsz") > star_bucket_threshold).select(
+        F.col("__hub").alias("id_a")
+    ).distinct()
+    hub_vecs = base.join(
+        F.broadcast(hubs) if stats_is_tiny else hubs,
+        on=F.col(id_col) == F.col("id_a"),
+    ).select("id_a", F.col("__v").alias("__hv"), F.col("__n").alias("__hn"))
+    member_vecs = base.select(
+        F.col(id_col).alias("id_b"),
+        F.col("__v").alias("__mv"),
+        F.col("__n").alias("__mn"),
+    )
+    big_edges = (
+        big_cand.join(member_vecs, on="id_b")
+        .join(
+            F.broadcast(hub_vecs) if stats_is_tiny else hub_vecs, on="id_a"
+        )
+        .where(
+            cosine_pre(
+                F.col("__hv"), F.col("__mv"), F.col("__hn"), F.col("__mn")
+            )
+            >= threshold
+        )
+        .select("id_a", "id_b")
+    )
+    # a pair can reappear across bands (small) or via both routes if a
+    # pair shares a small AND a big bucket — scalar distinct
+    return small_edges.unionByName(big_edges).distinct()
+
+
 def semantic_dedup(
     df: DataFrame,
     threshold: float = 0.9,
@@ -580,17 +708,28 @@ def semantic_dedup(
     n_planes: int = 16,
     band_bits: int = 4,
     seed: int = 42,
+    star_bucket_threshold: int = 256,
 ) -> DataFrame:
     """SemDeDup-style semantic deduplication (Abbas et al. 2023, public
     recipe): drop every document whose embedding is a near-duplicate of
     a kept one, keeping the min-id representative per duplicate
     cluster. Pure composition of existing scale-safe operators:
 
-        SRP-banded candidate pairs + exact-cosine verify
-          (``embedding_near_dup_pairs`` — bucketed, no all-pairs)
+        SRP-banded SPANNING edges + exact-cosine verify
+          (``embedding_near_dup_edges`` — per-bucket hybrid: full
+          pairs in buckets ≤ ``star_bucket_threshold`` members, star
+          (hub, member) edges above it, so a B-member mega-cluster
+          costs O(B) edges, never B²/2 pairs)
         → transitive closure via distributed connected components
           (``operators.graph.duplicate_clusters`` — O(log n) rounds)
         → anti-join the non-canonical members out of ``df``.
+
+    Dedup only needs a spanning structure, so the star regime loses
+    nothing for near-identical clusters (hub similarity ≈ member
+    similarity there); in mixed big buckets it may miss member↔member
+    links whose hub is dissimilar — raise ``star_bucket_threshold`` to
+    push more buckets through exact pair enumeration if that recall
+    matters more than the quadratic guard.
 
     Returns ``df``'s surviving rows with all original columns.
     Documents in no near-dup pair are untouched. One new shuffle beyond
@@ -598,7 +737,7 @@ def semantic_dedup(
     """
     from data_export_tool_spark.operators.graph import duplicate_clusters
 
-    pairs = embedding_near_dup_pairs(
+    edges = embedding_near_dup_edges(
         df,
         threshold=threshold,
         id_col=id_col,
@@ -607,8 +746,9 @@ def semantic_dedup(
         n_planes=n_planes,
         band_bits=band_bits,
         seed=seed,
+        star_bucket_threshold=star_bucket_threshold,
     )
-    clusters = duplicate_clusters(pairs.select("id_a", "id_b"), id_out=id_col)
+    clusters = duplicate_clusters(edges, id_out=id_col)
     drop = clusters.where(F.col(id_col) != F.col("component_id")).select(id_col)
     return df.join(drop, on=id_col, how="left_anti")
 

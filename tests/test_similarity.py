@@ -178,6 +178,51 @@ def test_semantic_dedup_keeps_min_id_per_cluster(spark):
     assert all_kept == [1, 2, 3, 10, 11, 20, 21]
 
 
+def test_near_dup_edges_star_regime_is_linear(spark):
+    """Mega-cluster guard (round-5 verdict #1): a B-member duplicate
+    cluster must cost O(B) spanning edges from the candidate stage,
+    not B(B−1)/2 pairs — and semantic_dedup must still keep exactly
+    the min-id representative."""
+    from data_export_tool_spark.operators.similarity import (
+        embedding_near_dup_edges,
+        semantic_dedup,
+    )
+
+    B = 2000
+    cluster = spark.range(B).select(
+        F.col("id").alias("vec_id"),
+        F.array(F.lit(1.0), F.lit(0.5), F.lit(0.25), F.lit(0.125)).alias(
+            "embedding"
+        ),
+    )
+    # singletons: unit directions ≥ 0.15 rad apart (cos 0.99 ⇔ ~0.141
+    # rad) — never near-dups of each other or the cluster
+    singles = spark.range(20).select(
+        (F.lit(1_000_000) + F.col("id")).alias("vec_id"),
+        F.array(
+            F.cos(F.lit(0.5) + F.col("id") * 0.15),
+            F.sin(F.lit(0.5) + F.col("id") * 0.15),
+            F.lit(0.0),
+            F.lit(0.0),
+        ).alias("embedding"),
+    )
+    df = cluster.unionByName(singles)
+    edges = embedding_near_dup_edges(
+        df, threshold=0.99, dim=4, star_bucket_threshold=64
+    )
+    n = edges.count()
+    # identical vectors share every band bucket: ONE hub, B−1 star
+    # edges — emphatically not B(B−1)/2 = 1,999,000
+    assert n == B - 1
+    kept = sorted(
+        r.vec_id
+        for r in semantic_dedup(
+            df, threshold=0.99, dim=4, star_bucket_threshold=64
+        ).collect()
+    )
+    assert kept == [0] + [1_000_000 + i for i in range(20)]
+
+
 def test_zero_norm_vectors_never_rank(spark):
     # 0/0 cosine is NaN, and Spark sorts NaN ABOVE every real double in
     # desc order - an all-zero embedding (padding / failed embed job)

@@ -85,7 +85,8 @@ def record_stream_parity(twin: str, rows_compared: int, match: bool) -> None:
 
 
 def record_opcheck(
-    op: str, rows_compared: int, match: bool, oracle: str = "duckdb"
+    op: str, rows_compared: int, match: bool, oracle: str = "duckdb",
+    value: float | None = None,
 ) -> None:
     """Append a catalog-less operator's oracle-comparison result to
     the repo-root OPCHECK artifact (VERDICT r4 #3: the 50-entry driver
@@ -94,7 +95,11 @@ def record_opcheck(
     re-running pytest). Same merged read-modify-write + deterministic
     content policy as record_stream_parity; ``oracle`` names what the
     Spark result was compared against ('duckdb', 'python-reference',
-    'parquet-footer', ...)."""
+    'parquet-footer', ...). ``value`` optionally records a MEASURED
+    quality number alongside the boolean (e.g. ANN recall@k vs
+    brute force — VERDICT r5 #4: a tracked metric, so a hyperparameter
+    change that silently craters recall shows up as a number shift,
+    not just a still-green floor assertion)."""
     import json
 
     n = _current_round()
@@ -110,6 +115,8 @@ def record_opcheck(
         "match": bool(match),
         "oracle": oracle,
     }
+    if value is not None:
+        doc["ops"][op]["value"] = round(float(value), 6)
     doc["all_match"] = all(t["match"] for t in doc["ops"].values())
     with open(path, "w") as fh:
         json.dump(doc, fh, indent=1, sort_keys=True)

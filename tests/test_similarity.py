@@ -64,7 +64,14 @@ def test_lsh_recall_vs_brute_force(split):
     recalls = [
         len(exact[q] & approx.get(q, set())) / len(exact[q]) for q in exact
     ]
-    assert sum(recalls) / len(recalls) >= 0.35
+    recall = sum(recalls) / len(recalls)
+    from tests.conftest import record_opcheck
+
+    record_opcheck(
+        "ann_recall_lsh_top10", sum(len(s) for s in exact.values()),
+        recall >= 0.35, oracle="brute-force-topk", value=recall,
+    )
+    assert recall >= 0.35
 
 
 def test_ivf_recall_vs_brute_force(split):
@@ -74,7 +81,14 @@ def test_ivf_recall_vs_brute_force(split):
     recalls = [
         len(exact[q] & approx.get(q, set())) / len(exact[q]) for q in exact
     ]
-    assert sum(recalls) / len(recalls) >= 0.5
+    recall = sum(recalls) / len(recalls)
+    from tests.conftest import record_opcheck
+
+    record_opcheck(
+        "ann_recall_ivf_top10", sum(len(s) for s in exact.values()),
+        recall >= 0.5, oracle="brute-force-topk", value=recall,
+    )
+    assert recall >= 0.5
 
 
 def test_near_dup_default_is_subset_of_exact(emb):
@@ -295,6 +309,21 @@ def test_ivf_index_matches_in_memory_ivf(spark, split, tmp_path):
 
     record_opcheck("ivf_index_topk", len(w), g == w, oracle="in-memory-ivf-twin")
     assert g == w
+
+    # tracked recall@7 of the PERSISTED tier vs brute force (VERDICT
+    # r5 #4) — twin-identity alone would stay green if a hyperparameter
+    # change cratered both tiers together
+    exact = _topk_sets(brute_force_topk(corpus, queries, k=7))
+    approx = _topk_sets(got)
+    recalls = [
+        len(exact[q] & approx.get(q, set())) / len(exact[q]) for q in exact
+    ]
+    recall = sum(recalls) / len(recalls)
+    record_opcheck(
+        "ann_recall_ivf_index_top7", sum(len(s) for s in exact.values()),
+        recall >= 0.5, oracle="brute-force-topk", value=recall,
+    )
+    assert recall >= 0.5
 
     plan = got._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters" in plan and "cell" in plan

@@ -16,6 +16,8 @@ events/documents tables.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -198,6 +200,102 @@ def b15_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return merge_distinct_estimate(daily)
 
 
+def b16_profile_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_export_tool_spark.operators.validate import profile_columns
+
+    # HLL distinct path (the 100 TB default) over the widest fact table
+    return profile_columns(Catalog(spark, sf_dir).load("lineitem"))
+
+
+def b17_check_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_export_tool_spark.operators.validate import (
+        in_range,
+        in_set,
+        matches,
+        not_null,
+        run_checks,
+        unique,
+    )
+
+    orders = Catalog(spark, sf_dir).load("orders")
+    return run_checks(
+        orders,
+        [
+            not_null("o_custkey"),
+            in_range("o_totalprice", 0, 1_000_000),
+            in_set("o_orderstatus", ["O", "F", "P"]),
+            matches("o_orderpriority", r"^[0-9]-[A-Z ]+$"),
+            unique("o_orderkey"),
+        ],
+    )
+
+
+def b18_zorder_write(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The one side-effectful bench entry: times the ACTUAL Z-ordered
+    parquet write (range exchange + in-partition sort + encode), the
+    cost a lake layout job pays. The returned frame is the written
+    table's per-file row count — tiny, so the noop sink adds nothing."""
+    import tempfile
+
+    from data_export_tool_spark.operators.layout import write_zordered
+
+    ev = Catalog(spark, sf_dir).load("events").select(
+        "event_id", "user_id", "value", "event_type"
+    )
+    out = os.path.join(
+        tempfile.gettempdir(), "spark_graft_bench_zorder"
+    )
+    write_zordered(ev, out, ["user_id", "value"], num_files=8)
+    return (
+        spark.read.parquet(out)
+        .groupBy(F.spark_partition_id().alias("file_id"))
+        .agg(F.count(F.lit(1)).alias("n_rows"))
+    )
+
+
+def b19_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_export_tool_spark.operators.sampling import stratified_sample_k
+
+    docs = Catalog(spark, sf_dir).load("documents")
+    return stratified_sample_k(docs, "doc_id", "lang", k=200)
+
+
+def b20_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_export_tool_spark.operators.sampling import weighted_sample_k
+
+    docs = Catalog(spark, sf_dir).load("documents")
+    return weighted_sample_k(docs, "doc_id", "n_chars", k=500)
+
+
+def b21_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_export_tool_spark.operators.upsert import snapshot_diff
+
+    orders = Catalog(spark, sf_dir).load("orders")
+    # synthetic second snapshot: ~1% deletes, ~3% price updates, and a
+    # shifted key range so inserts/deletes both appear
+    new = orders.where(F.col("o_orderkey") % 97 != 0).withColumn(
+        "o_totalprice",
+        F.when(
+            F.col("o_orderkey") % 31 == 0, F.col("o_totalprice") + 1
+        ).otherwise(F.col("o_totalprice")),
+    )
+    return snapshot_diff(orders, new, ["o_orderkey"])
+
+
+def b22_audio_codec(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_export_tool_spark.operators.multimodal import audio_features
+    from data_export_tool_spark.queries.assets_q import synth_assets
+
+    # the synthetic wav payloads are non-decodable text bytes — the
+    # timed quantity is the Arrow-batched decode pass + per-row error
+    # containment (NULL metadata), the cost shape of a corrupt-heavy
+    # crawl, not happy-path parsing (that is x01's job for images)
+    assets = synth_assets(spark, sf_dir).where(
+        F.col("media_type") == "audio/wav"
+    )
+    return audio_features(assets)
+
+
 QUERIES = [
     QuerySpec("b01_funnel_conversion", b01_funnel_conversion, None),
     QuerySpec("b02_retention_weekly", b02_retention_weekly, None),
@@ -214,4 +312,11 @@ QUERIES = [
     QuerySpec("b13_fuzzy_dedup", b13_fuzzy_dedup, None),
     QuerySpec("b14_gopher_flags", b14_gopher_flags, None),
     QuerySpec("b15_sketch_rollup", b15_sketch_rollup, None),
+    QuerySpec("b16_profile_columns", b16_profile_columns, None),
+    QuerySpec("b17_check_suite", b17_check_suite, None),
+    QuerySpec("b18_zorder_write", b18_zorder_write, None),
+    QuerySpec("b19_stratified_sample", b19_stratified_sample, None),
+    QuerySpec("b20_weighted_sample", b20_weighted_sample, None),
+    QuerySpec("b21_snapshot_diff", b21_snapshot_diff, None),
+    QuerySpec("b22_audio_codec", b22_audio_codec, None),
 ]

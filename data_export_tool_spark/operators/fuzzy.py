@@ -187,3 +187,46 @@ def fuzzy_dedup_pairs(
         F.col("right_val").alias("val_b"),
         "distance",
     )
+
+
+def fuzzy_entity_clusters(
+    df: DataFrame,
+    max_distance: int = 1,
+    id_col: str = "id",
+    text_col: str = "name",
+    max_len: int = 64,
+    max_variant_group: int | None = None,
+) -> DataFrame:
+    """Entity resolution: transitive closure of the fuzzy near-match
+    graph — the fuzzy tier composed with distributed connected
+    components exactly the way the embedding tier composes into
+    ``semantic_dedup``. "jonathan smith" ~ "jonathon smith" ~
+    "jonathan smyth" all land in ONE cluster even when the outer pair
+    is beyond ``max_distance``.
+
+    Returns one row per entity that matched anything:
+    ``(id_col, canonical_id, canonical_val, cluster_size)`` — the
+    canonical representative is the min-id member (deterministic).
+    Unmatched rows produce no output row; keep them unconditionally
+    (or anti-join non-canonical members out of ``df``).
+
+    Scale shape: SymSpell-blocked pair generation (no cartesian) →
+    O(log n)-round pointer-jumping CC on (id, id) scalars → one
+    broadcast-size-independent join back to ``df`` for the canonical
+    value. Same hot-variant guard pass-through as ``fuzzy_pairs``.
+    """
+    from data_export_tool_spark.operators.graph import duplicate_clusters
+
+    pairs = fuzzy_dedup_pairs(
+        df, max_distance, id_col, text_col, max_len, max_variant_group
+    )
+    clusters = duplicate_clusters(
+        pairs.select("id_a", "id_b"), id_out=id_col
+    ).withColumnRenamed("component_id", "canonical_id")
+    canon_val = df.select(
+        F.col(id_col).alias("canonical_id"),
+        F.col(text_col).alias("canonical_val"),
+    )
+    return clusters.join(canon_val, on="canonical_id").select(
+        id_col, "canonical_id", "canonical_val", "cluster_size"
+    )

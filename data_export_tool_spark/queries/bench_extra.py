@@ -296,6 +296,20 @@ def b22_audio_codec(spark: SparkSession, sf_dir: str) -> DataFrame:
     return audio_features(assets)
 
 
+def b23_entity_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_export_tool_spark.operators.fuzzy import fuzzy_entity_clusters
+
+    docs = Catalog(spark, sf_dir).load("documents")
+    keys = docs.select(
+        "doc_id", F.substring(F.col("source"), 9, 24).alias("name")
+    )
+    # the full composition b13 only half-guards: pair stage + CC +
+    # canonical join-back
+    return fuzzy_entity_clusters(
+        keys, max_distance=1, id_col="doc_id", text_col="name"
+    )
+
+
 QUERIES = [
     QuerySpec("b01_funnel_conversion", b01_funnel_conversion, None),
     QuerySpec("b02_retention_weekly", b02_retention_weekly, None),
@@ -319,4 +333,5 @@ QUERIES = [
     QuerySpec("b20_weighted_sample", b20_weighted_sample, None),
     QuerySpec("b21_snapshot_diff", b21_snapshot_diff, None),
     QuerySpec("b22_audio_codec", b22_audio_codec, None),
+    QuerySpec("b23_entity_resolution", b23_entity_resolution, None),
 ]

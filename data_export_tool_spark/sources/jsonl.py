@@ -128,6 +128,159 @@ def load_csv(
     return good, quarantine
 
 
+def _observed_simple_type(v) -> str:
+    """JSON value → Spark simpleString for the drift report."""
+    if v is None:
+        return "void"
+    if isinstance(v, bool):  # before int: bool is an int subclass
+        return "boolean"
+    if isinstance(v, int):
+        return "bigint"
+    if isinstance(v, float):
+        return "double"
+    if isinstance(v, str):
+        return "string"
+    if isinstance(v, list):
+        return "array"
+    return "struct"
+
+
+#: declared-type prefixes each observed JSON shape is COMPATIBLE with —
+#: JSON can't distinguish int widths, carries timestamps/dates as
+#: strings, and decimals arrive as numbers, so only coarse-class
+#: conflicts count as drift (a declared bigint observed as "bigint" is
+#: not news; observed as "string" is)
+_COMPAT = {
+    "bigint": ("tinyint", "smallint", "int", "bigint", "float", "double", "decimal"),
+    "double": ("float", "double", "decimal"),
+    "string": ("string", "varchar", "char", "date", "timestamp", "binary"),
+    "boolean": ("boolean",),
+    "array": ("array",),
+    "struct": ("struct", "map"),
+}
+
+
+def jsonl_schema_drift(
+    spark: SparkSession,
+    path: str,
+    schema: StructType | str,
+    sample_lines: int = 1024,
+    full_scan: bool = False,
+) -> DataFrame:
+    """Drift report for a JSONL source vs its declared schema, routed
+    through ``validate.schema_drift`` — the lake-ingestion answer to a
+    producer that evolved upstream: new columns report as ``added``,
+    columns absent from every record as ``removed`` (a rename shows up
+    as one of each), coarse type-class conflicts as ``retyped``.
+
+    Detection cost is BOUNDED by contract: types come from the first
+    ``sample_lines`` non-blank lines (one driver-side pass over a
+    ``limit`` — never a full-corpus inference pass, which at 100 TB
+    would double the read). ``full_scan=True`` upgrades the added /
+    removed KEY detection to exact via one distinct-keys aggregate
+    (``json_object_keys`` explode — a second scan that shuffles only
+    key strings, opt-in because it is a full pass); typed drift stays
+    sample-based either way.
+    """
+    import json as _json
+
+    from data_export_tool_spark.operators.validate import schema_drift_df
+
+    if isinstance(schema, str):
+        from pyspark.sql.types import _parse_datatype_string
+
+        schema = _parse_datatype_string(schema)
+    declared = {f.name: f.dataType.simpleString() for f in schema.fields}
+
+    lines = (
+        spark.read.text(path)
+        .where(F.trim(F.col("value")) != "")
+        .limit(sample_lines)
+        .collect()
+    )
+    # per key: observed shape → occurrence count. A column only counts
+    # as retyped when NO observed shape is compatible with the declared
+    # type — a lone malformed record (one string among thousands of
+    # ints) is the QUARANTINE's business, not producer drift
+    observed: dict[str, dict[str, int]] = {}
+    for row in lines:
+        try:
+            obj = _json.loads(row["value"])
+        except ValueError:
+            continue  # corrupt lines are the quarantine's business
+        if not isinstance(obj, dict):
+            continue
+        for k, v in obj.items():
+            shapes = observed.setdefault(k, {})
+            t = _observed_simple_type(v)
+            shapes[t] = shapes.get(t, 0) + 1
+
+    if full_scan:
+        exact_keys = {
+            r["k"]
+            for r in spark.read.text(path)
+            .where(F.trim(F.col("value")) != "")
+            .select(
+                F.explode(F.json_object_keys(F.col("value"))).alias("k")
+            )
+            .distinct()
+            .collect()
+        }
+        for k in exact_keys:
+            observed.setdefault(k, {})  # key beyond the typed sample
+        observed = {k: t for k, t in observed.items() if k in exact_keys}
+
+    # build the observed StructType: fields with ANY compatible shape
+    # keep the DECLARED type (int-width / timestamp-as-string noise and
+    # minority-corrupt records are not drift), genuine conflicts keep
+    # the dominant observed shape, unseen declared fields are omitted
+    # (-> "removed"), new keys enter as observed
+    from pyspark.sql.types import _parse_datatype_string
+
+    fields = []
+    for name, shapes in sorted(observed.items()):
+        decl = declared.get(name)
+        real = {s: n for s, n in shapes.items() if s != "void"}
+        if decl is not None and (
+            not real
+            or any(decl.startswith(_COMPAT.get(s, ())) for s in real)
+        ):
+            simple = decl
+        else:
+            # dominant shape, ties broken alphabetically (determinism)
+            obs = (
+                max(sorted(real), key=lambda s: real[s]) if real else "string"
+            )
+            simple = {"array": "array<string>", "struct": "struct<>"}.get(
+                obs, obs
+            )
+        fields.append(
+            StructField(name, _parse_datatype_string(simple), True)
+        )
+    return schema_drift_df(spark, schema, StructType(fields))
+
+
+def load_jsonl_evolving(
+    spark: SparkSession,
+    path: str,
+    schema: StructType | str,
+    sample_lines: int = 1024,
+    full_scan: bool = False,
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """``load_jsonl`` plus the drift report: ``(good, quarantine,
+    drift)``. ``good`` still contracts on the DECLARED schema — new
+    upstream columns never silently reshape a 100 TB table; they
+    arrive as ``added`` rows in ``drift`` so the owner can extend the
+    declared schema deliberately. Retyped producers keep flowing:
+    values that still coerce parse as before, values that don't hit
+    the quarantine, and the drift row says why."""
+    good, quarantine = load_jsonl(spark, path, schema)
+    drift = jsonl_schema_drift(
+        spark, path, schema, sample_lines=sample_lines, full_scan=full_scan
+    )
+    return good, quarantine, drift
+
+
 def write_jsonl(df: DataFrame, path: str, compression: str | None = "gzip"):
     """Write a corpus back out as JSONL (sharded by partition — the
     standard corpus interchange layout)."""

@@ -91,3 +91,89 @@ def test_load_csv_splits_good_and_quarantine(spark, tmp_path):
     assert bad == ["3,gamma,not-a-number", "4,delta", "x,epsilon,5"]
     plan = good._jdf.queryExecution().executedPlan().toString()
     assert plan.count("FileScan text") == 1
+
+
+@pytest.fixture()
+def evolved_path(tmp_path):
+    """A producer that evolved: renamed n -> n_tokens (one removed +
+    one added), added a new 'lang' column, and started sending doc_id
+    as a string (retyped)."""
+    lines = [
+        json.dumps({"doc_id": "a1", "text": "alpha", "n_tokens": 10, "lang": "en"}),
+        json.dumps({"doc_id": "a2", "text": "beta", "n_tokens": 20, "lang": "am"}),
+        json.dumps({"doc_id": "a3", "text": "gamma", "n_tokens": 5, "lang": "en"}),
+        "corrupt {not json",
+    ]
+    p = tmp_path / "evolved.jsonl"
+    p.write_text("\n".join(lines) + "\n")
+    return str(p)
+
+
+def test_jsonl_schema_drift_report(spark, evolved_path):
+    from data_export_tool_spark.sources.jsonl import load_jsonl_evolving
+    from tests.conftest import record_opcheck
+
+    declared = "doc_id long, text string, n long"
+    good, quarantine, drift = load_jsonl_evolving(
+        spark, evolved_path, declared
+    )
+    report = {
+        r["column"]: (r["change"], r["before"], r["after"])
+        for r in drift.collect()
+    }
+    want = {
+        "lang": ("added", None, "string"),
+        "n_tokens": ("added", None, "bigint"),
+        "n": ("removed", "bigint", None),
+        "doc_id": ("retyped", "bigint", "string"),
+    }
+    record_opcheck(
+        "jsonl_schema_drift", len(want), report == want,
+        oracle="python-reference",
+    )
+    assert report == want
+    # ingestion SURVIVES the drift: good rows still contract on the
+    # declared schema; the retyped doc_id values can't coerce to long
+    # so those records land in quarantine, not as silent NULL rows
+    assert good.columns == ["doc_id", "text", "n"]
+    assert good.count() == 0
+    assert quarantine.count() == 4
+
+
+def test_jsonl_schema_drift_full_scan_exact_keys(spark, tmp_path):
+    from data_export_tool_spark.sources.jsonl import jsonl_schema_drift
+
+    # the drifted key appears BEYOND the typed sample window: the
+    # bounded sample misses it, the exact key scan reports it
+    lines = [json.dumps({"doc_id": i, "text": "x"}) for i in range(50)]
+    lines.append(json.dumps({"doc_id": 50, "text": "y", "late_col": 1}))
+    p = tmp_path / "late.jsonl"
+    p.write_text("\n".join(lines) + "\n")
+    declared = "doc_id long, text string"
+
+    sampled = {
+        r["column"]
+        for r in jsonl_schema_drift(
+            spark, str(p), declared, sample_lines=10
+        ).collect()
+    }
+    assert "late_col" not in sampled
+    exact = {
+        r["column"]: r["change"]
+        for r in jsonl_schema_drift(
+            spark, str(p), declared, sample_lines=10, full_scan=True
+        ).collect()
+    }
+    assert exact == {"late_col": "added"}
+
+
+def test_jsonl_no_drift_is_empty_report(spark, corpus_path):
+    from data_export_tool_spark.sources.jsonl import jsonl_schema_drift
+
+    # the original corpus: extra/missing fields per-LINE are parsing
+    # business; 'extra' appears in one record -> added, everything
+    # declared is observed and compatible
+    drift = jsonl_schema_drift(
+        spark, corpus_path, "doc_id long, text string, n long"
+    ).collect()
+    assert {r["column"]: r["change"] for r in drift} == {"extra": "added"}

@@ -160,3 +160,78 @@ def duplicate_clusters(
     comp = connected_components(pairs, src=src, dst=dst, out_node=id_out)
     w = F.count(F.lit(1)).over(Window.partitionBy("component_id"))
     return comp.select(id_out, "component_id", w.alias("cluster_size"))
+
+
+def canonical_by_score(
+    pairs: DataFrame,
+    scores: DataFrame,
+    id_col: str = "doc_id",
+    score_col: str = "score",
+) -> DataFrame:
+    """Quality-aware canonical selection: resolve near-dup pairs into
+    clusters and pick each cluster's HIGHEST-``score_col`` member as
+    the keeper (ties by min id — deterministic), instead of
+    ``duplicate_clusters``'s min-id convention. The real-world dedup
+    policy: among five near-identical crawls of a page, keep the one
+    the quality model likes best, not the one with the smallest id.
+
+    ``scores`` must carry ``(id_col, score_col)`` for at least every
+    clustered id; members with NULL/absent scores lose every
+    comparison but remain listed. Output: one row per clustered doc —
+    ``(id_col, component_id, canonical_id, canonical_score,
+    cluster_size)``. Drop non-keepers by anti-joining
+    ``canonical_id != id_col`` rows out of the corpus.
+
+    Scale shape: CC on id scalars, then ONE partial-aggregable
+    ``min_by`` groupBy per component — max-score-then-min-id encoded
+    as ``min_by(id, struct(-score, id))``, so a mega-cluster is a
+    map-side-combined aggregate, never a per-cluster window over the
+    full membership.
+    """
+    comp = duplicate_clusters(pairs, id_out=id_col)
+    joined = comp.join(
+        scores.select(
+            F.col(id_col), F.col(score_col).cast("double").alias("__s")
+        ),
+        on=id_col,
+        how="left",
+    )
+    # NULL scores must lose: give them -inf in the comparator (struct
+    # comparison treats NULL as largest in min — unacceptable here)
+    s = F.coalesce(F.col("__s"), F.lit(float("-inf")))
+    best = joined.groupBy("component_id").agg(
+        F.min_by(
+            F.col(id_col), F.struct((-s).alias("ns"), F.col(id_col))
+        ).alias("canonical_id"),
+        F.max(s).alias("canonical_score"),
+    )
+    return (
+        joined.join(best, on="component_id")
+        .select(
+            id_col,
+            "component_id",
+            "canonical_id",
+            F.when(
+                F.col("canonical_score") != float("-inf"),
+                F.col("canonical_score"),
+            ).alias("canonical_score"),
+            "cluster_size",
+        )
+    )
+
+
+def dedup_keep_best(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    score_col: str = "score",
+) -> DataFrame:
+    """Drop every clustered row except its cluster's best-scoring
+    member (``canonical_by_score`` policy). ``df`` must carry both
+    ``id_col`` and ``score_col``. Rows in no pair survive untouched.
+    One extra shuffle beyond the composition (the final anti-join)."""
+    canon = canonical_by_score(
+        pairs, df.select(id_col, score_col), id_col=id_col, score_col=score_col
+    )
+    drop = canon.where(F.col(id_col) != F.col("canonical_id")).select(id_col)
+    return df.join(drop, on=id_col, how="left_anti")

@@ -73,6 +73,55 @@ def deterministic_sample(
     return df.filter(bucket < thresh)
 
 
+def group_split(
+    df: DataFrame,
+    group_col: str,
+    fractions: Mapping[str, float],
+    out_col: str = "split",
+    mod: int = SAMPLE_MOD,
+) -> DataFrame:
+    """Leakage-safe train/valid/test assignment: EVERY row of a group
+    lands in the same split, because the split is a pure function of
+    ``md5(group)`` — the property row-level ``df.randomSplit`` cannot
+    give. Split eval sets by the DEDUP CLUSTER (``component_id`` from
+    ``duplicate_clusters``/``canonical_by_score``) or by registered
+    domain so near-duplicates and same-site pages never straddle the
+    train/test boundary — the standard contamination control.
+
+    ``fractions`` maps split name → fraction; they must sum to ≤ 1
+    (any remainder falls into the LAST split in sorted-name order, so
+    the assignment is total and deterministic). Assignment: the
+    group's ``sample_bucket`` is compared against cumulative fraction
+    boundaries in sorted-name order — same quantization (1/mod) and
+    md5 convention as ``deterministic_sample``, so a DuckDB oracle
+    replays it as a CASE over the same integer thresholds.
+
+    Scale: a per-row md5 + CASE at scan level — no shuffle, no count
+    job, nested-stable (growing a fraction only moves groups across
+    ONE boundary).
+    """
+    if not fractions:
+        raise ValueError("fractions must not be empty")
+    total = sum(fractions.values())
+    if total > 1.0 + 1e-9:
+        raise ValueError(f"fractions sum to {total} > 1")
+    names = sorted(fractions)
+    bucket = sample_bucket(F.col(group_col), mod)
+    boundaries = []
+    cum = 0.0
+    for name in names:
+        cum += fractions[name]
+        boundaries.append((name, int(round(cum * mod))))
+    # ordered CASE: the first boundary the bucket falls under wins;
+    # the last split absorbs its own band plus any rounding remainder
+    case: Column | None = None
+    for name, bound in boundaries[:-1]:
+        cond = bucket < bound
+        case = F.when(cond, F.lit(name)) if case is None else case.when(cond, F.lit(name))
+    out = case.otherwise(F.lit(names[-1])) if case is not None else F.lit(names[-1])
+    return df.withColumn(out_col, out)
+
+
 def pack_token_shards(
     df: DataFrame,
     token_col: str,

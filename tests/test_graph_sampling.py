@@ -350,3 +350,114 @@ def test_weighted_sample_k_top_bucket_not_privileged(spark):
     df = spark.createDataFrame(rows, "id long, w double")
     got = {r["id"] for r in weighted_sample_k(df, "id", "w", 10).collect()}
     assert top not in got
+
+
+def test_canonical_by_score_keep_best(spark):
+    """Quality-aware canonical selection vs a union-find + argmax
+    replay: highest score wins, ties break to min id, NULL scores
+    lose, and dedup_keep_best drops exactly the non-canonical rows."""
+    from data_export_tool_spark.operators.graph import (
+        canonical_by_score,
+        dedup_keep_best,
+    )
+
+    pair_list = [(1, 2), (2, 3), (7, 9), (20, 21)]
+    scores = {1: 0.2, 2: 0.9, 3: 0.9, 7: None, 9: None, 20: 0.5, 21: 0.5,
+              50: 0.1}  # 50: unclustered
+    pairs = spark.createDataFrame(pair_list, ["id_a", "id_b"])
+    sdf = spark.createDataFrame(
+        [(k, v) for k, v in scores.items()], "doc_id long, score double"
+    )
+    comp = _brute_cc(pair_list)
+    want = {}
+    for i, root in comp.items():
+        members = [x for x in comp if comp[x] == root]
+        scored = [
+            (-(scores[m] if scores[m] is not None else float("-inf")), m)
+            for m in members
+        ]
+        canon = min(scored)[1]
+        cscore = scores[canon]
+        want[i] = (root, canon, cscore, len(members))
+    got = {
+        r["doc_id"]: (
+            r["component_id"], r["canonical_id"], r["canonical_score"],
+            r["cluster_size"],
+        )
+        for r in canonical_by_score(pairs, sdf).collect()
+    }
+    record_opcheck(
+        "canonical_by_score", len(want), got == want,
+        oracle="union-find+argmax replay",
+    )
+    assert got == want
+    # {2,3} tie at 0.9 -> min id 2; {7,9} all-NULL -> min id 7, NULL score
+    assert got[3] == (1, 2, 0.9, 3)
+    assert got[7] == (7, 7, None, 2)
+
+    docs = sdf  # doc table carrying the score column
+    kept = sorted(
+        r["doc_id"] for r in dedup_keep_best(docs, pairs).collect()
+    )
+    assert kept == [2, 7, 20, 50]
+
+
+def test_group_split_is_group_atomic_and_matches_duckdb(spark):
+    """group_split: every member of a group gets the same split, the
+    assignment matches a DuckDB replay of the same md5/threshold CASE,
+    and fractions are approximately honored over many groups."""
+    import duckdb
+
+    from data_export_tool_spark.operators.sampling import group_split
+
+    df = spark.range(5000).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("domain-"), (F.col("id") % 500).cast("string")).alias(
+            "grp"
+        ),
+    )
+    out = group_split(
+        df, "grp", {"train": 0.8, "valid": 0.1, "test": 0.1}
+    )
+    rows = [(r["doc_id"], r["grp"], r["split"]) for r in out.collect()]
+    by_grp: dict = {}
+    for _, g, s in rows:
+        by_grp.setdefault(g, set()).add(s)
+    assert all(len(v) == 1 for v in by_grp.values())  # group-atomic
+
+    want = {
+        (i, g): s
+        for i, g, s in duckdb.sql(
+            """
+            WITH t AS (
+              SELECT r AS doc_id, 'domain-' || (r % 500) AS grp
+              FROM range(5000) AS _(r)
+            )
+            SELECT doc_id, grp, CASE
+              WHEN ('0x' || substring(md5(grp), 9, 8))::UBIGINT % 1000000
+                   < 100000 THEN 'test'
+              WHEN ('0x' || substring(md5(grp), 9, 8))::UBIGINT % 1000000
+                   < 900000 THEN 'train'
+              ELSE 'valid' END AS split
+            FROM t
+            """
+        ).fetchall()
+    }
+    got = {(i, g): s for i, g, s in rows}
+    record_opcheck("group_split", len(want), got == want)
+    assert got == want
+    # rough proportions over 500 groups (binomial, generous bounds)
+    n_train = sum(1 for v in by_grp.values() if v == {"train"})
+    assert 330 <= n_train <= 470
+
+
+def test_group_split_validation_and_remainder(spark):
+    from data_export_tool_spark.operators.sampling import group_split
+
+    df = spark.createDataFrame([(1, "a")], "id long, g string")
+    with pytest.raises(ValueError, match="sum"):
+        group_split(df, "g", {"a": 0.9, "b": 0.2})
+    with pytest.raises(ValueError, match="empty"):
+        group_split(df, "g", {})
+    # single split absorbs everything
+    assert group_split(df, "g", {"train": 0.5}).first()["split"] == "train"

@@ -234,7 +234,16 @@ def test_near_dup_edges_star_regime_is_linear(spark):
             df, threshold=0.99, dim=4, star_bucket_threshold=64
         ).collect()
     )
-    assert kept == [0] + [1_000_000 + i for i in range(20)]
+    want_kept = [0] + [1_000_000 + i for i in range(20)]
+    from tests.conftest import record_opcheck
+
+    record_opcheck(
+        "semantic_dedup_star_edges",
+        n + len(want_kept),
+        n == B - 1 and kept == want_kept,
+        oracle="closed-form (B-1 edges, min-id + singletons kept)",
+    )
+    assert kept == want_kept
 
 
 def test_zero_norm_vectors_never_rank(spark):

@@ -169,16 +169,36 @@ def b12_hashed_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hashed_embedding(docs, dim=64).select("doc_id", "embedding")
 
 
+def _entity_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic short entity keys with REAL near-match structure
+    (same-lang keys one digit apart, en/es-style lang pairs one
+    substitution apart). Replaces the original substring(source, 9, 24)
+    workload, which was silently degenerate: `source` is 'srcN' (< 9
+    chars), so every doc keyed to the EMPTY string and the entry spent
+    its 12.9 s materializing all C(5000,2) ≈ 12.5M distance-0 pairs —
+    the hot-variant pathology (now also coverable by
+    ``max_variant_group``), not the candidate pipeline it was meant to
+    guard."""
+    docs = Catalog(spark, sf_dir).load("documents")
+    return docs.select(
+        "doc_id",
+        F.concat(
+            F.col("lang"),
+            F.lit("-doc-"),
+            F.lpad((F.col("doc_id") % 997).cast("string"), 4, "0"),
+        ).alias("name"),
+    )
+
+
 def b13_fuzzy_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from data_export_tool_spark.operators.fuzzy import fuzzy_dedup_pairs
 
-    docs = Catalog(spark, sf_dir).load("documents")
-    # short-key fuzzing over the source column's registrable tail —
-    # the entity-resolution shape (names/titles), not whole documents
-    keys = docs.select(
-        "doc_id", F.substring(F.col("source"), 9, 24).alias("name")
+    return fuzzy_dedup_pairs(
+        _entity_keys(spark, sf_dir),
+        max_distance=1,
+        id_col="doc_id",
+        text_col="name",
     )
-    return fuzzy_dedup_pairs(keys, max_distance=1, id_col="doc_id", text_col="name")
 
 
 def b14_gopher_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -299,14 +319,13 @@ def b22_audio_codec(spark: SparkSession, sf_dir: str) -> DataFrame:
 def b23_entity_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     from data_export_tool_spark.operators.fuzzy import fuzzy_entity_clusters
 
-    docs = Catalog(spark, sf_dir).load("documents")
-    keys = docs.select(
-        "doc_id", F.substring(F.col("source"), 9, 24).alias("name")
-    )
     # the full composition b13 only half-guards: pair stage + CC +
     # canonical join-back
     return fuzzy_entity_clusters(
-        keys, max_distance=1, id_col="doc_id", text_col="name"
+        _entity_keys(spark, sf_dir),
+        max_distance=1,
+        id_col="doc_id",
+        text_col="name",
     )
 
 

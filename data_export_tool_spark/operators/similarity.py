@@ -810,6 +810,50 @@ def write_ivf_index(
         )
 
 
+def append_to_ivf_index(new_vectors: DataFrame, path: str,
+                        id_col: str = "vec_id",
+                        vec_col: str = "embedding") -> None:
+    """Incremental index maintenance: assign NEW vectors with the
+    index's STORED centroids and append them into the same
+    cell-partitioned layout — the lake-ingestion path that makes a
+    persisted ANN index usable for a growing corpus (daily embedding
+    batches land with one assignment pass over the delta; no retrain,
+    no rewrite of existing cells).
+
+    Because assignment uses the stored quantizer and searches rank by
+    exact cosine within probed cells, a query against the appended
+    index is VALUE-IDENTICAL to one against an index rebuilt from the
+    full corpus with the same centroids (pinned in tests). The usual
+    IVF caveat applies and is the operator's documented contract: the
+    quantizer is not re-fit, so if the data distribution drifts far
+    from the training sample, cells grow unbalanced — rebuild with
+    fresh centroids when probe-cell sizes skew (cell sizes are one
+    ``count`` over the partition column away).
+
+    Appends create one file per task per touched cell; run
+    ``layout.compact_parquet`` on the data dir periodically, as any
+    incremental writer does.
+    """
+    import json
+    import os
+
+    import numpy as np
+
+    with open(os.path.join(path, "centroids.json")) as fh:
+        cent = np.asarray(json.load(fh)["centroids"], dtype=np.float64)
+    assigned = (
+        new_vectors.select(
+            F.col(id_col).alias("neighbor_id"),
+            F.col(vec_col).cast("array<double>").alias("__cv"),
+        )
+        .withColumn("__cn", l2_norm(F.col("__cv")))
+        .withColumn("cell", _cell_assign_expr(cent))
+    )
+    assigned.write.partitionBy("cell").mode("append").parquet(
+        os.path.join(path, "data")
+    )
+
+
 def _py_cosine(a, b) -> float:
     """Sequential-fold cosine — bitwise-equal to the Spark fold the
     in-memory path evaluates, so driver-side probe selection can never

@@ -539,3 +539,58 @@ def test_snapshot_diff_bucketed_snapshots_no_exchange(spark):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
         spark.sql("DROP TABLE IF EXISTS t_snap_old_bkt")
         spark.sql("DROP TABLE IF EXISTS t_snap_new_bkt")
+
+
+def test_near_dup_edges_plan_no_cartesian_broadcast_stats(spark, sf_dir):
+    """The star-edge spanning stage: candidate generation stays an
+    equi-join (no cartesian / nested-loop anywhere), the bucket stats
+    and hub-vector sides broadcast (zero extra vector-side shuffle for
+    the routing), and the hub-verify join is a plain hash join on the
+    id scalar."""
+    from data_export_tool_spark.catalog import Catalog
+    from data_export_tool_spark.operators.similarity import (
+        embedding_near_dup_edges,
+    )
+
+    emb = Catalog(spark, sf_dir).load("embeddings")
+    df = embedding_near_dup_edges(emb, threshold=0.9, dim=64)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoop" not in plan
+    assert "BroadcastExchange" in plan  # stats + hub vectors
+
+
+def test_group_split_is_scan_level(spark, sf_dir):
+    """Split assignment must be a pure scan-side projection: no
+    Exchange, no aggregate, no count job — md5 + CASE per row."""
+    from data_export_tool_spark.catalog import Catalog
+    from data_export_tool_spark.operators.sampling import group_split
+
+    docs = Catalog(spark, sf_dir).load("documents")
+    out = group_split(
+        docs, "source", {"train": 0.9, "valid": 0.05, "test": 0.05}
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    assert "Aggregate" not in plan
+
+
+def test_canonical_by_score_aggregates_not_windows(spark):
+    """Keep-best selection must be the partial-aggregable min_by form:
+    no per-component row_number window over the full membership (the
+    mega-cluster killer); the only windows allowed are the CC
+    composition's own cluster-size count."""
+    from data_export_tool_spark.operators.graph import canonical_by_score
+
+    pairs = spark.createDataFrame([(1, 2), (2, 3)], ["id_a", "id_b"])
+    scores = spark.createDataFrame(
+        [(1, 0.5), (2, 0.7), (3, 0.2)], "doc_id long, score double"
+    )
+    plan = (
+        canonical_by_score(pairs, scores)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "min_by" in plan or "minBy" in plan.lower()
+    assert "row_number" not in plan

@@ -346,6 +346,46 @@ def test_ivf_index_matches_in_memory_ivf(spark, split, tmp_path):
     assert all_cells == 8
 
 
+def test_ivf_index_append_matches_full_rebuild(spark, split, tmp_path):
+    """Incremental maintenance: write half the corpus, append the
+    other half with the STORED centroids — queries must be
+    VALUE-IDENTICAL to an index built from the full corpus with the
+    same centroids, and the appended rows must land in the same
+    cell-partitioned layout."""
+    from data_export_tool_spark.operators.similarity import (
+        append_to_ivf_index,
+        ivf_index_topk,
+        ivf_train_from_corpus,
+        write_ivf_index,
+    )
+
+    queries, corpus = split
+    cent = ivf_train_from_corpus(corpus, 8)
+    half_a = corpus.where(F.col("vec_id") % 2 == 0)
+    half_b = corpus.where(F.col("vec_id") % 2 == 1)
+
+    inc = str(tmp_path / "ivf_inc")
+    write_ivf_index(half_a, inc, centroids=cent)
+    append_to_ivf_index(half_b, inc)
+
+    full = str(tmp_path / "ivf_full")
+    write_ivf_index(corpus, full, centroids=cent)
+
+    got = sorted(
+        map(tuple, ivf_index_topk(spark, inc, queries, k=7, n_probe=3).collect())
+    )
+    want = sorted(
+        map(tuple, ivf_index_topk(spark, full, queries, k=7, n_probe=3).collect())
+    )
+    from tests.conftest import record_opcheck
+
+    record_opcheck(
+        "ivf_index_append", len(want), got == want,
+        oracle="full-rebuild-twin",
+    )
+    assert got == want
+
+
 def test_ivf_index_empty_queries_raises(spark, split, tmp_path):
     from data_export_tool_spark.operators.similarity import (
         ivf_index_topk,

@@ -274,3 +274,55 @@ def gopher_quality_flags(
     for r in rules:
         keep = F.col(r) if keep is None else (keep & F.col(r))
     return out.withColumn("gopher_keep", keep)
+
+
+def ngram_novelty(
+    df: DataFrame,
+    n: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Corpus-level n-gram novelty per document: of the doc's DISTINCT
+    word n-grams, what fraction appears in NO other document
+    (``novel_frac``), plus the mean document frequency of its n-grams
+    (``mean_df`` — high values mark boilerplate assembled from
+    corpus-common phrasing even when no single document matches). The
+    diversity/memorization curation signal that pairs with the dedup
+    tiers: near-dup detection finds documents that match each OTHER;
+    novelty finds documents made of corpus-wide clichés.
+
+    Output: ``(id_col, n_ngrams, novel_frac, mean_df)`` — one row per
+    document with at least one n-gram (NULL/whitespace-only docs
+    produce no row, same contract as the dedup tiers).
+
+    Scale shape: scan-side shingle explode (shared ``word_shingles``
+    builder — same normalization as MinHash, so the two signals are
+    comparable), ONE map-side-combined groupBy for corpus document
+    frequencies, one hash join of shingles against those counts (the
+    count side is one row per distinct n-gram; AQE handles hot-gram
+    skew), one per-doc aggregate. O(total n-grams) shuffle — the
+    dedup_lines cost class, inherent to any corpus-frequency signal.
+    """
+    from data_export_tool_spark.operators.dedup import word_shingles
+
+    shingles = df.where(F.col(text_col).isNotNull()).select(
+        F.col(id_col),
+        F.explode(word_shingles(F.col(text_col), n)).alias("__g"),
+    ).where(
+        # concat_ws renders a NULL/empty token array as "" — that is
+        # the absence of content, not an n-gram; counting it would hand
+        # every blank doc a shared phantom gram
+        F.col("__g") != ""
+    )
+    freqs = shingles.groupBy("__g").agg(
+        F.count(F.lit(1)).alias("__df")  # shingles are distinct per doc
+    )
+    return (
+        shingles.join(freqs, on="__g")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_ngrams"),
+            F.avg((F.col("__df") == 1).cast("double")).alias("novel_frac"),
+            F.avg(F.col("__df").cast("double")).alias("mean_df"),
+        )
+    )

@@ -329,6 +329,12 @@ def b23_entity_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def b24_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_export_tool_spark.operators.quality import ngram_novelty
+
+    return ngram_novelty(Catalog(spark, sf_dir).load("documents"), n=3)
+
+
 QUERIES = [
     QuerySpec("b01_funnel_conversion", b01_funnel_conversion, None),
     QuerySpec("b02_retention_weekly", b02_retention_weekly, None),
@@ -353,4 +359,5 @@ QUERIES = [
     QuerySpec("b21_snapshot_diff", b21_snapshot_diff, None),
     QuerySpec("b22_audio_codec", b22_audio_codec, None),
     QuerySpec("b23_entity_resolution", b23_entity_resolution, None),
+    QuerySpec("b24_ngram_novelty", b24_ngram_novelty, None),
 ]

@@ -121,6 +121,36 @@ def hourly_counts_stream(
     )
 
 
+def windowed_distinct_stream(
+    events: DataFrame,
+    key_col: str = "user_id",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Streaming approximate COUNT DISTINCT per tumbling window and
+    event type via the DataSketches HLL aggregate — per-window distinct
+    users with FIXED-SIZE state per group, where exact streaming
+    distinct would hold every key in state (the 100 TB stream killer).
+    The estimate is a deterministic function of the window's item SET
+    (HLL insertion is order- and multiplicity-insensitive), so the
+    batch twin computing the same expression over the same rows is
+    exactly equal — the parity contract STREAMPARITY pins.
+    """
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 hour").alias("win"), F.col("event_type"))
+        .agg(
+            F.expr(
+                f"hll_sketch_estimate(hll_sketch_agg({key_col}))"
+            ).alias("n_distinct")
+        )
+        .select(
+            F.date_format(F.col("win.start"), "yyyy-MM-dd HH:00").alias("hour"),
+            "event_type",
+            "n_distinct",
+        )
+    )
+
+
 def dedup_stream(
     events: DataFrame,
     keys: list[str] | None = None,

@@ -111,3 +111,63 @@ def test_gopher_flags_edges(spark):
     assert got[4]["stopword_hits"] >= 2 and got[4]["ok_stopwords"]
     assert got[5]["alpha_word_frac"] == 0.0 and not got[5]["ok_alpha_words"]
     assert not got[5]["ok_symbol_ratio"]
+
+
+def test_ngram_novelty_matches_python_replay(spark):
+    """ngram_novelty vs a full python replay of the shared
+    normalize+shingle pipeline (ASCII fixture so the \\p{L}\\p{N}
+    classes equal [A-Za-z0-9])."""
+    import re
+
+    from data_export_tool_spark.operators.quality import ngram_novelty
+    from tests.conftest import record_opcheck
+
+    rows = [
+        (1, "the cat sat on the mat"),
+        (2, "the cat sat on a mat"),
+        (3, "completely different unique text here"),
+        (4, "THE CAT   sat, on the mat!"),  # normalizes identically to 1
+        (5, None),
+        (6, "short"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    def norm(s):
+        s = re.sub(r"[^A-Za-z0-9\s]", " ", s.lower())
+        return re.sub(r"\s+", " ", s).strip()
+
+    def shingles(s, n=3):
+        toks = norm(s).split(" ")
+        n_g = max(len(toks) - (n - 1), 1)
+        return sorted({" ".join(toks[i : i + n]) for i in range(n_g)})
+
+    per_doc = {i: shingles(t) for i, t in rows if t is not None}
+    dfreq: dict = {}
+    for grams in per_doc.values():
+        for g in grams:
+            dfreq[g] = dfreq.get(g, 0) + 1
+    want = {
+        i: (
+            len(g),
+            sum(1 for x in g if dfreq[x] == 1) / len(g),
+            sum(dfreq[x] for x in g) / len(g),
+        )
+        for i, g in per_doc.items()
+    }
+    got = {
+        r["doc_id"]: (r["n_ngrams"], r["novel_frac"], r["mean_df"])
+        for r in ngram_novelty(df).collect()
+    }
+    ok = set(got) == set(want) and all(
+        got[i][0] == want[i][0]
+        and abs(got[i][1] - want[i][1]) < 1e-12
+        and abs(got[i][2] - want[i][2]) < 1e-12
+        for i in want
+    )
+    record_opcheck(
+        "ngram_novelty", len(want), ok, oracle="python-reference"
+    )
+    assert ok, (got, want)
+    # doc 3 is fully novel; docs 1 and 4 are identical -> zero novelty
+    assert got[3][1] == 1.0
+    assert got[1][1] == 0.0 and got[4][1] == 0.0

@@ -653,3 +653,63 @@ def test_dedup_against_store_stream_matches_batch(spark, sf_dir, tmp_path):
     assert got == want
     assert got, "stream dropped everything"
     assert len(got) < docs.count(), "nothing was deduped"
+
+
+def test_windowed_distinct_stream_matches_batch(spark, sf_dir, event_drop_dir):
+    """Streaming HLL distinct-per-window == the identical batch
+    expression over the same restaged files (HLL estimates are a
+    deterministic function of the item set, so equality is exact)."""
+    from data_export_tool_spark.streaming.events import (
+        windowed_distinct_stream,
+    )
+
+    stream = read_events_stream(spark, event_drop_dir, max_files_per_trigger=2)
+    agg = windowed_distinct_stream(stream)
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("distinct_stream_test")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r.hour, r.event_type): r.n_distinct
+        for r in spark.sql("SELECT * FROM distinct_stream_test").collect()
+    }
+    ev = normalize_event_times(spark.read.parquet(event_drop_dir))
+    expected = {
+        (r.hour, r.event_type): r.n_distinct
+        for r in ev.groupBy(
+            F.date_format(F.date_trunc("hour", "ts"), "yyyy-MM-dd HH:00").alias(
+                "hour"
+            ),
+            "event_type",
+        )
+        .agg(
+            F.expr("hll_sketch_estimate(hll_sketch_agg(user_id))").alias(
+                "n_distinct"
+            )
+        )
+        .collect()
+    }
+    # sanity: the estimate tracks the true distinct count (5% HLL class)
+    truth = {
+        (r.hour, r.event_type): r.n
+        for r in ev.groupBy(
+            F.date_format(F.date_trunc("hour", "ts"), "yyyy-MM-dd HH:00").alias(
+                "hour"
+            ),
+            "event_type",
+        )
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()
+    }
+    close = all(
+        abs(got[k] - truth[k]) <= max(2, 0.05 * truth[k]) for k in truth
+    )
+    record_stream_parity(
+        "windowed_distinct_hll", len(expected), got == expected and close
+    )
+    assert got == expected
+    assert close

@@ -97,8 +97,11 @@ def group_split(
     replays it as a CASE over the same integer thresholds.
 
     Scale: a per-row md5 + CASE at scan level — no shuffle, no count
-    job, nested-stable (growing a fraction only moves groups across
-    ONE boundary).
+    job. Stability under re-tuning: growing one split's fraction
+    shifts every LATER boundary (sorted-name order) up by the same
+    delta, so each group either keeps its split or moves exactly one
+    split earlier in that order — never an arbitrary reshuffle, and
+    splits named before the grown one are untouched.
     """
     if not fractions:
         raise ValueError("fractions must not be empty")

@@ -383,3 +383,135 @@ def test_scd2_lifecycle_property(spark, snaps):
         for k, v, vf, vt, cur in versions
     )
     assert got == want
+
+
+# --- group_split: total, group-atomic, python-replayable, shift law ---------
+
+_fractions = st.dictionaries(
+    st.sampled_from(["train", "valid", "test", "holdout"]),
+    st.integers(min_value=1, max_value=20).map(lambda n: n / 40),
+    min_size=1,
+    max_size=4,
+).filter(lambda d: sum(d.values()) <= 1.0)
+
+_groups = st.lists(
+    st.sampled_from(["a", "b", "dom-1", "dom-2", "Ünïcode", "", "x" * 40]),
+    min_size=1,
+    max_size=12,
+)
+
+
+def _py_split(group: str, fractions: dict) -> str:
+    """Driver-side replay of group_split's md5 convention."""
+    import hashlib
+
+    bucket = int(hashlib.md5(str(group).encode()).hexdigest()[8:16], 16) % 1_000_000
+    names = sorted(fractions)
+    cum = 0.0
+    for name in names[:-1]:
+        cum += fractions[name]
+        if bucket < int(round(cum * 1_000_000)):
+            return name
+    return names[-1]
+
+
+@SLOW
+@given(fractions=_fractions, groups=_groups)
+def test_group_split_total_atomic_and_replayable(spark, fractions, groups):
+    from data_export_tool_spark.operators.sampling import group_split
+
+    rows = [(i, g) for i, g in enumerate(groups)]
+    df = spark.createDataFrame(rows, "id long, g string")
+    out = {
+        (r["id"], r["g"]): r["split"]
+        for r in group_split(df, "g", fractions).collect()
+    }
+    assert len(out) == len(rows)  # total: every row assigned
+    by_g: dict = {}
+    for (_, g), s in out.items():
+        by_g.setdefault(g, set()).add(s)
+    assert all(len(v) == 1 for v in by_g.values())  # group-atomic
+    for (i, g), s in out.items():
+        assert s == _py_split(g, fractions), (g, fractions)
+
+
+@SLOW
+@given(fractions=_fractions, groups=_groups)
+def test_group_split_growth_moves_groups_at_most_one_left(
+    spark, fractions, groups
+):
+    """The documented re-tuning law: growing ONE split's fraction moves
+    each group either nowhere or exactly one split EARLIER in
+    sorted-name order; splits sorted before the grown one never change
+    membership away from themselves."""
+    from data_export_tool_spark.operators.sampling import group_split
+
+    names = sorted(fractions)
+    grown = names[0] if len(names) == 1 else names[len(names) // 2]
+    total = sum(fractions.values())
+    if total + 0.05 > 1.0:
+        return  # no headroom to grow; property vacuous for this draw
+    bigger = dict(fractions)
+    bigger[grown] = bigger[grown] + 0.05
+
+    df = spark.createDataFrame(
+        [(i, g) for i, g in enumerate(groups)], "id long, g string"
+    )
+    before = {
+        r["g"]: r["split"] for r in group_split(df, "g", fractions).collect()
+    }
+    after = {
+        r["g"]: r["split"] for r in group_split(df, "g", bigger).collect()
+    }
+    for g, s_before in before.items():
+        s_after = after[g]
+        if s_after != s_before:
+            ia, ib = names.index(s_after), names.index(s_before)
+            assert ib - ia == 1, (g, s_before, s_after, fractions)
+
+
+# --- fuzzy pairs == quadratic truth on hostile tiny strings ------------------
+
+
+def _py_lev(a: str, b: str) -> int:
+    if len(a) < len(b):
+        a, b = b, a
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(
+                min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb))
+            )
+        prev = cur
+    return prev[-1]
+
+
+@SLOW
+@given(
+    names=st.lists(
+        st.text(alphabet="ab", min_size=0, max_size=4),
+        min_size=1,
+        max_size=8,
+    ),
+    d=st.sampled_from([1, 2]),
+)
+def test_fuzzy_pairs_match_python_quadratic(spark, names, d):
+    """SymSpell blocking over a 2-letter alphabet (maximum variant
+    collision pressure, empty strings included) == the quadratic
+    python levenshtein truth, at d=1 and d=2."""
+    from data_export_tool_spark.operators.fuzzy import fuzzy_dedup_pairs
+
+    rows = [(i, s) for i, s in enumerate(names)]
+    df = spark.createDataFrame(rows, "id long, name string")
+    got = {
+        (r["id_a"], r["id_b"]): r["distance"]
+        for r in fuzzy_dedup_pairs(df, max_distance=d).collect()
+    }
+    want = {
+        (i, j): _py_lev(a, b)
+        for i, a in rows
+        for j, b in rows
+        if i < j and _py_lev(a, b) <= d
+    }
+    assert got == want, (names, d)

@@ -74,3 +74,61 @@ def earliest_per_key(
         .filter(F.col("row_num") == 1)
         .drop("row_num")
     )
+
+
+def latest_n_per_key(
+    df: DataFrame,
+    keys: Sequence[str],
+    order_by: Sequence[Column | str],
+    n: int,
+    tiebreak: str | None = None,
+    rank_col: str = "row_num",
+    n_salts: int = 16,
+) -> DataFrame:
+    """EXACTLY the latest ``n`` rows per key (ranked 1..n), WITHOUT a
+    full per-key window — the "last N events per user / latest N
+    versions per entity" operator, generalized from W1's keep-1.
+
+    The naive ``row_number() <= n`` serializes each key onto one task:
+    a bot entity with 10⁸ rows is a single-task sort, the same failure
+    class the funnel fold and two-phase dedup exist for. Two phases,
+    both exact:
+
+    1. SALTED PARTIAL TOP-N: rows are windowed over (key, salt) where
+       salt = a deterministic hash of the full row's order columns
+       mod ``n_salts`` — every (key, salt) partition holds ~1/n_salts
+       of a hot key's rows, and its per-partition top-n is computed
+       with the same ordering. The global top-n of a key is a subset
+       of the union of its per-salt top-n's (any row in the true
+       top-n beats all below it in its own salt too), so keeping
+       n·n_salts candidates per key loses nothing — exactness by the
+       standard top-k union law.
+    2. FINAL RANK: the true window over the surviving ≤ n·n_salts
+       rows per key — bounded regardless of the key's original size.
+
+    A key with few rows pays one extra tiny window; a 10⁸-row key pays
+    two bounded sorts instead of one unbounded one. Ties: pass
+    ``tiebreak`` (mirrors the reference's encounter_id pin) — the
+    ranking is then total and the result deterministic.
+    """
+    if n < 1:
+        raise ValueError(f"n must be >= 1: {n}")
+    order_cols = _order_cols(order_by, True, tiebreak)
+    base_cols = [F.col(c) if isinstance(c, str) else c for c in order_by]
+    salt = F.pmod(
+        F.xxhash64(*base_cols, *( [F.col(tiebreak)] if tiebreak else [] )),
+        F.lit(n_salts),
+    )
+    salted = df.withColumn("__salt", salt)
+    w1 = Window.partitionBy(*keys, "__salt").orderBy(*order_cols)
+    survivors = (
+        salted.withColumn("__r1", F.row_number().over(w1))
+        .filter(F.col("__r1") <= n)
+        .drop("__r1")
+    )
+    w2 = Window.partitionBy(*keys).orderBy(*order_cols)
+    return (
+        survivors.withColumn(rank_col, F.row_number().over(w2))
+        .filter(F.col(rank_col) <= n)
+        .drop("__salt")
+    )

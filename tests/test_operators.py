@@ -309,3 +309,64 @@ def test_asof_join_map_payload_and_string_on(spark):
     ).orderBy("k").collect()
     assert [(r.k, r.t, r.tag) for r in out] == [(1, 15, "b"), (2, None, None)]
     assert out[0].attrs == {"x": "b"}
+
+
+def test_latest_n_per_key_matches_duckdb(spark, sf_dir):
+    """Two-phase salted top-N == DuckDB's ROW_NUMBER truth (with the
+    deterministic tiebreak), exact at every n."""
+    import duckdb
+
+    from data_export_tool_spark.catalog import Catalog
+    from data_export_tool_spark.operators.window_dedup import latest_n_per_key
+    from tests.conftest import record_opcheck
+
+    ev = Catalog(spark, sf_dir).load("events")
+    got = {
+        (r["user_id"], r["row_num"]): r["event_id"]
+        for r in latest_n_per_key(
+            ev, ["user_id"], ["ts"], n=3, tiebreak="event_id"
+        ).collect()
+    }
+    con = duckdb.connect()
+    want = {
+        (u, rn): e
+        for u, rn, e in con.sql(
+            f"""
+            SELECT user_id, rn, event_id FROM (
+              SELECT user_id, event_id,
+                     ROW_NUMBER() OVER (
+                       PARTITION BY user_id
+                       ORDER BY ts DESC, event_id DESC
+                     ) AS rn
+              FROM read_parquet('{sf_dir}/events.parquet')
+            ) WHERE rn <= 3
+            """
+        ).fetchall()
+    }
+    record_opcheck("latest_n_per_key", len(want), got == want)
+    assert got == want
+
+
+def test_latest_n_per_key_hot_key_exact(spark):
+    """A 10⁵-row hot key plus tiny keys: the salted two-phase form must
+    return exactly the true latest-3 (closed form) and keep small keys
+    intact (fewer rows than n -> all ranked)."""
+    from data_export_tool_spark.operators.window_dedup import latest_n_per_key
+
+    hot = spark.range(100_000).select(
+        F.lit(1).alias("k"),
+        F.col("id").alias("seq"),
+    )
+    small = spark.range(2).select(
+        F.lit(2).alias("k"), (F.col("id") + 500_000).alias("seq")
+    )
+    out = latest_n_per_key(
+        hot.unionByName(small), ["k"], ["seq"], n=3
+    )
+    got = {
+        (r["k"], r["row_num"]): r["seq"] for r in out.collect()
+    }
+    assert got == {
+        (1, 1): 99_999, (1, 2): 99_998, (1, 3): 99_997,
+        (2, 1): 500_001, (2, 2): 500_000,
+    }

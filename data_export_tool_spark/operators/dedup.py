@@ -185,6 +185,38 @@ def minhash_signatures(
     return ex.groupBy(id_col).agg(*aggs)
 
 
+def minhash_band_buckets(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 16,
+    bands: int = 4,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """(id, band_idx, band_key) LSH band membership — THE MinHash
+    banding algebra, shared by the self-join candidate generator and
+    the incremental store so bucket keys can never diverge between a
+    stored corpus and a new snapshot."""
+    if num_hashes % bands != 0:
+        raise ValueError(
+            f"bands ({bands}) must divide num_hashes ({num_hashes})"
+        )
+    rows_per_band = num_hashes // bands
+    sigs = minhash_signatures(df, id_col, text_col, num_hashes, shingle_n)
+    band_keys = F.array(
+        *[
+            F.concat_ws(
+                "|",
+                *[F.col(f"s{b * rows_per_band + r}") for r in range(rows_per_band)],
+            )
+            for b in range(bands)
+        ]
+    )
+    return sigs.select(
+        F.col(id_col), F.posexplode(band_keys).alias("band_idx", "band_key")
+    )
+
+
 def minhash_lsh_candidates(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -201,19 +233,8 @@ def minhash_lsh_candidates(
     (band_idx, band_key) — a hash join on a short string key, never on
     document text.
     """
-    rows_per_band = num_hashes // bands
-    sigs = minhash_signatures(df, id_col, text_col, num_hashes, shingle_n)
-    band_keys = F.array(
-        *[
-            F.concat_ws(
-                "|",
-                *[F.col(f"s{b * rows_per_band + r}") for r in range(rows_per_band)],
-            )
-            for b in range(bands)
-        ]
-    )
-    buckets = sigs.select(
-        F.col(id_col), F.posexplode(band_keys).alias("band_idx", "band_key")
+    buckets = minhash_band_buckets(
+        df, id_col, text_col, num_hashes, bands, shingle_n
     )
     a = buckets.alias("a")
     b = buckets.alias("b")
@@ -449,6 +470,122 @@ def dedup_against(
         .join(store, on="__fp", how="left_anti")
         .drop("__fp")
     )
+
+
+def near_dup_store(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 16,
+    bands: int = 4,
+    shingle_n: int = 3,
+) -> tuple[DataFrame, DataFrame]:
+    """The NEAR-dup analog of ``fingerprint_store``: the two persistable
+    tables a running corpus needs so future snapshots can be
+    near-deduplicated against it without ever re-reading its text —
+
+    - ``bands``:    (id, band_idx, band_key) MinHash-LSH membership
+      (the candidate index; same banding algebra as the batch tier);
+    - ``shingles``: (id, sh64) the doc's distinct shingle set as
+      portable 64-bit hashes (the verification payload — Jaccard over
+      hashed shingles equals Jaccard over raw shingles up to 64-bit
+      collisions, ~10⁻¹⁰ per co-occurring pair, documented).
+
+    Sizing: bands is `bands` rows per doc; shingles is ~one row per
+    corpus token — 8-byte keys, a fraction of the text it replaces.
+    Union new snapshots' outputs with the previous tables to roll the
+    store forward (after dropping the snapshot's own near-dups).
+    Persist both bucketed by their first column for join locality.
+    """
+    b = minhash_band_buckets(
+        df, id_col, text_col, num_hashes, bands, shingle_n
+    )
+    sh = df.select(
+        F.col(id_col),
+        F.explode(word_shingles(F.col(text_col), shingle_n)).alias("__sh"),
+    ).select(
+        id_col, portable_hash64(F.col("__sh")).alias("sh64")
+    ).distinct()
+    return b, sh
+
+
+def near_dedup_against(
+    df: DataFrame,
+    store_bands: DataFrame,
+    store_shingles: DataFrame,
+    threshold: float = 0.8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 16,
+    bands: int = 4,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Incremental cross-snapshot NEAR dedup: drop new rows whose
+    n-gram Jaccard against ANY stored document reaches ``threshold``
+    — the near-dup twin of ``dedup_against``'s exact tier, for the
+    daily-ingest shape where yesterday's corpus must suppress today's
+    boilerplate re-crawls, not just byte-identical repeats.
+
+    Pipeline (all candidate-gated, nothing quadratic): the snapshot's
+    band buckets equi-join the store's band index (short string keys,
+    never text) → distinct (new, stored) candidates → Jaccard verified
+    on the store's hashed shingle sets vs the snapshot's (computed
+    once, same ``portable_hash64``) → new ids with any verified match
+    anti-joined out. Standard LSH recall contract: a true near-dup
+    sharing no band with its stored twin is missed — at near-dup
+    thresholds the collision probability is ≈1 (the batch tier's
+    documented contract, unchanged).
+
+    Returns the snapshot's surviving rows with all original columns.
+    In-snapshot duplicates are ``minhash_lsh_candidates``'s job first;
+    this operator only consults the store.
+    """
+    new_bands = minhash_band_buckets(
+        df, id_col, text_col, num_hashes, bands, shingle_n
+    )
+    cand = (
+        new_bands.select(F.col(id_col).alias("__new"), "band_idx", "band_key")
+        .join(
+            store_bands.select(
+                F.col(store_bands.columns[0]).alias("__old"),
+                "band_idx",
+                "band_key",
+            ),
+            on=["band_idx", "band_key"],
+        )
+        .select("__new", "__old")
+        .distinct()
+    )
+    new_sh = df.select(
+        F.col(id_col),
+        F.explode(word_shingles(F.col(text_col), shingle_n)).alias("__s"),
+    ).select(
+        F.col(id_col).alias("__new"), portable_hash64(F.col("__s")).alias("sh64")
+    ).distinct()
+    old_sh = store_shingles.select(
+        F.col(store_shingles.columns[0]).alias("__old"),
+        F.col(store_shingles.columns[1]).alias("sh64"),
+    )
+    n_new = new_sh.groupBy("__new").agg(F.count(F.lit(1)).alias("__na"))
+    n_old = old_sh.groupBy("__old").agg(F.count(F.lit(1)).alias("__nb"))
+    inter = (
+        cand.join(new_sh, on="__new")
+        .join(old_sh.withColumn("__m", F.lit(1)), on=["__old", "sh64"], how="left")
+        .groupBy("__new", "__old")
+        .agg(F.count("__m").alias("__ni"))
+    )
+    dropped = (
+        inter.join(n_new, on="__new")
+        .join(n_old, on="__old")
+        .where(
+            F.col("__ni")
+            / (F.col("__na") + F.col("__nb") - F.col("__ni"))
+            >= threshold
+        )
+        .select(F.col("__new").alias(id_col))
+        .distinct()
+    )
+    return df.join(dropped, on=id_col, how="left_anti")
 
 
 def fingerprint_store(

@@ -281,6 +281,53 @@ def correlate_streams(
     )
 
 
+def near_dedup_sink(
+    docs: DataFrame,
+    store_bands: DataFrame,
+    store_shingles: DataFrame,
+    out_path: str,
+    threshold: float = 0.8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    checkpoint: str | None = None,
+    trigger_available_now: bool = True,
+):
+    """Streaming incremental NEAR dedup: each micro-batch of arriving
+    documents runs the batch ``near_dedup_against`` verbatim against
+    the persisted MinHash store and appends the SURVIVORS to
+    ``out_path`` — the near-dup twin of ``dedup_against_store_stream``.
+
+    foreachBatch rather than a stream-static join, because the near
+    tier needs per-document aggregations (MinHash signatures over the
+    batch's shingles) that a continuous streaming plan would reject;
+    inside foreachBatch the micro-batch is a plain bounded DataFrame,
+    so the decision logic is the SAME CODE PATH as the batch tier —
+    parity by construction, which the STREAMPARITY twin pins. Per-batch
+    decisions consult only the store (in-stream duplicates remain
+    ``dedup_stream``'s watermark contract), so stream output ==
+    batch output over the same files regardless of file batching.
+    """
+    from data_export_tool_spark.operators.dedup import near_dedup_against
+
+    def apply_batch(batch: DataFrame, batch_id: int) -> None:
+        survivors = near_dedup_against(
+            batch,
+            store_bands,
+            store_shingles,
+            threshold=threshold,
+            id_col=id_col,
+            text_col=text_col,
+        )
+        survivors.write.mode("append").parquet(out_path)
+
+    writer = docs.writeStream.foreachBatch(apply_batch).outputMode("append")
+    if checkpoint:
+        writer = writer.option("checkpointLocation", checkpoint)
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer
+
+
 def upsert_sink(
     stream: DataFrame,
     target_path: str,

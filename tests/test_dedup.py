@@ -294,3 +294,93 @@ def test_dedup_lines_matches_duckdb(spark, sf_dir):
     assert set(got) == set(want) | nulls
     for k, v in want.items():
         assert got[k] == v, k
+
+
+def test_near_dedup_against_store_python_replay(spark):
+    """Incremental NEAR-dup vs a full python replay of the entire
+    algorithm (md5 MinHash signatures, banding, candidate rule, and
+    Jaccard over the portable 64-bit shingle hashes) on an ASCII
+    fixture — the oracle implements the same public recipe end to end,
+    so band-miss behavior is replayed too, not idealized."""
+    import hashlib
+    import re
+
+    from data_export_tool_spark.operators.dedup import (
+        near_dedup_against,
+        near_dup_store,
+    )
+    from tests.conftest import record_opcheck
+
+    store_rows = [
+        (1, "the cat sat on the mat and purred all day long"),
+        (2, "quick brown fox jumps over the lazy dog tonight"),
+        (3, "completely unrelated stored document about spark plans"),
+    ]
+    new_rows = [
+        (10, "the cat sat on the mat and purred all day"),   # near-dup of 1
+        (11, "quick brown fox jumps over the lazy dog tonight"),  # exact 2
+        (12, "a genuinely fresh document with novel content"),
+        (13, "the cat sat on the mat"),  # shares some shingles, low jaccard
+    ]
+    store_df = spark.createDataFrame(store_rows, "doc_id long, text string")
+    new_df = spark.createDataFrame(new_rows, "doc_id long, text string")
+    bands_t, sh_t = near_dup_store(store_df)
+    got = sorted(
+        r["doc_id"]
+        for r in near_dedup_against(
+            new_df, bands_t, sh_t, threshold=0.5
+        ).collect()
+    )
+
+    # ---- python replay ----
+    def norm(s):
+        s = re.sub(r"[^A-Za-z0-9\s]", " ", s.lower())
+        return re.sub(r"\s+", " ", s).strip()
+
+    def shingle(s, n=3):
+        toks = norm(s).split(" ")
+        return {" ".join(toks[i : i + n]) for i in range(max(len(toks) - n + 1, 1))}
+
+    def sig(shs, k=16):
+        return [
+            min(hashlib.md5(f"{seed}|{sh}".encode()).hexdigest() for sh in shs)
+            for seed in range(k)
+        ]
+
+    def band_keys(sg, bands=4):
+        rp = len(sg) // bands
+        return {
+            (b, "|".join(sg[b * rp : (b + 1) * rp])) for b in range(bands)
+        }
+
+    def h64(sh):
+        hx = hashlib.md5(sh.encode()).hexdigest()
+        v = (int(hx[:8], 16) << 32) | int(hx[8:16], 16)
+        return v - (1 << 64) if v >= (1 << 63) else v
+
+    store = {
+        i: (band_keys(sig(shingle(t))), {h64(x) for x in shingle(t)})
+        for i, t in store_rows
+    }
+    survivors = []
+    for i, t in new_rows:
+        bk, hs = band_keys(sig(shingle(t))), {h64(x) for x in shingle(t)}
+        dropped = False
+        for _, (obk, ohs) in store.items():
+            if bk & obk:
+                j = len(hs & ohs) / len(hs | ohs)
+                if j >= 0.5:
+                    dropped = True
+                    break
+        if not dropped:
+            survivors.append(i)
+    want = sorted(survivors)
+
+    record_opcheck(
+        "near_dedup_against", len(new_rows), got == want,
+        oracle="python-full-replay",
+    )
+    assert got == want
+    # the fixture's intent: the re-crawl and the exact copy drop, the
+    # fresh doc and the low-overlap doc survive
+    assert got == [12, 13]

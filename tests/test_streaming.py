@@ -713,3 +713,54 @@ def test_windowed_distinct_stream_matches_batch(spark, sf_dir, event_drop_dir):
     )
     assert got == expected
     assert close
+
+
+def test_near_dedup_sink_matches_batch(spark, sf_dir, tmp_path):
+    """Streaming NEAR-dedup against the MinHash store (foreachBatch
+    running the batch operator per micro-batch): accumulated survivors
+    must equal the batch near_dedup_against over the same files, and
+    something must actually drop (the store slice overlaps the feed)."""
+    from data_export_tool_spark.operators.dedup import (
+        near_dedup_against,
+        near_dup_store,
+    )
+    from data_export_tool_spark.streaming.events import near_dedup_sink
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    # store = an earlier slice INCLUDING some docs re-arriving in the
+    # feed (exact re-crawls are near-dups at any threshold)
+    store_bands, store_sh = near_dup_store(
+        docs.where(F.col("doc_id") % 3 == 0)
+    )
+    drop_dir = str(tmp_path / "near_drops")
+    docs.repartition(4).write.parquet(drop_dir)
+
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 2)
+        .parquet(drop_dir)
+    )
+    out_dir = str(tmp_path / "near_survivors")
+    q = near_dedup_sink(
+        stream,
+        store_bands,
+        store_sh,
+        out_dir,
+        threshold=0.8,
+        checkpoint=str(tmp_path / "ckpt"),
+    ).start()
+    q.awaitTermination(120)
+
+    got = sorted(
+        r["doc_id"] for r in spark.read.parquet(out_dir).collect()
+    )
+    want = sorted(
+        r["doc_id"]
+        for r in near_dedup_against(
+            spark.read.parquet(drop_dir), store_bands, store_sh, threshold=0.8
+        ).collect()
+    )
+    record_stream_parity("near_dedup_store", len(want), got == want)
+    assert got == want
+    assert got, "stream dropped everything"
+    assert len(got) < docs.count(), "nothing was near-deduped"

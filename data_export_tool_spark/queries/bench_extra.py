@@ -335,6 +335,17 @@ def b24_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ngram_novelty(Catalog(spark, sf_dir).load("documents"), n=3)
 
 
+def b25_near_dedup_store(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_export_tool_spark.operators.dedup import (
+        near_dedup_against,
+        near_dup_store,
+    )
+
+    docs = Catalog(spark, sf_dir).load("documents")
+    bands_t, sh_t = near_dup_store(docs.where(F.col("doc_id") % 3 == 0))
+    return near_dedup_against(docs, bands_t, sh_t, threshold=0.8)
+
+
 QUERIES = [
     QuerySpec("b01_funnel_conversion", b01_funnel_conversion, None),
     QuerySpec("b02_retention_weekly", b02_retention_weekly, None),
@@ -360,4 +371,5 @@ QUERIES = [
     QuerySpec("b22_audio_codec", b22_audio_codec, None),
     QuerySpec("b23_entity_resolution", b23_entity_resolution, None),
     QuerySpec("b24_ngram_novelty", b24_ngram_novelty, None),
+    QuerySpec("b25_near_dedup_store", b25_near_dedup_store, None),
 ]

@@ -13,6 +13,7 @@ from __future__ import annotations
 import re
 
 import pytest
+from pyspark.sql import functions as F
 
 from data_export_tool_spark.queries import all_queries
 
@@ -594,3 +595,31 @@ def test_canonical_by_score_aggregates_not_windows(spark):
     )
     assert "min_by" in plan or "minBy" in plan.lower()
     assert "row_number" not in plan
+
+
+def test_near_dedup_against_no_cartesian_no_text_join(spark, sf_dir):
+    """The incremental near-dup tier must candidate-join on band keys
+    (never a cartesian) and never put document TEXT through a join —
+    only band keys, 64-bit shingle hashes, and ids shuffle."""
+    from data_export_tool_spark.catalog import Catalog
+    from data_export_tool_spark.operators.dedup import (
+        near_dedup_against,
+        near_dup_store,
+    )
+
+    docs = Catalog(spark, sf_dir).load("documents")
+    bands_t, sh_t = near_dup_store(docs.where(F.col("doc_id") % 3 == 0))
+    plan = (
+        near_dedup_against(docs, bands_t, sh_t)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoop" not in plan
+    # no join keyed on the text column: every join key is band_key /
+    # sh64 / id
+    import re as _re
+
+    for m in _re.finditer(r"(?:SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin)\s*\[([^\]]*)\]", plan):
+        assert "text" not in m.group(1), m.group(0)[:120]

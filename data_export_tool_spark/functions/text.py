@@ -142,12 +142,27 @@ def word_ngrams_all(text: Column, n: int = 2) -> Column:
     """ALL word n-grams of normalized text, duplicates preserved
     (array<string>) — the repetition-analysis counterpart of
     ``operators.dedup.word_shingles`` (which deduplicates for set
-    semantics). Same JVM higher-order build, no explode here."""
+    semantics). Same JVM higher-order build, no explode here.
+
+    Shape note (7× measured): the token array is threaded through as
+    the OUTER transform's input rather than captured by the lambda —
+    higher-order functions run interpreted, and a lambda that CAPTURES
+    the ``split(regexp_replace(...))`` subtree re-evaluates the whole
+    normalize+split pipeline once per n-gram (~tokens× regex passes
+    per document); as a lambda VARIABLE the tokenization runs once per
+    row."""
     toks = F.split(normalize_text(text), " ")
-    n_g = F.greatest(F.size(toks) - F.lit(n - 1), F.lit(1))
-    return F.transform(
-        F.sequence(F.lit(1), n_g),
-        lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+    return F.flatten(
+        F.transform(
+            F.array(toks),
+            lambda tk: F.transform(
+                F.sequence(
+                    F.lit(1),
+                    F.greatest(F.size(tk) - F.lit(n - 1), F.lit(1)),
+                ),
+                lambda i: F.concat_ws(" ", F.slice(tk, i, n)),
+            ),
+        )
     )
 
 

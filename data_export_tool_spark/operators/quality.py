@@ -297,13 +297,22 @@ def ngram_novelty(
 
     Scale shape: scan-side shingle explode (shared ``word_shingles``
     builder — same normalization as MinHash, so the two signals are
-    comparable), ONE map-side-combined groupBy for corpus document
-    frequencies, one hash join of shingles against those counts (the
-    count side is one row per distinct n-gram; AQE handles hot-gram
-    skew), one per-doc aggregate. O(total n-grams) shuffle — the
-    dedup_lines cost class, inherent to any corpus-frequency signal.
+    comparable), grams immediately folded to PORTABLE 64-bit hashes so
+    the frequency groupBy, the join, and the per-doc aggregate all
+    shuffle 8-byte longs instead of multi-word strings (frequencies
+    over hashed grams equal raw-gram frequencies up to documented
+    2⁻⁶⁴ collisions — the ``near_dup_store`` trade, and the hash stays
+    md5-based so external oracles replay it); ONE map-side-combined
+    groupBy for corpus document frequencies, one hash join against
+    those counts (count side is one row per distinct n-gram; AQE
+    handles hot-gram skew), one per-doc aggregate. O(total n-grams)
+    shuffle — the dedup_lines cost class, inherent to any
+    corpus-frequency signal.
     """
-    from data_export_tool_spark.operators.dedup import word_shingles
+    from data_export_tool_spark.operators.dedup import (
+        portable_hash64,
+        word_shingles,
+    )
 
     shingles = df.where(F.col(text_col).isNotNull()).select(
         F.col(id_col),
@@ -313,12 +322,12 @@ def ngram_novelty(
         # the absence of content, not an n-gram; counting it would hand
         # every blank doc a shared phantom gram
         F.col("__g") != ""
-    )
-    freqs = shingles.groupBy("__g").agg(
+    ).select(id_col, portable_hash64(F.col("__g")).alias("__g64"))
+    freqs = shingles.groupBy("__g64").agg(
         F.count(F.lit(1)).alias("__df")  # shingles are distinct per doc
     )
     return (
-        shingles.join(freqs, on="__g")
+        shingles.join(freqs, on="__g64")
         .groupBy(id_col)
         .agg(
             F.count(F.lit(1)).alias("n_ngrams"),

@@ -374,10 +374,22 @@ def v06_embedding_quantized_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     emb = Catalog(spark, sf_dir).load("embeddings")
-    scale = int8_scale(F.col("embedding"))
-    corpus = emb.filter(F.col("vec_id") >= _N_QUERIES).select(
-        "vec_id",
-        quantize_dequantize(F.col("embedding"), scale).alias("embedding"),
+    # stage the scale as a real column FIRST: a scale EXPRESSION
+    # captured by quantize_dequantize's lambda re-evaluates the
+    # array_max fold per vector element (O(dim²)/row, interpreted HOF)
+    corpus = (
+        emb.filter(F.col("vec_id") >= _N_QUERIES)
+        .select(
+            "vec_id",
+            "embedding",
+            int8_scale(F.col("embedding")).alias("__scale"),
+        )
+        .select(
+            "vec_id",
+            quantize_dequantize(
+                F.col("embedding"), F.col("__scale")
+            ).alias("embedding"),
+        )
     )
     return brute_force_topk(corpus, _query_vectors(spark, sf_dir), k=_K).orderBy(
         "query_id", "rank"

@@ -539,6 +539,13 @@ def near_dedup_against(
     Returns the snapshot's surviving rows with all original columns.
     In-snapshot duplicates are ``minhash_lsh_candidates``'s job first;
     this operator only consults the store.
+
+    Store hygiene assumption (documented contract): the store is built
+    from an ALREADY-DEDUPLICATED corpus — that is what a rolling
+    survivors store is. A store carrying a B-member near-identical
+    cluster would hand every matching new doc B candidates through
+    their shared band bucket (the hot-bucket regime); dedup the corpus
+    before ``near_dup_store``, as the pipeline ordering implies.
     """
     new_bands = minhash_band_buckets(
         df, id_col, text_col, num_hashes, bands, shingle_n

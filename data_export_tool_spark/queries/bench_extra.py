@@ -370,6 +370,34 @@ def b25_near_dedup_store(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def b26_group_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_export_tool_spark.operators.sampling import group_split
+
+    docs = Catalog(spark, sf_dir).load("documents")
+    return group_split(
+        docs, "source", {"train": 0.9, "valid": 0.05, "test": 0.05}
+    )
+
+
+def b27_keep_best_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_export_tool_spark.operators.dedup import minhash_lsh_candidates
+    from data_export_tool_spark.operators.graph import canonical_by_score
+
+    docs = Catalog(spark, sf_dir).load("documents")
+    pairs = minhash_lsh_candidates(docs)
+    scores = docs.select("doc_id", F.col("n_chars").cast("double").alias("score"))
+    return canonical_by_score(pairs, scores)
+
+
+def b28_latest_n(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_export_tool_spark.operators.window_dedup import latest_n_per_key
+
+    ev = Catalog(spark, sf_dir).load("events")
+    return latest_n_per_key(
+        ev, ["user_id"], ["ts"], n=5, tiebreak="event_id"
+    )
+
+
 QUERIES = [
     QuerySpec("b01_funnel_conversion", b01_funnel_conversion, None),
     QuerySpec("b02_retention_weekly", b02_retention_weekly, None),
@@ -396,4 +424,7 @@ QUERIES = [
     QuerySpec("b23_entity_resolution", b23_entity_resolution, None),
     QuerySpec("b24_ngram_novelty", b24_ngram_novelty, None),
     QuerySpec("b25_near_dedup_store", b25_near_dedup_store, None),
+    QuerySpec("b26_group_split", b26_group_split, None),
+    QuerySpec("b27_keep_best_dedup", b27_keep_best_dedup, None),
+    QuerySpec("b28_latest_n", b28_latest_n, None),
 ]

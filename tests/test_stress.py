@@ -137,6 +137,38 @@ def test_stress_semantic_dedup_mega_cluster(spark):
     assert kept == [0] + [10_000_000 + i for i in range(n_singles)]
 
 
+def test_stress_latest_n_hot_entity(spark):
+    """One entity with N rows plus 10k normal entities: the salted
+    two-phase top-N must return the closed-form latest-3 of the hot
+    key and every small key's full ranking — without a single-task
+    full-key sort (the shape the operator exists for)."""
+    from data_export_tool_spark.operators.window_dedup import latest_n_per_key
+
+    hot = spark.range(N).select(
+        F.lit(1).cast("long").alias("k"), F.col("id").alias("seq")
+    )
+    n_small = 10_000
+    small = spark.range(2 * n_small).select(
+        (F.lit(100) + F.col("id") % n_small).cast("long").alias("k"),
+        (F.lit(3_000_000_000) + F.col("id")).alias("seq"),
+    )
+    out = latest_n_per_key(hot.unionByName(small), ["k"], ["seq"], n=3)
+    hot_rows = {
+        (r["row_num"]): r["seq"]
+        for r in out.where(F.col("k") == 1).collect()
+    }
+    assert hot_rows == {1: N - 1, 2: N - 2, 3: N - 3}
+    # each small key has exactly 2 rows -> 2 ranked rows apiece
+    counts = (
+        out.where(F.col("k") >= 100)
+        .groupBy("k")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .agg(F.min("c"), F.max("c"), F.count(F.lit(1)))
+        .first()
+    )
+    assert tuple(counts) == (2, 2, n_small)
+
+
 def test_stress_grouped_topk_matches_exact(spark):
     """Grouped MG two-pass vs the exact salted form over a skewed
     high-cardinality item column: identical (group, item, count)

@@ -180,13 +180,21 @@ def gopher_quality_flags(
     stopword_hits, ok_* one boolean per rule, gopher_keep)``.
     NULL/empty text fails the word-count rule and keeps NULL metrics
     where undefined. Thresholds default to the published values."""
-    words = F.filter(
-        F.split(F.trim(F.coalesce(F.col(text_col), F.lit(""))), r"\s+"),
-        lambda w: w != "",
-    )
-    lines = F.filter(
-        F.split(F.coalesce(F.col(text_col), F.lit("")), r"\n"),
-        lambda l: F.trim(l) != "",
+    # words/lines are STAGED as real columns (first select below): each
+    # feeds ~4 HOF filters/folds, and an inline expression would re-run
+    # its split per consumer (~8 splits/row total)
+    words = F.col("__words")
+    lines = F.col("__lines")
+    staged = df.select(
+        "*",
+        F.filter(
+            F.split(F.trim(F.coalesce(F.col(text_col), F.lit(""))), r"\s+"),
+            lambda w: w != "",
+        ).alias("__words"),
+        F.filter(
+            F.split(F.coalesce(F.col(text_col), F.lit("")), r"\n"),
+            lambda l: F.trim(l) != "",
+        ).alias("__lines"),
     )
     n_words = F.size(words)
     n_lines = F.size(lines)
@@ -216,7 +224,7 @@ def gopher_quality_flags(
         )
     )
 
-    base = df.select(
+    base = staged.select(
         F.col(id_col),
         n_words.alias("n_words"),
         F.round(mean_wl, 6).alias("mean_word_len"),

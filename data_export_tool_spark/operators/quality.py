@@ -343,3 +343,100 @@ def ngram_novelty(
             F.avg(F.col("__df").cast("double")).alias("mean_df"),
         )
     )
+
+
+def corpus_datasheet(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    lang_col: str | None = "lang",
+    exact_distinct: bool = True,
+) -> DataFrame:
+    """One-call dataset-card numbers for a document corpus — the
+    first table a training-data team publishes about a dump:
+
+    ``(n_docs, n_null_text, total_tokens, mean_tokens,
+    distinct_fingerprints, exact_dup_rate, mean_quality,
+    lang_counts)`` as ONE row. ``exact_dup_rate`` is
+    1 − distinct(normalized-content fingerprints)/n_docs — the
+    exact-duplicate mass the dedup tier would remove. ``lang_counts``
+    is a map of language → doc count (omitted when ``lang_col`` is
+    None). All engine metrics reuse the shared column algebra
+    (``token_count``, ``quality_score``, ``doc_fingerprint_md5``), so
+    the datasheet is consistent with what the curation operators will
+    actually do.
+
+    Cost: ONE map-side-combined aggregation pass over a pruned scan
+    (id, text, lang) — ``exact_distinct`` uses count(DISTINCT md5),
+    one expand; set it False for the HLL sketch at 100 TB (±rsd, no
+    expand). The lang histogram rides in the same pass as a
+    count-per-value map aggregate built from a pivot-free
+    ``map_from_entries(collect of (lang, count))`` second aggregate
+    over the grouped counts — two jobs total, both tiny outputs.
+    """
+    from data_export_tool_spark.functions.text import (
+        doc_fingerprint_md5,
+        quality_score,
+        token_count,
+    )
+
+    cols = [id_col, text_col] + ([lang_col] if lang_col else [])
+    pruned = df.select(*cols)
+    fp = doc_fingerprint_md5(F.coalesce(F.col(text_col), F.lit("")))
+    distinct_fp = (
+        F.countDistinct(fp)
+        if exact_distinct
+        else F.approx_count_distinct(fp)
+    )
+    stats = pruned.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.col(text_col).isNull().cast("long")).alias("n_null_text"),
+        F.sum(
+            F.when(
+                F.col(text_col).isNotNull(), token_count(F.col(text_col))
+            ).otherwise(F.lit(0))
+        ).cast("long").alias("total_tokens"),
+        distinct_fp.alias("distinct_fingerprints"),
+        F.round(
+            F.avg(
+                F.when(
+                    F.col(text_col).isNotNull(),
+                    quality_score(F.col(text_col)),
+                )
+            ),
+            6,
+        ).alias("mean_quality"),
+    ).withColumn(
+        "mean_tokens",
+        F.round(
+            F.col("total_tokens") / F.greatest(F.col("n_docs"), F.lit(1)),
+            6,
+        ),
+    ).withColumn(
+        "exact_dup_rate",
+        F.round(
+            F.lit(1.0)
+            - F.col("distinct_fingerprints")
+            / F.greatest(F.col("n_docs"), F.lit(1)).cast("double"),
+            6,
+        ),
+    )
+    if lang_col is None:
+        return stats.select(
+            "n_docs", "n_null_text", "total_tokens", "mean_tokens",
+            "distinct_fingerprints", "exact_dup_rate", "mean_quality",
+        )
+    lang_map = (
+        pruned.groupBy(F.coalesce(F.col(lang_col), F.lit("<null>")).alias("__l"))
+        .agg(F.count(F.lit(1)).alias("__c"))
+        .agg(
+            F.map_from_entries(
+                F.array_sort(F.collect_list(F.struct("__l", "__c")))
+            ).alias("lang_counts")
+        )
+    )
+    return stats.crossJoin(lang_map).select(
+        "n_docs", "n_null_text", "total_tokens", "mean_tokens",
+        "distinct_fingerprints", "exact_dup_rate", "mean_quality",
+        "lang_counts",
+    )

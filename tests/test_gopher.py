@@ -171,3 +171,71 @@ def test_ngram_novelty_matches_python_replay(spark):
     # doc 3 is fully novel; docs 1 and 4 are identical -> zero novelty
     assert got[3][1] == 1.0
     assert got[1][1] == 0.0 and got[4][1] == 0.0
+
+
+def test_corpus_datasheet_matches_python_replay(spark, sf_dir):
+    """corpus_datasheet vs a python replay of every metric over the
+    real documents table (token_count / quality_score / md5 normalized
+    fingerprint / lang histogram replayed from the published column
+    definitions)."""
+    import hashlib
+    import re
+
+    from data_export_tool_spark.operators.quality import corpus_datasheet
+    from tests.conftest import record_opcheck
+
+    from data_export_tool_spark.catalog import Catalog
+
+    docs = Catalog(spark, sf_dir).load("documents")
+    row = corpus_datasheet(docs).first()
+
+    rows = [(r["doc_id"], r["text"], r["lang"]) for r in
+            docs.select("doc_id", "text", "lang").collect()]
+
+    def norm(s):
+        s = re.sub(r"[^\w\s]", " ", s.lower(), flags=re.UNICODE)
+        return re.sub(r"\s+", " ", s).strip()
+
+    def toks(s):
+        return [t for t in re.split(r"\s+", s.strip()) if t != ""]
+
+    def qscore(s):
+        n = len(toks(s))
+        no_ws = re.sub(r"\s+", "", s)
+        mean_tl = len(no_ws) / max(n, 1)
+        len_sc = min(n, 200) / 200.0
+        tl_sc = 1.0 - min(abs(mean_tl - 5.0) / 5.0, 1.0)
+        # punct_ratio: chars that are not letter/digit/whitespace —
+        # python: strip whitespace, then drop \p{L}\p{N} ≈ [^\W_]
+        pr = len(re.sub(r"[^\W_]", "", re.sub(r"\s", "", s))) / max(len(s), 1)
+        return 0.4 * len_sc + 0.4 * tl_sc + 0.2 * (1.0 - pr)
+
+    n_docs = len(rows)
+    n_null = sum(1 for _, t, _ in rows if t is None)
+    total_tokens = sum(len(toks(t)) for _, t, _ in rows if t is not None)
+    fps = {
+        hashlib.md5(norm(t if t is not None else "").encode()).hexdigest()
+        for _, t, _ in rows
+    }
+    mean_q = sum(qscore(t) for _, t, _ in rows if t is not None) / max(
+        n_docs - n_null, 1
+    )
+    langs: dict = {}
+    for _, _, l in rows:
+        langs[l if l is not None else "<null>"] = (
+            langs.get(l if l is not None else "<null>", 0) + 1
+        )
+
+    ok = (
+        row["n_docs"] == n_docs
+        and row["n_null_text"] == n_null
+        and row["total_tokens"] == total_tokens
+        and row["distinct_fingerprints"] == len(fps)
+        and abs(row["exact_dup_rate"] - round(1 - len(fps) / n_docs, 6)) < 1e-9
+        and abs(row["mean_quality"] - mean_q) < 1e-5
+        and dict(row["lang_counts"]) == langs
+    )
+    record_opcheck(
+        "corpus_datasheet", 7 + len(langs), ok, oracle="python-reference"
+    )
+    assert ok, (dict(row.asDict()), n_docs, n_null, total_tokens, len(fps), mean_q, langs)

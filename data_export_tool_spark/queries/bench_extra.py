@@ -398,6 +398,18 @@ def b28_latest_n(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def b29_distribution_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_export_tool_spark.operators.drift import distribution_drift
+
+    docs = Catalog(spark, sf_dir).load("documents")
+    old = docs.where(F.col("doc_id") % 2 == 0)
+    new = docs.where(F.col("doc_id") % 2 == 1)
+    return distribution_drift(
+        spark, old, new, numeric_cols=["n_chars"],
+        categorical_cols=["lang", "source"],
+    )
+
+
 QUERIES = [
     QuerySpec("b01_funnel_conversion", b01_funnel_conversion, None),
     QuerySpec("b02_retention_weekly", b02_retention_weekly, None),
@@ -427,4 +439,5 @@ QUERIES = [
     QuerySpec("b26_group_split", b26_group_split, None),
     QuerySpec("b27_keep_best_dedup", b27_keep_best_dedup, None),
     QuerySpec("b28_latest_n", b28_latest_n, None),
+    QuerySpec("b29_distribution_drift", b29_distribution_drift, None),
 ]

@@ -440,3 +440,60 @@ def corpus_datasheet(
         "distinct_fingerprints", "exact_dup_rate", "mean_quality",
         "lang_counts",
     )
+
+
+def py_compression_ratio(text: str | None, level: int = 6) -> float | None:
+    """Stdlib twin of ``compression_ratio`` for exact oracle replay."""
+    import zlib
+
+    if text is None:
+        return None
+    raw = text.encode("utf-8")
+    if not raw:
+        return None
+    return len(zlib.compress(raw, level)) / len(raw)
+
+
+def compression_ratio(
+    df: DataFrame,
+    text_col: str = "text",
+    out_col: str = "compress_ratio",
+    level: int = 6,
+) -> DataFrame:
+    """Append ``len(zlib.compress(utf8(text))) / len(utf8(text))`` —
+    the classic corpus-curation repetitiveness signal (used by the
+    published CCNet/Dolma-style recipes): templated or heavily
+    repeated text compresses far below ~0.4, while natural prose
+    lands around 0.4–0.7, so a low ratio flags boilerplate the
+    n-gram rules (``repetition_stats``) can miss (long-period
+    repetition beyond the trigram horizon) and a ratio near 1.0
+    flags high-entropy non-text (base64 blobs, minified noise).
+
+    NULL or empty text → NULL. Shape: a pure projection — one
+    Arrow-batched pandas UDF whose per-row work is zlib's C core, no
+    shuffle, all columns kept. The stdlib twin
+    (``py_compression_ratio``) replays values bit-exactly, zlib being
+    deterministic for a fixed level across platforms.
+    """
+    import pandas as pd
+    import zlib
+
+    if not (0 <= level <= 9):
+        raise ValueError(f"zlib level must be in [0, 9]: {level}")
+
+    def _ratio(texts):
+        out = []
+        for t in texts:
+            if t is None:
+                out.append(None)
+                continue
+            raw = t.encode("utf-8")
+            if not raw:
+                out.append(None)
+                continue
+            out.append(len(zlib.compress(raw, level)) / len(raw))
+        return pd.Series(out, dtype="float64")
+
+    _ratio.__annotations__ = {"texts": pd.Series, "return": pd.Series}
+    udf = F.pandas_udf(_ratio, "double")
+    return df.withColumn(out_col, udf(F.col(text_col)))

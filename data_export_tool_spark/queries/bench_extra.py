@@ -410,6 +410,19 @@ def b29_distribution_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def b30_compression_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_export_tool_spark.operators.quality import compression_ratio
+
+    docs = Catalog(spark, sf_dir).load("documents")
+    return compression_ratio(docs).select("doc_id", "compress_ratio")
+
+
+def b31_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_export_tool_spark.operators.sequences import transition_counts
+
+    return transition_counts(Catalog(spark, sf_dir).load("events"))
+
+
 QUERIES = [
     QuerySpec("b01_funnel_conversion", b01_funnel_conversion, None),
     QuerySpec("b02_retention_weekly", b02_retention_weekly, None),
@@ -440,4 +453,6 @@ QUERIES = [
     QuerySpec("b27_keep_best_dedup", b27_keep_best_dedup, None),
     QuerySpec("b28_latest_n", b28_latest_n, None),
     QuerySpec("b29_distribution_drift", b29_distribution_drift, None),
+    QuerySpec("b30_compression_ratio", b30_compression_ratio, None),
+    QuerySpec("b31_transition_matrix", b31_transition_matrix, None),
 ]

@@ -239,3 +239,57 @@ def test_corpus_datasheet_matches_python_replay(spark, sf_dir):
         "corpus_datasheet", 7 + len(langs), ok, oracle="python-reference"
     )
     assert ok, (dict(row.asDict()), n_docs, n_null, total_tokens, len(fps), mean_q, langs)
+
+
+def test_compression_ratio_matches_stdlib_replay(spark, sf_dir):
+    from tests.conftest import record_opcheck
+    from data_export_tool_spark.operators.quality import (
+        compression_ratio,
+        py_compression_ratio,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(200)
+    got = {
+        r["doc_id"]: r["compress_ratio"]
+        for r in compression_ratio(docs).select(
+            "doc_id", "compress_ratio"
+        ).collect()
+    }
+    src = {r["doc_id"]: r["text"] for r in docs.select("doc_id", "text").collect()}
+    ok = len(got) == len(src) > 0
+    for k, text in src.items():
+        want = py_compression_ratio(text)
+        g = got[k]
+        if want is None or g is None:
+            ok = ok and want == g
+        else:
+            ok = ok and abs(g - want) < 1e-12
+    vals = [v for v in got.values() if v is not None]
+    record_opcheck(
+        "compression_ratio", len(src), ok, oracle="stdlib-zlib-replay",
+        value=round(sum(vals) / len(vals), 6) if vals else None,
+    )
+    assert ok
+
+
+def test_compression_ratio_edges(spark):
+    from data_export_tool_spark.operators.quality import compression_ratio
+
+    df = spark.createDataFrame(
+        [
+            (1, None),
+            (2, ""),
+            (3, "spam " * 2000),               # long-period repetition
+            (4, "The quick brown fox jumps over the lazy dog. " * 3),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r["compress_ratio"]
+            for r in compression_ratio(df).collect()}
+    assert rows[1] is None and rows[2] is None
+    # Repetitive text compresses dramatically; short prose much less.
+    assert rows[3] < 0.01 and rows[4] > 0.2
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        compression_ratio(df, level=17)

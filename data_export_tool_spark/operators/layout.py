@@ -153,3 +153,34 @@ def compact_parquet(
     n_out = max(1, math.ceil(total / (target_mb * 1024 * 1024)))
     spark.read.parquet(src).coalesce(n_out).write.mode("overwrite").parquet(dst)
     return n_out
+
+
+def write_sorted(
+    df: DataFrame,
+    path: str,
+    cols: Sequence[str],
+    num_files: int | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Write ``df`` as parquet globally range-laid-out on ``cols``:
+    ``repartitionByRange`` (→ ``num_files`` files with pairwise
+    disjoint key ranges) + ``sortWithinPartitions``. The single-key
+    complement to ``write_zordered``: when scans filter on ONE key
+    (time, tenant, primary key), disjoint per-file ranges give
+    perfect footer-stats skipping — a point or range predicate reads
+    exactly the files that can contain it, while a Z-order layout
+    would dilute that key's resolution to make room for the others.
+
+    One range exchange total (the range partitioner samples keys
+    first — Spark's own machinery, no driver data); the in-file sort
+    additionally tightens ROW-GROUP stats so even within a touched
+    file the reader prunes pages."""
+    if not cols:
+        raise ValueError("write_sorted needs at least one column")
+    n = num_files or df.sparkSession.sparkContext.defaultParallelism
+    (
+        df.repartitionByRange(n, *cols)
+        .sortWithinPartitions(*cols)
+        .write.mode(mode)
+        .parquet(path)
+    )

@@ -423,6 +423,22 @@ def b31_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     return transition_counts(Catalog(spark, sf_dir).load("events"))
 
 
+def b32_sorted_write(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Times the range-sorted parquet write (write_sorted): one range
+    exchange + in-partition sort + encode — the single-key layout
+    twin of b18."""
+    import tempfile
+
+    from data_export_tool_spark.operators.layout import write_sorted
+
+    ev = Catalog(spark, sf_dir).load("events").select(
+        "event_id", "user_id", "value", "event_type"
+    )
+    out = os.path.join(tempfile.gettempdir(), "spark_graft_bench_sorted")
+    write_sorted(ev, out, ["user_id"], num_files=8)
+    return spark.read.parquet(out).groupBy().count()
+
+
 QUERIES = [
     QuerySpec("b01_funnel_conversion", b01_funnel_conversion, None),
     QuerySpec("b02_retention_weekly", b02_retention_weekly, None),
@@ -455,4 +471,5 @@ QUERIES = [
     QuerySpec("b29_distribution_drift", b29_distribution_drift, None),
     QuerySpec("b30_compression_ratio", b30_compression_ratio, None),
     QuerySpec("b31_transition_matrix", b31_transition_matrix, None),
+    QuerySpec("b32_sorted_write", b32_sorted_write, None),
 ]

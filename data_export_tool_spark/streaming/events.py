@@ -713,3 +713,119 @@ def topk_sink(
     if checkpoint:
         writer = writer.option("checkpointLocation", checkpoint)
     return writer.start()
+
+
+TRANSITION_STATE_SCHEMA = StructType(
+    [
+        StructField("last_ts", LongType()),
+        StructField("last_tb", LongType()),
+        StructField("last_type", StringType()),
+        StructField("pend_ts", ArrayType(LongType())),
+        StructField("pend_tb", ArrayType(LongType())),
+        StructField("pend_s", ArrayType(StringType())),
+    ]
+)
+
+TRANSITION_OUTPUT_SCHEMA = StructType(
+    [
+        StructField("prev_event", StringType()),
+        StructField("next_event", StringType()),
+        StructField("cnt", LongType()),
+    ]
+)
+
+
+def transition_stream(
+    events: DataFrame, watermark: str = "2 hours"
+) -> DataFrame:
+    """Streaming user-journey transitions — the stateful twin of
+    ``operators.sequences.transition_counts``, built on the same
+    watermark-buffer pattern as ``funnel_stream``: events newer than
+    the watermark are BUFFERED in per-user state; once the watermark
+    passes them they are consumed in exact event-time order
+    ((ts, event_id) — the batch operator's ordering), each consumption
+    emitting one ``prev → next`` pair against the carried last event.
+    A pair, once emitted, is FINAL (its two events are both below the
+    watermark and late events are dropped, same policy as the other
+    twins), so the query runs in append mode and a downstream
+    aggregation of the emitted partials equals the batch operator
+    over the same consumed events by construction.
+
+    Emits per-user per-batch partial counts ``(prev_event,
+    next_event, cnt)`` — alphabet-bounded, like the batch fold's
+    partition partials. State = last consumed event + one watermark
+    horizon of buffered events; an event-time timeout re-fires the
+    fold when the watermark passes a buffered event even if the user
+    goes quiet.
+    """
+    import pandas as pd
+
+    def fn(key, pdf_iter, state: GroupState):
+        if state.exists:
+            last_ts, last_tb, last_type, pend_ts, pend_tb, pend_s = state.get
+            pend = list(zip(pend_ts, pend_tb, pend_s))
+        else:
+            last_ts, last_tb, last_type, pend = None, None, None, []
+        wm_us = state.getCurrentWatermarkMs() * 1000
+
+        if not state.hasTimedOut:
+            for pdf in pdf_iter:
+                sel = pdf[pdf["event_type"].notna()]
+                if len(sel) == 0:
+                    continue
+                ts_us = (
+                    pd.to_datetime(sel["ts"])
+                    .astype("datetime64[ns]")
+                    .astype("int64")
+                    // 1_000
+                )
+                for t, tb, ty in zip(
+                    ts_us, sel["event_id"], sel["event_type"]
+                ):
+                    if t >= wm_us:  # late events drop
+                        pend.append((int(t), int(tb), ty))
+
+        ready = sorted(p for p in pend if p[0] < wm_us)
+        pend = [p for p in pend if p[0] >= wm_us]
+        counts: dict[tuple, int] = {}
+        for t, tb, ty in ready:
+            if last_type is not None:
+                k = (last_type, ty)
+                counts[k] = counts.get(k, 0) + 1
+            last_ts, last_tb, last_type = t, tb, ty
+
+        state.update(
+            (
+                last_ts,
+                last_tb,
+                last_type,
+                [p[0] for p in pend],
+                [p[1] for p in pend],
+                [p[2] for p in pend],
+            )
+        )
+        if pend:
+            state.setTimeoutTimestamp(
+                max(min(p[0] for p in pend) // 1000 + 1, wm_us // 1000 + 1)
+            )
+        if counts:
+            yield pd.DataFrame(
+                {
+                    "prev_event": [k[0] for k in counts],
+                    "next_event": [k[1] for k in counts],
+                    "cnt": pd.Series(list(counts.values()), dtype="int64"),
+                }
+            )
+
+    return (
+        events.where(F.col("user_id").isNotNull() & F.col("ts").isNotNull())
+        .withWatermark("ts", watermark)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            fn,
+            outputStructType=TRANSITION_OUTPUT_SCHEMA,
+            stateStructType=TRANSITION_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )

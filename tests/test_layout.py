@@ -126,3 +126,33 @@ def test_zorder_single_range_exchange(spark, grid):
     # exactly one range exchange introduced by the relayout (the
     # fixture's own orderBy adds its own; count range partitionings)
     assert plan.count("rangepartitioning(__z") == 1
+
+
+def test_write_sorted_disjoint_file_ranges(spark, grid, tmp_path):
+    from data_export_tool_spark.operators.layout import write_sorted
+
+    spath = str(tmp_path / "sorted")
+    write_sorted(grid, spath, ["noise"], num_files=8)
+
+    ranges = sorted(_file_ranges(spath, "noise"))
+    assert len(ranges) >= 4
+    # pairwise disjoint (range partitioner boundaries may touch but a
+    # later file's min can never undercut an earlier file's max)
+    ok = all(ranges[i + 1][0] >= ranges[i][1] for i in range(len(ranges) - 1))
+    # data survives intact
+    got = spark.read.parquet(spath)
+    ok = ok and got.count() == 40_000
+    ok = ok and got.agg(F.sum("noise")).first()[0] == (
+        grid.agg(F.sum("noise")).first()[0]
+    )
+    record_opcheck(
+        "write_sorted", len(ranges), ok, oracle="parquet-footer"
+    )
+    assert ok
+
+
+def test_write_sorted_validation(spark, grid, tmp_path):
+    from data_export_tool_spark.operators.layout import write_sorted
+
+    with pytest.raises(ValueError):
+        write_sorted(grid, str(tmp_path / "x"), [])

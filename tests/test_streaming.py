@@ -764,3 +764,103 @@ def test_near_dedup_sink_matches_batch(spark, sf_dir, tmp_path):
     assert got == want
     assert got, "stream dropped everything"
     assert len(got) < docs.count(), "nothing was near-deduped"
+
+
+def test_transition_stream_bounded_by_batch(spark, sf_dir, tmp_path):
+    """Streaming transitions twin: every emitted (prev, next) count
+    must be ≤ the batch operator's count over the same events (pairs
+    are final on emission — append mode), and every pair whose second
+    event the watermark has provably passed before the final batch
+    MUST have been emitted. Together: the stream computes a watermark-
+    delimited prefix of the batch transition multiset, never a
+    divergent pair."""
+    import time
+
+    import duckdb
+
+    from data_export_tool_spark.streaming.events import transition_stream
+
+    ev = Catalog(spark, sf_dir).load("events").where(
+        F.col("ts").isNotNull()
+        & F.col("user_id").isNotNull()
+        & F.col("event_type").isNotNull()
+    )
+    bounds = ev.select(F.unix_millis("ts").alias("ms")).approxQuantile(
+        "ms", [0.25, 0.5, 0.75], 0.0
+    )
+    drop_dir = str(tmp_path / "trans_drops")
+    lo = None
+    for hi in [*bounds, None]:
+        sel = ev
+        if lo is not None:
+            sel = sel.where(F.unix_millis("ts") >= lo)
+        if hi is not None:
+            sel = sel.where(F.unix_millis("ts") < hi)
+        sel.repartition(1).write.mode("append").parquet(drop_dir)
+        lo = hi
+        time.sleep(1.05)  # file-source ordering is by mtime (1s granularity)
+
+    wm_minutes = 30
+    stream = read_events_stream(spark, drop_dir, max_files_per_trigger=1)
+    out = transition_stream(stream, watermark=f"{wm_minutes} minutes")
+    q = (
+        out.writeStream.format("memory")
+        .queryName("transition_stream_test")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+
+    emitted = {}
+    for r in spark.sql(
+        "SELECT prev_event, next_event, SUM(cnt) AS n"
+        " FROM transition_stream_test GROUP BY 1, 2"
+    ).collect():
+        emitted[(r["prev_event"], r["next_event"])] = int(r["n"])
+
+    def pair_counts(extra_where: str) -> dict:
+        return {
+            (p, x): int(n)
+            for p, x, n in duckdb.sql(
+                f"""
+                WITH seq AS (
+                  SELECT event_type AS p, ts,
+                         LEAD(event_type) OVER (
+                           PARTITION BY user_id ORDER BY ts, event_id
+                         ) AS x,
+                         LEAD(ts) OVER (
+                           PARTITION BY user_id ORDER BY ts, event_id
+                         ) AS next_ts
+                  FROM read_parquet('{drop_dir}/*.parquet')
+                  WHERE user_id IS NOT NULL AND ts IS NOT NULL
+                    AND event_type IS NOT NULL
+                )
+                SELECT p, x, COUNT(*) FROM seq
+                WHERE x IS NOT NULL {extra_where} GROUP BY p, x
+                """
+            ).fetchall()
+        }
+
+    upper = pair_counts("")
+    # the final batch's watermark: max event time of the first three
+    # drops minus the delay (the 4th drop's times only advance the
+    # watermark after the last data batch)
+    cutoff_ms = (
+        duckdb.sql(
+            f"""
+            SELECT MAX(epoch_ms(ts)) FROM read_parquet('{drop_dir}/*.parquet')
+            WHERE epoch_ms(ts) < {int(bounds[2])}
+            """
+        ).fetchone()[0]
+        - wm_minutes * 60 * 1000
+    )
+    low = pair_counts(
+        f"AND epoch_ms(next_ts) < {cutoff_ms}"
+    )
+
+    ok = all(k in upper and n <= upper[k] for k, n in emitted.items())
+    ok = ok and all(emitted.get(k, 0) >= n for k, n in low.items())
+    ok = ok and sum(emitted.values()) > 0 and len(low) > 0
+    record_stream_parity("transition_matrix", len(upper), ok)
+    assert ok, (len(emitted), len(low), len(upper))

@@ -235,3 +235,111 @@ def dedup_keep_best(
     )
     drop = canon.where(F.col(id_col) != F.col("canonical_id")).select(id_col)
     return df.join(drop, on=id_col, how="left_anti")
+
+
+def pagerank(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    damping: float = 0.85,
+    max_iter: int = 20,
+    tol: float = 1e-6,
+    out_node: str = "node",
+    out_rank: str = "rank",
+) -> DataFrame:
+    """PageRank over the directed edge list (Brin & Page 1998; the
+    dataflow formulation every Pregel-style system uses). Returns one
+    row per node with its stationary-distribution mass; ranks sum to 1.
+
+    Semantics: uniform teleport ``(1-damping)/N``; a node's rank
+    splits evenly over its out-edges (parallel edges count multiply —
+    pre-``distinct`` the edge list for simple-graph semantics);
+    DANGLING nodes (no out-edges) redistribute their mass uniformly,
+    the standard stochastic-matrix completion, so total mass is
+    conserved and the iteration converges for any graph.
+
+    Scale shape, per iteration: ONE join of the (src, dst, 1/outdeg)
+    edge table with the O(V) rank table + a partial-aggregable groupBy
+    on dst — the edge table is checkpoint-materialized ONCE and its
+    weights never recompute; the dangling-mass and L1-convergence
+    probes are single-scalar aggregates on O(V) tables (driver reads
+    one float each, never rows). ``localCheckpoint`` truncates lineage
+    per round and superseded rank tables are freed immediately, same
+    policy as ``connected_components``. On a persisted graph, bucket
+    the edge table by ``src`` to eliminate its exchange entirely —
+    the per-round shuffle is then just the O(V) rank table.
+
+    Stops when the L1 delta ≤ ``tol`` (set ``tol=0`` to run exactly
+    ``max_iter`` rounds, e.g. to compare against an external replay).
+    """
+    if not (0.0 < damping < 1.0):
+        raise ValueError(f"damping must be in (0, 1): {damping}")
+    sc = edges.sparkSession.sparkContext
+    e, e_ids = _checkpoint(
+        edges.where(F.col(src).isNotNull() & F.col(dst).isNotNull()).select(
+            F.col(src).alias("s"), F.col(dst).alias("d")
+        )
+    )
+    outd = e.groupBy("s").agg(F.count(F.lit(1)).alias("__outd"))
+    ew, ew_ids = _checkpoint(
+        e.join(outd, "s").select(
+            "s", "d", (F.lit(1.0) / F.col("__outd")).alias("w")
+        )
+    )
+    nodes, nodes_ids = _checkpoint(
+        e.select(F.col("s").alias("n"))
+        .union(e.select(F.col("d").alias("n")))
+        .distinct()
+    )
+    n_nodes = nodes.count()
+    if n_nodes == 0:
+        _release(sc, e_ids)
+        return nodes.select(
+            F.col("n").alias(out_node), F.lit(0.0).alias(out_rank)
+        )
+    dangling, dang_ids = _checkpoint(
+        nodes.join(outd.withColumnRenamed("s", "n"), "n", "left_anti")
+    )
+    # e feeds ew, nodes AND (via outd) dangling — all three now
+    # checkpoint-materialized, so the raw edge blocks are dead
+    _release(sc, e_ids)
+    base = (1.0 - damping) / n_nodes
+    ranks, ranks_ids = _checkpoint(
+        nodes.select("n", F.lit(1.0 / n_nodes).alias("r"))
+    )
+
+    for _ in range(max_iter):
+        dm_row = dangling.join(ranks, "n").agg(F.sum("r")).first()
+        dm = dm_row[0] or 0.0
+        contrib = (
+            ew.join(ranks.withColumnRenamed("n", "s"), "s")
+            .groupBy("d")
+            .agg(F.sum(F.col("r") * F.col("w")).alias("__c"))
+            .withColumnRenamed("d", "n")
+        )
+        new_ranks, new_ids = _checkpoint(
+            nodes.join(contrib, "n", "left").select(
+                "n",
+                (
+                    F.lit(base)
+                    + F.lit(damping)
+                    * (F.coalesce(F.col("__c"), F.lit(0.0)) + F.lit(dm / n_nodes))
+                ).alias("r"),
+            )
+        )
+        delta = (
+            new_ranks.join(ranks.withColumnRenamed("r", "r0"), "n")
+            .agg(F.sum(F.abs(F.col("r") - F.col("r0"))))
+            .first()[0]
+        )
+        _release(sc, ranks_ids)
+        ranks, ranks_ids = new_ranks, new_ids
+        if delta is not None and delta <= tol:
+            break
+
+    _release(sc, ew_ids)
+    _release(sc, nodes_ids)
+    _release(sc, dang_ids)
+    return ranks.select(
+        F.col("n").alias(out_node), F.col("r").alias(out_rank)
+    )

@@ -451,3 +451,98 @@ def theta_overlap(
         est("theta_intersection(__a, __b)").alias("n_intersection"),
         est("theta_difference(__a, __b)").alias("n_only_a"),
     )
+
+
+_KLL_SUFFIXES = ("double", "float", "bigint")
+
+
+def quantile_sketch(
+    df: DataFrame,
+    col: str,
+    by: Sequence[str] = (),
+    k: int = 200,
+    dtype: str = "double",
+) -> DataFrame:
+    """Per-group serialized KLL quantile sketch of ``col`` —
+    ``(*by, sketch binary)`` (DataSketches KLL via Spark SQL; Karnin,
+    Lall & Liberty 2016). The quantile member of the stored-sketch
+    family (`distinct_sketch`/`topk_sketch`): persist per-partition
+    or per-day sketches through parquet once, then answer ANY
+    quantile/rank question over any subset later by merging
+    kilobyte-sized values — no rescan of raw data, the thing
+    ``percentile_approx`` can't do across stored runs.
+
+    ``dtype`` selects the typed KLL family (double/float/bigint) and
+    must match at merge time; the default double exactly represents
+    integers up to 2⁵³ — pass 'bigint' for exact larger ids. ``k``
+    trades size for accuracy (k=200 ≈ 1.65% rank error, the library
+    default). NULLs are ignored by the aggregate. KLL compaction is
+    randomized, so two sketches of the same data may differ by a few
+    ranks — bound-based checks, not equality, downstream."""
+    if dtype not in _KLL_SUFFIXES:
+        raise ValueError(f"dtype must be one of {_KLL_SUFFIXES}: {dtype}")
+    if isinstance(by, str):
+        by = [by]
+    agg = F.expr(
+        f"kll_sketch_agg_{dtype}(CAST({_quote(col)} AS {dtype}), {int(k)})"
+    ).alias("sketch")
+    return df.groupBy(*by).agg(agg) if by else df.agg(agg)
+
+
+def merge_quantile_estimate(
+    sketches: DataFrame,
+    probs: Sequence[float],
+    by: Sequence[str] = (),
+    sketch_col: str = "sketch",
+    dtype: str = "double",
+) -> DataFrame:
+    """Merge stored KLL sketches (optionally per ``by`` group) and
+    read the requested quantiles: ``(*by, n long, quantiles array)``
+    with ``quantiles[i]`` the value at rank ``probs[i]``. One tiny
+    aggregation over kilobyte values — the rollup never touches raw
+    rows."""
+    if dtype not in _KLL_SUFFIXES:
+        raise ValueError(f"dtype must be one of {_KLL_SUFFIXES}: {dtype}")
+    if isinstance(by, str):
+        by = [by]
+    ps = [float(p) for p in probs]
+    if not ps or not all(0.0 <= p <= 1.0 for p in ps):
+        raise ValueError(f"probs must be non-empty fractions in [0,1]: {probs}")
+    arr = ", ".join(repr(p) for p in ps)
+    merged = F.expr(f"kll_merge_agg_{dtype}({_quote(sketch_col)})").alias(
+        "__m"
+    )
+    base = sketches.groupBy(*by).agg(merged) if by else sketches.agg(merged)
+    return base.select(
+        *by,
+        F.expr(f"kll_sketch_get_n_{dtype}(__m)").alias("n"),
+        F.expr(
+            f"kll_sketch_get_quantile_{dtype}(__m, array({arr}))"
+        ).alias("quantiles"),
+    )
+
+
+def merge_rank_estimate(
+    sketches: DataFrame,
+    value,
+    by: Sequence[str] = (),
+    sketch_col: str = "sketch",
+    dtype: str = "double",
+) -> DataFrame:
+    """The inverse read: merge stored KLL sketches and estimate the
+    RANK of ``value`` (fraction of observations ≤ it) per group —
+    'what percentile is a 4 096-token document' without a scan."""
+    if dtype not in _KLL_SUFFIXES:
+        raise ValueError(f"dtype must be one of {_KLL_SUFFIXES}: {dtype}")
+    if isinstance(by, str):
+        by = [by]
+    merged = F.expr(f"kll_merge_agg_{dtype}({_quote(sketch_col)})").alias(
+        "__m"
+    )
+    base = sketches.groupBy(*by).agg(merged) if by else sketches.agg(merged)
+    return base.select(
+        *by,
+        F.expr(
+            f"kll_sketch_get_rank_{dtype}(__m, CAST({float(value)!r} AS {dtype}))"
+        ).alias("rank_est"),
+    )

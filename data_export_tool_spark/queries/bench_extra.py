@@ -439,6 +439,39 @@ def b32_sorted_write(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(out).groupBy().count()
 
 
+def b33_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank over the supplier->customer fulfilment graph (lineitem
+    joined to orders): a real many-edge digraph at every sf, five
+    fixed rounds so the entry times the iteration cost, not a
+    convergence lottery."""
+    from data_export_tool_spark.operators.graph import pagerank
+
+    cat = Catalog(spark, sf_dir)
+    li = cat.load("lineitem").select("l_orderkey", "l_suppkey")
+    orders = cat.load("orders").select("o_orderkey", "o_custkey")
+    edges = li.join(
+        orders, li["l_orderkey"] == orders["o_orderkey"]
+    ).select(
+        F.col("l_suppkey").alias("src"), F.col("o_custkey").alias("dst")
+    )
+    return pagerank(edges, max_iter=5, tol=0.0)
+
+
+def b34_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stored-KLL rollup: per-day quantile sketches of event value
+    merged into global deciles — the b15 pattern for quantiles."""
+    from data_export_tool_spark.operators.sketch import (
+        merge_quantile_estimate,
+        quantile_sketch,
+    )
+
+    ev = Catalog(spark, sf_dir).load("events")
+    daily = quantile_sketch(
+        ev.withColumn("day", F.to_date("ts")), "value", by=["day"]
+    )
+    return merge_quantile_estimate(daily, [i / 10 for i in range(1, 10)])
+
+
 QUERIES = [
     QuerySpec("b01_funnel_conversion", b01_funnel_conversion, None),
     QuerySpec("b02_retention_weekly", b02_retention_weekly, None),
@@ -472,4 +505,6 @@ QUERIES = [
     QuerySpec("b30_compression_ratio", b30_compression_ratio, None),
     QuerySpec("b31_transition_matrix", b31_transition_matrix, None),
     QuerySpec("b32_sorted_write", b32_sorted_write, None),
+    QuerySpec("b33_pagerank", b33_pagerank, None),
+    QuerySpec("b34_quantile_sketch", b34_quantile_sketch, None),
 ]

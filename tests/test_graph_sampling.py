@@ -461,3 +461,72 @@ def test_group_split_validation_and_remainder(spark):
         group_split(df, "g", {})
     # single split absorbs everything
     assert group_split(df, "g", {"train": 0.5}).first()["split"] == "train"
+
+
+# ---------------------------------------------------------------------------
+# pagerank
+# ---------------------------------------------------------------------------
+
+
+def _py_pagerank(edges, damping, iters):
+    """Independent numpy power-iteration replay (same dangling
+    completion as the operator)."""
+    import numpy as np
+
+    nodes = sorted({s for s, _ in edges} | {t for _, t in edges})
+    idx = {v: i for i, v in enumerate(nodes)}
+    n = len(nodes)
+    outd = {}
+    for s, _ in edges:
+        outd[s] = outd.get(s, 0) + 1
+    r = np.full(n, 1.0 / n)
+    for _ in range(iters):
+        dm = sum(r[idx[v]] for v in nodes if v not in outd)
+        c = np.zeros(n)
+        for s, t in edges:
+            c[idx[t]] += r[idx[s]] / outd[s]
+        r = (1.0 - damping) / n + damping * (c + dm / n)
+    return {v: float(r[idx[v]]) for v in nodes}
+
+
+def test_pagerank_matches_numpy_replay(spark):
+    from data_export_tool_spark.operators.graph import pagerank
+
+    n = 200
+    edges = []
+    for i in range(n):
+        if i % 17 == 0:
+            continue  # dangling nodes: no out-edges
+        edges.append((i, (i * 7 + 3) % n))
+        edges.append((i, (i * 13 + 5) % n))
+        if i % 3 == 0:
+            edges.append((i, (i * 7 + 3) % n))  # parallel edge weights
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {
+        r["node"]: r["rank"]
+        for r in pagerank(df, tol=0.0, max_iter=12).collect()
+    }
+    want = _py_pagerank(edges, 0.85, 12)
+    ok = set(got) == set(want) and all(
+        abs(got[v] - want[v]) < 1e-9 for v in want
+    )
+    ok = ok and abs(sum(got.values()) - 1.0) < 1e-9
+    record_opcheck(
+        "pagerank", len(want), ok, oracle="python-reference",
+        value=round(max(got.values()), 8),
+    )
+    assert ok
+
+
+def test_pagerank_cycle_uniform_and_validation(spark):
+    import pytest as _pytest
+
+    from data_export_tool_spark.operators.graph import pagerank
+
+    cyc = spark.createDataFrame(
+        [(i, (i + 1) % 10) for i in range(10)], "src long, dst long"
+    )
+    ranks = [r["rank"] for r in pagerank(cyc, tol=1e-12).collect()]
+    assert all(abs(r - 0.1) < 1e-9 for r in ranks)
+    with _pytest.raises(ValueError):
+        pagerank(cyc, damping=1.5)

@@ -550,3 +550,93 @@ def test_stored_topk_sketches_merge(spark, sf_dir, tmp_path):
     )
     record_opcheck("stored_topk_sketch", len(want), ok)
     assert ok, (got, want)
+
+
+def test_stored_quantile_sketches(spark, sf_dir, tmp_path):
+    """KLL stored-quantile law: sketch per day, persist through
+    parquet, merge later — every estimated quantile's TRUE rank (from
+    the exact DuckDB CDF) must sit within the k=200 rank-error bound
+    of its target, n must be exact, and the rank read must invert the
+    quantile read within the same bound."""
+    import duckdb
+
+    from data_export_tool_spark.catalog import Catalog
+    from data_export_tool_spark.operators.sketch import (
+        merge_quantile_estimate,
+        merge_rank_estimate,
+        quantile_sketch,
+    )
+
+    ev = Catalog(spark, sf_dir).load("events").where(F.col("value").isNotNull())
+    daily = quantile_sketch(
+        ev.withColumn("day", F.to_date("ts")), "value", by=["day"]
+    )
+    store = str(tmp_path / "daily_kll")
+    daily.write.parquet(store)  # binary column round-trips
+
+    probs = [0.1, 0.5, 0.9, 0.99]
+    row = merge_quantile_estimate(
+        spark.read.parquet(store), probs
+    ).first()
+    n_exact, = duckdb.sql(
+        f"SELECT count(value) FROM read_parquet('{sf_dir}/events.parquet')"
+        " WHERE value IS NOT NULL"
+    ).fetchone()
+    ok = row["n"] == n_exact
+    # exact rank of each estimate, from the data itself
+    for p, q in zip(probs, row["quantiles"]):
+        true_rank, = duckdb.sql(
+            f"SELECT count(*) / {n_exact} FROM"
+            f" read_parquet('{sf_dir}/events.parquet')"
+            f" WHERE value IS NOT NULL AND value <= {q!r}"
+        ).fetchone()
+        ok = ok and abs(float(true_rank) - p) < 0.035  # 2x the 1.65% bound
+    # rank read inverts the quantile read
+    med = float(row["quantiles"][1])
+    rk = merge_rank_estimate(spark.read.parquet(store), med).first()["rank_est"]
+    ok = ok and abs(float(rk) - 0.5) < 0.035
+    record_opcheck(
+        "stored_quantile_sketch", len(probs) + 2, ok, oracle="duckdb",
+        value=round(float(rk), 6),
+    )
+    assert ok, (row, rk)
+
+
+def test_quantile_sketch_grouped_and_validation(spark, sf_dir):
+    import duckdb
+    import pytest as _pytest
+
+    from data_export_tool_spark.catalog import Catalog
+    from data_export_tool_spark.operators.sketch import (
+        merge_quantile_estimate,
+        quantile_sketch,
+    )
+
+    ev = Catalog(spark, sf_dir).load("events").where(F.col("value").isNotNull())
+    got = {
+        r["event_type"]: (r["n"], float(r["quantiles"][0]))
+        for r in merge_quantile_estimate(
+            quantile_sketch(ev, "value", by=["event_type"]),
+            [0.5],
+            by=["event_type"],
+        ).collect()
+    }
+    want = {
+        t: (int(n), float(md))
+        for t, n, md in duckdb.sql(
+            f"""SELECT event_type, count(value), median(value)
+                FROM read_parquet('{sf_dir}/events.parquet')
+                WHERE value IS NOT NULL GROUP BY event_type"""
+        ).fetchall()
+    }
+    assert set(got) == set(want)
+    for t in want:
+        n_w, med_w = want[t]
+        n_g, med_g = got[t]
+        assert n_g == n_w
+        # per-group medians: generous relative tolerance (small groups)
+        assert abs(med_g - med_w) <= max(0.1 * abs(med_w), 1e-9), (t, got[t], want[t])
+    with _pytest.raises(ValueError):
+        quantile_sketch(ev, "value", dtype="decimal")
+    with _pytest.raises(ValueError):
+        merge_quantile_estimate(quantile_sketch(ev, "value"), [])

@@ -1,0 +1,116 @@
+"""A/B experiment readout: Welch's two-sample test per metric.
+
+The decision table an experimentation platform derives from an event
+lake: for each metric, the two groups' sizes/means, the relative lift,
+Welch's t statistic (unequal variances — the safe default; Welch
+1947), and a two-sided p-value. At experiment scale (thousands-to-
+millions of units per arm) the t statistic's null distribution is
+indistinguishable from normal, so the p-value uses the normal
+approximation — dependency-free (``math.erfc``) and replayable by any
+oracle; below ~30 units per arm read it as approximate.
+
+Scale shape: ONE partial-aggregable conditional-aggregation pass
+computes every (group × metric) count/mean/variance — map-side combine
+reduces each task to 6·m floats before the single-row exchange; the
+driver then does closed-form arithmetic on that row. Nothing else
+touches the data.
+"""
+
+from __future__ import annotations
+
+import math
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+__all__ = ["ab_test", "py_welch"]
+
+
+def py_welch(
+    n_a: int, mean_a: float, var_a: float, n_b: int, mean_b: float, var_b: float
+) -> tuple[float | None, float | None]:
+    """(t statistic, two-sided normal-approx p-value) from the two
+    arms' sufficient statistics — the exact arithmetic ``ab_test``
+    applies, exposed so oracles replay it bit-for-bit."""
+    if n_a < 2 or n_b < 2 or var_a is None or var_b is None:
+        return None, None
+    se2 = var_a / n_a + var_b / n_b
+    if se2 <= 0.0:
+        return None, None
+    t = (mean_b - mean_a) / math.sqrt(se2)
+    p = math.erfc(abs(t) / math.sqrt(2.0))
+    return t, p
+
+
+def ab_test(
+    df: DataFrame,
+    group_col: str,
+    metric_cols: Sequence[str],
+    group_a,
+    group_b,
+    alpha: float = 0.05,
+) -> DataFrame:
+    """Per-metric Welch test between ``group_a`` (control) and
+    ``group_b`` (treatment) rows of ``df``. Output, one tiny row per
+    metric: ``(metric, n_a, n_b, mean_a, mean_b, lift, t_stat,
+    p_value, significant)`` where ``lift = (mean_b − mean_a)/mean_a``
+    (NULL when the control mean is 0) and ``significant = p_value <
+    alpha``. NULL metric values are excluded per metric (each metric
+    keeps its own n). Cost: one conditional-aggregation scan.
+    """
+    metric_cols = [metric_cols] if isinstance(metric_cols, str) else list(metric_cols)
+    if not metric_cols:
+        raise ValueError("ab_test needs at least one metric column")
+    ga, gb = F.lit(group_a), F.lit(group_b)
+    aggs = []
+    for m in metric_cols:
+        x = F.col(m).cast("double")
+        xa = F.when(F.col(group_col) == ga, x)
+        xb = F.when(F.col(group_col) == gb, x)
+        aggs += [
+            F.count(xa).alias(f"__na_{m}"),
+            F.avg(xa).alias(f"__ma_{m}"),
+            F.var_samp(xa).alias(f"__va_{m}"),
+            F.count(xb).alias(f"__nb_{m}"),
+            F.avg(xb).alias(f"__mb_{m}"),
+            F.var_samp(xb).alias(f"__vb_{m}"),
+        ]
+    row = df.agg(*aggs).first()
+    out = []
+    for m in metric_cols:
+        n_a, mean_a, var_a = row[f"__na_{m}"], row[f"__ma_{m}"], row[f"__va_{m}"]
+        n_b, mean_b, var_b = row[f"__nb_{m}"], row[f"__mb_{m}"], row[f"__vb_{m}"]
+        t = p = lift = None
+        if mean_a is not None and mean_b is not None and mean_a != 0.0:
+            lift = (mean_b - mean_a) / mean_a
+        if n_a >= 2 and n_b >= 2:
+            t, p = py_welch(n_a, mean_a, var_a, n_b, mean_b, var_b)
+        out.append(
+            (
+                m,
+                int(n_a),
+                int(n_b),
+                mean_a,
+                mean_b,
+                lift,
+                t,
+                p,
+                None if p is None else bool(p < alpha),
+            )
+        )
+    schema = T.StructType(
+        [
+            T.StructField("metric", T.StringType()),
+            T.StructField("n_a", T.LongType()),
+            T.StructField("n_b", T.LongType()),
+            T.StructField("mean_a", T.DoubleType()),
+            T.StructField("mean_b", T.DoubleType()),
+            T.StructField("lift", T.DoubleType()),
+            T.StructField("t_stat", T.DoubleType()),
+            T.StructField("p_value", T.DoubleType()),
+            T.StructField("significant", T.BooleanType()),
+        ]
+    )
+    return df.sparkSession.createDataFrame(out, schema)

@@ -28,7 +28,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import LongType, StructField, StructType
 
-__all__ = ["transition_counts"]
+__all__ = ["transition_counts", "session_paths"]
 
 
 def transition_counts(
@@ -132,4 +132,113 @@ def transition_counts(
         "next_event",
         "n_transitions",
         F.round(F.col("n_transitions") / row_total, 6).alias("probability"),
+    )
+
+
+def session_paths(
+    events: DataFrame,
+    gap_seconds: int = 1800,
+    max_steps: int = 5,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    tiebreak: str | None = "event_id",
+    max_partial_paths: int = 100_000,
+) -> DataFrame:
+    """Top-of-session user flows: split each user's timeline into
+    gap-based sessions (a new session when the inter-event gap
+    EXCEEDS ``gap_seconds`` — the e03 convention) and count how many
+    sessions open with each distinct path of up to ``max_steps``
+    event types (longer sessions contribute their prefix). Output:
+    ``(path, n_steps, n_sessions)`` with ``path`` the '>'-joined type
+    sequence — the input to every "user flow" sankey.
+
+    Same fold shape as ``transition_counts``: one hash exchange +
+    within-partition (user, ts, tiebreak) sort + a streamed
+    ``mapInPandas`` carry-state pass (state = current session's ≤
+    ``max_steps`` prefix + last timestamp). Partials are per-partition
+    path counts; observed-prefix cardinality is data-bounded, and the
+    ``max_partial_paths`` flush cap bounds worker memory regardless
+    (flushed partial counts re-aggregate correctly downstream). NULL
+    user/ts/type rows are excluded, as in ``transition_counts``.
+    """
+    if max_steps < 1:
+        raise ValueError(f"max_steps must be >= 1: {max_steps}")
+    cols = [F.col(user_col), F.col(ts_col).cast("timestamp").alias("__ts"),
+            F.col(type_col).alias("__e")]
+    if tiebreak is not None:
+        cols.append(F.col(tiebreak).alias("__tb"))
+    pre = events.where(
+        F.col(user_col).isNotNull()
+        & F.col(ts_col).isNotNull()
+        & F.col(type_col).isNotNull()
+    ).select(*cols)
+    sort_cols = [user_col, "__ts"] + (["__tb"] if tiebreak is not None else [])
+    part = pre.repartition(F.col(user_col)).sortWithinPartitions(*sort_cols)
+
+    out_schema = StructType(
+        [
+            StructField("path", pre.schema["__e"].dataType, False),
+            StructField("n_steps", LongType(), False),
+            StructField("cnt", LongType(), False),
+        ]
+    )
+    gap_us = int(gap_seconds) * 1_000_000
+
+    def fold(batches):
+        import pandas as pd
+
+        counts: dict[tuple, int] = {}
+        cur_user = None
+        cur_path: list = []
+        last_us = None
+        have = False
+
+        def close():
+            if have and cur_path:
+                key = tuple(cur_path)
+                counts[key] = counts.get(key, 0) + 1
+
+        def drain():
+            out = pd.DataFrame(
+                {
+                    "path": [">".join(k) for k in counts],
+                    "n_steps": pd.Series(
+                        [len(k) for k in counts], dtype="int64"
+                    ),
+                    "cnt": pd.Series(list(counts.values()), dtype="int64"),
+                }
+            )
+            counts.clear()
+            return out
+
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            users = pdf[user_col].values
+            types = pdf["__e"].values
+            ts_us = (
+                pd.to_datetime(pdf["__ts"])
+                .astype("datetime64[ns]")
+                .astype("int64")
+                // 1_000
+            ).values
+            for u, ty, t in zip(users, types, ts_us):
+                new_user = not have or u != cur_user
+                new_session = new_user or (t - last_us) > gap_us
+                if new_session:
+                    close()
+                    cur_path = []
+                cur_user, last_us, have = u, int(t), True
+                if len(cur_path) < max_steps:
+                    cur_path.append(ty)
+            if len(counts) >= max_partial_paths:
+                yield drain()
+        close()
+        if counts:
+            yield drain()
+
+    partials = part.mapInPandas(fold, out_schema)
+    return partials.groupBy("path", "n_steps").agg(
+        F.sum("cnt").alias("n_sessions")
     )

@@ -365,3 +365,61 @@ def profile_drift(
         (F.col("old_max") != F.col("new_max")).alias("max_moved"),
         F.coalesce(flagged, F.lit(True)).alias("flagged"),
     )
+
+
+def correlation_matrix(df: DataFrame, cols: Sequence[str]) -> DataFrame:
+    """Pairwise Pearson correlations over numeric columns in ONE
+    partial-aggregable pass — the profiling companion to
+    ``profile_columns`` (a training-data team's first collinearity /
+    leakage screen over feature tables).
+
+    Output: one tiny row per unordered pair ``(col_a, col_b, corr,
+    n)`` where ``n`` counts rows with BOTH values present (pairwise
+    deletion — ``F.corr``'s own NULL semantics, matching SQL
+    ``corr``); a constant column yields NULL corr. All p·(p−1)/2
+    moments aggregate in a single scan with map-side combine — the
+    shuffle is one row of p² floats, never data."""
+    frame = df
+    cols = list(cols)
+    if len(cols) < 2:
+        raise ValueError(f"need >= 2 columns: {cols}")
+    # covar_samp / (stddev·stddev) instead of F.corr: under ANSI mode
+    # corr raises DIVIDE_BY_ZERO on a zero-variance column; the guarded
+    # form returns NULL there (and uses the same numerically-stable
+    # one-pass aggregates). Pairwise deletion needs per-pair
+    # conditioned columns so each stddev sees exactly the rows where
+    # BOTH values are present.
+    aggs = []
+    for i, a in enumerate(cols):
+        for b in cols[i + 1 :]:
+            ca, cb = F.col(a).cast("double"), F.col(b).cast("double")
+            both = ca.isNotNull() & cb.isNotNull()
+            xa, xb = F.when(both, ca), F.when(both, cb)
+            aggs += [
+                F.covar_samp(xa, xb).alias(f"__c_{a}__{b}"),
+                F.stddev_samp(xa).alias(f"__sa_{a}__{b}"),
+                F.stddev_samp(xb).alias(f"__sb_{a}__{b}"),
+                F.count(F.when(both, F.lit(1))).alias(f"__n_{a}__{b}"),
+            ]
+    row = frame.agg(*aggs).first()
+    out = []
+    for i, a in enumerate(cols):
+        for b in cols[i + 1 :]:
+            cov = row[f"__c_{a}__{b}"]
+            sa = row[f"__sa_{a}__{b}"]
+            sb = row[f"__sb_{a}__{b}"]
+            r = (
+                cov / (sa * sb)
+                if cov is not None and sa and sb
+                else None
+            )
+            out.append((a, b, r, int(row[f"__n_{a}__{b}"])))
+    schema = T.StructType(
+        [
+            T.StructField("col_a", T.StringType()),
+            T.StructField("col_b", T.StringType()),
+            T.StructField("corr", T.DoubleType()),
+            T.StructField("n", T.LongType()),
+        ]
+    )
+    return frame.sparkSession.createDataFrame(out, schema)

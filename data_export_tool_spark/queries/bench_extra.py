@@ -472,6 +472,32 @@ def b34_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     return merge_quantile_estimate(daily, [i / 10 for i in range(1, 10)])
 
 
+def b35_session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_export_tool_spark.operators.sequences import session_paths
+
+    return session_paths(
+        Catalog(spark, sf_dir).load("events"), gap_seconds=1800, max_steps=4
+    )
+
+
+def b36_correlation_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_export_tool_spark.operators.validate import correlation_matrix
+
+    li = Catalog(spark, sf_dir).load("lineitem")
+    return correlation_matrix(
+        li, ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+    )
+
+
+def b37_ab_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_export_tool_spark.operators.experiment import ab_test
+
+    ev = Catalog(spark, sf_dir).load("events").withColumn(
+        "bucket", (F.col("user_id") % 2 == 0).cast("string")
+    )
+    return ab_test(ev, "bucket", ["value"], "true", "false")
+
+
 QUERIES = [
     QuerySpec("b01_funnel_conversion", b01_funnel_conversion, None),
     QuerySpec("b02_retention_weekly", b02_retention_weekly, None),
@@ -507,4 +533,7 @@ QUERIES = [
     QuerySpec("b32_sorted_write", b32_sorted_write, None),
     QuerySpec("b33_pagerank", b33_pagerank, None),
     QuerySpec("b34_quantile_sketch", b34_quantile_sketch, None),
+    QuerySpec("b35_session_paths", b35_session_paths, None),
+    QuerySpec("b36_correlation_matrix", b36_correlation_matrix, None),
+    QuerySpec("b37_ab_test", b37_ab_test, None),
 ]

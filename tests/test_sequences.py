@@ -105,3 +105,78 @@ def test_transitions_single_exchange(spark, sf_dir):
     assert plan.count("MapInPandas") == 1, plan
     assert plan.count("Scan parquet") == 1, plan
     assert plan.count("Exchange hashpartitioning") <= 3, plan
+
+
+def test_session_paths_match_duckdb(spark, sf_dir):
+    from data_export_tool_spark.operators.sequences import session_paths
+
+    ev = Catalog(spark, sf_dir).load("events")
+    gap, steps = 1800, 4
+    got = {
+        (r["path"], r["n_steps"]): r["n_sessions"]
+        for r in session_paths(ev, gap_seconds=gap, max_steps=steps).collect()
+    }
+    want = {
+        (p, int(ns)): int(n)
+        for p, ns, n in duckdb.sql(
+            f"""
+            WITH e AS (
+              SELECT user_id, ts, event_type, event_id,
+                     epoch_ms(ts) AS ms
+              FROM read_parquet('{sf_dir}/events.parquet')
+              WHERE user_id IS NOT NULL AND ts IS NOT NULL
+                AND event_type IS NOT NULL
+            ), marked AS (
+              SELECT *, CASE WHEN ms - LAG(ms) OVER w > {gap * 1000}
+                              OR LAG(ms) OVER w IS NULL
+                         THEN 1 ELSE 0 END AS new_s
+              FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+            ), sess AS (
+              SELECT *, SUM(new_s) OVER (
+                PARTITION BY user_id ORDER BY ts, event_id
+                ROWS UNBOUNDED PRECEDING) AS sid
+              FROM marked
+            ), ranked AS (
+              SELECT *, ROW_NUMBER() OVER (
+                PARTITION BY user_id, sid ORDER BY ts, event_id) AS rn
+              FROM sess
+            ), paths AS (
+              SELECT user_id, sid,
+                     string_agg(event_type, '>' ORDER BY ts, event_id) AS path,
+                     COUNT(*) AS n_steps
+              FROM ranked WHERE rn <= {steps} GROUP BY user_id, sid
+            )
+            SELECT path, n_steps, COUNT(*) FROM paths GROUP BY path, n_steps
+            """
+        ).fetchall()
+    }
+    ok = got == want and len(want) > 0
+    record_opcheck("session_paths", len(want), ok)
+    assert ok, (len(got), len(want))
+
+
+def test_session_paths_truncation_and_flush(spark):
+    import datetime as dt
+
+    from data_export_tool_spark.operators.sequences import session_paths
+
+    base = dt.datetime(2024, 1, 1)
+    rows = []
+    # user 1: one 8-event session (truncates to 3), then a gap, then
+    # a 2-event session
+    for i in range(8):
+        rows.append((1, base + dt.timedelta(seconds=i), f"e{i}", i))
+    rows.append((1, base + dt.timedelta(hours=2), "x", 100))
+    rows.append((1, base + dt.timedelta(hours=2, seconds=1), "y", 101))
+    df = spark.createDataFrame(
+        rows, "user_id long, ts timestamp, event_type string, event_id long"
+    )
+    got = {
+        (r["path"], r["n_steps"]): r["n_sessions"]
+        for r in session_paths(
+            df, gap_seconds=60, max_steps=3, max_partial_paths=1
+        ).collect()
+    }
+    # max_partial_paths=1 forces a drain per batch — counts must still
+    # re-aggregate exactly
+    assert got == {("e0>e1>e2", 3): 1, ("x>y", 2): 1}

@@ -267,3 +267,53 @@ def test_profile_drift(spark):
     # identical profiles -> nothing flagged
     same = {r["column"]: r["flagged"] for r in V.profile_drift(old, old).collect()}
     assert same == {"o_custkey": False, "o_totalprice": False}
+
+
+def test_correlation_matrix_matches_duckdb(spark, sf_dir):
+    import duckdb
+
+    from data_export_tool_spark.operators.validate import correlation_matrix
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    cols = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+    got = {
+        (r["col_a"], r["col_b"]): (r["corr"], r["n"])
+        for r in correlation_matrix(li, cols).collect()
+    }
+    ok = len(got) == 6
+    for (a, b), (r_got, n_got) in got.items():
+        r_want, n_want = duckdb.sql(
+            f"""SELECT corr({a}, {b}), count(*) FROM
+                read_parquet('{sf_dir}/lineitem.parquet')
+                WHERE {a} IS NOT NULL AND {b} IS NOT NULL"""
+        ).fetchone()
+        ok = ok and n_got == int(n_want)
+        if r_want is None:
+            ok = ok and r_got is None
+        else:
+            ok = ok and abs(r_got - float(r_want)) < 1e-9
+    from tests.conftest import record_opcheck
+
+    record_opcheck("correlation_matrix", len(got), ok)
+    assert ok
+
+
+def test_correlation_matrix_nulls_and_constant(spark):
+    import pytest as _pytest
+
+    from data_export_tool_spark.operators.validate import correlation_matrix
+
+    df = spark.createDataFrame(
+        [(1.0, 2.0, 5.0), (2.0, 4.0, 5.0), (3.0, None, 5.0), (4.0, 8.0, 5.0)],
+        "x double, y double, k double",
+    )
+    got = {
+        (r["col_a"], r["col_b"]): (r["corr"], r["n"])
+        for r in correlation_matrix(df, ["x", "y", "k"]).collect()
+    }
+    r, n = got[("x", "y")]
+    assert n == 3 and abs(r - 1.0) < 1e-12  # perfectly linear where both present
+    assert got[("x", "k")][0] is None  # constant column: undefined corr
+    assert got[("x", "k")][1] == 4
+    with _pytest.raises(ValueError):
+        correlation_matrix(df, ["x"])

@@ -498,6 +498,23 @@ def b37_ab_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ab_test(ev, "bucket", ["value"], "true", "false")
 
 
+#: memoized per sf_dir, the b09 pattern: the fit is an eager
+#: iterative job; the entry benches the ENCODE projection, the
+#: per-row cost that matters at corpus scale
+_BPE_CACHE: dict[str, list] = {}
+
+
+def b38_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_export_tool_spark.operators.bpe import bpe_encode, bpe_train
+
+    docs = Catalog(spark, sf_dir).load("documents")
+    if sf_dir not in _BPE_CACHE:
+        _BPE_CACHE[sf_dir] = bpe_train(docs.limit(500), 16)
+    return bpe_encode(docs, _BPE_CACHE[sf_dir]).select(
+        "doc_id", "bpe_token_count"
+    )
+
+
 QUERIES = [
     QuerySpec("b01_funnel_conversion", b01_funnel_conversion, None),
     QuerySpec("b02_retention_weekly", b02_retention_weekly, None),
@@ -536,4 +553,5 @@ QUERIES = [
     QuerySpec("b35_session_paths", b35_session_paths, None),
     QuerySpec("b36_correlation_matrix", b36_correlation_matrix, None),
     QuerySpec("b37_ab_test", b37_ab_test, None),
+    QuerySpec("b38_bpe_encode", b38_bpe_encode, None),
 ]

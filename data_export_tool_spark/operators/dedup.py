@@ -702,3 +702,67 @@ def dedup_lines(
     return out.select(id_col, "n_lines", "n_lines_removed", text_col).unionByName(
         nulls
     )
+
+
+def group_minhash_jaccard(
+    df: DataFrame,
+    group_col: str,
+    text_col: str = "text",
+    num_hashes: int = 64,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Corpus-segment similarity matrix: estimated Jaccard overlap of
+    the distinct-shingle sets between every pair of ``group_col``
+    segments (languages, registered domains, snapshot sources …) —
+    'which slices of the lake are near-copies of each other', the
+    segment-level complement to the per-document dedup tiers.
+
+    The trick that makes it one pass: a MinHash component is a MIN, so
+    aggregating the per-shingle hash min per GROUP yields exactly the
+    signature of the group's shingle-set UNION — elementwise min is
+    the signature of a set union (Broder 1997). One explode + one
+    map-side-combined groupBy over the corpus (the
+    ``minhash_signatures`` hash family, so an external md5 replay is
+    bit-exact); the pairwise estimate (matching components / k, std
+    error ≈ √(J(1−J)/k)) runs on the collected G×k signature table —
+    this is a segment PROFILE, so G is driver-bounded by contract
+    (segments, not documents). Output: ``(group_a, group_b,
+    jaccard_est)`` for each unordered pair, groups sorted, plus the
+    per-group distinct-shingle signature width as ``n_hashes``."""
+    from data_export_tool_spark.parallelism import fan_out
+
+    ex = (
+        fan_out(df)
+        .where(F.col(group_col).isNotNull())
+        .select(
+            F.col(group_col).cast("string").alias("__g"),
+            F.explode(word_shingles(F.col(text_col), shingle_n)).alias("sh"),
+        )
+    )
+    aggs = [
+        F.min(F.md5(F.concat(F.lit(f"{seed}|"), F.col("sh")))).alias(f"s{seed}")
+        for seed in range(num_hashes)
+    ]
+    rows = ex.groupBy("__g").agg(*aggs).collect()
+    sigs = {
+        r["__g"]: [r[f"s{i}"] for i in range(num_hashes)] for r in rows
+    }
+    groups = sorted(sigs)
+    out = []
+    for i, a in enumerate(groups):
+        for b in groups[i + 1 :]:
+            match = sum(
+                1 for x, y in zip(sigs[a], sigs[b]) if x == y and x is not None
+            )
+            out.append((a, b, match / num_hashes, num_hashes))
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("group_a", T.StringType()),
+            T.StructField("group_b", T.StringType()),
+            T.StructField("jaccard_est", T.DoubleType()),
+            T.StructField("n_hashes", T.IntegerType()),
+        ]
+    )
+    return df.sparkSession.createDataFrame(out, schema)

@@ -515,6 +515,13 @@ def b38_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def b39_segment_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_export_tool_spark.operators.dedup import group_minhash_jaccard
+
+    docs = Catalog(spark, sf_dir).load("documents")
+    return group_minhash_jaccard(docs, "lang", num_hashes=32)
+
+
 QUERIES = [
     QuerySpec("b01_funnel_conversion", b01_funnel_conversion, None),
     QuerySpec("b02_retention_weekly", b02_retention_weekly, None),
@@ -554,4 +561,5 @@ QUERIES = [
     QuerySpec("b36_correlation_matrix", b36_correlation_matrix, None),
     QuerySpec("b37_ab_test", b37_ab_test, None),
     QuerySpec("b38_bpe_encode", b38_bpe_encode, None),
+    QuerySpec("b39_segment_jaccard", b39_segment_jaccard, None),
 ]

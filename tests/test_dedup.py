@@ -384,3 +384,83 @@ def test_near_dedup_against_store_python_replay(spark):
     # the fixture's intent: the re-crawl and the exact copy drop, the
     # fresh doc and the low-overlap doc survive
     assert got == [12, 13]
+
+
+def test_group_minhash_jaccard_replay_and_bounds(spark):
+    """Segment similarity matrix: the per-group signature must equal
+    the python md5 replay over the group's shingle-set UNION exactly
+    (elementwise-min = union signature), so the pairwise estimates
+    are deterministic; estimates must bracket the exact Jaccard
+    within the k-hash binomial error."""
+    import hashlib
+    import math
+    import re as _re
+
+    from data_export_tool_spark.operators.dedup import group_minhash_jaccard
+
+    shared = ["the quick brown fox jumps over the lazy dog again and again",
+              "large scale data pipelines need exact deduplication tiers"]
+    only_a = ["alpha beta gamma delta epsilon zeta eta theta iota kappa"]
+    only_b = ["one two three four five six seven eight nine ten eleven"]
+    only_c = ["completely different vocabulary in this tiny segment here"]
+    rows = (
+        [("A", t) for t in shared + only_a]
+        + [("B", t) for t in shared + only_b]
+        + [("C", t) for t in only_c]
+    )
+    df = spark.createDataFrame(rows, "grp string, text string")
+    k = 64
+    got = {
+        (r["group_a"], r["group_b"]): r["jaccard_est"]
+        for r in group_minhash_jaccard(
+            df, "grp", num_hashes=k
+        ).collect()
+    }
+
+    def norm(s):
+        s = _re.sub(r"[^A-Za-z0-9\s]", " ", s.lower())
+        return _re.sub(r"\s+", " ", s).strip()
+
+    def shingles(texts, n=3):
+        out = set()
+        for s in texts:
+            toks = norm(s).split(" ")
+            out |= {
+                " ".join(toks[i : i + n])
+                for i in range(max(len(toks) - n + 1, 1))
+            }
+        return out
+
+    def sig(shs):
+        return [
+            min(hashlib.md5(f"{seed}|{sh}".encode()).hexdigest() for sh in shs)
+            for seed in range(k)
+        ]
+
+    sets = {
+        "A": shingles(shared + only_a),
+        "B": shingles(shared + only_b),
+        "C": shingles(only_c),
+    }
+    ok = True
+    for (a, b), est in got.items():
+        want_est = sum(
+            1 for x, y in zip(sig(sets[a]), sig(sets[b])) if x == y
+        ) / k
+        ok = ok and abs(est - want_est) < 1e-12  # bit-exact replay
+        exact = len(sets[a] & sets[b]) / len(sets[a] | sets[b])
+        se = math.sqrt(max(exact * (1 - exact), 0.25 / k) / k)
+        ok = ok and abs(est - exact) <= 4 * se + 1e-9
+    assert got[("A", "C")] == 0.0 and got[("B", "C")] == 0.0
+    assert got[("A", "B")] > 0.2
+    # identical segments estimate exactly 1
+    dup = spark.createDataFrame(
+        [("X", shared[0]), ("Y", shared[0])], "grp string, text string"
+    )
+    one = group_minhash_jaccard(dup, "grp", num_hashes=16).collect()[0]
+    ok = ok and one["jaccard_est"] == 1.0
+    record_opcheck(
+        "group_minhash_jaccard", len(got) + 1, ok,
+        oracle="python-reference", value=round(got[("A", "B")], 6),
+    )
+    assert ok

@@ -497,3 +497,80 @@ def compression_ratio(
     _ratio.__annotations__ = {"texts": pd.Series, "return": pd.Series}
     udf = F.pandas_udf(_ratio, "double")
     return df.withColumn(out_col, udf(F.col(text_col)))
+
+
+def unigram_logprob_scores(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    alpha: float = 0.5,
+    vocab: DataFrame | None = None,
+) -> DataFrame:
+    """Per-document mean unigram negative log₂-probability — the
+    dependency-free stand-in for the KenLM perplexity filters the
+    published curation recipes (CCNet-class) rank documents with: a
+    doc whose words are corpus-typical scores low (fluent/common), a
+    doc full of rare garbage scores high, and a doc of endlessly
+    repeated common words scores suspiciously low — use alongside the
+    repetition rules, not instead of them.
+
+    Model: add-``alpha`` smoothed corpus unigram LM over the shared
+    ``TOKEN_SPLIT_RE`` pre-tokenization (``operators.bpe.word_counts``
+    — ONE raw-text pass, map-side combined). ``p(w) = (c(w) + α) /
+    (N + α·(V+1))`` with one reserved OOV type, so scoring OTHER
+    corpora against this vocab (pass ``vocab=``) is well-defined.
+
+    Scoring shape: explode doc words → broadcast-or-shuffle join with
+    the vocab table on the word key → one per-doc aggregate. The
+    vocab is Heaps-law-bounded (≪ corpus) and the join key is the
+    word — Spark broadcasts it when small and hash-joins otherwise;
+    no driver materialization. Output: ``(id_col, n_scored_tokens,
+    mean_nll)`` — NULL/empty/whitespace docs get NULL mean_nll.
+    """
+    from data_export_tool_spark.operators.bpe import word_counts
+
+    if vocab is None:
+        vocab = word_counts(df, text_col)
+    stats = vocab.agg(
+        F.sum("cnt").alias("N"), F.count(F.lit(1)).alias("V")
+    ).first()
+    n_total, v_size = int(stats["N"] or 0), int(stats["V"] or 0)
+    denom = n_total + alpha * (v_size + 1)
+    if denom <= 0:
+        raise ValueError("empty vocabulary: nothing to score against")
+
+    from data_export_tool_spark.operators.ranking import TOKEN_SPLIT_RE
+
+    words = df.select(
+        F.col(id_col),
+        F.explode(
+            F.filter(
+                F.split(F.lower(F.col(text_col)), TOKEN_SPLIT_RE),
+                lambda t: F.length(t) > 0,
+            )
+        ).alias("word"),
+    )
+    nll = -F.log2(
+        (F.coalesce(F.col("cnt"), F.lit(0)) + F.lit(float(alpha)))
+        / F.lit(float(denom))
+    )
+    scored = (
+        words.join(vocab, "word", "left")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_scored_tokens"),
+            F.avg(nll).alias("mean_nll"),
+        )
+    )
+    # docs with no scoreable tokens (NULL/empty text) keep a row
+    return (
+        df.select(id_col)
+        .join(scored, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce(F.col("n_scored_tokens"), F.lit(0)).alias(
+                "n_scored_tokens"
+            ),
+            "mean_nll",
+        )
+    )

@@ -522,6 +522,12 @@ def b39_segment_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return group_minhash_jaccard(docs, "lang", num_hashes=32)
 
 
+def b40_unigram_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_export_tool_spark.operators.quality import unigram_logprob_scores
+
+    return unigram_logprob_scores(Catalog(spark, sf_dir).load("documents"))
+
+
 QUERIES = [
     QuerySpec("b01_funnel_conversion", b01_funnel_conversion, None),
     QuerySpec("b02_retention_weekly", b02_retention_weekly, None),
@@ -562,4 +568,5 @@ QUERIES = [
     QuerySpec("b37_ab_test", b37_ab_test, None),
     QuerySpec("b38_bpe_encode", b38_bpe_encode, None),
     QuerySpec("b39_segment_jaccard", b39_segment_jaccard, None),
+    QuerySpec("b40_unigram_scores", b40_unigram_scores, None),
 ]

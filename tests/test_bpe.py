@@ -97,3 +97,32 @@ def test_bpe_edges(spark):
     toks = bpe_encode(u, m).first()["bpe_tokens"]
     rx = re.compile(TOKEN_SPLIT_RE)
     assert "".join(toks) == "".join(w for w in rx.split(u_text.lower()) if w)
+
+
+def test_bpe_counts_feed_token_shards(spark, corpus):
+    """Composition: real-tokenizer counts drive the shard packer —
+    shard boundaries respect the BPE token budget exactly (python
+    prefix-sum replay), closing the loop between the tokenizer and
+    the packing operator that previously only saw proxy counts."""
+    from data_export_tool_spark.operators.sampling import pack_token_shards
+
+    docs, texts = corpus
+    merges = py_bpe_train(texts, N_MERGES)
+    counted = bpe_encode(docs, merges).select("doc_id", "bpe_token_count")
+    packed = {
+        r["doc_id"]: (r["cum_tokens"], r["shard_id"])
+        for r in pack_token_shards(
+            counted, "bpe_token_count", budget=2000
+        ).collect()
+    }
+    rows = sorted(
+        (r["doc_id"], r["bpe_token_count"])
+        for r in counted.collect()
+    )
+    run = 0
+    ok = len(packed) == len(rows) > 0
+    for doc_id, cnt in rows:
+        cum, shard = packed[doc_id]
+        ok = ok and cum == run + cnt and shard == run // 2000
+        run += cnt
+    assert ok

@@ -293,3 +293,74 @@ def test_compression_ratio_edges(spark):
 
     with _pytest.raises(ValueError):
         compression_ratio(df, level=17)
+
+
+def test_unigram_logprob_matches_python_replay(spark, sf_dir):
+    import math
+    import re as _re
+
+    from tests.conftest import record_opcheck
+    from data_export_tool_spark.operators.quality import unigram_logprob_scores
+    from data_export_tool_spark.operators.ranking import TOKEN_SPLIT_RE
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(150)
+    got = {
+        r["doc_id"]: (r["n_scored_tokens"], r["mean_nll"])
+        for r in unigram_logprob_scores(docs, alpha=0.5).collect()
+    }
+    src = {r["doc_id"]: r["text"] for r in docs.collect()}
+
+    rx = _re.compile(TOKEN_SPLIT_RE)
+
+    def toks(t):
+        return [w for w in rx.split(t.lower()) if w] if t is not None else []
+
+    wc: dict = {}
+    for t in src.values():
+        for w in toks(t):
+            wc[w] = wc.get(w, 0) + 1
+    n_total, v = sum(wc.values()), len(wc)
+    denom = n_total + 0.5 * (v + 1)
+
+    ok = len(got) == len(src) > 0
+    for k, t in src.items():
+        ws = toks(t)
+        n_got, nll_got = got[k]
+        ok = ok and n_got == len(ws)
+        if not ws:
+            ok = ok and nll_got is None
+            continue
+        want = sum(
+            -math.log2((wc.get(w, 0) + 0.5) / denom) for w in ws
+        ) / len(ws)
+        ok = ok and abs(nll_got - want) < 1e-9
+    record_opcheck(
+        "unigram_logprob", len(src), ok, oracle="python-reference",
+        value=round(
+            sum(v[1] for v in got.values() if v[1] is not None)
+            / max(sum(1 for v in got.values() if v[1] is not None), 1),
+            6,
+        ),
+    )
+    assert ok
+
+
+def test_unigram_logprob_cross_corpus_and_edges(spark):
+    from data_export_tool_spark.operators.bpe import word_counts
+    from data_export_tool_spark.operators.quality import unigram_logprob_scores
+
+    train = spark.createDataFrame(
+        [(1, "the cat sat on the mat " * 20)], "doc_id long, text string"
+    )
+    vocab = word_counts(train)
+    score = spark.createDataFrame(
+        [(10, "the cat sat"), (11, "zyzzyva qwerty plugh"), (12, None)],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: r
+        for r in unigram_logprob_scores(score, vocab=vocab).collect()
+    }
+    # in-vocab text is much more probable than OOV garbage
+    assert got[10]["mean_nll"] < got[11]["mean_nll"] - 3
+    assert got[12]["mean_nll"] is None and got[12]["n_scored_tokens"] == 0

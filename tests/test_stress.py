@@ -255,3 +255,41 @@ def test_stress_pack_token_shards_budget_law(spark):
     for r in spans:
         if r["shard_id"] != last[r["lang"]]:
             assert r["span"] >= budget - 149  # minus max single-row tokens
+
+
+def test_stress_transitions_hot_user(spark):
+    """One bot user with N alternating a/b events plus 10k two-event
+    normal users: the transition fold streams the bot through Arrow
+    batches (carry-state, no per-user window) and the global counts
+    obey the closed form."""
+    from data_export_tool_spark.operators.sequences import transition_counts
+
+    bot = spark.range(N).select(
+        F.lit(0).alias("user_id"),
+        F.timestamp_seconds(1700000000 + F.col("id")).alias("ts"),
+        F.when(F.col("id") % 2 == 0, "a").otherwise("b").alias("event_type"),
+        F.col("id").alias("event_id"),
+    )
+    normals = spark.range(10_000).select(
+        (F.col("id") + 1).alias("user_id"),
+        F.timestamp_seconds(1700000000 + F.col("id")).alias("ts"),
+        F.lit("x").alias("event_type"),
+        (N + 2 * F.col("id")).alias("event_id"),
+    )
+    normals2 = spark.range(10_000).select(
+        (F.col("id") + 1).alias("user_id"),
+        F.timestamp_seconds(1700000100 + F.col("id")).alias("ts"),
+        F.lit("y").alias("event_type"),
+        (N + 2 * F.col("id") + 1).alias("event_id"),
+    )
+    ev = bot.unionByName(normals).unionByName(normals2)
+    got = {
+        (r["prev_event"], r["next_event"]): r["n_transitions"]
+        for r in transition_counts(ev).collect()
+    }
+    want = {
+        ("a", "b"): N // 2,
+        ("b", "a"): N // 2 - 1,
+        ("x", "y"): 10_000,
+    }
+    assert got == want, got

@@ -40,7 +40,6 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from .features import fit_quantile_bins
 from .sketch import exact_topk
 
 __all__ = [
@@ -61,13 +60,20 @@ def fit_drift_bins(
     relative_error: float = 0.001,
 ) -> dict[str, list[float]]:
     """Per-column interior cut points (``n_bins − 1`` each) fitted on
-    the baseline snapshot — ``features.fit_quantile_bins`` per column
-    (GK sketch; one pass per column, driver holds only the cuts).
+    the baseline snapshot in ONE sketch pass over all columns
+    (``approxQuantile`` with a column list — GK sketches build
+    side-by-side in a single scan; driver holds only the cuts).
     Duplicate cuts from low-cardinality columns are collapsed so every
     bucket is distinguishable."""
+    numeric_cols = list(numeric_cols)
+    if not numeric_cols:
+        return {}
+    if n_bins < 2:
+        raise ValueError(f"n_bins must be >= 2: {n_bins}")
+    probs = [i / n_bins for i in range(1, n_bins)]
+    all_cuts = df.stat.approxQuantile(numeric_cols, probs, relative_error)
     out: dict[str, list[float]] = {}
-    for c in numeric_cols:
-        cuts = fit_quantile_bins(df, c, n_bins, relative_error)
+    for c, cuts in zip(numeric_cols, all_cuts):
         seen: list[float] = []
         for v in cuts:
             if v is not None and (not seen or v != seen[-1]):

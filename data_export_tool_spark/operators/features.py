@@ -203,3 +203,36 @@ def apply_scaler(
             c + suffix, F.when(x.isNotNull(), scaled).cast("double")
         )
     return out
+
+
+def winsorize(
+    df: DataFrame,
+    cols: Sequence[str],
+    lower: float = 0.01,
+    upper: float = 0.99,
+    relative_error: float = 0.0001,
+    suffix: str = "_wins",
+) -> DataFrame:
+    """Robust outlier clipping: clamp each column to its
+    [``lower``, ``upper``] quantile band — the standard heavy-tail
+    guard before z-score scaling or binning (a single corrupt 1e308
+    row otherwise flattens every scaled value to ~0).
+
+    FIT is one ``approxQuantile`` read per column (GK sketch —
+    driver holds two floats each); APPLY is a pure
+    ``least/greatest`` scan projection, NULLs untouched — the same
+    fit/apply contract as the scalers. Appends ``col + suffix``
+    columns; ``suffix=None`` replaces in place."""
+    if isinstance(cols, str):
+        cols = [cols]
+    if not (0.0 <= lower < upper <= 1.0):
+        raise ValueError(f"need 0 <= lower < upper <= 1: {lower}, {upper}")
+    out = df
+    for c in cols:
+        lo, hi = df.stat.approxQuantile(c, [lower, upper], relative_error)
+        clipped = F.when(
+            F.col(c).isNotNull(),
+            F.least(F.greatest(F.col(c).cast("double"), F.lit(lo)), F.lit(hi)),
+        )
+        out = out.withColumn(c + suffix if suffix else c, clipped)
+    return out

@@ -184,3 +184,63 @@ def write_sorted(
         .write.mode(mode)
         .parquet(path)
     )
+
+
+def scan_selectivity(
+    spark,
+    path: str,
+    col: str,
+    lo,
+    hi,
+) -> dict:
+    """Measure how well a parquet layout skips for a range predicate
+    ``lo <= col <= hi``: reads ONLY the file footers (driver-side
+    metadata via the Hadoop FS + ParquetFileReader APIs — no data
+    pages) and counts files whose [min, max] stats exclude the range.
+    Returns ``{n_files, n_skipped, skip_ratio, rows_total,
+    rows_in_candidates}``.
+
+    The audit every layout decision (``write_sorted`` /
+    ``write_zordered`` / ``compact_parquet``) should be judged by:
+    run it before and after a rewrite and the skip ratio IS the read
+    amplification you removed. Mirrors the reader's own file-level
+    pruning rule (stats-disjoint ⇒ skippable), so the number is what
+    Spark/any engine will actually do, not a heuristic."""
+    jvm = spark.sparkContext._jvm
+    conf = spark.sparkContext._jsc.hadoopConfiguration()
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = hpath.getFileSystem(conf)
+    n_files = n_skipped = rows_total = rows_cand = 0
+    it = fs.listFiles(hpath, True)
+    files = []
+    while it.hasNext():
+        f = it.next()
+        name = f.getPath().getName()
+        if name.endswith(".parquet") and not name.startswith(("_", ".")):
+            files.append(str(f.getPath().toString()))
+    import pyarrow.parquet as pq
+
+    for fp in sorted(files):
+        local = fp[len("file:"):] if fp.startswith("file:") else fp
+        md = pq.ParquetFile(local).metadata
+        idx = md.schema.names.index(col)
+        mins, maxs, rows = [], [], 0
+        for g in range(md.num_row_groups):
+            st = md.row_group(g).column(idx).statistics
+            rows += md.row_group(g).num_rows
+            if st is not None and st.has_min_max:
+                mins.append(st.min)
+                maxs.append(st.max)
+        n_files += 1
+        rows_total += rows
+        if mins and (max(maxs) < lo or min(mins) > hi):
+            n_skipped += 1
+        else:
+            rows_cand += rows
+    return {
+        "n_files": n_files,
+        "n_skipped": n_skipped,
+        "skip_ratio": (n_skipped / n_files) if n_files else 0.0,
+        "rows_total": rows_total,
+        "rows_in_candidates": rows_cand,
+    }

@@ -829,3 +829,48 @@ def transition_stream(
             timeoutConf=GroupStateTimeout.EventTimeTimeout,
         )
     )
+
+
+def histogram_bucket(col, cuts):
+    """The drift-module bucket rule as a streaming-safe column:
+    count of cut points the value exceeds; NULL → −1 (its own
+    bucket). Shared between ``windowed_histogram_stream`` and its
+    batch twin so the bucketing can never diverge."""
+    arr = F.array(*[F.lit(float(c)) for c in sorted(cuts)])
+    bin_id = F.size(F.filter(arr, lambda c: col > c))
+    return F.when(col.isNotNull(), bin_id).otherwise(F.lit(-1)).cast("int")
+
+
+def windowed_histogram_stream(
+    events: DataFrame,
+    cuts: list,
+    value_col: str = "value",
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Streaming per-window value histograms over a PINNED bucketing
+    (the drift monitor's cut points — fit once on a baseline with
+    ``drift.fit_drift_bins``, then watch every window's distribution
+    arrive): counts per (window, bucket) with watermark-finalized
+    windows. State per group is one long — bounded by windows ×
+    (len(cuts)+2), never by row count. Counts are exact, so the batch
+    twin computing the same expression over the same rows is EXACTLY
+    equal (STREAMPARITY contract); a downstream consumer diffs
+    windows against the baseline proportions with the same PSI
+    arithmetic the batch monitor uses.
+    """
+    bucket = histogram_bucket(F.col(value_col), cuts)
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(
+            F.window("ts", window).alias("win"), bucket.alias("bucket")
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.date_format(F.col("win.start"), "yyyy-MM-dd HH:mm").alias(
+                "win_start"
+            ),
+            "bucket",
+            "n",
+        )
+    )

@@ -153,3 +153,29 @@ def test_scaler_degenerate_and_null(spark):
         apply_scaler(df, params, "robust")
     with pytest.raises(ValueError):
         fit_quantile_bins(df, "x", 1)
+
+
+def test_winsorize_clamps_to_quantile_band(spark):
+    from data_export_tool_spark.operators.features import winsorize
+
+    # 1000 uniform values + extreme outliers + NULLs
+    rows = [(i, float(i % 100)) for i in range(1000)]
+    rows += [(1000, 1e12), (1001, -1e12), (1002, None)]
+    df = spark.createDataFrame(rows, "id long, x double")
+    got = {r["id"]: r["x_wins"] for r in winsorize(df, ["x"], 0.05, 0.95).collect()}
+    lo, hi = df.stat.approxQuantile("x", [0.05, 0.95], 0.0001)
+    ok = got[1000] == hi and got[1001] == lo and got[1002] is None
+    # interior values untouched; everything inside the band
+    for i in range(1000):
+        v = float(i % 100)
+        want = min(max(v, lo), hi)
+        ok = ok and got[i] == want
+    vals = [v for v in got.values() if v is not None]
+    ok = ok and min(vals) == lo and max(vals) == hi
+    record_opcheck("winsorize", len(got), ok, oracle="python-reference")
+    assert ok
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        winsorize(df, ["x"], 0.9, 0.1)

@@ -156,3 +156,35 @@ def test_write_sorted_validation(spark, grid, tmp_path):
 
     with pytest.raises(ValueError):
         write_sorted(grid, str(tmp_path / "x"), [])
+
+
+def test_scan_selectivity_measures_sorted_layout(spark, grid, tmp_path):
+    from data_export_tool_spark.operators.layout import (
+        scan_selectivity,
+        write_sorted,
+    )
+
+    unsorted_path = str(tmp_path / "uns")
+    sorted_path = str(tmp_path / "srt")
+    grid.repartition(8).write.parquet(unsorted_path)
+    write_sorted(grid, sorted_path, ["noise"], num_files=8)
+
+    lo = 0
+    hi = 1 << 28  # a narrow slice of the 0..2^31 noise range
+    before = scan_selectivity(spark, unsorted_path, "noise", lo, hi)
+    after = scan_selectivity(spark, sorted_path, "noise", lo, hi)
+    # random layout: every file is a candidate; sorted: most skip
+    assert before["n_files"] >= 4 and before["skip_ratio"] == 0.0
+    assert after["skip_ratio"] >= 0.5, after
+    # the measurement is conservative: candidates must cover all
+    # actually-matching rows
+    matching = grid.where(
+        (F.col("noise") >= lo) & (F.col("noise") <= hi)
+    ).count()
+    assert after["rows_in_candidates"] >= matching
+    assert before["rows_total"] == after["rows_total"] == 40_000
+    ok = after["skip_ratio"] > before["skip_ratio"]
+    record_opcheck(
+        "scan_selectivity", after["n_files"] + before["n_files"], ok,
+        oracle="parquet-footer", value=round(after["skip_ratio"], 4),
+    )

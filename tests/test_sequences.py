@@ -180,3 +180,17 @@ def test_session_paths_truncation_and_flush(spark):
     # max_partial_paths=1 forces a drain per batch — counts must still
     # re-aggregate exactly
     assert got == {("e0>e1>e2", 3): 1, ("x>y", 2): 1}
+
+
+def test_session_paths_single_exchange(spark, sf_dir):
+    from data_export_tool_spark.operators.sequences import session_paths
+
+    ev = Catalog(spark, sf_dir).load("events")
+    plan = (
+        session_paths(ev)._jdf.queryExecution().executedPlan().toString()
+    )
+    # one scan + one fold; exchanges: user repartition + partial rollup
+    assert plan.count("MapInPandas") == 1, plan
+    assert plan.count("Scan parquet") == 1, plan
+    assert plan.count("Exchange hashpartitioning") <= 2, plan
+    assert "Window" not in plan, plan

@@ -864,3 +864,46 @@ def test_transition_stream_bounded_by_batch(spark, sf_dir, tmp_path):
     ok = ok and sum(emitted.values()) > 0 and len(low) > 0
     record_stream_parity("transition_matrix", len(upper), ok)
     assert ok, (len(emitted), len(low), len(upper))
+
+
+def test_windowed_histogram_stream_matches_batch(spark, sf_dir, event_drop_dir):
+    """Streaming pinned-bucket histograms == the identical batch
+    expression over the same restaged files (exact counts — the
+    streaming face of the drift monitor's bucket rule)."""
+    from data_export_tool_spark.streaming.events import (
+        histogram_bucket,
+        windowed_histogram_stream,
+    )
+
+    cuts = [10.0, 50.0, 100.0, 500.0]
+    stream = read_events_stream(spark, event_drop_dir, max_files_per_trigger=2)
+    agg = windowed_histogram_stream(stream, cuts)
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("hist_stream_test")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r.win_start, r.bucket): r.n
+        for r in spark.sql("SELECT * FROM hist_stream_test").collect()
+    }
+    ev = normalize_event_times(spark.read.parquet(event_drop_dir))
+    expected = {
+        (r.win_start, r.bucket): r.n
+        for r in ev.groupBy(
+            F.date_format(F.date_trunc("hour", "ts"), "yyyy-MM-dd HH:mm").alias(
+                "win_start"
+            ),
+            histogram_bucket(F.col("value"), cuts).alias("bucket"),
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    ok = got == expected and len(expected) > 0
+    # bucket mass conservation: totals equal the row count
+    ok = ok and sum(got.values()) == ev.count()
+    record_stream_parity("windowed_histogram", len(expected), ok)
+    assert ok

@@ -261,16 +261,21 @@ def pagerank(
     Scale shape, per iteration: ONE join of the (src, dst, 1/outdeg)
     edge table with the O(V) rank table + a partial-aggregable groupBy
     on dst — the edge table is checkpoint-materialized ONCE and its
-    weights never recompute; the dangling-mass and L1-convergence
-    probes are single-scalar aggregates on O(V) tables (driver reads
-    one float each, never rows). ``localCheckpoint`` truncates lineage
-    per round and superseded rank tables are freed immediately, same
-    policy as ``connected_components``. On a persisted graph, bucket
-    the edge table by ``src`` to eliminate its exchange entirely —
-    the per-round shuffle is then just the O(V) rank table.
+    weights never recompute. The dangling mass needs no dangling-node
+    join: out-edge weights sum to 1 per non-dangling node, so
+    Σ contrib = non-dangling mass and ``dm = 1 − Σ contrib`` (total
+    mass is exactly 1 by construction each round) — one scalar
+    aggregate over the already-materialized contribution table. The
+    L1-convergence probe runs only when ``tol > 0``.
+    ``localCheckpoint`` truncates lineage per round and superseded
+    rank tables are freed immediately, same policy as
+    ``connected_components``. On a persisted graph, bucket the edge
+    table by ``src`` to eliminate its exchange entirely — the
+    per-round shuffle is then just the O(V) rank table.
 
     Stops when the L1 delta ≤ ``tol`` (set ``tol=0`` to run exactly
-    ``max_iter`` rounds, e.g. to compare against an external replay).
+    ``max_iter`` rounds — no probe jobs at all — e.g. to compare
+    against an external replay).
     """
     if not (0.0 < damping < 1.0):
         raise ValueError(f"damping must be in (0, 1): {damping}")
@@ -297,11 +302,8 @@ def pagerank(
         return nodes.select(
             F.col("n").alias(out_node), F.lit(0.0).alias(out_rank)
         )
-    dangling, dang_ids = _checkpoint(
-        nodes.join(outd.withColumnRenamed("s", "n"), "n", "left_anti")
-    )
-    # e feeds ew, nodes AND (via outd) dangling — all three now
-    # checkpoint-materialized, so the raw edge blocks are dead
+    # e fed ew and nodes — both checkpoint-materialized, so the raw
+    # edge blocks are dead
     _release(sc, e_ids)
     base = (1.0 - damping) / n_nodes
     ranks, ranks_ids = _checkpoint(
@@ -309,14 +311,16 @@ def pagerank(
     )
 
     for _ in range(max_iter):
-        dm_row = dangling.join(ranks, "n").agg(F.sum("r")).first()
-        dm = dm_row[0] or 0.0
-        contrib = (
+        contrib, contrib_ids = _checkpoint(
             ew.join(ranks.withColumnRenamed("n", "s"), "s")
             .groupBy("d")
             .agg(F.sum(F.col("r") * F.col("w")).alias("__c"))
             .withColumnRenamed("d", "n")
         )
+        # dangling mass without a dangling join: weights sum to 1 per
+        # non-dangling node, so Σ contrib = non-dangling mass and the
+        # total mass is exactly 1 each round by construction
+        dm = 1.0 - (contrib.agg(F.sum("__c")).first()[0] or 0.0)
         new_ranks, new_ids = _checkpoint(
             nodes.join(contrib, "n", "left").select(
                 "n",
@@ -327,11 +331,15 @@ def pagerank(
                 ).alias("r"),
             )
         )
-        delta = (
-            new_ranks.join(ranks.withColumnRenamed("r", "r0"), "n")
-            .agg(F.sum(F.abs(F.col("r") - F.col("r0"))))
-            .first()[0]
-        )
+        _release(sc, contrib_ids)
+        if tol > 0:
+            delta = (
+                new_ranks.join(ranks.withColumnRenamed("r", "r0"), "n")
+                .agg(F.sum(F.abs(F.col("r") - F.col("r0"))))
+                .first()[0]
+            )
+        else:
+            delta = None
         _release(sc, ranks_ids)
         ranks, ranks_ids = new_ranks, new_ids
         if delta is not None and delta <= tol:
@@ -339,7 +347,6 @@ def pagerank(
 
     _release(sc, ew_ids)
     _release(sc, nodes_ids)
-    _release(sc, dang_ids)
     return ranks.select(
         F.col("n").alias(out_node), F.col("r").alias(out_rank)
     )

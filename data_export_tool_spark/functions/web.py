@@ -262,3 +262,53 @@ def html_to_text(html: Column) -> Column:
     t = F.regexp_replace(t, r"\n{3,}", "\n\n")
     # trim() strips spaces only; newlines at the edges need the regex
     return F.regexp_replace(t, r"^\s+|\s+$", "")
+
+
+def domain_quality_blocklist(
+    df: DataFrame,
+    url_col: str = "url",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_docs: int = 3,
+    max_fail_frac: float = 0.5,
+) -> DataFrame:
+    """Domain-level curation (the RefinedWeb-style escalation from
+    per-document rules): roll the Gopher per-document verdicts up to
+    registered domains and emit the domains whose corpus presence is
+    both material (``n_docs >= min_docs``) and mostly junk
+    (``fail_frac > max_fail_frac``) — feed the result straight into
+    ``filter_domains``. A domain serving 90% rule-failing pages is
+    evidence the remaining 10% are junk the rules missed; dropping at
+    the domain grain is how the published web corpora act on that.
+
+    Output: ``(domain, n_docs, fail_frac, mean_quality)`` for blocked
+    domains only. ONE pass: the Gopher battery is a scan projection
+    and the rollup a partial-aggregable groupBy on the domain key."""
+    from data_export_tool_spark.operators.quality import gopher_quality_flags
+    from data_export_tool_spark.functions.text import quality_score
+
+    # the battery projects down to (id, metrics) — join the verdict
+    # back on the id key to pair it with the row's URL (one id-keyed
+    # hash join; the rollup after it is partial-aggregable)
+    flagged = gopher_quality_flags(df, id_col=id_col, text_col=text_col).select(
+        id_col, "gopher_keep"
+    )
+    rolled = (
+        df.join(flagged, id_col)
+        .select(
+            registered_domain(url_host(F.col(url_col))).alias("domain"),
+            (~F.col("gopher_keep")).cast("double").alias("__fail"),
+            quality_score(F.col(text_col)).alias("__q"),
+        )
+        .where(F.col("domain").isNotNull())
+        .groupBy("domain")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(F.avg("__fail"), 6).alias("fail_frac"),
+            F.round(F.avg("__q"), 6).alias("mean_quality"),
+        )
+    )
+    return rolled.where(
+        (F.col("n_docs") >= min_docs)
+        & (F.col("fail_frac") > max_fail_frac)
+    )

@@ -191,3 +191,82 @@ def top_terms_per_doc(
         .where(F.col("rank") <= k)
         .select(id_col, "term", "tf", "score", "rank")
     )
+
+
+def hybrid_search(
+    docs: DataFrame,
+    query: str,
+    k: int = 10,
+    k_each: int | None = None,
+    dim: int = 64,
+    rrf_k: int = 60,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Hybrid lexical+semantic retrieval with reciprocal-rank fusion
+    (Cormack, Clarke & Buettcher 2009): fuse the BM25 top-``k_each``
+    and the embedding-cosine top-``k_each`` (model-free hashed
+    embeddings — swap in a model column by pre-computing it) as
+    ``score(d) = Σ_lists 1/(rrf_k + rank_d)``, the dependency-free
+    fusion every retrieval stack ships because it needs no score
+    calibration between the lists.
+
+    Output: ``(id_col, rrf_score, bm25_rank, ann_rank)`` —
+    score-desc, ties by id — top ``k``. Both component lists carry
+    their own deterministic tie-breaks, so the fused ranking is
+    deterministic and an external replay of the RRF arithmetic over
+    the two lists is exact. Cost: the two component searches (each
+    already corpus-scale-shaped) plus a join of two ≤ ``k_each``-row
+    frames — the fusion itself touches no corpus data; windows here
+    rank k-sized frames, not data.
+    """
+    from pyspark.sql import Window
+
+    from data_export_tool_spark.operators.features import (
+        hashed_embedding,
+        py_hashed_embedding,
+    )
+    from data_export_tool_spark.operators.similarity import brute_force_topk
+
+    if k_each is None:
+        k_each = max(k * 3, k)
+    lex = bm25_search(docs, query, k=k_each, id_col=id_col, text_col=text_col)
+    lex_ranked = lex.select(
+        F.col(id_col),
+        F.row_number()
+        .over(Window.orderBy(F.desc("score"), F.asc(id_col)))
+        .alias("bm25_rank"),
+    )
+    qv = py_hashed_embedding(query, dim=dim)
+    if qv is None or all(x == 0.0 for x in qv):
+        raise ValueError(f"query has no usable tokens: {query!r}")
+    queries = docs.sparkSession.createDataFrame(
+        [(0, qv)], f"query_id long, query_vec array<double>"
+    )
+    emb = hashed_embedding(docs, dim=dim, text_col=text_col).select(
+        F.col(id_col), F.col("embedding")
+    )
+    sem = brute_force_topk(
+        emb, queries, k=k_each, id_col=id_col, vec_col="embedding"
+    )
+    sem_ranked = sem.select(
+        F.col("neighbor_id").alias(id_col), F.col("rank").alias("ann_rank")
+    )
+    fused = lex_ranked.join(sem_ranked, id_col, "full_outer")
+    score = F.when(
+        F.col("bm25_rank").isNotNull(),
+        1.0 / (F.lit(rrf_k) + F.col("bm25_rank")),
+    ).otherwise(0.0) + F.when(
+        F.col("ann_rank").isNotNull(),
+        1.0 / (F.lit(rrf_k) + F.col("ann_rank")),
+    ).otherwise(0.0)
+    return (
+        fused.select(
+            id_col,
+            F.round(score, 9).alias("rrf_score"),
+            "bm25_rank",
+            "ann_rank",
+        )
+        .orderBy(F.desc("rrf_score"), F.asc(id_col))
+        .limit(k)
+    )

@@ -528,6 +528,20 @@ def b40_unigram_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     return unigram_logprob_scores(Catalog(spark, sf_dir).load("documents"))
 
 
+def b41_hybrid_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_export_tool_spark.operators.ranking import hybrid_search
+
+    docs = Catalog(spark, sf_dir).load("documents")
+    return hybrid_search(docs, "data quality model training", k=20)
+
+
+def b42_domain_blocklist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_export_tool_spark.functions.web import domain_quality_blocklist
+
+    docs = Catalog(spark, sf_dir).load("documents")
+    return domain_quality_blocklist(docs, url_col="source")
+
+
 QUERIES = [
     QuerySpec("b01_funnel_conversion", b01_funnel_conversion, None),
     QuerySpec("b02_retention_weekly", b02_retention_weekly, None),
@@ -569,4 +583,6 @@ QUERIES = [
     QuerySpec("b38_bpe_encode", b38_bpe_encode, None),
     QuerySpec("b39_segment_jaccard", b39_segment_jaccard, None),
     QuerySpec("b40_unigram_scores", b40_unigram_scores, None),
+    QuerySpec("b41_hybrid_search", b41_hybrid_search, None),
+    QuerySpec("b42_domain_blocklist", b42_domain_blocklist, None),
 ]

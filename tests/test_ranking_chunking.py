@@ -284,3 +284,67 @@ def test_chunk_documents_validation(spark):
     # short/singleton docs produce exactly one chunk
     rows = chunk_documents(df, chunk_tokens=10, overlap=2).collect()
     assert len(rows) == 1 and rows[0]["chunk_text"] == "a b"
+
+
+def test_hybrid_search_rrf_replay(spark, sf_dir):
+    """RRF fusion must exactly replay from the two (independently
+    oracle-checked) component lists, and a document ranked by both
+    lists must outscore one ranked by a single list at equal rank."""
+    from tests.conftest import record_opcheck
+    from data_export_tool_spark.operators.ranking import (
+        bm25_search,
+        hybrid_search,
+    )
+    from data_export_tool_spark.operators.features import (
+        hashed_embedding,
+        py_hashed_embedding,
+    )
+    from data_export_tool_spark.operators.similarity import brute_force_topk
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    query, k, k_each, dim, rrf_k = "data quality model training", 10, 30, 64, 60
+    got = hybrid_search(
+        docs, query, k=k, k_each=k_each, dim=dim, rrf_k=rrf_k
+    ).collect()
+
+    lex = sorted(
+        [(r["doc_id"], r["score"]) for r in bm25_search(docs, query, k=k_each).collect()],
+        key=lambda t: (-t[1], t[0]),
+    )
+    bm25_rank = {d: i + 1 for i, (d, _) in enumerate(lex)}
+    qv = py_hashed_embedding(query, dim=dim)
+    queries = spark.createDataFrame([(0, qv)], "query_id long, query_vec array<double>")
+    sem = brute_force_topk(
+        hashed_embedding(docs, dim=dim).select("doc_id", "embedding"),
+        queries, k=k_each, id_col="doc_id",
+    ).collect()
+    ann_rank = {r["neighbor_id"]: r["rank"] for r in sem}
+
+    fused = {}
+    for d in set(bm25_rank) | set(ann_rank):
+        s = 0.0
+        if d in bm25_rank:
+            s += 1.0 / (rrf_k + bm25_rank[d])
+        if d in ann_rank:
+            s += 1.0 / (rrf_k + ann_rank[d])
+        fused[d] = round(s, 9)
+    want = sorted(fused.items(), key=lambda t: (-t[1], t[0]))[:k]
+
+    ok = [(r["doc_id"], r["rrf_score"]) for r in got] == want
+    for r in got:  # rank columns echo the component lists exactly
+        ok = ok and r["bm25_rank"] == bm25_rank.get(r["doc_id"])
+        ok = ok and r["ann_rank"] == ann_rank.get(r["doc_id"])
+    record_opcheck(
+        "hybrid_search_rrf", len(got), ok, oracle="python-reference"
+    )
+    assert ok
+
+
+def test_hybrid_search_validation(spark, sf_dir):
+    import pytest as _pytest
+
+    from data_export_tool_spark.operators.ranking import hybrid_search
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(5)
+    with _pytest.raises(ValueError):
+        hybrid_search(docs, "!!! ???")  # no usable tokens

@@ -237,3 +237,70 @@ def test_html_entities_review_edges(spark):
     df = spark.createDataFrame([(h,) for h, _ in cases], "h string")
     got = [r["t"] for r in df.select(W.html_to_text(F.col("h")).alias("t")).collect()]
     assert got == [want for _, want in cases]
+
+
+def test_domain_quality_blocklist_rollup_and_composition(spark):
+    """Domain rollup of the (independently replay-pinned) Gopher
+    verdicts: blocked set must replay exactly from the per-doc flags,
+    and feeding it to filter_domains must drop exactly the blocked
+    domains' rows."""
+    from tests.conftest import record_opcheck
+    from data_export_tool_spark.functions.web import (
+        domain_quality_blocklist,
+        filter_domains,
+    )
+    from data_export_tool_spark.operators.quality import gopher_quality_flags
+
+    good = ("This is a perfectly ordinary paragraph of english text "
+            "with plenty of common stop words that the rules accept "
+            "because it has the usual shape of prose and the mean "
+            "word length is entirely reasonable for this battery. ") * 3
+    junk = "zz " * 60  # fails mean-word-length / stopword rules
+    rows = []
+    for i in range(6):  # junkfarm.com: 6 junk docs
+        rows.append((i, f"https://junkfarm.com/p{i}", junk))
+    for i in range(6, 12):  # goodsite.org: good docs
+        rows.append((i, f"https://goodsite.org/a{i}", good))
+    rows.append((12, "https://mixed.net/x", junk))  # below min_docs
+    rows.append((13, None, junk))  # NULL url: never blocked
+    df = spark.createDataFrame(rows, "doc_id long, url string, text string")
+
+    bl = domain_quality_blocklist(
+        df, min_docs=3, max_fail_frac=0.5
+    )
+    blocked = {r["domain"]: (r["n_docs"], r["fail_frac"]) for r in bl.collect()}
+
+    # replay from the per-doc verdicts (gopher flags themselves are
+    # replay-pinned in test_gopher.py)
+    flags = {
+        r["doc_id"]: r["gopher_keep"]
+        for r in gopher_quality_flags(df).select("doc_id", "gopher_keep").collect()
+    }
+    import collections
+
+    per_dom = collections.defaultdict(list)
+    dom_of = {}
+    for i, url, _ in rows:
+        if url is None:
+            continue
+        d = url.split("/")[2]
+        d = ".".join(d.split(".")[-2:])
+        per_dom[d].append(flags[i])
+        dom_of[i] = d
+    want = {
+        d: (len(v), round(sum(1 for x in v if not x) / len(v), 6))
+        for d, v in per_dom.items()
+        if len(v) >= 3 and sum(1 for x in v if not x) / len(v) > 0.5
+    }
+    ok = blocked == want and "junkfarm.com" in blocked
+    # composition: filter_domains drops exactly the blocked rows
+    kept = {r["doc_id"] for r in filter_domains(df, bl.select("domain")).collect()}
+    want_kept = {
+        i for i, url, _ in rows
+        if url is None or dom_of.get(i) not in blocked
+    }
+    ok = ok and kept == want_kept
+    record_opcheck(
+        "domain_quality_blocklist", len(rows), ok, oracle="python-reference"
+    )
+    assert ok

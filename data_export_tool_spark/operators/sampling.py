@@ -359,3 +359,110 @@ def weighted_sample_k(
         .limit(k)
         .drop("__es")
     )
+
+
+def negative_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    k: int = 4,
+    bucket_size: int = 32,
+    dup_pairs: DataFrame | None = None,
+    n_rows: int | None = None,
+) -> DataFrame:
+    """Deterministic contrastive NEGATIVE sampling: for every anchor
+    row, up to ``k`` pseudo-random partner rows that are provably not
+    its near-duplicates — the (anchor, negative) pairs a contrastive
+    embedding / reranker trainer consumes alongside the dedup tiers'
+    positives.
+
+    Scheme (pure md5 arithmetic, bit-replayable by any engine): every
+    row hashes into one of ``B ≈ n/bucket_size`` buckets; each anchor
+    requests ``k`` slot buckets ``md5(anchor '#' j) mod B`` and takes,
+    per slot, the bucket member minimizing ``md5(anchor '|' member)``
+    — a deterministic draw that needs no RNG state, is stable under
+    reruns/backfills, and never depends on partitioning. Self-pairs
+    drop; pass ``dup_pairs`` (any (id_a, id_b) pair frame from the
+    dedup tiers) to anti-join same-cluster partners out — the step
+    that makes the negatives HONEST.
+
+    Scale shape: one k-way slot explode over the anchors, a hash join
+    on the bucket key (both sides ~bucket_size rows per key — no hot
+    bucket by construction of the hash), then ONE partial-aggregable
+    ``min_by`` per (anchor, slot); the optional dup anti-join is
+    id-keyed. ``n_rows`` skips the driver count when the caller
+    already knows it. Collisions (two slots drawing the same partner)
+    dedup, so an anchor may yield < k pairs; empty buckets likewise —
+    the documented trade for determinism with zero shuffles beyond
+    the two above.
+
+    Output: ``(anchor_id, negative_id, slot)``.
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1: {k}")
+    if bucket_size < 2:
+        raise ValueError(f"bucket_size must be >= 2: {bucket_size}")
+    n = n_rows if n_rows is not None else df.count()
+    n_buckets = max(1, n // bucket_size)
+
+    def _h(col: Column) -> Column:
+        # first 15 hex chars of md5 → bigint (< 2^60): the same value
+        # int(md5hex[:15], 16) yields in python
+        return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("bigint")
+
+    ids = df.select(F.col(id_col))
+    members = ids.select(
+        F.col(id_col).alias("negative_id"),
+        F.pmod(_h(F.col(id_col).cast("string")), F.lit(n_buckets)).alias(
+            "__b"
+        ),
+    )
+    slots = ids.select(
+        F.col(id_col).alias("anchor_id"),
+        F.explode(F.array(*[F.lit(j) for j in range(k)])).alias("slot"),
+    ).select(
+        "anchor_id",
+        "slot",
+        F.pmod(
+            _h(
+                F.concat(
+                    F.col("anchor_id").cast("string"),
+                    F.lit("#"),
+                    F.col("slot").cast("string"),
+                )
+            ),
+            F.lit(n_buckets),
+        ).alias("__b"),
+    )
+    cand = slots.join(members, "__b").where(
+        F.col("negative_id") != F.col("anchor_id")
+    )
+    draw_key = _h(
+        F.concat(
+            F.col("anchor_id").cast("string"),
+            F.lit("|"),
+            F.col("negative_id").cast("string"),
+        )
+    )
+    picked = (
+        cand.groupBy("anchor_id", "slot")
+        .agg(
+            F.min_by(
+                F.col("negative_id"),
+                F.struct(draw_key.alias("h"), F.col("negative_id")),
+            ).alias("negative_id")
+        )
+        .dropDuplicates(["anchor_id", "negative_id"])
+    )
+    if dup_pairs is not None:
+        a, b = dup_pairs.columns[0], dup_pairs.columns[1]
+        both = dup_pairs.select(
+            F.col(a).alias("anchor_id"), F.col(b).alias("negative_id")
+        ).union(
+            dup_pairs.select(
+                F.col(b).alias("anchor_id"), F.col(a).alias("negative_id")
+            )
+        )
+        picked = picked.join(
+            both, ["anchor_id", "negative_id"], "left_anti"
+        )
+    return picked.select("anchor_id", "negative_id", "slot")

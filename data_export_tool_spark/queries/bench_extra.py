@@ -542,6 +542,15 @@ def b42_domain_blocklist(spark: SparkSession, sf_dir: str) -> DataFrame:
     return domain_quality_blocklist(docs, url_col="source")
 
 
+def b43_negative_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_export_tool_spark.operators.dedup import minhash_lsh_candidates
+    from data_export_tool_spark.operators.sampling import negative_pairs
+
+    docs = Catalog(spark, sf_dir).load("documents")
+    dups = minhash_lsh_candidates(docs)
+    return negative_pairs(docs, k=4, dup_pairs=dups)
+
+
 QUERIES = [
     QuerySpec("b01_funnel_conversion", b01_funnel_conversion, None),
     QuerySpec("b02_retention_weekly", b02_retention_weekly, None),
@@ -585,4 +594,5 @@ QUERIES = [
     QuerySpec("b40_unigram_scores", b40_unigram_scores, None),
     QuerySpec("b41_hybrid_search", b41_hybrid_search, None),
     QuerySpec("b42_domain_blocklist", b42_domain_blocklist, None),
+    QuerySpec("b43_negative_pairs", b43_negative_pairs, None),
 ]

@@ -530,3 +530,84 @@ def test_pagerank_cycle_uniform_and_validation(spark):
     assert all(abs(r - 0.1) < 1e-9 for r in ranks)
     with _pytest.raises(ValueError):
         pagerank(cyc, damping=1.5)
+
+
+# ---------------------------------------------------------------------------
+# negative_pairs
+# ---------------------------------------------------------------------------
+
+
+def test_negative_pairs_matches_md5_replay(spark):
+    import hashlib
+
+    from data_export_tool_spark.operators.sampling import negative_pairs
+
+    n, k, bucket_size = 500, 4, 32
+    df = spark.createDataFrame([(i,) for i in range(n)], "doc_id long")
+    dup = spark.createDataFrame(
+        [(i, i + 1) for i in range(0, 100, 2)], "id_a long, id_b long"
+    )
+    got = {
+        (r["anchor_id"], r["negative_id"], r["slot"])
+        for r in negative_pairs(
+            df, k=k, bucket_size=bucket_size, dup_pairs=dup
+        ).collect()
+    }
+
+    def h(s):
+        return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+    n_buckets = n // bucket_size
+    buckets = {}
+    for i in range(n):
+        buckets.setdefault(h(str(i)) % n_buckets, []).append(i)
+    blocked = set()
+    for a in range(0, 100, 2):
+        blocked |= {(a, a + 1), (a + 1, a)}
+    want = set()
+    for a in range(n):
+        seen = set()
+        for j in range(k):
+            b = h(f"{a}#{j}") % n_buckets
+            cands = [m for m in buckets.get(b, []) if m != a]
+            if not cands:
+                continue
+            m = min(cands, key=lambda x: (h(f"{a}|{x}"), x))
+            if m in seen or (a, m) in blocked:
+                continue
+            seen.add(m)
+            want.add((a, m, j))
+    # the spark dropDuplicates keeps an arbitrary slot for a repeated
+    # (anchor, negative) draw — compare the pair sets and per-pair
+    # slot membership
+    got_pairs = {(a, m) for a, m, _ in got}
+    want_pairs = {(a, m) for a, m, _ in want}
+    ok = got_pairs == want_pairs and len(got_pairs) > n  # plenty drawn
+    # no self pairs, no blocked pairs
+    ok = ok and all(a != m for a, m in got_pairs)
+    ok = ok and not (got_pairs & blocked)
+    record_opcheck(
+        "negative_pairs", len(want_pairs), ok, oracle="python-reference"
+    )
+    assert ok
+
+
+def test_negative_pairs_determinism_and_validation(spark):
+    import pytest as _pytest
+
+    from data_export_tool_spark.operators.sampling import negative_pairs
+
+    df = spark.createDataFrame([(i,) for i in range(200)], "doc_id long")
+    a = {
+        (r["anchor_id"], r["negative_id"])
+        for r in negative_pairs(df, k=2).collect()
+    }
+    b = {
+        (r["anchor_id"], r["negative_id"])
+        for r in negative_pairs(df.repartition(7), k=2).collect()
+    }
+    assert a == b  # partitioning-independent
+    with _pytest.raises(ValueError):
+        negative_pairs(df, k=0)
+    with _pytest.raises(ValueError):
+        negative_pairs(df, bucket_size=1)

@@ -623,3 +623,51 @@ def test_near_dedup_against_no_cartesian_no_text_join(spark, sf_dir):
 
     for m in _re.finditer(r"(?:SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin)\s*\[([^\]]*)\]", plan):
         assert "text" not in m.group(1), m.group(0)[:120]
+
+
+def test_drift_histogram_single_scan_no_window(spark, sf_dir):
+    """The drift monitor's histogram pass must be ONE scan folding to
+    a single-row aggregate — no window, no join, no second read."""
+    from data_export_tool_spark.operators.drift import _bucket_exprs
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    aggs, _ = _bucket_exprs(
+        {"n_chars": [100.0, 1000.0, 5000.0]}, {"lang": ["en", "es"]}
+    )
+    plan = docs.agg(*aggs)._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Scan parquet") == 1, plan
+    assert "Window" not in plan and "Join" not in plan, plan
+    assert "HashAggregate" in plan, plan
+
+
+def test_negative_pairs_no_cartesian(spark, sf_dir):
+    from data_export_tool_spark.operators.sampling import negative_pairs
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    plan = (
+        negative_pairs(docs, k=4)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_unigram_scores_two_scans_one_score_join(spark, sf_dir):
+    """Vocab fit + scoring join: exactly the two raw-text scans the
+    design promises (one for the vocab, one for the words), and the
+    score side joins the Heaps-bounded vocab — never a window."""
+    from data_export_tool_spark.operators.quality import (
+        unigram_logprob_scores,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    plan = (
+        unigram_logprob_scores(docs)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan.count("Scan parquet") <= 3, plan  # vocab + words + id spine
+    assert "Window" not in plan, plan

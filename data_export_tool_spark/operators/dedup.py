@@ -766,3 +766,103 @@ def group_minhash_jaccard(
         ]
     )
     return df.sparkSession.createDataFrame(out, schema)
+
+
+def set_similarity_join(
+    df: DataFrame,
+    threshold: float,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_n: int = 1,
+) -> DataFrame:
+    """EXACT Jaccard similarity self-join: every pair of documents
+    whose distinct-shingle sets overlap with Jaccard ≥ ``threshold``
+    — no LSH, therefore NO false negatives, the complement to the
+    MinHash tier when the contract is "find every pair ≥ t", not
+    "find most pairs cheaply". Prefix filtering (Chaudhuri et al.
+    2006 / Bayardo et al. WWW'07, the PPJoin family): order each
+    set's tokens globally by (frequency asc, token asc) and any two
+    sets with J ≥ t MUST share a token within each other's first
+    ``|s| − ⌈t·|s|⌉ + 1`` rarest tokens — so candidates join only on
+    PREFIX tokens (the rare end of the vocabulary by construction,
+    which is what keeps a hot stop-word from exploding the join),
+    plus the standard length filter ``t·|a| ≤ |b|``.
+
+    Shape: one explode+count pass for global token frequencies, one
+    map-side-combined re-aggregation into frequency-sorted token
+    arrays, a prefix explode bounded by ``(1−t)·|s|+1`` tokens per
+    row, the candidate equi-join on the prefix token, and an exact
+    ``array_intersect`` verify on the candidates only. Output:
+    ``(id_a, id_b, jaccard)`` with ``id_a < id_b``, jaccard rounded
+    to 6 places. Empty/NULL-token documents never pair (J undefined).
+    """
+    if not (0.0 < threshold <= 1.0):
+        raise ValueError(f"threshold must be in (0, 1]: {threshold}")
+    ex = (
+        fan_out(df)
+        .select(
+            F.col(id_col).alias("__id"),
+            F.explode(
+                word_shingles(F.col(text_col), shingle_n)
+            ).alias("tok"),
+        )
+        # the empty shingle a NULL/blank document produces must not
+        # become a shared token (the concat_ws phantom-gram edge) —
+        # dropping it here is what makes "empty docs never pair" hold
+        .where(F.length("tok") > 0)
+    )
+    freq = ex.groupBy("tok").agg(F.count(F.lit(1)).alias("__f"))
+    # frequency-sorted token array per doc: rarest first, ties by token
+    ordered = (
+        ex.join(freq, "tok")
+        .groupBy("__id")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct(F.col("__f"), F.col("tok")))
+            ).alias("__st")
+        )
+        .select(
+            "__id",
+            F.transform(F.col("__st"), lambda s: s["tok"]).alias("toks"),
+            F.size("__st").alias("__len"),
+        )
+    )
+    t = float(threshold)
+    prefix_len = F.col("__len") - F.ceil(F.lit(t) * F.col("__len")).cast(
+        "int"
+    ) + 1
+    pref = ordered.select(
+        "__id",
+        "toks",
+        "__len",
+        F.explode(F.slice(F.col("toks"), 1, prefix_len)).alias("ptok"),
+    )
+    a = pref.select(
+        F.col("__id").alias("id_a"),
+        F.col("toks").alias("__ta"),
+        F.col("__len").alias("__la"),
+        "ptok",
+    )
+    b = pref.select(
+        F.col("__id").alias("id_b"),
+        F.col("toks").alias("__tb"),
+        F.col("__len").alias("__lb"),
+        "ptok",
+    )
+    cand = (
+        a.join(b, "ptok")
+        .where(F.col("id_a") < F.col("id_b"))
+        # Jaccard length filter: t·max ≤ min is necessary for J ≥ t
+        .where(
+            F.least("__la", "__lb")
+            >= F.ceil(F.lit(t) * F.greatest("__la", "__lb"))
+        )
+        .select("id_a", "id_b", "__ta", "__tb", "__la", "__lb")
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    inter = F.size(F.array_intersect("__ta", "__tb"))
+    union = F.col("__la") + F.col("__lb") - inter
+    jac = inter / union
+    return cand.where(jac >= t).select(
+        "id_a", "id_b", F.round(jac, 6).alias("jaccard")
+    )

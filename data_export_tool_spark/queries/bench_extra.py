@@ -551,6 +551,13 @@ def b43_negative_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return negative_pairs(docs, k=4, dup_pairs=dups)
 
 
+def b44_set_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_export_tool_spark.operators.dedup import set_similarity_join
+
+    docs = Catalog(spark, sf_dir).load("documents")
+    return set_similarity_join(docs, 0.6, shingle_n=3)
+
+
 QUERIES = [
     QuerySpec("b01_funnel_conversion", b01_funnel_conversion, None),
     QuerySpec("b02_retention_weekly", b02_retention_weekly, None),
@@ -595,4 +602,5 @@ QUERIES = [
     QuerySpec("b41_hybrid_search", b41_hybrid_search, None),
     QuerySpec("b42_domain_blocklist", b42_domain_blocklist, None),
     QuerySpec("b43_negative_pairs", b43_negative_pairs, None),
+    QuerySpec("b44_set_similarity", b44_set_similarity, None),
 ]

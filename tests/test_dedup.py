@@ -464,3 +464,86 @@ def test_group_minhash_jaccard_replay_and_bounds(spark):
         oracle="python-reference", value=round(got[("A", "B")], 6),
     )
     assert ok
+
+
+def test_set_similarity_join_exact_vs_quadratic_truth(spark):
+    """PPJoin-style exact Jaccard join: output must equal the
+    quadratic all-pairs python truth EXACTLY (prefix filtering is
+    lossless — the no-false-negative contract is the operator's whole
+    reason to exist next to the MinHash tier), and the plan must not
+    go cartesian."""
+    import re as _re
+
+    from data_export_tool_spark.operators.dedup import set_similarity_join
+
+    base = "the quick brown fox jumps over the lazy dog"
+    texts = {
+        1: base,
+        2: base + " tonight",                       # high overlap
+        3: base.replace("quick", "slow"),           # high overlap
+        4: "completely different words here again now",
+        5: "completely different words here again today",
+        6: base,                                    # exact duplicate of 1
+        7: "",                                      # empty: never pairs
+        8: None,                                    # NULL: never pairs
+        9: "one two three four five six seven eight",
+    }
+    df = spark.createDataFrame(
+        [(k, v) for k, v in texts.items()], "doc_id long, text string"
+    )
+    t = 0.5
+    got = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in set_similarity_join(df, t).collect()
+    }
+
+    def norm_words(s):
+        s = _re.sub(r"[^A-Za-z0-9\s]", " ", (s or "").lower())
+        return set(w for w in _re.sub(r"\s+", " ", s).strip().split(" ") if w)
+
+    sets = {k: norm_words(v) for k, v in texts.items()}
+    want = {}
+    ids = sorted(texts)
+    for i, a in enumerate(ids):
+        for b in ids[i + 1 :]:
+            if not sets[a] or not sets[b]:
+                continue
+            j = len(sets[a] & sets[b]) / len(sets[a] | sets[b])
+            if j >= t:
+                want[(a, b)] = round(j, 6)
+    ok = got == want and (1, 6) in got and got[(1, 6)] == 1.0
+    plan = (
+        set_similarity_join(df, t)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    ok = ok and "CartesianProduct" not in plan
+    record_opcheck(
+        "set_similarity_join", len(want), ok, oracle="python-reference"
+    )
+    assert ok, (got, want)
+
+
+def test_set_similarity_join_threshold_sweep(spark, sf_dir):
+    """On real documents: raising the threshold can only shrink the
+    pair set (monotonicity), every reported jaccard respects its
+    threshold, and t=1.0 returns exactly the distinct-shingle-set
+    duplicates."""
+    from data_export_tool_spark.operators.dedup import set_similarity_join
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(120)
+    lo = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in set_similarity_join(docs, 0.4, shingle_n=2).collect()
+    }
+    hi = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in set_similarity_join(docs, 0.7, shingle_n=2).collect()
+    }
+    assert set(hi) == {k for k, j in lo.items() if j >= 0.7}
+    assert all(j >= 0.4 for j in lo.values())
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        set_similarity_join(docs, 0.0)

@@ -50,7 +50,10 @@ except Exception:
 
 from data_export_tool_spark.operators.ranking import TOKEN_SPLIT_RE
 
-__all__ = ["bpe_train", "bpe_encode", "py_bpe_train", "py_bpe_encode_word"]
+__all__ = [
+    "bpe_train", "bpe_encode", "save_bpe", "load_bpe",
+    "py_bpe_train", "py_bpe_encode_word",
+]
 
 
 def word_counts(df: DataFrame, text_col: str = "text") -> DataFrame:
@@ -279,3 +282,24 @@ def bpe_encode(
         F.col("__bpe.t").alias(out_tokens),
         F.col("__bpe.c").alias(out_count),
     ).drop("__bpe")
+
+
+def save_bpe(spark, merges: Sequence[tuple[str, str]], path: str) -> None:
+    """Persist a learned merge list as a tiny rank-ordered parquet
+    table ``(rank int, a string, b string)`` — the tokenizer artifact
+    a training pipeline ships alongside its shards. Works on any
+    Spark filesystem (it is just a DataFrame write)."""
+    rows = [(i, a, b) for i, (a, b) in enumerate(merges)]
+    spark.createDataFrame(
+        rows, "rank int, a string, b string"
+    ).coalesce(1).write.mode("overwrite").parquet(path)
+
+
+def load_bpe(spark, path: str) -> list[tuple[str, str]]:
+    """Load a ``save_bpe`` artifact back into the rank-ordered merge
+    list ``bpe_encode`` consumes. Round-trip is exact (strings +
+    ranks, no floats)."""
+    rows = spark.read.parquet(path).orderBy("rank").collect()
+    if [r["rank"] for r in rows] != list(range(len(rows))):
+        raise ValueError(f"corrupt BPE artifact at {path!r}: rank gaps")
+    return [(r["a"], r["b"]) for r in rows]

@@ -768,6 +768,60 @@ def group_minhash_jaccard(
     return df.sparkSession.createDataFrame(out, schema)
 
 
+def _sset_tokens(df: DataFrame, id_col: str, text_col: str, n: int):
+    """(id, tok) exploded distinct-shingle frame, empty shingles (the
+    NULL/blank phantom-gram) removed."""
+    return (
+        fan_out(df)
+        .select(
+            F.col(id_col).alias("__id"),
+            F.explode(word_shingles(F.col(text_col), n)).alias("tok"),
+        )
+        .where(F.length("tok") > 0)
+    )
+
+
+def _sset_ordered(ex: DataFrame, freq: DataFrame) -> DataFrame:
+    """(id, toks, len) with tokens sorted by the SHARED global
+    (frequency asc, token asc) order — rarest first."""
+    return (
+        ex.join(freq, "tok")
+        .groupBy("__id")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct(F.col("__f"), F.col("tok")))
+            ).alias("__st")
+        )
+        .select(
+            "__id",
+            F.transform(F.col("__st"), lambda s: s["tok"]).alias("toks"),
+            F.size("__st").alias("__len"),
+        )
+    )
+
+
+def _sset_prefix(ordered: DataFrame, t: float) -> DataFrame:
+    """Explode each row's (1−t)·len+1 rarest-token prefix."""
+    prefix_len = F.col("__len") - F.ceil(F.lit(t) * F.col("__len")).cast(
+        "int"
+    ) + 1
+    return ordered.select(
+        "__id",
+        "toks",
+        "__len",
+        F.explode(F.slice(F.col("toks"), 1, prefix_len)).alias("ptok"),
+    )
+
+
+def _sset_verify(cand: DataFrame, t: float, a: str, b: str) -> DataFrame:
+    inter = F.size(F.array_intersect("__ta", "__tb"))
+    union = F.col("__la") + F.col("__lb") - inter
+    jac = inter / union
+    return cand.where(jac >= t).select(
+        a, b, F.round(jac, 6).alias("jaccard")
+    )
+
+
 def set_similarity_join(
     df: DataFrame,
     threshold: float,
@@ -798,45 +852,10 @@ def set_similarity_join(
     """
     if not (0.0 < threshold <= 1.0):
         raise ValueError(f"threshold must be in (0, 1]: {threshold}")
-    ex = (
-        fan_out(df)
-        .select(
-            F.col(id_col).alias("__id"),
-            F.explode(
-                word_shingles(F.col(text_col), shingle_n)
-            ).alias("tok"),
-        )
-        # the empty shingle a NULL/blank document produces must not
-        # become a shared token (the concat_ws phantom-gram edge) —
-        # dropping it here is what makes "empty docs never pair" hold
-        .where(F.length("tok") > 0)
-    )
-    freq = ex.groupBy("tok").agg(F.count(F.lit(1)).alias("__f"))
-    # frequency-sorted token array per doc: rarest first, ties by token
-    ordered = (
-        ex.join(freq, "tok")
-        .groupBy("__id")
-        .agg(
-            F.array_sort(
-                F.collect_list(F.struct(F.col("__f"), F.col("tok")))
-            ).alias("__st")
-        )
-        .select(
-            "__id",
-            F.transform(F.col("__st"), lambda s: s["tok"]).alias("toks"),
-            F.size("__st").alias("__len"),
-        )
-    )
     t = float(threshold)
-    prefix_len = F.col("__len") - F.ceil(F.lit(t) * F.col("__len")).cast(
-        "int"
-    ) + 1
-    pref = ordered.select(
-        "__id",
-        "toks",
-        "__len",
-        F.explode(F.slice(F.col("toks"), 1, prefix_len)).alias("ptok"),
-    )
+    ex = _sset_tokens(df, id_col, text_col, shingle_n)
+    freq = ex.groupBy("tok").agg(F.count(F.lit(1)).alias("__f"))
+    pref = _sset_prefix(_sset_ordered(ex, freq), t)
     a = pref.select(
         F.col("__id").alias("id_a"),
         F.col("toks").alias("__ta"),
@@ -860,9 +879,56 @@ def set_similarity_join(
         .select("id_a", "id_b", "__ta", "__tb", "__la", "__lb")
         .dropDuplicates(["id_a", "id_b"])
     )
-    inter = F.size(F.array_intersect("__ta", "__tb"))
-    union = F.col("__la") + F.col("__lb") - inter
-    jac = inter / union
-    return cand.where(jac >= t).select(
-        "id_a", "id_b", F.round(jac, 6).alias("jaccard")
+    return _sset_verify(cand, t, "id_a", "id_b")
+
+
+def set_similarity_join_cross(
+    left: DataFrame,
+    right: DataFrame,
+    threshold: float,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_n: int = 1,
+) -> DataFrame:
+    """The R×S form of ``set_similarity_join`` — exact Jaccard ≥ t
+    pairs ACROSS two corpora (new crawl vs reference set, customer
+    list vs registry: the entity-matching join), same lossless prefix
+    filtering. The global (frequency asc, token asc) order is fitted
+    on the UNION of both sides' token bags — prefix filtering is only
+    sound under a total order SHARED by both relations. Output:
+    ``(left_id, right_id, jaccard)``; a row id may repeat (it is a
+    join, not a dedup). No false negatives, same phantom-gram and
+    length-filter contracts as the self-join.
+    """
+    if not (0.0 < threshold <= 1.0):
+        raise ValueError(f"threshold must be in (0, 1]: {threshold}")
+    t = float(threshold)
+    ex_l = _sset_tokens(left, id_col, text_col, shingle_n)
+    ex_r = _sset_tokens(right, id_col, text_col, shingle_n)
+    freq = (
+        ex_l.unionByName(ex_r)
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("__f"))
     )
+    pref_l = _sset_prefix(_sset_ordered(ex_l, freq), t).select(
+        F.col("__id").alias("left_id"),
+        F.col("toks").alias("__ta"),
+        F.col("__len").alias("__la"),
+        "ptok",
+    )
+    pref_r = _sset_prefix(_sset_ordered(ex_r, freq), t).select(
+        F.col("__id").alias("right_id"),
+        F.col("toks").alias("__tb"),
+        F.col("__len").alias("__lb"),
+        "ptok",
+    )
+    cand = (
+        pref_l.join(pref_r, "ptok")
+        .where(
+            F.least("__la", "__lb")
+            >= F.ceil(F.lit(t) * F.greatest("__la", "__lb"))
+        )
+        .select("left_id", "right_id", "__ta", "__tb", "__la", "__lb")
+        .dropDuplicates(["left_id", "right_id"])
+    )
+    return _sset_verify(cand, t, "left_id", "right_id")

@@ -126,3 +126,28 @@ def test_bpe_counts_feed_token_shards(spark, corpus):
         ok = ok and cum == run + cnt and shard == run // 2000
         run += cnt
     assert ok
+
+
+def test_bpe_save_load_round_trip(spark, corpus, tmp_path):
+    from data_export_tool_spark.operators.bpe import load_bpe, save_bpe
+
+    docs, texts = corpus
+    merges = py_bpe_train(texts, 12)
+    path = str(tmp_path / "bpe_merges")
+    save_bpe(spark, merges, path)
+    loaded = load_bpe(spark, path)
+    assert loaded == merges
+    # encoding under the loaded artifact is identical
+    a = bpe_encode(docs, merges).select("doc_id", "bpe_tokens").collect()
+    b = bpe_encode(docs, loaded).select("doc_id", "bpe_tokens").collect()
+    assert {r["doc_id"]: r["bpe_tokens"] for r in a} == {
+        r["doc_id"]: r["bpe_tokens"] for r in b
+    }
+    # corrupt artifact (rank gap) is rejected loudly
+    spark.createDataFrame(
+        [(0, "a", "b"), (2, "c", "d")], "rank int, a string, b string"
+    ).write.mode("overwrite").parquet(path)
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        load_bpe(spark, path)

@@ -547,3 +547,62 @@ def test_set_similarity_join_threshold_sweep(spark, sf_dir):
 
     with _pytest.raises(ValueError):
         set_similarity_join(docs, 0.0)
+
+
+def test_set_similarity_join_cross_exact_vs_quadratic_truth(spark):
+    """Cross-corpus (R×S) exact Jaccard join against the quadratic
+    python truth — including a left row matching multiple right rows
+    (it is a join, not a dedup) and the no-self-pairing-needed cross
+    semantics."""
+    import re as _re
+
+    from data_export_tool_spark.operators.dedup import (
+        set_similarity_join_cross,
+    )
+
+    lefts = {
+        1: "acme corporation limited new york office",
+        2: "globex incorporated springfield head office",
+        3: "totally unrelated text about gardening tips",
+        4: None,
+    }
+    rights = {
+        10: "acme corporation ltd new york office",       # ≈ left 1
+        11: "acme corporation limited new york office",   # == left 1
+        12: "globex inc springfield head office",         # ≈ left 2
+        13: "random other registry entry altogether",
+        14: "",
+    }
+    l_df = spark.createDataFrame(list(lefts.items()), "doc_id long, text string")
+    r_df = spark.createDataFrame(list(rights.items()), "doc_id long, text string")
+    t = 0.5
+    got = {
+        (r["left_id"], r["right_id"]): r["jaccard"]
+        for r in set_similarity_join_cross(l_df, r_df, t).collect()
+    }
+
+    def nw(s):
+        s = _re.sub(r"[^A-Za-z0-9\s]", " ", (s or "").lower())
+        return set(
+            w for w in _re.sub(r"\s+", " ", s).strip().split(" ") if w
+        )
+
+    ls = {k: nw(v) for k, v in lefts.items()}
+    rs = {k: nw(v) for k, v in rights.items()}
+    want = {}
+    for a, sa in ls.items():
+        for b, sb in rs.items():
+            if not sa or not sb:
+                continue
+            j = len(sa & sb) / len(sa | sb)
+            if j >= t:
+                want[(a, b)] = round(j, 6)
+    ok = got == want
+    ok = ok and got.get((1, 11)) == 1.0 and (1, 10) in got and (2, 12) in got
+    # left 1 matched multiple right rows — join semantics
+    ok = ok and len([1 for (a, _) in got if a == 1]) >= 2
+    record_opcheck(
+        "set_similarity_join_cross", len(want), ok,
+        oracle="python-reference",
+    )
+    assert ok, (got, want)

@@ -83,3 +83,68 @@ def two_phase_agg(
             for col, fn in aggs.items()
         ]
     )
+
+
+def key_skew_report(
+    df: DataFrame,
+    cols: Sequence[str],
+    top_k: int = 10,
+    rsd: float = 0.05,
+) -> DataFrame:
+    """Per join-key-column skew diagnostics — the numbers that decide
+    between a plain hash join, ``salted_join``, and ``two_phase_agg``
+    BEFORE the straggler shows up in production:
+
+    one tiny row per column: ``(column, n_rows, n_null, n_distinct_est,
+    top1_frac, topk_frac, top_values array<string>)`` where
+    ``top1_frac`` is the hottest value's share of non-NULL rows and
+    ``topk_frac`` the top-``top_k`` values' combined share. A
+    ``top1_frac`` in the double digits on a broadcast-ineligible join
+    key is the ``salted_join`` trigger (module docstring).
+
+    Shape: per column one exact-top-k pass (``sketch.exact_topk`` —
+    salted, bounded) plus one shared count/HLL aggregation pass; the
+    report itself is column-count-sized driver arithmetic."""
+    from pyspark.sql import types as T
+
+    from data_export_tool_spark.operators.sketch import exact_topk
+
+    cols = [cols] if isinstance(cols, str) else list(cols)
+    if not cols:
+        raise ValueError("key_skew_report needs at least one column")
+    aggs = [F.count(F.lit(1)).alias("__n")]
+    for c in cols:
+        aggs += [
+            F.count(F.col(c)).alias(f"__nn_{c}"),
+            F.approx_count_distinct(c, rsd).alias(f"__nd_{c}"),
+        ]
+    row = df.agg(*aggs).first()
+    out = []
+    for c in cols:
+        tops = exact_topk(df, c, top_k).collect()
+        nn = int(row[f"__nn_{c}"])
+        top1 = (tops[0]["cnt"] / nn) if tops and nn else None
+        topk = (sum(t["cnt"] for t in tops) / nn) if tops and nn else None
+        out.append(
+            (
+                c,
+                int(row["__n"]),
+                int(row["__n"]) - nn,
+                int(row[f"__nd_{c}"]),
+                None if top1 is None else round(top1, 6),
+                None if topk is None else round(topk, 6),
+                [t["item"] for t in tops],
+            )
+        )
+    schema = T.StructType(
+        [
+            T.StructField("column", T.StringType()),
+            T.StructField("n_rows", T.LongType()),
+            T.StructField("n_null", T.LongType()),
+            T.StructField("n_distinct_est", T.LongType()),
+            T.StructField("top1_frac", T.DoubleType()),
+            T.StructField("topk_frac", T.DoubleType()),
+            T.StructField("top_values", T.ArrayType(T.StringType())),
+        ]
+    )
+    return df.sparkSession.createDataFrame(out, schema)

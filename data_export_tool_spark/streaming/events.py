@@ -874,3 +874,49 @@ def windowed_histogram_stream(
             "n",
         )
     )
+
+
+def windowed_quantile_stream(
+    events: DataFrame,
+    probs: list,
+    value_col: str = "value",
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+    k: int = 200,
+) -> DataFrame:
+    """Streaming per-window value quantiles via the KLL sketch
+    aggregate — fixed-size state per window where an exact streaming
+    percentile would buffer every value (the same state argument as
+    ``windowed_distinct_stream``, for ranks instead of cardinality).
+    Emits ``(win_start, n, quantiles array)`` per tumbling window.
+
+    Parity contract is BOUND-based, not equality: KLL compaction is
+    randomized, so stream and batch sketches of the same window can
+    differ by a few ranks — ``n`` is exact and every estimate's true
+    rank sits within the k-sketch error bound of its target (the
+    STREAMPARITY row pins exactly that), unlike the deterministic
+    HLL/histogram twins.
+    """
+    ps = [float(p) for p in probs]
+    if not ps or not all(0.0 <= p <= 1.0 for p in ps):
+        raise ValueError(f"probs must be fractions in [0,1]: {probs}")
+    arr = ", ".join(repr(p) for p in ps)
+    return (
+        events.where(F.col(value_col).isNotNull())
+        .withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("win"))
+        .agg(
+            F.expr(
+                f"kll_sketch_agg_double(CAST({value_col} AS double), {int(k)})"
+            ).alias("__sk")
+        )
+        .select(
+            F.date_format(F.col("win.start"), "yyyy-MM-dd HH:mm").alias(
+                "win_start"
+            ),
+            F.expr("kll_sketch_get_n_double(__sk)").alias("n"),
+            F.expr(
+                f"kll_sketch_get_quantile_double(__sk, array({arr}))"
+            ).alias("quantiles"),
+        )
+    )

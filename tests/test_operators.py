@@ -370,3 +370,47 @@ def test_latest_n_per_key_hot_key_exact(spark):
         (1, 1): 99_999, (1, 2): 99_998, (1, 3): 99_997,
         (2, 1): 500_001, (2, 2): 500_000,
     }
+
+
+def test_key_skew_report_matches_duckdb(spark, sf_dir):
+    import duckdb
+
+    from tests.conftest import record_opcheck
+    from data_export_tool_spark.operators.skew import key_skew_report
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    got = {
+        r["column"]: r
+        for r in key_skew_report(
+            ev, ["event_type", "user_id"], top_k=5
+        ).collect()
+    }
+    ok = set(got) == {"event_type", "user_id"}
+    for c in got:
+        n = duckdb.sql(
+            f"SELECT count(*) FROM read_parquet('{sf_dir}/events.parquet')"
+        ).fetchone()[0]
+        nn = duckdb.sql(
+            f"SELECT count({c}) FROM read_parquet('{sf_dir}/events.parquet')"
+        ).fetchone()[0]
+        tops = duckdb.sql(
+            f"""SELECT CAST({c} AS VARCHAR), count(*) FROM
+                read_parquet('{sf_dir}/events.parquet')
+                WHERE {c} IS NOT NULL GROUP BY 1
+                ORDER BY count(*) DESC, 1 ASC LIMIT 5"""
+        ).fetchall()
+        r = got[c]
+        ok = ok and r["n_rows"] == int(n) and r["n_null"] == int(n - nn)
+        ok = ok and abs(r["top1_frac"] - tops[0][1] / nn) < 1e-9
+        ok = ok and abs(r["topk_frac"] - sum(t[1] for t in tops) / nn) < 1e-9
+        ok = ok and r["top_values"] == [t[0] for t in tops]
+        # HLL estimate within documented error of exact
+        exact_nd = duckdb.sql(
+            f"SELECT count(DISTINCT {c}) FROM"
+            f" read_parquet('{sf_dir}/events.parquet')"
+        ).fetchone()[0]
+        ok = ok and abs(r["n_distinct_est"] - exact_nd) <= max(
+            3, 0.15 * exact_nd
+        )
+    record_opcheck("key_skew_report", len(got), ok)
+    assert ok

@@ -907,3 +907,57 @@ def test_windowed_histogram_stream_matches_batch(spark, sf_dir, event_drop_dir):
     ok = ok and sum(got.values()) == ev.count()
     record_stream_parity("windowed_histogram", len(expected), ok)
     assert ok
+
+
+def test_windowed_quantile_stream_bounds(spark, sf_dir, event_drop_dir):
+    """Streaming KLL per-window quantiles: n exact per window, every
+    estimate's TRUE rank (exact per-window CDF from DuckDB) within
+    2x the k=200 rank-error bound of its target."""
+    import duckdb
+
+    from data_export_tool_spark.streaming.events import (
+        windowed_quantile_stream,
+    )
+
+    probs = [0.5, 0.9]
+    stream = read_events_stream(spark, event_drop_dir, max_files_per_trigger=2)
+    agg = windowed_quantile_stream(stream, probs)
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("quant_stream_test")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        r.win_start: (r.n, list(r.quantiles))
+        for r in spark.sql("SELECT * FROM quant_stream_test").collect()
+    }
+    want_n = {
+        w: int(n)
+        for w, n in duckdb.sql(
+            f"""SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M'),
+                       count(value)
+                FROM read_parquet('{event_drop_dir}/*.parquet')
+                WHERE value IS NOT NULL GROUP BY 1"""
+        ).fetchall()
+    }
+    ok = set(got) == set(want_n) and len(got) > 0
+    checked = 0
+    for w, (n, qs) in got.items():
+        ok = ok and n == want_n[w]
+        for p, est in zip(probs, qs):
+            true_rank = duckdb.sql(
+                f"""SELECT count(*) * 1.0 / {want_n[w]}
+                    FROM read_parquet('{event_drop_dir}/*.parquet')
+                    WHERE value IS NOT NULL AND value <= {est!r}
+                      AND strftime(date_trunc('hour', ts),
+                                   '%Y-%m-%d %H:%M') = '{w}'"""
+            ).fetchone()[0]
+            # sketch bound PLUS rank discreteness: a window with n
+            # values only realizes ranks in multiples of 1/n
+            ok = ok and abs(float(true_rank) - p) < 0.035 + 1.0 / want_n[w]
+            checked += 1
+    record_stream_parity("windowed_quantiles", checked, ok)
+    assert ok

@@ -350,3 +350,77 @@ def pagerank(
     return ranks.select(
         F.col("n").alias(out_node), F.col("r").alias(out_rank)
     )
+
+
+def update_components(
+    components: DataFrame,
+    new_edges: DataFrame,
+    src: str = "id_a",
+    dst: str = "id_b",
+    out_node: str = "node",
+    out_comp: str = "component_id",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Incrementally fold a batch of NEW edges into an existing
+    ``connected_components`` mapping — the cluster-maintenance step an
+    incremental dedup store needs next to ``near_dedup_against``: a
+    nightly batch of fresh near-dup pairs must merge clusters without
+    re-running CC over the whole corpus history.
+
+    Exactness law (test-pinned): the result equals
+    ``connected_components`` over (star edges of the old mapping) ∪
+    (new edges) — same min-id representatives, including merges OF
+    EXISTING CLUSTERS through a new bridge edge.
+
+    Shape — recompute touches only the AFFECTED subgraph: the
+    components incident to a new edge (two id-keyed joins to find
+    them, one semi-join to pull their full membership), whose star
+    edges (member, component) plus the new edges feed the standard
+    pointer-jumping CC. Untouched components pass through by
+    anti-join. The subgraph is sized by the new batch's cluster
+    reach, not the store — a 10-edge delta against a 10¹⁰-row store
+    recomputes ten clusters. New nodes never seen before appear only
+    in ``new_edges`` and come out with their edge-reachable
+    component."""
+    comp = components.select(
+        F.col(out_node).alias("n"), F.col(out_comp).alias("c")
+    )
+    ne = new_edges.select(
+        F.col(src).alias("u"), F.col(dst).alias("v")
+    ).where(F.col("u").isNotNull() & F.col("v").isNotNull())
+    touched = (
+        ne.select(F.col("u").alias("n"))
+        .union(ne.select(F.col("v").alias("n")))
+        .distinct()
+    )
+    # components reached by the delta (new-only nodes have none)
+    hit_comps = (
+        comp.join(touched, "n").select("c").distinct()
+    )
+    affected = comp.join(
+        hit_comps, "c", "left_semi"
+    )  # full membership of every reached component
+    star = affected.select(
+        F.col("n").alias(src), F.col("c").alias(dst)
+    )
+    sub_cc = connected_components(
+        star.unionByName(ne.select(F.col("u").alias(src), F.col("v").alias(dst))),
+        src=src,
+        dst=dst,
+        out_node=out_node,
+        out_comp=out_comp,
+        max_iter=max_iter,
+    )
+    # an old component id that is itself only a label (not a member
+    # node) can surface from the star edges as a "node"; keep only
+    # real members — nodes of the affected mapping or the new edges
+    members = affected.select("n").union(
+        touched.select("n")
+    ).distinct()
+    sub_cc = sub_cc.join(
+        members.withColumnRenamed("n", out_node), out_node, "left_semi"
+    )
+    untouched = comp.join(hit_comps, "c", "left_anti").select(
+        F.col("n").alias(out_node), F.col("c").alias(out_comp)
+    )
+    return untouched.unionByName(sub_cc)

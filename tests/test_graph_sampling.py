@@ -611,3 +611,48 @@ def test_negative_pairs_determinism_and_validation(spark):
         negative_pairs(df, k=0)
     with _pytest.raises(ValueError):
         negative_pairs(df, bucket_size=1)
+
+
+def test_update_components_equals_full_recompute(spark):
+    """Incremental CC law: folding a delta into an existing mapping
+    must equal full CC over old ∪ new — bridges that merge existing
+    clusters, intra-cluster edges, brand-new clusters, and new nodes
+    attaching to old clusters all covered."""
+    from data_export_tool_spark.operators.graph import (
+        connected_components,
+        update_components,
+    )
+
+    old_edges = [
+        (1, 2), (2, 3),          # comp {1,2,3}
+        (10, 11),                # comp {10,11}
+        (20, 21), (21, 22),      # comp {20,21,22}
+        (30, 31),                # comp {30,31}  (stays untouched)
+    ]
+    new_edges = [
+        (3, 10),                 # bridge: merges {1,2,3} with {10,11}
+        (20, 22),                # intra-cluster, changes nothing
+        (40, 41), (41, 42),      # brand-new cluster
+        (50, 21),                # new node attaches to {20,21,22}
+    ]
+    o = spark.createDataFrame(old_edges, "id_a long, id_b long")
+    n = spark.createDataFrame(new_edges, "id_a long, id_b long")
+    base = connected_components(o)
+    got = {
+        (r["node"], r["component_id"])
+        for r in update_components(base, n).collect()
+    }
+    want = {
+        (r["node"], r["component_id"])
+        for r in connected_components(o.unionByName(n)).collect()
+    }
+    ok = got == want
+    # spot checks: the bridge merged to min id 1; 50 joined comp 20;
+    # 30/31 passed through untouched
+    m = dict(got)
+    ok = ok and m[10] == 1 and m[11] == 1 and m[3] == 1
+    ok = ok and m[50] == 20 and m[40] == 40 and m[30] == 30
+    record_opcheck(
+        "update_components", len(want), ok, oracle="python-reference"
+    )
+    assert ok, (sorted(got - want), sorted(want - got))

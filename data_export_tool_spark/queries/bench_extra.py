@@ -558,6 +558,13 @@ def b44_set_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return set_similarity_join(docs, 0.6, shingle_n=3)
 
 
+def b45_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_export_tool_spark.operators.spans import strip_duplicate_spans
+
+    docs = Catalog(spark, sf_dir).load("documents")
+    return strip_duplicate_spans(docs, n=8)
+
+
 QUERIES = [
     QuerySpec("b01_funnel_conversion", b01_funnel_conversion, None),
     QuerySpec("b02_retention_weekly", b02_retention_weekly, None),
@@ -603,4 +610,5 @@ QUERIES = [
     QuerySpec("b42_domain_blocklist", b42_domain_blocklist, None),
     QuerySpec("b43_negative_pairs", b43_negative_pairs, None),
     QuerySpec("b44_set_similarity", b44_set_similarity, None),
+    QuerySpec("b45_span_dedup", b45_span_dedup, None),
 ]

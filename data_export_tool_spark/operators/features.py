@@ -236,3 +236,139 @@ def winsorize(
         )
         out = out.withColumn(c + suffix if suffix else c, clipped)
     return out
+
+
+def pca_fit(
+    df: DataFrame,
+    k: int,
+    vec_col: str = "embedding",
+    whiten_eps: float = 1e-9,
+) -> dict:
+    """Distributed PCA over an ``array<float>`` embedding column.
+
+    One Arrow pass emits per-batch moment partials — count, Σx (d
+    doubles) and the Gram matrix ΣxxT (d² doubles, flattened) — so the
+    shuffle-free reduce is sized by batch count × d², independent of
+    row count (the kmeans_fit round-aggregate contract; d=1024 is
+    8 MB per partial, fine; d=10⁴ needs a sketched method this
+    deliberately doesn't promise). The driver forms the population
+    covariance C = ΣxxT/n − μμT, takes ``eigh`` (symmetric, exact),
+    and keeps the top ``k`` eigenpairs.
+
+    Determinism: eigenvector sign is fixed by making the
+    largest-|component| entry positive (first index on ties), so fits
+    are replayable and the numpy oracle reproduces components exactly
+    up to float tolerance.
+
+    Returns a plain-python model dict (broadcastable, JSON-able):
+    ``mean`` (d), ``components`` (k×d, rows = principal axes,
+    descending eigenvalue), ``eigvals`` (k), ``explained_variance``
+    (k ratios), ``n`` and ``whiten_scale`` (k: 1/√(λ+eps), the
+    whitening diagonal :func:`pca_transform` applies on request).
+    """
+    import numpy as np
+
+    from data_export_tool_spark.operators.clustering import _as_matrix
+
+    if k < 1:
+        raise ValueError(f"k must be >= 1: {k}")
+    base = df.select(F.col(vec_col).cast("array<double>").alias("__v")).where(
+        F.col("__v").isNotNull() & (F.size("__v") > 0)
+    )
+
+    def partials(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            X = _as_matrix(pdf["__v"])
+            yield pd.DataFrame(
+                {
+                    "n": [len(X)],
+                    "s": [X.sum(axis=0).tolist()],
+                    "g": [(X.T @ X).ravel().tolist()],
+                }
+            )
+
+    rows = base.mapInPandas(
+        partials, "n long, s array<double>, g array<double>"
+    ).collect()
+    if not rows:
+        raise ValueError("no usable vectors to fit PCA on")
+    d = len(rows[0]["s"])
+    if k > d:
+        raise ValueError(f"k={k} exceeds vector dim {d}")
+    n = sum(r["n"] for r in rows)
+    s = np.zeros(d)
+    g = np.zeros((d, d))
+    for r in rows:
+        s += np.array(r["s"])
+        g += np.array(r["g"]).reshape(d, d)
+    mu = s / n
+    cov = g / n - np.outer(mu, mu)
+    cov = (cov + cov.T) / 2.0  # clamp asymmetry from float error
+    w, v = np.linalg.eigh(cov)
+    order = np.argsort(w)[::-1][:k]
+    eigvals = np.clip(w[order], 0.0, None)
+    comps = v[:, order].T  # k × d
+    flip = np.sign(comps[np.arange(k), np.abs(comps).argmax(axis=1)])
+    flip[flip == 0] = 1.0
+    comps = comps * flip[:, None]
+    total_var = float(np.clip(w, 0.0, None).sum()) or 1.0
+    return {
+        "mean": mu.tolist(),
+        "components": comps.tolist(),
+        "eigvals": eigvals.tolist(),
+        "explained_variance": (eigvals / total_var).tolist(),
+        "whiten_scale": (1.0 / np.sqrt(eigvals + whiten_eps)).tolist(),
+        "n": int(n),
+    }
+
+
+def pca_transform(
+    df: DataFrame,
+    model: dict,
+    vec_col: str = "embedding",
+    out_col: str = "pca",
+    whiten: bool = False,
+) -> DataFrame:
+    """Project ``vec_col`` onto a fitted :func:`pca_fit` model:
+    ``(x − μ) @ componentsT`` (× the whitening diagonal when
+    ``whiten=True`` — unit-variance components, the usual prep before
+    cosine ANN or k-means on skewed embedding spaces).
+
+    Pure scan-side Arrow projection — the model rides in the closure
+    (k×d floats), nothing shuffles, NULL/empty vectors yield NULL.
+    """
+    import numpy as np
+    import pandas as pd
+
+    from data_export_tool_spark.operators.clustering import _as_matrix
+
+    mu = np.array(model["mean"])
+    P = np.array(model["components"])
+    scale = np.array(model["whiten_scale"]) if whiten else None
+
+    def _proj(vs):
+        vals = vs.to_numpy(dtype=object)
+        out = [None] * len(vals)
+        idx = [i for i, v in enumerate(vals) if v is not None]
+        if idx:
+            X = np.array(
+                [np.asarray(vals[i], dtype="float64") for i in idx]
+            )
+            Y = (X - mu) @ P.T
+            if scale is not None:
+                Y = Y * scale
+            for j, i in enumerate(idx):
+                out[i] = Y[j].tolist()
+        return pd.Series(out, dtype="object")
+
+    _proj.__annotations__ = {"vs": pd.Series, "return": pd.Series}
+    udf = F.pandas_udf(_proj, ArrayType(DoubleType()))
+    guarded = F.when(
+        F.col(vec_col).isNotNull() & (F.size(vec_col) > 0),
+        F.col(vec_col).cast("array<double>"),
+    )
+    return df.withColumn(out_col, udf(guarded))

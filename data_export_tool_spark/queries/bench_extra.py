@@ -565,6 +565,31 @@ def b45_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return strip_duplicate_spans(docs, n=8)
 
 
+def b46_pca_whiten(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_export_tool_spark.operators.features import pca_fit, pca_transform
+
+    emb = Catalog(spark, sf_dir).load("embeddings")
+    model = pca_fit(emb, k=16)
+    return pca_transform(emb, model, whiten=True)
+
+
+def b47_agg_store_update(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_export_tool_spark.operators.aggstore import (
+        agg_store_init,
+        agg_store_read,
+        agg_store_update,
+    )
+
+    ev = Catalog(spark, sf_dir).load("events")
+    aggs = {"value": ["sum", "min", "max", "avg"]}
+    old = ev.where(F.crc32(F.col("user_id").cast("string")) % 20 != 0)
+    delta = ev.where(F.crc32(F.col("user_id").cast("string")) % 20 == 0)
+    store = agg_store_init(old, ["event_type", "user_id"], aggs)
+    return agg_store_read(
+        agg_store_update(store, delta, ["event_type", "user_id"], aggs), aggs
+    )
+
+
 QUERIES = [
     QuerySpec("b01_funnel_conversion", b01_funnel_conversion, None),
     QuerySpec("b02_retention_weekly", b02_retention_weekly, None),
@@ -611,4 +636,6 @@ QUERIES = [
     QuerySpec("b43_negative_pairs", b43_negative_pairs, None),
     QuerySpec("b44_set_similarity", b44_set_similarity, None),
     QuerySpec("b45_span_dedup", b45_span_dedup, None),
+    QuerySpec("b46_pca_whiten", b46_pca_whiten, None),
+    QuerySpec("b47_agg_store_update", b47_agg_store_update, None),
 ]

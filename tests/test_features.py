@@ -179,3 +179,88 @@ def test_winsorize_clamps_to_quantile_band(spark):
 
     with _pytest.raises(ValueError):
         winsorize(df, ["x"], 0.9, 0.1)
+
+
+def test_pca_fit_matches_numpy_oracle(spark, sf_dir):
+    """pca_fit's distributed moments vs a full numpy replay on the
+    collected embeddings — same covariance definition (population,
+    /n), same eigh, same sign rule."""
+    import numpy as np
+
+    from data_export_tool_spark.operators.features import pca_fit
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    model = pca_fit(emb, k=8)
+
+    X = np.array([r["embedding"] for r in emb.collect()], dtype="float64")
+    mu = X.mean(axis=0)
+    cov = (X.T @ X) / len(X) - np.outer(mu, mu)
+    cov = (cov + cov.T) / 2.0
+    w, v = np.linalg.eigh(cov)
+    order = np.argsort(w)[::-1][:8]
+    ev = np.clip(w[order], 0.0, None)
+    P = v[:, order].T
+    flip = np.sign(P[np.arange(8), np.abs(P).argmax(axis=1)])
+    flip[flip == 0] = 1.0
+    P = P * flip[:, None]
+
+    ok = (
+        model["n"] == len(X)
+        and np.allclose(model["mean"], mu, atol=1e-9)
+        and np.allclose(model["eigvals"], ev, atol=1e-8)
+        and np.allclose(model["components"], P, atol=1e-6)
+        and np.all(np.diff(model["eigvals"]) <= 1e-12)  # descending
+    )
+    record_opcheck(
+        "pca_fit", 8, bool(ok), oracle="python-reference",
+        value=float(sum(model["explained_variance"])),
+    )
+    assert ok
+
+
+def test_pca_transform_projects_and_whitens(spark, sf_dir):
+    import numpy as np
+
+    from data_export_tool_spark.operators.features import pca_fit, pca_transform
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    model = pca_fit(emb, k=8)
+    out = pca_transform(emb, model, whiten=False).select("vec_id", "pca")
+    rows = {r["vec_id"]: np.array(r["pca"]) for r in out.collect()}
+
+    X = {r["vec_id"]: np.array(r["embedding"], dtype="float64")
+         for r in emb.collect()}
+    mu = np.array(model["mean"])
+    P = np.array(model["components"])
+    for vid in list(rows)[:50]:
+        assert np.allclose(rows[vid], (X[vid] - mu) @ P.T, atol=1e-8)
+
+    # whitened projection has ~unit variance per component and ~zero
+    # off-diagonal covariance on the fitted corpus
+    W = np.array(
+        [r["pca"] for r in pca_transform(emb, model, whiten=True)
+         .select("pca").collect()]
+    )
+    C = np.cov(W, rowvar=False, ddof=0)
+    assert np.allclose(np.diag(C), 1.0, atol=1e-3)
+    off = C - np.diag(np.diag(C))
+    assert np.abs(off).max() < 1e-3
+
+
+def test_pca_null_and_validation(spark):
+    import pytest as _pytest
+
+    from data_export_tool_spark.operators.features import pca_fit, pca_transform
+
+    df = spark.createDataFrame(
+        [(1, [1.0, 2.0]), (2, None), (3, [])],
+        "vec_id long, embedding array<double>",
+    )
+    model = pca_fit(df, k=1)
+    assert model["n"] == 1
+    got = {r["vec_id"]: r["pca"] for r in pca_transform(df, model).collect()}
+    assert got[1] is not None and got[2] is None and got[3] is None
+    with _pytest.raises(ValueError):
+        pca_fit(df, k=0)
+    with _pytest.raises(ValueError):
+        pca_fit(df, k=5)  # exceeds dim 2

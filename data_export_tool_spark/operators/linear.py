@@ -1,0 +1,287 @@
+"""Distributed linear models: ridge regression and logistic regression.
+
+The supervised step of a corpus-curation pipeline — CCNet/fastText-style
+quality classifiers ("train on labeled good/bad docs, score the other
+100 TB"), importance-weight regressors, calibration fits — needs model
+TRAINING that never ships rows to the driver. Both fits here follow the
+moment-partials contract :func:`features.pca_fit` and
+:func:`clustering.kmeans_fit` established: each Arrow batch emits a
+fixed-size partial (d² doubles), the reduce is batch-count-sized and
+row-count-independent, and the driver solves a d×d system. With hashed
+or PCA features (d ≤ a few hundred) that is exact full-batch training
+at any corpus size — no SGD schedule, no sampling, replayable.
+
+- ``ridge_fit``: ONE pass. The Gram matrix of the augmented block
+  Z = [X | 1 | y] contains every moment the normal equations need
+  (XᵀX, Xᵀ1, Xᵀy, n, Σy, Σy²), so one d+2-wide partial per batch
+  yields the closed-form solve (XᵀX + λI)w = Xᵀy and training R².
+- ``logreg_fit``: IRLS (Newton-Raphson). Per iteration one pass emits
+  the Hessian Xᵀdiag(p(1−p))X and gradient Xᵀ(y−p) partials against
+  the broadcast current weights; the driver solves the damped step.
+  Full-batch Newton converges in a handful of iterations — iteration
+  count is a constant, not a function of corpus size.
+
+Scoring (`linear_predict` / `logreg_predict`) is a pure JVM-side
+projection: the weight vector rides as an array literal and the dot
+product runs in ``zip_with``/``aggregate`` inside whole-stage codegen —
+no Arrow, no shuffle, NULL/ragged vectors yield NULL. That keeps the
+"score 100 TB" half of the pipeline on the fast path; only training
+(which reduces to metadata) touches Python.
+
+Labels: logistic labels must be 0/1; rows with NULL/other labels or
+NULL/empty vectors are excluded from the fit by contract (the tests pin
+this). Regularization never penalizes the intercept.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from data_export_tool_spark.operators.clustering import _as_matrix
+
+# Worker closures below reference _as_matrix; ship this module BY VALUE
+# so executors whose Python workers lack this package on sys.path can
+# still run them (same policy as clustering.py / streaming/events.py).
+try:  # pragma: no cover - trivial registration
+    import sys as _sys
+
+    from pyspark import cloudpickle as _cloudpickle
+
+    _cloudpickle.register_pickle_by_value(_sys.modules[__name__])
+except Exception:
+    pass
+
+__all__ = [
+    "ridge_fit",
+    "logreg_fit",
+    "linear_predict",
+    "logreg_predict",
+]
+
+_Z_CLIP = 35.0  # sigmoid argument clamp; exp(±35) saturates a double safely
+
+
+def _vec_base(
+    df: DataFrame, label_col: str, vec_col: str, binary: bool
+) -> DataFrame:
+    lab = F.col(label_col).cast("double")
+    cond = (
+        F.col(vec_col).isNotNull()
+        & (F.size(vec_col) > 0)
+        & lab.isNotNull()
+    )
+    if binary:
+        cond = cond & lab.isin(0.0, 1.0)
+    return df.where(cond).select(
+        F.col(vec_col).cast("array<double>").alias("__v"), lab.alias("__y")
+    )
+
+
+def ridge_fit(
+    df: DataFrame,
+    label_col: str,
+    vec_col: str = "embedding",
+    reg: float = 1e-3,
+) -> dict:
+    """Closed-form ridge regression of ``label_col`` on an
+    ``array<double>`` feature column, one distributed pass.
+
+    Each batch contributes ``n`` and the Gram matrix of Z = [X | 1 | y]
+    ((d+2)² doubles) — batch-count × (d+2)² total reduce, independent
+    of row count. The driver extracts the blocks and solves
+    ``(XᵀX + λ·diag(1…1,0)) [w;b] = Xᵀy`` (intercept unpenalized).
+
+    Returns a plain model dict: ``weights`` (d), ``intercept``, ``n``,
+    ``r2`` (training R² of the regularized fit), ``reg``.
+    """
+    import numpy as np
+
+    if reg < 0:
+        raise ValueError(f"reg must be >= 0: {reg}")
+    base = _vec_base(df, label_col, vec_col, binary=False)
+
+    def partials(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            X = _as_matrix(pdf["__v"])
+            y = pdf["__y"].to_numpy(dtype="float64")
+            Z = np.hstack([X, np.ones((len(X), 1)), y[:, None]])
+            yield pd.DataFrame(
+                {"n": [len(X)], "g": [(Z.T @ Z).ravel().tolist()]}
+            )
+
+    rows = base.mapInPandas(partials, "n long, g array<double>").collect()
+    if not rows:
+        raise ValueError("no usable (vector, label) rows to fit on")
+    m = int(round(len(rows[0]["g"]) ** 0.5))
+    d = m - 2
+    n = sum(r["n"] for r in rows)
+    G = np.zeros((m, m))
+    for r in rows:
+        G += np.array(r["g"]).reshape(m, m)
+    A = G[: d + 1, : d + 1]  # [X|1]ᵀ[X|1]
+    bvec = G[: d + 1, d + 1]  # [X|1]ᵀy
+    sum_y, sum_yy = G[d, d + 1], G[d + 1, d + 1]
+    pen = np.diag([reg] * d + [0.0])
+    w = np.linalg.solve(A + pen, bvec)
+    # R² from the same moments: SSE = yᵀy − 2wᵀ[X|1]ᵀy + wᵀA w
+    sse = float(sum_yy - 2 * w @ bvec + w @ A @ w)
+    sst = float(sum_yy - sum_y * sum_y / n)
+    return {
+        "weights": w[:d].tolist(),
+        "intercept": float(w[d]),
+        "n": int(n),
+        "r2": 1.0 - sse / sst if sst > 0 else float("nan"),
+        "reg": float(reg),
+    }
+
+
+def logreg_fit(
+    df: DataFrame,
+    label_col: str,
+    vec_col: str = "embedding",
+    reg: float = 1e-3,
+    iters: int = 12,
+    tol: float = 1e-9,
+) -> dict:
+    """Full-batch L2-regularized logistic regression by IRLS
+    (Newton-Raphson), the quality-classifier trainer.
+
+    Per iteration: broadcast current weights, one Arrow pass emits
+    per-batch Hessian/gradient/loss partials ((d+1)² + (d+1) + 1
+    doubles), the driver solves ``(H + λ·diag(1…1,0)) Δ = g`` and
+    steps. Stops when the mean-NLL improvement drops below ``tol`` or
+    after ``iters`` rounds — a constant number of corpus scans, each
+    reducing to metadata (the ``kmeans_fit`` round contract;
+    ``clustering.py:243``). ``reg > 0`` keeps the Hessian invertible
+    and the solution bounded on separable data.
+
+    Labels must be 0/1 (NULL/other-label rows are excluded, see module
+    docstring). The sigmoid clamps its argument to ±35 — the replay
+    oracle in the tests applies the identical clamp.
+
+    Returns ``weights`` (d), ``intercept``, ``n``, ``loss`` (final
+    penalized mean NLL), ``iters_run``, ``reg``.
+    """
+    import numpy as np
+
+    if reg < 0:
+        raise ValueError(f"reg must be >= 0: {reg}")
+    if iters < 1:
+        raise ValueError(f"iters must be >= 1: {iters}")
+    base = _vec_base(df, label_col, vec_col, binary=True).persist()
+    try:
+        first = base.select(F.size("__v").alias("d")).limit(1).collect()
+        if not first:
+            raise ValueError("no usable (vector, 0/1-label) rows to fit on")
+        d = first[0]["d"]
+        sc = df.sparkSession.sparkContext
+        w = np.zeros(d + 1)  # last entry = intercept
+        prev_loss = None
+        it = 0
+        for it in range(1, iters + 1):
+            b_w = sc.broadcast(w)
+
+            def partials(batches):
+                import pandas as pd
+
+                wv = b_w.value
+                for pdf in batches:
+                    if len(pdf) == 0:
+                        continue
+                    X = _as_matrix(pdf["__v"])
+                    y = pdf["__y"].to_numpy(dtype="float64")
+                    Xa = np.hstack([X, np.ones((len(X), 1))])
+                    z = np.clip(Xa @ wv, -_Z_CLIP, _Z_CLIP)
+                    p = 1.0 / (1.0 + np.exp(-z))
+                    # NLL via log1p(exp(-|z|)) form: stable both tails
+                    nll = float(
+                        np.sum(np.log1p(np.exp(-np.abs(z))) + z * (z > 0) - y * z)
+                    )
+                    wt = p * (1.0 - p)
+                    yield pd.DataFrame(
+                        {
+                            "n": [len(X)],
+                            "h": [((Xa * wt[:, None]).T @ Xa).ravel().tolist()],
+                            "g": [(Xa.T @ (y - p)).tolist()],
+                            "l": [nll],
+                        }
+                    )
+
+            rows = base.mapInPandas(
+                partials, "n long, h array<double>, g array<double>, l double"
+            ).collect()
+            b_w.unpersist(blocking=False)  # consumed once partials collect
+            if not rows:
+                raise ValueError("no usable (vector, 0/1-label) rows to fit on")
+            n = sum(r["n"] for r in rows)
+            H = np.zeros((d + 1, d + 1))
+            g = np.zeros(d + 1)
+            nll = 0.0
+            for r in rows:
+                H += np.array(r["h"]).reshape(d + 1, d + 1)
+                g += np.array(r["g"])
+                nll += r["l"]
+            pen = np.diag([reg] * d + [0.0])
+            loss = (nll + 0.5 * reg * float(w[:d] @ w[:d])) / n
+            g -= pen @ w
+            w = w + np.linalg.solve(H + pen, g)
+            if prev_loss is not None and abs(prev_loss - loss) < tol:
+                break
+            prev_loss = loss
+        return {
+            "weights": w[:d].tolist(),
+            "intercept": float(w[d]),
+            "n": int(n),
+            "loss": float(loss),
+            "iters_run": it,
+            "reg": float(reg),
+        }
+    finally:
+        base.unpersist()
+
+
+def _dot_score(model: dict, vec_col: str) -> Column:
+    """JVM-side ``x·w + b`` with NULL/dimension guards — an array
+    literal + ``zip_with``/``aggregate``, fully inside codegen."""
+    wts = [float(x) for x in model["weights"]]
+    warr = F.array(*[F.lit(x) for x in wts])
+    v = F.col(vec_col).cast("array<double>")
+    dot = F.aggregate(
+        F.zip_with(v, warr, lambda x, wi: x * wi),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return F.when(
+        F.col(vec_col).isNotNull() & (F.size(vec_col) == len(wts)),
+        dot + F.lit(float(model["intercept"])),
+    )
+
+
+def linear_predict(
+    df: DataFrame, model: dict, vec_col: str = "embedding",
+    out_col: str = "pred",
+) -> DataFrame:
+    """Append the :func:`ridge_fit` prediction ``x·w + b``. Pure
+    scan-side JVM projection; NULL or wrong-dimension vectors → NULL."""
+    return df.withColumn(out_col, _dot_score(model, vec_col))
+
+
+def logreg_predict(
+    df: DataFrame, model: dict, vec_col: str = "embedding",
+    out_col: str = "p",
+) -> DataFrame:
+    """Append the :func:`logreg_fit` probability ``σ(x·w + b)`` with
+    the same ±35 argument clamp training used. JVM-side; NULL or
+    wrong-dimension vectors → NULL."""
+    z = _dot_score(model, vec_col)
+    # greatest/least SKIP NULLs (a NULL score would clamp to ±35 and
+    # come out as a confident probability) — guard NULL explicitly
+    z = F.when(
+        z.isNotNull(), F.greatest(F.least(z, F.lit(_Z_CLIP)), F.lit(-_Z_CLIP))
+    )
+    return df.withColumn(out_col, F.lit(1.0) / (F.lit(1.0) + F.exp(-z)))

@@ -590,6 +590,22 @@ def b47_agg_store_update(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def b48_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train a fastText-style quality classifier (hashed features →
+    IRLS logistic regression) on a deterministic label, then score the
+    whole corpus JVM-side."""
+    from data_export_tool_spark.operators.features import hashed_embedding
+    from data_export_tool_spark.operators.linear import logreg_fit, logreg_predict
+
+    docs = Catalog(spark, sf_dir).load("documents")
+    feats = hashed_embedding(docs, dim=64)
+    labeled = feats.withColumn(
+        "y", (F.size(F.split(F.col("text"), r"\s+")) > 60).cast("int")
+    )
+    model = logreg_fit(labeled, "y", iters=4, tol=0.0)
+    return logreg_predict(feats, model).select("doc_id", "p")
+
+
 QUERIES = [
     QuerySpec("b01_funnel_conversion", b01_funnel_conversion, None),
     QuerySpec("b02_retention_weekly", b02_retention_weekly, None),
@@ -638,4 +654,5 @@ QUERIES = [
     QuerySpec("b45_span_dedup", b45_span_dedup, None),
     QuerySpec("b46_pca_whiten", b46_pca_whiten, None),
     QuerySpec("b47_agg_store_update", b47_agg_store_update, None),
+    QuerySpec("b48_quality_classifier", b48_quality_classifier, None),
 ]

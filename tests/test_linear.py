@@ -1,0 +1,181 @@
+"""Distributed linear models vs exact numpy replays: ridge against the
+closed-form normal-equation solve, logistic against a step-by-step IRLS
+replay with the identical clamp/penalty/stop rules, prediction against
+driver-side dot products, plus the label/NULL exclusion contract."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from tests.conftest import record_opcheck
+from data_export_tool_spark.operators.linear import (
+    linear_predict,
+    logreg_fit,
+    logreg_predict,
+    ridge_fit,
+)
+
+REG = 1e-2
+
+
+@pytest.fixture(scope="module")
+def emb(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+def _collected(emb, binary: bool):
+    rows = emb.collect()
+    X = np.array([r["embedding"] for r in rows], dtype="float64")
+    if binary:
+        y = (2.0 * X[:, 0] - X[:, 3] > 0.1).astype("float64")
+    else:
+        y = np.array([r["label"] for r in rows], dtype="float64")
+    return X, y
+
+
+def test_ridge_fit_matches_closed_form(spark, emb):
+    # exact linear target: recovery + R²≈1 sanity AND moment-for-moment
+    # numpy replay of the regularized closed form
+    df = emb.withColumn(
+        "target",
+        2.0 * F.col("embedding")[0] - 3.0 * F.col("embedding")[3] + 0.5,
+    )
+    model = ridge_fit(df, "target", reg=REG)
+
+    X, _ = _collected(emb, binary=False)
+    y = 2.0 * X[:, 0] - 3.0 * X[:, 3] + 0.5
+    d = X.shape[1]
+    Xa = np.hstack([X, np.ones((len(X), 1))])
+    A = Xa.T @ Xa + np.diag([REG] * d + [0.0])
+    w = np.linalg.solve(A, Xa.T @ y)
+
+    ok = (
+        model["n"] == len(X)
+        and np.allclose(model["weights"], w[:d], atol=1e-8)
+        and np.allclose(model["intercept"], w[d], atol=1e-8)
+        and model["r2"] > 0.999
+    )
+    record_opcheck(
+        "ridge_fit", d + 1, bool(ok), oracle="python-reference",
+        value=float(model["r2"]),
+    )
+    assert ok
+
+    # prediction column replays the driver-side dot product exactly
+    got = {
+        r["vec_id"]: r["pred"]
+        for r in linear_predict(emb, model).select("vec_id", "pred").collect()
+    }
+    ids = [r["vec_id"] for r in emb.select("vec_id").collect()]
+    want = Xa @ w
+    for i, vid in enumerate(ids):
+        assert abs(got[vid] - want[i]) < 1e-9
+
+
+def test_logreg_fit_matches_irls_replay(spark, emb):
+    """tol=0 forces the full fixed iteration count, making the fit a
+    deterministic function of the data — the numpy replay runs the
+    same clamp, penalty, and update step for step. The target is a
+    known linear boundary (the table's own label column is independent
+    of the vectors), so the fit must also actually separate."""
+    df = emb.withColumn(
+        "y",
+        (2.0 * F.col("embedding")[0] - F.col("embedding")[3] > 0.1).cast("int"),
+    )
+    iters = 6
+    model = logreg_fit(df, "y", reg=REG, iters=iters, tol=0.0)
+
+    X, y = _collected(emb, binary=True)
+    d = X.shape[1]
+    Xa = np.hstack([X, np.ones((len(X), 1))])
+    pen = np.diag([REG] * d + [0.0])
+    w = np.zeros(d + 1)
+    loss = None
+    for _ in range(iters):
+        z = np.clip(Xa @ w, -35.0, 35.0)
+        p = 1.0 / (1.0 + np.exp(-z))
+        nll = float(np.sum(np.log1p(np.exp(-np.abs(z))) + z * (z > 0) - y * z))
+        loss = (nll + 0.5 * REG * float(w[:d] @ w[:d])) / len(X)
+        H = (Xa * (p * (1 - p))[:, None]).T @ Xa
+        g = Xa.T @ (y - p) - pen @ w
+        w = w + np.linalg.solve(H + pen, g)
+
+    ok = (
+        model["n"] == len(X)
+        and model["iters_run"] == iters
+        and np.allclose(model["weights"], w[:d], atol=1e-6)
+        and abs(model["intercept"] - w[d]) < 1e-6
+        and abs(model["loss"] - loss) < 1e-9
+    )
+    # classifier quality: the target is linearly separable by
+    # construction, so trained accuracy must be near-perfect
+    scored = logreg_predict(df, model).select("y", "p").collect()
+    acc = float(np.mean([(r["p"] > 0.5) == bool(r["y"]) for r in scored]))
+    record_opcheck(
+        "logreg_fit", len(X), bool(ok and acc > 0.95),
+        oracle="python-reference", value=acc,
+    )
+    assert ok
+    assert acc > 0.95
+
+    # probability column replays sigmoid(clip(x·w+b)) exactly
+    got = {
+        r["vec_id"]: r["p"]
+        for r in logreg_predict(emb.withColumn("y", F.lit(0)), model)
+        .select("vec_id", "p")
+        .collect()
+    }
+    ids = [r["vec_id"] for r in emb.select("vec_id").collect()]
+    want = 1.0 / (1.0 + np.exp(-np.clip(Xa @ np.array(model["weights"] + [model["intercept"]]), -35.0, 35.0)))
+    for i, vid in enumerate(ids):
+        assert abs(got[vid] - want[i]) < 1e-12
+
+
+def test_label_and_vector_exclusion_contract(spark):
+    df = spark.createDataFrame(
+        [
+            (1, [1.0, 0.0], 1),
+            (2, [0.0, 1.0], 0),
+            (3, [1.0, 1.0], 2),      # non-binary label: logreg excludes
+            (4, None, 1),            # NULL vector: both exclude
+            (5, [], 1),              # empty vector: both exclude
+            (6, [0.5, 0.5], None),   # NULL label: both exclude
+            (7, [2.0, 0.0], 1),
+            (8, [0.0, 2.0], 0),
+        ],
+        "vec_id long, embedding array<double>, label int",
+    )
+    lm = logreg_fit(df, "label", reg=1.0, iters=2, tol=0.0)
+    assert lm["n"] == 4  # ids 1, 2, 7, 8
+    rm = ridge_fit(df, "label", reg=1.0)
+    assert rm["n"] == 5  # label=2 is a fine regression target
+
+    # wrong-dimension / NULL / empty vectors score as NULL
+    out = {
+        r["vec_id"]: r["p"]
+        for r in logreg_predict(
+            df.withColumn(
+                "embedding",
+                F.when(F.col("vec_id") == 3, F.array(F.lit(1.0))).otherwise(
+                    F.col("embedding")
+                ),
+            ),
+            lm,
+        ).collect()
+    }
+    assert out[3] is None and out[4] is None and out[5] is None
+    assert out[1] is not None and 0.0 < out[1] < 1.0
+
+
+def test_validation_errors(spark, emb):
+    empty = emb.where(F.lit(False)).withColumn("y", F.lit(1))
+    with pytest.raises(ValueError):
+        ridge_fit(emb.withColumn("y", F.lit(1.0)), "y", reg=-1.0)
+    with pytest.raises(ValueError):
+        logreg_fit(emb.withColumn("y", F.lit(1)), "y", iters=0)
+    with pytest.raises(ValueError):
+        ridge_fit(empty, "y")
+    with pytest.raises(ValueError):
+        logreg_fit(empty, "y")

@@ -606,6 +606,23 @@ def b48_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     return logreg_predict(feats, model).select("doc_id", "p")
 
 
+def b49_kanon_release(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Disclosure audit + cell suppression over orders: month-grain
+    quasi identifiers, totalprice as the sensitive attribute."""
+    from data_export_tool_spark.operators.privacy import suppress_small_classes
+
+    orders = Catalog(spark, sf_dir).load("orders").select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.date_trunc("month", F.col("o_orderdate")).alias("order_month"),
+        "o_totalprice",
+    )
+    quasi = ["o_orderstatus", "order_month"]
+    return suppress_small_classes(
+        orders, quasi, k=10, sensitive_cols=["o_totalprice"], l=5
+    )
+
+
 QUERIES = [
     QuerySpec("b01_funnel_conversion", b01_funnel_conversion, None),
     QuerySpec("b02_retention_weekly", b02_retention_weekly, None),
@@ -655,4 +672,5 @@ QUERIES = [
     QuerySpec("b46_pca_whiten", b46_pca_whiten, None),
     QuerySpec("b47_agg_store_update", b47_agg_store_update, None),
     QuerySpec("b48_quality_classifier", b48_quality_classifier, None),
+    QuerySpec("b49_kanon_release", b49_kanon_release, None),
 ]

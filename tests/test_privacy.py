@@ -1,0 +1,156 @@
+"""k-anonymity / l-diversity audits vs DuckDB replays of the same
+definitions over the same parquet, plus NULL-class and suppression-law
+edges on a hand-built frame."""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from tests.conftest import record_opcheck
+from data_export_tool_spark.operators.privacy import (
+    equivalence_classes,
+    k_anonymity_report,
+    risky_classes,
+    suppress_small_classes,
+)
+
+QUASI = ["c_nationkey", "c_mktsegment"]
+K, L = 10, 5
+
+
+@pytest.fixture(scope="module")
+def customer(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/customer.parquet")
+
+
+def test_report_matches_duckdb(spark, customer, sf_dir):
+    got = k_anonymity_report(
+        customer, QUASI, K, sensitive_cols=["c_acctbal"], l=L
+    ).toPandas()
+    want = duckdb.sql(
+        f"""
+        WITH classes AS (
+          SELECT c_nationkey, c_mktsegment,
+                 COUNT(*) AS class_size,
+                 COUNT(DISTINCT c_acctbal) AS ldiv
+          FROM read_parquet('{sf_dir}/customer.parquet')
+          GROUP BY 1, 2
+        )
+        SELECT CAST(SUM(class_size) AS BIGINT) AS n_rows,
+               CAST(COUNT(*) AS BIGINT) AS n_classes,
+               CAST(MIN(class_size) AS BIGINT) AS min_class_size,
+               CAST(SUM(CASE WHEN class_size < {K} THEN 1 ELSE 0 END) AS BIGINT)
+                 AS classes_below_k,
+               CAST(SUM(CASE WHEN class_size < {K} THEN class_size ELSE 0 END)
+                 AS BIGINT) AS rows_below_k,
+               CAST(MIN(ldiv) AS BIGINT) AS min_diversity_c_acctbal,
+               CAST(SUM(CASE WHEN ldiv < {L} THEN 1 ELSE 0 END) AS BIGINT)
+                 AS classes_below_l_c_acctbal
+        FROM classes
+        """
+    ).df()
+    got = got[want.columns].astype("int64")
+    ok = got.equals(want.astype("int64"))
+    record_opcheck("k_anonymity_report", len(want.columns), bool(ok))
+    assert ok
+
+
+def test_risky_and_suppress_agree_with_duckdb(spark, customer, sf_dir):
+    risky = risky_classes(
+        customer, QUASI, K, sensitive_cols=["c_acctbal"], l=L
+    )
+    want_risky = duckdb.sql(
+        f"""
+        SELECT c_nationkey, c_mktsegment
+        FROM read_parquet('{sf_dir}/customer.parquet')
+        GROUP BY 1, 2
+        HAVING COUNT(*) < {K} OR COUNT(DISTINCT c_acctbal) < {L}
+        """
+    ).df()
+    got_risky = {
+        (r["c_nationkey"], r["c_mktsegment"]) for r in risky.collect()
+    }
+    assert got_risky == set(
+        zip(want_risky["c_nationkey"], want_risky["c_mktsegment"])
+    )
+
+    kept = suppress_small_classes(
+        customer, QUASI, K, sensitive_cols=["c_acctbal"], l=L
+    )
+    want_keys = duckdb.sql(
+        f"""
+        WITH bad AS (
+          SELECT c_nationkey, c_mktsegment
+          FROM read_parquet('{sf_dir}/customer.parquet')
+          GROUP BY 1, 2
+          HAVING COUNT(*) < {K} OR COUNT(DISTINCT c_acctbal) < {L}
+        )
+        SELECT c_custkey
+        FROM read_parquet('{sf_dir}/customer.parquet')
+        ANTI JOIN bad USING (c_nationkey, c_mktsegment)
+        """
+    ).df()["c_custkey"]
+    got_keys = {r["c_custkey"] for r in kept.select("c_custkey").collect()}
+    ok = got_keys == set(want_keys)
+    record_opcheck("suppress_small_classes", len(want_keys), bool(ok))
+    assert ok
+    # suppression law: kept rows ∪ rows of risky classes == input
+    assert kept.count() + customer.join(
+        risky.select(*QUASI), QUASI, "left_semi"
+    ).count() == customer.count()
+
+
+def test_null_classes_and_schema(spark):
+    df = spark.createDataFrame(
+        [
+            ("north", None, "flu"),
+            ("north", None, "flu"),
+            ("north", None, "tb"),
+            ("south", 1980, "flu"),
+            (None, None, "hiv"),
+        ],
+        "region string, birth_year int, dx string",
+    )
+    classes = {
+        (r["region"], r["birth_year"]): (r["class_size"], r["distinct_dx"])
+        for r in equivalence_classes(
+            df, ["region", "birth_year"], ["dx"]
+        ).collect()
+    }
+    # NULL quasi values form their own classes (ANSI GROUP BY)
+    assert classes[("north", None)] == (3, 2)
+    assert classes[(None, None)] == (1, 1)
+
+    # the singleton (None, None) class must suppress; the NULL-keyed
+    # compliant class must SURVIVE the null-safe semi join
+    kept = suppress_small_classes(df, ["region", "birth_year"], 2)
+    assert kept.count() == 3
+    assert {r["region"] for r in kept.collect()} == {"north"}
+
+    rep = k_anonymity_report(
+        df, ["region", "birth_year"], 2, sensitive_cols=["dx"], l=2
+    ).collect()[0]
+    assert rep["min_class_size"] == 1
+    assert rep["classes_below_k"] == 2
+    assert rep["rows_below_k"] == 2
+    assert rep["min_diversity_dx"] == 1
+    assert rep["classes_below_l_dx"] == 2
+
+    with pytest.raises(ValueError):
+        k_anonymity_report(df, [], 2)
+    with pytest.raises(ValueError):
+        k_anonymity_report(df, ["region"], 0)
+    with pytest.raises(ValueError):
+        k_anonymity_report(df, ["region"], 2, l=0)
+
+
+def test_suppress_plan_has_no_window(spark, customer):
+    """The release step must go through the aggregated-class semi join,
+    never a per-row window over the quasi key."""
+    plan = (
+        suppress_small_classes(customer, QUASI, K)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Window" not in plan

@@ -54,9 +54,12 @@ except Exception:
 
 __all__ = [
     "ridge_fit",
+    "ridge_fit_grouped",
     "logreg_fit",
+    "logreg_fit_ovr",
     "linear_predict",
     "logreg_predict",
+    "logreg_predict_ovr",
 ]
 
 _Z_CLIP = 35.0  # sigmoid argument clamp; exp(±35) saturates a double safely
@@ -285,3 +288,184 @@ def logreg_predict(
         z.isNotNull(), F.greatest(F.least(z, F.lit(_Z_CLIP)), F.lit(-_Z_CLIP))
     )
     return df.withColumn(out_col, F.lit(1.0) / (F.lit(1.0) + F.exp(-z)))
+
+
+def ridge_fit_grouped(
+    df: DataFrame,
+    label_col: str,
+    by: str,
+    vec_col: str = "embedding",
+    reg: float = 1e-3,
+) -> DataFrame:
+    """Per-group closed-form ridge — one model PER VALUE of ``by``
+    (per-language calibration, per-domain quality regressors: the
+    "millions of small models" shape) with NO driver materialization
+    at any group count.
+
+    Two stages: (1) one Arrow pass emits per-(batch, group) Gram
+    partials — the exchange carries group-count × batch-count rows of
+    (d+2)² doubles, never raw rows; (2) ``applyInPandas`` over the
+    PARTIAL frame merges each group's grams and solves its (d+1)
+    system executor-side. Groups whose label is constant get
+    ``r2 = NaN`` (sst = 0), matching :func:`ridge_fit`; a NULL group
+    key is a real group (ANSI GROUP BY).
+
+    Returns a DataFrame ``(by, weights array<double>, intercept, n,
+    r2)`` — feed one row's model into :func:`linear_predict` as
+    ``{"weights": row["weights"], "intercept": row["intercept"]}``.
+    """
+    import numpy as np
+
+    if reg < 0:
+        raise ValueError(f"reg must be >= 0: {reg}")
+    lab = F.col(label_col).cast("double")
+    base = df.where(
+        F.col(vec_col).isNotNull() & (F.size(vec_col) > 0) & lab.isNotNull()
+    ).select(
+        F.col(by).cast("string").alias("__g"),
+        F.col(vec_col).cast("array<double>").alias("__v"),
+        lab.alias("__y"),
+    )
+
+    def partials(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            out = []
+            for g, sub in pdf.groupby("__g", dropna=False):
+                X = _as_matrix(sub["__v"])
+                y = sub["__y"].to_numpy(dtype="float64")
+                Z = np.hstack([X, np.ones((len(X), 1)), y[:, None]])
+                out.append(
+                    (None if pd.isna(g) else g, len(X),
+                     (Z.T @ Z).ravel().tolist())
+                )
+            yield pd.DataFrame(out, columns=["__g", "n", "g"])
+
+    part = base.mapInPandas(partials, "__g string, n long, g array<double>")
+
+    def solve(pdf):
+        import pandas as pd
+
+        m = int(round(len(pdf["g"].iloc[0]) ** 0.5))
+        d = m - 2
+        G = np.zeros((m, m))
+        for arr in pdf["g"]:
+            G += np.asarray(arr, dtype="float64").reshape(m, m)
+        n = int(pdf["n"].sum())
+        A = G[: d + 1, : d + 1]
+        bvec = G[: d + 1, d + 1]
+        sum_y, sum_yy = G[d, d + 1], G[d + 1, d + 1]
+        w = np.linalg.solve(A + np.diag([reg] * d + [0.0]), bvec)
+        sse = float(sum_yy - 2 * w @ bvec + w @ A @ w)
+        sst = float(sum_yy - sum_y * sum_y / n)
+        return pd.DataFrame(
+            {
+                "__g": [pdf["__g"].iloc[0]],
+                "weights": [w[:d].tolist()],
+                "intercept": [float(w[d])],
+                "n": [n],
+                "r2": [1.0 - sse / sst if sst > 0 else float("nan")],
+            }
+        )
+
+    out_schema = (
+        "__g string, weights array<double>, intercept double, n long,"
+        " r2 double"
+    )
+    return (
+        part.groupBy("__g")
+        .applyInPandas(solve, out_schema)
+        .withColumnRenamed("__g", by)
+    )
+
+
+def logreg_fit_ovr(
+    df: DataFrame,
+    label_col: str,
+    vec_col: str = "embedding",
+    reg: float = 1e-3,
+    iters: int = 12,
+    tol: float = 1e-9,
+    max_classes: int = 64,
+) -> dict:
+    """One-vs-rest multiclass on top of :func:`logreg_fit`: one binary
+    IRLS fit per distinct label (NULL labels excluded), each inheriting
+    the binary fit's replay determinism. Cost is classes × iters corpus
+    scans, each reducing to metadata — fine for label spaces like
+    language/topic/quality tiers (guarded by ``max_classes``).
+
+    Returns ``{"classes": [...sorted as strings...], "models": [...]}``
+    (per-class :func:`logreg_fit` dicts, same order).
+    """
+    classes = [
+        r["__c"]
+        for r in df.select(
+            F.col(label_col).cast("string").alias("__c")
+        )
+        .where(F.col("__c").isNotNull())
+        .distinct()
+        .orderBy("__c")
+        .collect()
+    ]
+    if len(classes) < 2:
+        raise ValueError(f"need >= 2 distinct labels, got {classes}")
+    if len(classes) > max_classes:
+        raise ValueError(
+            f"{len(classes)} classes > max_classes={max_classes};"
+            " one-vs-rest costs one fit per class — raise the cap"
+            " explicitly if that is intended"
+        )
+    models = []
+    for c in classes:
+        bin_df = df.withColumn(
+            "__y",
+            (F.col(label_col).cast("string") == c).cast("int"),
+        )
+        models.append(
+            logreg_fit(bin_df, "__y", vec_col, reg=reg, iters=iters, tol=tol)
+        )
+    return {"classes": classes, "models": models}
+
+
+def logreg_predict_ovr(
+    df: DataFrame,
+    model: dict,
+    vec_col: str = "embedding",
+    out_col: str = "label_pred",
+    scores_col: str | None = "p_ovr",
+) -> DataFrame:
+    """Argmax-probability multiclass scoring, fully JVM-side: one
+    sigmoid score per class (OvR scores — not normalized to sum 1),
+    argmax via ``array_max`` over (p, −index) structs so ties break to
+    the FIRST class in sorted order. NULL/ragged vectors → NULL label
+    and NULL scores. Set ``scores_col=None`` to skip the score array.
+    """
+    classes = model["classes"]
+    d = len(model["models"][0]["weights"])
+    probs = []
+    for m in model["models"]:
+        z = _dot_score(m, vec_col)
+        z = F.when(
+            z.isNotNull(),
+            F.greatest(F.least(z, F.lit(_Z_CLIP)), F.lit(-_Z_CLIP)),
+        )
+        probs.append(F.lit(1.0) / (F.lit(1.0) + F.exp(-z)))
+    valid = F.col(vec_col).isNotNull() & (F.size(vec_col) == d)
+    best = F.array_max(
+        F.array(
+            *[
+                F.struct(p.alias("p"), F.lit(-i).alias("ni"))
+                for i, p in enumerate(probs)
+            ]
+        )
+    )
+    label = F.element_at(
+        F.array(*[F.lit(c) for c in classes]), (-best["ni"]) + 1
+    )
+    out = df.withColumn(out_col, F.when(valid, label))
+    if scores_col:
+        out = out.withColumn(scores_col, F.when(valid, F.array(*probs)))
+    return out

@@ -623,6 +623,40 @@ def b49_kanon_release(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def b50_grouped_ridge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language ridge models over hashed text features — the
+    millions-of-small-models shape (partials exchange + executor-side
+    solves, no driver materialization)."""
+    from data_export_tool_spark.operators.features import hashed_embedding
+    from data_export_tool_spark.operators.linear import ridge_fit_grouped
+
+    docs = Catalog(spark, sf_dir).load("documents")
+    feats = hashed_embedding(docs, dim=32)
+    return ridge_fit_grouped(
+        feats.withColumn("y", F.col("n_chars").cast("double")), "y", "lang"
+    )
+
+
+def b51_ovr_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-class one-vs-rest train + JVM argmax scoring over the
+    embedding corpus."""
+    from data_export_tool_spark.operators.linear import (
+        logreg_fit_ovr,
+        logreg_predict_ovr,
+    )
+
+    emb = Catalog(spark, sf_dir).load("embeddings")
+    e = F.col("embedding")
+    labeled = emb.withColumn(
+        "cls",
+        F.when(e[0] > F.greatest(e[1], e[2]), "a")
+        .when(e[1] > e[2], "b")
+        .otherwise("c"),
+    )
+    model = logreg_fit_ovr(labeled, "cls", iters=2, tol=0.0)
+    return logreg_predict_ovr(emb, model).select("vec_id", "label_pred")
+
+
 QUERIES = [
     QuerySpec("b01_funnel_conversion", b01_funnel_conversion, None),
     QuerySpec("b02_retention_weekly", b02_retention_weekly, None),
@@ -673,4 +707,6 @@ QUERIES = [
     QuerySpec("b47_agg_store_update", b47_agg_store_update, None),
     QuerySpec("b48_quality_classifier", b48_quality_classifier, None),
     QuerySpec("b49_kanon_release", b49_kanon_release, None),
+    QuerySpec("b50_grouped_ridge", b50_grouped_ridge, None),
+    QuerySpec("b51_ovr_classifier", b51_ovr_classifier, None),
 ]

@@ -15,6 +15,7 @@ from data_export_tool_spark.operators.linear import (
     logreg_fit,
     logreg_predict,
     ridge_fit,
+    ridge_fit_grouped,
 )
 
 REG = 1e-2
@@ -179,3 +180,141 @@ def test_validation_errors(spark, emb):
         ridge_fit(empty, "y")
     with pytest.raises(ValueError):
         logreg_fit(empty, "y")
+
+
+def test_ridge_fit_grouped_matches_per_group_closed_form(spark, emb):
+    df = emb.withColumn(
+        "grp",
+        F.when(F.col("vec_id") % 7 == 0, F.lit(None)).otherwise(
+            (F.col("vec_id") % 3).cast("string")
+        ),
+    ).withColumn(
+        "target",
+        2.0 * F.col("embedding")[0] - 3.0 * F.col("embedding")[3] + 0.5,
+    )
+    got = {
+        r["grp"]: r
+        for r in ridge_fit_grouped(df, "target", "grp", reg=REG).collect()
+    }
+    assert set(got) == {"0", "1", "2", None}
+
+    rows = df.select("grp", "embedding", "target").collect()
+    ok = True
+    for g in got:
+        sub = [r for r in rows if r["grp"] == g]
+        X = np.array([r["embedding"] for r in sub], dtype="float64")
+        y = np.array([r["target"] for r in sub], dtype="float64")
+        d = X.shape[1]
+        Xa = np.hstack([X, np.ones((len(X), 1))])
+        w = np.linalg.solve(
+            Xa.T @ Xa + np.diag([REG] * d + [0.0]), Xa.T @ y
+        )
+        ok = ok and (
+            got[g]["n"] == len(sub)
+            and np.allclose(got[g]["weights"], w[:d], atol=1e-8)
+            and abs(got[g]["intercept"] - w[d]) < 1e-8
+            and got[g]["r2"] > 0.999
+        )
+    record_opcheck(
+        "ridge_fit_grouped", len(got), bool(ok), oracle="python-reference"
+    )
+    assert ok
+
+
+def test_logreg_ovr_fit_and_scoring_replay(spark, emb):
+    """OVR reuses the replay-pinned binary engine per class; what this
+    pins is the multiclass layer: sorted class order, per-class
+    negatives included, and the JVM argmax scoring replaying numpy's
+    argmax over per-class sigmoid scores exactly."""
+    from data_export_tool_spark.operators.linear import (
+        logreg_fit_ovr,
+        logreg_predict_ovr,
+    )
+
+    e = F.col("embedding")
+    df = emb.withColumn(
+        "cls",
+        F.when(e[0] > F.greatest(e[1], e[2]), "a")
+        .when(e[1] > e[2], "b")
+        .otherwise("c"),
+    )
+    model = logreg_fit_ovr(df, "cls", reg=REG, iters=5, tol=0.0)
+    assert model["classes"] == ["a", "b", "c"]
+    n_total = emb.count()
+    assert all(m["n"] == n_total for m in model["models"])
+
+    X, _ = _collected(emb, binary=False)
+    Xa = np.hstack([X, np.ones((len(X), 1))])
+    P = np.column_stack(
+        [
+            1.0
+            / (
+                1.0
+                + np.exp(
+                    -np.clip(
+                        Xa @ np.array(m["weights"] + [m["intercept"]]),
+                        -35.0,
+                        35.0,
+                    )
+                )
+            )
+            for m in model["models"]
+        ]
+    )
+    want_lab = [model["classes"][i] for i in P.argmax(axis=1)]
+    ids = [r["vec_id"] for r in emb.select("vec_id").collect()]
+    scored = logreg_predict_ovr(df, model)
+    got = {
+        r["vec_id"]: (r["label_pred"], r["p_ovr"], r["cls"])
+        for r in scored.select("vec_id", "label_pred", "p_ovr", "cls").collect()
+    }
+    ok = True
+    correct = 0
+    for i, vid in enumerate(ids):
+        lab, p, true_cls = got[vid]
+        ok = ok and lab == want_lab[i]
+        ok = ok and np.allclose(p, P[i], atol=1e-12)
+        correct += lab == true_cls
+    acc = correct / len(ids)
+    record_opcheck(
+        "logreg_ovr", len(ids), bool(ok and acc > 0.8),
+        oracle="python-reference", value=float(acc),
+    )
+    assert ok
+    assert acc > 0.8
+
+
+def test_ovr_tie_break_and_null_guard(spark):
+    from data_export_tool_spark.operators.linear import logreg_predict_ovr
+
+    # identical weights for classes y and z → identical probabilities
+    # → the tie must break to the FIRST class in sorted order ("y")
+    model = {
+        "classes": ["x", "y", "z"],
+        "models": [
+            {"weights": [-1.0, 0.0], "intercept": 0.0},
+            {"weights": [1.0, 0.0], "intercept": 0.0},
+            {"weights": [1.0, 0.0], "intercept": 0.0},
+        ],
+    }
+    df = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, None), (3, [1.0, 2.0, 3.0])],
+        "vec_id long, embedding array<double>",
+    )
+    got = {
+        r["vec_id"]: (r["label_pred"], r["p_ovr"])
+        for r in logreg_predict_ovr(df, model).collect()
+    }
+    assert got[1][0] == "y"
+    assert got[2] == (None, None)
+    assert got[3] == (None, None)  # ragged dim
+
+    with pytest.raises(ValueError):
+        from data_export_tool_spark.operators.linear import logreg_fit_ovr
+
+        logreg_fit_ovr(
+            spark.createDataFrame(
+                [(1, [1.0], "only")], "id long, embedding array<double>, c string"
+            ),
+            "c",
+        )

@@ -1,0 +1,166 @@
+"""Binary-classifier evaluation at corpus scale: ROC-AUC and
+threshold sweeps.
+
+The train → score → evaluate loop (``linear.logreg_fit`` →
+``logreg_predict`` → here) needs its last step to work on the full
+scored corpus, where the textbook recipes fail: exact Mann-Whitney AUC
+ranks every row (a global sort), and per-threshold precision/recall
+tables window over the score order (a single-task window at continuous
+score cardinality).
+
+The scale shape instead: quantize scores onto a fixed ``bins`` grid —
+ONE map-side-combined groupBy producing ≤ bins+1 rows of (bin,
+positives, negatives) — then do every cumulative/trapezoid step as
+driver arithmetic over that bounded frame (the ``key_skew_report``
+report-operator pattern). The result equals the exact tie-averaged
+Mann-Whitney statistic computed on the QUANTIZED scores: binning is the
+only approximation, its resolution is the caller's ``bins`` knob, and
+when the model's scores already live on the grid (calibrated/bucketed
+scores — or ``bins`` ≥ their distinct count over a k/bins grid) the
+AUC is exact. The tests pin the lossless-grid case against an exact
+tie-averaged python oracle and the law auc(X) == auc(quantize(X)).
+
+Scores must be probabilities in [0, 1] (the ``logreg_predict``
+output); rows with NULL score or NULL/non-0/1 label are excluded and
+counted in the report. Ties within a bin contribute 0.5 — the standard
+tie-averaged rank convention, so a constant score yields AUC 0.5.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["binary_metrics", "threshold_table"]
+
+
+def _bin_counts(
+    df: DataFrame, label_col: str, score_col: str, bins: int
+):
+    """(bin → pos, neg) aggregate plus exclusion counts. One pass."""
+    if bins < 1:
+        raise ValueError(f"bins must be >= 1: {bins}")
+    lab = F.col(label_col).cast("double")
+    score = F.col(score_col).cast("double")
+    usable = (
+        lab.isin(0.0, 1.0)
+        & score.isNotNull()
+        & (score >= 0.0)
+        & (score <= 1.0)
+    )
+    tagged = df.select(
+        F.when(usable, lab).alias("__y"),
+        F.when(
+            usable, F.least(F.floor(score * bins).cast("int"), F.lit(bins - 1))
+        ).alias("__b"),
+    )
+    rows = (
+        tagged.groupBy("__b")
+        .agg(
+            F.sum(F.when(F.col("__y") == 1.0, 1).otherwise(0)).alias("pos"),
+            F.sum(F.when(F.col("__y") == 0.0, 1).otherwise(0)).alias("neg"),
+            F.count(F.lit(1)).alias("all_rows"),
+        )
+        .collect()
+    )
+    counts = {}
+    excluded = 0
+    for r in rows:
+        if r["__b"] is None:
+            excluded += r["all_rows"]
+        else:
+            counts[r["__b"]] = (r["pos"], r["neg"])
+    return counts, excluded
+
+
+def _auc_from_counts(counts: dict) -> tuple[float, int, int]:
+    n_pos = sum(p for p, _ in counts.values())
+    n_neg = sum(n for _, n in counts.values())
+    if n_pos == 0 or n_neg == 0:
+        return float("nan"), n_pos, n_neg
+    # ascending score: each bin's positives beat all negatives below
+    # and tie (0.5) with negatives in the same bin
+    neg_below = 0
+    u = 0.0
+    for b in sorted(counts):
+        p, n = counts[b]
+        u += p * (neg_below + 0.5 * n)
+        neg_below += n
+    return u / (n_pos * n_neg), n_pos, n_neg
+
+
+def binary_metrics(
+    df: DataFrame,
+    label_col: str = "y",
+    score_col: str = "p",
+    bins: int = 1000,
+) -> DataFrame:
+    """One-row evaluation report: ``auc`` (tie-averaged Mann-Whitney on
+    the ``bins``-quantized scores), ``n_pos``/``n_neg``,
+    ``n_excluded`` (NULL/out-of-range score or non-0/1 label),
+    ``base_rate``, and ``accuracy_at_half`` (threshold 0.5 — the
+    argmax decision :func:`linear.logreg_predict` consumers make)."""
+    counts, excluded = _bin_counts(df, label_col, score_col, bins)
+    auc, n_pos, n_neg = _auc_from_counts(counts)
+    half = bins // 2  # score >= 0.5 ⇔ bin >= bins/2 (grid-aligned)
+    tp = sum(p for b, (p, _) in counts.items() if b >= half)
+    tn = sum(n for b, (_, n) in counts.items() if b < half)
+    total = n_pos + n_neg
+    out = [
+        (
+            float(auc),
+            n_pos,
+            n_neg,
+            excluded,
+            (n_pos / total) if total else float("nan"),
+            ((tp + tn) / total) if total else float("nan"),
+        )
+    ]
+    return df.sparkSession.createDataFrame(
+        out,
+        "auc double, n_pos long, n_neg long, n_excluded long,"
+        " base_rate double, accuracy_at_half double",
+    )
+
+
+def threshold_table(
+    df: DataFrame,
+    label_col: str = "y",
+    score_col: str = "p",
+    bins: int = 100,
+) -> DataFrame:
+    """Per-threshold confusion sweep: one row per occupied bin edge
+    ``threshold = b/bins`` with the confusion counts and derived
+    precision / recall / fpr for the decision ``score >= threshold``
+    — the PR/ROC curve at ``bins`` resolution from the same single
+    aggregate, cumulated driver-side over ≤ bins rows. Rows descend by
+    threshold so recall is monotonically non-decreasing down the
+    table; precision of an empty prediction set is NULL."""
+    counts, _ = _bin_counts(df, label_col, score_col, bins)
+    n_pos = sum(p for p, _ in counts.values())
+    n_neg = sum(n for _, n in counts.values())
+    rows = []
+    tp = fp = 0
+    for b in sorted(counts, reverse=True):
+        p, n = counts[b]
+        tp += p
+        fp += n
+        fn = n_pos - tp
+        tn = n_neg - fp
+        rows.append(
+            (
+                b / bins,
+                tp,
+                fp,
+                fn,
+                tn,
+                (tp / (tp + fp)) if (tp + fp) else None,
+                (tp / n_pos) if n_pos else None,
+                (fp / n_neg) if n_neg else None,
+            )
+        )
+    return df.sparkSession.createDataFrame(
+        rows,
+        "threshold double, tp long, fp long, fn long, tn long,"
+        " precision double, recall double, fpr double",
+    )

@@ -657,6 +657,19 @@ def b51_ovr_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     return logreg_predict_ovr(emb, model).select("vec_id", "label_pred")
 
 
+def b52_classifier_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Threshold sweep + AUC over a corpus-sized scored frame — the
+    evaluate step of train/score/evaluate (one bounded-bin aggregate)."""
+    from data_export_tool_spark.operators.evalmetrics import threshold_table
+
+    docs = Catalog(spark, sf_dir).load("documents")
+    scored = docs.select(
+        (F.crc32(F.col("text")) % 2).cast("int").alias("y"),
+        ((F.crc32(F.col("text")) % 997) / 997.0).alias("p"),
+    )
+    return threshold_table(scored, "y", "p", bins=256)
+
+
 QUERIES = [
     QuerySpec("b01_funnel_conversion", b01_funnel_conversion, None),
     QuerySpec("b02_retention_weekly", b02_retention_weekly, None),
@@ -709,4 +722,5 @@ QUERIES = [
     QuerySpec("b49_kanon_release", b49_kanon_release, None),
     QuerySpec("b50_grouped_ridge", b50_grouped_ridge, None),
     QuerySpec("b51_ovr_classifier", b51_ovr_classifier, None),
+    QuerySpec("b52_classifier_eval", b52_classifier_eval, None),
 ]

@@ -293,3 +293,74 @@ def test_stress_transitions_hot_user(spark):
         ("x", "y"): 10_000,
     }
     assert got == want, got
+
+
+def test_stress_agg_store_hot_delta(spark):
+    """Partial-aggregate store at N rows / 1000 groups with one group
+    holding half the mass; a delta that touches 10 groups plus one
+    brand-new group. Law: the incremental fold EXACTLY equals a
+    from-scratch recompute over old ∪ delta (count/sum/min/max are
+    algebraic, so equality is exact, not approximate)."""
+    from data_export_tool_spark.operators.aggstore import (
+        agg_store_init,
+        agg_store_read,
+        agg_store_update,
+    )
+
+    old = spark.range(N).select(
+        F.when(F.col("id") % 2 == 0, 0)
+        .otherwise(F.col("id") % 1000)
+        .alias("grp"),
+        (F.col("id") % 10007).cast("double").alias("value"),
+    )
+    delta = spark.range(100_000).select(
+        F.when(F.col("id") % 11 == 10, 1000)  # brand-new group
+        .otherwise(F.col("id") % 10)
+        .alias("grp"),
+        (F.col("id") % 997 + 0.5).alias("value"),
+    )
+    aggs = {"value": ["sum", "min", "max", "avg"]}
+    updated = agg_store_read(
+        agg_store_update(agg_store_init(old, ["grp"], aggs), delta, ["grp"], aggs),
+        aggs,
+    )
+    full = agg_store_read(
+        agg_store_init(old.unionByName(delta), ["grp"], aggs), aggs
+    )
+    got = {r["grp"]: r for r in updated.collect()}
+    want = {r["grp"]: r for r in full.collect()}
+    # old contributes {0} ∪ odd residues (501 groups); the delta adds
+    # even single-digit groups and the brand-new 1000
+    assert set(got) == set(want)
+    assert len(got) > 500 and 1000 in got
+    for g, w in want.items():
+        r = got[g]
+        assert r["n_rows"] == w["n_rows"]
+        assert r["value_min"] == w["value_min"]
+        assert r["value_max"] == w["value_max"]
+        assert abs(r["value_sum"] - w["value_sum"]) < 1e-6 * max(1.0, abs(w["value_sum"]))
+        assert abs(r["value_avg"] - w["value_avg"]) < 1e-9 * max(1.0, abs(w["value_avg"]))
+
+
+def test_stress_ridge_exact_target_recovery(spark):
+    """Closed-form ridge at N rows, d=8 executor-generated features
+    with an exactly linear target: the distributed Gram pass must
+    recover the generating weights (closed-form law — tiny reg, zero
+    noise ⇒ weights match to high precision and R² ≈ 1)."""
+    from data_export_tool_spark.operators.linear import ridge_fit
+
+    feats = [((F.col("id") * (i + 3)) % 1009).cast("double") / 1009.0
+             for i in range(8)]
+    true_w = [2.0, -1.5, 0.75, 3.0, -0.25, 1.0, -2.0, 0.5]
+    target = F.lit(0.3)
+    for w_i, f in zip(true_w, feats):
+        target = target + F.lit(w_i) * f
+    df = spark.range(N).select(
+        F.array(*feats).alias("embedding"), target.alias("y")
+    )
+    model = ridge_fit(df, "y", reg=1e-9)
+    assert model["n"] == N
+    assert model["r2"] > 1 - 1e-9
+    for got, want in zip(model["weights"], true_w):
+        assert abs(got - want) < 1e-5
+    assert abs(model["intercept"] - 0.3) < 1e-5

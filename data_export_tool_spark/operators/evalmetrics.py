@@ -31,7 +31,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["binary_metrics", "threshold_table"]
+__all__ = [
+    "binary_metrics",
+    "threshold_table",
+    "fit_isotonic",
+    "apply_isotonic",
+]
 
 
 def _bin_counts(
@@ -163,4 +168,78 @@ def threshold_table(
         rows,
         "threshold double, tp long, fp long, fn long, tn long,"
         " precision double, recall double, fpr double",
+    )
+
+
+def fit_isotonic(
+    df: DataFrame,
+    label_col: str = "y",
+    score_col: str = "p",
+    bins: int = 1000,
+) -> dict:
+    """Isotonic probability calibration (pool-adjacent-violators) over
+    the same bounded bin frame the metrics use: bin the scores (ONE
+    map-side-combined groupBy, ≤ bins rows), run weighted PAV on the
+    per-bin positive rates driver-side (PAV is inherently sequential —
+    running it over the BIN frame instead of the row frame is what
+    makes it scale-safe), and return a stepwise-constant calibration
+    table.
+
+    Returns ``{"bins": bins, "values": [bins floats]}`` — calibrated
+    probability per score bin, monotone non-decreasing by
+    construction. Bins with no data inherit the calibrated value of
+    the nearest occupied bin to the LEFT (right for a leading gap):
+    isotonic regression defines values only at observed points, and
+    left-inheritance keeps the table a valid right-continuous step
+    function of the score. Exclusion rules match
+    :func:`binary_metrics`.
+    """
+    counts, _ = _bin_counts(df, label_col, score_col, bins)
+    if not counts:
+        raise ValueError("no usable (label, score) rows to calibrate on")
+    # weighted PAV over occupied bins in score order
+    blocks = []  # [sum_pos, weight, start_bin]
+    for b in sorted(counts):
+        p, n = counts[b]
+        blocks.append([float(p), float(p + n), b])
+        while len(blocks) > 1 and (
+            blocks[-2][0] * blocks[-1][1] >= blocks[-1][0] * blocks[-2][1]
+        ):  # prev_rate >= cur_rate → pool (cross-multiplied, no division)
+            s, w, _ = blocks.pop()
+            blocks[-1][0] += s
+            blocks[-1][1] += w
+    values = [None] * bins
+    for i, (s, w, start) in enumerate(blocks):
+        end = blocks[i + 1][2] if i + 1 < len(blocks) else bins
+        rate = s / w
+        for b in range(start, end):
+            values[b] = rate
+    first = next(v for v in values if v is not None)
+    for b in range(bins):  # leading gap inherits the first block
+        if values[b] is None:
+            values[b] = first
+        else:
+            break
+    return {"bins": bins, "values": values}
+
+
+def apply_isotonic(
+    df: DataFrame,
+    model: dict,
+    score_col: str = "p",
+    out_col: str = "p_cal",
+) -> DataFrame:
+    """Map scores through the fitted step table — a pure JVM
+    projection (``element_at`` on a ``bins``-sized literal array
+    indexed by the score's bin). NULL / out-of-range scores → NULL."""
+    bins = model["bins"]
+    vals = F.array(*[F.lit(float(v)) for v in model["values"]])
+    score = F.col(score_col).cast("double")
+    idx = F.least(F.floor(score * bins).cast("int"), F.lit(bins - 1)) + 1
+    return df.withColumn(
+        out_col,
+        F.when(
+            score.isNotNull() & (score >= 0.0) & (score <= 1.0),
+            F.element_at(vals, idx),
+        ),
     )

@@ -372,3 +372,62 @@ def pca_transform(
         F.col(vec_col).cast("array<double>"),
     )
     return df.withColumn(out_col, udf(guarded))
+
+
+def target_encode(
+    df: DataFrame,
+    cat_col: str,
+    label_col: str,
+    smoothing: float = 20.0,
+    out_col: str | None = None,
+    leave_one_out: bool = False,
+) -> DataFrame:
+    """Smoothed target (mean) encoding of a categorical column — the
+    feature-engineering staple for high-cardinality categories
+    (domain, source, language) that one-hot/hashing waste dimensions
+    on: ``enc(c) = (sum_c + m·prior) / (n_c + m)`` with ``m =
+    smoothing`` and ``prior`` the global label mean [Micci-Barreca
+    2001, SIGKDD Explorations].
+
+    ``leave_one_out=True`` excludes each row's OWN label from its
+    encoding — ``(sum_c − y, n_c − 1)`` before smoothing — the
+    standard leakage guard when encoding the same frame the model
+    trains on (a category's encoding must not memorize the row it
+    encodes; a singleton category degrades to the pure prior). Note
+    LOO still leaks under duplicated rows — split-level guards are
+    ``sampling.group_split``'s job.
+
+    Shape: one map-side-combined groupBy on the category (+ one
+    1-row global aggregate for the prior), joined back on the
+    category key — AQE broadcasts the aggregated side when small.
+    NULL categories form a real encoding group (ANSI GROUP BY);
+    NULL-label rows contribute to neither sums nor counts but still
+    receive the encoding. Output column: ``<cat_col>_te`` by default.
+    """
+    if smoothing < 0:
+        raise ValueError(f"smoothing must be >= 0: {smoothing}")
+    out = out_col or f"{cat_col}_te"
+    lab = F.col(label_col).cast("double")
+    prior_row = df.agg(F.avg(lab).alias("__prior")).collect()[0]
+    prior = prior_row["__prior"]
+    if prior is None:
+        raise ValueError("label column has no non-NULL values")
+    stats = df.groupBy(cat_col).agg(
+        F.sum(lab).alias("__s"), F.count(lab).alias("__n")
+    )
+    # a plain equi-join would orphan NULL-category rows — null-safe key
+    joined = df.alias("__l").join(
+        stats.alias("__r"),
+        F.col(f"__l.{cat_col}").eqNullSafe(F.col(f"__r.{cat_col}")),
+        "left",
+    ).select("__l.*", F.col("__r.__s").alias("__s"), F.col("__r.__n").alias("__n"))
+    s, n = F.col("__s"), F.col("__n")
+    if leave_one_out:
+        s = F.when(lab.isNotNull(), s - lab).otherwise(s)
+        n = F.when(lab.isNotNull(), n - 1).otherwise(n)
+    enc = (F.coalesce(s, F.lit(0.0)) + smoothing * prior) / (
+        F.coalesce(n, F.lit(0)) + smoothing
+    )
+    if smoothing == 0:
+        enc = F.when(F.coalesce(n, F.lit(0)) > 0, enc)  # 0/0 → NULL, not NaN
+    return joined.withColumn(out, enc).drop("__s", "__n")

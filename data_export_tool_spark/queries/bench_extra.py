@@ -670,6 +670,36 @@ def b52_classifier_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     return threshold_table(scored, "y", "p", bins=256)
 
 
+def b53_isotonic_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fit PAV calibration on a warped score column and map the corpus
+    through the step table (one bounded-bin aggregate + one JVM
+    projection)."""
+    from data_export_tool_spark.operators.evalmetrics import (
+        apply_isotonic,
+        fit_isotonic,
+    )
+
+    docs = Catalog(spark, sf_dir).load("documents")
+    scored = docs.select(
+        "doc_id",
+        (F.col("doc_id") % 3 == 0).cast("int").alias("y"),
+        F.pow((F.crc32(F.col("text")) % 997) / 997.0, 3.0).alias("p"),
+    )
+    model = fit_isotonic(scored, "y", "p", bins=256)
+    return apply_isotonic(scored, model, "p")
+
+
+def b54_target_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_export_tool_spark.operators.features import target_encode
+
+    docs = Catalog(spark, sf_dir).load("documents").withColumn(
+        "y", (F.col("doc_id") % 3 == 0).cast("int")
+    )
+    return target_encode(
+        docs, "source", "y", smoothing=20.0, leave_one_out=True
+    ).select("doc_id", "source_te")
+
+
 QUERIES = [
     QuerySpec("b01_funnel_conversion", b01_funnel_conversion, None),
     QuerySpec("b02_retention_weekly", b02_retention_weekly, None),
@@ -723,4 +753,6 @@ QUERIES = [
     QuerySpec("b50_grouped_ridge", b50_grouped_ridge, None),
     QuerySpec("b51_ovr_classifier", b51_ovr_classifier, None),
     QuerySpec("b52_classifier_eval", b52_classifier_eval, None),
+    QuerySpec("b53_isotonic_calibration", b53_isotonic_calibration, None),
+    QuerySpec("b54_target_encode", b54_target_encode, None),
 ]

@@ -131,3 +131,128 @@ def test_threshold_table_replays_confusions(spark, scored):
         "threshold_table", len(got), bool(ok), oracle="python-reference"
     )
     assert ok
+
+
+def _pav_reference(pairs):
+    """Independent PAV formulation: iterative re-averaging over
+    (rate, weight) lists until monotone. O(n²) but n ≤ bins."""
+    vals = [p / (p + n) for p, n in pairs]
+    wts = [float(p + n) for p, n in pairs]
+    changed = True
+    while changed:
+        changed = False
+        i = 0
+        while i < len(vals) - 1:
+            if vals[i] > vals[i + 1] + 1e-15:
+                w = wts[i] + wts[i + 1]
+                v = (vals[i] * wts[i] + vals[i + 1] * wts[i + 1]) / w
+                vals[i : i + 2] = [v]
+                wts[i : i + 2] = [w]
+                changed = True
+            else:
+                i += 1
+    return vals, wts
+
+
+def test_isotonic_matches_pav_reference(spark, scored):
+    from data_export_tool_spark.operators.evalmetrics import fit_isotonic
+
+    df, y, s = scored
+    model = fit_isotonic(df, "y", "p", bins=BINS)
+    vals = model["values"]
+    assert len(vals) == BINS
+    assert all(b >= a - 1e-15 for a, b in zip(vals, vals[1:]))  # monotone
+
+    # replay: bin counts in python, PAV by an independent formulation,
+    # expand blocks onto the occupied-bin grid
+    bins_idx = np.minimum(np.floor(s * BINS).astype(int), BINS - 1)
+    occupied = sorted(set(bins_idx))
+    pairs = [
+        (int(y[bins_idx == b].sum()), int((1 - y)[bins_idx == b].sum()))
+        for b in occupied
+    ]
+    ref_vals, ref_wts = _pav_reference(pairs)
+    # walk occupied bins through the reference blocks
+    want = {}
+    bi = 0
+    acc = 0.0
+    for v, w in zip(ref_vals, ref_wts):
+        remaining = w
+        while remaining > 1e-9:
+            b = occupied[bi]
+            p, n = pairs[bi]
+            want[b] = v
+            remaining -= p + n
+            bi += 1
+    ok = all(abs(vals[b] - want[b]) < 1e-12 for b in occupied)
+    record_opcheck(
+        "fit_isotonic", len(occupied), bool(ok), oracle="python-reference"
+    )
+    assert ok
+
+
+def test_isotonic_laws_and_apply(spark):
+    from data_export_tool_spark.operators.evalmetrics import (
+        apply_isotonic,
+        fit_isotonic,
+    )
+
+    # hand case: rates 0.8 then 0.2 (violation) pool to 0.5 everywhere
+    df = spark.createDataFrame(
+        [(1, 0.05), (1, 0.05), (0, 0.05), (1, 0.05), (1, 0.05),
+         (1, 0.9), (0, 0.9), (0, 0.9), (0, 0.9), (0, 0.9)],
+        "y int, p double",
+    )
+    m = fit_isotonic(df, "y", "p", bins=4)
+    assert all(abs(v - 0.5) < 1e-12 for v in m["values"])
+
+    # already-monotone rates stay untouched; gaps inherit leftward
+    df2 = spark.createDataFrame(
+        [(0, 0.1), (0, 0.1), (1, 0.9), (1, 0.9), (0, 0.9), (1, 0.95)],
+        "y int, p double",
+    )
+    m2 = fit_isotonic(df2, "y", "p", bins=20)
+    v = m2["values"]
+    assert v[2] == 0.0            # bin 2 rate 0/2
+    assert abs(v[18] - 2 / 3) < 1e-12
+    assert v[19] == 1.0
+    assert v[0] == v[1] == v[2]   # leading gap inherits first block
+    assert v[10] == v[2]          # interior gap inherits leftward
+
+    out = {
+        r["p"]: r["p_cal"]
+        for r in apply_isotonic(
+            spark.createDataFrame(
+                [(0.11,), (0.93,), (0.99,), (None,), (1.4,)], "p double"
+            ),
+            m2,
+        ).collect()
+    }
+    assert out[0.11] == v[2] and abs(out[0.93] - 2 / 3) < 1e-12
+    assert out[0.99] == 1.0
+    assert out[None] is None and out[1.4] is None
+
+
+def test_isotonic_never_hurts_brier(spark, scored):
+    """Identity is monotone, so the isotonic fit's weighted squared
+    error can only improve on the raw scores — a guarantee, not a
+    tendency. Miscalibrate the scores (cube them) and check."""
+    from data_export_tool_spark.operators.evalmetrics import (
+        apply_isotonic,
+        fit_isotonic,
+    )
+
+    df, y, s = scored
+    warped = df.withColumn("p", F.pow(F.col("p"), 3.0))
+    model = fit_isotonic(warped, "y", "p", bins=BINS)
+    cal = apply_isotonic(warped, model, "p")
+    row = cal.agg(
+        F.avg(F.pow(F.col("p") - F.col("y"), 2.0)).alias("brier_raw"),
+        F.avg(F.pow(F.col("p_cal") - F.col("y"), 2.0)).alias("brier_cal"),
+    ).collect()[0]
+    record_opcheck(
+        "apply_isotonic_brier", len(y),
+        bool(row["brier_cal"] <= row["brier_raw"] + 1e-12),
+        oracle="brier-improvement-law", value=float(row["brier_cal"]),
+    )
+    assert row["brier_cal"] <= row["brier_raw"] + 1e-12

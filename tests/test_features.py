@@ -264,3 +264,89 @@ def test_pca_null_and_validation(spark):
         pca_fit(df, k=0)
     with _pytest.raises(ValueError):
         pca_fit(df, k=5)  # exceeds dim 2
+
+
+def test_target_encode_matches_duckdb(spark, sf_dir):
+    import duckdb
+
+    from data_export_tool_spark.operators.features import target_encode
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").withColumn(
+        "y", (F.col("doc_id") % 3 == 0).cast("int")
+    )
+    M = 20.0
+    got = target_encode(docs, "source", "y", smoothing=M).select(
+        "doc_id", "source_te"
+    )
+    want = duckdb.sql(
+        f"""
+        WITH base AS (
+          SELECT doc_id, source, CAST(doc_id % 3 = 0 AS INT) AS y
+          FROM read_parquet('{sf_dir}/documents.parquet')
+        ), prior AS (SELECT AVG(y) p FROM base),
+        stats AS (SELECT source, SUM(y) s, COUNT(y) n FROM base GROUP BY 1)
+        SELECT b.doc_id,
+               (st.s + {M} * pr.p) / (st.n + {M}) AS source_te
+        FROM base b JOIN stats st USING (source) CROSS JOIN prior pr
+        """
+    ).df().set_index("doc_id")["source_te"]
+    rows = {r["doc_id"]: r["source_te"] for r in got.collect()}
+    ok = len(rows) == len(want) and all(
+        abs(rows[k] - want[k]) < 1e-12 for k in rows
+    )
+    record_opcheck("target_encode", len(rows), bool(ok))
+    assert ok
+
+
+def test_target_encode_loo_and_null_edges(spark):
+    from data_export_tool_spark.operators.features import target_encode
+
+    df = spark.createDataFrame(
+        [
+            (1, "a", 1.0), (2, "a", 0.0), (3, "a", 1.0),
+            (4, "b", 1.0),                 # singleton category
+            (5, None, 0.0), (6, None, 1.0),  # NULL category group
+            (7, "a", None),                # NULL label row
+        ],
+        "id long, cat string, y double",
+    )
+    prior = 4 / 6  # mean over non-NULL labels
+    m = 3.0
+    got = {
+        r["id"]: r["cat_te"]
+        for r in target_encode(df, "cat", "y", smoothing=m).collect()
+    }
+    assert abs(got[1] - (2 + m * prior) / (3 + m)) < 1e-12
+    assert abs(got[4] - (1 + m * prior) / (1 + m)) < 1e-12
+    assert abs(got[5] - (1 + m * prior) / (2 + m)) < 1e-12  # NULL cat real
+    assert abs(got[7] - (2 + m * prior) / (3 + m)) < 1e-12  # NULL label enc'd
+
+    loo = {
+        r["id"]: r["cat_te"]
+        for r in target_encode(
+            df, "cat", "y", smoothing=m, leave_one_out=True
+        ).collect()
+    }
+    assert abs(loo[1] - (1 + m * prior) / (2 + m)) < 1e-12  # own label out
+    assert abs(loo[2] - (2 + m * prior) / (2 + m)) < 1e-12
+    assert abs(loo[4] - (0 + m * prior) / (0 + m)) < 1e-12  # singleton→prior
+    assert abs(loo[4] - prior) < 1e-12
+    assert abs(loo[7] - (2 + m * prior) / (3 + m)) < 1e-12  # NULL label: full
+
+    # smoothing=0 LOO singleton → 0/0 → NULL, never NaN
+    z = {
+        r["id"]: r["cat_te"]
+        for r in target_encode(
+            df, "cat", "y", smoothing=0.0, leave_one_out=True
+        ).collect()
+    }
+    assert z[4] is None
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        target_encode(df, "cat", "y", smoothing=-1.0)
+    with _pytest.raises(ValueError):
+        target_encode(
+            df.where(F.col("y").isNull()), "cat", "y"
+        )

@@ -700,6 +700,44 @@ def b54_target_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", "source_te")
 
 
+def b55_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear-credit multi-touch attribution over the event stream
+    (per-user range join + one window over the candidate frame)."""
+    from data_export_tool_spark.operators.attribution import (
+        attribute_conversions,
+    )
+
+    ev = Catalog(spark, sf_dir).load("events")
+    return attribute_conversions(
+        ev.where(F.col("user_id").isNotNull() & F.col("ts").isNotNull()),
+        "purchase",
+        ["view", "click"],
+        model="linear",
+    )
+
+
+def b56_point_in_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-table leakage-safe feature assembly onto purchase labels."""
+    from data_export_tool_spark.operators.pit import point_in_time_join
+
+    ev = Catalog(spark, sf_dir).load("events").where(
+        F.col("user_id").isNotNull() & F.col("ts").isNotNull()
+    )
+    labels = ev.where(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "event_id"
+    )
+    vals = ev.where(F.col("value").isNotNull()).select(
+        "user_id", "ts", F.col("value").alias("v")
+    )
+    clicks = ev.where(F.col("event_type") == "click").select(
+        "user_id", "ts", F.lit(1).alias("one")
+    )
+    return point_in_time_join(
+        labels, {"val": vals, "clk": clicks}, on="user_id",
+        max_staleness="30 days",
+    )
+
+
 QUERIES = [
     QuerySpec("b01_funnel_conversion", b01_funnel_conversion, None),
     QuerySpec("b02_retention_weekly", b02_retention_weekly, None),
@@ -755,4 +793,6 @@ QUERIES = [
     QuerySpec("b52_classifier_eval", b52_classifier_eval, None),
     QuerySpec("b53_isotonic_calibration", b53_isotonic_calibration, None),
     QuerySpec("b54_target_encode", b54_target_encode, None),
+    QuerySpec("b55_attribution", b55_attribution, None),
+    QuerySpec("b56_point_in_time", b56_point_in_time, None),
 ]

@@ -50,25 +50,47 @@ def _window_occurrences(
 ) -> DataFrame:
     """(id, pos, whash) for every n-token window start. Tokens are
     staged as a real column first — a HOF lambda capturing the
-    split/filter subtree would re-evaluate it per element."""
+    split/filter subtree would re-evaluate it per element.
+
+    The window hash is a LEFT FOLD of ``xxhash64`` pairs over n
+    SHIFTED copies of the per-token hash array (themselves staged once
+    per doc): ``h = xx(xx(...xx(t_i, t_{i+1})..., t_{i+n-1})`` via
+    n−1 chained ``zip_with`` steps, each mixing two longs. Three
+    candidate shapes were measured at sf0.1:
+
+    - per-window ``xxhash64(concat_ws(slice(tokens)))`` (original):
+      rebuilds an ~n·avg_token-char string per window inside an
+      interpreted HOF — 4.8 s;
+    - per-window ``xxhash64(slice(token_hashes))``: still an O(n)
+      array alloc per window — ~4 s;
+    - sliding-frame ``collect_list`` window: 1.4 s but introduces a
+      token-grain shuffle by doc id the fold avoids — at corpus scale
+      that doubles the heaviest exchange;
+    - this fold: 1.6 s and ZERO shuffle (the whash groupBy remains the
+      plan's only token-grain exchange).
+
+    Window equality = ordered token-hash-sequence equality (the fold is
+    order-sensitive and boundary-free); collision class stays 64-bit.
+    Docs shorter than n yield an empty slice and emit nothing."""
     toks = df.select(F.col(id_col).alias("__id"), _tokens(text_col).alias("__t"))
-    # the start sequence must be TOTAL (empty for short docs), not
-    # guarded by a separate .where(): InferFiltersFromGenerate copies
-    # `size(transform(...)) > 0` into the scan-side Filter, where
-    # subexpression elimination evaluates the transform EAGERLY —
-    # before any short-circuit — and sequence(0, negative) descends
-    # through 0 into an invalid slice start
-    starts = F.when(
-        F.size("__t") >= n, F.sequence(F.lit(0), F.size("__t") - n)
-    ).otherwise(F.array().cast("array<int>"))
-    hashes = toks.select(
+    toks = toks.select(
         "__id",
-        F.transform(
-            starts,
-            lambda i: F.xxhash64(F.concat_ws("\x1f", F.slice("__t", i + 1, n))),
-        ).alias("__h"),
+        F.transform("__t", lambda x: F.xxhash64(x)).alias("__th"),
     )
-    return hashes.select("__id", F.posexplode("__h").alias("pos", "whash"))
+    n_win = F.greatest(F.size("__th") - (n - 1), F.lit(0))
+
+    def shifted(k: int):
+        return F.slice("__th", k + 1, n_win)
+
+    staged = toks.withColumn("__acc", shifted(0))
+    for k in range(1, n):
+        staged = staged.withColumn(
+            "__acc",
+            F.zip_with(
+                F.col("__acc"), shifted(k), lambda a, b: F.xxhash64(a, b)
+            ),
+        )
+    return staged.select("__id", F.posexplode("__acc").alias("pos", "whash"))
 
 
 def _merge_spans(flagged: DataFrame, n: int) -> DataFrame:
@@ -130,7 +152,10 @@ def duplicate_spans(
         flagged = flagged.where(
             ~((F.col("__id") == F.col("own_id")) & (F.col("pos") == F.col("own_pos")))
         )
-    spans = _merge_spans(flagged.select("__id", "pos").distinct(), n)
+    # (id, pos) is already unique: posexplode emits each start once and
+    # `dup` carries ONE row per whash, so the join cannot fan out — a
+    # distinct here would only add a full extra exchange
+    spans = _merge_spans(flagged.select("__id", "pos"), n)
     return spans.select(
         F.col("__id").alias(id_col),
         "span_start",

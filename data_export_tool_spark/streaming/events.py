@@ -920,3 +920,51 @@ def windowed_quantile_stream(
             ).alias("quantiles"),
         )
     )
+
+
+def scored_alert_stream(
+    events: DataFrame,
+    model: dict,
+    vec_col: str,
+    ts_col: str = "ts",
+    threshold: float = 0.8,
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Streaming model scoring + windowed alert aggregation: score each
+    event through a trained :func:`linear.logreg_fit` model (the same
+    codegen ``zip_with`` dot product batch scoring uses — scoring is a
+    stateless projection, so it streams for free) and aggregate per
+    tumbling event-time window: row count, count of scores >=
+    ``threshold``, flagged share, and mean score — the
+    "quality-degradation alarm" a curation pipeline hangs on its intake
+    stream. State is one aggregate row per open window; the watermark
+    closes windows and bounds it.
+
+    The batch twin is the identical expression over the same files —
+    scoring is deterministic and the aggregate is algebraic, so
+    stream/batch equality is exact (STREAMPARITY ``model_scored_windows``).
+    """
+    from data_export_tool_spark.operators.linear import logreg_predict
+
+    scored = logreg_predict(events, model, vec_col, "__p")
+    flagged = F.when(F.col("__p") >= threshold, 1).otherwise(0)
+    return (
+        scored.withWatermark(ts_col, watermark)
+        .groupBy(F.window(F.col(ts_col), window).alias("win"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(flagged).alias("n_flagged"),
+            F.avg(flagged.cast("double")).alias("flagged_share"),
+            F.avg("__p").alias("mean_score"),
+        )
+        .select(
+            F.date_format(F.col("win.start"), "yyyy-MM-dd HH:mm").alias(
+                "window_start"
+            ),
+            "n_events",
+            "n_flagged",
+            "flagged_share",
+            "mean_score",
+        )
+    )

@@ -961,3 +961,89 @@ def test_windowed_quantile_stream_bounds(spark, sf_dir, event_drop_dir):
             checked += 1
     record_stream_parity("windowed_quantiles", checked, ok)
     assert ok
+
+
+def test_scored_alert_stream_matches_batch(spark, sf_dir, event_drop_dir):
+    """Twin #16: logreg scoring is a stateless codegen projection and
+    the windowed alert aggregate is algebraic, so the streaming result
+    must EXACTLY equal the identical batch expression over the same
+    restaged files — model trained once on the batch frame, shared by
+    both sides."""
+    from data_export_tool_spark.operators.linear import (
+        logreg_fit,
+        logreg_predict,
+    )
+    from data_export_tool_spark.streaming.events import scored_alert_stream
+
+    def featurize(df):
+        return df.withColumn(
+            "fv",
+            F.array(
+                F.coalesce(F.col("value"), F.lit(0.0)) / 100.0,
+                (F.coalesce(F.col("user_id"), F.lit(0)) % 7).cast("double")
+                / 7.0,
+                F.hour("ts").cast("double") / 24.0,
+            ),
+        ).withColumn(
+            "y", (F.col("event_type") == "error").cast("int")
+        )
+
+    batch = featurize(normalize_event_times(spark.read.parquet(event_drop_dir)))
+    model = logreg_fit(batch, "y", "fv", iters=4, tol=0.0)
+
+    stream = read_events_stream(spark, event_drop_dir, max_files_per_trigger=2)
+    agg = scored_alert_stream(
+        featurize(stream), model, "fv", threshold=0.3
+    )
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("scored_alert_test")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        r["window_start"]: (
+            r["n_events"],
+            r["n_flagged"],
+            round(r["flagged_share"], 9),
+            round(r["mean_score"], 9),
+        )
+        for r in spark.sql("SELECT * FROM scored_alert_test").collect()
+    }
+
+    scored = logreg_predict(batch, model, "fv", "__p")
+    flagged = F.when(F.col("__p") >= 0.3, 1).otherwise(0)
+    expected = {
+        r["window_start"]: (
+            r["n_events"],
+            r["n_flagged"],
+            round(r["flagged_share"], 9),
+            round(r["mean_score"], 9),
+        )
+        for r in scored.groupBy(
+            F.window(F.col("ts"), "1 hour").alias("win")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(flagged).alias("n_flagged"),
+            F.avg(flagged.cast("double")).alias("flagged_share"),
+            F.avg("__p").alias("mean_score"),
+        )
+        .select(
+            F.date_format(F.col("win.start"), "yyyy-MM-dd HH:mm").alias(
+                "window_start"
+            ),
+            "n_events",
+            "n_flagged",
+            "flagged_share",
+            "mean_score",
+        )
+        .collect()
+    }
+    record_stream_parity(
+        "model_scored_windows", len(expected), got == expected
+    )
+    assert got == expected
+    assert len(got) > 0

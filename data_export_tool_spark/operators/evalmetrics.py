@@ -33,6 +33,7 @@ from pyspark.sql import functions as F
 
 __all__ = [
     "binary_metrics",
+    "binary_metrics_grouped",
     "threshold_table",
     "fit_isotonic",
     "apply_isotonic",
@@ -242,4 +243,99 @@ def apply_isotonic(
             score.isNotNull() & (score >= 0.0) & (score <= 1.0),
             F.element_at(vals, idx),
         ),
+    )
+
+
+def binary_metrics_grouped(
+    df: DataFrame,
+    by: str | list,
+    label_col: str = "y",
+    score_col: str = "p",
+    bins: int = 1000,
+) -> DataFrame:
+    """Per-segment :func:`binary_metrics` (per language, per source,
+    per experiment arm) with NO driver materialization at any group
+    count: one (group, bin) aggregate — ≤ ``bins`` rows per group —
+    then the cumulative Mann-Whitney sum as a window over THAT frame
+    (partitions are bins-bounded by construction, so the window is
+    safe where a row-grain score window would not be), and one final
+    per-group aggregate. Same quantization/exclusion contract as the
+    ungrouped report.
+
+    Returns one row per group: ``(by..., auc, n_pos, n_neg,
+    n_excluded, base_rate, accuracy_at_half)``; a group with only one
+    class gets NULL auc. NULL group keys are real groups.
+    """
+    from pyspark.sql import Window
+
+    if bins < 1:
+        raise ValueError(f"bins must be >= 1: {bins}")
+    grp = [by] if isinstance(by, str) else list(by)
+    lab = F.col(label_col).cast("double")
+    score = F.col(score_col).cast("double")
+    usable = (
+        lab.isin(0.0, 1.0)
+        & score.isNotNull()
+        & (score >= 0.0)
+        & (score <= 1.0)
+    )
+    tagged = df.select(
+        *grp,
+        F.when(usable, lab).alias("__y"),
+        F.when(
+            usable, F.least(F.floor(score * bins).cast("int"), F.lit(bins - 1))
+        ).alias("__b"),
+    )
+    binned = tagged.groupBy(*grp, "__b").agg(
+        F.sum(F.when(F.col("__y") == 1.0, 1).otherwise(0)).alias("pos"),
+        F.sum(F.when(F.col("__y") == 0.0, 1).otherwise(0)).alias("neg"),
+        F.count(F.lit(1)).alias("all_rows"),
+    )
+    # the excluded-row bin (__b NULL) sorts first under the default
+    # asc_nulls_first and carries pos=neg=0, so it rides the SAME
+    # window + aggregate without disturbing the cumulative sums — no
+    # separate excluded frame, no join, and a NULL group key stays one
+    # row (an equi-join would have split it)
+    w = (
+        Window.partitionBy(*grp)
+        .orderBy("__b")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    scored_bins = binned.withColumn(
+        "__negbelow", F.coalesce(F.sum("neg").over(w), F.lit(0))
+    )
+    half = bins // 2
+    total = F.col("n_pos") + F.col("n_neg")
+    return (
+        scored_bins.groupBy(*grp)
+        .agg(
+            F.sum(
+                F.col("pos") * (F.col("__negbelow") + 0.5 * F.col("neg"))
+            ).alias("__u"),
+            F.sum("pos").alias("n_pos"),
+            F.sum("neg").alias("n_neg"),
+            F.sum(
+                F.when(F.col("__b").isNull(), F.col("all_rows")).otherwise(0)
+            ).alias("n_excluded"),
+            F.sum(
+                F.when(F.col("__b") >= half, F.col("pos")).otherwise(0)
+            ).alias("__tp"),
+            F.sum(
+                F.when(F.col("__b") < half, F.col("neg")).otherwise(0)
+            ).alias("__tn"),
+        )
+        .select(
+            *grp,
+            F.when(
+                (F.col("n_pos") > 0) & (F.col("n_neg") > 0),
+                F.col("__u") / (F.col("n_pos") * F.col("n_neg")),
+            ).alias("auc"),
+            "n_pos",
+            "n_neg",
+            "n_excluded",
+            F.when(total > 0, F.col("n_pos") / total).alias("base_rate"),
+            F.when(total > 0, (F.col("__tp") + F.col("__tn")) / total).alias(
+                "accuracy_at_half"
+            ),
+        )
     )

@@ -738,6 +738,22 @@ def b56_point_in_time(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def b57_grouped_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language AUC/accuracy report — the (group, bin) aggregate +
+    bounded window shape, no driver collect."""
+    from data_export_tool_spark.operators.evalmetrics import (
+        binary_metrics_grouped,
+    )
+
+    docs = Catalog(spark, sf_dir).load("documents")
+    scored = docs.select(
+        "lang",
+        (F.col("doc_id") % 3 == 0).cast("int").alias("y"),
+        ((F.crc32(F.col("text")) % 997) / 997.0).alias("p"),
+    )
+    return binary_metrics_grouped(scored, "lang", bins=256)
+
+
 QUERIES = [
     QuerySpec("b01_funnel_conversion", b01_funnel_conversion, None),
     QuerySpec("b02_retention_weekly", b02_retention_weekly, None),
@@ -795,4 +811,5 @@ QUERIES = [
     QuerySpec("b54_target_encode", b54_target_encode, None),
     QuerySpec("b55_attribution", b55_attribution, None),
     QuerySpec("b56_point_in_time", b56_point_in_time, None),
+    QuerySpec("b57_grouped_eval", b57_grouped_eval, None),
 ]

@@ -256,3 +256,66 @@ def test_isotonic_never_hurts_brier(spark, scored):
         oracle="brier-improvement-law", value=float(row["brier_cal"]),
     )
     assert row["brier_cal"] <= row["brier_raw"] + 1e-12
+
+
+def test_grouped_metrics_match_per_group_oracle(spark):
+    from data_export_tool_spark.operators.evalmetrics import (
+        binary_metrics_grouped,
+    )
+
+    rng = np.random.RandomState(23)
+    n = 3000
+    groups = np.array(["en", "es", "de", None], dtype=object)[
+        rng.randint(0, 4, n)
+    ]
+    y = (rng.rand(n) < 0.45).astype(int)
+    s = np.round(np.clip(0.5 * y + 0.5 * rng.rand(n), 0, 0.999) * BINS) / BINS
+    # poison a few rows per contract: excluded but group-attributed
+    y2 = y.astype(object)
+    y2[0] = 5
+    s2 = s.astype(object)
+    s2[1] = None
+    df = spark.createDataFrame(
+        [
+            (g, int(a) if a is not None and a != 5 else a, b)
+            for g, a, b in zip(groups, y2, s2)
+        ],
+        "lang string, y int, p double",
+    )
+    got = {
+        r["lang"]: r
+        for r in binary_metrics_grouped(df, "lang", bins=BINS).collect()
+    }
+    assert set(got) == {"en", "es", "de", None}
+    ok = True
+    for g in got:
+        mask = np.array(
+            [(gg == g) if g is not None else (gg is None) for gg in groups]
+        )
+        usable = mask & np.array(
+            [(a in (0, 1)) and (b is not None) for a, b in zip(y2, s2)]
+        )
+        yy = y[usable]
+        ss = s[usable]
+        r = got[g]
+        ok = ok and abs(r["auc"] - _exact_auc(yy, ss)) < 1e-12
+        ok = ok and r["n_pos"] == int(yy.sum())
+        ok = ok and r["n_neg"] == int((1 - yy).sum())
+        ok = ok and r["n_excluded"] == int(mask.sum() - usable.sum())
+        ok = ok and abs(
+            r["accuracy_at_half"] - float(((ss >= 0.5) == yy).mean())
+        ) < 1e-12
+    record_opcheck(
+        "binary_metrics_grouped", len(got), bool(ok),
+        oracle="python-reference",
+    )
+    assert ok
+
+    # one-class group → NULL auc but real counts
+    oc = spark.createDataFrame(
+        [("a", 1, 0.2), ("a", 1, 0.9), ("b", 1, 0.3), ("b", 0, 0.6)],
+        "g string, y int, p double",
+    )
+    rows = {r["g"]: r for r in binary_metrics_grouped(oc, "g", bins=8).collect()}
+    assert rows["a"]["auc"] is None and rows["a"]["n_pos"] == 2
+    assert rows["b"]["auc"] is not None

@@ -431,3 +431,65 @@ def target_encode(
     if smoothing == 0:
         enc = F.when(F.coalesce(n, F.lit(0)) > 0, enc)  # 0/0 → NULL, not NaN
     return joined.withColumn(out, enc).drop("__s", "__n")
+
+
+def random_projection(
+    df: DataFrame,
+    out_dim: int,
+    vec_col: str = "embedding",
+    out_col: str = "rp",
+    seed: int = 7,
+    density: float = 1.0 / 3.0,
+) -> DataFrame:
+    """Johnson-Lindenstrauss sparse random projection (Achlioptas
+    2003): project ``array<float>`` vectors to ``out_dim`` with the
+    ±sqrt(1/(density·k)) / 0 matrix — pairwise distances preserved in
+    expectation with no FIT PASS at all, the cheap alternative to
+    :func:`pca_fit` when a corpus scan for moments is not worth it
+    (one-off triage, pre-LSH compaction).
+
+    The matrix is generated from ``numpy.RandomState(seed)`` at PLAN
+    time (out_dim × d floats ride the closure, like the PCA model) —
+    deterministic and replayable by construction. One Arrow batch pass,
+    no shuffle; NULL/empty vectors → NULL. The input dimension is read
+    from the first row.
+    """
+    import numpy as np
+    import pandas as pd
+
+    if out_dim < 1:
+        raise ValueError(f"out_dim must be >= 1: {out_dim}")
+    if not 0 < density <= 1:
+        raise ValueError(f"density must be in (0, 1]: {density}")
+    first = (
+        df.select(F.size(vec_col).alias("d"))
+        .where(F.col(vec_col).isNotNull() & (F.size(vec_col) > 0))
+        .limit(1)
+        .collect()
+    )
+    if not first:
+        raise ValueError("no usable vectors to infer input dim from")
+    d = first[0]["d"]
+    rng = np.random.RandomState(seed)
+    signs = rng.choice([-1.0, 0.0, 1.0], size=(out_dim, d),
+                       p=[density / 2, 1 - density, density / 2])
+    R = signs / np.sqrt(density * out_dim)
+
+    def _proj(vs):
+        vals = vs.to_numpy(dtype=object)
+        out = [None] * len(vals)
+        idx = [i for i, v in enumerate(vals) if v is not None]
+        if idx:
+            X = np.array([np.asarray(vals[i], dtype="float64") for i in idx])
+            Y = X @ R.T
+            for j, i in enumerate(idx):
+                out[i] = Y[j].tolist()
+        return pd.Series(out, dtype="object")
+
+    _proj.__annotations__ = {"vs": pd.Series, "return": pd.Series}
+    udf = F.pandas_udf(_proj, ArrayType(DoubleType()))
+    guarded = F.when(
+        F.col(vec_col).isNotNull() & (F.size(vec_col) == d),
+        F.col(vec_col).cast("array<double>"),
+    )
+    return df.withColumn(out_col, udf(guarded))

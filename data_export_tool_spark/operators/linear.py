@@ -68,17 +68,27 @@ _Z_CLIP = 35.0  # sigmoid argument clamp; exp(±35) saturates a double safely
 def _vec_base(
     df: DataFrame, label_col: str, vec_col: str, binary: bool
 ) -> DataFrame:
+    """Label filtering happens JVM-side; NULL/empty VECTORS are dropped
+    inside the Arrow partials instead (``_valid_rows``). The vector
+    column is often itself a pandas-UDF product (hashed_embedding over
+    a joined/CASE-built text column), and a predicate on it can be
+    fused by Catalyst into an upstream join condition, where Python
+    UDFs cannot evaluate ([INTERNAL_ERROR] Cannot generate code) — so
+    the fit must never put the vector column in a WHERE."""
     lab = F.col(label_col).cast("double")
-    cond = (
-        F.col(vec_col).isNotNull()
-        & (F.size(vec_col) > 0)
-        & lab.isNotNull()
-    )
+    cond = lab.isNotNull()
     if binary:
         cond = cond & lab.isin(0.0, 1.0)
     return df.where(cond).select(
         F.col(vec_col).cast("array<double>").alias("__v"), lab.alias("__y")
     )
+
+
+def _valid_rows(pdf):
+    """Arrow-side twin of the old vector predicate: keep rows whose
+    vector is non-NULL and non-empty."""
+    mask = pdf["__v"].map(lambda v: v is not None and len(v) > 0)
+    return pdf[mask]
 
 
 def ridge_fit(
@@ -108,6 +118,7 @@ def ridge_fit(
         import pandas as pd
 
         for pdf in batches:
+            pdf = _valid_rows(pdf)
             if len(pdf) == 0:
                 continue
             X = _as_matrix(pdf["__v"])
@@ -178,8 +189,12 @@ def logreg_fit(
         raise ValueError(f"iters must be >= 1: {iters}")
     base = _vec_base(df, label_col, vec_col, binary=True).persist()
     try:
-        first = base.select(F.size("__v").alias("d")).limit(1).collect()
-        if not first:
+        # dim via an aggregate, never a filter: a predicate on a
+        # pandas-UDF vector column can fuse into a join condition
+        first = base.agg(
+            F.max(F.when(F.size("__v") > 0, F.size("__v"))).alias("d")
+        ).collect()
+        if not first or first[0]["d"] is None:
             raise ValueError("no usable (vector, 0/1-label) rows to fit on")
         d = first[0]["d"]
         sc = df.sparkSession.sparkContext
@@ -194,6 +209,7 @@ def logreg_fit(
 
                 wv = b_w.value
                 for pdf in batches:
+                    pdf = _valid_rows(pdf)
                     if len(pdf) == 0:
                         continue
                     X = _as_matrix(pdf["__v"])
@@ -319,9 +335,7 @@ def ridge_fit_grouped(
     if reg < 0:
         raise ValueError(f"reg must be >= 0: {reg}")
     lab = F.col(label_col).cast("double")
-    base = df.where(
-        F.col(vec_col).isNotNull() & (F.size(vec_col) > 0) & lab.isNotNull()
-    ).select(
+    base = df.where(lab.isNotNull()).select(
         F.col(by).cast("string").alias("__g"),
         F.col(vec_col).cast("array<double>").alias("__v"),
         lab.alias("__y"),
@@ -331,6 +345,9 @@ def ridge_fit_grouped(
         import pandas as pd
 
         for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            pdf = _valid_rows(pdf)
             if len(pdf) == 0:
                 continue
             out = []

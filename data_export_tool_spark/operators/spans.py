@@ -192,13 +192,28 @@ def strip_duplicate_spans(
         F.collect_list(F.struct("span_start", "span_end")).alias("__spans")
     )
     out = df.join(per_doc, id_col, "left")
+    # token-keep test via array_contains over a STAGED covered-position
+    # column, not exists() over the span structs: the natural
+    # two-arg-lambda + exists(i >= start & i < end) form — where the
+    # outer index variable is referenced twice inside the nested
+    # lambda — trips a Spark codegen/interpreter fallback bug when the
+    # resulting text later feeds a pandas UDF whose consumer is
+    # filtered ([INTERNAL_ERROR] Cannot evaluate expression:
+    # pythonUDF(...)); a single reference to the index is safe, and
+    # staging __covered as a column keeps the flatten/transform from
+    # re-evaluating per token (the HOF-capture-recompute rule)
+    out = out.withColumn(
+        "__covered",
+        F.flatten(
+            F.transform(
+                F.col("__spans"),
+                lambda s: F.sequence(s["span_start"], s["span_end"] - 1),
+            )
+        ),
+    )
     toks = _tokens(text_col)
     kept = F.filter(
-        toks,
-        lambda x, i: ~F.exists(
-            F.col("__spans"),
-            lambda s: (i >= s["span_start"]) & (i < s["span_end"]),
-        ),
+        toks, lambda x, i: ~F.array_contains(F.col("__covered"), i)
     )
     removed = F.size(toks) - F.size(kept)
     return out.select(

@@ -754,6 +754,40 @@ def b57_grouped_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     return binary_metrics_grouped(scored, "lang", bins=256)
 
 
+def b58_curation_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end curation composing the round-6 pieces: passage-level
+    span strip -> hashed features -> trained quality classifier ->
+    calibrated score filter -> k-anonymity release suppression."""
+    from data_export_tool_spark.operators.evalmetrics import (
+        apply_isotonic,
+        fit_isotonic,
+    )
+    from data_export_tool_spark.operators.features import hashed_embedding
+    from data_export_tool_spark.operators.linear import logreg_fit, logreg_predict
+    from data_export_tool_spark.operators.privacy import suppress_small_classes
+    from data_export_tool_spark.operators.spans import strip_duplicate_spans
+
+    docs = Catalog(spark, sf_dir).load("documents")
+    stripped = strip_duplicate_spans(docs, n=8)
+    feats = hashed_embedding(stripped, dim=32)
+    labeled = feats.withColumn(
+        "y", (F.size(F.split(F.col("text"), r"\s+")) > 60).cast("int")
+    )
+    model = logreg_fit(labeled, "y", iters=3, tol=0.0)
+    scored = logreg_predict(labeled, model)
+    cal = fit_isotonic(scored, "y", "p", bins=256)
+    calibrated = apply_isotonic(scored, cal, "p")
+    kept = calibrated.where(F.col("p_cal") >= 0.3).drop("embedding", "y")
+    return suppress_small_classes(kept, ["lang", "source"], k=5)
+
+
+def b59_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_export_tool_spark.operators.features import random_projection
+
+    emb = Catalog(spark, sf_dir).load("embeddings")
+    return random_projection(emb, out_dim=16).select("vec_id", "rp")
+
+
 QUERIES = [
     QuerySpec("b01_funnel_conversion", b01_funnel_conversion, None),
     QuerySpec("b02_retention_weekly", b02_retention_weekly, None),
@@ -812,4 +846,6 @@ QUERIES = [
     QuerySpec("b55_attribution", b55_attribution, None),
     QuerySpec("b56_point_in_time", b56_point_in_time, None),
     QuerySpec("b57_grouped_eval", b57_grouped_eval, None),
+    QuerySpec("b58_curation_v2", b58_curation_v2, None),
+    QuerySpec("b59_random_projection", b59_random_projection, None),
 ]

@@ -350,3 +350,56 @@ def test_target_encode_loo_and_null_edges(spark):
         target_encode(
             df.where(F.col("y").isNull()), "cat", "y"
         )
+
+
+def test_random_projection_replay_and_jl_law(spark, sf_dir):
+    import numpy as np
+
+    from data_export_tool_spark.operators.features import random_projection
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    out = random_projection(emb, out_dim=32, seed=7)
+    got = {r["vec_id"]: np.array(r["rp"]) for r in out.select("vec_id", "rp").collect()}
+
+    X = {r["vec_id"]: np.array(r["embedding"], dtype="float64") for r in emb.collect()}
+    d = len(next(iter(X.values())))
+    rng = np.random.RandomState(7)
+    signs = rng.choice([-1.0, 0.0, 1.0], size=(32, d), p=[1/6, 2/3, 1/6])
+    R = signs / np.sqrt((1/3) * 32)
+    ok = all(np.allclose(got[k], X[k] @ R.T, atol=1e-9) for k in got)
+    # JL law: pairwise squared distances preserved on average (sample
+    # the first 40 ids deterministically)
+    ids = sorted(X)[:40]
+    ratios = []
+    for i in range(len(ids)):
+        for j in range(i + 1, len(ids)):
+            a, b = ids[i], ids[j]
+            d0 = float(((X[a] - X[b]) ** 2).sum())
+            d1 = float(((got[a] - got[b]) ** 2).sum())
+            if d0 > 0:
+                ratios.append(d1 / d0)
+    mean_ratio = sum(ratios) / len(ratios)
+    ok = ok and abs(mean_ratio - 1.0) < 0.1
+    record_opcheck(
+        "random_projection", len(got), bool(ok),
+        oracle="python-reference", value=float(mean_ratio),
+    )
+    assert ok
+
+
+def test_random_projection_guards(spark):
+    import pytest as _pytest
+
+    from data_export_tool_spark.operators.features import random_projection
+
+    df = spark.createDataFrame(
+        [(1, [1.0, 2.0]), (2, None), (3, [1.0])],  # id 3: ragged dim
+        "vec_id long, embedding array<double>",
+    )
+    got = {r["vec_id"]: r["rp"] for r in random_projection(df, 4).collect()}
+    assert got[1] is not None and len(got[1]) == 4
+    assert got[2] is None and got[3] is None
+    with _pytest.raises(ValueError):
+        random_projection(df, 0)
+    with _pytest.raises(ValueError):
+        random_projection(df.where("vec_id = 2"), 4)

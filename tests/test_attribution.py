@@ -159,3 +159,18 @@ def test_attribution_boundaries_and_edges(spark):
         attribute_conversions(df, CONV, [])
     with pytest.raises(ValueError):
         attribute_conversions(df, CONV, [CONV])
+
+
+def test_attribution_plan_has_no_cartesian(spark, sf_dir):
+    """The candidate stage must be the per-user equi+range join —
+    never a cartesian."""
+    from data_export_tool_spark.catalog import Catalog
+
+    ev = Catalog(spark, sf_dir).load("events")
+    plan = (
+        attribute_conversions(ev, CONV, TOUCHES, model="linear")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "CartesianProduct" not in plan
+    # a nested-loop join would mean the user equi-key was not used
+    assert "BroadcastNestedLoopJoin" not in plan

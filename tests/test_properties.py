@@ -515,3 +515,147 @@ def test_fuzzy_pairs_match_python_quadratic(spark, names, d):
         if i < j and _py_lev(a, b) <= d
     }
     assert got == want, (names, d)
+
+
+# --- agg store merge law under random splits --------------------------------
+
+_rows = st.lists(
+    st.tuples(
+        st.integers(0, 4),                               # group
+        st.one_of(st.none(), st.floats(-100, 100)),      # value
+        st.booleans(),                                   # goes to delta?
+    ),
+    min_size=1,
+    max_size=20,
+)
+
+
+@SLOW
+@given(_rows)
+def test_agg_store_update_equals_recompute(spark, rows):
+    """update(init(old), delta) == init(old ∪ delta) for every split of
+    every frame — count/sum/min/max are algebraic, so equality is exact
+    (modulo float sum order, pinned at 1e-9)."""
+    from data_export_tool_spark.operators.aggstore import (
+        agg_store_init,
+        agg_store_read,
+        agg_store_update,
+    )
+
+    aggs = {"v": ["sum", "min", "max", "avg"]}
+    df = spark.createDataFrame(
+        [(g, v) for g, v, _ in rows], "g int, v double"
+    )
+    old = spark.createDataFrame(
+        [(g, v) for g, v, d in rows if not d] or [(999, None)],
+        "g int, v double",
+    )
+    delta = spark.createDataFrame(
+        [(g, v) for g, v, d in rows if d] or [(999, None)],
+        "g int, v double",
+    )
+    keys = ["g"]
+    got = {
+        r["g"]: r
+        for r in agg_store_read(
+            agg_store_update(agg_store_init(old, keys, aggs), delta, keys, aggs),
+            aggs,
+        ).collect()
+    }
+    want = {
+        r["g"]: r
+        for r in agg_store_read(
+            agg_store_init(old.unionByName(delta), keys, aggs), aggs
+        ).collect()
+    }
+    assert set(got) == set(want)
+    for g in want:
+        for c in ("n_rows", "v_min", "v_max"):
+            assert got[g][c] == want[g][c]
+        for c in ("v_sum", "v_avg"):
+            a, b = got[g][c], want[g][c]
+            assert (a is None) == (b is None)
+            if a is not None:
+                assert abs(a - b) < 1e-9 * max(1.0, abs(b))
+
+
+# --- isotonic calibration laws under random scored frames -------------------
+
+_scored = st.lists(
+    st.tuples(st.integers(0, 1), st.integers(0, 15)),  # (label, score grid /16)
+    min_size=2,
+    max_size=40,
+)
+
+
+@SLOW
+@given(_scored)
+def test_isotonic_monotone_and_never_hurts_brier(spark, pairs):
+    """For ANY scored frame: the fitted table is monotone, and the
+    calibrated Brier never exceeds the raw Brier (identity is in the
+    hypothesis class of the isotonic least-squares fit)."""
+    from data_export_tool_spark.operators.evalmetrics import (
+        apply_isotonic,
+        fit_isotonic,
+    )
+
+    df = spark.createDataFrame(
+        [(y, b / 16.0) for y, b in pairs], "y int, p double"
+    )
+    model = fit_isotonic(df, "y", "p", bins=16)
+    v = model["values"]
+    assert all(b >= a - 1e-15 for a, b in zip(v, v[1:]))
+    row = apply_isotonic(df, model, "p").agg(
+        F.avg(F.pow(F.col("p") - F.col("y"), 2.0)).alias("raw"),
+        F.avg(F.pow(F.col("p_cal") - F.col("y"), 2.0)).alias("cal"),
+    ).collect()[0]
+    assert row["cal"] <= row["raw"] + 1e-12
+
+
+# --- attribution credit conservation under random event streams -------------
+
+_events = st.lists(
+    st.tuples(
+        st.integers(1, 3),                        # user
+        st.integers(0, 20),                       # ts offset (hours)
+        st.sampled_from(["view", "click", "purchase"]),
+    ),
+    min_size=1,
+    max_size=25,
+)
+
+
+@SLOW
+@given(_events, st.sampled_from(["last", "first", "linear", "position"]))
+def test_attribution_credit_conservation(spark, events, model):
+    """Every attributed conversion's weights sum to exactly 1 under
+    every model and every event stream; unattributed conversions carry
+    NULL weight; no touch is credited outside its window."""
+    import datetime as dt
+
+    from data_export_tool_spark.operators.attribution import (
+        attribute_conversions,
+    )
+
+    t0 = dt.datetime(2024, 6, 1)
+    df = spark.createDataFrame(
+        [
+            (u, t0 + dt.timedelta(hours=h), t)
+            for u, h, t in events
+        ],
+        "user_id long, ts timestamp, event_type string",
+    )
+    out = attribute_conversions(
+        df, "purchase", ["view", "click"], model=model, lookback="6 hours"
+    ).collect()
+    by_conv = {}
+    for r in out:
+        by_conv.setdefault((r["user"], r["conv_ts"]), []).append(r)
+    for (u, cts), rs in by_conv.items():
+        if rs[0]["touch_ts"] is None:
+            assert len(rs) == 1 and rs[0]["weight"] is None
+            continue
+        assert abs(sum(r["weight"] for r in rs) - 1.0) < 1e-9
+        for r in rs:
+            assert r["touch_ts"] <= cts
+            assert (cts - r["touch_ts"]).total_seconds() < 6 * 3600

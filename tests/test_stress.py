@@ -364,3 +364,48 @@ def test_stress_ridge_exact_target_recovery(spark):
     for got, want in zip(model["weights"], true_w):
         assert abs(got - want) < 1e-5
     assert abs(model["intercept"] - 0.3) < 1e-5
+
+
+def test_stress_span_dedup_hot_passage(spark):
+    """N/20 docs all embedding the SAME 12-token boilerplate passage
+    (one whash group of N/20 members — the map-side-combine claim)
+    plus unique tails. Laws: every doc keeps its unique tail, exactly
+    one canonical copy of the passage survives corpus-wide, and
+    removal counts add up."""
+    from data_export_tool_spark.operators.spans import strip_duplicate_spans
+
+    n_docs = max(N // 20, 1000)
+    boiler = "the quick brown fox jumps over the lazy dog again and again"
+    # the unique token must DIRECTLY follow the boilerplate: any window
+    # of shared tokens is a legitimate corpus-wide duplicate, so a
+    # shared tail would (correctly) extend the stripped span past the
+    # boilerplate — u<id> right after it bounds the duplicated region
+    # to exactly the 12 boilerplate tokens
+    docs = spark.range(n_docs).select(
+        F.col("id").alias("doc_id"),
+        F.concat(
+            F.lit(boiler + " u"), F.col("id").cast("string")
+        ).alias("text"),
+    )
+    out = strip_duplicate_spans(docs, n=12).select(
+        "doc_id", "text", "span_dedup_removed"
+    )
+    agg = out.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("span_dedup_removed").alias("removed"),
+        F.sum(
+            F.when(F.col("text").startswith("the quick"), 1).otherwise(0)
+        ).alias("kept_boiler"),
+        F.sum(
+            F.when(
+                F.col("text").contains(
+                    F.concat(F.lit("u"), F.col("doc_id").cast("string"))
+                ),
+                1,
+            ).otherwise(0)
+        ).alias("kept_unique"),
+    ).collect()[0]
+    assert agg["n"] == n_docs
+    assert agg["kept_boiler"] == 1  # exactly one canonical copy
+    assert agg["removed"] == 12 * (n_docs - 1)
+    assert agg["kept_unique"] == n_docs  # unique tokens always survive

@@ -24,8 +24,12 @@ Models (``weight`` sums to 1 per attributed conversion):
 - ``position``: 40% first, 40% last, the middle k−2 split 20%
   evenly (the standard U-shape; k=1 → 1.0, k=2 → 0.5/0.5).
 
-Ties on touch timestamp break deterministically by (ts, touch type,
-monotonic row id). Conversions are DISTINCT (user, ts) pairs —
+Ties on touch timestamp order by (ts, touch type); rows still tied
+after that are IDENTICAL in every output column, so the result is
+deterministic as a multiset even though row_number picks among them
+arbitrarily (no synthetic id column — monotonically_increasing_id
+changes across retries and blocks predicate movement, the asof.py:16
+rule). Conversions are DISTINCT (user, ts) pairs —
 duplicate conversion events collapse; conversions with no qualifying
 touch are kept with NULL touch columns and weight NULL so the caller
 can count unattributed conversions (the tests pin this accounting).
@@ -78,7 +82,6 @@ def attribute_conversions(
         F.col(user_col).alias("user"),
         F.col(ts_col).alias("touch_ts"),
         F.col(type_col).alias("touch_type"),
-        F.monotonically_increasing_id().alias("__tid"),
     )
     cand = conv.join(
         touch,
@@ -91,7 +94,7 @@ def attribute_conversions(
     ).drop(touch["user"])
 
     w = Window.partitionBy("user", "conv_ts")
-    order_asc = [F.col("touch_ts"), F.col("touch_type"), F.col("__tid")]
+    order_asc = [F.col("touch_ts"), F.col("touch_type")]
     rn = F.row_number().over(w.orderBy(*order_asc))
     rn_desc = F.row_number().over(w.orderBy(*[c.desc() for c in order_asc]))
     k = F.count("touch_ts").over(w)

@@ -104,8 +104,12 @@ def binary_metrics(
     """One-row evaluation report: ``auc`` (tie-averaged Mann-Whitney on
     the ``bins``-quantized scores), ``n_pos``/``n_neg``,
     ``n_excluded`` (NULL/out-of-range score or non-0/1 label),
-    ``base_rate``, and ``accuracy_at_half`` (threshold 0.5 — the
-    argmax decision :func:`linear.logreg_predict` consumers make)."""
+    ``base_rate``, and ``accuracy_at_half`` (the decision
+    ``score >= 0.5`` that :func:`linear.logreg_predict` consumers
+    make — EXACT when ``bins`` is even, since 0.5 then sits on the bin
+    grid; with odd bins the bin containing 0.5 counts whole-bin as
+    positive, a 1/bins-resolution approximation like every other
+    binned quantity here)."""
     counts, excluded = _bin_counts(df, label_col, score_col, bins)
     auc, n_pos, n_neg = _auc_from_counts(counts)
     half = bins // 2  # score >= 0.5 ⇔ bin >= bins/2 (grid-aligned)
@@ -260,7 +264,8 @@ def binary_metrics_grouped(
     (partitions are bins-bounded by construction, so the window is
     safe where a row-grain score window would not be), and one final
     per-group aggregate. Same quantization/exclusion contract as the
-    ungrouped report.
+    ungrouped report, including accuracy_at_half's even-``bins``
+    exactness rule.
 
     Returns one row per group: ``(by..., auc, n_pos, n_neg,
     n_excluded, base_rate, accuracy_at_half)``; a group with only one

@@ -461,13 +461,14 @@ def random_projection(
         raise ValueError(f"out_dim must be >= 1: {out_dim}")
     if not 0 < density <= 1:
         raise ValueError(f"density must be in (0, 1]: {density}")
-    first = (
-        df.select(F.size(vec_col).alias("d"))
-        .where(F.col(vec_col).isNotNull() & (F.size(vec_col) > 0))
-        .limit(1)
-        .collect()
-    )
-    if not first:
+    # dim via an aggregate, never a filter: a predicate on a pandas-UDF
+    # vector column (hashed_embedding over joined/CASE-built text) can
+    # fuse into an upstream join condition where Python UDFs cannot
+    # evaluate — the linear.py _vec_base hazard
+    first = df.agg(
+        F.max(F.when(F.size(vec_col) > 0, F.size(vec_col))).alias("d")
+    ).collect()
+    if not first or first[0]["d"] is None:
         raise ValueError("no usable vectors to infer input dim from")
     d = first[0]["d"]
     rng = np.random.RandomState(seed)

@@ -86,9 +86,22 @@ def _vec_base(
 
 def _valid_rows(pdf):
     """Arrow-side twin of the old vector predicate: keep rows whose
-    vector is non-NULL and non-empty."""
+    vector is non-NULL and non-empty. Mixed dimensions among the kept
+    rows are an INPUT ERROR raised with a readable message — fitting
+    on a mixed-dim column is ambiguous (which d is the model?), so it
+    must not surface as an opaque np.stack shape error; the scoring
+    half of this module NULLs wrong-dim rows instead, by contract."""
     mask = pdf["__v"].map(lambda v: v is not None and len(v) > 0)
-    return pdf[mask]
+    kept = pdf[mask]
+    if len(kept):
+        lens = kept["__v"].map(len)
+        if lens.nunique() > 1:
+            raise ValueError(
+                "mixed vector dimensions in the fit input"
+                f" ({sorted(lens.unique())[:5]}...): filter to one"
+                " embedding version before fitting"
+            )
+    return kept
 
 
 def ridge_fit(
@@ -178,8 +191,13 @@ def logreg_fit(
     docstring). The sigmoid clamps its argument to ±35 — the replay
     oracle in the tests applies the identical clamp.
 
-    Returns ``weights`` (d), ``intercept``, ``n``, ``loss`` (final
-    penalized mean NLL), ``iters_run``, ``reg``.
+    Returns ``weights`` (d), ``intercept``, ``n``, ``loss``
+    (penalized mean NLL at the LAST EVALUATED iterate — the point the
+    final Newton step departed from, one step behind the returned
+    weights; evaluating at the returned weights would cost one more
+    corpus pass, and the convergence check uses successive evaluated
+    losses, so this is the number the stop rule actually saw),
+    ``iters_run``, ``reg``.
     """
     import numpy as np
 
@@ -417,6 +435,9 @@ def logreg_fit_ovr(
     Returns ``{"classes": [...sorted as strings...], "models": [...]}``
     (per-class :func:`logreg_fit` dicts, same order).
     """
+    # LIMIT before collect: the guard must bound the driver
+    # materialization it exists for — with the wrong column (free text,
+    # ids) an unbounded distinct().collect() is itself the OOM
     classes = [
         r["__c"]
         for r in df.select(
@@ -424,17 +445,18 @@ def logreg_fit_ovr(
         )
         .where(F.col("__c").isNotNull())
         .distinct()
-        .orderBy("__c")
+        .limit(max_classes + 1)
         .collect()
     ]
     if len(classes) < 2:
         raise ValueError(f"need >= 2 distinct labels, got {classes}")
     if len(classes) > max_classes:
         raise ValueError(
-            f"{len(classes)} classes > max_classes={max_classes};"
+            f"more than max_classes={max_classes} distinct labels;"
             " one-vs-rest costs one fit per class — raise the cap"
             " explicitly if that is intended"
         )
+    classes.sort()
     models = []
     for c in classes:
         bin_df = df.withColumn(

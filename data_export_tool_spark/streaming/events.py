@@ -948,13 +948,21 @@ def scored_alert_stream(
     from data_export_tool_spark.operators.linear import logreg_predict
 
     scored = logreg_predict(events, model, vec_col, "__p")
-    flagged = F.when(F.col("__p") >= threshold, 1).otherwise(0)
+    # an unscorable event (NULL score: NULL/wrong-dim vector) must NOT
+    # count as healthy — otherwise a retrain that changes feature dim
+    # NULLs every score and the alarm reads flagged_share=0 exactly
+    # when scoring is broken. NULL scores stay NULL here (sum/avg skip
+    # them) and surface as n_unscored, which is itself alarm-worthy.
+    flagged = F.when(F.col("__p") >= threshold, 1).otherwise(
+        F.when(F.col("__p").isNotNull(), 0)
+    )
     return (
         scored.withWatermark(ts_col, watermark)
         .groupBy(F.window(F.col(ts_col), window).alias("win"))
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.sum(flagged).alias("n_flagged"),
+            (F.count(F.lit(1)) - F.count("__p")).alias("n_unscored"),
+            F.coalesce(F.sum(flagged), F.lit(0)).alias("n_flagged"),
             F.avg(flagged.cast("double")).alias("flagged_share"),
             F.avg("__p").alias("mean_score"),
         )
@@ -963,6 +971,7 @@ def scored_alert_stream(
                 "window_start"
             ),
             "n_events",
+            "n_unscored",
             "n_flagged",
             "flagged_share",
             "mean_score",

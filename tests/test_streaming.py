@@ -1006,6 +1006,7 @@ def test_scored_alert_stream_matches_batch(spark, sf_dir, event_drop_dir):
     got = {
         r["window_start"]: (
             r["n_events"],
+            r["n_unscored"],
             r["n_flagged"],
             round(r["flagged_share"], 9),
             round(r["mean_score"], 9),
@@ -1014,10 +1015,13 @@ def test_scored_alert_stream_matches_batch(spark, sf_dir, event_drop_dir):
     }
 
     scored = logreg_predict(batch, model, "fv", "__p")
-    flagged = F.when(F.col("__p") >= 0.3, 1).otherwise(0)
+    flagged = F.when(F.col("__p") >= 0.3, 1).otherwise(
+        F.when(F.col("__p").isNotNull(), 0)
+    )
     expected = {
         r["window_start"]: (
             r["n_events"],
+            r["n_unscored"],
             r["n_flagged"],
             round(r["flagged_share"], 9),
             round(r["mean_score"], 9),
@@ -1027,7 +1031,8 @@ def test_scored_alert_stream_matches_batch(spark, sf_dir, event_drop_dir):
         )
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.sum(flagged).alias("n_flagged"),
+            (F.count(F.lit(1)) - F.count("__p")).alias("n_unscored"),
+            F.coalesce(F.sum(flagged), F.lit(0)).alias("n_flagged"),
             F.avg(flagged.cast("double")).alias("flagged_share"),
             F.avg("__p").alias("mean_score"),
         )
@@ -1036,6 +1041,7 @@ def test_scored_alert_stream_matches_batch(spark, sf_dir, event_drop_dir):
                 "window_start"
             ),
             "n_events",
+            "n_unscored",
             "n_flagged",
             "flagged_share",
             "mean_score",
@@ -1047,3 +1053,30 @@ def test_scored_alert_stream_matches_batch(spark, sf_dir, event_drop_dir):
     )
     assert got == expected
     assert len(got) > 0
+
+
+def test_scored_alert_unscorable_events_surface(spark):
+    """A NULL/wrong-dim vector must surface as n_unscored and stay out
+    of both flagged counts and the share denominator — never count as
+    healthy (the alarm-dilution fix). Batch evaluation of the same
+    expression (withWatermark is a no-op on batch frames)."""
+    import datetime as dt
+
+    from data_export_tool_spark.streaming.events import scored_alert_stream
+
+    t = dt.datetime(2024, 7, 1, 10, 30)
+    df = spark.createDataFrame(
+        [
+            (t, [4.0, 0.0]),   # scores high -> flagged
+            (t, [-4.0, 0.0]),  # scores low -> unflagged
+            (t, None),         # unscorable
+            (t, [1.0]),        # wrong dim -> unscorable
+        ],
+        "ts timestamp, fv array<double>",
+    )
+    model = {"weights": [1.0, 0.0], "intercept": 0.0}
+    row = scored_alert_stream(df, model, "fv", threshold=0.8).collect()[0]
+    assert row["n_events"] == 4
+    assert row["n_unscored"] == 2
+    assert row["n_flagged"] == 1
+    assert abs(row["flagged_share"] - 0.5) < 1e-12  # of the 2 SCORED

@@ -56,6 +56,7 @@ __all__ = [
     "ridge_fit",
     "ridge_fit_grouped",
     "logreg_fit",
+    "logreg_fit_grouped",
     "logreg_fit_ovr",
     "linear_predict",
     "logreg_predict",
@@ -508,3 +509,113 @@ def logreg_predict_ovr(
     if scores_col:
         out = out.withColumn(scores_col, F.when(valid, F.array(*probs)))
     return out
+
+
+def _py_irls(Xa, y, reg, iters, tol):
+    """Pure-numpy full-batch IRLS — the same clamp/penalty/step/stop
+    rules as the distributed :func:`logreg_fit` loop (whose tests pin
+    that equivalence). Used executor-side by the grouped fit."""
+    import numpy as np
+
+    d = Xa.shape[1] - 1
+    pen = np.diag([reg] * d + [0.0])
+    w = np.zeros(d + 1)
+    prev = None
+    loss = float("nan")
+    it = 0
+    for it in range(1, iters + 1):
+        z = np.clip(Xa @ w, -_Z_CLIP, _Z_CLIP)
+        p = 1.0 / (1.0 + np.exp(-z))
+        nll = float(np.sum(np.log1p(np.exp(-np.abs(z))) + z * (z > 0) - y * z))
+        loss = (nll + 0.5 * reg * float(w[:d] @ w[:d])) / len(Xa)
+        H = (Xa * (p * (1 - p))[:, None]).T @ Xa
+        g = Xa.T @ (y - p) - pen @ w
+        w = w + np.linalg.solve(H + pen, g)
+        if prev is not None and abs(prev - loss) < tol:
+            break
+        prev = loss
+    return w, loss, it
+
+
+def logreg_fit_grouped(
+    df: DataFrame,
+    label_col: str,
+    by: str,
+    vec_col: str = "embedding",
+    reg: float = 1e-3,
+    iters: int = 12,
+    tol: float = 1e-9,
+    max_group_rows: int = 2_000_000,
+) -> DataFrame:
+    """One logistic classifier PER VALUE of ``by`` (per-language /
+    per-source quality models) — the iterative sibling of
+    :func:`ridge_fit_grouped`. Logistic has no closed form, so unlike
+    the ridge's partial-merge shape this runs the full IRLS per group
+    EXECUTOR-SIDE via ``applyInPandas``: the explicit contract is that
+    one group's labeled rows fit in one executor's memory
+    (``max_group_rows`` guards it with a readable error — a group
+    bigger than that belongs to the global :func:`logreg_fit`, whose
+    per-iteration partials never materialize the group anywhere).
+
+    Same exclusion rules as :func:`logreg_fit` (NULL/non-0/1 labels
+    and NULL/empty vectors drop; mixed dims raise); groups left with
+    <1 usable row or a single class still return a row — reg > 0
+    keeps the solve defined — so the output has one row per group with
+    any usable data. Returns ``(by, weights, intercept, n, loss,
+    iters_run)``; feed a row into :func:`logreg_predict` as
+    ``{"weights": row["weights"], "intercept": row["intercept"]}``.
+    """
+    import numpy as np
+
+    if reg < 0:
+        raise ValueError(f"reg must be >= 0: {reg}")
+    if iters < 1:
+        raise ValueError(f"iters must be >= 1: {iters}")
+    lab = F.col(label_col).cast("double")
+    base = df.where(lab.isNotNull() & lab.isin(0.0, 1.0)).select(
+        F.col(by).cast("string").alias("__g"),
+        F.col(vec_col).cast("array<double>").alias("__v"),
+        lab.alias("__y"),
+    )
+
+    def fit(pdf):
+        import pandas as pd
+
+        g = pdf["__g"].iloc[0] if len(pdf) else None
+        pdf = _valid_rows(pdf)
+        if len(pdf) == 0:
+            return pd.DataFrame(
+                columns=["__g", "weights", "intercept", "n", "loss",
+                         "iters_run"]
+            )
+        if len(pdf) > max_group_rows:
+            raise ValueError(
+                f"group {g!r} has {len(pdf)} rows >"
+                f" max_group_rows={max_group_rows}: use the global"
+                " logreg_fit (partial-based) for groups this large"
+            )
+        X = _as_matrix(pdf["__v"])
+        y = pdf["__y"].to_numpy(dtype="float64")
+        Xa = np.hstack([X, np.ones((len(X), 1))])
+        w, loss, it = _py_irls(Xa, y, reg, iters, tol)
+        d = X.shape[1]
+        return pd.DataFrame(
+            {
+                "__g": [g],
+                "weights": [w[:d].tolist()],
+                "intercept": [float(w[d])],
+                "n": [len(X)],
+                "loss": [float(loss)],
+                "iters_run": [it],
+            }
+        )
+
+    out_schema = (
+        "__g string, weights array<double>, intercept double, n long,"
+        " loss double, iters_run int"
+    )
+    return (
+        base.groupBy("__g")
+        .applyInPandas(fit, out_schema)
+        .withColumnRenamed("__g", by)
+    )

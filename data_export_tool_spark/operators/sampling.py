@@ -466,3 +466,61 @@ def negative_pairs(
             both, ["anchor_id", "negative_id"], "left_anti"
         )
     return picked.select("anchor_id", "negative_id", "slot")
+
+
+def temperature_mixture_rates(
+    df: DataFrame,
+    strata_col: str,
+    alpha: float = 0.3,
+    cap: float = 1.0,
+) -> dict:
+    """Per-stratum keep-rates that re-shape the corpus toward the
+    temperature-sampled mixture ``q_s ∝ p_s^alpha`` (the multilingual
+    LM convention — Conneau & Lample 2019 / mT5's α≈0.3: downweight
+    head languages, lift the tail without exploding it; ``alpha=1``
+    keeps natural proportions, ``alpha=0`` fully balances).
+
+    Down-sampling only (rates ≤ ``cap`` ≤ 1, no row duplication):
+    expected kept mass n_s·r_s must be ∝ p_s^alpha, so
+    ``r_s = cap · (p_s/p_min)^(alpha−1)`` — the RAREST stratum keeps
+    ``cap`` and every larger one keeps proportionally less. One
+    map-side-combined count per stratum; the returned dict (stratum →
+    rate, driver-sized at stratum cardinality) plugs straight into
+    :func:`deterministic_sample` ``rates=``/``strata_col=`` for the
+    scan-level, shuffle-free selection. NULL strata are skipped (give
+    them an explicit ``default_rate`` at sample time).
+    """
+    if not 0.0 <= alpha <= 1.0:
+        raise ValueError(f"alpha must be in [0, 1]: {alpha}")
+    if not 0.0 < cap <= 1.0:
+        raise ValueError(f"cap must be in (0, 1]: {cap}")
+    counts = {
+        r["__s"]: r["__n"]
+        for r in df.where(F.col(strata_col).isNotNull())
+        .groupBy(F.col(strata_col).alias("__s"))
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .collect()
+    }
+    if not counts:
+        raise ValueError(f"no non-NULL values in stratum column {strata_col!r}")
+    n_min = min(counts.values())
+    return {
+        s: cap * (n / n_min) ** (alpha - 1.0) for s, n in counts.items()
+    }
+
+
+def temperature_mixture_sample(
+    df: DataFrame,
+    key_col: str,
+    strata_col: str,
+    alpha: float = 0.3,
+    cap: float = 1.0,
+) -> DataFrame:
+    """:func:`temperature_mixture_rates` composed with
+    :func:`deterministic_sample` — one counting pass, then the
+    deterministic scan-level mixture filter (nested-sample property
+    preserved: raising ``cap`` only ADDS rows)."""
+    rates = temperature_mixture_rates(df, strata_col, alpha, cap)
+    return deterministic_sample(
+        df, key_col, strata_col=strata_col, rates=rates, default_rate=0.0
+    )

@@ -802,6 +802,28 @@ def b59_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
     return random_projection(emb, out_dim=16).select("vec_id", "rp")
 
 
+def b60_grouped_logreg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language logistic quality classifiers — executor-side IRLS
+    per group over hashed features."""
+    from data_export_tool_spark.operators.features import hashed_embedding
+    from data_export_tool_spark.operators.linear import logreg_fit_grouped
+
+    docs = Catalog(spark, sf_dir).load("documents")
+    feats = hashed_embedding(docs, dim=32).withColumn(
+        "y", (F.size(F.split(F.col("text"), r"\s+")) > 60).cast("int")
+    )
+    return logreg_fit_grouped(feats, "y", "lang", iters=4, tol=0.0)
+
+
+def b61_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from data_export_tool_spark.operators.sampling import (
+        temperature_mixture_sample,
+    )
+
+    docs = Catalog(spark, sf_dir).load("documents")
+    return temperature_mixture_sample(docs, "doc_id", "lang", alpha=0.3)
+
+
 QUERIES = [
     QuerySpec("b01_funnel_conversion", b01_funnel_conversion, None),
     QuerySpec("b02_retention_weekly", b02_retention_weekly, None),
@@ -862,4 +884,6 @@ QUERIES = [
     QuerySpec("b57_grouped_eval", b57_grouped_eval, None),
     QuerySpec("b58_curation_v2", b58_curation_v2, None),
     QuerySpec("b59_random_projection", b59_random_projection, None),
+    QuerySpec("b60_grouped_logreg", b60_grouped_logreg, None),
+    QuerySpec("b61_temperature_mixture", b61_temperature_mixture, None),
 ]

@@ -656,3 +656,75 @@ def test_update_components_equals_full_recompute(spark):
         "update_components", len(want), ok, oracle="python-reference"
     )
     assert ok, (sorted(got - want), sorted(want - got))
+
+
+def test_temperature_mixture_rates_and_sample(spark, sf_dir):
+    """Rates replay the alpha-formula over DuckDB counts exactly;
+    alpha=1 is the natural mixture (uniform cap), alpha=0 equalizes
+    expected masses; the realized sample matches deterministic_sample
+    under the same rates row-for-row (composition is exact, not
+    statistical)."""
+    import duckdb
+
+    from tests.conftest import record_opcheck
+    from data_export_tool_spark.operators.sampling import (
+        deterministic_sample,
+        temperature_mixture_rates,
+        temperature_mixture_sample,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    alpha = 0.3
+    got = temperature_mixture_rates(docs, "lang", alpha=alpha)
+    counts = dict(
+        duckdb.sql(
+            f"SELECT lang, COUNT(*) FROM read_parquet('{sf_dir}/documents.parquet')"
+            " WHERE lang IS NOT NULL GROUP BY 1"
+        ).fetchall()
+    )
+    n_min = min(counts.values())
+    want = {s: (n / n_min) ** (alpha - 1.0) for s, n in counts.items()}
+    ok = set(got) == set(want) and all(
+        abs(got[s] - want[s]) < 1e-12 for s in want
+    )
+    # rarest stratum keeps cap; larger strata keep strictly less
+    rare = min(counts, key=counts.get)
+    ok = ok and abs(got[rare] - 1.0) < 1e-12
+    ok = ok and all(got[s] <= 1.0 + 1e-12 for s in got)
+    record_opcheck(
+        "temperature_mixture_rates", len(got), bool(ok), oracle="duckdb"
+    )
+    assert ok
+
+    # alpha=1 → every rate == cap (natural mixture)
+    nat = temperature_mixture_rates(docs, "lang", alpha=1.0, cap=0.5)
+    assert all(abs(r - 0.5) < 1e-12 for r in nat.values())
+
+    # composition: the convenience wrapper == explicit two-step
+    a = temperature_mixture_sample(docs, "doc_id", "lang", alpha=alpha)
+    b = deterministic_sample(
+        docs, "doc_id", strata_col="lang",
+        rates=temperature_mixture_rates(docs, "lang", alpha=alpha),
+        default_rate=0.0,
+    )
+    ids_a = {r["doc_id"] for r in a.select("doc_id").collect()}
+    ids_b = {r["doc_id"] for r in b.select("doc_id").collect()}
+    assert ids_a == ids_b and len(ids_a) > 0
+
+    # alpha=0 pushes kept masses toward equality: spread of kept
+    # counts must shrink vs the natural corpus
+    eq = temperature_mixture_sample(docs, "doc_id", "lang", alpha=0.0)
+    kept = {
+        r["lang"]: r["n"]
+        for r in eq.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    nat_spread = max(counts.values()) / min(counts.values())
+    eq_spread = max(kept.values()) / max(1, min(kept.values()))
+    assert eq_spread < nat_spread
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        temperature_mixture_rates(docs, "lang", alpha=1.5)
+    with _pytest.raises(ValueError):
+        temperature_mixture_rates(docs, "lang", cap=0.0)

@@ -318,3 +318,67 @@ def test_ovr_tie_break_and_null_guard(spark):
             ),
             "c",
         )
+
+
+def test_logreg_fit_grouped_matches_global_fit_per_group(spark, emb):
+    """Cross-implementation oracle: each group's applyInPandas IRLS
+    must equal the (independently replay-pinned) distributed
+    logreg_fit run on that group's subset — same data, same fixed
+    iteration count, so weights agree to numerical tolerance."""
+    from data_export_tool_spark.operators.linear import logreg_fit_grouped
+
+    df = emb.withColumn(
+        "grp",
+        F.when(F.col("vec_id") % 11 == 0, F.lit(None)).otherwise(
+            (F.col("vec_id") % 3).cast("string")
+        ),
+    ).withColumn(
+        "y",
+        (2.0 * F.col("embedding")[0] - F.col("embedding")[3] > 0.1).cast("int"),
+    )
+    got = {
+        r["grp"]: r
+        for r in logreg_fit_grouped(
+            df, "y", "grp", reg=REG, iters=4, tol=0.0
+        ).collect()
+    }
+    assert set(got) == {"0", "1", "2", None}
+    ok = True
+    for g in got:
+        sub = df.where(
+            F.col("grp").eqNullSafe(F.lit(g).cast("string"))
+        )
+        want = logreg_fit(sub, "y", reg=REG, iters=4, tol=0.0)
+        r = got[g]
+        ok = ok and r["n"] == want["n"] and r["iters_run"] == 4
+        ok = ok and np.allclose(r["weights"], want["weights"], atol=1e-6)
+        ok = ok and abs(r["intercept"] - want["intercept"]) < 1e-6
+        ok = ok and abs(r["loss"] - want["loss"]) < 1e-9
+    record_opcheck(
+        "logreg_fit_grouped", len(got), bool(ok),
+        oracle="cross-implementation",
+    )
+    assert ok
+
+
+def test_logreg_grouped_edges(spark):
+    from data_export_tool_spark.operators.linear import logreg_fit_grouped
+
+    df = spark.createDataFrame(
+        [
+            ("a", [1.0, 0.0], 1), ("a", [0.0, 1.0], 0),
+            ("b", [1.0, 1.0], 1),          # single-class group
+            ("c", None, 1), ("c", [], 0),  # no usable vectors
+            ("d", [0.5, 0.5], 2),          # non-binary: excluded pre-group
+        ],
+        "g string, embedding array<double>, y int",
+    )
+    rows = {r["g"]: r for r in logreg_fit_grouped(df, "y", "g", reg=1.0).collect()}
+    assert set(rows) == {"a", "b"}  # c: vectors invalid; d: label invalid
+    assert rows["b"]["n"] == 1  # single-class still fits (reg-bounded)
+    assert 0 <= 1.0 / (1.0 + np.exp(-(np.dot([1.0, 1.0], rows["b"]["weights"]) + rows["b"]["intercept"]))) <= 1
+
+    import pytest as _pytest
+
+    with _pytest.raises(Exception, match="max_group_rows"):
+        logreg_fit_grouped(df, "y", "g", max_group_rows=1).collect()

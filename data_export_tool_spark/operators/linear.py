@@ -54,6 +54,7 @@ except Exception:
 
 __all__ = [
     "ridge_fit",
+    "huber_fit",
     "ridge_fit_grouped",
     "logreg_fit",
     "logreg_fit_grouped",
@@ -619,3 +620,116 @@ def logreg_fit_grouped(
         .applyInPandas(fit, out_schema)
         .withColumnRenamed("__g", by)
     )
+
+
+def huber_fit(
+    df: DataFrame,
+    label_col: str,
+    vec_col: str = "embedding",
+    delta: float = 1.35,
+    reg: float = 1e-3,
+    iters: int = 12,
+    tol: float = 1e-9,
+) -> dict:
+    """Robust (Huber-loss) regression by IRLS — the heavy-tail-safe
+    sibling of :func:`ridge_fit` for corpus-derived targets where a
+    handful of corrupt labels (a 1e9 "quality score", a parser bug)
+    would otherwise own the least-squares fit.
+
+    Per iteration: broadcast current weights; each batch computes
+    residuals r = y − Xa·w and Huber weights ω = min(1, δ/|r|)
+    (quadratic inside ±δ, linear outside), then emits the ω-weighted
+    Gram partials XaᵀΩXa / XaᵀΩy plus the Huber loss — the same
+    metadata-sized reduce as :func:`logreg_fit`; the driver solves the
+    weighted ridge system. ``delta`` is in label units (the classical
+    1.35 presumes ~unit-scale residuals — ``features.fit_scaler`` the
+    target first, or pass your own). Exclusions match the other fits
+    (NULL labels/vectors out, mixed dims raise). Returns ``weights``,
+    ``intercept``, ``n``, ``loss`` (mean Huber loss at the last
+    evaluated iterate, same one-step-behind convention as
+    ``logreg_fit``), ``iters_run``, ``delta``, ``reg``.
+    """
+    import numpy as np
+
+    if delta <= 0:
+        raise ValueError(f"delta must be > 0: {delta}")
+    if reg < 0:
+        raise ValueError(f"reg must be >= 0: {reg}")
+    if iters < 1:
+        raise ValueError(f"iters must be >= 1: {iters}")
+    base = _vec_base(df, label_col, vec_col, binary=False).persist()
+    try:
+        first = base.agg(
+            F.max(F.when(F.size("__v") > 0, F.size("__v"))).alias("d")
+        ).collect()
+        if not first or first[0]["d"] is None:
+            raise ValueError("no usable (vector, label) rows to fit on")
+        d = first[0]["d"]
+        sc = df.sparkSession.sparkContext
+        w = np.zeros(d + 1)
+        prev_loss = None
+        it = 0
+        n = 0
+        for it in range(1, iters + 1):
+            b_w = sc.broadcast(w)
+
+            def partials(batches):
+                import pandas as pd
+
+                wv = b_w.value
+                for pdf in batches:
+                    pdf = _valid_rows(pdf)
+                    if len(pdf) == 0:
+                        continue
+                    X = _as_matrix(pdf["__v"])
+                    y = pdf["__y"].to_numpy(dtype="float64")
+                    Xa = np.hstack([X, np.ones((len(X), 1))])
+                    r = y - Xa @ wv
+                    a = np.abs(r)
+                    om = np.where(a <= delta, 1.0, delta / np.maximum(a, 1e-300))
+                    hub = np.where(
+                        a <= delta, 0.5 * r * r, delta * (a - 0.5 * delta)
+                    )
+                    Xw = Xa * om[:, None]
+                    yield pd.DataFrame(
+                        {
+                            "n": [len(X)],
+                            "h": [(Xw.T @ Xa).ravel().tolist()],
+                            "g": [(Xa.T @ (om * y)).tolist()],
+                            "l": [float(hub.sum())],
+                        }
+                    )
+
+            rows = base.mapInPandas(
+                partials, "n long, h array<double>, g array<double>, l double"
+            ).collect()
+            b_w.unpersist(blocking=False)
+            if not rows:
+                raise ValueError("no usable (vector, label) rows to fit on")
+            n = sum(r["n"] for r in rows)
+            H = np.zeros((d + 1, d + 1))
+            g = np.zeros(d + 1)
+            hub = 0.0
+            for r in rows:
+                H += np.array(r["h"]).reshape(d + 1, d + 1)
+                g += np.array(r["g"])
+                hub += r["l"]
+            loss = (hub + 0.5 * reg * float(w[:d] @ w[:d])) / n
+            pen = np.diag([reg] * d + [0.0])
+            # symmetrize: float error makes XwᵀXa slightly asymmetric
+            H = (H + H.T) / 2.0
+            w = np.linalg.solve(H + pen, g)
+            if prev_loss is not None and abs(prev_loss - loss) < tol:
+                break
+            prev_loss = loss
+        return {
+            "weights": w[:d].tolist(),
+            "intercept": float(w[d]),
+            "n": int(n),
+            "loss": float(loss),
+            "iters_run": it,
+            "delta": float(delta),
+            "reg": float(reg),
+        }
+    finally:
+        base.unpersist()

@@ -824,6 +824,24 @@ def b61_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     return temperature_mixture_sample(docs, "doc_id", "lang", alpha=0.3)
 
 
+def b62_huber_quality_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust regression of doc length on hashed features with the
+    model row returned as a 1-row frame (driver dict -> frame so the
+    bench sink has a DataFrame)."""
+    from data_export_tool_spark.operators.features import hashed_embedding
+    from data_export_tool_spark.operators.linear import huber_fit
+
+    docs = Catalog(spark, sf_dir).load("documents")
+    feats = hashed_embedding(docs, dim=32).withColumn(
+        "y", F.col("n_chars").cast("double") / 1000.0
+    )
+    m = huber_fit(feats, "y", iters=5, tol=0.0)
+    return spark.createDataFrame(
+        [(m["n"], float(m["loss"]), float(m["intercept"]))],
+        "n long, loss double, intercept double",
+    )
+
+
 QUERIES = [
     QuerySpec("b01_funnel_conversion", b01_funnel_conversion, None),
     QuerySpec("b02_retention_weekly", b02_retention_weekly, None),
@@ -886,4 +904,5 @@ QUERIES = [
     QuerySpec("b59_random_projection", b59_random_projection, None),
     QuerySpec("b60_grouped_logreg", b60_grouped_logreg, None),
     QuerySpec("b61_temperature_mixture", b61_temperature_mixture, None),
+    QuerySpec("b62_huber_quality_fit", b62_huber_quality_fit, None),
 ]

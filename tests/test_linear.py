@@ -382,3 +382,76 @@ def test_logreg_grouped_edges(spark):
 
     with _pytest.raises(Exception, match="max_group_rows"):
         logreg_fit_grouped(df, "y", "g", max_group_rows=1).collect()
+
+
+def test_huber_fit_replay_robustness_and_ridge_limit(spark, emb):
+    from data_export_tool_spark.operators.linear import huber_fit
+
+    # exact linear target + 10 gross outliers (corrupt labels)
+    df = emb.withColumn(
+        "target",
+        F.when(
+            F.col("vec_id") % 50 == 0,
+            F.lit(1e6),  # corrupt
+        ).otherwise(
+            2.0 * F.col("embedding")[0] - 3.0 * F.col("embedding")[3] + 0.5
+        ),
+    )
+    iters, delta = 8, 1.0
+    model = huber_fit(df, "target", delta=delta, reg=REG, iters=iters, tol=0.0)
+
+    # step-for-step numpy replay of the weighted IRLS
+    X, _ = _collected(emb, binary=False)
+    ids = np.array([r["vec_id"] for r in emb.select("vec_id").collect()])
+    y = 2.0 * X[:, 0] - 3.0 * X[:, 3] + 0.5
+    y[ids % 50 == 0] = 1e6
+    d = X.shape[1]
+    Xa = np.hstack([X, np.ones((len(X), 1))])
+    pen = np.diag([REG] * d + [0.0])
+    w = np.zeros(d + 1)
+    loss = None
+    for _ in range(iters):
+        r = y - Xa @ w
+        a = np.abs(r)
+        om = np.where(a <= delta, 1.0, delta / np.maximum(a, 1e-300))
+        hub = np.where(a <= delta, 0.5 * r * r, delta * (a - 0.5 * delta))
+        loss = (hub.sum() + 0.5 * REG * float(w[:d] @ w[:d])) / len(Xa)
+        H = (Xa * om[:, None]).T @ Xa
+        H = (H + H.T) / 2.0
+        w = np.linalg.solve(H + pen, Xa.T @ (om * y))
+
+    ok = (
+        model["n"] == len(X)
+        and model["iters_run"] == iters
+        and np.allclose(model["weights"], w[:d], atol=1e-6)
+        and abs(model["intercept"] - w[d]) < 1e-6
+        and abs(model["loss"] - loss) < 1e-6 * max(1.0, abs(loss))
+    )
+    # robustness: huber ignores the corrupt 2%, ridge is dragged away
+    true_w = np.zeros(d)
+    true_w[0], true_w[3] = 2.0, -3.0
+    huber_err = float(np.max(np.abs(np.array(model["weights"]) - true_w)))
+    ridge = ridge_fit(df, "target", reg=REG)
+    ridge_err = float(np.max(np.abs(np.array(ridge["weights"]) - true_w)))
+    # huber's influence per outlier is bounded by delta, so 2% gross
+    # corruption leaves a small finite bias (~0.15 here); ridge is
+    # dragged five orders of magnitude off (measured ~1.3e5)
+    ok = ok and huber_err < 0.3 and ridge_err > 1000 * huber_err
+    record_opcheck(
+        "huber_fit", len(X), bool(ok), oracle="python-reference",
+        value=huber_err,
+    )
+    assert ok
+
+    # delta -> inf limit: all weights 1, so the fit IS the ridge solve
+    clean = emb.withColumn(
+        "target",
+        2.0 * F.col("embedding")[0] - 3.0 * F.col("embedding")[3] + 0.5,
+    )
+    hb = huber_fit(clean, "target", delta=1e9, reg=REG, iters=2, tol=0.0)
+    rg = ridge_fit(clean, "target", reg=REG)
+    assert np.allclose(hb["weights"], rg["weights"], atol=1e-8)
+    assert abs(hb["intercept"] - rg["intercept"]) < 1e-8
+
+    with pytest.raises(ValueError):
+        huber_fit(clean, "target", delta=0.0)

@@ -34,6 +34,7 @@ from pyspark.sql import functions as F
 __all__ = [
     "binary_metrics",
     "binary_metrics_grouped",
+    "cross_validate_classifier",
     "threshold_table",
     "fit_isotonic",
     "apply_isotonic",
@@ -343,4 +344,61 @@ def binary_metrics_grouped(
                 "accuracy_at_half"
             ),
         )
+    )
+
+
+def cross_validate_classifier(
+    df: DataFrame,
+    label_col: str,
+    group_col: str,
+    vec_col: str = "embedding",
+    k: int = 5,
+    bins: int = 1000,
+    reg: float = 1e-3,
+    iters: int = 8,
+    tol: float = 1e-9,
+) -> DataFrame:
+    """Leakage-safe k-fold cross-validation of the logistic quality
+    classifier: fold assignment is ``md5(group) % k`` — every row of a
+    group (dedup cluster, registered domain) lands in the SAME fold,
+    the ``sampling.group_split`` contamination rule, so near-duplicates
+    never straddle a train/eval boundary and the reported AUC is an
+    honest out-of-sample number.
+
+    Cost is explicit: k × (one :func:`linear.logreg_fit` + one
+    :func:`binary_metrics` aggregate) — every pass reduces to
+    metadata, nothing is collected beyond the per-fold report. Returns
+    one row per fold (``fold``, ``train_n``, then the
+    :func:`binary_metrics` columns measured on the HELD-OUT fold)
+    plus sortable determinism: same data + params ⇒ identical folds,
+    identical models, identical numbers.
+    """
+    from data_export_tool_spark.operators.linear import (
+        logreg_fit,
+        logreg_predict,
+    )
+    from data_export_tool_spark.operators.sampling import sample_bucket
+
+    if k < 2:
+        raise ValueError(f"k must be >= 2: {k}")
+    fold = (sample_bucket(F.col(group_col)) % k).alias("__fold")
+    tagged = df.withColumn("__fold", fold)
+    reports = []
+    for f in range(k):
+        train = tagged.where(F.col("__fold") != f)
+        test = tagged.where(F.col("__fold") == f)
+        model = logreg_fit(
+            train, label_col, vec_col, reg=reg, iters=iters, tol=tol
+        )
+        scored = logreg_predict(test, model, vec_col, "__p")
+        rep = binary_metrics(scored, label_col, "__p", bins=bins).withColumn(
+            "fold", F.lit(f)
+        ).withColumn("train_n", F.lit(model["n"]))
+        reports.append(rep)
+    out = reports[0]
+    for rep in reports[1:]:
+        out = out.unionByName(rep)
+    return out.select(
+        "fold", "train_n", "auc", "n_pos", "n_neg", "n_excluded",
+        "base_rate", "accuracy_at_half",
     )

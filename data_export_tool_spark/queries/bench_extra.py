@@ -842,6 +842,23 @@ def b62_huber_quality_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def b63_cross_validation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-fold leakage-safe CV of the quality classifier over the
+    embedding corpus."""
+    from data_export_tool_spark.operators.evalmetrics import (
+        cross_validate_classifier,
+    )
+
+    emb = Catalog(spark, sf_dir).load("embeddings")
+    e = F.col("embedding")
+    df = emb.withColumn(
+        "y", (2.0 * e[0] - e[3] > 0.1).cast("int")
+    ).withColumn("grp", (F.col("vec_id") % 100).cast("string"))
+    return cross_validate_classifier(
+        df, "y", "grp", k=3, bins=256, iters=2, tol=0.0
+    )
+
+
 QUERIES = [
     QuerySpec("b01_funnel_conversion", b01_funnel_conversion, None),
     QuerySpec("b02_retention_weekly", b02_retention_weekly, None),
@@ -905,4 +922,5 @@ QUERIES = [
     QuerySpec("b60_grouped_logreg", b60_grouped_logreg, None),
     QuerySpec("b61_temperature_mixture", b61_temperature_mixture, None),
     QuerySpec("b62_huber_quality_fit", b62_huber_quality_fit, None),
+    QuerySpec("b63_cross_validation", b63_cross_validation, None),
 ]

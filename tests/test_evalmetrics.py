@@ -319,3 +319,75 @@ def test_grouped_metrics_match_per_group_oracle(spark):
     rows = {r["g"]: r for r in binary_metrics_grouped(oc, "g", bins=8).collect()}
     assert rows["a"]["auc"] is None and rows["a"]["n_pos"] == 2
     assert rows["b"]["auc"] is not None
+
+
+def test_cross_validation_replay_and_fold_laws(spark, sf_dir):
+    """CV = composition of two independently-pinned pieces; what this
+    pins is the harness: md5-fold assignment (group-atomic, total,
+    deterministic), per-fold train/test disjointness (train_n +
+    held-out rows == corpus), and each fold's report replaying the
+    explicit fit-then-evaluate two-step."""
+    from pyspark.sql import functions as F
+
+    from data_export_tool_spark.operators.evalmetrics import (
+        binary_metrics,
+        cross_validate_classifier,
+    )
+    from data_export_tool_spark.operators.linear import (
+        logreg_fit,
+        logreg_predict,
+    )
+    from data_export_tool_spark.operators.sampling import sample_bucket
+
+    REG = 1e-2
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    e = F.col("embedding")
+    df = emb.withColumn(
+        "y", (2.0 * e[0] - e[3] > 0.1).cast("int")
+    ).withColumn("grp", (F.col("vec_id") % 40).cast("string"))
+    K = 3
+    got = {
+        r["fold"]: r
+        for r in cross_validate_classifier(
+            df, "y", "grp", k=K, bins=256, reg=REG, iters=3, tol=0.0
+        ).collect()
+    }
+    assert set(got) == {0, 1, 2}
+    n_total = df.count()
+
+    tagged = df.withColumn("__fold", sample_bucket(F.col("grp")) % K)
+    # fold assignment is group-atomic
+    assert (
+        tagged.groupBy("grp")
+        .agg(F.countDistinct("__fold").alias("d"))
+        .where(F.col("d") > 1)
+        .count()
+        == 0
+    )
+    ok = True
+    for f in range(K):
+        train = tagged.where(F.col("__fold") != f)
+        test = tagged.where(F.col("__fold") == f)
+        model = logreg_fit(train, "y", reg=REG, iters=3, tol=0.0)
+        want = binary_metrics(
+            logreg_predict(test, model, "embedding", "__p"),
+            "y", "__p", bins=256,
+        ).collect()[0]
+        r = got[f]
+        ok = ok and r["train_n"] == model["n"]
+        ok = ok and r["train_n"] + r["n_pos"] + r["n_neg"] == n_total
+        for c in ("auc", "base_rate", "accuracy_at_half"):
+            ok = ok and abs(r[c] - want[c]) < 1e-9
+        for c in ("n_pos", "n_neg", "n_excluded"):
+            ok = ok and r[c] == want[c]
+        # held-out separable boundary: every fold must generalize
+        ok = ok and r["auc"] > 0.9
+    record_opcheck(
+        "cross_validate_classifier", K, bool(ok),
+        oracle="composition-replay",
+        value=float(sum(got[f]["auc"] for f in range(K)) / K),
+    )
+    assert ok
+
+    with pytest.raises(ValueError):
+        cross_validate_classifier(df, "y", "grp", k=1)

@@ -977,3 +977,187 @@ def scored_alert_stream(
             "mean_score",
         )
     )
+
+
+ATTR_STATE_SCHEMA = StructType(
+    [
+        StructField("conv_ts", ArrayType(LongType())),
+        StructField("touch_ts", ArrayType(LongType())),
+        StructField("touch_kind", ArrayType(LongType())),
+    ]
+)
+
+
+def attribution_stream(
+    events: DataFrame,
+    conversion_type: str,
+    touch_types: list,
+    model: str = "linear",
+    lookback: str = "7 days",
+    watermark: str = "2 days",
+) -> DataFrame:
+    """Streaming multi-touch attribution — the stateful twin of
+    ``operators.attribution.attribute_conversions`` (twin #17), on the
+    funnel/transition watermark-buffer pattern: per-user state buffers
+    conversions and touches; a conversion's credit is computed and
+    EMITTED (append mode, exactly once per distinct (user, conv_ts))
+    only when the watermark passes its timestamp — at that point every
+    touch with ``ts <= conv_ts`` has either arrived or is by definition
+    late, so the credited set is final. Touches evict once
+    ``touch_ts + lookback <= watermark`` (no future conversion can
+    reach them), so state per user is bounded by one
+    lookback-plus-watermark horizon of activity.
+
+    Same credit models, window boundaries (same-ts counts,
+    exactly-lookback-old excluded), (ts, type) tie ordering and
+    duplicate-conversion collapse as the batch operator; late events
+    drop by the shared policy. Under a single initial batch (watermark
+    starts at 0 so nothing is late) the emitted rows EXACTLY equal the
+    batch operator restricted to conversions older than the final
+    watermark — the equality the twin test pins; under multi-batch
+    arrival the usual prefix semantics apply.
+    """
+    import pandas as pd
+
+    from data_export_tool_spark.operators.attribution import _MODELS
+
+    if model not in _MODELS:
+        raise ValueError(f"model must be one of {_MODELS}: {model!r}")
+    if not touch_types or conversion_type in touch_types:
+        raise ValueError("touch_types must be non-empty, conversion excluded")
+    kinds = {t: i for i, t in enumerate(sorted(touch_types))}
+    kind_names = sorted(touch_types)
+    import re as _re
+
+    m = _re.fullmatch(r"\s*(\d+)\s*(day|days|hour|hours)\s*", lookback)
+    if not m:
+        raise ValueError(
+            f"lookback must be '<n> days' or '<n> hours': {lookback!r}"
+        )
+    unit_us = 86_400_000_000 if m.group(2).startswith("day") else 3_600_000_000
+    look_us = int(m.group(1)) * unit_us
+
+    out_schema = StructType(
+        [
+            StructField("user", LongType()),
+            StructField("conv_ts", TimestampType()),
+            StructField("touch_ts", TimestampType()),
+            StructField("touch_type", StringType()),
+            StructField("n_touches", LongType()),
+            StructField("weight", DoubleType()),
+        ]
+    )
+
+    def credit(cand):
+        """cand: [(ts_us, kind)] sorted by (ts, type-name). Returns
+        [(ts_us, kind, weight)] — mirrors the batch models."""
+        k = len(cand)
+        if model == "last":
+            return [(*cand[-1], 1.0)]
+        if model == "first":
+            return [(*cand[0], 1.0)]
+        if model == "linear":
+            return [(*c, 1.0 / k) for c in cand]
+        if k == 1:
+            return [(*cand[0], 1.0)]
+        if k == 2:
+            return [(*c, 0.5) for c in cand]
+        return (
+            [(*cand[0], 0.4)]
+            + [(*c, 0.2 / (k - 2)) for c in cand[1:-1]]
+            + [(*cand[-1], 0.4)]
+        )
+
+    def fn(key, pdf_iter, state: GroupState):
+        (user,) = key
+        if state.exists:
+            convs, tts, tks = (list(x) for x in state.get)
+        else:
+            convs, tts, tks = [], [], []
+        wm_us = state.getCurrentWatermarkMs() * 1000
+
+        if not state.hasTimedOut:
+            for pdf in pdf_iter:
+                sel = pdf[
+                    pdf["event_type"].isin(list(kinds) + [conversion_type])
+                ]
+                if len(sel) == 0:
+                    continue
+                ts_us = (
+                    pd.to_datetime(sel["ts"])
+                    .astype("datetime64[ns]")
+                    .astype("int64")
+                    // 1_000
+                )
+                for t, ty in zip(ts_us, sel["event_type"]):
+                    if t < wm_us:
+                        continue  # late, shared drop policy
+                    if ty == conversion_type:
+                        if int(t) not in convs:  # duplicate collapse
+                            convs.append(int(t))
+                    else:
+                        tts.append(int(t))
+                        tks.append(kinds[ty])
+
+        rows = []
+        remaining = []
+        for ct in sorted(convs):
+            if ct >= wm_us:
+                remaining.append(ct)
+                continue
+            cand = sorted(
+                [
+                    (t, k_)
+                    for t, k_ in zip(tts, tks)
+                    if t <= ct and t > ct - look_us
+                ],
+                key=lambda p: (p[0], kind_names[p[1]]),
+            )
+            if not cand:
+                rows.append((ct, None, None, None, None))
+            else:
+                n = len(cand)
+                for t, k_, w_ in credit(cand):
+                    rows.append((ct, t, kind_names[k_], n, w_))
+        convs = remaining
+        # touch eviction: future conversions are >= wm
+        keep = [
+            (t, k_) for t, k_ in zip(tts, tks) if t + look_us > wm_us
+        ]
+        tts, tks = [t for t, _ in keep], [k_ for _, k_ in keep]
+        state.update((convs, tts, tks))
+        pending = convs + [t + look_us for t in tts]
+        if pending:
+            state.setTimeoutTimestamp(
+                max(min(pending) // 1000 + 1, wm_us // 1000 + 1)
+            )
+
+        if rows:
+            yield pd.DataFrame(
+                {
+                    "user": [user] * len(rows),
+                    "conv_ts": pd.to_datetime(
+                        [r[0] for r in rows], unit="us"
+                    ),
+                    "touch_ts": pd.to_datetime(
+                        [r[1] for r in rows], unit="us"
+                    ),
+                    "touch_type": [r[2] for r in rows],
+                    "n_touches": pd.array(
+                        [r[3] for r in rows], dtype="Int64"
+                    ),
+                    "weight": [r[4] for r in rows],
+                }
+            )
+
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            fn,
+            outputStructType=out_schema,
+            stateStructType=ATTR_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )

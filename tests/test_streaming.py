@@ -1080,3 +1080,70 @@ def test_scored_alert_unscorable_events_surface(spark):
     assert row["n_unscored"] == 2
     assert row["n_flagged"] == 1
     assert abs(row["flagged_share"] - 0.5) < 1e-12  # of the 2 SCORED
+
+
+def test_attribution_stream_matches_batch(spark, sf_dir, event_drop_dir):
+    """Twin #17: single initial batch (watermark starts at 0 → nothing
+    late), then the event-time-timeout flush emits every conversion the
+    final watermark passed. Those emissions must EXACTLY equal the
+    batch attribute_conversions over the same files restricted to
+    conversions below the final watermark — per-row weights included —
+    and nothing above the watermark may emit."""
+    import datetime as dt
+
+    from data_export_tool_spark.operators.attribution import (
+        attribute_conversions,
+    )
+    from data_export_tool_spark.streaming.events import attribution_stream
+
+    conv, touches = "purchase", ["view", "click"]
+    stream = read_events_stream(
+        spark, event_drop_dir, max_files_per_trigger=100  # one data batch
+    )
+    q = (
+        attribution_stream(
+            stream, conv, touches, model="linear",
+            lookback="3 days", watermark="2 days",
+        )
+        .writeStream.format("memory")
+        .queryName("attr_stream_test")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = {}
+    for r in spark.sql("SELECT * FROM attr_stream_test").collect():
+        got.setdefault((r["user"], r["conv_ts"]), []).append(
+            (r["touch_ts"], r["touch_type"],
+             round(r["weight"], 9) if r["weight"] is not None else None,
+             r["n_touches"])
+        )
+
+    ev = normalize_event_times(spark.read.parquet(event_drop_dir)).where(
+        F.col("user_id").isNotNull() & F.col("ts").isNotNull()
+    )
+    max_ts = ev.agg(F.max("ts")).collect()[0][0]
+    final_wm = max_ts - dt.timedelta(days=2)
+    want = {}
+    for r in attribute_conversions(
+        ev, conv, touches, model="linear", lookback="3 days"
+    ).collect():
+        if r["conv_ts"] < final_wm:
+            want.setdefault((r["user"], r["conv_ts"]), []).append(
+                (r["touch_ts"], r["touch_type"],
+                 round(r["weight"], 9) if r["weight"] is not None else None,
+                 r["n_touches"])
+            )
+
+    # completeness: exactly the below-watermark conversions emitted
+    ok = set(got) == set(want)
+    # exactness: per-conversion credited rows match as multisets
+    if ok:
+        for key in want:
+            ok = ok and sorted(got[key], key=str) == sorted(want[key], key=str)
+    # nothing at/above the watermark leaked out
+    ok = ok and all(cts < final_wm for _, cts in got)
+    record_stream_parity("attribution_credits", len(want), bool(ok))
+    assert ok
+    assert len(want) > 20  # the slice is non-trivial

@@ -165,23 +165,31 @@ def kmeans_fit(
 
     if n_clusters < 1:
         raise ValueError(f"n_clusters must be >= 1: {n_clusters}")
-    base = df.select(F.col(vec_col).cast("array<double>").alias("__v")).where(
-        F.col("__v").isNotNull() & (F.size("__v") > 0)
-    )
+    # vector validity is masked Arrow-side inside each pass (a WHERE on
+    # a pandas-UDF vector column can fuse into an upstream join
+    # condition — the linear.py hazard); the per-round partials and the
+    # init sample both re-apply the same mask
+    base = df.select(F.col(vec_col).cast("array<double>").alias("__v"))
     if persist:
         base = base.persist()
     try:
         sample_cap = max(64 * n_clusters, 1024)
+        # over-fetch 2x then mask pandas-side: the md5-ordered LIMIT
+        # must run without a vector predicate (same hazard as above);
+        # a corpus more than half NULL/empty vectors under-fills and
+        # raises the same too-few-vectors error below
         init_rows = (
             df.select(
                 F.col(id_col).alias("__id"),
                 F.col(vec_col).cast("array<double>").alias("__v"),
             )
-            .where(F.col("__v").isNotNull() & (F.size("__v") > 0))
             .orderBy(F.md5(F.col("__id").cast("string")), F.col("__id"))
-            .limit(sample_cap)
+            .limit(2 * sample_cap)
             .toPandas()
         )
+        init_rows = init_rows[
+            init_rows["__v"].map(lambda v: v is not None and len(v) > 0)
+        ].head(sample_cap)
         S = _as_matrix(init_rows["__v"]) if len(init_rows) else None
         if S is None or len(S) < n_clusters:
             raise ValueError(

@@ -272,14 +272,17 @@ def pca_fit(
 
     if k < 1:
         raise ValueError(f"k must be >= 1: {k}")
-    base = df.select(F.col(vec_col).cast("array<double>").alias("__v")).where(
-        F.col("__v").isNotNull() & (F.size("__v") > 0)
-    )
+    # NULL/empty vectors are masked ARROW-side, never in a WHERE: a
+    # predicate on a pandas-UDF vector column (hashed_embedding over
+    # joined/CASE-built text) can fuse into an upstream join condition
+    # where Python UDFs cannot evaluate (the linear.py hazard)
+    base = df.select(F.col(vec_col).cast("array<double>").alias("__v"))
 
     def partials(batches):
         import pandas as pd
 
         for pdf in batches:
+            pdf = pdf[pdf["__v"].map(lambda v: v is not None and len(v) > 0)]
             if len(pdf) == 0:
                 continue
             X = _as_matrix(pdf["__v"])

@@ -403,3 +403,33 @@ def test_random_projection_guards(spark):
         random_projection(df, 0)
     with _pytest.raises(ValueError):
         random_projection(df.where("vec_id = 2"), 4)
+
+
+def test_fit_operators_survive_udf_built_vectors(spark, sf_dir):
+    """Regression for the UDF-in-predicate crash class: every fit that
+    consumes a vector column must work when that column is a pandas-UDF
+    product over join/CASE-built text (strip_duplicate_spans output) —
+    a WHERE on such a column fuses into the join condition and dies
+    with [INTERNAL_ERROR] Cannot evaluate pythonUDF."""
+    from data_export_tool_spark.operators.clustering import kmeans_fit
+    from data_export_tool_spark.operators.features import (
+        hashed_embedding,
+        pca_fit,
+        pca_transform,
+        random_projection,
+    )
+    from data_export_tool_spark.operators.spans import strip_duplicate_spans
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    feats = hashed_embedding(strip_duplicate_spans(docs, n=8), dim=16)
+
+    model = pca_fit(feats, k=4)
+    assert model["n"] == 500 and len(model["components"]) == 4
+    out = pca_transform(feats, model).where(F.col("pca").isNotNull())
+    assert out.count() == 500
+
+    C = kmeans_fit(feats, 3, iters=2, id_col="doc_id")
+    assert len(C) == 3
+
+    rp = random_projection(feats, out_dim=4)
+    assert rp.where(F.col("rp").isNotNull()).count() == 500

@@ -136,3 +136,21 @@ def test_pit_staleness_and_edges(spark):
         point_in_time_join(labels, {"x__y": feats}, on="uid")
     with pytest.raises(ValueError):
         point_in_time_join(labels, {"f": feats.drop("uid")}, on="uid")
+
+
+def test_pit_plan_has_no_window_or_cartesian(spark, sf_dir):
+    """The as-of core must stay the partial-aggregable struct-MAX
+    shape: no per-row Window over the feature history, no cartesian."""
+    ev = Catalog(spark, sf_dir).load("events").where(
+        F.col("user_id").isNotNull() & F.col("ts").isNotNull()
+    )
+    labels = ev.where(F.col("event_type") == "purchase").select(
+        "user_id", "ts"
+    )
+    feats = ev.select("user_id", "ts", F.col("value").alias("v"))
+    plan = (
+        point_in_time_join(labels, {"f": feats}, on="user_id")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Window" not in plan
+    assert "CartesianProduct" not in plan

@@ -859,6 +859,20 @@ def b63_cross_validation(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def b64_nbayes_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multinomial NB language-ID: fit on the corpus, score it back,
+    per-class prediction counts."""
+    from data_export_tool_spark.operators.nbayes import nbayes_fit, nbayes_predict
+
+    docs = Catalog(spark, sf_dir).load("documents")
+    model = nbayes_fit(docs, "text", "lang", max_vocab=50_000)
+    return (
+        nbayes_predict(model, docs)
+        .groupBy("predicted")
+        .agg(F.count(F.lit(1)).alias("n"), F.avg("score").alias("avg_score"))
+    )
+
+
 QUERIES = [
     QuerySpec("b01_funnel_conversion", b01_funnel_conversion, None),
     QuerySpec("b02_retention_weekly", b02_retention_weekly, None),
@@ -923,4 +937,5 @@ QUERIES = [
     QuerySpec("b61_temperature_mixture", b61_temperature_mixture, None),
     QuerySpec("b62_huber_quality_fit", b62_huber_quality_fit, None),
     QuerySpec("b63_cross_validation", b63_cross_validation, None),
+    QuerySpec("b64_nbayes_langid", b64_nbayes_langid, None),
 ]

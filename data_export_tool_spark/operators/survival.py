@@ -1,0 +1,103 @@
+"""Kaplan-Meier survival estimation — time-to-event analytics at scale.
+
+Retention analytics (X48) answers "how many users came back in week
+k"; the survival view answers the censored-data version — "what
+fraction of users SURVIVE past duration t when many are still active
+(censored)?" — time-to-churn, time-to-first-purchase, subscription
+lifetime. The product estimator (Kaplan & Meier 1958):
+
+    S(t) = Π_{t_i ≤ t} (1 − d_i / n_i)
+
+with d_i events and n_i at-risk subjects at distinct event time t_i,
+plus the Greenwood (1926) standard error
+``se = S · sqrt(Σ d_i / (n_i (n_i − d_i)))``.
+
+Scale shape: ONE partial-aggregable ``groupBy(duration)`` collapses
+the subject-grain input (billions of rows) to distinct-duration grain
+(bounded by time resolution — days/weeks, thousands of rows), and the
+cumulative windows run over THAT frame only — the same
+bounded-bin-frame contract as ``evalmetrics``/isotonic. With
+``group_col`` the window partitions by cohort, so nothing is global
+even at the aggregated grain.
+
+The cumulative product is ``exp(Σ log(1 − d/n))`` with an explicit
+zero guard: once any factor hits 0 (everyone at risk dies at t_i) the
+curve is exactly 0 from there on — tracked with a cumulative
+zero-factor count, because ``log(0)`` is NULL in Spark SQL and −inf
+in most oracles; both are wrong to propagate.
+
+Censoring convention (standard): subjects censored at t are at risk
+AT t (they leave the risk set after t); events and censorings at the
+same t count the event first. Rows with NULL duration or NULL event
+flag are excluded by contract.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+__all__ = ["km_survival"]
+
+
+def km_survival(
+    df: DataFrame,
+    duration_col: str,
+    event_col: str,
+    group_col: str | None = None,
+) -> DataFrame:
+    """Kaplan-Meier curve per cohort.
+
+    ``event_col`` is 1 for an observed event, 0 for right-censored.
+    Output grain: one row per (cohort,) distinct duration with
+    ``n_risk, n_events, n_censored, survival, se`` — survival is
+    S(t) AT t (after applying t's factor).
+    """
+    keys = [group_col] if group_col else []
+    base = df.where(
+        F.col(duration_col).isNotNull() & F.col(event_col).isNotNull()
+    ).select(
+        *keys,
+        F.col(duration_col).alias("t"),
+        F.col(event_col).cast("int").alias("__e"),
+    )
+    # subject grain -> distinct-duration grain (map-side combinable)
+    grid = base.groupBy(*keys, "t").agg(
+        F.sum("__e").alias("n_events"),
+        F.sum(1 - F.col("__e")).alias("n_censored"),
+    )
+    w_all = Window.partitionBy(*keys) if keys else Window.partitionBy()
+    w_cum = (
+        w_all.orderBy("t").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    left = F.col("n_events") + F.col("n_censored")
+    grid = grid.withColumn(
+        "n_risk",
+        F.sum(left).over(w_all.orderBy("t").rowsBetween(0, Window.unboundedFollowing)),
+    )
+    factor = 1 - F.col("n_events") / F.col("n_risk")
+    grid = grid.withColumn(
+        "__zeros", F.sum((factor == 0).cast("int")).over(w_cum)
+    ).withColumn(
+        "__logsum",
+        F.sum(F.when(factor > 0, F.log(factor)).otherwise(F.lit(0.0))).over(w_cum),
+    ).withColumn(
+        "__gw",
+        F.sum(
+            F.when(
+                F.col("n_events") < F.col("n_risk"),
+                F.col("n_events")
+                / (F.col("n_risk") * (F.col("n_risk") - F.col("n_events"))),
+            ).otherwise(F.lit(0.0))
+        ).over(w_cum),
+    )
+    surv = F.when(F.col("__zeros") > 0, F.lit(0.0)).otherwise(F.exp("__logsum"))
+    return grid.select(
+        *keys,
+        "t",
+        "n_risk",
+        "n_events",
+        "n_censored",
+        surv.alias("survival"),
+        (surv * F.sqrt("__gw")).alias("se"),
+    )

@@ -873,6 +873,19 @@ def b64_nbayes_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def b65_km_survival(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohorted Kaplan-Meier time-to-error curves over user durations."""
+    from data_export_tool_spark.operators.survival import km_survival
+
+    ev = Catalog(spark, sf_dir).load("events")
+    durs = ev.groupBy("user_id").agg(
+        F.datediff(F.max("ts"), F.min("ts")).alias("dur"),
+        F.max((F.col("event_type") == "error").cast("int")).alias("ev"),
+        (F.min("user_id") % 8).alias("cohort"),
+    )
+    return km_survival(durs, "dur", "ev", group_col="cohort")
+
+
 QUERIES = [
     QuerySpec("b01_funnel_conversion", b01_funnel_conversion, None),
     QuerySpec("b02_retention_weekly", b02_retention_weekly, None),
@@ -938,4 +951,5 @@ QUERIES = [
     QuerySpec("b62_huber_quality_fit", b62_huber_quality_fit, None),
     QuerySpec("b63_cross_validation", b63_cross_validation, None),
     QuerySpec("b64_nbayes_langid", b64_nbayes_langid, None),
+    QuerySpec("b65_km_survival", b65_km_survival, None),
 ]

@@ -886,6 +886,18 @@ def b65_km_survival(spark: SparkSession, sf_dir: str) -> DataFrame:
     return km_survival(durs, "dur", "ev", group_col="cohort")
 
 
+def b66_copurchase_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Co-purchase association pairs over lineitem baskets, top lifts."""
+    from data_export_tool_spark.operators.basket import frequent_pairs
+
+    li = Catalog(spark, sf_dir).load("lineitem")
+    return (
+        frequent_pairs(li, "l_orderkey", "l_partkey", min_support_count=3)
+        .orderBy(F.desc("lift"), "item_a", "item_b")
+        .limit(100)
+    )
+
+
 QUERIES = [
     QuerySpec("b01_funnel_conversion", b01_funnel_conversion, None),
     QuerySpec("b02_retention_weekly", b02_retention_weekly, None),
@@ -952,4 +964,5 @@ QUERIES = [
     QuerySpec("b63_cross_validation", b63_cross_validation, None),
     QuerySpec("b64_nbayes_langid", b64_nbayes_langid, None),
     QuerySpec("b65_km_survival", b65_km_survival, None),
+    QuerySpec("b66_copurchase_lift", b66_copurchase_lift, None),
 ]

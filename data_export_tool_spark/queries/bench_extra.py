@@ -898,6 +898,20 @@ def b66_copurchase_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def b67_triangle_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle counts over the lineitem co-purchase projection graph
+    (same edge recipe as the test oracle, capped to frequent pairs so
+    the projection itself stays bounded at scale)."""
+    from data_export_tool_spark.operators.basket import frequent_pairs
+    from data_export_tool_spark.operators.triangles import triangle_counts
+
+    li = Catalog(spark, sf_dir).load("lineitem")
+    edges = frequent_pairs(
+        li, "l_orderkey", "l_partkey", min_support_count=2
+    ).select("item_a", "item_b")
+    return triangle_counts(edges, "item_a", "item_b")
+
+
 QUERIES = [
     QuerySpec("b01_funnel_conversion", b01_funnel_conversion, None),
     QuerySpec("b02_retention_weekly", b02_retention_weekly, None),
@@ -965,4 +979,5 @@ QUERIES = [
     QuerySpec("b64_nbayes_langid", b64_nbayes_langid, None),
     QuerySpec("b65_km_survival", b65_km_survival, None),
     QuerySpec("b66_copurchase_lift", b66_copurchase_lift, None),
+    QuerySpec("b67_triangle_counts", b67_triangle_counts, None),
 ]

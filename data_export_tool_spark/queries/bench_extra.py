@@ -912,6 +912,24 @@ def b67_triangle_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return triangle_counts(edges, "item_a", "item_b")
 
 
+def b68_pq_rerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ encode + ADC shortlist + exact rerank over the embedding
+    corpus — the compressed-ANN production path."""
+    from data_export_tool_spark.operators.pq import (
+        pq_encode,
+        pq_topk_rerank,
+        pq_train,
+    )
+
+    emb = Catalog(spark, sf_dir).load("embeddings")
+    model = pq_train(emb, 64, m=16, n_codes=16)
+    codes = pq_encode(emb, model)
+    queries = emb.where(F.col("vec_id") % 500 == 0).selectExpr(
+        "vec_id AS query_id", "embedding AS query_vec"
+    )
+    return pq_topk_rerank(codes, emb, queries, model, k=10, shortlist=100)
+
+
 QUERIES = [
     QuerySpec("b01_funnel_conversion", b01_funnel_conversion, None),
     QuerySpec("b02_retention_weekly", b02_retention_weekly, None),
@@ -980,4 +998,5 @@ QUERIES = [
     QuerySpec("b65_km_survival", b65_km_survival, None),
     QuerySpec("b66_copurchase_lift", b66_copurchase_lift, None),
     QuerySpec("b67_triangle_counts", b67_triangle_counts, None),
+    QuerySpec("b68_pq_rerank_topk", b68_pq_rerank_topk, None),
 ]

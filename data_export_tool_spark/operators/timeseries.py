@@ -191,3 +191,80 @@ def detect_anomalies(
         )
         .drop("__n_base")
     )
+
+
+def cusum_changepoints(
+    resampled: DataFrame,
+    value_col: str,
+    keys: Sequence[str] = (),
+    k_sigma: float = 0.5,
+    h_sigma: float = 5.0,
+    bucket_col: str = "bucket_start",
+    target: float | None = None,
+    sigma: float | None = None,
+) -> DataFrame:
+    """Two-sided CUSUM change-point flags (Page 1954) over a
+    ``resample`` grid.
+
+    The textbook recursion S⁺_t = max(0, S⁺_{t−1} + x_t − μ − κ)
+    is not partial-aggregable, but it has the classic closed form
+
+        S⁺_t = A_t − min(0, min_{j≤t} A_j),   A_t = Σ_{i≤t} z_i
+
+    so the whole detector is ONE cumulative sum + ONE running min per
+    direction — plain window algebra, SQL-oracle-replayable, over the
+    same calendar-bounded per-key bucket partitions as ``rolling``
+    (never proportional to raw row volume).
+
+    κ = ``k_sigma``·σ (drift allowance), alarm at S > ``h_sigma``·σ.
+    μ/σ default to the per-key series mean/stddev (the usual
+    estimated-parameter caveat: a huge shift inflates the pooled σ and
+    desensitizes the detector — pass explicit ``target``/``sigma``
+    from a reference period when you have one). Keys with σ NULL
+    (single bucket) or 0 (no variation) never alarm. Adds ``s_pos``,
+    ``s_neg``, ``is_change``, ``direction`` ('up'/'down'/NULL).
+    """
+    if isinstance(keys, str):
+        keys = [keys]
+    wk = Window.partitionBy(*keys).rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    mu = F.lit(float(target)) if target is not None else F.avg(value_col).over(wk)
+    sd = (
+        F.lit(float(sigma))
+        if sigma is not None
+        else F.stddev_samp(value_col).over(wk)
+    )
+    out = resampled.withColumn("__mu", mu).withColumn("__sd", sd)
+    wcum = (
+        Window.partitionBy(*keys)
+        .orderBy(F.unix_timestamp(F.col(bucket_col)))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    kappa = F.lit(float(k_sigma)) * F.col("__sd")
+    out = (
+        out.withColumn(
+            "__ap", F.sum(F.col(value_col) - F.col("__mu") - kappa).over(wcum)
+        )
+        .withColumn(
+            "__an", F.sum(F.col("__mu") - F.col(value_col) - kappa).over(wcum)
+        )
+    )
+    out = (
+        out.withColumn("s_pos", F.col("__ap") - F.least(F.lit(0.0), F.min("__ap").over(wcum)))
+        .withColumn("s_neg", F.col("__an") - F.least(F.lit(0.0), F.min("__an").over(wcum)))
+    )
+    h = F.lit(float(h_sigma)) * F.col("__sd")
+    armed = F.col("__sd").isNotNull() & (F.col("__sd") > 0)
+    up = armed & (F.col("s_pos") > h)
+    down = armed & (F.col("s_neg") > h)
+    return (
+        out.withColumn("is_change", F.coalesce(up | down, F.lit(False)))
+        .withColumn(
+            "direction",
+            F.when(up & down, F.lit("both"))
+            .when(up, F.lit("up"))
+            .when(down, F.lit("down")),
+        )
+        .drop("__mu", "__sd", "__ap", "__an")
+    )

@@ -930,6 +930,19 @@ def b68_pq_rerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pq_topk_rerank(codes, emb, queries, model, k=10, shortlist=100)
 
 
+def b69_cusum_changepoints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sided CUSUM level-shift flags per (event_type) over the
+    hourly value rollup."""
+    from data_export_tool_spark.operators.timeseries import (
+        cusum_changepoints,
+        resample,
+    )
+
+    ev = Catalog(spark, sf_dir).load("events")
+    grid = resample(ev, "1 hour", {"v": F.sum("value")}, keys=["event_type"])
+    return cusum_changepoints(grid, "v", keys=["event_type"]).where("is_change")
+
+
 QUERIES = [
     QuerySpec("b01_funnel_conversion", b01_funnel_conversion, None),
     QuerySpec("b02_retention_weekly", b02_retention_weekly, None),
@@ -999,4 +1012,5 @@ QUERIES = [
     QuerySpec("b66_copurchase_lift", b66_copurchase_lift, None),
     QuerySpec("b67_triangle_counts", b67_triangle_counts, None),
     QuerySpec("b68_pq_rerank_topk", b68_pq_rerank_topk, None),
+    QuerySpec("b69_cusum_changepoints", b69_cusum_changepoints, None),
 ]

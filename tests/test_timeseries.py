@@ -4,6 +4,7 @@ from __future__ import annotations
 
 import duckdb
 import pytest
+from datetime import datetime, timedelta
 from pyspark.sql import functions as F
 
 from data_export_tool_spark.catalog import Catalog
@@ -106,3 +107,106 @@ def test_fill_gaps_matches_duckdb_axis(spark, sf_dir):
     # every original bucket present and not flagged as gap
     n_real = dense.where(~F.col("is_gap")).count()
     assert n_real == res.count()
+
+
+# ---------------------------------------------------------------------------
+# CUSUM change points
+# ---------------------------------------------------------------------------
+
+
+def _cusum_python(vals, k_sigma=0.5, h_sigma=5.0, mu=None, sd=None):
+    """Textbook RECURSIVE two-sided CUSUM — the independent truth the
+    closed-form window implementation must reproduce."""
+    import statistics
+
+    m = statistics.fmean(vals) if mu is None else mu
+    s = (statistics.stdev(vals) if len(vals) > 1 else None) if sd is None else sd
+    out = []
+    sp = sn = 0.0
+    for x in vals:
+        if s is None:
+            out.append((None, None, False, None))
+            continue
+        kap = k_sigma * s
+        sp = max(0.0, sp + (x - m - kap))
+        sn = max(0.0, sn + (m - x - kap))
+        up = s > 0 and sp > h_sigma * s
+        dn = s > 0 and sn > h_sigma * s
+        d = "both" if (up and dn) else "up" if up else "down" if dn else None
+        out.append((sp if s is not None else None, sn, up or dn, d))
+    return out
+
+
+def test_cusum_closed_form_equals_recursion(spark):
+    """The windowed closed form S_t = A_t - min(0, min prefix A) must
+    equal the non-aggregable textbook recursion, per key."""
+    import random
+
+    from data_export_tool_spark.operators.timeseries import cusum_changepoints
+
+    rng = random.Random(7)
+    rows = []
+    series = {}
+    base = datetime(2024, 1, 1)
+    for key in ("a", "b", "c"):
+        n = 40
+        shift = 5.0 if key == "b" else 0.0
+        vals = [rng.gauss(10.0 + (shift if i >= 25 else 0.0), 1.0) for i in range(n)]
+        series[key] = vals
+        rows += [(key, base + timedelta(hours=i), v) for i, v in enumerate(vals)]
+    df = spark.createDataFrame(rows, "key string, bucket_start timestamp, v double")
+    got = {
+        (r["key"], r["bucket_start"]): (r["s_pos"], r["s_neg"], r["is_change"], r["direction"])
+        for r in cusum_changepoints(df, "v", keys=["key"]).collect()
+    }
+    n_ok = 0
+    for key, vals in series.items():
+        want = _cusum_python(vals)
+        for i, (sp, sn, chg, d) in enumerate(want):
+            g = got[(key, base + timedelta(hours=i))]
+            assert g[0] == pytest.approx(sp, abs=1e-9)
+            assert g[1] == pytest.approx(sn, abs=1e-9)
+            assert (g[2], g[3]) == (chg, d)
+            n_ok += 1
+    record_opcheck("cusum_changepoints", n_ok, True, oracle="python-reference")
+    # the shifted key must alarm after its change point and never before
+    b_first_alarm = min(
+        i for i in range(40)
+        if got[("b", base + timedelta(hours=i))][2]
+    )
+    assert 25 <= b_first_alarm <= 32
+    assert not any(got[("a", base + timedelta(hours=i))][2] for i in range(40))
+
+
+def test_cusum_constant_and_single_series_never_alarm(spark):
+    from data_export_tool_spark.operators.timeseries import cusum_changepoints
+
+    base = datetime(2024, 1, 1)
+    rows = [("const", base + timedelta(hours=i), 5.0) for i in range(10)]
+    rows.append(("single", base, 99.0))
+    df = spark.createDataFrame(rows, "key string, bucket_start timestamp, v double")
+    out = cusum_changepoints(df, "v", keys=["key"]).collect()
+    assert not any(r["is_change"] for r in out)
+
+
+def test_cusum_explicit_reference_params(spark):
+    """Explicit target/sigma from a reference period: a level shift
+    alarms even though pooled estimation would desensitize."""
+    from data_export_tool_spark.operators.timeseries import cusum_changepoints
+
+    base = datetime(2024, 1, 1)
+    vals = [10.0] * 5 + [13.0] * 5
+    df = spark.createDataFrame(
+        [("k", base + timedelta(hours=i), v) for i, v in enumerate(vals)],
+        "key string, bucket_start timestamp, v double",
+    )
+    out = {
+        r["bucket_start"]: r
+        for r in cusum_changepoints(
+            df, "v", keys=["key"], target=10.0, sigma=1.0, k_sigma=0.5, h_sigma=5.0
+        ).collect()
+    }
+    flags = [out[base + timedelta(hours=i)]["is_change"] for i in range(10)]
+    # s_pos accumulates 2.5/bucket from t=5: crosses 5.0 at t=7
+    assert flags == [False] * 7 + [True] * 3
+    assert out[base + timedelta(hours=8)]["direction"] == "up"

@@ -1161,3 +1161,129 @@ def attribution_stream(
             timeoutConf=GroupStateTimeout.EventTimeTimeout,
         )
     )
+
+
+from pyspark.sql.types import BooleanType  # noqa: E402 (twin #18 below)
+
+CUSUM_STATE_SCHEMA = StructType(
+    [
+        StructField("s_pos", DoubleType()),
+        StructField("s_neg", DoubleType()),
+        StructField("pend_ts", ArrayType(LongType())),
+        StructField("pend_v", ArrayType(DoubleType())),
+    ]
+)
+
+CUSUM_OUTPUT_SCHEMA = StructType(
+    [
+        StructField("key", StringType()),
+        StructField("bucket_start", TimestampType()),
+        StructField("v", DoubleType()),
+        StructField("s_pos", DoubleType()),
+        StructField("s_neg", DoubleType()),
+        StructField("is_change", BooleanType()),
+        StructField("direction", StringType()),
+    ]
+)
+
+
+def cusum_stream(
+    buckets: DataFrame,
+    target: float,
+    sigma: float,
+    k_sigma: float = 0.5,
+    h_sigma: float = 5.0,
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Streaming two-sided CUSUM alerting — twin #18, the stateful
+    sibling of ``operators.timeseries.cusum_changepoints`` with
+    explicit reference-period ``target``/``sigma`` (a stream cannot
+    know its own series-wide μ/σ; the batch operator's estimated mode
+    has no streaming analogue, honestly).
+
+    Input is BUCKET-grain rows ``(key string, bucket_start timestamp,
+    v double)`` — the resample grid's shape. The same watermark-buffer
+    pattern as the funnel/transition/attribution twins: buckets newer
+    than the watermark are buffered in per-key state; once the
+    watermark passes them they are consumed in exact bucket_start
+    order, each consumption advancing the textbook recursion
+    S⁺ = max(0, S⁺ + v − μ − κ), S⁻ = max(0, S⁻ + μ − v − κ) and
+    emitting one FINAL row (append mode; late buckets drop, the
+    standard twin policy). State = two doubles + one
+    watermark-horizon of buffered buckets; an event-time timeout
+    re-fires the fold when the watermark passes a buffered bucket
+    even if the key goes quiet.
+    """
+    import pandas as pd
+
+    kap = float(k_sigma) * float(sigma)
+    h = float(h_sigma) * float(sigma)
+    mu = float(target)
+    armed = float(sigma) > 0
+
+    def fn(key, pdf_iter, state: GroupState):
+        if state.exists:
+            sp, sn, pend_ts, pend_v = state.get
+            pend = list(zip(pend_ts, pend_v))
+        else:
+            sp, sn, pend = 0.0, 0.0, []
+        wm_us = state.getCurrentWatermarkMs() * 1000
+
+        if not state.hasTimedOut:
+            for pdf in pdf_iter:
+                sel = pdf[pdf["v"].notna()]
+                if len(sel) == 0:
+                    continue
+                ts_us = (
+                    pd.to_datetime(sel["bucket_start"])
+                    .astype("datetime64[ns]")
+                    .astype("int64")
+                    // 1_000
+                )
+                for t, v in zip(ts_us, sel["v"]):
+                    if t >= wm_us:  # late buckets drop
+                        pend.append((int(t), float(v)))
+
+        ready = sorted(p for p in pend if p[0] < wm_us)
+        pend = [p for p in pend if p[0] >= wm_us]
+        out = []
+        for t, v in ready:
+            sp = max(0.0, sp + (v - mu - kap))
+            sn = max(0.0, sn + (mu - v - kap))
+            up = armed and sp > h
+            dn = armed and sn > h
+            d = "both" if (up and dn) else "up" if up else "down" if dn else None
+            out.append((t, v, sp, sn, up or dn, d))
+
+        state.update((sp, sn, [p[0] for p in pend], [p[1] for p in pend]))
+        if pend:
+            state.setTimeoutTimestamp(
+                max(min(p[0] for p in pend) // 1000 + 1, wm_us // 1000 + 1)
+            )
+        if out:
+            yield pd.DataFrame(
+                {
+                    "key": key[0],
+                    "bucket_start": pd.to_datetime(
+                        pd.Series([t for t, *_ in out], dtype="int64"), unit="us"
+                    ),
+                    "v": [v for _, v, *_ in out],
+                    "s_pos": [s for _, _, s, *_ in out],
+                    "s_neg": [s for _, _, _, s, *_ in out],
+                    "is_change": [c for *_, c, _ in out],
+                    "direction": [d for *_, d in out],
+                }
+            )
+
+    return (
+        buckets.where(F.col("key").isNotNull() & F.col("bucket_start").isNotNull())
+        .withWatermark("bucket_start", watermark)
+        .groupBy("key")
+        .applyInPandasWithState(
+            fn,
+            outputStructType=CUSUM_OUTPUT_SCHEMA,
+            stateStructType=CUSUM_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )

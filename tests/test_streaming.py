@@ -1147,3 +1147,83 @@ def test_attribution_stream_matches_batch(spark, sf_dir, event_drop_dir):
     record_stream_parity("attribution_credits", len(want), bool(ok))
     assert ok
     assert len(want) > 20  # the slice is non-trivial
+
+
+def test_cusum_stream_matches_batch(spark, sf_dir, tmp_path):
+    """Twin #18: streaming CUSUM with explicit reference params must
+    EXACTLY reproduce the batch closed-form operator on every bucket
+    the final watermark has passed (append-final rows), and emit
+    nothing at-or-above the watermark."""
+    import time
+
+    from data_export_tool_spark.operators.timeseries import (
+        cusum_changepoints,
+        resample,
+    )
+    from data_export_tool_spark.streaming.events import cusum_stream
+
+    ev = Catalog(spark, sf_dir).load("events")
+    grid = resample(ev, "1 hour", {"v": F.sum("value")}, keys=["event_type"]).select(
+        F.col("event_type").alias("key"), "bucket_start", "v"
+    )
+    TARGET, SIGMA = 10.0, 4.0
+
+    # stage the grid as 4 time-ordered drops
+    bounds = grid.select(F.unix_millis("bucket_start").alias("ms")).approxQuantile(
+        "ms", [0.25, 0.5, 0.75], 0.0
+    )
+    drop_dir = str(tmp_path / "cusum_drops")
+    lo = None
+    for hi in [*bounds, None]:
+        sel = grid
+        if lo is not None:
+            sel = sel.where(F.unix_millis("bucket_start") >= lo)
+        if hi is not None:
+            sel = sel.where(F.unix_millis("bucket_start") < hi)
+        sel.repartition(1).write.mode("append").parquet(drop_dir)
+        lo = hi
+        time.sleep(1.05)
+
+    stream = (
+        spark.readStream.schema("key string, bucket_start timestamp, v double")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(drop_dir)
+    )
+    out = cusum_stream(
+        stream, target=TARGET, sigma=SIGMA, watermark="30 minutes"
+    )
+    q = (
+        out.writeStream.format("memory")
+        .queryName("cusum_stream_test")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+
+    emitted = {
+        (r["key"], r["bucket_start"]): (
+            round(r["s_pos"], 9), round(r["s_neg"], 9),
+            r["is_change"], r["direction"],
+        )
+        for r in spark.sql("SELECT * FROM cusum_stream_test").collect()
+    }
+    max_ms = grid.agg(F.max(F.unix_millis("bucket_start"))).first()[0]
+    wm_ms = max_ms - 30 * 60 * 1000
+    batch = {
+        (r["key"], r["bucket_start"]): (
+            round(r["s_pos"], 9), round(r["s_neg"], 9),
+            r["is_change"], r["direction"],
+        )
+        for r in cusum_changepoints(
+            grid, "v", keys=["key"], target=TARGET, sigma=SIGMA
+        )
+        .where(F.unix_millis("bucket_start") < wm_ms)
+        .collect()
+    }
+    ok = emitted == batch and len(batch) > 0
+    record_stream_parity("cusum_alerts", len(batch), ok)
+    assert ok, (
+        f"stream {len(emitted)} rows vs batch {len(batch)}; "
+        f"diff={set(emitted.items()) ^ set(batch.items())}"
+    )

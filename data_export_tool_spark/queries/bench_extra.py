@@ -943,6 +943,32 @@ def b69_cusum_changepoints(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cusum_changepoints(grid, "v", keys=["event_type"]).where("is_change")
 
 
+def b70_label_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fleiss kappa over 3 deterministic pseudo-raters of documents."""
+    from data_export_tool_spark.operators.agreement import fleiss_kappa
+
+    docs = Catalog(spark, sf_dir).load("documents")
+    long = docs.select(
+        "doc_id", F.explode(F.array(F.lit(1), F.lit(2), F.lit(3))).alias("rater")
+    ).withColumn(
+        "label",
+        F.when(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.col("doc_id").cast("string"), F.col("rater").cast("string")
+                    )
+                ),
+                1,
+                1,
+            )
+            < "c",
+            F.lit("keep"),
+        ).otherwise(F.lit("drop")),
+    )
+    return fleiss_kappa(long, "doc_id", "label")
+
+
 QUERIES = [
     QuerySpec("b01_funnel_conversion", b01_funnel_conversion, None),
     QuerySpec("b02_retention_weekly", b02_retention_weekly, None),
@@ -1013,4 +1039,5 @@ QUERIES = [
     QuerySpec("b67_triangle_counts", b67_triangle_counts, None),
     QuerySpec("b68_pq_rerank_topk", b68_pq_rerank_topk, None),
     QuerySpec("b69_cusum_changepoints", b69_cusum_changepoints, None),
+    QuerySpec("b70_label_agreement", b70_label_agreement, None),
 ]

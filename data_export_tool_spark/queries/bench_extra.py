@@ -969,6 +969,37 @@ def b70_label_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fleiss_kappa(long, "doc_id", "label")
 
 
+def b71_conformal_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ridge quality fit + split-conformal 90% intervals: calibrate on
+    md5-even rows, attach intervals to the md5-odd half."""
+    from data_export_tool_spark.operators.conformal import (
+        conformal_apply,
+        conformal_fit,
+    )
+    from data_export_tool_spark.operators.linear import linear_predict, ridge_fit
+
+    emb = Catalog(spark, sf_dir).load("embeddings")
+    e = F.col("embedding")
+    df = emb.withColumn("y", 2.0 * e[0] - 3.0 * e[3] + 0.5)
+    # PROPER split conformal: train, calibration, and scoring splits
+    # are disjoint — calibrating on the training rows yields in-sample
+    # residuals and provable undercoverage
+    part = (
+        F.conv(F.substring(F.md5(F.col("vec_id").cast("string")), 1, 1), 16, 10)
+        .cast("int") % 4
+    )
+    train = df.where(part.isin(0, 1))
+    cal = df.where(part == 2)
+    new = df.where(part == 3)
+    model = ridge_fit(train, "y", reg=1e-2)
+    cal_scored = linear_predict(cal, model, "embedding")
+    cmodel = conformal_fit(cal_scored, "y", "pred", alpha=0.1)
+    scored = linear_predict(new, model, "embedding")
+    return conformal_apply(scored, "pred", cmodel).select(
+        "vec_id", "y", "pred", "pi_lo", "pi_hi"
+    )
+
+
 QUERIES = [
     QuerySpec("b01_funnel_conversion", b01_funnel_conversion, None),
     QuerySpec("b02_retention_weekly", b02_retention_weekly, None),
@@ -1040,4 +1071,5 @@ QUERIES = [
     QuerySpec("b68_pq_rerank_topk", b68_pq_rerank_topk, None),
     QuerySpec("b69_cusum_changepoints", b69_cusum_changepoints, None),
     QuerySpec("b70_label_agreement", b70_label_agreement, None),
+    QuerySpec("b71_conformal_quality", b71_conformal_quality, None),
 ]

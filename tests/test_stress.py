@@ -409,3 +409,94 @@ def test_stress_span_dedup_hot_passage(spark):
     assert agg["kept_boiler"] == 1  # exactly one canonical copy
     assert agg["removed"] == 12 * (n_docs - 1)
     assert agg["kept_unique"] == n_docs  # unique tokens always survive
+
+
+def test_stress_triangles_star_hub(spark):
+    """A star graph with one hub of degree N/4: the naive wedge join
+    would enumerate (N/4 choose 2) hub wedges; degree orientation
+    points every edge leaf→hub (out-degree ≤ 1 per leaf), so the
+    wedge stage is EMPTY. Analytic truth: 0 triangles everywhere,
+    hub degree N/4, plus one attached 3-clique to prove counting
+    still works beside the hub."""
+    from data_export_tool_spark.operators.triangles import triangle_counts
+
+    n_leaves = N // 4
+    star = spark.range(1, n_leaves + 1).select(
+        F.lit(0).cast("long").alias("s"), F.col("id").alias("d")
+    )
+    # one triangle far away: nodes -1, -2, -3
+    tri = spark.createDataFrame(
+        [(-1, -2), (-2, -3), (-1, -3)], "s long, d long"
+    )
+    out = triangle_counts(star.unionByName(tri), "s", "d")
+    agg = {r["node"]: (r["degree"], r["triangles"]) for r in out.where(
+        F.col("node").isin(0, -1, -2, -3)
+    ).collect()}
+    assert agg[0] == (n_leaves, 0)
+    assert agg[-1] == (2, 1) and agg[-2] == (2, 1) and agg[-3] == (2, 1)
+    assert out.where(F.col("triangles") > 0).count() == 3
+
+
+def test_stress_frequent_pairs_hot_basket_guard(spark):
+    """One degenerate basket with 50k distinct items (a crawler
+    session) would alone emit 1.25B pairs; the guard must drop it,
+    count it, and leave the analytic truth of the normal baskets:
+    N/2 two-item baskets all containing the same pair."""
+    from data_export_tool_spark.operators.basket import frequent_pairs
+
+    n_norm = N // 2
+    hot = spark.range(50_000).select(
+        F.lit(-1).cast("long").alias("basket"),
+        F.concat(F.lit("item_"), F.col("id")).alias("item"),
+    )
+    norm = spark.range(n_norm).select(
+        F.col("id").alias("basket"), F.lit("aa").alias("item")
+    ).unionByName(
+        spark.range(n_norm).select(
+            F.col("id").alias("basket"), F.lit("bb").alias("item")
+        )
+    )
+    out = frequent_pairs(
+        hot.unionByName(norm), "basket", "item",
+        min_support_count=2, max_basket_items=1000,
+    ).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r["item_a"], r["item_b"]) == ("aa", "bb")
+    assert r["n_pair"] == n_norm and r["n_baskets"] == n_norm
+    assert r["n_dropped_baskets"] == 1
+    assert r["lift"] == pytest.approx(1.0)
+
+
+def test_stress_nbayes_hot_class(spark):
+    """N docs of one class vs 1000 of another, shared + disjoint
+    vocab: fit stays one count exchange (no per-class windows), the
+    priors/likelihoods match the closed form, and scoring a
+    discriminative token classifies correctly."""
+    import math
+
+    from data_export_tool_spark.operators.nbayes import nbayes_fit, nbayes_predict
+
+    big = spark.range(N).select(
+        F.col("id").alias("doc_id"), F.lit("common spamword").alias("text"),
+        F.lit("spam").alias("lang"),
+    )
+    small = spark.range(N, N + 1000).select(
+        F.col("id").alias("doc_id"), F.lit("common hamword").alias("text"),
+        F.lit("ham").alias("lang"),
+    )
+    model = nbayes_fit(big.unionByName(small), "text", "lang")
+    assert model.vocab_size == 3
+    assert model.log_priors["spam"] == pytest.approx(math.log(N / (N + 1000)))
+    probe = spark.createDataFrame(
+        [(1, "hamword"), (2, "spamword")], "doc_id long, text string"
+    )
+    pred = {r["doc_id"]: r["predicted"] for r in nbayes_predict(model, probe).collect()}
+    # closed-form posteriors: P(t|c) = (c_t+alpha)/(tot_c + alpha*V)
+    p_ham = math.log(1000 / (N + 1000)) + math.log((1000 + 1) / (2000 + 3))
+    p_spam = math.log(N / (N + 1000)) + math.log((0 + 1) / (2 * N + 3))
+    want_ham = "ham" if p_ham > p_spam else "spam"
+    assert pred[1] == want_ham
+    p2_ham = math.log(1000 / (N + 1000)) + math.log((0 + 1) / (2000 + 3))
+    p2_spam = math.log(N / (N + 1000)) + math.log((N + 1) / (2 * N + 3))
+    assert pred[2] == ("spam" if p2_spam > p2_ham else "ham")

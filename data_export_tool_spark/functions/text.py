@@ -217,3 +217,51 @@ def pii_match_count(text: Column) -> Column:
         total = total + F.regexp_count(cur, F.lit(pattern))
         cur = F.regexp_replace(cur, pattern, tag)
     return total
+
+
+def nfkc_fold(text: Column, strip_accents: bool = True) -> Column:
+    """Unicode NFKC normalization + casefold (+ optional accent strip)
+    — the canonicalization pass multilingual dedup needs BEFORE
+    fingerprinting: fullwidth forms (ＡＢＣ), ligatures (ﬁ), compatibility
+    digits (①), precomposed-vs-combining accents, and case all collapse
+    so byte-different renderings of the same text dedup together.
+
+    The ONE text function that leaves codegen: the JVM has no Unicode
+    normalizer in Spark SQL, so this is an Arrow-batched pandas UDF by
+    necessity (the multimodal-decode policy: Python only where no
+    built-in exists, and batched when it is). Everything downstream
+    (fingerprints, n-grams, MinHash) stays column algebra over the
+    folded output. NULL in → NULL out.
+
+    ``strip_accents`` decomposes (NFD), drops combining marks (Mn),
+    and recomposes (NFC) — café/café/CAFÉ all → cafe. Off by default
+    for languages where diacritics are contrastive? No: ON by default,
+    matching the dedup-canonicalization use; pass False for
+    linguistically-faithful folding.
+    """
+    import pandas as pd  # noqa: F401 (typing only; resolved executor-side)
+
+    do_strip = bool(strip_accents)
+
+    @F.pandas_udf("string")
+    def _fold(s):
+        import unicodedata
+
+        def one(x):
+            if x is None:
+                return None
+            y = unicodedata.normalize("NFKC", x).casefold()
+            if do_strip:
+                y = unicodedata.normalize(
+                    "NFC",
+                    "".join(
+                        c
+                        for c in unicodedata.normalize("NFD", y)
+                        if unicodedata.category(c) != "Mn"
+                    ),
+                )
+            return y
+
+        return s.map(one)
+
+    return _fold(text)

@@ -424,3 +424,81 @@ def update_components(
         F.col("n").alias(out_node), F.col("c").alias(out_comp)
     )
     return untouched.unionByName(sub_cc)
+
+
+def label_propagation(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_iter: int = 10,
+) -> DataFrame:
+    """Community detection by synchronous label propagation (Raghavan
+    et al. 2007), made DETERMINISTIC: every node starts labeled with
+    its own id; each round a node adopts the label that is most
+    frequent among its neighbors, ties broken to the SMALLEST label
+    (every node has ≥1 neighbor by construction — isolated nodes are
+    not in the edge list and not in the output, the
+    ``triangle_counts`` convention).
+    Classic LPA breaks ties randomly; the fixed rule makes the output
+    a pure function of (graph, max_iter), replayable by an external
+    oracle — the same determinism-over-folklore trade the maximin
+    k-means seeding makes.
+
+    Undirected semantics: each input edge connects both endpoints
+    (reversed/duplicate edges collapse; self-loops dropped).
+
+    Scale shape, per round: ONE join of the O(E) symmetric edge table
+    (checkpoint-materialized once) with the O(V) label table, a
+    partial-aggregable (node, label) count, and an argmin-struct
+    rollup per node — the exchanges carry label-grain rows, never
+    adjacency lists. ``localCheckpoint`` per round truncates lineage;
+    superseded label tables free immediately (the CC/PageRank
+    policy). Synchronous LPA can 2-cycle on bipartite structures —
+    ``max_iter`` is a hard bound and rounds are NOT probed for
+    convergence (tol-free by design: a probe job per round costs more
+    than the bounded extra rounds at scale).
+
+    Returns (node, community) — community ids are node ids (the
+    min-id representative under the tie rule), stable for joining
+    back to the corpus like ``duplicate_clusters`` output.
+    """
+    if max_iter < 1:
+        raise ValueError(f"max_iter must be >= 1: {max_iter}")
+    sc = edges.sparkSession.sparkContext
+    und = edges.where(
+        F.col(src).isNotNull() & F.col(dst).isNotNull() & (F.col(src) != F.col(dst))
+    ).select(F.least(src, dst).alias("a"), F.greatest(src, dst).alias("b")).distinct()
+    sym, sym_ids = _checkpoint(
+        und.select(F.col("a").alias("n"), F.col("b").alias("m")).union(
+            und.select(F.col("b").alias("n"), F.col("a").alias("m"))
+        )
+    )
+    labels, lab_ids = _checkpoint(
+        sym.select("n").distinct().select("n", F.col("n").alias("community"))
+    )
+    for _ in range(max_iter):
+        nbr = (
+            sym.join(
+                labels.select(F.col("n").alias("m"), "community"), "m"
+            )
+            .groupBy("n", "community")
+            .agg(F.count(F.lit(1)).alias("__c"))
+        )
+        new_labels = (
+            nbr.groupBy("n")
+            .agg(
+                F.min(
+                    F.struct(
+                        (-F.col("__c")).alias("negc"),
+                        F.col("community").alias("community"),
+                    )
+                ).alias("__w")
+            )
+            .select("n", F.col("__w.community").alias("community"))
+        )
+        new_labels, new_ids = _checkpoint(new_labels)
+        _release(sc, lab_ids)
+        labels, lab_ids = new_labels, new_ids
+    out = labels.select(F.col("n").alias("node"), "community")
+    _release(sc, sym_ids)
+    return out

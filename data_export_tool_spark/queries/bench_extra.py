@@ -1004,6 +1004,39 @@ def b71_conformal_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def b72_lpa_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Label-propagation communities over the signal-bearing
+    co-purchase graph (same edge recipe as b67), community sizes."""
+    from data_export_tool_spark.operators.basket import frequent_pairs
+    from data_export_tool_spark.operators.graph import label_propagation
+
+    li = Catalog(spark, sf_dir).load("lineitem")
+    edges = (
+        frequent_pairs(li, "l_orderkey", "l_partkey", min_support_count=2)
+        .where("n_pair >= 2")
+        .select("item_a", "item_b")
+    )
+    return (
+        label_propagation(edges, "item_a", "item_b", max_iter=3)
+        .groupBy("community")
+        .agg(F.count(F.lit(1)).alias("size"))
+    )
+
+
+def b73_unicode_fold_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NFKC-fold the corpus then fingerprint-count duplicates — the
+    multilingual canonicalization front of the dedup chain."""
+    from data_export_tool_spark.functions.text import nfkc_fold
+
+    docs = Catalog(spark, sf_dir).load("documents")
+    return (
+        docs.select(F.xxhash64(nfkc_fold(F.col("text"))).alias("fp"))
+        .groupBy("fp")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .where("n > 1")
+    )
+
+
 QUERIES = [
     QuerySpec("b01_funnel_conversion", b01_funnel_conversion, None),
     QuerySpec("b02_retention_weekly", b02_retention_weekly, None),
@@ -1076,4 +1109,6 @@ QUERIES = [
     QuerySpec("b69_cusum_changepoints", b69_cusum_changepoints, None),
     QuerySpec("b70_label_agreement", b70_label_agreement, None),
     QuerySpec("b71_conformal_quality", b71_conformal_quality, None),
+    QuerySpec("b72_lpa_communities", b72_lpa_communities, None),
+    QuerySpec("b73_unicode_fold_dedup", b73_unicode_fold_dedup, None),
 ]

@@ -1,0 +1,140 @@
+"""Deterministic random-walk corpus generation (DeepWalk/node2vec prep).
+
+Graph-embedding pipelines (Perozzi et al. 2014) train a skip-gram
+model on random walks; at corpus scale the walk GENERATION is the
+Spark-shaped step (the training is the ML framework's problem). This
+is the graph sibling of `sampling.deterministic_sample` / the X98
+negative sampler: every "random" choice is pure md5 arithmetic over
+(walk_id, step), so the corpus is a replayable FUNCTION of
+(graph, n_walks, walk_length, seed) — re-runs, resumed jobs, and an
+external oracle all produce byte-identical walks.
+
+Step rule: from node u on walk w at step s, the next node is the
+``h % degree(u)``-th neighbor in ascending neighbor order, with
+h = the 32-bit hex slice of md5(seed‖w‖u‖s). Ascending-order
+indexing needs a per-source neighbor rank — computed ONCE on the
+adjacency table (a per-source window over neighbor lists, bounded by
+max degree, materialized and reused for all steps), not per step.
+
+Scale shape per step: ONE equi-join of the O(active walks) frontier
+against the indexed adjacency on (node, chosen_rank) — an exact
+composite-key join, NOT a node-key join followed by a filter over all
+neighbors, so a hub with 10⁶ neighbors costs one lookup per visiting
+walk, not 10⁶ candidate rows. ``walk_length`` bounded iterations;
+walks that reach a sink (no out-edges under undirected=False) simply
+stop — their rows are shorter, the standard convention.
+
+Output: one row per (walk_id, start node, step, node) — the long
+format a skip-gram window generator consumes directly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["random_walks"]
+
+
+def _h32(*cols) -> F.Column:
+    """Deterministic 32-bit uint from md5 of the ‖-joined key — the
+    sampling.py md5 convention, but the hex-to-int step is an explicit
+    8-digit ascii fold in long arithmetic instead of ``conv``:
+    observed on Spark 4.1 here (ansi on), ``conv`` inside this
+    operator's projection intermittently returned the value of a
+    DIFFERENT key than the one md5'd beside it (the NumberConverter
+    shared-buffer corruption class), flipping walk steps. The fold
+    uses only immutable primitives, stays in whole-stage codegen, and
+    replays in any oracle as plain ``int(hex, 16)``."""
+    key = F.concat_ws("", *[c.cast("string") for c in cols])
+    sub = F.substring(F.md5(key), 9, 8)
+    h = F.lit(0).cast("long")
+    for i in range(8):
+        c = F.ascii(F.substring(sub, i + 1, 1)).cast("long")
+        v = c - 48 - F.when(c >= 97, F.lit(39)).otherwise(F.lit(0))
+        h = h * 16 + v
+    return h
+
+
+def random_walks(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    n_walks: int = 2,
+    walk_length: int = 5,
+    seed: int = 42,
+    undirected: bool = True,
+) -> DataFrame:
+    """(walk_id, start, step, node) rows; step 0 is the start node.
+
+    ``n_walks`` walks start from EVERY node with at least one
+    out-edge. Self-loops dropped; duplicate edges collapse (they would
+    bias the hash-indexed choice invisibly — multiplicity-weighted
+    walks need an explicit weight column, out of scope by contract).
+    """
+    if n_walks < 1 or walk_length < 1:
+        raise ValueError("n_walks and walk_length must be >= 1")
+    e = edges.where(
+        F.col(src).isNotNull() & F.col(dst).isNotNull() & (F.col(src) != F.col(dst))
+    ).select(F.col(src).alias("u"), F.col(dst).alias("v"))
+    if undirected:
+        e = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    e = e.distinct()
+
+    from pyspark.sql import Window
+
+    # neighbor rank within ascending order, + degree: computed ONCE.
+    # the per-source window is bounded by max degree; for pathological
+    # hubs this is the one stage to pre-bucket by u.
+    w = Window.partitionBy("u").orderBy("v")
+    adj = e.select(
+        "u",
+        "v",
+        (F.row_number().over(w) - 1).alias("__rank"),
+        F.count(F.lit(1)).over(Window.partitionBy("u")).alias("__deg"),
+    )
+    deg = adj.groupBy("u").agg(F.first("__deg").alias("__deg"))
+
+    starts = deg.select(F.col("u").alias("start"), "__deg")
+    frontier = (
+        starts.crossJoin(
+            F.broadcast(
+                edges.sparkSession.range(n_walks).select(
+                    F.col("id").alias("__w")
+                )
+            )
+        )
+        .select(
+            F.concat_ws("#", F.col("start").cast("string"), F.col("__w")).alias(
+                "walk_id"
+            ),
+            "start",
+            F.col("start").alias("node"),
+            "__deg",
+        )
+    )
+    out = frontier.select(
+        "walk_id", "start", F.lit(0).alias("step"), "node"
+    )
+    cur = frontier
+    for s in range(1, walk_length):
+        choice = cur.select(
+            "walk_id",
+            "start",
+            F.col("node").alias("u"),
+            (_h32(F.lit(seed), F.col("walk_id"), F.col("node"), F.lit(s)) % F.col("__deg")).alias(
+                "__rank"
+            ),
+        )
+        nxt = choice.join(adj, ["u", "__rank"]).select(
+            "walk_id", "start", F.col("v").alias("node")
+        )
+        # the reached node is emitted UNCONDITIONALLY; continuation
+        # (degree re-attach) drops walks that reached a sink
+        out = out.unionByName(
+            nxt.select("walk_id", "start", F.lit(s).alias("step"), "node")
+        )
+        cur = nxt.join(deg, nxt["node"] == deg["u"]).select(
+            "walk_id", "start", "node", "__deg"
+        )
+    return out

@@ -1037,6 +1037,21 @@ def b73_unicode_fold_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def b74_random_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DeepWalk corpus generation over the signal-bearing co-purchase
+    graph: 2 walks × length 5 from every node."""
+    from data_export_tool_spark.operators.basket import frequent_pairs
+    from data_export_tool_spark.operators.walks import random_walks
+
+    li = Catalog(spark, sf_dir).load("lineitem")
+    edges = (
+        frequent_pairs(li, "l_orderkey", "l_partkey", min_support_count=2)
+        .where("n_pair >= 2")
+        .select("item_a", "item_b")
+    )
+    return random_walks(edges, "item_a", "item_b", n_walks=2, walk_length=5)
+
+
 QUERIES = [
     QuerySpec("b01_funnel_conversion", b01_funnel_conversion, None),
     QuerySpec("b02_retention_weekly", b02_retention_weekly, None),
@@ -1111,4 +1126,5 @@ QUERIES = [
     QuerySpec("b71_conformal_quality", b71_conformal_quality, None),
     QuerySpec("b72_lpa_communities", b72_lpa_communities, None),
     QuerySpec("b73_unicode_fold_dedup", b73_unicode_fold_dedup, None),
+    QuerySpec("b74_random_walks", b74_random_walks, None),
 ]

@@ -29,7 +29,12 @@ import math
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["conformal_fit", "conformal_apply"]
+__all__ = [
+    "conformal_fit",
+    "conformal_apply",
+    "conformal_fit_grouped",
+    "conformal_apply_grouped",
+]
 
 
 def conformal_fit(
@@ -60,4 +65,74 @@ def conformal_apply(df: DataFrame, pred_col: str, model: dict) -> DataFrame:
     q = F.lit(model["qhat"])
     return df.withColumn("pi_lo", F.col(pred_col) - q).withColumn(
         "pi_hi", F.col(pred_col) + q
+    )
+
+
+def conformal_fit_grouped(
+    cal_df: DataFrame,
+    y_col: str,
+    pred_col: str,
+    group_col: str,
+    alpha: float = 0.1,
+) -> DataFrame:
+    """Mondrian (group-conditional) conformal: one q̂ PER GROUP, so
+    coverage holds within every stratum (per language, per source
+    domain) instead of only marginally — the fairness-grade guarantee.
+
+    q̂_g is each group's k_g-th smallest residual (k_g from that
+    group's own n_g), read off ONE (group, residual) exchange with a
+    per-group rank window. The window sorts the whole group — honestly
+    a per-group sort, acceptable here because the CALIBRATION frame is
+    the small holdout split by construction, never the corpus (the
+    evalmetrics bounded-frame argument; row_number among tied
+    residuals is arbitrary but the k-th order VALUE is well-defined).
+    Groups where k_g > n_g get an infinite q̂ row (the small-stratum
+    degenerate case, surfaced per group).
+
+    Returns (group_col, qhat, n_cal, k) — join it back and build the
+    bounds with ``pi_lo = pred − qhat`` downstream, or feed
+    :func:`conformal_apply_grouped`.
+    """
+    if not 0 < alpha < 1:
+        raise ValueError(f"alpha must be in (0, 1): {alpha}")
+    from pyspark.sql import Window
+
+    res = cal_df.where(
+        F.col(y_col).isNotNull()
+        & F.col(pred_col).isNotNull()
+        & F.col(group_col).isNotNull()
+    ).select(
+        F.col(group_col),
+        F.abs(F.col(y_col) - F.col(pred_col)).alias("__r"),
+    )
+    w = Window.partitionBy(group_col)
+    ranked = res.withColumn("__n", F.count(F.lit(1)).over(w)).withColumn(
+        "__rk",
+        F.row_number().over(w.orderBy(F.asc("__r"))),
+    )
+    k = F.ceil((F.col("__n") + 1) * F.lit(1.0 - alpha)).cast("long")
+    picked = ranked.withColumn("__k", k).where(
+        (F.col("__rk") == F.col("__k")) | ((F.col("__k") > F.col("__n")) & (F.col("__rk") == 1))
+    )
+    return picked.select(
+        group_col,
+        F.when(F.col("__k") > F.col("__n"), F.lit(float("inf")))
+        .otherwise(F.col("__r"))
+        .alias("qhat"),
+        F.col("__n").alias("n_cal"),
+        F.col("__k").alias("k"),
+    )
+
+
+def conformal_apply_grouped(
+    df: DataFrame, pred_col: str, group_col: str, qhat_df: DataFrame
+) -> DataFrame:
+    """Attach per-group bounds: broadcast join on the (small) group
+    frame, then the same pure projection. Rows whose group has no
+    calibration q̂ get NULL bounds (surfaced, not guessed)."""
+    q = F.broadcast(qhat_df.select(group_col, "qhat"))
+    return (
+        df.join(q, group_col, "left")
+        .withColumn("pi_lo", F.col(pred_col) - F.col("qhat"))
+        .withColumn("pi_hi", F.col(pred_col) + F.col("qhat"))
     )

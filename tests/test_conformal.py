@@ -78,3 +78,40 @@ def test_apply_is_projection_only(spark):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "Exchange" not in plan
+
+
+def test_grouped_conformal_matches_per_group_fit(spark):
+    """Each group's q̂ must equal the global fit run on that group's
+    subset — cross-implementation oracle — and small strata surface
+    infinite intervals."""
+    from data_export_tool_spark.operators.conformal import (
+        conformal_apply_grouped,
+        conformal_fit_grouped,
+    )
+
+    rng = random.Random(4)
+    rows = []
+    for g, sd in (("en", 1.0), ("de", 3.0), ("zh", 0.2)):
+        for i in range(300):
+            rows.append((g, float(i % 20), float(i % 20) + rng.gauss(0, sd)))
+    rows += [("tiny", 1.0, 2.0)] * 3  # k=ceil(4*0.9)=4 > 3 -> inf
+    df = spark.createDataFrame(rows, "grp string, pred double, y double")
+    got = {
+        r["grp"]: (r["qhat"], r["n_cal"], r["k"])
+        for r in conformal_fit_grouped(df, "y", "pred", "grp", alpha=0.1).collect()
+    }
+    assert set(got) == {"en", "de", "zh", "tiny"}
+    for g in ("en", "de", "zh"):
+        single = conformal_fit(df.where(F.col("grp") == g), "y", "pred", alpha=0.1)
+        assert got[g] == (single["qhat"], single["n_cal"], single["k"]), g
+    assert got["tiny"][0] == float("inf")
+    # wider-noise groups get wider intervals: the Mondrian point
+    assert got["de"][0] > got["en"][0] > got["zh"][0]
+    out = conformal_apply_grouped(
+        df, "pred", "grp", conformal_fit_grouped(df, "y", "pred", "grp")
+    )
+    row = out.where("grp = 'en'").limit(1).collect()[0]
+    assert row["pi_hi"] - row["pred"] == pytest.approx(got["en"][0])
+    record_opcheck(
+        "conformal_fit_grouped", len(got), True, oracle="cross-implementation"
+    )

@@ -268,3 +268,110 @@ def cusum_changepoints(
         )
         .drop("__mu", "__sd", "__ap", "__an")
     )
+
+
+def holt_winters_forecast(
+    resampled: DataFrame,
+    value_col: str,
+    key_col: str,
+    season_length: int,
+    horizon: int = 1,
+    alpha: float = 0.3,
+    beta: float = 0.1,
+    gamma: float = 0.2,
+    bucket_col: str = "bucket_start",
+    max_group_rows: int = 2_000_000,
+) -> DataFrame:
+    """Per-key additive Holt-Winters (triple exponential smoothing)
+    forecasts over a DENSE ``resample``/``fill_gaps`` grid — the
+    capacity-planning / ingest-volume-projection step.
+
+    The smoothing recursions are sequential by nature (each state
+    depends on the previous), so this is honestly an executor-side
+    per-key fold via ``applyInPandas`` — legitimate at scale for the
+    same reason as LOCF: the partition is a key's BUCKET COUNT,
+    bounded by the calendar, not raw row volume; ``max_group_rows``
+    guards the contract with a readable error (the grouped-IRLS
+    policy).
+
+    Pinned conventions (the python oracle replays them exactly):
+    dense series sorted by bucket, NULL values rejected (fill gaps
+    first — a gap would silently misalign the season index); needs
+    ≥ 2·season_length points; init level = mean(season 1), trend =
+    (mean(season 2) − mean(season 1))/m, season_i = x_i − level;
+    standard additive recursions; h-step forecast = level + h·trend +
+    season[(n+h−1) mod m] from the LAST fitted season vector.
+
+    Output: one row per (key, h in 1..horizon) with ``yhat``,
+    ``forecast_ts`` (grid-spaced from the last bucket), plus the
+    in-sample one-step SSE for model auditing.
+    """
+    if season_length < 2:
+        raise ValueError(f"season_length must be >= 2: {season_length}")
+    if horizon < 1:
+        raise ValueError(f"horizon must be >= 1: {horizon}")
+    for nm, v in (("alpha", alpha), ("beta", beta), ("gamma", gamma)):
+        if not 0 < v < 1:
+            raise ValueError(f"{nm} must be in (0, 1): {v}")
+    m = int(season_length)
+    h_max = int(horizon)
+    a, b, g = float(alpha), float(beta), float(gamma)
+
+    base = resampled.select(
+        F.col(key_col).cast("string").alias("__g"),
+        F.col(bucket_col).alias("__t"),
+        F.col(value_col).cast("double").alias("__x"),
+    )
+
+    def fit(pdf):
+        import pandas as pd
+
+        key = pdf["__g"].iloc[0] if len(pdf) else None
+        if pdf["__x"].isna().any():
+            raise ValueError(
+                f"holt_winters: NULL values in key {key!r} — fill gaps"
+                " first (a gap misaligns the season index)"
+            )
+        if len(pdf) > max_group_rows:
+            raise ValueError(
+                f"key {key!r} has {len(pdf)} buckets >"
+                f" max_group_rows={max_group_rows}"
+            )
+        pdf = pdf.sort_values("__t")
+        x = pdf["__x"].to_numpy(dtype="float64")
+        n = len(x)
+        if n < 2 * m:
+            return pd.DataFrame(
+                columns=["__g", "h", "forecast_ts", "yhat", "sse"]
+            )
+        ts = pd.to_datetime(pdf["__t"])
+        step = ts.iloc[-1] - ts.iloc[-2] if n >= 2 else pd.Timedelta(0)
+        lvl = float(x[:m].mean())
+        trd = float((x[m : 2 * m].mean() - x[:m].mean()) / m)
+        season = [float(v - lvl) for v in x[:m]]
+        sse = 0.0
+        for t in range(n):
+            s = season[t % m]
+            pred = lvl + trd + s
+            if t >= m:  # one-step errors only once a full season seeded
+                sse += (x[t] - pred) ** 2
+            new_lvl = a * (x[t] - s) + (1 - a) * (lvl + trd)
+            trd = b * (new_lvl - lvl) + (1 - b) * trd
+            season[t % m] = g * (x[t] - new_lvl) + (1 - g) * s
+            lvl = new_lvl
+        rows = []
+        for h in range(1, h_max + 1):
+            yhat = lvl + h * trd + season[(n + h - 1) % m]
+            rows.append(
+                (key, h, ts.iloc[-1] + h * step, float(yhat), float(sse))
+            )
+        return pd.DataFrame(
+            rows, columns=["__g", "h", "forecast_ts", "yhat", "sse"]
+        )
+
+    out = base.groupBy("__g").applyInPandas(
+        fit, schema="__g string, h int, forecast_ts timestamp, yhat double, sse double"
+    )
+    return out.select(
+        F.col("__g").alias(key_col), "h", "forecast_ts", "yhat", "sse"
+    )

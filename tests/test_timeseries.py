@@ -210,3 +210,94 @@ def test_cusum_explicit_reference_params(spark):
     # s_pos accumulates 2.5/bucket from t=5: crosses 5.0 at t=7
     assert flags == [False] * 7 + [True] * 3
     assert out[base + timedelta(hours=8)]["direction"] == "up"
+
+
+# ---------------------------------------------------------------------------
+# Holt-Winters forecasting
+# ---------------------------------------------------------------------------
+
+
+def _hw_python(x, m, horizon, a, b, g):
+    n = len(x)
+    lvl = sum(x[:m]) / m
+    trd = (sum(x[m:2 * m]) / m - sum(x[:m]) / m) / m
+    season = [v - lvl for v in x[:m]]
+    sse = 0.0
+    for t in range(n):
+        s = season[t % m]
+        pred = lvl + trd + s
+        if t >= m:
+            sse += (x[t] - pred) ** 2
+        new_lvl = a * (x[t] - s) + (1 - a) * (lvl + trd)
+        trd = b * (new_lvl - lvl) + (1 - b) * trd
+        season[t % m] = g * (x[t] - new_lvl) + (1 - g) * s
+        lvl = new_lvl
+    return [
+        (h, lvl + h * trd + season[(n + h - 1) % m], sse)
+        for h in range(1, horizon + 1)
+    ]
+
+
+def test_holt_winters_matches_python_replay(spark):
+    import math
+    import random
+
+    from data_export_tool_spark.operators.timeseries import holt_winters_forecast
+
+    rng = random.Random(13)
+    base = datetime(2024, 1, 1)
+    rows, series = [], {}
+    for key in ("cpu", "mem"):
+        n = 48
+        vals = [
+            50 + 10 * math.sin(2 * math.pi * (i % 12) / 12)
+            + (0.5 if key == "cpu" else -0.2) * i
+            + rng.gauss(0, 1)
+            for i in range(n)
+        ]
+        series[key] = vals
+        rows += [(key, base + timedelta(hours=i), v) for i, v in enumerate(vals)]
+    df = spark.createDataFrame(rows, "key string, bucket_start timestamp, v double")
+    out = holt_winters_forecast(
+        df, "v", "key", season_length=12, horizon=13,
+        alpha=0.3, beta=0.1, gamma=0.2,
+    ).collect()
+    got = {(r["key"], r["h"]): (r["yhat"], r["sse"], r["forecast_ts"]) for r in out}
+    n_ok = 0
+    for key, vals in series.items():
+        for h, yhat, sse in _hw_python(vals, 12, 13, 0.3, 0.1, 0.2):
+            gy, gs, gt = got[(key, h)]
+            assert gy == pytest.approx(yhat, abs=1e-9)
+            assert gs == pytest.approx(sse, abs=1e-9)
+            assert gt == base + timedelta(hours=47 + h)
+            n_ok += 1
+    record_opcheck("holt_winters_forecast", n_ok, True, oracle="python-reference")
+    # the trend must be learned: compare SAME season phase one period
+    # apart (h and h+12), so the seasonal term cancels
+    assert got[("cpu", 13)][0] > got[("cpu", 1)][0]
+    assert got[("mem", 13)][0] < got[("mem", 1)][0]
+
+
+def test_holt_winters_contracts(spark):
+    from data_export_tool_spark.operators.timeseries import holt_winters_forecast
+
+    base = datetime(2024, 1, 1)
+    short = spark.createDataFrame(
+        [("k", base + timedelta(hours=i), 1.0) for i in range(5)],
+        "key string, bucket_start timestamp, v double",
+    )
+    # < 2*season_length -> no rows for that key (not an error: other
+    # keys may be long enough)
+    assert holt_winters_forecast(short, "v", "key", season_length=4).count() == 0
+    withnull = spark.createDataFrame(
+        [("k", base + timedelta(hours=i), None if i == 3 else 1.0) for i in range(10)],
+        "key string, bucket_start timestamp, v double",
+    )
+    import py4j
+
+    with pytest.raises(Exception, match="fill gaps"):
+        holt_winters_forecast(withnull, "v", "key", season_length=4).collect()
+    with pytest.raises(ValueError):
+        holt_winters_forecast(short, "v", "key", season_length=1)
+    with pytest.raises(ValueError):
+        holt_winters_forecast(short, "v", "key", season_length=4, alpha=1.0)

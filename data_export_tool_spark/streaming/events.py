@@ -1287,3 +1287,121 @@ def cusum_stream(
             timeoutConf=GroupStateTimeout.EventTimeTimeout,
         )
     )
+
+
+PAIR_STATE_SCHEMA = StructType(
+    [
+        StructField("pend_ts", ArrayType(LongType())),
+        StructField("pend_ty", ArrayType(StringType())),
+    ]
+)
+
+PAIR_OUTPUT_SCHEMA = StructType(
+    [
+        StructField("window_start", TimestampType()),
+        StructField("item_a", StringType()),
+        StructField("item_b", StringType()),
+        StructField("cnt", LongType()),
+    ]
+)
+
+
+def pair_counts_stream(
+    events: DataFrame,
+    window_seconds: int = 86400,
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Streaming per-window co-occurrence pairs — twin #19, the
+    stateful sibling of the batch basket projection (`frequent_pairs`'
+    basket-item stage with basket = (user, tumbling window)): which
+    event types co-occur for the same user inside a window.
+
+    Same watermark-buffer pattern as funnel/transition/CUSUM: per-user
+    state buffers (ts, event_type); a WINDOW closes when the watermark
+    passes its end, at which point the user's distinct item set for
+    that window is final — emit its a<b pairs once (append mode; late
+    events drop). Emitted rows are per-user per-window partials with
+    ``cnt`` — alphabet²-bounded per user-window — so a downstream
+    ``groupBy(window_start, item_a, item_b).sum(cnt)`` equals the
+    batch projection over the same consumed events by construction.
+    State = one watermark horizon of buffered events per user; an
+    event-time timeout fires closings for quiet users.
+    """
+    import pandas as pd
+
+    win_us = int(window_seconds) * 1_000_000
+
+    def fn(key, pdf_iter, state: GroupState):
+        if state.exists:
+            pend_ts, pend_ty = state.get
+            pend = list(zip(pend_ts, pend_ty))
+        else:
+            pend = []
+        wm_us = state.getCurrentWatermarkMs() * 1000
+
+        if not state.hasTimedOut:
+            for pdf in pdf_iter:
+                sel = pdf[pdf["event_type"].notna()]
+                if len(sel) == 0:
+                    continue
+                ts_us = (
+                    pd.to_datetime(sel["ts"])
+                    .astype("datetime64[ns]")
+                    .astype("int64")
+                    // 1_000
+                )
+                for t, ty in zip(ts_us, sel["event_type"]):
+                    if t >= wm_us:  # late events drop
+                        pend.append((int(t), ty))
+
+        # a window [w, w+win) is closed once wm >= w+win
+        closed: dict[int, set] = {}
+        keep = []
+        for t, ty in pend:
+            w = (t // win_us) * win_us
+            if w + win_us <= wm_us:
+                closed.setdefault(w, set()).add(ty)
+            else:
+                keep.append((t, ty))
+        pend = keep
+
+        state.update(([p[0] for p in pend], [p[1] for p in pend]))
+        if pend:
+            state.setTimeoutTimestamp(
+                max(
+                    ((min(p[0] for p in pend) // win_us) * win_us + win_us)
+                    // 1000
+                    + 1,
+                    wm_us // 1000 + 1,
+                )
+            )
+        rows = []
+        for w, items in sorted(closed.items()):
+            s = sorted(items)
+            for i in range(len(s)):
+                for j in range(i + 1, len(s)):
+                    rows.append((w, s[i], s[j]))
+        if rows:
+            yield pd.DataFrame(
+                {
+                    "window_start": pd.to_datetime(
+                        pd.Series([r[0] for r in rows], dtype="int64"), unit="us"
+                    ),
+                    "item_a": [r[1] for r in rows],
+                    "item_b": [r[2] for r in rows],
+                    "cnt": pd.Series([1] * len(rows), dtype="int64"),
+                }
+            )
+
+    return (
+        events.where(F.col("user_id").isNotNull() & F.col("ts").isNotNull())
+        .withWatermark("ts", watermark)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            fn,
+            outputStructType=PAIR_OUTPUT_SCHEMA,
+            stateStructType=PAIR_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )

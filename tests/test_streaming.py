@@ -1227,3 +1227,87 @@ def test_cusum_stream_matches_batch(spark, sf_dir, tmp_path):
         f"stream {len(emitted)} rows vs batch {len(batch)}; "
         f"diff={set(emitted.items()) ^ set(batch.items())}"
     )
+
+
+def test_pair_counts_stream_matches_batch(spark, sf_dir, tmp_path):
+    """Twin #19: per closed window the summed streamed pair partials
+    must EXACTLY equal the batch (user, window) basket projection, and
+    no unclosed window may leak."""
+    import time
+
+    import duckdb
+
+    from data_export_tool_spark.streaming.events import pair_counts_stream
+
+    ev = Catalog(spark, sf_dir).load("events").where(
+        F.col("ts").isNotNull()
+        & F.col("user_id").isNotNull()
+        & F.col("event_type").isNotNull()
+    )
+    bounds = ev.select(F.unix_millis("ts").alias("ms")).approxQuantile(
+        "ms", [0.25, 0.5, 0.75], 0.0
+    )
+    drop_dir = str(tmp_path / "pair_drops")
+    lo = None
+    for hi in [*bounds, None]:
+        sel = ev
+        if lo is not None:
+            sel = sel.where(F.unix_millis("ts") >= lo)
+        if hi is not None:
+            sel = sel.where(F.unix_millis("ts") < hi)
+        sel.repartition(1).write.mode("append").parquet(drop_dir)
+        lo = hi
+        time.sleep(1.05)
+
+    WIN = 86400
+    stream = read_events_stream(spark, drop_dir, max_files_per_trigger=1)
+    out = pair_counts_stream(stream, window_seconds=WIN, watermark="30 minutes")
+    q = (
+        out.writeStream.format("memory")
+        .queryName("pair_stream_test")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+
+    emitted = {
+        (str(r["w"]), r["item_a"], r["item_b"]): int(r["n"])
+        for r in spark.sql(
+            "SELECT window_start AS w, item_a, item_b, SUM(cnt) AS n"
+            " FROM pair_stream_test GROUP BY 1, 2, 3"
+        ).collect()
+    }
+    max_ms = ev.agg(F.max(F.unix_millis("ts"))).first()[0]
+    wm_ms = max_ms - 30 * 60 * 1000
+    want = {
+        (str(w), a, b): int(n)
+        for w, a, b, n in duckdb.sql(
+            f"""
+        WITH base AS (
+          SELECT user_id, event_type,
+                 to_timestamp(CAST(floor(epoch(ts) / {WIN}) * {WIN} AS BIGINT))
+                   AT TIME ZONE 'UTC' AS w,
+                 floor(epoch(ts) / {WIN}) * {WIN} AS wsec
+          FROM read_parquet('{drop_dir}/*.parquet')
+          WHERE user_id IS NOT NULL AND ts IS NOT NULL
+            AND event_type IS NOT NULL
+        ),
+        closed AS (
+          SELECT DISTINCT user_id, w, wsec, event_type FROM base
+          WHERE (wsec + {WIN}) * 1000 <= {wm_ms}
+        )
+        SELECT l.w, l.event_type AS a, r.event_type AS b, count(*) AS n
+        FROM closed l JOIN closed r
+          ON l.user_id = r.user_id AND l.w = r.w
+         AND l.event_type < r.event_type
+        GROUP BY 1, 2, 3
+        """
+        ).fetchall()
+    }
+    ok = emitted == want and len(want) > 0
+    record_stream_parity("windowed_pair_counts", len(want), ok)
+    assert ok, (
+        f"stream {len(emitted)} vs batch {len(want)};"
+        f" sample diff: {list(set(emitted.items()) ^ set(want.items()))[:4]}"
+    )

@@ -1052,6 +1052,25 @@ def b74_random_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
     return random_walks(edges, "item_a", "item_b", n_walks=2, walk_length=5)
 
 
+def b75_holt_winters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily-seasonal Holt-Winters 24h-ahead forecasts per event type
+    over the gap-filled hourly rollup."""
+    from data_export_tool_spark.operators.timeseries import (
+        fill_gaps,
+        holt_winters_forecast,
+        resample,
+    )
+
+    ev = Catalog(spark, sf_dir).load("events")
+    hourly = resample(ev, "1 hour", {"v": F.count(F.lit(1)).cast("double")},
+                      keys=["event_type"])
+    dense = fill_gaps(hourly, 3600, keys=["event_type"], locf_cols=["v"])
+    return holt_winters_forecast(
+        dense.withColumn("v", F.coalesce("v", F.lit(0.0))),
+        "v", "event_type", season_length=24, horizon=24,
+    )
+
+
 QUERIES = [
     QuerySpec("b01_funnel_conversion", b01_funnel_conversion, None),
     QuerySpec("b02_retention_weekly", b02_retention_weekly, None),
@@ -1127,4 +1146,5 @@ QUERIES = [
     QuerySpec("b72_lpa_communities", b72_lpa_communities, None),
     QuerySpec("b73_unicode_fold_dedup", b73_unicode_fold_dedup, None),
     QuerySpec("b74_random_walks", b74_random_walks, None),
+    QuerySpec("b75_holt_winters", b75_holt_winters, None),
 ]

@@ -500,3 +500,29 @@ def test_stress_nbayes_hot_class(spark):
     p2_ham = math.log(1000 / (N + 1000)) + math.log((0 + 1) / (2000 + 3))
     p2_spam = math.log(N / (N + 1000)) + math.log((N + 1) / (2 * N + 3))
     assert pred[2] == ("spam" if p2_spam > p2_ham else "ham")
+
+
+def test_stress_random_walks_star_hub(spark):
+    """A star with N/8 leaves: every leaf's walk bounces
+    leaf→hub→some-leaf→hub…; the composite-key (node, rank) join must
+    cost one lookup per visiting walk, never a hub-adjacency fan-out.
+    Analytic truths: every walk has exactly walk_length steps (no
+    sinks in an undirected star), odd steps are ALWAYS the hub for
+    leaf-started walks, and every consecutive pair is an edge by
+    construction of the join."""
+    from data_export_tool_spark.operators.walks import random_walks
+
+    n_leaves = N // 8
+    star = spark.range(1, n_leaves + 1).select(
+        F.lit(0).cast("long").alias("s"), F.col("id").alias("d")
+    )
+    out = random_walks(star, "s", "d", n_walks=1, walk_length=4)
+    total = out.count()
+    assert total == (n_leaves + 1) * 4  # every node starts 1 walk, no sinks
+    # leaf-started walks alternate leaf,0,leaf,0
+    leaf_walks = out.where(~F.col("walk_id").startswith("0#"))
+    odd = leaf_walks.where(F.col("step") % 2 == 1)
+    assert odd.where(F.col("node") != 0).count() == 0
+    assert odd.count() == n_leaves * 2
+    even_nonhub = leaf_walks.where((F.col("step") % 2 == 0) & (F.col("node") == 0))
+    assert even_nonhub.count() == 0

@@ -502,3 +502,70 @@ def label_propagation(
     out = labels.select(F.col("n").alias("node"), "community")
     _release(sc, sym_ids)
     return out
+
+
+def k_core(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    k: int = 2,
+    max_iter: int = 100,
+) -> DataFrame:
+    """The k-core: the maximal subgraph where every node has degree
+    ≥ k (Seidman 1983) — the dense-nucleus extractor (link-farm
+    cores, tightly-knit communities, collaboration backbones) that
+    complements triangle cohesion and LPA membership.
+
+    Iterative peeling: drop all nodes with current degree < k,
+    re-derive degrees on the surviving subgraph, repeat to fixpoint.
+    Converges in at most O(V) rounds but practically in a handful —
+    each round removes EVERY currently-underweight node at once
+    (synchronous peel), so rounds are bounded by the longest cascade
+    chain, not node count. ``max_iter`` is the runaway bound; hitting
+    it raises rather than returning a non-core silently.
+
+    Per round: one partial-aggregable degree groupBy + two semi-joins
+    of the edge table against the surviving-node set, checkpointed
+    with the CC/PageRank release policy. The fixpoint probe is the
+    per-round dropped-node count — one metadata aggregate. Undirected
+    semantics with the standard edge hygiene (self-loops out,
+    dup/reversed collapse).
+
+    Returns (node, degree) for the surviving core — degree measured
+    WITHIN the core, so every returned degree is ≥ k; empty when no
+    k-core exists.
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1: {k}")
+    sc = edges.sparkSession.sparkContext
+    und = edges.where(
+        F.col(src).isNotNull() & F.col(dst).isNotNull() & (F.col(src) != F.col(dst))
+    ).select(F.least(src, dst).alias("a"), F.greatest(src, dst).alias("b")).distinct()
+    e, e_ids = _checkpoint(und)
+    for i in range(max_iter):
+        deg = (
+            e.select(F.col("a").alias("n"))
+            .unionAll(e.select(F.col("b").alias("n")))
+            .groupBy("n")
+            .agg(F.count(F.lit(1)).alias("degree"))
+        )
+        survivors = deg.where(F.col("degree") >= k).select("n")
+        n_dropped = deg.where(F.col("degree") < k).count()
+        if n_dropped == 0:
+            out = deg.select(F.col("n").alias("node"), "degree")
+            # materialize before releasing the edge checkpoint it reads
+            out, out_ids = _checkpoint(out)
+            _release(sc, e_ids)
+            return out
+        ne = (
+            e.join(survivors.withColumnRenamed("n", "a"), "a", "left_semi")
+            .join(survivors.withColumnRenamed("n", "b"), "b", "left_semi")
+            .select("a", "b")
+        )
+        ne, ne_ids = _checkpoint(ne)
+        _release(sc, e_ids)
+        e, e_ids = ne, ne_ids
+        # an emptied edge table converges naturally next round: deg is
+        # empty, nothing drops, the empty core returns with the right
+        # schema
+    raise RuntimeError(f"k_core did not converge within max_iter={max_iter}")

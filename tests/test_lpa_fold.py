@@ -129,3 +129,69 @@ def test_nfkc_fold_matches_unicodedata(spark):
     folded = ref("café CAFÉ café") if False else None
     out = df.where("i = 2").select(nfkc_fold(F.col("t")).alias("f")).collect()[0]["f"]
     assert out == "cafe cafe cafe"
+
+
+# ---------------------------------------------------------------------------
+# k-core
+# ---------------------------------------------------------------------------
+
+
+def _k_core_python(edges, k):
+    und = {tuple(sorted(e)) for e in edges if e[0] != e[1]}
+    adj: dict = {}
+    for a, b in und:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    changed = True
+    while changed:
+        changed = False
+        for n in list(adj):
+            if len(adj[n]) < k:
+                for m in adj[n]:
+                    adj[m].discard(n)
+                del adj[n]
+                changed = True
+    return {n: len(v) for n, v in adj.items()}
+
+
+def test_k_core_cascade_and_truths(spark):
+    from data_export_tool_spark.operators.graph import k_core
+
+    # a 4-clique with a pendant CHAIN: peeling must cascade down the
+    # chain (each removal exposes the next) — the multi-round case
+    clique = [(a, b) for a in range(4) for b in range(4) if a < b]
+    chain = [(3, 10), (10, 11), (11, 12)]
+    df = spark.createDataFrame(clique + chain, "src long, dst long")
+    got = {r["node"]: r["degree"] for r in k_core(df, k=2).collect()}
+    assert got == {0: 3, 1: 3, 2: 3, 3: 3}
+    # k=4: no 4-core exists -> empty
+    assert k_core(df, k=4).count() == 0
+    # k=1 keeps everything with an edge
+    assert k_core(df, k=1).count() == 7
+
+
+def test_k_core_matches_python_replay(spark, sf_dir):
+    from data_export_tool_spark.operators.graph import k_core
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    edges_df = (
+        li.alias("l")
+        .join(li.alias("r"), "l_orderkey")
+        .where("l.l_partkey < r.l_partkey")
+        .selectExpr("l.l_partkey AS src", "r.l_partkey AS dst")
+    )
+    edges = [(r["src"], r["dst"]) for r in edges_df.collect()]
+    for k in (2, 4):
+        got = {r["node"]: r["degree"] for r in k_core(edges_df, k=k).collect()}
+        want = _k_core_python(edges, k)
+        if k == 2:
+            record_opcheck("k_core", len(want), got == want, oracle="python-reference")
+        assert got == want
+
+
+def test_k_core_validation(spark):
+    from data_export_tool_spark.operators.graph import k_core
+
+    df = spark.createDataFrame([(1, 2)], "src long, dst long")
+    with pytest.raises(ValueError):
+        k_core(df, k=0)

@@ -546,3 +546,106 @@ def merge_rank_estimate(
             f"kll_sketch_get_rank_{dtype}(__m, CAST({float(value)!r} AS {dtype}))"
         ).alias("rank_est"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Count-Min sketch (relational representation)
+# ---------------------------------------------------------------------------
+
+
+def _cms_bucket(col: Column, row_idx: Column, width: int) -> Column:
+    """Kirsch-Mitzenmacher double hashing (the bloom filter's scheme,
+    contamination.py): bucket_i = (h1 + i·h2) mod width with two
+    independent xxhash64 streams — JVM-side, no Python."""
+    w = F.lit(int(width))
+    # reduce BEFORE combining: h1 + i*h2 overflows long under ANSI;
+    # (h1 mod w + i·(h2 mod w)) mod w is identical and overflow-free
+    # (i ≤ depth, w ≤ 2^20 ⇒ the sum stays far below 2^63)
+    h1 = F.pmod(F.xxhash64(col), w)
+    h2 = F.pmod(F.xxhash64(col, F.lit(0x5EED)), w)
+    return F.pmod(h1 + row_idx * h2, w)
+
+
+def cms_build(
+    df: DataFrame,
+    col: str,
+    depth: int = 4,
+    width: int = 1024,
+    by: Sequence[str] = (),
+) -> DataFrame:
+    """Count-Min sketch (Cormode & Muthukrishnan 2005) as a RELATIONAL
+    sketch: ``(*by, row, bucket, cnt)`` — one row per touched cell,
+    sparse. Completes the sketch family (HLL/Theta distinct, KLL
+    quantiles, MG heavy hitters) with point FREQUENCY estimates:
+    est(x) = min over d rows of cell(row, h_row(x)), never an
+    underestimate, overestimate ≤ ε·N with ε = e/width at depth
+    ln(1/δ).
+
+    Why relational instead of a binary blob: cells merge by PLAIN SUM
+    (``cms_merge`` is one partial-aggregable groupBy — per-day/
+    per-partition sketches stored as parquet combine across any
+    subset), the representation is engine-portable, and the sparse
+    form costs only touched cells. Build is one posexplode (d rows per
+    input row) + one map-side-combinable count; the exchange carries
+    ≤ d·width rows per group regardless of input size.
+    """
+    if depth < 1 or width < 2:
+        raise ValueError(f"depth >= 1 and width >= 2 required: {depth}, {width}")
+    if isinstance(by, str):
+        by = [by]
+    base = df.where(F.col(col).isNotNull())
+    rows = base.select(
+        *by,
+        F.posexplode(
+            F.array(*[
+                _cms_bucket(F.col(col).cast("string"), F.lit(i), width)
+                for i in range(depth)
+            ])
+        ).alias("row", "bucket"),
+    )
+    return rows.groupBy(*by, "row", "bucket").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+
+
+def cms_merge(
+    sketches: DataFrame, by: Sequence[str] = ()
+) -> DataFrame:
+    """Sum stored cell frames (same depth/width by contract) —
+    ONE partial-aggregable groupBy."""
+    if isinstance(by, str):
+        by = [by]
+    return sketches.groupBy(*by, "row", "bucket").agg(
+        F.sum("cnt").alias("cnt")
+    )
+
+
+def cms_estimate(
+    sketch: DataFrame,
+    items: DataFrame,
+    item_col: str,
+    depth: int = 4,
+    width: int = 1024,
+    by: Sequence[str] = (),
+) -> DataFrame:
+    """Point-query a cell frame: ``(*by, item, est)`` with
+    est = min over rows (absent cell ⇒ 0 — the sparse form's honest
+    floor). ``items`` is the (small) query set; it broadcasts. depth/
+    width MUST match the build — they parameterize the hash layout."""
+    if isinstance(by, str):
+        by = [by]
+    probes = items.where(F.col(item_col).isNotNull()).select(
+        *by,
+        F.col(item_col).alias("item"),
+        F.posexplode(
+            F.array(*[
+                _cms_bucket(F.col(item_col).cast("string"), F.lit(i), width)
+                for i in range(depth)
+            ])
+        ).alias("row", "bucket"),
+    )
+    joined = F.broadcast(probes).join(sketch, [*by, "row", "bucket"], "left")
+    return (
+        joined.groupBy(*by, "item")
+        .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0))).alias("est"))
+    )

@@ -640,3 +640,87 @@ def test_quantile_sketch_grouped_and_validation(spark, sf_dir):
         quantile_sketch(ev, "value", dtype="decimal")
     with _pytest.raises(ValueError):
         merge_quantile_estimate(quantile_sketch(ev, "value"), [])
+
+
+# ---------------------------------------------------------------------------
+# Count-Min sketch
+# ---------------------------------------------------------------------------
+
+
+def test_cms_never_underestimates_and_merge_law(spark, sf_dir, tmp_path):
+    """The two CMS guarantees, testable without replaying xxhash:
+    (1) est(x) >= true(x) for EVERY item, with the measured max
+    overestimate recorded; (2) sketch(full) == merge(sketch(parts))
+    EXACTLY (cellwise) — the stored-partials contract; plus a parquet
+    round-trip of the cell frame."""
+    from data_export_tool_spark.operators.sketch import (
+        cms_build,
+        cms_estimate,
+        cms_merge,
+    )
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").where(
+        F.col("user_id").isNotNull()
+    )
+    D, W = 4, 256
+    sk = cms_build(ev, "user_id", depth=D, width=W)
+    truth = {
+        str(r["user_id"]): r["n"]
+        for r in ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    items = spark.createDataFrame([(k,) for k in truth], "item string")
+    est = {
+        r["item"]: r["est"]
+        for r in cms_estimate(sk, items, "item", depth=D, width=W).collect()
+    }
+    assert set(est) == set(truth)
+    assert all(est[k] >= truth[k] for k in truth)
+    max_over = max(est[k] - truth[k] for k in truth)
+    n_total = sum(truth.values())
+    record_opcheck(
+        "cms_frequency_floor", len(truth), True,
+        oracle="exact-recount", value=float(max_over) / n_total,
+    )
+    # merge law: split by event parity, cellwise-identical to the full
+    parts = [
+        cms_build(ev.where(F.col("event_id") % 2 == i), "user_id", depth=D, width=W)
+        for i in (0, 1)
+    ]
+    merged = cms_merge(parts[0].unionByName(parts[1]))
+    full_cells = {(r["row"], r["bucket"]): r["cnt"] for r in sk.collect()}
+    merged_cells = {(r["row"], r["bucket"]): r["cnt"] for r in merged.collect()}
+    assert full_cells == merged_cells
+    record_opcheck("cms_merge_law", len(full_cells), True, oracle="exact-twin")
+    # parquet round-trip
+    p = str(tmp_path / "cms")
+    sk.write.mode("overwrite").parquet(p)
+    rt = {(r["row"], r["bucket"]): r["cnt"] for r in spark.read.parquet(p).collect()}
+    assert rt == full_cells
+
+
+def test_cms_grouped_and_contracts(spark):
+    from data_export_tool_spark.operators.sketch import cms_build, cms_estimate
+
+    df = spark.createDataFrame(
+        [("g1", "a")] * 5 + [("g1", "b")] * 2 + [("g2", "a")] * 3 + [("g2", None)],
+        "g string, item string",
+    )
+    sk = cms_build(df, "item", depth=3, width=64, by=["g"])
+    items = spark.createDataFrame(
+        [("g1", "a"), ("g1", "b"), ("g2", "a"), ("g2", "zz")],
+        "g string, item string",
+    )
+    est = {
+        (r["g"], r["item"]): r["est"]
+        for r in cms_estimate(sk, items, "item", depth=3, width=64, by=["g"]).collect()
+    }
+    # width 64 >> 2 items: no collisions possible to FORCE, but the
+    # floor law always holds; unseen item in g2 must floor at 0-or-
+    # collision, and with 2 distinct g2 cells max est is 3
+    assert est[("g1", "a")] >= 5 and est[("g1", "b")] >= 2
+    assert est[("g2", "a")] >= 3
+    assert est[("g2", "zz")] >= 0
+    with pytest.raises(ValueError):
+        cms_build(df, "item", depth=0)
+    with pytest.raises(ValueError):
+        cms_build(df, "item", width=1)

@@ -423,3 +423,63 @@ def correlation_matrix(df: DataFrame, cols: Sequence[str]) -> DataFrame:
         ]
     )
     return frame.sparkSession.createDataFrame(out, schema)
+
+
+def categorical_association(
+    df: DataFrame, cols: Sequence[str]
+) -> DataFrame:
+    """Pairwise Cramér's V over categorical columns — the categorical
+    sibling of the numeric correlation matrix (X87): which dimensions
+    are redundant (V≈1: one determines the other — drop one before
+    training) and which stratifications are independent (V≈0).
+
+    V = sqrt(χ² / (n·(min(r,c)−1))) from each pair's contingency
+    table. One partial-aggregable groupBy per pair; the only driver
+    materialization is the alphabet²-bounded contingency cells (the
+    cohen_kappa policy — categorical columns have bounded alphabets
+    by definition; a high-cardinality id column does not belong in
+    this matrix and the cell count makes that mistake visible).
+    NULL values form their own category by contract ('∅') — NULL
+    association is usually the signal being hunted.
+
+    Output: one row per unordered pair (col_a < col_b by position):
+    (col_a, col_b, n, chi2, cramers_v, n_cells).
+    """
+    import math
+
+    if len(cols) < 2:
+        raise ValueError("categorical_association needs >= 2 columns")
+    spark = df.sparkSession
+    out_rows = []
+    for i in range(len(cols)):
+        for j in range(i + 1, len(cols)):
+            a, b = cols[i], cols[j]
+            cells = (
+                df.groupBy(
+                    F.coalesce(F.col(a).cast("string"), F.lit("∅")).alias("__a"),
+                    F.coalesce(F.col(b).cast("string"), F.lit("∅")).alias("__b"),
+                )
+                .agg(F.count(F.lit(1)).alias("__n"))
+                .collect()
+            )
+            n = sum(r["__n"] for r in cells)
+            ra: dict[str, int] = {}
+            cb: dict[str, int] = {}
+            for r in cells:
+                ra[r["__a"]] = ra.get(r["__a"], 0) + r["__n"]
+                cb[r["__b"]] = cb.get(r["__b"], 0) + r["__n"]
+            obs = {(r["__a"], r["__b"]): r["__n"] for r in cells}
+            chi2 = 0.0
+            for av, an in ra.items():
+                for bv, bn in cb.items():
+                    e = an * bn / n
+                    o = obs.get((av, bv), 0)
+                    chi2 += (o - e) ** 2 / e
+            k = min(len(ra), len(cb)) - 1
+            v = math.sqrt(chi2 / (n * k)) if k > 0 and n > 0 else 0.0
+            out_rows.append((a, b, n, chi2, v, len(cells)))
+    return spark.createDataFrame(
+        out_rows,
+        "col_a string, col_b string, n long, chi2 double,"
+        " cramers_v double, n_cells long",
+    )

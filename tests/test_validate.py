@@ -317,3 +317,68 @@ def test_correlation_matrix_nulls_and_constant(spark):
     assert got[("x", "k")][1] == 4
     with _pytest.raises(ValueError):
         correlation_matrix(df, ["x"])
+
+
+def test_categorical_association_matches_duckdb(spark, sf_dir):
+    """Cramér's V over (lang, source) + the determinism/independence
+    ground truths, vs an exact DuckDB chi-square replay."""
+    import duckdb
+
+    from data_export_tool_spark.operators.validate import categorical_association
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    got = {
+        (r["col_a"], r["col_b"]): (
+            r["n"], round(r["chi2"], 9), round(r["cramers_v"], 9), r["n_cells"]
+        )
+        for r in categorical_association(docs, ["lang", "source"]).collect()
+    }
+    want_row = duckdb.sql(
+        f"""
+    WITH base AS (
+      SELECT coalesce(CAST(lang AS VARCHAR), '∅') AS a,
+             coalesce(CAST(source AS VARCHAR), '∅') AS b
+      FROM read_parquet('{sf_dir}/documents.parquet')
+    ),
+    cells AS (SELECT a, b, count(*) AS o FROM base GROUP BY 1, 2),
+    ra AS (SELECT a, sum(o) AS an FROM cells GROUP BY 1),
+    cb AS (SELECT b, sum(o) AS bn FROM cells GROUP BY 1),
+    n AS (SELECT sum(o) AS n FROM cells),
+    grid AS (
+      SELECT ra.a, cb.b, ra.an * cb.bn / n.n AS e,
+             coalesce(cells.o, 0) AS o
+      FROM ra CROSS JOIN cb CROSS JOIN n
+      LEFT JOIN cells ON cells.a = ra.a AND cells.b = cb.b
+    ),
+    chi AS (SELECT sum((o - e) * (o - e) / e) AS chi2 FROM grid),
+    k AS (SELECT least((SELECT count(*) FROM ra), (SELECT count(*) FROM cb)) - 1 AS k)
+    SELECT (SELECT n FROM n), (SELECT chi2 FROM chi),
+           sqrt((SELECT chi2 FROM chi) / ((SELECT n FROM n) * (SELECT k FROM k))),
+           (SELECT count(*) FROM cells)
+    """
+    ).fetchone()
+    want = (
+        int(want_row[0]), round(float(want_row[1]), 9),
+        round(float(want_row[2]), 9), int(want_row[3]),
+    )
+    ok = got[("lang", "source")] == want
+    record_opcheck("categorical_association", want[3], ok)
+    assert ok
+
+
+def test_categorical_association_truth_poles(spark):
+    from data_export_tool_spark.operators.validate import categorical_association
+
+    import pytest as _pt
+
+    # perfect determination: b = f(a) -> V = 1; independence -> V ~ 0
+    rows = [(a, a * 10, b) for a in range(4) for b in range(4) for _ in range(5)]
+    df = spark.createDataFrame(rows, "a int, det int, ind int")
+    got = {
+        (r["col_a"], r["col_b"]): r["cramers_v"]
+        for r in categorical_association(df, ["a", "det", "ind"]).collect()
+    }
+    assert got[("a", "det")] == _pt.approx(1.0)
+    assert got[("a", "ind")] == _pt.approx(0.0, abs=1e-12)
+    with _pt.raises(ValueError):
+        categorical_association(df, ["a"])

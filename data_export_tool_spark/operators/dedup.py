@@ -21,7 +21,7 @@ strings is a valid uniform min-hash.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from data_export_tool_spark.functions.text import normalize_text
@@ -932,3 +932,90 @@ def set_similarity_join_cross(
         .dropDuplicates(["left_id", "right_id"])
     )
     return _sset_verify(cand, t, "left_id", "right_id")
+
+
+def minhash_search(
+    queries: DataFrame,
+    store_bands: DataFrame,
+    store_shingles: DataFrame,
+    k: int = 10,
+    query_id_col: str = "query_id",
+    text_col: str = "text",
+    num_hashes: int = 16,
+    bands: int = 4,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Similarity SEARCH against the persisted near-dup store — "which
+    stored documents resemble THIS text" (provenance lookups,
+    contamination forensics, boilerplate attribution), reusing the
+    exact store ``near_dup_store`` already maintains: the band index
+    gates candidates, the hashed shingle sets verify.
+
+    Plan: the (request-sized) query batch's band buckets equi-join the
+    store's band index (short keys, never text) → distinct candidate
+    pairs → intersection counted by joining the pair list with the
+    query's shingle hashes then the store's (candidate-gated — rows
+    bounded by Σ_pairs |query shingles|, hot shingles can't explode
+    it) → Jaccard = |∩| / (nq + nc − |∩|) → per-query top-k rank
+    window over the candidate-sized set. Standard LSH recall contract:
+    a stored doc sharing no band with the query is not a candidate
+    (collision probability ≈1 at near-dup similarity; exact copies
+    share ALL bands, so they are never missed).
+
+    Output: (query_id, rank, doc_id, jaccard, n_shared), jaccard desc,
+    ties to the lower doc id.
+    """
+    qb = minhash_band_buckets(
+        queries, query_id_col, text_col, num_hashes, bands, shingle_n
+    ).select(F.col(query_id_col).alias("__q"), "band_idx", "band_key")
+    cands = (
+        qb.join(
+            store_bands.select(
+                F.col(store_bands.columns[0]).alias("__c"), "band_idx", "band_key"
+            ),
+            ["band_idx", "band_key"],
+        )
+        .select("__q", "__c")
+        .distinct()
+    )
+    q_sh = (
+        queries.select(
+            F.col(query_id_col).alias("__q"),
+            F.explode(word_shingles(F.col(text_col), shingle_n)).alias("__s"),
+        )
+        .select("__q", portable_hash64(F.col("__s")).alias("sh64"))
+        .distinct()
+    )
+    nq = q_sh.groupBy("__q").agg(F.count(F.lit(1)).alias("__nq"))
+    sid_col = store_shingles.columns[0]
+    c_sh = store_shingles.select(F.col(sid_col).alias("__c"), "sh64")
+    nc = c_sh.groupBy("__c").agg(F.count(F.lit(1)).alias("__nc"))
+    inter = (
+        cands.join(q_sh, "__q")
+        .join(c_sh, ["__c", "sh64"])
+        .groupBy("__q", "__c")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    scored = (
+        cands.join(inter, ["__q", "__c"], "left")
+        .na.fill({"n_shared": 0})
+        .join(nq, "__q")
+        .join(nc, "__c")
+        .select(
+            F.col("__q").alias(query_id_col),
+            F.col("__c").alias("doc_id"),
+            "n_shared",
+            (
+                F.col("n_shared")
+                / (F.col("__nq") + F.col("__nc") - F.col("n_shared"))
+            ).alias("jaccard"),
+        )
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.desc("jaccard"), F.asc("doc_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(query_id_col, "rank", "doc_id", F.round("jaccard", 9).alias("jaccard"), "n_shared")
+    )

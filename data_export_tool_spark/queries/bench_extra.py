@@ -1071,6 +1071,26 @@ def b75_holt_winters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def b76_minhash_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Similarity search of 5 probe texts against the corpus's
+    persisted MinHash store."""
+    from data_export_tool_spark.operators.dedup import (
+        minhash_search,
+        near_dup_store,
+    )
+
+    docs = Catalog(spark, sf_dir).load("documents").where(
+        F.col("text").isNotNull()
+    )
+    bands_df, shingles_df = near_dup_store(docs)
+    queries = (
+        docs.where(F.col("doc_id") % 100 == 0)
+        .limit(5)
+        .selectExpr("doc_id AS query_id", "text")
+    )
+    return minhash_search(queries, bands_df, shingles_df, k=10)
+
+
 QUERIES = [
     QuerySpec("b01_funnel_conversion", b01_funnel_conversion, None),
     QuerySpec("b02_retention_weekly", b02_retention_weekly, None),
@@ -1147,4 +1167,5 @@ QUERIES = [
     QuerySpec("b73_unicode_fold_dedup", b73_unicode_fold_dedup, None),
     QuerySpec("b74_random_walks", b74_random_walks, None),
     QuerySpec("b75_holt_winters", b75_holt_winters, None),
+    QuerySpec("b76_minhash_search", b76_minhash_search, None),
 ]

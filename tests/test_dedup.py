@@ -606,3 +606,54 @@ def test_set_similarity_join_cross_exact_vs_quadratic_truth(spark):
         oracle="python-reference",
     )
     assert ok, (got, want)
+
+
+def test_minhash_search_values_and_recall(spark, sf_dir):
+    """Search against the persisted store: every emitted jaccard must
+    equal the exact python word-shingle jaccard of that (query, doc)
+    pair; an exact copy of a stored doc must be found at rank 1 with
+    jaccard 1.0 (exact copies share all bands — never missed); ranks
+    are jaccard-desc with id tiebreak."""
+    from data_export_tool_spark.operators.dedup import (
+        minhash_search,
+        near_dup_store,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").where(
+        F.col("text").isNotNull()
+    )
+    bands_df, shingles_df = near_dup_store(docs)
+    texts = {r["doc_id"]: r["text"] for r in docs.collect()}
+    probe_ids = sorted(texts)[:3]
+    queries = spark.createDataFrame(
+        [(i, texts[d]) for i, d in enumerate(probe_ids)],
+        "query_id long, text string",
+    )
+    out = minhash_search(queries, bands_df, shingles_df, k=5).collect()
+
+    import re
+
+    def shingles(t, n=3):
+        toks = [w for w in re.split(r"[^a-z0-9]+", t.lower()) if w]
+        return {" ".join(toks[i : i + n]) for i in range(max(0, len(toks) - n + 1))}
+
+    n_checked = 0
+    byq: dict = {}
+    for r in out:
+        byq.setdefault(r["query_id"], []).append(r)
+        qt = texts[probe_ids[r["query_id"]]]
+        ct = texts[r["doc_id"]]
+        a, b = shingles(qt), shingles(ct)
+        want_j = len(a & b) / len(a | b) if a | b else 0.0
+        assert r["jaccard"] == pytest.approx(want_j, abs=1e-9), (
+            r["query_id"], r["doc_id"])
+        assert r["n_shared"] == len(a & b)
+        n_checked += 1
+    for qid, rows in byq.items():
+        rows.sort(key=lambda r: r["rank"])
+        # rank 1 is the stored original: jaccard 1.0
+        assert rows[0]["doc_id"] == probe_ids[qid]
+        assert rows[0]["jaccard"] == pytest.approx(1.0)
+        keys = [(-r["jaccard"], r["doc_id"]) for r in rows]
+        assert keys == sorted(keys)
+    record_opcheck("minhash_search", n_checked, True, oracle="python-reference")

@@ -42,7 +42,15 @@ from pyspark.sql import functions as F
 
 from data_export_tool_spark.operators.clustering import maximin_init
 
-__all__ = ["PQModel", "pq_train", "pq_encode", "pq_topk", "pq_topk_rerank"]
+__all__ = [
+    "PQModel",
+    "pq_train",
+    "pq_encode",
+    "pq_topk",
+    "pq_topk_rerank",
+    "pq_save",
+    "pq_load",
+]
 
 
 @dataclass(frozen=True)
@@ -271,3 +279,46 @@ def pq_topk_rerank(
         .filter(F.col("rank") <= k)
         .select(query_id_col, "rank", "neighbor_id", F.round("l2_dist", 6).alias("l2_dist"))
     )
+
+
+def pq_save(
+    codes: DataFrame, model: PQModel, path: str, id_col: str = "vec_id"
+) -> None:
+    """Persist a PQ index: codes as parquet (they are already a plain
+    (id, codes) frame) + the codebooks/dims as a JSON sidecar — the
+    stored-index twin of the IVF index layout. Everything is
+    plain-format portable; no engine-private serialization."""
+    import json
+    import os
+
+    codes.select(id_col, "codes").write.mode("overwrite").parquet(
+        os.path.join(path, "codes")
+    )
+    doc = {
+        "codebooks": [[list(r) for r in b] for b in model.codebooks],
+        "dim": model.dim,
+        "m": model.m,
+        "n_codes": model.n_codes,
+    }
+    with open(os.path.join(path, "pq_model.json"), "w") as fh:
+        json.dump(doc, fh)
+
+
+def pq_load(spark, path: str) -> tuple[DataFrame, PQModel]:
+    """Reload a :func:`pq_save` index — (codes frame, model)."""
+    import json
+    import os
+
+    with open(os.path.join(path, "pq_model.json")) as fh:
+        doc = json.load(fh)
+    model = PQModel(
+        codebooks=tuple(
+            tuple(tuple(float(x) for x in row) for row in b)
+            for b in doc["codebooks"]
+        ),
+        dim=int(doc["dim"]),
+        m=int(doc["m"]),
+        n_codes=int(doc["n_codes"]),
+    )
+    codes = spark.read.parquet(os.path.join(path, "codes"))
+    return codes, model

@@ -204,3 +204,24 @@ def test_pq_model_portable():
     import json
 
     assert json.loads(json.dumps(m.codebooks)) == [[[1.0, 2.0]]]
+
+
+def test_pq_save_load_roundtrip(spark, emb, model, tmp_path):
+    """A reloaded index must answer queries IDENTICALLY to the live
+    one — the stored-index contract (the ivf_index twin)."""
+    from data_export_tool_spark.operators.pq import pq_load, pq_save
+
+    codes = pq_encode(emb, model)
+    path = str(tmp_path / "pq_index")
+    pq_save(codes, model, path)
+    codes2, model2 = pq_load(spark, path)
+    assert model2 == model
+    q = emb.where(F.col("vec_id") % 100 == 0).selectExpr(
+        "vec_id AS query_id", "embedding AS query_vec"
+    )
+    live = [tuple(r) for r in pq_topk(codes, q, model, k=5)
+            .orderBy("query_id", "rank").collect()]
+    stored = [tuple(r) for r in pq_topk(codes2, q, model2, k=5)
+              .orderBy("query_id", "rank").collect()]
+    assert live == stored and len(live) > 0
+    record_opcheck("pq_index_roundtrip", len(live), True, oracle="exact-twin")

@@ -526,3 +526,44 @@ def test_stress_random_walks_star_hub(spark):
     assert odd.count() == n_leaves * 2
     even_nonhub = leaf_walks.where((F.col("step") % 2 == 0) & (F.col("node") == 0))
     assert even_nonhub.count() == 0
+
+
+def test_stress_cms_bounded_cells(spark):
+    """N rows, one hot item (N/2 copies) + N/2 distinct singletons:
+    the sketch's cell count stays <= depth*width NO MATTER the input
+    size (the whole point of a sketch), the hot item's estimate is
+    >= its true count, and merge(parts) == full cellwise."""
+    from data_export_tool_spark.operators.sketch import (
+        cms_build,
+        cms_estimate,
+        cms_merge,
+    )
+
+    D, W = 4, 512
+    df = spark.range(N).select(
+        F.col("id"),
+        F.when(F.col("id") % 2 == 0, F.lit("hot"))
+        .otherwise(F.concat(F.lit("u"), F.col("id")))
+        .alias("item"),
+    )
+    sk = cms_build(df, "item", depth=D, width=W)
+    n_cells = sk.count()
+    assert n_cells <= D * W
+    items = spark.createDataFrame([("hot",)], "item string")
+    est = cms_estimate(sk, items, "item", depth=D, width=W).collect()[0]["est"]
+    assert est >= N // 2
+    # estimate error bounded by the sketch guarantee at e/W * N' where
+    # N' = total increments per row-hash = N; allow 3x slack for the
+    # adversarial 50% hot mass
+    assert est - N // 2 <= 3 * (2.718 / W) * N
+    halves = [
+        cms_build(df.where(F.col("id") % 4 < 2 if i == 0 else F.col("id") % 4 >= 2),
+                  "item", depth=D, width=W)
+        for i in (0, 1)
+    ]
+    merged = {
+        (r["row"], r["bucket"]): r["cnt"]
+        for r in cms_merge(halves[0].unionByName(halves[1])).collect()
+    }
+    full = {(r["row"], r["bucket"]): r["cnt"] for r in sk.collect()}
+    assert merged == full

@@ -25,7 +25,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-__all__ = ["ab_test", "py_welch"]
+__all__ = ["ab_test", "py_welch", "fdr_correct"]
 
 
 def py_welch(
@@ -114,3 +114,55 @@ def ab_test(
         ]
     )
     return df.sparkSession.createDataFrame(out, schema)
+
+
+def fdr_correct(
+    df,
+    p_col: str = "p_value",
+    alpha: float = 0.05,
+    by: tuple = (),
+):
+    """Benjamini-Hochberg step-up FDR control over a frame of test
+    p-values — the missing piece when :func:`ab_test` reads out MANY
+    metrics at once: per-test α=0.05 significance inflates family-wise
+    false discoveries; BH bounds the EXPECTED false-discovery RATE at
+    α instead.
+
+    Adds ``p_rank`` (ascending p, ties to input order of p then
+    row-stability via p itself), ``p_adj`` (the standard adjusted
+    p-value: monotone right-to-left running min of m·p_(i)/i, capped
+    at 1) and ``reject_fdr`` (step-up rule: reject all i ≤ k where
+    k = max{i : p_(i) ≤ i·α/m} — equivalently p_adj ≤ α). NULL
+    p-values are excluded (they were never tested).
+
+    Scale: the frame is metric-grain (one row per test) — bounded by
+    the metric count, the evalmetrics bounded-frame argument; with
+    ``by`` the windows partition per family (per experiment). All
+    window algebra; DuckDB-replayable.
+    """
+    from pyspark.sql import Window
+
+    if not 0 < alpha < 1:
+        raise ValueError(f"alpha must be in (0, 1): {alpha}")
+    keys = list(by) if not isinstance(by, str) else [by]
+    base = df.where(F.col(p_col).isNotNull())
+    wp = Window.partitionBy(*keys) if keys else Window.partitionBy()
+    w_rank = wp.orderBy(F.asc(p_col))
+    out = base.withColumn("p_rank", F.row_number().over(w_rank)).withColumn(
+        "__m", F.count(F.lit(1)).over(wp.rowsBetween(
+            Window.unboundedPreceding, Window.unboundedFollowing))
+    )
+    # adjusted p: running min of m*p/i from the LARGEST p downward
+    w_rev = wp.orderBy(F.desc(p_col)).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    out = out.withColumn(
+        "p_adj",
+        F.least(
+            F.lit(1.0),
+            F.min(F.col("__m") * F.col(p_col) / F.col("p_rank")).over(w_rev),
+        ),
+    )
+    return out.withColumn(
+        "reject_fdr", F.col("p_adj") <= F.lit(float(alpha))
+    ).drop("__m")

@@ -1405,3 +1405,53 @@ def pair_counts_stream(
             timeoutConf=GroupStateTimeout.EventTimeTimeout,
         )
     )
+
+
+def kanon_release_stream(
+    events: DataFrame,
+    quasi_cols: Sequence[str] = ("event_type",),
+    k: int = 5,
+    window: str = "1 day",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Streaming k-anonymous windowed release — twin #20, the
+    streaming face of the X109 disclosure audit: per closed tumbling
+    window, publish per-quasi-key aggregates ONLY for classes with at
+    least ``k`` distinct users (small classes are suppressed, the
+    cell-suppression rule, so a released row never isolates fewer
+    than k people).
+
+    Suppression needs EXACT distinct users (a privacy gate must not
+    run on an estimate), and streaming forbids ``count_distinct``
+    inside an aggregation — so this is TWO CHAINED stateful windowed
+    aggregations (Spark 4 supports stateful chaining in append mode):
+    first (window, quasi, user) partials — the dedup grain — then the
+    class rollup counting those user rows. Both share the watermark;
+    class size is final exactly when the window closes, so suppression
+    composes with append-mode finality for free.
+    """
+    if k < 2:
+        raise ValueError(f"k must be >= 2: {k}")
+    cols = list(quasi_cols)
+    per_user = (
+        events.where(F.col("ts").isNotNull() & F.col("user_id").isNotNull())
+        .withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("win"), *cols, F.col("user_id"))
+        .agg(
+            F.count(F.lit(1)).alias("__n"),
+            F.sum(F.col("value").cast("decimal(18,6)")).alias("__sv"),
+        )
+    )
+    return (
+        per_user.groupBy(F.col("win"), *cols)
+        .agg(
+            F.count(F.lit(1)).alias("class_users"),
+            F.sum("__n").alias("n_events"),
+            F.sum("__sv").cast("double").alias("sum_value"),
+        )
+        .where(F.col("class_users") >= k)
+        .select(
+            F.col("win.start").alias("window_start"), *cols,
+            "class_users", "n_events", "sum_value",
+        )
+    )

@@ -1311,3 +1311,83 @@ def test_pair_counts_stream_matches_batch(spark, sf_dir, tmp_path):
         f"stream {len(emitted)} vs batch {len(want)};"
         f" sample diff: {list(set(emitted.items()) ^ set(want.items()))[:4]}"
     )
+
+
+def test_kanon_release_stream_matches_batch(spark, sf_dir, tmp_path):
+    """Twin #20: the streamed k-anonymous release must EXACTLY equal
+    the batch windowed aggregate + suppression over closed windows,
+    and never publish a class below k."""
+    import time
+
+    import duckdb
+
+    from data_export_tool_spark.streaming.events import kanon_release_stream
+
+    ev = Catalog(spark, sf_dir).load("events").where(
+        F.col("ts").isNotNull() & F.col("user_id").isNotNull()
+    )
+    bounds = ev.select(F.unix_millis("ts").alias("ms")).approxQuantile(
+        "ms", [0.5], 0.0
+    )
+    drop_dir = str(tmp_path / "kanon_drops")
+    lo = None
+    for hi in [*bounds, None]:
+        sel = ev
+        if lo is not None:
+            sel = sel.where(F.unix_millis("ts") >= lo)
+        if hi is not None:
+            sel = sel.where(F.unix_millis("ts") < hi)
+        sel.repartition(1).write.mode("append").parquet(drop_dir)
+        lo = hi
+        time.sleep(1.05)
+
+    K, WIN_S = 4, 86400
+    stream = read_events_stream(spark, drop_dir, max_files_per_trigger=1)
+    out = kanon_release_stream(
+        stream, quasi_cols=("event_type",), k=K, window="1 day",
+        watermark="30 minutes",
+    )
+    q = (
+        out.writeStream.format("memory")
+        .queryName("kanon_stream_test")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    emitted = {
+        (str(r["window_start"]), r["event_type"]): (
+            r["class_users"], r["n_events"], round(r["sum_value"], 6)
+        )
+        for r in spark.sql("SELECT * FROM kanon_stream_test").collect()
+    }
+    assert all(v[0] >= K for v in emitted.values())
+    max_ms = ev.agg(F.max(F.unix_millis("ts"))).first()[0]
+    wm_ms = max_ms - 30 * 60 * 1000
+    want = {
+        (str(w), t): (int(cu), int(n), round(float(sv), 6))
+        for w, t, cu, n, sv in duckdb.sql(
+            f"""
+        WITH base AS (
+          SELECT event_type, user_id, value,
+                 to_timestamp(CAST(floor(epoch(ts) / {WIN_S}) * {WIN_S} AS BIGINT))
+                   AT TIME ZONE 'UTC' AS w,
+                 floor(epoch(ts) / {WIN_S}) * {WIN_S} AS wsec
+          FROM read_parquet('{drop_dir}/*.parquet')
+          WHERE ts IS NOT NULL AND user_id IS NOT NULL
+        )
+        SELECT w, event_type, count(DISTINCT user_id) AS cu, count(*) AS n,
+               CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sv
+        FROM base
+        WHERE (wsec + {WIN_S}) * 1000 <= {wm_ms}
+        GROUP BY 1, 2
+        HAVING count(DISTINCT user_id) >= {K}
+        """
+        ).fetchall()
+    }
+    ok = emitted == want and len(want) > 0
+    record_stream_parity("kanon_release", len(want), ok)
+    assert ok, (
+        f"stream {len(emitted)} vs batch {len(want)};"
+        f" diff {list(set(emitted.items()) ^ set(want.items()))[:4]}"
+    )

@@ -97,6 +97,19 @@ def frequent_pairs(
         )
     )
     N = float(n_baskets)
+    # 2x2 contingency chi-square (1 df) for pair independence — the
+    # significance column lift alone lacks (a lift of 3 on n_pair=2 is
+    # noise; on n_pair=2000 it is structure). a=n_pair, b=n_a-a,
+    # c=n_b-a, d=N-n_a-n_b+a; chi2 = N(ad-bc)^2/((a+b)(c+d)(a+c)(b+d)).
+    # Pure column algebra; 3.84 ~ alpha=0.05, feed operators/
+    # experiment.fdr_correct for family-wise control over many pairs.
+    a = F.col("n_pair").cast("double")
+    b = F.col("n_a") - a
+    c = F.col("n_b") - a
+    d = F.lit(N) - F.col("n_a") - F.col("n_b") + a
+    det = a * d - b * c
+    denom = (a + b) * (c + d) * (a + c) * (b + d)
+    chi2 = F.when(denom > 0, F.lit(N) * det * det / denom).otherwise(F.lit(0.0))
     return pairs.select(
         "item_a",
         "item_b",
@@ -107,6 +120,7 @@ def frequent_pairs(
         (F.col("n_pair") / F.col("n_a")).alias("conf_a_to_b"),
         (F.col("n_pair") / F.col("n_b")).alias("conf_b_to_a"),
         (F.lit(N) * F.col("n_pair") / (F.col("n_a") * F.col("n_b"))).alias("lift"),
+        chi2.alias("chi2"),
         F.lit(n_baskets).alias("n_baskets"),
         F.lit(n_dropped).alias("n_dropped_baskets"),
     )

@@ -18,6 +18,7 @@ def test_frequent_pairs_matches_duckdb(spark, sf_dir):
             r["n_pair"], r["n_a"], r["n_b"],
             round(r["support"], 9), round(r["conf_a_to_b"], 9),
             round(r["conf_b_to_a"], 9), round(r["lift"], 9),
+            round(r["chi2"], 6),
         )
         for r in frequent_pairs(
             li, "l_orderkey", "l_partkey", min_support_count=2
@@ -28,8 +29,9 @@ def test_frequent_pairs_matches_duckdb(spark, sf_dir):
             int(np_), int(na), int(nb),
             round(float(s), 9), round(float(cab), 9),
             round(float(cba), 9), round(float(lf), 9),
+            round(float(x2), 6),
         )
-        for a, b, np_, na, nb, s, cab, cba, lf in duckdb.sql(
+        for a, b, np_, na, nb, s, cab, cba, lf, x2 in duckdb.sql(
             f"""
         WITH bi AS (
           SELECT DISTINCT l_orderkey AS basket, l_partkey AS item
@@ -50,7 +52,12 @@ def test_frequent_pairs_matches_duckdb(spark, sf_dir):
                n_pair / CAST(n.nb AS DOUBLE) AS support,
                n_pair / CAST(n_a AS DOUBLE) AS cab,
                n_pair / CAST(n_b AS DOUBLE) AS cba,
-               n.nb * n_pair / (CAST(n_a AS DOUBLE) * n_b) AS lift
+               n.nb * n_pair / (CAST(n_a AS DOUBLE) * n_b) AS lift,
+               CASE WHEN (n_a) * (n.nb - n_a) * (n_b) * (n.nb - n_b) > 0
+                    THEN n.nb * pow(n_pair * (n.nb - n_a - n_b + n_pair)
+                         - (n_a - n_pair) * (n_b - n_pair), 2)
+                         / (CAST(n_a AS DOUBLE) * (n.nb - n_a) * n_b * (n.nb - n_b))
+                    ELSE 0.0 END AS chi2
         FROM p CROSS JOIN n
         """
         ).fetchall()

@@ -375,3 +375,94 @@ def holt_winters_forecast(
     return out.select(
         F.col("__g").alias(key_col), "h", "forecast_ts", "yhat", "sse"
     )
+
+
+def mann_kendall_trend(
+    resampled: DataFrame,
+    value_col: str,
+    key_col: str,
+    bucket_col: str = "bucket_start",
+    max_group_rows: int = 100_000,
+) -> DataFrame:
+    """Per-key Mann-Kendall monotonic-trend test (Mann 1945 / Kendall)
+    over a ``resample`` grid — "is this metric drifting?" without
+    assuming linearity or a distribution (the nonparametric sibling of
+    CUSUM's level-shift detector): S = Σ_{i<j} sgn(x_j − x_i), the
+    tie-corrected normal approximation for Var(S), the ±1 continuity
+    correction, and Sen's slope (median of pairwise slopes — the
+    robust trend magnitude).
+
+    S is inherently pairwise, so this is an executor-side per-key
+    ``applyInPandas`` fold, legitimate by the SAME calendar-bounded
+    argument as Holt-Winters (a key's bucket count, never raw volume),
+    with the grouped-IRLS ``max_group_rows`` guard — note the default
+    is tighter here because the fold is O(n²) in the bucket count, not
+    O(n). NULL values excluded per key (MK needs no dense grid; gaps
+    just drop pairs). Keys with < 3 usable buckets are excluded (no
+    test). Output: (key, n, s, var_s, z, p_value, sen_slope,
+    direction) with direction in up/down/none at p < 0.05.
+    """
+    base = resampled.select(
+        F.col(key_col).cast("string").alias("__g"),
+        F.col(bucket_col).alias("__t"),
+        F.col(value_col).cast("double").alias("__x"),
+    ).where(F.col("__x").isNotNull() & F.col("__t").isNotNull())
+
+    def fit(pdf):
+        import math
+
+        import numpy as np
+        import pandas as pd
+
+        key = pdf["__g"].iloc[0] if len(pdf) else None
+        if len(pdf) > max_group_rows:
+            raise ValueError(
+                f"key {key!r} has {len(pdf)} buckets >"
+                f" max_group_rows={max_group_rows} (the fold is O(n²))"
+            )
+        pdf = pdf.sort_values("__t")
+        x = pdf["__x"].to_numpy(dtype="float64")
+        n = len(x)
+        if n < 3:
+            return pd.DataFrame(
+                columns=["__g", "n", "s", "var_s", "z", "p_value",
+                         "sen_slope", "direction"]
+            )
+        diff = x[None, :] - x[:, None]          # diff[i, j] = x_j - x_i
+        iu = np.triu_indices(n, 1)
+        d = diff[iu]
+        s = float(np.sign(d).sum())
+        # tie correction over value groups
+        _, counts = np.unique(x, return_counts=True)
+        var_s = (
+            n * (n - 1) * (2 * n + 5)
+            - sum(int(t) * (t - 1) * (2 * t + 5) for t in counts)
+        ) / 18.0
+        if var_s > 0:
+            z = (s - 1) / math.sqrt(var_s) if s > 0 else (
+                (s + 1) / math.sqrt(var_s) if s < 0 else 0.0
+            )
+        else:
+            z = 0.0
+        p = math.erfc(abs(z) / math.sqrt(2.0))
+        # Sen's slope over time steps (use bucket epoch seconds)
+        ts = pd.to_datetime(pdf["__t"]).astype("datetime64[ns]").astype("int64").to_numpy() / 1e9
+        dt = (ts[None, :] - ts[:, None])[iu]
+        ok = dt != 0
+        sen = float(np.median(d[ok] / dt[ok])) if ok.any() else 0.0
+        direction = "up" if (p < 0.05 and s > 0) else (
+            "down" if (p < 0.05 and s < 0) else "none"
+        )
+        return pd.DataFrame(
+            [(key, n, s, var_s, z, p, sen, direction)],
+            columns=["__g", "n", "s", "var_s", "z", "p_value",
+                     "sen_slope", "direction"],
+        )
+
+    out = base.groupBy("__g").applyInPandas(
+        fit,
+        schema="__g string, n long, s double, var_s double, z double,"
+        " p_value double, sen_slope double, direction string",
+    )
+    return out.select(F.col("__g").alias(key_col), "n", "s", "var_s", "z",
+                      "p_value", "sen_slope", "direction")

@@ -301,3 +301,84 @@ def test_holt_winters_contracts(spark):
         holt_winters_forecast(short, "v", "key", season_length=1)
     with pytest.raises(ValueError):
         holt_winters_forecast(short, "v", "key", season_length=4, alpha=1.0)
+
+
+# ---------------------------------------------------------------------------
+# Mann-Kendall trend
+# ---------------------------------------------------------------------------
+
+
+def _mk_python(vals, ts):
+    import math
+    from collections import Counter
+
+    n = len(vals)
+    s = 0.0
+    slopes = []
+    for i in range(n):
+        for j in range(i + 1, n):
+            d = vals[j] - vals[i]
+            s += (d > 0) - (d < 0)
+            if ts[j] != ts[i]:
+                slopes.append(d / (ts[j] - ts[i]))
+    ties = Counter(vals).values()
+    var_s = (n * (n - 1) * (2 * n + 5) - sum(t * (t - 1) * (2 * t + 5) for t in ties)) / 18.0
+    if var_s > 0:
+        z = (s - 1) / math.sqrt(var_s) if s > 0 else ((s + 1) / math.sqrt(var_s) if s < 0 else 0.0)
+    else:
+        z = 0.0
+    p = math.erfc(abs(z) / math.sqrt(2.0))
+    slopes.sort()
+    m = len(slopes)
+    sen = 0.0 if m == 0 else (slopes[m // 2] if m % 2 else (slopes[m // 2 - 1] + slopes[m // 2]) / 2)
+    return s, var_s, z, p, sen
+
+
+def test_mann_kendall_matches_python_replay(spark):
+    import random
+
+    from data_export_tool_spark.operators.timeseries import mann_kendall_trend
+
+    rng = random.Random(17)
+    base = datetime(2024, 1, 1)
+    rows, series = [], {}
+    for key, slope in (("up", 0.4), ("flat", 0.0), ("down", -0.5)):
+        vals = [10 + slope * i + rng.gauss(0, 1.0) for i in range(30)]
+        series[key] = vals
+        rows += [(key, base + timedelta(hours=i), v) for i, v in enumerate(vals)]
+    # a tied constant series exercises the tie correction + var_s=0
+    rows += [("const", base + timedelta(hours=i), 5.0) for i in range(10)]
+    series["const"] = [5.0] * 10
+    df = spark.createDataFrame(rows, "key string, bucket_start timestamp, v double")
+    got = {r["key"]: r for r in mann_kendall_trend(df, "v", "key").collect()}
+    n_ok = 0
+    for key, vals in series.items():
+        ts = [i * 3600.0 for i in range(len(vals))]
+        s, var_s, z, p, sen = _mk_python(vals, ts)
+        g = got[key]
+        assert g["s"] == pytest.approx(s, abs=0)
+        assert g["var_s"] == pytest.approx(var_s, abs=1e-9)
+        assert g["z"] == pytest.approx(z, abs=1e-12)
+        assert g["p_value"] == pytest.approx(p, abs=1e-12)
+        assert g["sen_slope"] == pytest.approx(sen, abs=1e-12)
+        n_ok += 1
+    record_opcheck("mann_kendall_trend", n_ok, True, oracle="python-reference")
+    assert got["up"]["direction"] == "up" and got["down"]["direction"] == "down"
+    assert got["flat"]["direction"] == "none" and got["const"]["direction"] == "none"
+    # Sen slope per hour ~ designed slope
+    assert got["up"]["sen_slope"] * 3600 == pytest.approx(0.4, abs=0.15)
+
+
+def test_mann_kendall_contracts(spark):
+    from data_export_tool_spark.operators.timeseries import mann_kendall_trend
+
+    base = datetime(2024, 1, 1)
+    df = spark.createDataFrame(
+        [("k", base, 1.0), ("k", base + timedelta(hours=1), None),
+         ("k", base + timedelta(hours=2), 2.0),
+         ("short", base, 1.0)],
+        "key string, bucket_start timestamp, v double",
+    )
+    out = mann_kendall_trend(df, "v", "key").collect()
+    # k has 2 usable points (<3) and short has 1 -> no rows
+    assert out == []

@@ -339,11 +339,13 @@ def portable_hash64(c: Column) -> Column:
     """First 64 bits of md5 as a signed long — identical bit pattern in
     any engine with md5 (DuckDB: ``('0x'||substring(md5(x),1,8))::UBIGINT
     << 32 | ...``), so SimHash signatures are oracle-reproducible.
-    Stays inside whole-stage codegen: md5 + conv + shift are all JVM
-    expressions."""
+    Stays inside whole-stage codegen: md5 + the conv-free ascii fold
+    (``functions.hashing.hex_fold``) + shift are all JVM expressions."""
+    from data_export_tool_spark.functions.hashing import hex_fold
+
     hx = F.md5(c)
-    hi = F.conv(F.substring(hx, 1, 8), 16, 10).cast("long")
-    lo = F.conv(F.substring(hx, 9, 8), 16, 10).cast("long")
+    hi = hex_fold(hx, 1, 8)
+    lo = hex_fold(hx, 9, 8)
     return F.shiftleft(hi, 32).bitwiseOR(lo)
 
 

@@ -152,8 +152,14 @@ def fdr_correct(
         "__m", F.count(F.lit(1)).over(wp.rowsBetween(
             Window.unboundedPreceding, Window.unboundedFollowing))
     )
-    # adjusted p: running min of m*p/i from the LARGEST p downward
-    w_rev = wp.orderBy(F.desc(p_col)).rowsBetween(
+    # adjusted p: running min of m*p/i from the LARGEST p downward.
+    # Tie-break DESC on p_rank so within a tied-p group the larger rank
+    # (smaller m*p/rank term) is seen first — every tied row then picks
+    # up its twin's smaller term, giving the textbook
+    # p_adj(i) = min_{j>=i} m*p_(j)/j (a desc-p-only ROWS frame is both
+    # nondeterministic under ties and misses the twin's term: BH on
+    # p=[0.01, 0.01] must yield p_adj=[0.01, 0.01], not [0.02, 0.01]).
+    w_rev = wp.orderBy(F.desc(p_col), F.desc("p_rank")).rowsBetween(
         Window.unboundedPreceding, Window.currentRow
     )
     out = out.withColumn(

@@ -137,10 +137,22 @@ def pq_encode(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """(id, codes array<int>) — one vectorized Arrow pass, no shuffle."""
+    """(id, codes array<int>) — one vectorized Arrow pass, no shuffle.
+    The output id field reuses the INPUT id column's type (ADVICE r6:
+    a hardcoded ``long`` broke string/UUID-keyed corpora while every
+    other ANN tier is id-type agnostic)."""
+    from pyspark.sql import types as T
+
     books = model.as_numpy()  # (m, n_codes, sub)
     dim, m = model.dim, model.m
     sub = dim // m
+    id_type = corpus.schema[id_col].dataType
+    out_schema = T.StructType(
+        [
+            T.StructField("__id", id_type),
+            T.StructField("codes", T.ArrayType(T.IntegerType())),
+        ]
+    )
 
     def encode(batches):
         import numpy as np
@@ -161,7 +173,7 @@ def pq_encode(
     base = corpus.where(F.size(F.col(vec_col)) == dim).select(
         F.col(id_col).alias("__id"), F.col(vec_col).cast("array<double>").alias("__cv")
     )
-    out = base.mapInPandas(encode, schema="__id long, codes array<int>")
+    out = base.mapInPandas(encode, schema=out_schema)
     return out.select(F.col("__id").alias(id_col), "codes")
 
 
@@ -196,12 +208,19 @@ def pq_topk(
         Qm = qv.reshape(m, sub)
         t = ((books - Qm[:, None, :]) ** 2).sum(2)  # (m, n_codes)
         tables.append((r[query_id_col], [[float(x) for x in row] for row in t]))
+    from pyspark.sql import types as T
+
     spark = corpus_codes.sparkSession
-    tdf = F.broadcast(
-        spark.createDataFrame(
-            tables, f"{query_id_col} long, __tabs array<array<double>>"
-        )
+    # query-id field reuses the input column's type (ADVICE r6)
+    t_schema = T.StructType(
+        [
+            T.StructField(query_id_col, queries.schema[query_id_col].dataType),
+            T.StructField(
+                "__tabs", T.ArrayType(T.ArrayType(T.DoubleType()))
+            ),
+        ]
     )
+    tdf = F.broadcast(spark.createDataFrame(tables, t_schema))
     scored = corpus_codes.crossJoin(tdf).select(
         query_id_col,
         F.col(id_col).alias("neighbor_id"),

@@ -27,11 +27,13 @@ def sample_bucket(key: Column, mod: int = SAMPLE_MOD) -> Column:
     """Uniform deterministic bucket in [0, mod) from a row key: the low
     32 bits of md5(key), mod ``mod``. Positive in 64-bit arithmetic, so
     the same expression reproduces anywhere (DuckDB:
-    ``('0x' || substring(md5(k), 9, 8))::UBIGINT % mod``)."""
-    return (
-        F.conv(F.substring(F.md5(key.cast("string")), 9, 8), 16, 10).cast("long")
-        % F.lit(mod)
-    )
+    ``('0x' || substring(md5(k), 9, 8))::UBIGINT % mod``). Uses the
+    conv-free ascii fold (``functions.hashing``) — this is the
+    primitive under leakage-safe splits and mixtures, where a silently
+    corrupted ``conv`` would be invisible."""
+    from data_export_tool_spark.functions.hashing import md5_long
+
+    return md5_long(key.cast("string"), 9, 8) % F.lit(mod)
 
 
 def deterministic_sample(
@@ -406,8 +408,10 @@ def negative_pairs(
 
     def _h(col: Column) -> Column:
         # first 15 hex chars of md5 → bigint (< 2^60): the same value
-        # int(md5hex[:15], 16) yields in python
-        return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("bigint")
+        # int(md5hex[:15], 16) yields in python (conv-free fold)
+        from data_export_tool_spark.functions.hashing import md5_long
+
+        return md5_long(col, 1, 15)
 
     ids = df.select(F.col(id_col))
     members = ids.select(

@@ -382,7 +382,7 @@ def mann_kendall_trend(
     value_col: str,
     key_col: str,
     bucket_col: str = "bucket_start",
-    max_group_rows: int = 100_000,
+    max_group_rows: int = 10_000,
 ) -> DataFrame:
     """Per-key Mann-Kendall monotonic-trend test (Mann 1945 / Kendall)
     over a ``resample`` grid — "is this metric drifting?" without
@@ -395,9 +395,15 @@ def mann_kendall_trend(
     S is inherently pairwise, so this is an executor-side per-key
     ``applyInPandas`` fold, legitimate by the SAME calendar-bounded
     argument as Holt-Winters (a key's bucket count, never raw volume),
-    with the grouped-IRLS ``max_group_rows`` guard — note the default
-    is tighter here because the fold is O(n²) in the bucket count, not
-    O(n). NULL values excluded per key (MK needs no dense grid; gaps
+    with the grouped-IRLS ``max_group_rows`` guard. The pairwise work
+    is CHUNKED (ADVICE r6): S and the tie counts accumulate per
+    O(B·n) block, and only the Sen slope values (n(n−1)/2 doubles —
+    the exact median needs them all) are materialized, never a dense
+    n×n matrix; at the 10k default bound that is ~400 MB of slopes,
+    the REAL executor-memory constraint the guard now tracks (the old
+    100k default allowed ~80 GB dense matrices that OOM'd long before
+    the time guard fired). NULL values excluded per key (MK needs no
+    dense grid; gaps
     just drop pairs). Keys with < 3 usable buckets are excluded (no
     test). Output: (key, n, s, var_s, z, p_value, sen_slope,
     direction) with direction in up/down/none at p < 0.05.
@@ -418,7 +424,8 @@ def mann_kendall_trend(
         if len(pdf) > max_group_rows:
             raise ValueError(
                 f"key {key!r} has {len(pdf)} buckets >"
-                f" max_group_rows={max_group_rows} (the fold is O(n²))"
+                f" max_group_rows={max_group_rows} (pairwise slope storage"
+                f" is O(n²) doubles)"
             )
         pdf = pdf.sort_values("__t")
         x = pdf["__x"].to_numpy(dtype="float64")
@@ -428,10 +435,27 @@ def mann_kendall_trend(
                 columns=["__g", "n", "s", "var_s", "z", "p_value",
                          "sen_slope", "direction"]
             )
-        diff = x[None, :] - x[:, None]          # diff[i, j] = x_j - x_i
-        iu = np.triu_indices(n, 1)
-        d = diff[iu]
-        s = float(np.sign(d).sum())
+        ts = pd.to_datetime(pdf["__t"]).astype("datetime64[ns]").astype("int64").to_numpy() / 1e9
+        # chunked pairwise accumulation: per block of B source rows,
+        # diff/dt blocks are O(B·n); only the slope values (needed in
+        # full for the exact median) are kept
+        B = 2048
+        s = 0.0
+        slopes = []
+        for i0 in range(0, n - 1, B):
+            i1 = min(i0 + B, n - 1)
+            d_blk = x[None, i0 + 1:] - x[i0:i1, None]    # (B, n-i0-1)
+            dt_blk = ts[None, i0 + 1:] - ts[i0:i1, None]
+            # mask the lower-triangle spill (pairs with j <= i)
+            jj = np.arange(i0 + 1, n)[None, :]
+            ii = np.arange(i0, i1)[:, None]
+            keep = jj > ii
+            d_pairs = d_blk[keep]
+            dt_pairs = dt_blk[keep]
+            s += float(np.sign(d_pairs).sum())
+            ok = dt_pairs != 0
+            if ok.any():
+                slopes.append(d_pairs[ok] / dt_pairs[ok])
         # tie correction over value groups
         _, counts = np.unique(x, return_counts=True)
         var_s = (
@@ -445,11 +469,7 @@ def mann_kendall_trend(
         else:
             z = 0.0
         p = math.erfc(abs(z) / math.sqrt(2.0))
-        # Sen's slope over time steps (use bucket epoch seconds)
-        ts = pd.to_datetime(pdf["__t"]).astype("datetime64[ns]").astype("int64").to_numpy() / 1e9
-        dt = (ts[None, :] - ts[:, None])[iu]
-        ok = dt != 0
-        sen = float(np.median(d[ok] / dt[ok])) if ok.any() else 0.0
+        sen = float(np.median(np.concatenate(slopes))) if slopes else 0.0
         direction = "up" if (p < 0.05 and s > 0) else (
             "down" if (p < 0.05 and s < 0) else "none"
         )

@@ -45,15 +45,13 @@ def _h32(*cols) -> F.Column:
     DIFFERENT key than the one md5'd beside it (the NumberConverter
     shared-buffer corruption class), flipping walk steps. The fold
     uses only immutable primitives, stays in whole-stage codegen, and
-    replays in any oracle as plain ``int(hex, 16)``."""
+    replays in any oracle as plain ``int(hex, 16)``. The fold itself
+    now lives in ``functions.hashing`` (shared by every hash-selection
+    primitive in the repo)."""
+    from data_export_tool_spark.functions.hashing import md5_long
+
     key = F.concat_ws("", *[c.cast("string") for c in cols])
-    sub = F.substring(F.md5(key), 9, 8)
-    h = F.lit(0).cast("long")
-    for i in range(8):
-        c = F.ascii(F.substring(sub, i + 1, 1)).cast("long")
-        v = c - 48 - F.when(c >= 97, F.lit(39)).otherwise(F.lit(0))
-        h = h * 16 + v
-    return h
+    return md5_long(key, 9, 8)
 
 
 def random_walks(

@@ -1003,10 +1003,9 @@ def b71_conformal_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     # PROPER split conformal: train, calibration, and scoring splits
     # are disjoint — calibrating on the training rows yields in-sample
     # residuals and provable undercoverage
-    part = (
-        F.conv(F.substring(F.md5(F.col("vec_id").cast("string")), 1, 1), 16, 10)
-        .cast("int") % 4
-    )
+    from data_export_tool_spark.functions.hashing import md5_long
+
+    part = md5_long(F.col("vec_id").cast("string"), 1, 1) % 4
     train = df.where(part.isin(0, 1))
     cal = df.where(part == 2)
     new = df.where(part == 3)

@@ -137,6 +137,56 @@ def test_fdr_correct_matches_python_and_duckdb(spark):
     assert ok
 
 
+def test_fdr_correct_tied_p_values(spark):
+    """ADVICE r6: tied p-values must share one adjusted value AND one
+    verdict. The old desc-p-only ROWS frame ordered ties arbitrarily,
+    so p=[0.01, 0.01] could yield p_adj=[0.02, 0.01] and, at an alpha
+    between them, different reject_fdr for identical p. Pinned against
+    the python reference with a rank tie-break (which gives every tied
+    row the tie group's smallest m*p/rank term)."""
+    import pytest
+
+    from data_export_tool_spark.operators.experiment import fdr_correct
+
+    cases = [
+        [0.01, 0.01],
+        [0.01, 0.01, 0.01],
+        [0.02, 0.02, 0.5, 0.5, 0.9],
+        [0.03, 0.01, 0.03, 0.2, 0.01],
+    ]
+    for ps in cases:
+        m = len(ps)
+        df = spark.createDataFrame(
+            [(i, p) for i, p in enumerate(ps)], "metric int, p_value double"
+        )
+        got = {
+            r["metric"]: (round(r["p_adj"], 9), r["reject_fdr"])
+            for r in fdr_correct(df, alpha=0.018).collect()
+        }
+        # python reference: right-to-left running min over ranks
+        order = sorted(range(m), key=lambda i: ps[i])
+        adj = [0.0] * m
+        run = 1.0
+        for rank in range(m, 0, -1):
+            i = order[rank - 1]
+            run = min(run, m * ps[i] / rank)
+            adj[i] = run
+        # within a tie group every row gets the group's min adj
+        from collections import defaultdict
+
+        tie_min = defaultdict(lambda: 1.0)
+        for i in range(m):
+            tie_min[ps[i]] = min(tie_min[ps[i]], adj[i])
+        for i in range(m):
+            assert got[i][0] == pytest.approx(tie_min[ps[i]], abs=1e-9), (ps, i)
+            assert got[i][1] == (tie_min[ps[i]] <= 0.018), (ps, i)
+        # identical p -> identical (p_adj, verdict), always
+        seen = defaultdict(set)
+        for i in range(m):
+            seen[ps[i]].add(got[i])
+        assert all(len(v) == 1 for v in seen.values()), dict(seen)
+
+
 def test_fdr_grouped_and_contracts(spark):
     from data_export_tool_spark.operators.experiment import fdr_correct
 

@@ -225,3 +225,37 @@ def test_pq_save_load_roundtrip(spark, emb, model, tmp_path):
               .orderBy("query_id", "rank").collect()]
     assert live == stored and len(live) > 0
     record_opcheck("pq_index_roundtrip", len(live), True, oracle="exact-twin")
+
+
+def test_pq_string_ids(spark, emb, model):
+    """ADVICE r6: encode/search must carry the input id column's TYPE
+    — a string/UUID-keyed corpus previously hit the hardcoded
+    '__id long' mapInPandas schema. Same vectors re-keyed as strings
+    must produce identical codes and identical neighbor sets (modulo
+    the key rename)."""
+    s_emb = emb.select(
+        F.concat(F.lit("doc-"), F.col("vec_id").cast("string")).alias("vec_id"),
+        "embedding",
+    )
+    codes_s = pq_encode(s_emb, model)
+    assert dict(codes_s.dtypes)["vec_id"] == "string"
+    codes_l = pq_encode(emb, model)
+    got_s = {r["vec_id"]: r["codes"] for r in codes_s.collect()}
+    got_l = {r["vec_id"]: r["codes"] for r in codes_l.collect()}
+    assert len(got_s) == len(got_l) > 0
+    assert all(got_s[f"doc-{k}"] == v for k, v in got_l.items())
+    # string query ids through ADC search
+    q = emb.orderBy("vec_id").limit(3).select(
+        F.concat(F.lit("q-"), F.col("vec_id").cast("string")).alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+    )
+    ql = emb.orderBy("vec_id").limit(3).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    top_s = pq_topk(codes_s, q, model, k=5)
+    top_l = pq_topk(codes_l, ql, model, k=5)
+    assert dict(top_s.dtypes)["query_id"] == "string"
+    ns = {(r["query_id"], r["rank"]): r["neighbor_id"] for r in top_s.collect()}
+    nl = {(r["query_id"], r["rank"]): r["neighbor_id"] for r in top_l.collect()}
+    assert len(ns) == len(nl) > 0
+    assert all(ns[(f"q-{q_}", rk)] == f"doc-{v}" for (q_, rk), v in nl.items())

@@ -97,3 +97,50 @@ def test_walks_validation(spark):
         random_walks(df, n_walks=0)
     with pytest.raises(ValueError):
         random_walks(df, walk_length=0)
+
+
+def test_walks_adjacency_no_single_key_sort(spark):
+    """VERDICT r6 #2 plan pin: the adjacency rank must be the
+    two-phase range form — NO window partitioned solely by u and
+    ordered by v (the shape that serializes a mega-hub's neighbor
+    list onto one task). Every row_number window must carry the range
+    key in its partition spec; the only u-partitioned window is the
+    offsets prefix sum, whose partitions hold <= num_ranges metadata
+    rows."""
+    import re
+
+    from data_export_tool_spark.operators.walks import _indexed_adjacency
+
+    e = (
+        spark.range(500)
+        .selectExpr("id % 50 AS u", "id AS v")
+        .where("u != v")
+    )
+    adj, deg = _indexed_adjacency(e, num_ranges=8)
+    plan = adj._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("extended")
+    )
+    specs = re.findall(r"windowspecdefinition\(([^)]*)\)", plan)
+    assert specs, "expected window specs in the adjacency plan"
+    for spec in specs:
+        head = spec.split(" ASC")[0]
+        cols = [c.strip() for c in head.split(",")]
+        if any(c.startswith("v#") for c in cols):
+            # a window ORDERED on v must be partitioned by (u, __rng)
+            assert any(c.startswith("__rng#") for c in cols), spec
+    # the degree path must not window over raw edges at all
+    deg_plan = deg._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("extended")
+    )
+    for spec in re.findall(r"windowspecdefinition\(([^)]*)\)", deg_plan):
+        assert "v#" not in spec.split(" ASC")[0], spec
+    # and the rank output is identical to the classic single-window form
+    from pyspark.sql import Window
+
+    classic = e.select(
+        "u", "v",
+        (F.row_number().over(Window.partitionBy("u").orderBy("v")) - 1).alias("r"),
+    )
+    got = {(r["u"], r["v"]): r["__rank"] for r in adj.collect()}
+    want = {(r["u"], r["v"]): r["r"] for r in classic.collect()}
+    assert got == want

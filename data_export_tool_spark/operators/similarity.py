@@ -203,8 +203,8 @@ def lsh_topk(
     queries: DataFrame,
     dim: int,
     k: int = 10,
-    n_planes: int = 16,
-    band_bits: int = 8,
+    n_planes: int = 32,
+    band_bits: int = 4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
@@ -214,7 +214,20 @@ def lsh_topk(
     """ANN top-k: SRP-LSH banded candidate generation, then exact cosine
     rank within candidates. Recall < 1 by construction; the scale path
     when the query set itself is large (both sides bucket on band key →
-    an equi-join instead of a cross join)."""
+    an equi-join instead of a cross join).
+
+    Defaults (VERDICT r6 #4): 32 planes × 4-bit bands = 8 bands —
+    measured recall@10 ≈ 0.72 on the NEAR-RANDOM driver embeddings
+    (true neighbors at cosine 0.3–0.5, the hostile case; the old
+    16×8 = 2-band default measured 0.44). The dial: recall rises with
+    the band COUNT (n_planes/band_bits), candidate volume falls with
+    band WIDTH — random-pair collision odds per band are ~2^-band_bits.
+    On real embedding corpora (neighbors at cosine ≥ 0.8) WIDER bands
+    (band_bits 8–16) keep candidates sparse at high recall; tune to
+    the corpus's neighbor-similarity profile. When recall must be ≳
+    0.9 on weak-signal data, prefer ``ivf_topk`` or the PQ tier's
+    ``pq_topk_rerank`` (measured 0.96) and treat this operator as
+    candidate generation."""
     def with_bands(df: DataFrame, idc: str, vc: str, out_vec: str) -> DataFrame:
         out_norm = out_vec + "n"
         base = df.select(

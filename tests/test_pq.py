@@ -128,8 +128,9 @@ def test_pq_topk_matches_adc_replay_and_recall(spark, emb, model, corpus_np):
     recall = hits / tot
     # ADC-only recall on near-random synthetic vectors plateaus ~0.5-0.6
     # at 16x16; the production path is the reranked one below
-    record_opcheck("ann_recall_pq_top10", tot, recall >= 0.35, oracle="numpy-replay", value=recall)
-    assert recall >= 0.35
+    # floor = r6 measured 0.51 minus tolerance (VERDICT r6 #5)
+    record_opcheck("ann_recall_pq_top10", tot, recall >= 0.45, oracle="numpy-replay", value=recall, floor=0.45)
+    assert recall >= 0.45
 
 
 def test_pq_rerank_recall(spark, emb, model, corpus_np):
@@ -174,10 +175,11 @@ def test_pq_rerank_recall(spark, emb, model, corpus_np):
     assert got == want
     recall = hits / tot
     record_opcheck(
-        "ann_recall_pq_rerank_top10", tot, recall >= 0.8,
-        oracle="numpy-replay", value=recall,
+        "ann_recall_pq_rerank_top10", tot, recall >= 0.9,
+        oracle="numpy-replay", value=recall, floor=0.9,
     )
-    assert recall >= 0.8
+    # floor = r6 measured 0.96 minus tolerance (VERDICT r6 #5)
+    assert recall >= 0.9
 
 
 def test_pq_contracts(spark, emb, model):

@@ -54,13 +54,11 @@ def test_brute_force_topk_shape(split):
 def test_lsh_recall_vs_brute_force(split):
     queries, corpus = split
     exact = _topk_sets(brute_force_topk(corpus, queries, k=10))
-    approx = _topk_sets(
-        lsh_topk(corpus, queries, dim=64, k=10, n_planes=16, band_bits=4)
-    )
-    # the driver's embeddings are near-random (top-10 neighbors sit at
-    # cosine ≈ 0.3-0.5, i.e. ~60-70° angles), where SRP collision
-    # probability per 4-bit band is ~(1-θ/π)^4 ≈ 0.16 → expected recall
-    # ≈ 0.5 over 4 bands. Deterministic given the fixed seed.
+    # DEFAULT parameters on purpose — this records what a user who
+    # types nothing gets (VERDICT r6 #4: the old 16-plane/8-bit
+    # default measured recall 0.44, a quality trap; the 32×4 default
+    # measures ≈ 0.72 on these near-random embeddings, floor 0.6)
+    approx = _topk_sets(lsh_topk(corpus, queries, dim=64, k=10))
     recalls = [
         len(exact[q] & approx.get(q, set())) / len(exact[q]) for q in exact
     ]
@@ -69,9 +67,11 @@ def test_lsh_recall_vs_brute_force(split):
 
     record_opcheck(
         "ann_recall_lsh_top10", sum(len(s) for s in exact.values()),
-        recall >= 0.35, oracle="brute-force-topk", value=recall,
+        recall >= 0.6, oracle="brute-force-topk", value=recall, floor=0.6,
     )
-    assert recall >= 0.35
+    # floor = r7 measured 0.72 minus tolerance (VERDICT r6 #5: a
+    # silent recall drop must fail loudly)
+    assert recall >= 0.6
 
 
 def test_ivf_recall_vs_brute_force(split):
@@ -86,9 +86,10 @@ def test_ivf_recall_vs_brute_force(split):
 
     record_opcheck(
         "ann_recall_ivf_top10", sum(len(s) for s in exact.values()),
-        recall >= 0.5, oracle="brute-force-topk", value=recall,
+        recall >= 0.6, oracle="brute-force-topk", value=recall, floor=0.6,
     )
-    assert recall >= 0.5
+    # floor = r6 measured 0.68 minus tolerance
+    assert recall >= 0.6
 
 
 def test_near_dup_default_is_subset_of_exact(emb):
@@ -330,9 +331,10 @@ def test_ivf_index_matches_in_memory_ivf(spark, split, tmp_path):
     recall = sum(recalls) / len(recalls)
     record_opcheck(
         "ann_recall_ivf_index_top7", sum(len(s) for s in exact.values()),
-        recall >= 0.5, oracle="brute-force-topk", value=recall,
+        recall >= 0.55, oracle="brute-force-topk", value=recall, floor=0.55,
     )
-    assert recall >= 0.5
+    # floor = r6 measured 0.60 minus tolerance
+    assert recall >= 0.55
 
     plan = got._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters" in plan and "cell" in plan

@@ -1,0 +1,113 @@
+"""Reference-report bench entries at SF-SCALED patient counts.
+
+VERDICT r6 missing-#1: the driver-gate m* entries run the 12 reference
+line-lists over a FIXED 200-patient fixture, so the heaviest real
+queries in the workload — Tx_Curr_AHD_LineList (46 CTEs / 34 joins /
+22 windows, ``/root/reference/sql_queries/Tx_Curr_AHD_LineList.sql``)
+and Tx_Curr_HVL_LineList (theta joins, ``Tx_Curr_HVL_LineList.sql:
+86-153``) — had no wall-time guard at any scale: a plan regression in
+the wide-view assembly or the AHD join fan-out would stay invisible.
+
+These entries regenerate the SAME seeded fixture family
+(``mamba.fixtures.generate_all``, seed 42 — identical value domains,
+NULL rates, and tie patterns; only ``n_patients`` scales) at
+``n_patients = 100_000 × sf`` (sf0.1 → 10,000 patients ≈ 64k
+encounters × 11 shards) and time:
+
+- ``mb_wide_view``   — the 11-way shard reassembly, UNCACHED per run
+  (every reference query starts with it: `Tx_Curr_LineList.sql:30-47`)
+- ``mb_ahd_linelist`` — m09 over the session-cached wide view
+- ``mb_hvl_linelist`` — m08 over the session-cached wide view
+
+The cached-wide-view split mirrors production (the driver gate and
+``mamba_q._fixture_frames`` share one cached view across all 12
+reports), and the one-time costs (fixture generation, wide-view
+materialization) are recorded in ``bench_extra.COLD_COSTS`` →
+``BENCH_DETAIL.json`` so the published medians are auditable
+(VERDICT r6 wrong-#4). Correctness of the SAME line-list builders is
+the driver gate's m01–m12 value-hash checks; these entries guard
+wall-time only.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+
+from pyspark.sql import DataFrame, SparkSession
+
+from data_export_tool_spark.queries import QuerySpec
+
+
+def _scaled_n(sf_dir: str) -> int:
+    base = os.path.basename(sf_dir.rstrip("/"))
+    try:
+        sf = float(base.replace("sf", ""))
+    except ValueError:
+        sf = 0.1
+    return max(200, int(100_000 * sf))
+
+
+#: (applicationId, n_patients) → (frames, cached wide view). Same
+#: shape as mamba_q._FIXTURE_CACHE; single-entry so stopped sessions
+#: don't accumulate dead JVM references.
+_SCALED_CACHE: dict[tuple[str, int], tuple[dict, DataFrame]] = {}
+
+
+def _scaled_warehouse(
+    spark: SparkSession, sf_dir: str
+) -> tuple[dict, DataFrame]:
+    from data_export_tool_spark.mamba.fixture_store import ensure_fixture_parquet
+    from data_export_tool_spark.mamba.follow_up import assemble_follow_up
+    from data_export_tool_spark.queries.bench_extra import COLD_COSTS
+
+    n = _scaled_n(sf_dir)
+    key = (spark.sparkContext.applicationId, n)
+    if key not in _SCALED_CACHE:
+        _SCALED_CACHE.clear()
+        t0 = time.perf_counter()
+        paths = ensure_fixture_parquet(seed=42, n_patients=n)
+        COLD_COSTS["mb_fixture_parquet_sec"] = round(time.perf_counter() - t0, 3)
+        frames = {t: spark.read.parquet(p) for t, p in paths.items()}
+        t0 = time.perf_counter()
+        wide = assemble_follow_up(frames, cache=True)
+        wide.count()  # materialize the cache so report runs don't pay it
+        COLD_COSTS["mb_wide_cache_sec"] = round(time.perf_counter() - t0, 3)
+        _SCALED_CACHE[key] = (frames, wide)
+    return _SCALED_CACHE[key]
+
+
+def mb_wide_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 11-way follow-up shard reassembly, uncached — the stage
+    every reference report pays first."""
+    from data_export_tool_spark.mamba.follow_up import assemble_follow_up
+
+    frames, _ = _scaled_warehouse(spark, sf_dir)
+    return assemble_follow_up(frames, cache=False)
+
+
+def mb_ahd_linelist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """m09 Tx_Curr_AHD_LineList at scale — the widest report (18
+    latest-per-key passes + nutrition/visitect/CD4 ladders)."""
+    from data_export_tool_spark.mamba import linelists as LL
+    from data_export_tool_spark.mamba.fixtures import WINDOW_END, WINDOW_START
+
+    frames, wide = _scaled_warehouse(spark, sf_dir)
+    return LL.tx_curr_ahd_linelist(frames, WINDOW_START, WINDOW_END, follow_up=wide)
+
+
+def mb_hvl_linelist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """m08 Tx_Curr_HVL_LineList at scale — the theta-join report
+    (repeat-VL windows + confirmatory-test follow-through)."""
+    from data_export_tool_spark.mamba import linelists as LL
+    from data_export_tool_spark.mamba.fixtures import WINDOW_END, WINDOW_START
+
+    frames, wide = _scaled_warehouse(spark, sf_dir)
+    return LL.tx_curr_hvl_linelist(frames, WINDOW_START, WINDOW_END, follow_up=wide)
+
+
+QUERIES = [
+    QuerySpec("mb_wide_view", mb_wide_view, None),
+    QuerySpec("mb_ahd_linelist", mb_ahd_linelist, None),
+    QuerySpec("mb_hvl_linelist", mb_hvl_linelist, None),
+]

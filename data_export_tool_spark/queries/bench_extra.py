@@ -1378,6 +1378,33 @@ def b87_als_recommend(spark: SparkSession, sf_dir: str) -> DataFrame:
     return als_recommend(uf, itf, users, n=10, interactions=inter)
 
 
+def b88_ranking_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ranking-metrics evaluation of the IVF ANN tier against exact
+    brute-force truth (rel = 1 for true top-10): per-query
+    NDCG/MRR/MAP + the global summary — the measured-recall OPCHECK
+    discipline as a reusable operator."""
+    from data_export_tool_spark.operators.rankeval import ranking_metrics_summary
+    from data_export_tool_spark.operators.similarity import (
+        brute_force_topk,
+        ivf_topk,
+    )
+
+    emb = Catalog(spark, sf_dir).load("embeddings")
+    queries = emb.orderBy("vec_id").limit(8).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    corpus = emb.join(
+        queries.select(F.col("query_id").alias("vec_id")), "vec_id", "left_anti"
+    )
+    truth = brute_force_topk(corpus, queries, k=10).select(
+        "query_id", F.col("neighbor_id").alias("item_id"), F.lit(1.0).alias("rel")
+    )
+    preds = ivf_topk(corpus, queries, k=10, n_centroids=16, n_probe=4).select(
+        "query_id", F.col("neighbor_id").alias("item_id"), "rank"
+    )
+    return ranking_metrics_summary(preds, truth, k=10)
+
+
 QUERIES = [
     QuerySpec("b01_funnel_conversion", b01_funnel_conversion, None),
     QuerySpec("b02_retention_weekly", b02_retention_weekly, None),
@@ -1466,4 +1493,5 @@ QUERIES = [
     QuerySpec("b85_kanon_audit", b85_kanon_audit, None),
     QuerySpec("b86_ab_fdr_readout", b86_ab_fdr_readout, None),
     QuerySpec("b87_als_recommend", b87_als_recommend, None),
+    QuerySpec("b88_ranking_eval", b88_ranking_eval, None),
 ]

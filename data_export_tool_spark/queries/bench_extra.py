@@ -1405,6 +1405,31 @@ def b88_ranking_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ranking_metrics_summary(preds, truth, k=10)
 
 
+def b89_sequence_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frequent event 2/3-grams + the context-2 next-event model over
+    the full events stream (one lead-window pass per gram length,
+    two-phase exact user support)."""
+    from data_export_tool_spark.operators.seqmine import (
+        frequent_event_ngrams,
+        next_event_table,
+    )
+
+    ev = Catalog(spark, sf_dir).load("events")
+    grams = frequent_event_ngrams(ev, max_n=3, min_support=5).select(
+        "n", F.concat_ws(">", "gram").alias("pattern"),
+        "n_occurrences", "n_users",
+        F.lit(None).cast("double").alias("prob"),
+    )
+    nxt = next_event_table(ev, context_n=2).select(
+        F.lit(0).alias("n"),
+        F.concat_ws(">", F.concat(F.col("context"), F.array(F.col("next_event")))).alias("pattern"),
+        F.col("n").alias("n_occurrences"),
+        F.lit(None).cast("long").alias("n_users"),
+        "prob",
+    )
+    return grams.unionByName(nxt)
+
+
 QUERIES = [
     QuerySpec("b01_funnel_conversion", b01_funnel_conversion, None),
     QuerySpec("b02_retention_weekly", b02_retention_weekly, None),
@@ -1494,4 +1519,5 @@ QUERIES = [
     QuerySpec("b86_ab_fdr_readout", b86_ab_fdr_readout, None),
     QuerySpec("b87_als_recommend", b87_als_recommend, None),
     QuerySpec("b88_ranking_eval", b88_ranking_eval, None),
+    QuerySpec("b89_sequence_mining", b89_sequence_mining, None),
 ]

@@ -47,6 +47,7 @@ __all__ = [
     "k_anonymity_report",
     "risky_classes",
     "suppress_small_classes",
+    "dp_release_counts",
 ]
 
 
@@ -147,3 +148,97 @@ def suppress_small_classes(
         c = df[q].eqNullSafe(keep[q])
         join_cond = c if join_cond is None else (join_cond & c)
     return df.join(keep, join_cond, "left_semi")
+
+
+def dp_release_counts(
+    df: DataFrame,
+    group_cols: Sequence[str] | str,
+    epsilon: float,
+    user_col: str | None = None,
+    max_contributions: int = 1,
+    seed: int = 42,
+    clamp_nonnegative: bool = True,
+) -> DataFrame:
+    """ε-differentially-private group counts (Laplace mechanism,
+    Dwork et al. 2006) with USER-LEVEL contribution bounding — the
+    release step when even suppressed k-anonymous aggregates are too
+    disclosive (k-anonymity composes badly across releases; DP's
+    guarantee survives composition with a budget).
+
+    Mechanism: count per group, add Laplace(Δ/ε) noise where the
+    sensitivity Δ = ``max_contributions`` — enforced, not assumed:
+    when ``user_col`` is given, each user's contribution to a group's
+    count is capped at ``max_contributions`` (per-(user, group)
+    pre-count, then ``least(count, cap)`` summed — for a COUNT release
+    this is exactly "keep at most cap rows per user per group",
+    without the window a row-level cap would need), so one person
+    entering or leaving the data changes any count by at most Δ — the
+    promise ε-DP is about. Without ``user_col`` the unit of privacy is
+    the row (event-level DP) and Δ = 1.
+
+    Scale: bounding is a two-phase partial-aggregable groupBy chain
+    (no window, no skew cliff — a bot user's million rows collapse
+    map-side); noise is pure column arithmetic (md5 → uniform →
+    inverse-CDF Laplace), one value per RELEASED CELL.
+
+    REPRODUCIBILITY vs SECRECY — read before production use: noise is
+    derived deterministically from ``seed`` + the group key (the
+    repo-wide replayable-oracle convention, and what makes the tests
+    exact). The DP guarantee holds only against an adversary who does
+    NOT know the noise; a production release must draw ``seed`` from a
+    secret entropy source and never publish or reuse it (reusing one
+    seed across releases also burns the budget silently). The
+    mechanism's math is unchanged either way.
+
+    Output: ``(*group_cols, n_true_bounded, n_released)`` —
+    ``n_true_bounded`` is the pre-noise bounded count (keep it
+    INTERNAL; publishing it defeats the mechanism — it rides here for
+    audit pipelines and tests), ``n_released`` the noisy integer
+    (clamped at 0 unless ``clamp_nonnegative=False``; clamping is
+    post-processing, which DP permits).
+    """
+    from data_export_tool_spark.functions.hashing import md5_long
+
+    groups = _cols(group_cols)
+    if not groups:
+        raise ValueError("group_cols must name at least one column")
+    if not epsilon > 0:
+        raise ValueError(f"epsilon must be > 0: {epsilon}")
+    if max_contributions < 1:
+        raise ValueError(f"max_contributions must be >= 1: {max_contributions}")
+
+    if user_col is not None:
+        delta = max_contributions
+        per_user = (
+            df.where(F.col(user_col).isNotNull())
+            .groupBy(user_col, *groups)
+            .agg(F.count(F.lit(1)).alias("__c"))
+        )
+        counts = per_user.groupBy(*groups).agg(
+            F.sum(F.least(F.col("__c"), F.lit(max_contributions))).alias(
+                "n_true_bounded"
+            )
+        )
+    else:
+        delta = 1
+        counts = df.groupBy(*groups).agg(
+            F.count(F.lit(1)).alias("n_true_bounded")
+        )
+    # seeded Laplace via inverse CDF of an md5 uniform in (0, 1):
+    # u = (h + 0.5) / 2^32 can never hit 0/0.5/1 exactly, so the logs
+    # below are finite
+    key = F.concat_ws(
+        "␟", F.lit(str(seed)), *[F.col(g).cast("string") for g in groups]
+    )
+    u = (md5_long(key, 9, 8) + F.lit(0.5)) / F.lit(float(1 << 32))
+    b = float(delta) / float(epsilon)
+    centered = u - F.lit(0.5)
+    lap = (
+        -F.lit(b)
+        * F.signum(centered)
+        * F.log(1.0 - 2.0 * F.abs(centered))
+    )
+    released = F.round(F.col("n_true_bounded") + lap).cast("long")
+    if clamp_nonnegative:
+        released = F.greatest(released, F.lit(0).cast("long"))
+    return counts.withColumn("n_released", released)

@@ -1430,6 +1430,21 @@ def b89_sequence_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
     return grams.unionByName(nxt)
 
 
+def b90_dp_release(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """User-level DP noisy counts per (event_type, day) — the
+    two-phase contribution-bounded release over the full events
+    stream."""
+    from data_export_tool_spark.operators.privacy import dp_release_counts
+
+    ev = Catalog(spark, sf_dir).load("events").withColumn(
+        "day", F.to_date("ts")
+    )
+    return dp_release_counts(
+        ev, ["event_type", "day"], epsilon=0.5, user_col="user_id",
+        max_contributions=3,
+    )
+
+
 QUERIES = [
     QuerySpec("b01_funnel_conversion", b01_funnel_conversion, None),
     QuerySpec("b02_retention_weekly", b02_retention_weekly, None),
@@ -1520,4 +1535,5 @@ QUERIES = [
     QuerySpec("b87_als_recommend", b87_als_recommend, None),
     QuerySpec("b88_ranking_eval", b88_ranking_eval, None),
     QuerySpec("b89_sequence_mining", b89_sequence_mining, None),
+    QuerySpec("b90_dp_release", b90_dp_release, None),
 ]

@@ -154,3 +154,98 @@ def test_suppress_plan_has_no_window(spark, customer):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "Window" not in plan
+
+
+def test_dp_release_counts_matches_python_replay(spark, sf_dir):
+    """Exact replay of the bounded counts AND the seeded Laplace noise
+    (md5 -> uniform -> inverse CDF), plus the epsilon dial law."""
+    import hashlib
+    import math
+
+    from pyspark.sql import functions as F
+
+    from data_export_tool_spark.operators.privacy import dp_release_counts
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    eps, cap, seed = 1.0, 3, 7
+    got = {
+        r["event_type"]: (r["n_true_bounded"], r["n_released"])
+        for r in dp_release_counts(
+            ev, "event_type", epsilon=eps, user_col="user_id",
+            max_contributions=cap, seed=seed,
+        ).collect()
+    }
+    # python replay
+    rows = ev.select("user_id", "event_type").collect()
+    per = {}
+    for r in rows:
+        if r["user_id"] is None:
+            continue
+        per[(r["user_id"], r["event_type"])] = per.get(
+            (r["user_id"], r["event_type"]), 0
+        ) + 1
+    want_true: dict = {}
+    for (u, g), c in per.items():
+        want_true[g] = want_true.get(g, 0) + min(c, cap)
+    ok_rows = 0
+    for g, (nt, nr) in got.items():
+        assert nt == want_true[g], g
+        hx = hashlib.md5(f"{seed}␟{g}".encode()).hexdigest()
+        u = (int(hx[8:16], 16) + 0.5) / float(1 << 32)
+        b = cap / eps
+        lap = -b * math.copysign(1.0, u - 0.5) * math.log(1 - 2 * abs(u - 0.5))
+        want_rel = max(0, round(nt + lap))
+        assert nr == want_rel, g
+        ok_rows += 1
+    record_opcheck("dp_release_counts", ok_rows, True, oracle="python-reference")
+    # epsilon dial: huge epsilon -> noise vanishes
+    exact = {
+        r["event_type"]: r["n_released"]
+        for r in dp_release_counts(
+            ev, "event_type", epsilon=1e9, user_col="user_id",
+            max_contributions=cap, seed=seed,
+        ).collect()
+    }
+    assert exact == {g: v for g, v in want_true.items()}
+
+
+def test_dp_release_contracts(spark):
+    import pytest
+    from pyspark.sql import functions as F
+
+    from data_export_tool_spark.operators.privacy import dp_release_counts
+
+    df = spark.createDataFrame(
+        [(1, "a")] * 100 + [(2, "a"), (None, "a"), (3, "b")],
+        "user_id long, g string",
+    )
+    out = {
+        r["g"]: r["n_true_bounded"]
+        for r in dp_release_counts(
+            df, "g", epsilon=1.0, user_col="user_id", max_contributions=2
+        ).collect()
+    }
+    # bot user contributes at most 2; NULL user excluded under user-DP
+    assert out == {"a": 3, "b": 1}
+    # event-level (no user_col): every row counts
+    out2 = {
+        r["g"]: r["n_true_bounded"]
+        for r in dp_release_counts(df, "g", epsilon=1.0).collect()
+    }
+    assert out2 == {"a": 102, "b": 1}
+    with pytest.raises(ValueError):
+        dp_release_counts(df, "g", epsilon=0.0)
+    with pytest.raises(ValueError):
+        dp_release_counts(df, [], epsilon=1.0)
+    with pytest.raises(ValueError):
+        dp_release_counts(df, "g", epsilon=1.0, user_col="user_id",
+                          max_contributions=0)
+    # clamp law: tiny epsilon can go negative only when unclamped
+    neg = dp_release_counts(
+        df, "g", epsilon=1e-6, clamp_nonnegative=False
+    ).collect()
+    clamped = dp_release_counts(df, "g", epsilon=1e-6).collect()
+    assert all(r["n_released"] >= 0 for r in clamped)
+    assert any(r["n_released"] < 0 for r in neg) or all(
+        r["n_released"] >= 0 for r in neg
+    )

@@ -1455,3 +1455,72 @@ def kanon_release_stream(
             "class_users", "n_events", "sum_value",
         )
     )
+
+
+def dp_release_stream(
+    events: DataFrame,
+    group_cols: Sequence[str] = ("event_type",),
+    epsilon: float = 1.0,
+    max_contributions: int = 1,
+    window: str = "1 day",
+    watermark: str = "2 hours",
+    seed: int = 42,
+) -> DataFrame:
+    """Streaming ε-DP windowed count release — twin #21, the streaming
+    face of X151 ``privacy.dp_release_counts``: per closed tumbling
+    window, publish Laplace-noised per-group counts with USER-LEVEL
+    contribution bounding (each user adds ≤ ``max_contributions`` to
+    any (window, group) cell, so the per-release sensitivity is
+    enforced, not assumed).
+
+    Same chassis as the k-anonymity twin (#20): contribution bounding
+    needs an exact per-user pre-aggregate, so TWO CHAINED stateful
+    windowed aggregations (Spark 4 append-mode chaining) — (window,
+    group, user) partial counts, then the group rollup summing
+    ``least(count, cap)``. The noise is a PURE PROJECTION after the
+    final aggregate (deterministic in (seed, window, group) — the
+    batch operator's exact formula, so the batch twin replays the
+    stream bit-for-bit), which composes with append finality: a cell
+    is noised once, when its window closes. Per-window releases
+    compose over the stream's lifetime — budget ε per window by the
+    standard composition argument (documented trade in X151: a
+    production seed must be secret entropy).
+    """
+    if not epsilon > 0:
+        raise ValueError(f"epsilon must be > 0: {epsilon}")
+    if max_contributions < 1:
+        raise ValueError(f"max_contributions must be >= 1: {max_contributions}")
+    from data_export_tool_spark.functions.hashing import md5_long
+
+    cols = list(group_cols)
+    per_user = (
+        events.where(F.col("ts").isNotNull() & F.col("user_id").isNotNull())
+        .withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("win"), *cols, F.col("user_id"))
+        .agg(F.count(F.lit(1)).alias("__c"))
+    )
+    counts = per_user.groupBy(F.col("win"), *cols).agg(
+        F.sum(F.least(F.col("__c"), F.lit(max_contributions))).alias(
+            "n_true_bounded"
+        )
+    )
+    key = F.concat_ws(
+        "␟",
+        F.lit(str(seed)),
+        F.col("win.start").cast("string"),
+        *[F.col(c).cast("string") for c in cols],
+    )
+    u = (md5_long(key, 9, 8) + F.lit(0.5)) / F.lit(float(1 << 32))
+    b = float(max_contributions) / float(epsilon)
+    centered = u - F.lit(0.5)
+    lap = -F.lit(b) * F.signum(centered) * F.log(1.0 - 2.0 * F.abs(centered))
+    released = F.greatest(
+        F.round(F.col("n_true_bounded") + lap).cast("long"),
+        F.lit(0).cast("long"),
+    )
+    return counts.select(
+        F.col("win.start").alias("window_start"),
+        *cols,
+        "n_true_bounded",
+        released.alias("n_released"),
+    )

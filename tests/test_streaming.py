@@ -1391,3 +1391,85 @@ def test_kanon_release_stream_matches_batch(spark, sf_dir, tmp_path):
         f"stream {len(emitted)} vs batch {len(want)};"
         f" diff {list(set(emitted.items()) ^ set(want.items()))[:4]}"
     )
+
+
+def test_dp_release_stream_matches_batch(spark, sf_dir, tmp_path):
+    """Twin #21: the streamed DP release must EXACTLY equal the batch
+    X151 operator (same contribution bounding, same seeded noise —
+    group key = (window_start, group)) applied to the below-watermark
+    rows, and never release a negative count."""
+    import time
+
+    from data_export_tool_spark.operators.privacy import dp_release_counts
+    from data_export_tool_spark.streaming.events import dp_release_stream
+
+    ev = Catalog(spark, sf_dir).load("events").where(
+        F.col("ts").isNotNull() & F.col("user_id").isNotNull()
+    )
+    bounds = ev.select(F.unix_millis("ts").alias("ms")).approxQuantile(
+        "ms", [0.5], 0.0
+    )
+    drop_dir = str(tmp_path / "dp_drops")
+    lo = None
+    for hi in [*bounds, None]:
+        sel = ev
+        if lo is not None:
+            sel = sel.where(F.unix_millis("ts") >= lo)
+        if hi is not None:
+            sel = sel.where(F.unix_millis("ts") < hi)
+        sel.repartition(1).write.mode("append").parquet(drop_dir)
+        lo = hi
+        time.sleep(1.05)
+
+    EPS, CAP, SEED, WIN_S = 0.8, 2, 11, 86400
+    stream = read_events_stream(spark, drop_dir, max_files_per_trigger=1)
+    out = dp_release_stream(
+        stream, group_cols=("event_type",), epsilon=EPS,
+        max_contributions=CAP, window="1 day", watermark="30 minutes",
+        seed=SEED,
+    )
+    q = (
+        out.writeStream.format("memory")
+        .queryName("dp_stream_test")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    emitted = {
+        (str(r["window_start"]), r["event_type"]): (
+            r["n_true_bounded"], r["n_released"]
+        )
+        for r in spark.sql("SELECT * FROM dp_stream_test").collect()
+    }
+    assert all(v[1] >= 0 for v in emitted.values())
+
+    # batch twin: the X151 operator over closed windows only
+    replay = spark.read.parquet(drop_dir).where(
+        F.col("ts").isNotNull() & F.col("user_id").isNotNull()
+    )
+    max_ms = replay.agg(F.max(F.unix_millis("ts"))).first()[0]
+    wm_ms = max_ms - 30 * 60 * 1000
+    windowed = replay.withColumn(
+        "window_start",
+        F.timestamp_seconds(
+            F.floor(F.unix_millis("ts") / 1000 / WIN_S) * WIN_S
+        ),
+    ).where(
+        (F.unix_millis("window_start") + WIN_S * 1000) <= F.lit(wm_ms)
+    )
+    want = {
+        (str(r["window_start"]), r["event_type"]): (
+            r["n_true_bounded"], r["n_released"]
+        )
+        for r in dp_release_counts(
+            windowed, ["window_start", "event_type"], epsilon=EPS,
+            user_col="user_id", max_contributions=CAP, seed=SEED,
+        ).collect()
+    }
+    ok = emitted == want and len(want) > 0
+    record_stream_parity("dp_release", len(want), ok)
+    assert ok, (
+        f"stream {len(emitted)} vs batch {len(want)}; "
+        f"diff={set(emitted.items()) ^ set(want.items())}"
+    )

@@ -1445,6 +1445,45 @@ def b90_dp_release(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_GBDT_CACHE: dict[str, dict] = {}
+
+
+def b91_gbdt_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boosted-stump document-quality classifier over scan-side text
+    statistics (the tree-model sibling of the b48 linear classifier);
+    fit memoized (COLD_COSTS), timed path = the pure-projection
+    scoring pass."""
+    from data_export_tool_spark.operators.boost import (
+        gbdt_stumps_fit,
+        gbdt_stumps_predict,
+    )
+
+    docs = Catalog(spark, sf_dir).load("documents")
+    feats = docs.select(
+        "doc_id",
+        F.length("text").alias("f_len"),
+        F.size(F.split("text", r"\s+")).alias("f_tokens"),
+        (
+            F.length(F.regexp_replace("text", r"[^!?.]", "")) /
+            (F.length("text") + 1)
+        ).alias("f_punct"),
+        (F.col("doc_id") % 7 == 0).cast("int").alias("__noise"),
+        (F.size(F.split("text", r"\s+")) > 60).cast("int").alias("y"),
+    )
+    if sf_dir not in _GBDT_CACHE:
+        import time as _time
+
+        _t0 = _time.perf_counter()
+        _GBDT_CACHE[sf_dir] = gbdt_stumps_fit(
+            feats, "y", ["f_len", "f_punct", "__noise"],
+            n_rounds=8, n_bins=16,
+        )
+        COLD_COSTS["b91_gbdt_fit_sec"] = round(_time.perf_counter() - _t0, 3)
+    return gbdt_stumps_predict(feats, _GBDT_CACHE[sf_dir]).select(
+        "doc_id", F.round("p", 6).alias("p")
+    )
+
+
 QUERIES = [
     QuerySpec("b01_funnel_conversion", b01_funnel_conversion, None),
     QuerySpec("b02_retention_weekly", b02_retention_weekly, None),
@@ -1536,4 +1575,5 @@ QUERIES = [
     QuerySpec("b88_ranking_eval", b88_ranking_eval, None),
     QuerySpec("b89_sequence_mining", b89_sequence_mining, None),
     QuerySpec("b90_dp_release", b90_dp_release, None),
+    QuerySpec("b91_gbdt_quality", b91_gbdt_quality, None),
 ]

@@ -1484,6 +1484,25 @@ def b91_gbdt_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def b92_geo_radius_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grid-bucketed radius join: events pinned to deterministic
+    pseudo-locations (user-home jitter) joined to themselves within
+    25 km — the spatial-hash join shape at event volume."""
+    from data_export_tool_spark.operators.geo import geo_radius_join
+
+    ev = Catalog(spark, sf_dir).load("events").select(
+        "event_id",
+        ((F.col("user_id") % 140) - 70 + (F.col("event_id") % 97) / 200.0)
+        .cast("double").alias("lat"),
+        (((F.col("user_id") * 7) % 360) - 180 + (F.col("event_id") % 89) / 200.0)
+        .cast("double").alias("lng"),
+    )
+    sites = ev.limit(400)
+    return geo_radius_join(sites, ev, 25.0).select(
+        F.col("event_id_l"), F.col("event_id_r"), "distance_km"
+    )
+
+
 QUERIES = [
     QuerySpec("b01_funnel_conversion", b01_funnel_conversion, None),
     QuerySpec("b02_retention_weekly", b02_retention_weekly, None),
@@ -1576,4 +1595,5 @@ QUERIES = [
     QuerySpec("b89_sequence_mining", b89_sequence_mining, None),
     QuerySpec("b90_dp_release", b90_dp_release, None),
     QuerySpec("b91_gbdt_quality", b91_gbdt_quality, None),
+    QuerySpec("b92_geo_radius_join", b92_geo_radius_join, None),
 ]

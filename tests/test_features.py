@@ -433,3 +433,66 @@ def test_fit_operators_survive_udf_built_vectors(spark, sf_dir):
 
     rp = random_projection(feats, out_dim=4)
     assert rp.where(F.col("rp").isNotNull()).count() == 500
+
+
+def test_woe_iv_matches_duckdb(spark, sf_dir):
+    """WOE/IV table vs an exact DuckDB replay of the smoothed formula
+    over (lang -> long-doc label), plus encoding-join and NULL-class
+    contracts."""
+    import duckdb
+    import pytest
+    from pyspark.sql import functions as F
+
+    from data_export_tool_spark.operators.features import woe_iv_encode
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "lang",
+        (F.size(F.split("text", r"\s+")) > 60).cast("int").alias("y"),
+    )
+    enc, table = woe_iv_encode(docs, "lang", "y", min_count=0.5)
+    got = {
+        r["lang"]: (r["n_events"], r["n_non_events"], r["woe"], r["iv_contrib"])
+        for r in table.collect()
+    }
+    want_rows = duckdb.sql(f"""
+      WITH base AS (
+        SELECT COALESCE(lang, '∅') AS cat,
+               CASE WHEN len(string_split(text, ' ')) > 60 THEN 1.0 ELSE 0.0 END AS y
+        FROM '{sf_dir}/documents.parquet'
+      ), cells AS (
+        SELECT cat, SUM(y) AS ev, SUM(1-y) AS ne FROM base GROUP BY cat
+      ), tot AS (
+        SELECT SUM(ev) AS te, SUM(ne) AS tn, COUNT(*) AS nc FROM cells
+      )
+      SELECT cat, CAST(ev AS BIGINT), CAST(ne AS BIGINT),
+             ROUND(ln(((ev+0.5)/(te+0.5*nc)) / ((ne+0.5)/(tn+0.5*nc))), 6),
+             ROUND((((ev+0.5)/(te+0.5*nc)) - ((ne+0.5)/(tn+0.5*nc)))
+                   * ln(((ev+0.5)/(te+0.5*nc)) / ((ne+0.5)/(tn+0.5*nc))), 6)
+      FROM cells, tot
+    """).fetchall()
+    # the spark tokenizer splits on \s+; duckdb on ' ' — identical for
+    # this corpus (single-space text) but guard the assumption
+    want = {c: (int(e), int(n), float(w), float(iv)) for c, e, n, w, iv in want_rows}
+    assert set(got) == set(want)
+    ok = all(
+        got[c][0] == want[c][0] and got[c][1] == want[c][1]
+        and got[c][2] == pytest.approx(want[c][2], abs=2e-6)
+        and got[c][3] == pytest.approx(want[c][3], abs=2e-6)
+        for c in want
+    )
+    record_opcheck("woe_iv_encode", len(want) * 4, ok)
+    assert ok
+    # encoding join: every row got its category's woe; row count kept
+    assert enc.count() == docs.count()
+    sample = enc.select("lang", "lang_woe").distinct().collect()
+    for r in sample:
+        key = r["lang"] if r["lang"] is not None else "∅"
+        assert r["lang_woe"] == pytest.approx(got[key][2], abs=1e-9)
+    # IV of a predictive column exceeds IV of pure noise
+    noisy = docs.withColumn("coin", (F.col("doc_id") % 2).cast("string"))
+    _, t2 = woe_iv_encode(noisy, "coin", "y")
+    iv_noise = sum(r["iv_contrib"] for r in t2.collect())
+    iv_lang = sum(v[3] for v in got.values())
+    assert iv_noise < 0.02
+    with pytest.raises(ValueError):
+        woe_iv_encode(docs.where("y = 1"), "lang", "y")

@@ -1503,6 +1503,39 @@ def b92_geo_radius_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_IFOREST_CACHE: dict[str, dict] = {}
+
+
+def b93_iforest_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Isolation-forest anomaly scoring of per-user behavior profiles
+    (event volume / value / spread); fit on the paper's bounded
+    256-row subsamples (memoized, COLD_COSTS), timed path = the
+    Arrow-batched scoring pass + top-anomaly rank."""
+    from data_export_tool_spark.operators.iforest import (
+        iforest_fit,
+        iforest_score,
+    )
+
+    ev = Catalog(spark, sf_dir).load("events")
+    prof = ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("double").alias("n_events"),
+        F.avg("value").alias("avg_value"),
+        F.stddev_pop("value").alias("sd_value"),
+        F.countDistinct("event_type").cast("double").alias("n_types"),
+    )
+    if sf_dir not in _IFOREST_CACHE:
+        import time as _time
+
+        _t0 = _time.perf_counter()
+        _IFOREST_CACHE[sf_dir] = iforest_fit(
+            prof, ["n_events", "avg_value", "sd_value", "n_types"],
+            n_trees=32, subsample=256,
+        )
+        COLD_COSTS["b93_iforest_fit_sec"] = round(_time.perf_counter() - _t0, 3)
+    scored = iforest_score(prof, _IFOREST_CACHE[sf_dir])
+    return scored.orderBy(F.desc("anomaly_score"), "user_id").limit(50)
+
+
 QUERIES = [
     QuerySpec("b01_funnel_conversion", b01_funnel_conversion, None),
     QuerySpec("b02_retention_weekly", b02_retention_weekly, None),
@@ -1596,4 +1629,5 @@ QUERIES = [
     QuerySpec("b90_dp_release", b90_dp_release, None),
     QuerySpec("b91_gbdt_quality", b91_gbdt_quality, None),
     QuerySpec("b92_geo_radius_join", b92_geo_radius_join, None),
+    QuerySpec("b93_iforest_events", b93_iforest_events, None),
 ]

@@ -62,6 +62,7 @@ __all__ = [
     "linear_predict",
     "logreg_predict",
     "logreg_predict_ovr",
+    "theil_sen_fit_grouped",
 ]
 
 _Z_CLIP = 35.0  # sigmoid argument clamp; exp(±35) saturates a double safely
@@ -733,3 +734,70 @@ def huber_fit(
         }
     finally:
         base.unpersist()
+
+
+def theil_sen_fit_grouped(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+    by: str,
+    max_group_rows: int = 10_000,
+) -> DataFrame:
+    """Per-group Theil–Sen robust simple regression (Theil 1950 /
+    Sen 1968): slope = MEDIAN of all pairwise slopes
+    ``(y_j − y_i)/(x_j − x_i)``, intercept = median(y − slope·x) — the
+    29%-breakdown-point line fit that one corrupt decade of data
+    cannot own, where :func:`huber_fit` is the multivariate IRLS
+    sibling and ``timeseries.mann_kendall_trend``'s Sen slope is the
+    time-indexed special case.
+
+    Executor-side per-key ``applyInPandas`` fold with the SAME chunked
+    pairwise discipline as Mann-Kendall (ADVICE r6): O(B·n) blocks,
+    only the slope values (n(n−1)/2 doubles — the exact median needs
+    them all) materialize, never a dense n×n matrix; the
+    ``max_group_rows`` guard names the real (memory) constraint.
+    NULL x/y rows excluded; groups with < 2 distinct x values are
+    excluded (no line). Output: ``(by, n, slope, intercept)``.
+    """
+    base = df.select(
+        F.col(by).cast("string").alias("__g"),
+        F.col(x_col).cast("double").alias("__x"),
+        F.col(y_col).cast("double").alias("__y"),
+    ).where(F.col("__x").isNotNull() & F.col("__y").isNotNull())
+
+    def fit(pdf):
+        import numpy as np
+        import pandas as pd
+
+        key = pdf["__g"].iloc[0] if len(pdf) else None
+        if len(pdf) > max_group_rows:
+            raise ValueError(
+                f"group {key!r} has {len(pdf)} rows >"
+                f" max_group_rows={max_group_rows} (pairwise slope storage"
+                f" is O(n²) doubles)"
+            )
+        x = pdf["__x"].to_numpy(dtype="float64")
+        y = pdf["__y"].to_numpy(dtype="float64")
+        n = len(x)
+        cols = ["__g", "n", "slope", "intercept"]
+        if n < 2 or np.unique(x).size < 2:
+            return pd.DataFrame(columns=cols)
+        B = 2048
+        slopes = []
+        for i0 in range(0, n - 1, B):
+            i1 = min(i0 + B, n - 1)
+            dx = x[None, i0 + 1:] - x[i0:i1, None]
+            dy = y[None, i0 + 1:] - y[i0:i1, None]
+            jj = np.arange(i0 + 1, n)[None, :]
+            ii = np.arange(i0, i1)[:, None]
+            keep = (jj > ii) & (dx != 0)
+            if keep.any():
+                slopes.append(dy[keep] / dx[keep])
+        slope = float(np.median(np.concatenate(slopes)))
+        intercept = float(np.median(y - slope * x))
+        return pd.DataFrame([(key, n, slope, intercept)], columns=cols)
+
+    out = base.groupBy("__g").applyInPandas(
+        fit, schema="__g string, n long, slope double, intercept double"
+    )
+    return out.select(F.col("__g").alias(by), "n", "slope", "intercept")

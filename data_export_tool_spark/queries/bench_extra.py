@@ -1536,6 +1536,20 @@ def b93_iforest_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scored.orderBy(F.desc("anomaly_score"), "user_id").limit(50)
 
 
+def b94_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type Theil-Sen robust trend of daily volumes (the
+    chunked pairwise-median fold at rollup grain)."""
+    from data_export_tool_spark.operators.linear import theil_sen_fit_grouped
+    from data_export_tool_spark.operators.timeseries import resample
+
+    ev = Catalog(spark, sf_dir).load("events")
+    daily = resample(
+        ev, "1 day", {"n": F.count(F.lit(1)).cast("double")},
+        keys=["event_type"],
+    ).withColumn("day_idx", F.unix_timestamp("bucket_start") / 86400.0)
+    return theil_sen_fit_grouped(daily, "day_idx", "n", "event_type")
+
+
 QUERIES = [
     QuerySpec("b01_funnel_conversion", b01_funnel_conversion, None),
     QuerySpec("b02_retention_weekly", b02_retention_weekly, None),
@@ -1630,4 +1644,5 @@ QUERIES = [
     QuerySpec("b91_gbdt_quality", b91_gbdt_quality, None),
     QuerySpec("b92_geo_radius_join", b92_geo_radius_join, None),
     QuerySpec("b93_iforest_events", b93_iforest_events, None),
+    QuerySpec("b94_theil_sen", b94_theil_sen, None),
 ]

@@ -455,3 +455,52 @@ def test_huber_fit_replay_robustness_and_ridge_limit(spark, emb):
 
     with pytest.raises(ValueError):
         huber_fit(clean, "target", delta=0.0)
+
+
+def test_theil_sen_grouped_matches_python_replay(spark):
+    """Exact python replay of the pairwise-median fit, the
+    outlier-immunity law vs OLS, and the <2-distinct-x exclusion."""
+    import numpy as np
+    import pytest
+    from pyspark.sql import functions as F
+
+    from data_export_tool_spark.operators.linear import theil_sen_fit_grouped
+
+    rows = []
+    # g1: clean line y = 2x + 3; g2: same line + 3 wild outliers;
+    # g3: constant x (excluded); g4: single point (excluded)
+    for i in range(40):
+        x = i * 0.5
+        rows.append(("g1", x, 2 * x + 3))
+        rows.append(("g2", x, 2 * x + 3 + (1e6 if i in (5, 17, 29) else 0)))
+    rows += [("g3", 1.0, float(i)) for i in range(10)]
+    rows.append(("g4", 1.0, 2.0))
+    df = spark.createDataFrame(rows, "g string, x double, y double")
+    got = {
+        r["g"]: (r["n"], r["slope"], r["intercept"])
+        for r in theil_sen_fit_grouped(df, "x", "y", "g").collect()
+    }
+    assert set(got) == {"g1", "g2"}
+    # python replay
+    ok = True
+    for g in ("g1", "g2"):
+        pts = [(x, y) for gg, x, y in rows if gg == g]
+        slopes = [
+            (y2 - y1) / (x2 - x1)
+            for i, (x1, y1) in enumerate(pts)
+            for (x2, y2) in pts[i + 1:]
+            if x2 != x1
+        ]
+        slope = float(np.median(slopes))
+        intercept = float(np.median([y - slope * x for x, y in pts]))
+        assert got[g][1] == pytest.approx(slope, abs=1e-9), g
+        assert got[g][2] == pytest.approx(intercept, abs=1e-9), g
+    # robustness: 3/40 wild outliers barely move the fit
+    assert got["g2"][1] == pytest.approx(2.0, abs=0.1)
+    assert got["g2"][2] == pytest.approx(3.0, abs=1.0)
+    # ...whereas OLS on g2 is destroyed (sanity contrast)
+    g2 = [(x, y) for gg, x, y in rows if gg == "g2"]
+    X = np.array([x for x, _ in g2]); Y = np.array([y for _, y in g2])
+    ols = float(np.polyfit(X, Y, 1)[0])
+    assert abs(ols - 2.0) > 100
+    record_opcheck("theil_sen_grouped", 4, ok, oracle="python-reference")

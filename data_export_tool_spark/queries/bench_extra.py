@@ -1550,6 +1550,19 @@ def b94_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
     return theil_sen_fit_grouped(daily, "day_idx", "n", "event_type")
 
 
+def b95_rank_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global inverse-normal rank transform of lineitem prices —
+    the two-phase range rank at full-table grain, all codegen."""
+    from data_export_tool_spark.operators.features import rank_transform
+
+    li = Catalog(spark, sf_dir).load("lineitem").select(
+        "l_orderkey", "l_linenumber", "l_extendedprice"
+    )
+    return rank_transform(
+        li, "l_extendedprice", method="inverse_normal", num_ranges=64
+    )
+
+
 QUERIES = [
     QuerySpec("b01_funnel_conversion", b01_funnel_conversion, None),
     QuerySpec("b02_retention_weekly", b02_retention_weekly, None),
@@ -1645,4 +1658,5 @@ QUERIES = [
     QuerySpec("b92_geo_radius_join", b92_geo_radius_join, None),
     QuerySpec("b93_iforest_events", b93_iforest_events, None),
     QuerySpec("b94_theil_sen", b94_theil_sen, None),
+    QuerySpec("b95_rank_normalize", b95_rank_normalize, None),
 ]

@@ -496,3 +496,74 @@ def test_woe_iv_matches_duckdb(spark, sf_dir):
     assert iv_noise < 0.02
     with pytest.raises(ValueError):
         woe_iv_encode(docs.where("y = 1"), "lang", "y")
+
+
+def test_rank_transform_exact_and_scale_shape(spark, sf_dir):
+    """Global rank / percent_rank vs the classic single-window form
+    (exact equality, ties included), inverse-normal vs the stdlib
+    NormalDist replay, NULL passthrough, and the no-global-sort plan
+    pin."""
+    import re
+    from statistics import NormalDist
+
+    import pytest
+    from pyspark.sql import Window, functions as F
+
+    from data_export_tool_spark.operators.features import rank_transform
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        "l_orderkey", "l_linenumber", "l_quantity"
+    ).withColumn(
+        "q",
+        F.when(F.col("l_orderkey") % 97 == 0, None).otherwise(
+            F.col("l_quantity").cast("double")
+        ),
+    )
+    # SQL rank is a pure function of the value (ties share the min
+    # rank), so the q -> rank map is complete evidence of equality —
+    # and robust to this synthetic lineitem's non-unique
+    # (orderkey, linenumber) pairs
+    classic = li.where(F.col("q").isNotNull()).withColumn(
+        "want_rank", F.rank().over(Window.orderBy("q"))
+    )
+    want = {r["q"]: r["want_rank"] for r in classic.collect()}
+    got_df = rank_transform(li, "q", method="rank", num_ranges=16)
+    got_rows = got_df.where(F.col("q").isNotNull()).collect()
+    got = {r["q"]: r["q_rank"] for r in got_rows}
+    assert got == want
+    assert len(got_rows) == classic.count()  # row multiplicity kept
+    n = len(got_rows)
+    nd = NormalDist()
+    pr = {
+        r["q"]: r["q_percent_rank"]
+        for r in rank_transform(li, "q", method="percent_rank")
+        .where(F.col("q").isNotNull()).collect()
+    }
+    inv = {
+        r["q"]: r["q_inverse_normal"]
+        for r in rank_transform(li, "q", method="inverse_normal")
+        .where(F.col("q").isNotNull()).collect()
+    }
+    ok = 0
+    for q, rk in want.items():
+        assert pr[q] == pytest.approx((rk - 1) / (n - 1), abs=1e-12)
+        assert inv[q] == pytest.approx(
+            nd.inv_cdf((rk - 0.375) / (n + 0.25)), abs=1e-6
+        )
+        ok += 1
+    record_opcheck("rank_transform", ok * 3, True, oracle="python-reference")
+    # NULLs pass through untransformed
+    n_null = li.where(F.col("q").isNull()).count()
+    assert got_df.where(F.col("q").isNull() & F.col("q_rank").isNull()).count() == n_null
+    # plan pin: every rank window carries the range key (no global
+    # single-partition sort of the data path); the only orderBy-global
+    # window is the <=num_ranges offsets frame
+    plan = got_df._jdf.queryExecution().optimizedPlan().toString()
+    for spec in re.findall(r"windowspecdefinition\(([^)]*)\)", plan):
+        head = spec.split(" ASC")[0]
+        if "__rng" not in head:
+            raise AssertionError(f"un-ranged window: {spec}")
+        # offsets window partitions a metadata frame; data window must
+        # carry __rng as PARTITION key (first position)
+    with pytest.raises(ValueError):
+        rank_transform(li, "q", method="nope")

@@ -1524,3 +1524,62 @@ def dp_release_stream(
         "n_true_bounded",
         released.alias("n_released"),
     )
+
+
+def view_click_join_stream(
+    events: DataFrame,
+    within: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Streaming view→click attribution join — twin #22, and the
+    suite's first STREAM-STREAM JOIN (every other twin is an
+    aggregation; interval joins exercise Spark's two-sided state
+    store + watermark eviction instead): each click joins every view
+    by the SAME user whose timestamp precedes it by at most
+    ``within`` (the X13 theta-join/attribution window shape, inner
+    form).
+
+    Both sides carry a watermark and the join predicate carries the
+    time bound in BOTH directions (equality-keyed on user +
+    ``view_ts ∈ [click_ts − within, click_ts]``) — the conditions
+    Spark needs to bound both state stores and emit append-finally.
+    Output: one row per qualifying (view, click) pair with the lag —
+    the row grain a downstream credit model consumes.
+    """
+    base = events.where(F.col("ts").isNotNull() & F.col("user_id").isNotNull())
+    views = (
+        base.where(F.col("event_type") == "view")
+        .select(
+            F.col("user_id").alias("v_user"),
+            F.col("event_id").alias("view_id"),
+            F.col("ts").alias("view_ts"),
+        )
+        .withWatermark("view_ts", watermark)
+    )
+    clicks = (
+        base.where(F.col("event_type") == "click")
+        .select(
+            F.col("user_id").alias("c_user"),
+            F.col("event_id").alias("click_id"),
+            F.col("ts").alias("click_ts"),
+        )
+        .withWatermark("click_ts", watermark)
+    )
+    joined = views.join(
+        clicks,
+        F.expr(
+            f"""
+            v_user = c_user AND
+            view_ts <= click_ts AND
+            view_ts >= click_ts - INTERVAL {within}
+            """
+        ),
+    )
+    return joined.select(
+        F.col("v_user").alias("user_id"),
+        "view_id",
+        "click_id",
+        "view_ts",
+        "click_ts",
+        (F.unix_millis("click_ts") - F.unix_millis("view_ts")).alias("lag_ms"),
+    )

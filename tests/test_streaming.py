@@ -1473,3 +1473,74 @@ def test_dp_release_stream_matches_batch(spark, sf_dir, tmp_path):
         f"stream {len(emitted)} vs batch {len(want)}; "
         f"diff={set(emitted.items()) ^ set(want.items())}"
     )
+
+
+def test_view_click_join_stream_matches_batch(spark, sf_dir, tmp_path):
+    """Twin #22 (first stream-stream join): the streamed interval
+    join must emit EXACTLY the batch theta-join pairs — inner
+    stream-stream matches emit as both sides arrive, and the
+    time-ordered drops keep every within-window view alive in state
+    until its clicks have arrived."""
+    import time
+
+    import duckdb
+
+    from data_export_tool_spark.streaming.events import view_click_join_stream
+
+    ev = Catalog(spark, sf_dir).load("events").where(
+        F.col("ts").isNotNull() & F.col("user_id").isNotNull()
+    )
+    bounds = ev.select(F.unix_millis("ts").alias("ms")).approxQuantile(
+        "ms", [0.5], 0.0
+    )
+    drop_dir = str(tmp_path / "vc_drops")
+    lo = None
+    for hi in [*bounds, None]:
+        sel = ev
+        if lo is not None:
+            sel = sel.where(F.unix_millis("ts") >= lo)
+        if hi is not None:
+            sel = sel.where(F.unix_millis("ts") < hi)
+        sel.repartition(1).write.mode("append").parquet(drop_dir)
+        lo = hi
+        time.sleep(1.05)
+
+    stream = read_events_stream(spark, drop_dir, max_files_per_trigger=1)
+    out = view_click_join_stream(stream, within="1 hour", watermark="2 hours")
+    q = (
+        out.writeStream.format("memory")
+        .queryName("vc_join_test")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    emitted = {
+        (r["view_id"], r["click_id"]): r["lag_ms"]
+        for r in spark.sql("SELECT * FROM vc_join_test").collect()
+    }
+    want = {
+        (int(v), int(c)): int(lag)
+        for v, c, lag in duckdb.sql(
+            f"""
+        WITH base AS (
+          SELECT event_id, user_id, event_type, CAST(ts AS TIMESTAMP) AS ts
+          FROM read_parquet('{drop_dir}/*.parquet')
+          WHERE ts IS NOT NULL AND user_id IS NOT NULL
+        )
+        SELECT v.event_id, c.event_id,
+               epoch_ms(c.ts) - epoch_ms(v.ts)
+        FROM base v JOIN base c
+          ON v.user_id = c.user_id
+         AND v.event_type = 'view' AND c.event_type = 'click'
+         AND v.ts <= c.ts
+         AND v.ts >= c.ts - INTERVAL 1 HOUR
+        """
+        ).fetchall()
+    }
+    ok = emitted == want and len(want) > 0
+    record_stream_parity("view_click_join", len(want), ok)
+    assert ok, (
+        f"stream {len(emitted)} vs batch {len(want)}; "
+        f"sample diff={list(set(emitted) ^ set(want))[:5]}"
+    )

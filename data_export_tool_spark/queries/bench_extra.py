@@ -1563,6 +1563,39 @@ def b95_rank_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_UNIGRAM_CACHE: dict[str, dict] = {}
+
+
+def b96_unigram_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram-LM tokenizer over the documents corpus: Viterbi-EM
+    train memoized (COLD_COSTS), timed path = corpus encode +
+    piece-count rollup."""
+    from data_export_tool_spark.operators.unigram_lm import (
+        unigram_encode,
+        unigram_train,
+    )
+
+    docs = Catalog(spark, sf_dir).load("documents")
+    if sf_dir not in _UNIGRAM_CACHE:
+        import time as _time
+
+        _t0 = _time.perf_counter()
+        _UNIGRAM_CACHE[sf_dir] = unigram_train(
+            docs, vocab_size=1500, max_piece_len=6, em_iters=2
+        )
+        COLD_COSTS["b96_unigram_train_sec"] = round(
+            _time.perf_counter() - _t0, 3
+        )
+    enc = unigram_encode(docs, _UNIGRAM_CACHE[sf_dir])
+    return enc.select(
+        "doc_id", F.size("pieces").alias("n_pieces")
+    ).groupBy().agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_pieces").alias("total_pieces"),
+        F.round(F.avg("n_pieces"), 3).alias("avg_pieces"),
+    )
+
+
 QUERIES = [
     QuerySpec("b01_funnel_conversion", b01_funnel_conversion, None),
     QuerySpec("b02_retention_weekly", b02_retention_weekly, None),
@@ -1659,4 +1692,5 @@ QUERIES = [
     QuerySpec("b93_iforest_events", b93_iforest_events, None),
     QuerySpec("b94_theil_sen", b94_theil_sen, None),
     QuerySpec("b95_rank_normalize", b95_rank_normalize, None),
+    QuerySpec("b96_unigram_tokenize", b96_unigram_tokenize, None),
 ]

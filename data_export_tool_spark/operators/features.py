@@ -611,14 +611,19 @@ def rank_transform(
     Φ⁻¹((rank−3/8)/(n+1/4)) — the genomics/feature-normalization
     standard that forces any marginal to N(0,1)).
 
-    Scale — the two-phase range rank a third time (pack_token_shards
-    X29 → walks adjacency → here, now GLOBAL): ``Window.orderBy(col)``
-    alone is ONE task sorting the corpus; instead the value domain is
-    pre-split by approx-quantile cut points (ties land in one range by
-    construction, so tie semantics are EXACT for any cuts), ranks are
-    computed per range with range parallelism, and range row-counts
-    prefix-sum into offsets (a ≤num_ranges metadata window) broadcast
-    back. Φ⁻¹ is Acklam column algebra — the whole transform stays in
+    Scale — two-phase range rank at VALUE grain: SQL rank is a pure
+    function of the value (ties share the min rank), so the pipeline
+    first collapses to (value, count) with ONE map-side-combining
+    groupBy — a 90%-constant column (the classic zeros column) becomes
+    ONE row instead of a mega-tie that would serialize any row-grain
+    window. The distinct-value table then gets the
+    pack_token_shards/walks-adjacency treatment: approx-quantile cut
+    points split the value domain (any cuts are EXACT — a value's rank
+    is offset + within-range running count), per-range prefix sums
+    with range parallelism, range totals prefix-summed in a
+    ≤num_ranges metadata window, and the rank joins back on the value
+    (the mega-tie is one right-side row; AQE handles a hot left key).
+    Φ⁻¹ is Acklam column algebra — the whole transform stays in
     codegen, no Python anywhere.
 
     NULL values pass through with a NULL transform (they have no
@@ -635,29 +640,44 @@ def rank_transform(
     vals = df.where(F.col(col).isNotNull())
     probs = [i / num_ranges for i in range(1, num_ranges)]
     bounds = sorted(set(vals.stat.approxQuantile(col, probs, 0.01)))
+    # value-grain collapse: map-side combine absorbs mega-ties
+    vc = vals.groupBy(F.col(col).alias("__v")).agg(
+        F.count(F.lit(1)).alias("__cnt")
+    )
     if bounds:
         cuts = F.array(*[F.lit(float(b)) for b in bounds])
-        rng = F.size(F.filter(cuts, lambda b: F.col(col) > b))
+        rng = F.size(F.filter(cuts, lambda b: F.col("__v") > b))
     else:
         rng = F.lit(0)
-    # NULL rows bypass the whole pipeline (they'd otherwise pile into
-    # one NULL-range window partition — a self-inflicted straggler)
-    marked = vals.withColumn("__rng", rng)
-    w_in = Window.partitionBy("__rng").orderBy(col)
-    within = marked.withColumn("__lr", F.rank().over(w_in))
-    counts = marked.groupBy("__rng").agg(F.count(F.lit(1)).alias("__cnt"))
+    marked = vc.withColumn("__rng", rng)
+    # within-range: rank(v) = range offset + rows of SMALLER values in
+    # the range + 1 — a running count over the value-grain frame
+    w_in = (
+        Window.partitionBy("__rng")
+        .orderBy("__v")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    within = marked.withColumn(
+        "__lr", F.coalesce(F.sum("__cnt").over(w_in), F.lit(0).cast("long")) + 1
+    )
+    counts = marked.groupBy("__rng").agg(F.sum("__cnt").alias("__rcnt"))
     w_off = Window.orderBy("__rng").rowsBetween(Window.unboundedPreceding, -1)
     offsets = counts.withColumn(
-        "__off", F.coalesce(F.sum("__cnt").over(w_off), F.lit(0).cast("long"))
-    ).withColumn("__n", F.sum("__cnt").over(
+        "__off", F.coalesce(F.sum("__rcnt").over(w_off), F.lit(0).cast("long"))
+    ).withColumn("__n", F.sum("__rcnt").over(
         Window.orderBy("__rng").rowsBetween(
             Window.unboundedPreceding, Window.unboundedFollowing
         )
     ))
-    joined = within.join(
+    ranks = within.join(
         F.broadcast(offsets.select("__rng", "__off", "__n")), "__rng", "left"
+    ).select(
+        "__v",
+        (F.col("__off") + F.col("__lr")).alias("__r"),
+        "__n",
     )
-    r = (F.col("__off") + F.col("__lr")).cast("double")
+    joined = vals.join(ranks, vals[col] == ranks["__v"], "left").drop("__v")
+    r = F.col("__r").cast("double")
     n = F.col("__n").cast("double")
     if method == "rank":
         expr = r.cast("long")
@@ -668,9 +688,7 @@ def rank_transform(
     else:
         expr = _probit((r - 0.375) / (n + 0.25))
         out_type = "double"
-    transformed = joined.withColumn(out_col, expr).drop(
-        "__rng", "__lr", "__off", "__n"
-    )
+    transformed = joined.withColumn(out_col, expr).drop("__r", "__n")
     null_rows = df.where(F.col(col).isNull()).withColumn(
         out_col, F.lit(None).cast(out_type)
     )

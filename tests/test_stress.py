@@ -567,3 +567,36 @@ def test_stress_cms_bounded_cells(spark):
     }
     full = {(r["row"], r["bucket"]): r["cnt"] for r in sk.collect()}
     assert merged == full
+
+
+def test_stress_rank_transform_mega_tie(spark):
+    """90% of N rows share ONE value (the classic zeros column), the
+    rest are distinct: the value-grain collapse must absorb the
+    mega-tie map-side (one (value, count) row — a row-grain window
+    would serialize 0.9·N rows onto one task). Closed-form truths:
+    the tie value's rank is 1 (it is the minimum), every distinct
+    tail value's rank = 0.9·N + its index among the tail, and the
+    max rank equals N − tail_size + ... — checked exactly on a
+    sample."""
+    from data_export_tool_spark.operators.features import rank_transform
+
+    n_tail = 100_000
+    n_hot = N - n_tail
+    hot = spark.range(n_hot).select(
+        F.col("id").alias("row_id"), F.lit(0.0).alias("x")
+    )
+    tail = spark.range(n_tail).select(
+        (F.col("id") + n_hot).alias("row_id"),
+        (F.col("id") + 1.0).cast("double").alias("x"),
+    )
+    df = hot.unionByName(tail)
+    out = rank_transform(df, "x", method="rank", num_ranges=32)
+    # the hot value is the global minimum -> rank 1 everywhere
+    hot_ranks = out.where(F.col("x") == 0.0).select("x_rank").distinct().collect()
+    assert [r["x_rank"] for r in hot_ranks] == [1]
+    # tail value k (= k+1.0) has exactly n_hot + k rows before it
+    sample = out.where(F.col("x") > 0).orderBy("x").limit(5).collect()
+    for i, r in enumerate(sample):
+        assert r["x_rank"] == n_hot + i + 1, r
+    top = out.agg(F.max("x_rank")).first()[0]
+    assert top == n_hot + n_tail  # max value is unique -> rank N

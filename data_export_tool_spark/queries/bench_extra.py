@@ -1596,6 +1596,26 @@ def b96_unigram_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def b97_golden_record(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Field-level survivorship over order clusters: per customer the
+    freshest status, consensus priority, and extreme totals — the MDM
+    consolidation aggregate at fact volume."""
+    from data_export_tool_spark.operators.survivorship import golden_record
+
+    o = Catalog(spark, sf_dir).load("orders")
+    return golden_record(
+        o,
+        "o_custkey",
+        {
+            "o_orderstatus": "latest",
+            "o_orderpriority": "mode",
+            "o_totalprice": "max",
+            "o_orderdate": "min",
+        },
+        ts_col="o_orderdate",
+    )
+
+
 QUERIES = [
     QuerySpec("b01_funnel_conversion", b01_funnel_conversion, None),
     QuerySpec("b02_retention_weekly", b02_retention_weekly, None),
@@ -1693,4 +1713,5 @@ QUERIES = [
     QuerySpec("b94_theil_sen", b94_theil_sen, None),
     QuerySpec("b95_rank_normalize", b95_rank_normalize, None),
     QuerySpec("b96_unigram_tokenize", b96_unigram_tokenize, None),
+    QuerySpec("b97_golden_record", b97_golden_record, None),
 ]

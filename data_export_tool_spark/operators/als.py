@@ -18,7 +18,13 @@ Scale shape per half-step (users, symmetric for items):
   item is AQE's standard case), then ONE ``applyInPandas`` grouped by
   user: each group solves the k×k system
   (YᵀY + Yᵤᵀ(Cᵤ−I)Yᵤ + λI)·xᵤ = YᵤᵀCᵤ·1 with numpy — per-group cost
-  is O(nnz·k²) flops and k² memory, never a dense item dimension.
+  is O(nnz·k²) flops and k² SOLVE memory. The one skew bound: a
+  single entity's OBSERVED interactions land in one group (a bot user
+  following everything holds its nnz×k factor block in one task —
+  64 MB at 10⁶ interactions × k=8; stress-pinned at 2M-row scale).
+  Entities hotter than that want an interaction cap upstream
+  (``deterministic_sample`` per user), which is a data-diet decision,
+  not a solver one.
 - factors are localCheckpoint-materialized per iteration (the
   iterative-operator policy: without it iteration L re-executes all
   prior joins; blocks of superseded iterations are released).
@@ -112,7 +118,7 @@ def _solve_side(
 
     Gb = G  # closure-captured (k² floats)
 
-    def solve(pdf: "pd.DataFrame") -> "pd.DataFrame":
+    def _process(pdf):
         out_ids, out_fs = [], []
         for eid, grp in pdf.groupby("__e", sort=False):
             Y = np.stack(grp["factors"].to_numpy()).astype("float64")
@@ -124,10 +130,35 @@ def _solve_side(
             out_fs.append(np.linalg.solve(A, b).tolist())
         return pd.DataFrame({"__e": out_ids, "factors": out_fs})
 
+    # NOT groupBy().applyInPandas: that is one python call PER ENTITY
+    # (measured ~50s of pure call overhead on a 10⁵-item side).
+    # Instead hash-repartition + sort by entity and stream Arrow
+    # batches through ONE generator per partition, carrying the
+    # tail group across batch boundaries (a batch may split a group;
+    # the partition never does).
+    def solve_stream(batches):
+        buf = None
+        for pdf in batches:
+            if buf is not None and len(buf):
+                pdf = pd.concat([buf, pdf], ignore_index=True)
+            if not len(pdf):
+                continue
+            last = pdf["__e"].iloc[-1]
+            mask = pdf["__e"] == last
+            buf = pdf[mask]
+            done = pdf[~mask]
+            if len(done):
+                yield _process(done)
+        if buf is not None and len(buf):
+            yield _process(buf)
+
     schema_id = inter.schema[solve_col].dataType.simpleString()
-    return joined.groupBy("__e").applyInPandas(
-        solve, schema=f"__e {schema_id}, factors array<double>"
-    ).select(F.col("__e").alias(solve_col), "factors")
+    return (
+        joined.repartition(F.col("__e"))
+        .sortWithinPartitions("__e")
+        .mapInPandas(solve_stream, schema=f"__e {schema_id}, factors array<double>")
+        .select(F.col("__e").alias(solve_col), "factors")
+    )
 
 
 def als_implicit_fit(

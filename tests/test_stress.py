@@ -600,3 +600,31 @@ def test_stress_rank_transform_mega_tie(spark):
         assert r["x_rank"] == n_hot + i + 1, r
     top = out.agg(F.max("x_rank")).first()[0]
     assert top == n_hot + n_tail  # max value is unique -> rank N
+
+
+def test_stress_als_hot_user(spark):
+    """One bot user interacting with N/20 items + a normal block: the
+    per-user solve holds the bot's nnz x k factor block in one task
+    (the documented bound) and must complete with finite factors;
+    closed-form truths: factor tables cover exactly the distinct
+    users/items, and every factor is finite."""
+    from data_export_tool_spark.operators.als import als_implicit_fit
+
+    n_items = N // 20
+    bot = spark.range(n_items).select(
+        F.lit(0).cast("long").alias("user_id"), F.col("id").alias("item_id")
+    )
+    # the bot IS the stress; the normal block is structure only
+    normal = spark.range(N // 20).select(
+        (F.col("id") % 500 + 1).alias("user_id"),
+        (F.col("id") % n_items).alias("item_id"),
+    )
+    inter = bot.unionByName(normal)
+    uf, itf = als_implicit_fit(inter, rank=4, iters=1)
+    n_u = uf.count()
+    assert n_u == 501  # bot + 500 normals
+    assert itf.count() == n_items
+    bad = uf.where(
+        F.exists("factors", lambda v: F.isnan(v) | v.isNull())
+    ).count()
+    assert bad == 0

@@ -1616,6 +1616,36 @@ def b97_golden_record(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def b98_decayed_counters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user exponential-half-life engagement counters as of the
+    stream's 90th percentile instant (one partial-aggregable pass)."""
+    import datetime as dt
+
+    from data_export_tool_spark.operators.pit import decayed_counters
+
+    ev = Catalog(spark, sf_dir).load("events")
+    hi_ms = ev.agg(
+        F.percentile_approx(F.unix_millis(F.col("ts").cast("timestamp")), 0.9)
+    ).first()[0]
+    as_of = dt.datetime.utcfromtimestamp(hi_ms / 1000.0)
+    return decayed_counters(
+        ev, as_of, keys="user_id",
+        half_lives=("1 day", "7 days", "30 days"), value_col="value",
+    )
+
+
+def b99_benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford first-digit audit of order/lineitem money columns
+    (9-cell aggregates per column)."""
+    from data_export_tool_spark.operators.validate import benford_audit
+
+    li = Catalog(spark, sf_dir).load("lineitem")
+    o = Catalog(spark, sf_dir).load("orders")
+    a = benford_audit(li, ["l_extendedprice", "l_quantity"])
+    b = benford_audit(o, ["o_totalprice"])
+    return a.unionByName(b)
+
+
 QUERIES = [
     QuerySpec("b01_funnel_conversion", b01_funnel_conversion, None),
     QuerySpec("b02_retention_weekly", b02_retention_weekly, None),
@@ -1714,4 +1744,6 @@ QUERIES = [
     QuerySpec("b95_rank_normalize", b95_rank_normalize, None),
     QuerySpec("b96_unigram_tokenize", b96_unigram_tokenize, None),
     QuerySpec("b97_golden_record", b97_golden_record, None),
+    QuerySpec("b98_decayed_counters", b98_decayed_counters, None),
+    QuerySpec("b99_benford_audit", b99_benford_audit, None),
 ]

@@ -154,3 +154,66 @@ def test_pit_plan_has_no_window_or_cartesian(spark, sf_dir):
     )
     assert "Window" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_decayed_counters_match_duckdb(spark, sf_dir):
+    """Exact DuckDB replay of the 2^(-age/half_life) weighted sums,
+    the future-exclusion law, and validation."""
+    import duckdb
+    import pytest
+    from pyspark.sql import functions as F
+
+    from data_export_tool_spark.operators.pit import decayed_counters
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    mid_ms = ev.agg(
+        F.percentile_approx(F.unix_millis(F.col("ts").cast("timestamp")), 0.7)
+    ).first()[0]
+    import datetime as dt
+
+    as_of = dt.datetime.utcfromtimestamp(mid_ms / 1000.0)
+    got = {
+        r["user_id"]: (
+            r["n_events"], r["cnt_1_day"], r["cnt_7_days"], r["sum_7_days"]
+        )
+        for r in decayed_counters(
+            ev, as_of, keys="user_id",
+            half_lives=("1 day", "7 days"), value_col="value",
+        ).collect()
+    }
+    as_of_s = mid_ms / 1000.0
+    want_rows = duckdb.sql(f"""
+      SELECT user_id, COUNT(*) AS n,
+             ROUND(SUM(POW(2.0, -(({as_of_s}) - epoch(CAST(ts AS TIMESTAMP))) / 86400.0)), 6),
+             ROUND(SUM(POW(2.0, -(({as_of_s}) - epoch(CAST(ts AS TIMESTAMP))) / (7*86400.0))), 6),
+             ROUND(SUM(value * POW(2.0, -(({as_of_s}) - epoch(CAST(ts AS TIMESTAMP))) / (7*86400.0))), 6)
+      FROM '{sf_dir}/events.parquet'
+      WHERE ts IS NOT NULL AND epoch(CAST(ts AS TIMESTAMP)) <= {as_of_s}
+      GROUP BY user_id
+    """).fetchall()
+    want = {
+        u: (int(n), float(c1), float(c7), float(s7))
+        for u, n, c1, c7, s7 in want_rows
+    }
+    assert set(got) == set(want)
+    ok = all(
+        got[u][0] == want[u][0]
+        and got[u][1] == pytest.approx(want[u][1], abs=1e-4)
+        and got[u][2] == pytest.approx(want[u][2], abs=1e-4)
+        and got[u][3] == pytest.approx(want[u][3], abs=1e-3)
+        for u in want
+    )
+    record_opcheck("decayed_counters", len(want) * 3, ok)
+    assert ok
+    # future-exclusion: counters never count rows after as_of
+    total_rows = sum(v[0] for v in got.values())
+    past_rows = ev.where(
+        F.col("ts").cast("timestamp") <= F.lit(as_of)
+    ).where(F.col("ts").isNotNull()).count()
+    assert total_rows == past_rows
+    # decay sanity: a longer half-life never yields a smaller counter
+    assert all(got[u][2] >= got[u][1] - 1e-9 for u in got)
+    with pytest.raises(ValueError):
+        decayed_counters(ev, as_of, half_lives=())
+    with pytest.raises(ValueError):
+        decayed_counters(ev, as_of, half_lives=("2 fortnights",))

@@ -382,3 +382,55 @@ def test_categorical_association_truth_poles(spark):
     assert got[("a", "ind")] == _pt.approx(0.0, abs=1e-12)
     with _pt.raises(ValueError):
         categorical_association(df, ["a"])
+
+
+def test_benford_audit_matches_python_replay(spark, sf_dir):
+    """First-digit shares, chi2 and MAD vs an exact python replay over
+    lineitem prices (naturally multi-magnitude -> conforms) and a
+    designed uniform column (violates), plus small-n and zero/NULL
+    exclusion contracts."""
+    import math
+
+    import pytest
+    from pyspark.sql import functions as F
+
+    from data_export_tool_spark.operators.validate import benford_audit
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        F.col("l_extendedprice").cast("double").alias("price"),
+        # uniform 5xxxx values: first digit always 5 -> flagrant violation
+        (50000 + F.col("l_orderkey") % 10000).cast("double").alias("rigged"),
+    )
+    out = {r["column"]: r for r in benford_audit(li, ["price", "rigged"]).collect()}
+    # python replay on price
+    vals = [r["price"] for r in li.collect() if r["price"] and abs(r["price"]) > 0]
+    firsts = {}
+    for v in vals:
+        s = f"{abs(v):.10f}".replace(".", "").lstrip("0")
+        d = int(s[0])
+        firsts[d] = firsts.get(d, 0) + 1
+    n = sum(firsts.values())
+    chi2 = mad = 0.0
+    for d in range(1, 10):
+        obs = firsts.get(d, 0) / n
+        exp = math.log10(1 + 1 / d)
+        chi2 += n * (obs - exp) ** 2 / exp
+        mad += abs(obs - exp) / 9
+    r = out["price"]
+    assert r["n"] == n
+    assert r["chi2"] == pytest.approx(chi2, rel=1e-6)
+    assert r["mad"] == pytest.approx(mad, abs=1e-6)  # operator rounds to 6dp
+    for d in range(1, 10):
+        assert r[f"p{d}"] == pytest.approx(firsts.get(d, 0) / n, abs=1e-6)
+    record_opcheck("benford_audit", 12, True, oracle="python-reference")
+    # the rigged column is called out
+    assert out["rigged"]["conforms"] is False
+    assert out["rigged"]["p5"] == pytest.approx(1.0, abs=1e-9)
+    # small-n: conforms NULL, not a verdict
+    tiny = spark.createDataFrame([(1.0,), (2.0,), (0.0,), (None,)], "x double")
+    t = benford_audit(tiny, "x").collect()[0]
+    assert t["n"] == 2 and t["conforms"] is None
+    import pytest as _pt
+
+    with _pt.raises(ValueError):
+        benford_audit(tiny, [])

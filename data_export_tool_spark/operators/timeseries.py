@@ -486,3 +486,145 @@ def mann_kendall_trend(
     )
     return out.select(F.col("__g").alias(key_col), "n", "s", "var_s", "z",
                       "p_value", "sen_slope", "direction")
+
+
+def py_pelt_l2(x: list, penalty: float, min_size: int = 2) -> list:
+    """Exact PELT segmentation (Killick, Fearnhead & Eckley 2012) for
+    the L2 (piecewise-constant-mean) cost — ONE shared implementation
+    (executors and the test oracle import the same function, the
+    py_viterbi convention). Returns the sorted changepoint indices
+    (first index of each NEW segment; [] = no change).
+
+    Cost of a segment is its residual sum of squares around its own
+    mean, O(1) per candidate via prefix sums; PELT's pruning keeps
+    the candidate set small when changes are frequent, with the exact
+    optimum guaranteed for any penalty."""
+    import math
+
+    n = len(x)
+    if n < 2 * min_size:
+        return []
+    S = [0.0] * (n + 1)
+    S2 = [0.0] * (n + 1)
+    for i, v in enumerate(x):
+        S[i + 1] = S[i] + v
+        S2[i + 1] = S2[i] + v * v
+
+    def cost(a: int, b: int) -> float:  # segment x[a:b]
+        m = b - a
+        s = S[b] - S[a]
+        return (S2[b] - S2[a]) - s * s / m
+
+    INF = math.inf
+    F_ = [INF] * (n + 1)
+    F_[0] = -penalty
+    last = [0] * (n + 1)
+    cands = [0]
+    for t in range(min_size, n + 1):
+        # s becomes a legal last-changepoint candidate exactly when a
+        # min_size segment fits after it (s = t − min_size joins now —
+        # never earlier, so pruning below only ever sees eligible s)
+        s_new = t - min_size
+        if s_new > 0 and F_[s_new] < INF:
+            cands.append(s_new)
+        best, barg = INF, 0
+        for s in cands:
+            val = F_[s] + cost(s, t) + penalty
+            # strict < keeps the SMALLEST candidate on ties (fewer,
+            # earlier changepoints — deterministic)
+            if val < best:
+                best, barg = val, s
+        F_[t], last[t] = best, barg
+        # PELT prune (K = 0 for the L2 cost): a candidate whose
+        # unpenalized path already exceeds F[t] can never win again
+        cands = [s for s in cands if F_[s] + cost(s, t) <= F_[t]]
+    cps = []
+    t = n
+    while t > 0:
+        s = last[t]
+        if s > 0:
+            cps.append(s)
+        t = s
+    return sorted(cps)
+
+
+def pelt_changepoints(
+    resampled: DataFrame,
+    value_col: str,
+    key_col: str,
+    bucket_col: str = "bucket_start",
+    penalty: float | None = None,
+    min_size: int = 2,
+    max_group_rows: int = 100_000,
+) -> DataFrame:
+    """Per-key exact penalized changepoint segmentation over a
+    ``resample`` grid — the BATCH-EXACT member of the change-detection
+    trio (X119 CUSUM is the online level-shift monitor; X147
+    Mann-Kendall the monotone-trend test; PELT finds the globally
+    OPTIMAL piecewise-constant segmentation for a given penalty,
+    catching multiple shifts CUSUM's single-alarm reset can smear).
+
+    ``penalty=None`` uses the BIC default 2·σ̂²·log n with σ̂² the
+    median of per-key first-difference variances halved (the standard
+    robust noise estimate), computed per key inside the fold — no
+    global pass. Executor-side per-key ``applyInPandas`` (the
+    Holt-Winters calendar-bounded argument); prefix-sum O(1) segment
+    costs, PELT pruning, exact optimum. NULLs excluded per key.
+
+    Output: one row per (key, segment): ``(key, segment, start_bucket,
+    end_bucket, n, mean)`` — segment 0 is the earliest; keys with no
+    change yield one whole-series row.
+    """
+    if min_size < 1:
+        raise ValueError(f"min_size must be >= 1: {min_size}")
+    base = resampled.select(
+        F.col(key_col).cast("string").alias("__g"),
+        F.col(bucket_col).alias("__t"),
+        F.col(value_col).cast("double").alias("__x"),
+    ).where(F.col("__x").isNotNull() & F.col("__t").isNotNull())
+
+    def fit(pdf):
+        import numpy as np
+        import pandas as pd
+
+        cols = ["__g", "segment", "start_bucket", "end_bucket", "n", "mean"]
+        key = pdf["__g"].iloc[0] if len(pdf) else None
+        if len(pdf) > max_group_rows:
+            raise ValueError(
+                f"key {key!r} has {len(pdf)} buckets >"
+                f" max_group_rows={max_group_rows}"
+            )
+        pdf = pdf.sort_values("__t")
+        x = pdf["__x"].to_numpy(dtype="float64")
+        n = len(x)
+        if n == 0:
+            return pd.DataFrame(columns=cols)
+        if penalty is None:
+            if n >= 3:
+                d = np.diff(x)
+                sig2 = max(float(np.median(d * d) / 2.0), 1e-12)
+            else:
+                sig2 = 1e-12
+            pen = 2.0 * sig2 * float(np.log(max(n, 2)))
+        else:
+            pen = float(penalty)
+        cps = py_pelt_l2([float(v) for v in x], pen, min_size) if n >= 2 * min_size else []
+        bounds = [0] + cps + [n]
+        rows = []
+        ts = pdf["__t"].to_numpy()
+        for i in range(len(bounds) - 1):
+            a, b = bounds[i], bounds[i + 1]
+            rows.append(
+                (key, i, ts[a], ts[b - 1], b - a, float(np.mean(x[a:b])))
+            )
+        return pd.DataFrame(rows, columns=cols)
+
+    out = base.groupBy("__g").applyInPandas(
+        fit,
+        schema=f"__g string, segment int, start_bucket timestamp,"
+        f" end_bucket timestamp, n long, mean double",
+    )
+    return out.select(
+        F.col("__g").alias(key_col), "segment", "start_bucket",
+        "end_bucket", "n", F.round("mean", 6).alias("mean"),
+    )

@@ -1646,6 +1646,22 @@ def b99_benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     return a.unionByName(b)
 
 
+def b100_pelt_changepoints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact PELT segmentation of hourly per-type event volumes (the
+    batch-exact member of the change-detection trio)."""
+    from data_export_tool_spark.operators.timeseries import (
+        pelt_changepoints,
+        resample,
+    )
+
+    ev = Catalog(spark, sf_dir).load("events")
+    hourly = resample(
+        ev, "1 hour", {"v": F.count(F.lit(1)).cast("double")},
+        keys=["event_type"],
+    )
+    return pelt_changepoints(hourly, "v", "event_type")
+
+
 QUERIES = [
     QuerySpec("b01_funnel_conversion", b01_funnel_conversion, None),
     QuerySpec("b02_retention_weekly", b02_retention_weekly, None),
@@ -1746,4 +1762,5 @@ QUERIES = [
     QuerySpec("b97_golden_record", b97_golden_record, None),
     QuerySpec("b98_decayed_counters", b98_decayed_counters, None),
     QuerySpec("b99_benford_audit", b99_benford_audit, None),
+    QuerySpec("b100_pelt_changepoints", b100_pelt_changepoints, None),
 ]

@@ -382,3 +382,94 @@ def test_mann_kendall_contracts(spark):
     out = mann_kendall_trend(df, "v", "key").collect()
     # k has 2 usable points (<3) and short has 1 -> no rows
     assert out == []
+
+
+def test_pelt_matches_exhaustive_optimal_partitioning(spark):
+    """py_pelt_l2's pruned DP vs a brute-force optimal-partitioning
+    replay (no pruning) on designed + pseudo-random series — exact
+    optimum preserved; then the distributed per-key operator vs the
+    shared DP on a resample grid with known level shifts."""
+    import math
+
+    import pytest
+
+    from data_export_tool_spark.operators.timeseries import (
+        pelt_changepoints,
+        py_pelt_l2,
+    )
+
+    def brute(x, pen, min_size=2):
+        n = len(x)
+        S = [0.0] * (n + 1)
+        S2 = [0.0] * (n + 1)
+        for i, v in enumerate(x):
+            S[i + 1] = S[i] + v
+            S2[i + 1] = S2[i] + v * v
+
+        def cost(a, b):
+            m = b - a
+            s = S[b] - S[a]
+            return (S2[b] - S2[a]) - s * s / m
+
+        INF = math.inf
+        Fv = [INF] * (n + 1)
+        Fv[0] = -pen
+        last = [0] * (n + 1)
+        for t in range(min_size, n + 1):
+            for s in [0] + list(range(min_size, t - min_size + 1)):
+                if t - s < min_size or Fv[s] == INF:
+                    continue
+                v = Fv[s] + cost(s, t) + pen
+                if v < Fv[t]:
+                    Fv[t], last[t] = v, s
+        cps = []
+        t = n
+        while t > 0:
+            s = last[t]
+            if s > 0:
+                cps.append(s)
+            t = s
+        return sorted(cps), Fv[n]
+
+    series = [
+        [1.0] * 10 + [9.0] * 10,
+        [0.0] * 8 + [5.0] * 8 + [0.0] * 8,
+        [float((i * 2654435761) % 97) / 10 for i in range(40)],
+        [1.0] * 30,
+        [3.0, 3.1] * 6 + [8.0, 8.2] * 6,
+    ]
+    n_ok = 0
+    for x in series:
+        for pen in (1.0, 5.0, 25.0):
+            want_cps, _ = brute(x, pen)
+            got_cps = py_pelt_l2(x, pen)
+            assert got_cps == want_cps, (x[:4], pen, got_cps, want_cps)
+            n_ok += 1
+    # distributed operator: two keys with known shifts at bucket 24
+    import datetime as dt
+
+    rows = []
+    t0 = dt.datetime(2024, 1, 1)
+    for k, shift in (("a", 10.0), ("b", 0.0)):
+        for i in range(48):
+            v = (shift if i >= 24 else 0.0) + (i % 3) * 0.01
+            rows.append((k, t0 + dt.timedelta(hours=i), v))
+    df = spark.createDataFrame(rows, "k string, bucket_start timestamp, v double")
+    segs = {}
+    for r in pelt_changepoints(df, "v", "k").collect():
+        segs.setdefault(r["k"], []).append((r["segment"], r["n"], r["mean"]))
+    for k in segs:
+        segs[k].sort()
+    # key a: exactly two segments of 24 with means ~0.01 and ~10.01
+    assert [s[1] for s in segs["a"]] == [24, 24]
+    assert segs["a"][0][2] == pytest.approx(0.01, abs=1e-6)
+    assert segs["a"][1][2] == pytest.approx(10.01, abs=1e-6)
+    # key b: no change -> one whole-series segment
+    assert [s[1] for s in segs["b"]] == [48]
+    from tests.conftest import record_opcheck
+
+    record_opcheck(
+        "pelt_changepoints", n_ok + 3, True, oracle="python-reference"
+    )
+    with pytest.raises(Exception):
+        pelt_changepoints(df, "v", "k", min_size=0).collect()

@@ -1583,3 +1583,64 @@ def view_click_join_stream(
         "click_ts",
         (F.unix_millis("click_ts") - F.unix_millis("view_ts")).alias("lag_ms"),
     )
+
+
+def benford_stream(
+    events: DataFrame,
+    value_col: str = "value",
+    window: str = "1 day",
+    watermark: str = "2 hours",
+    min_rows: int = 100,
+) -> DataFrame:
+    """Streaming Benford first-digit monitor — twin #23, the streaming
+    face of the X163 audit: per closed tumbling window, the observed
+    first-significant-digit distribution of ``value_col`` with χ²,
+    Nigrini MAD and the 0.015 conformity verdict — the
+    fabricated-numbers screen as a continuous control instead of a
+    batch audit.
+
+    ONE stateful windowed aggregation (nine conditional counts — the
+    digit alphabet is the state, 9 longs per window) + a pure
+    post-aggregate projection for the statistics; a window's verdict
+    is computed once, at close (append finality). Small windows
+    (< ``min_rows``) answer ``conforms = NULL`` — too small to call,
+    matching the batch operator's contract.
+    """
+    import math
+
+    digits = F.regexp_replace(
+        F.format_number(F.abs(F.col(value_col).cast("double")), 10),
+        r"[.,]", "",
+    )
+    first = F.substring(F.regexp_replace(digits, r"^0+", ""), 1, 1)
+    base = (
+        events.where(
+            F.col("ts").isNotNull()
+            & F.col(value_col).isNotNull()
+            & (F.abs(F.col(value_col).cast("double")) > 0)
+        )
+        .withColumn("__d", first)
+        .where(F.col("__d").rlike("^[1-9]$"))
+        .withWatermark("ts", watermark)
+    )
+    counts = base.groupBy(F.window("ts", window).alias("win")).agg(
+        *[
+            F.sum((F.col("__d") == str(d)).cast("long")).alias(f"n{d}")
+            for d in range(1, 10)
+        ]
+    )
+    n = sum((F.col(f"n{d}") for d in range(2, 10)), F.col("n1"))
+    chi2 = F.lit(0.0)
+    mad = F.lit(0.0)
+    for d in range(1, 10):
+        exp = math.log10(1 + 1 / d)
+        obs = F.col(f"n{d}") / n
+        chi2 = chi2 + n * (obs - exp) * (obs - exp) / F.lit(exp)
+        mad = mad + F.abs(obs - exp) / 9.0
+    return counts.select(
+        F.col("win.start").alias("window_start"),
+        n.alias("n"),
+        F.round(chi2, 6).alias("chi2"),
+        F.round(mad, 6).alias("mad"),
+        F.when(n >= min_rows, mad <= 0.015).alias("conforms"),
+    )

@@ -1544,3 +1544,97 @@ def test_view_click_join_stream_matches_batch(spark, sf_dir, tmp_path):
         f"stream {len(emitted)} vs batch {len(want)}; "
         f"sample diff={list(set(emitted) ^ set(want))[:5]}"
     )
+
+
+def test_benford_stream_matches_batch(spark, sf_dir, tmp_path):
+    """Twin #23: the streamed per-window Benford statistics must
+    EXACTLY equal a python replay of the batch formula over closed
+    windows (same digit extraction, same χ²/MAD/verdict)."""
+    import math
+    import time
+
+    from data_export_tool_spark.streaming.events import benford_stream
+
+    ev = Catalog(spark, sf_dir).load("events").where(
+        F.col("ts").isNotNull() & F.col("value").isNotNull()
+    )
+    bounds = ev.select(F.unix_millis("ts").alias("ms")).approxQuantile(
+        "ms", [0.5], 0.0
+    )
+    drop_dir = str(tmp_path / "benford_drops")
+    lo = None
+    for hi in [*bounds, None]:
+        sel = ev
+        if lo is not None:
+            sel = sel.where(F.unix_millis("ts") >= lo)
+        if hi is not None:
+            sel = sel.where(F.unix_millis("ts") < hi)
+        sel.repartition(1).write.mode("append").parquet(drop_dir)
+        lo = hi
+        time.sleep(1.05)
+
+    WIN_S, MIN_ROWS = 86400, 50
+    stream = read_events_stream(spark, drop_dir, max_files_per_trigger=1)
+    out = benford_stream(
+        stream, window="1 day", watermark="30 minutes", min_rows=MIN_ROWS
+    )
+    q = (
+        out.writeStream.format("memory")
+        .queryName("benford_stream_test")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    emitted = {
+        str(r["window_start"]): (r["n"], r["chi2"], r["mad"], r["conforms"])
+        for r in spark.sql("SELECT * FROM benford_stream_test").collect()
+    }
+    # python replay over closed windows
+    rows = spark.read.parquet(drop_dir).select(
+        F.unix_millis(F.col("ts").cast("timestamp")).alias("ms"),
+        F.col("value").cast("double").alias("v"),
+        F.date_format(
+            F.timestamp_seconds(
+                F.floor(F.unix_millis(F.col("ts").cast("timestamp")) / 1000 / WIN_S) * WIN_S
+            ),
+            "yyyy-MM-dd HH:mm:ss",
+        ).alias("w"),
+    ).where(F.col("v").isNotNull()).collect()
+    max_ms = max(r["ms"] for r in rows)
+    wm_ms = max_ms - 30 * 60 * 1000
+    per_win: dict = {}
+    for r in rows:
+        if r["v"] == 0 or r["v"] is None:
+            continue
+        s = f"{abs(r['v']):.10f}".replace(".", "").lstrip("0")
+        if not s or s[0] not in "123456789":
+            continue
+        wsec = (r["ms"] // 1000) // WIN_S * WIN_S
+        if (wsec + WIN_S) * 1000 > wm_ms:
+            continue  # window not closed
+        per_win.setdefault(r["w"], {}).setdefault(int(s[0]), 0)
+        per_win[r["w"]][int(s[0])] += 1
+    want = {}
+    for w, cells in per_win.items():
+        n = sum(cells.values())
+        chi2 = mad = 0.0
+        for d in range(1, 10):
+            obs = cells.get(d, 0) / n
+            exp = math.log10(1 + 1 / d)
+            chi2 += n * (obs - exp) ** 2 / exp
+            mad += abs(obs - exp) / 9
+        want[w] = (n, round(chi2, 6), round(mad, 6),
+                   (mad <= 0.015) if n >= MIN_ROWS else None)
+    ok = set(emitted) == set(want) and all(
+        emitted[w][0] == want[w][0]
+        and abs(emitted[w][1] - want[w][1]) < 1e-4
+        and abs(emitted[w][2] - want[w][2]) < 1e-6
+        and emitted[w][3] == want[w][3]
+        for w in want
+    ) and len(want) > 0
+    record_stream_parity("benford_monitor", len(want), ok)
+    assert ok, (
+        f"stream {len(emitted)} vs batch {len(want)}; "
+        f"keys diff={set(emitted) ^ set(want)}"
+    )

@@ -230,3 +230,144 @@ def fuzzy_entity_clusters(
     return clusters.join(canon_val, on="canonical_id").select(
         id_col, "canonical_id", "canonical_val", "cluster_size"
     )
+
+
+def py_jaro_winkler(a: str, b: str, prefix_scale: float = 0.1) -> float:
+    """Jaro-Winkler similarity (Winkler 1990) — ONE shared
+    implementation (executors and the test oracle import this, the
+    py_viterbi convention). Standard form: Jaro from the match window
+    ⌊max(|a|,|b|)/2⌋−1 with half-weighted transpositions, then the
+    common-prefix bonus (≤ 4 chars, scale 0.1)."""
+    if a == b:
+        return 1.0
+    la, lb = len(a), len(b)
+    if la == 0 or lb == 0:
+        return 0.0
+    win = max(la, lb) // 2 - 1
+    if win < 0:
+        win = 0
+    ma = [False] * la
+    mb = [False] * lb
+    m = 0
+    for i, ca in enumerate(a):
+        lo = max(0, i - win)
+        hi = min(lb, i + win + 1)
+        for j in range(lo, hi):
+            if not mb[j] and b[j] == ca:
+                ma[i] = mb[j] = True
+                m += 1
+                break
+    if m == 0:
+        return 0.0
+    # transpositions: matched chars out of order, halved
+    bj = [b[j] for j in range(lb) if mb[j]]
+    t = sum(1 for ai, bc in zip((a[i] for i in range(la) if ma[i]), bj) if ai != bc) / 2
+    jaro = (m / la + m / lb + (m - t) / m) / 3
+    p = 0
+    for ca, cb in zip(a[:4], b[:4]):
+        if ca != cb:
+            break
+        p += 1
+    return jaro + p * prefix_scale * (1 - jaro)
+
+
+def jaro_winkler_dedup_pairs(
+    df: DataFrame,
+    threshold: float = 0.9,
+    id_col: str = "doc_id",
+    text_col: str = "name",
+    block_prefix: int = 2,
+    band_width: int = 2,
+    max_block: int = 10_000,
+) -> DataFrame:
+    """All id pairs with Jaro-Winkler similarity ≥ ``threshold`` —
+    the similarity-scored sibling of :func:`fuzzy_dedup_pairs` for
+    name-grade keys where a FIXED edit budget misreads length (a
+    1-edit typo in a 4-char name is severe; in a 40-char title it is
+    noise). JW normalizes by length and rewards the shared prefix —
+    the classic census/record-linkage scorer.
+
+    Scale shape — PREFIX BLOCKING, the standard JW trade: candidates
+    share their lowercased first ``block_prefix`` characters AND a
+    ``band_width``-wide length band (high-threshold JW pairs almost
+    always share a prefix — the Winkler bonus exists because prefixes
+    are where names agree; pairs DIFFERING in the first characters
+    are missed BY CONSTRUCTION, recall < 1 like the LSH tier,
+    documented). Block → equi-join → one Arrow-batched scorer per
+    candidate (python JW per DISTINCT pair, memoized within batch).
+    ``max_block`` caps a degenerate block (single-char names flood
+    one key) with a readable error instead of a silent quadratic.
+
+    Output: ``(id_a, id_b, jw)`` with id_a < id_b, similarity ≥
+    threshold, NULL/empty keys excluded.
+    """
+    if not 0 < threshold <= 1:
+        raise ValueError(f"threshold must be in (0, 1]: {threshold}")
+    if block_prefix < 1:
+        raise ValueError(f"block_prefix must be >= 1: {block_prefix}")
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    base = df.select(
+        F.col(id_col).alias("__id"),
+        F.lower(F.trim(F.col(text_col))).alias("__t"),
+    ).where(F.col("__t").isNotNull() & (F.length("__t") > 0))
+    blocked = base.select(
+        "__id",
+        "__t",
+        F.substring("__t", 1, block_prefix).alias("__blk"),
+        F.floor(F.length("__t") / band_width).alias("__band"),
+    )
+    # block-size guard: a flooded block is a data-quality signal, not
+    # something to grind through quadratically
+    sizes = blocked.groupBy("__blk", "__band").agg(
+        F.count(F.lit(1)).alias("__n")
+    ).where(F.col("__n") > max_block)
+    bad = sizes.limit(1).collect()
+    if bad:
+        r = bad[0]
+        raise ValueError(
+            f"block ({r['__blk']!r}, band {r['__band']}) has {r['__n']} rows"
+            f" > max_block={max_block}: key quality too low for prefix"
+            f" blocking — normalize keys or raise max_block explicitly"
+        )
+    # the band is part of the EQUI-JOIN key (the guard above bounds
+    # (blk, band) blocks; a blk-only join could still flood): each
+    # left row probes its own and both neighbor bands (the geo-join
+    # neighbor-cell trick)
+    a = blocked.select(
+        F.col("__id").alias("id_a"), F.col("__t").alias("__ta"),
+        "__blk",
+        F.explode(
+            F.array(F.col("__band") - 1, F.col("__band"), F.col("__band") + 1)
+        ).alias("__band"),
+    )
+    b = blocked.select(
+        F.col("__id").alias("id_b"), F.col("__t").alias("__tb"),
+        "__blk", "__band",
+    )
+    cand = a.join(b, on=["__blk", "__band"]).where(
+        F.col("id_a") < F.col("id_b")
+    )
+
+    def _score(ta, tb):
+        memo: dict[tuple, float] = {}
+        out = []
+        for x, y in zip(ta, tb):
+            k = (x, y)
+            v = memo.get(k)
+            if v is None:
+                v = py_jaro_winkler(x, y)
+                memo[k] = v
+            out.append(v)
+        return pd.Series(out)
+
+    _score.__annotations__ = {"ta": pd.Series, "tb": pd.Series,
+                              "return": pd.Series}
+    score = pandas_udf(_score, "double")
+    return (
+        cand.withColumn("jw", F.round(score(F.col("__ta"), F.col("__tb")), 6))
+        .where(F.col("jw") >= threshold)
+        .select("id_a", "id_b", "jw")
+        .distinct()
+    )

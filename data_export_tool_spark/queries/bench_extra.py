@@ -1662,6 +1662,17 @@ def b100_pelt_changepoints(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pelt_changepoints(hourly, "v", "event_type")
 
 
+def b101_jaro_winkler(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jaro-Winkler entity pairs over the deterministic near-match
+    keys (prefix + neighbor-band blocking, Arrow-batched scorer)."""
+    from data_export_tool_spark.operators.fuzzy import jaro_winkler_dedup_pairs
+
+    return jaro_winkler_dedup_pairs(
+        _entity_keys(spark, sf_dir), threshold=0.92,
+        id_col="doc_id", text_col="name",
+    )
+
+
 QUERIES = [
     QuerySpec("b01_funnel_conversion", b01_funnel_conversion, None),
     QuerySpec("b02_retention_weekly", b02_retention_weekly, None),
@@ -1763,4 +1774,5 @@ QUERIES = [
     QuerySpec("b98_decayed_counters", b98_decayed_counters, None),
     QuerySpec("b99_benford_audit", b99_benford_audit, None),
     QuerySpec("b100_pelt_changepoints", b100_pelt_changepoints, None),
+    QuerySpec("b101_jaro_winkler", b101_jaro_winkler, None),
 ]

@@ -183,3 +183,71 @@ def test_fuzzy_max_variant_group_guard(spark):
     # single-char string's own variant is shared by 1 row only, so
     # the single-char pairs vanish; the cold long pair survives
     assert capped == {(100, 101)}
+
+
+def test_jaro_winkler_literature_values():
+    """py_jaro_winkler vs the published record-linkage examples."""
+    import pytest
+
+    from data_export_tool_spark.operators.fuzzy import py_jaro_winkler
+
+    assert py_jaro_winkler("MARTHA", "MARHTA") == pytest.approx(0.9611, abs=1e-4)
+    assert py_jaro_winkler("DWAYNE", "DUANE") == pytest.approx(0.84, abs=1e-4)
+    assert py_jaro_winkler("DIXON", "DICKSONX") == pytest.approx(0.8133, abs=1e-4)
+    assert py_jaro_winkler("abc", "abc") == 1.0
+    assert py_jaro_winkler("abc", "xyz") == 0.0
+    assert py_jaro_winkler("", "abc") == 0.0
+
+
+def test_jaro_winkler_dedup_pairs_matches_replay(spark):
+    """Distributed pairs vs a python replay restricted to the SAME
+    blocking (prefix + neighbor band) — exact score equality — plus
+    the within-block recall law and the flooded-block guard."""
+    import pytest
+
+    from data_export_tool_spark.operators.fuzzy import (
+        jaro_winkler_dedup_pairs,
+        py_jaro_winkler,
+    )
+
+    names = [
+        (1, "martha stewart"), (2, "marhta stewart"), (3, "marta stewart"),
+        (4, "jonathan smith"), (5, "jonathon smith"), (6, "john smith"),
+        (7, "acme corp"), (8, "acme corp."), (9, "zenith ltd"),
+        (10, "bob"), (11, "rob"),  # differ in first char: missed by design
+        (12, None), (13, ""),
+    ]
+    df = spark.createDataFrame(names, "doc_id long, name string")
+    got = {
+        (r["id_a"], r["id_b"]): r["jw"]
+        for r in jaro_winkler_dedup_pairs(df, threshold=0.9, id_col="doc_id").collect()
+    }
+    # replay with identical blocking
+    keyed = [
+        (i, n.lower().strip()) for i, n in names if n
+    ]
+    want = {}
+    for i, (ia, ta) in enumerate(keyed):
+        for ib, tb in keyed[i + 1:]:
+            lo, hi = (ia, ib) if ia < ib else (ib, ia)
+            if ta[:2] != tb[:2]:
+                continue
+            if abs(len(ta) // 2 - len(tb) // 2) > 1:
+                continue
+            s = py_jaro_winkler(ta if lo == ia else tb, tb if lo == ia else ta)
+            if s >= 0.9:
+                want[(lo, hi)] = round(s, 6)
+    assert got == want and len(want) >= 3
+    # the first-char-divergent pair is absent BY CONSTRUCTION
+    assert (10, 11) not in got
+    record_opcheck(
+        "jaro_winkler_pairs", len(want), True, oracle="python-reference"
+    )
+    # flooded-block guard speaks a readable error
+    flood = spark.range(50).select(
+        F.col("id").alias("doc_id"), F.lit("aa").alias("name")
+    )
+    with pytest.raises(ValueError, match="max_block"):
+        jaro_winkler_dedup_pairs(flood, id_col="doc_id", max_block=10)
+    with pytest.raises(ValueError):
+        jaro_winkler_dedup_pairs(df, threshold=0.0, id_col="doc_id")

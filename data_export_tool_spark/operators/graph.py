@@ -569,3 +569,107 @@ def k_core(
         # empty, nothing drops, the empty core returns with the right
         # schema
     raise RuntimeError(f"k_core did not converge within max_iter={max_iter}")
+
+
+def personalized_pagerank(
+    edges: DataFrame,
+    sources,
+    src: str = "src",
+    dst: str = "dst",
+    damping: float = 0.85,
+    max_iter: int = 20,
+    tol: float = 1e-6,
+    out_node: str = "node",
+    out_rank: str = "rank",
+) -> DataFrame:
+    """Personalized PageRank (Page et al. 1999 §6; the random walk
+    that TELEPORTS TO THE SEED SET instead of uniformly): the
+    relevance-to-these-nodes ranking under every "people also bought" /
+    related-entities / local-community feature — mass concentrates in
+    the seeds' neighborhood instead of spreading to global hubs.
+
+    ``sources`` is a REQUEST-SIZED python sequence of node ids (the
+    ANN-batch convention — a personalization vector is a query, not a
+    table; broadcast as literals). Teleport and DANGLING mass both
+    redistribute uniformly over the seeds (the standard PPR
+    stochastic completion), so total mass stays exactly 1 per round
+    and seeds outside the graph still receive their teleport share.
+
+    Same per-iteration shape, checkpoint/release policy and
+    convergence probe as :func:`pagerank` (one weighted-edge join +
+    one partial-aggregable dst groupBy per round); ``tol=0`` runs
+    exactly ``max_iter`` rounds for external replay.
+    """
+    if not (0.0 < damping < 1.0):
+        raise ValueError(f"damping must be in (0, 1): {damping}")
+    srcs = list(dict.fromkeys(sources))
+    if not srcs:
+        raise ValueError("sources must name at least one node")
+    sc = edges.sparkSession.sparkContext
+    e, e_ids = _checkpoint(
+        edges.where(F.col(src).isNotNull() & F.col(dst).isNotNull()).select(
+            F.col(src).alias("s"), F.col(dst).alias("d")
+        )
+    )
+    outd = e.groupBy("s").agg(F.count(F.lit(1)).alias("__outd"))
+    ew, ew_ids = _checkpoint(
+        e.join(outd, "s").select(
+            "s", "d", (F.lit(1.0) / F.col("__outd")).alias("w")
+        )
+    )
+    # node set INCLUDES off-graph seeds: they hold teleport mass
+    seed_df = edges.sparkSession.createDataFrame(
+        [(s,) for s in srcs], f"n {e.schema['s'].dataType.simpleString()}"
+    )
+    nodes, nodes_ids = _checkpoint(
+        e.select(F.col("s").alias("n"))
+        .union(e.select(F.col("d").alias("n")))
+        .union(seed_df.select("n"))
+        .distinct()
+    )
+    _release(sc, e_ids)
+    share = 1.0 / len(srcs)
+    is_src = F.col("n").isin(srcs)
+    src_share = F.when(is_src, F.lit(share)).otherwise(F.lit(0.0))
+    ranks, ranks_ids = _checkpoint(nodes.select("n", src_share.alias("r")))
+
+    for _ in range(max_iter):
+        contrib, contrib_ids = _checkpoint(
+            ew.join(ranks.withColumnRenamed("n", "s"), "s")
+            .groupBy("d")
+            .agg(F.sum(F.col("r") * F.col("w")).alias("__c"))
+            .withColumnRenamed("d", "n")
+        )
+        dm = 1.0 - (contrib.agg(F.sum("__c")).first()[0] or 0.0)
+        new_ranks, new_ids = _checkpoint(
+            nodes.join(contrib, "n", "left").select(
+                "n",
+                (
+                    F.lit(1.0 - damping) * src_share
+                    + F.lit(damping)
+                    * (
+                        F.coalesce(F.col("__c"), F.lit(0.0))
+                        + F.lit(dm) * src_share
+                    )
+                ).alias("r"),
+            )
+        )
+        _release(sc, contrib_ids)
+        if tol > 0:
+            delta = (
+                new_ranks.join(ranks.withColumnRenamed("r", "r0"), "n")
+                .agg(F.sum(F.abs(F.col("r") - F.col("r0"))))
+                .first()[0]
+            )
+        else:
+            delta = None
+        _release(sc, ranks_ids)
+        ranks, ranks_ids = new_ranks, new_ids
+        if delta is not None and delta <= tol:
+            break
+
+    _release(sc, ew_ids)
+    _release(sc, nodes_ids)
+    return ranks.select(
+        F.col("n").alias(out_node), F.col("r").alias(out_rank)
+    )

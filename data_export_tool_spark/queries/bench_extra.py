@@ -1673,6 +1673,18 @@ def b101_jaro_winkler(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def b102_personalized_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Personalized PageRank from a 10-item seed set over the memoized
+    co-purchase projection — the related-items ranking."""
+    from data_export_tool_spark.operators.graph import personalized_pagerank
+
+    edges = _copurchase_edges(spark, sf_dir)
+    seeds = [r["item_a"] for r in edges.orderBy("item_a").limit(10).collect()]
+    return personalized_pagerank(
+        edges, seeds, "item_a", "item_b", max_iter=5, tol=0.0
+    ).orderBy(F.desc("rank"), "node").limit(100)
+
+
 QUERIES = [
     QuerySpec("b01_funnel_conversion", b01_funnel_conversion, None),
     QuerySpec("b02_retention_weekly", b02_retention_weekly, None),
@@ -1775,4 +1787,5 @@ QUERIES = [
     QuerySpec("b99_benford_audit", b99_benford_audit, None),
     QuerySpec("b100_pelt_changepoints", b100_pelt_changepoints, None),
     QuerySpec("b101_jaro_winkler", b101_jaro_winkler, None),
+    QuerySpec("b102_personalized_pagerank", b102_personalized_pagerank, None),
 ]

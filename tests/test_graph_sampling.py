@@ -728,3 +728,72 @@ def test_temperature_mixture_rates_and_sample(spark, sf_dir):
         temperature_mixture_rates(docs, "lang", alpha=1.5)
     with _pytest.raises(ValueError):
         temperature_mixture_rates(docs, "lang", cap=0.0)
+
+
+def _py_ppr(edges, sources, d, iters):
+    nodes = sorted({u for u, _ in edges} | {v for _, v in edges} | set(sources))
+    outd = {}
+    for u, _ in edges:
+        outd[u] = outd.get(u, 0) + 1
+    share = 1.0 / len(sources)
+    src_share = {n: (share if n in set(sources) else 0.0) for n in nodes}
+    r = dict(src_share)
+    for _ in range(iters):
+        contrib = {n: 0.0 for n in nodes}
+        for u, v in edges:
+            contrib[v] += r[u] / outd[u]
+        dm = 1.0 - sum(contrib.values())
+        r = {
+            n: (1 - d) * src_share[n] + d * (contrib[n] + dm * src_share[n])
+            for n in nodes
+        }
+    return r
+
+
+def test_personalized_pagerank_matches_replay(spark):
+    """Exact python power-iteration replay (tol=0 fixed rounds),
+    mass conservation, seed-locality law (seeds + their neighborhood
+    dominate), off-graph seed teleport share, and validation."""
+    import pytest as _pytest
+
+    from data_export_tool_spark.operators.graph import personalized_pagerank
+
+    n = 120
+    edges = []
+    for i in range(n):
+        if i % 11 == 0:
+            continue  # dangling
+        edges.append((i, (i * 5 + 1) % n))
+        edges.append((i, (i + 1) % n))
+    df = spark.createDataFrame(edges, "src long, dst long")
+    seeds = [3, 4, 5]
+    got = {
+        r["node"]: r["rank"]
+        for r in personalized_pagerank(
+            df, seeds, tol=0.0, max_iter=12
+        ).collect()
+    }
+    want = _py_ppr(edges, seeds, 0.85, 12)
+    ok = set(got) == set(want) and all(
+        abs(got[v] - want[v]) < 1e-9 for v in want
+    )
+    assert ok
+    assert abs(sum(got.values()) - 1.0) < 1e-9
+    # locality: the seed set itself outranks the global mean by far
+    mean = 1.0 / len(got)
+    assert all(got[s] > 4 * mean for s in seeds)
+    # off-graph seed still holds its teleport share
+    got2 = {
+        r["node"]: r["rank"]
+        for r in personalized_pagerank(
+            df, [99999], tol=0.0, max_iter=5
+        ).collect()
+    }
+    assert got2[99999] > 0.14  # ~(1-d) + dangling returns, off-graph
+    record_opcheck(
+        "personalized_pagerank", len(want), ok, oracle="python-reference"
+    )
+    with _pytest.raises(ValueError):
+        personalized_pagerank(df, [])
+    with _pytest.raises(ValueError):
+        personalized_pagerank(df, [1], damping=1.0)

@@ -628,3 +628,47 @@ def pelt_changepoints(
         F.col("__g").alias(key_col), "segment", "start_bucket",
         "end_bucket", "n", F.round("mean", 6).alias("mean"),
     )
+
+
+def ohlc_bars(
+    df: DataFrame,
+    period: str,
+    value_col: str,
+    keys: Sequence[str] = (),
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Open/high/low/close bars per (keys, period bucket) — the
+    finance-standard rollup, equally the right shape for any gauge
+    (first/last reading per device per hour). One partial-aggregable
+    groupBy: open/close are ``min_by``/``max_by`` on a NULL-masked
+    (ts, value) ordering struct — a NULL reading never becomes the
+    open/close, and same-timestamp ties break deterministically by
+    value (min for open, max for close); high/low/volume ride the
+    same aggregate. NO window anywhere — the classic mistake is
+    first()/last() over an unordered groupBy (nondeterministic) or a
+    per-key ordered window (serializes hot keys).
+
+    NULL values are excluded from all five statistics; buckets with
+    only NULL values don't appear (no reading, no bar). NTZ-tolerant.
+    """
+    if isinstance(keys, str):
+        keys = [keys]
+    v = F.col(value_col).cast("double")
+    ts = F.col(ts_col).cast("timestamp")
+    ordk = F.when(v.isNotNull(), F.struct(ts.alias("t"), v.alias("v")))
+    return (
+        df.where(F.col(ts_col).isNotNull() & v.isNotNull())
+        .groupBy(*keys, F.window(ts_col, period).alias("__w"))
+        .agg(
+            F.min_by(v, ordk).alias("open"),
+            F.max(v).alias("high"),
+            F.min(v).alias("low"),
+            F.max_by(v, ordk).alias("close"),
+            F.count(v).alias("n"),
+            F.round(F.sum(v), 6).alias("volume"),
+        )
+        .select(
+            *keys, F.col("__w.start").alias("bucket_start"),
+            "open", "high", "low", "close", "n", "volume",
+        )
+    )

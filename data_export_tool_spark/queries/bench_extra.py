@@ -1685,6 +1685,15 @@ def b102_personalized_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy(F.desc("rank"), "node").limit(100)
 
 
+def b103_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly OHLC value bars per event type (one min_by/max_by
+    aggregate, window-free)."""
+    from data_export_tool_spark.operators.timeseries import ohlc_bars
+
+    ev = Catalog(spark, sf_dir).load("events")
+    return ohlc_bars(ev, "1 hour", "value", keys=["event_type"])
+
+
 QUERIES = [
     QuerySpec("b01_funnel_conversion", b01_funnel_conversion, None),
     QuerySpec("b02_retention_weekly", b02_retention_weekly, None),
@@ -1788,4 +1797,5 @@ QUERIES = [
     QuerySpec("b100_pelt_changepoints", b100_pelt_changepoints, None),
     QuerySpec("b101_jaro_winkler", b101_jaro_winkler, None),
     QuerySpec("b102_personalized_pagerank", b102_personalized_pagerank, None),
+    QuerySpec("b103_ohlc_bars", b103_ohlc_bars, None),
 ]

@@ -473,3 +473,68 @@ def test_pelt_matches_exhaustive_optimal_partitioning(spark):
     )
     with pytest.raises(Exception):
         pelt_changepoints(df, "v", "k", min_size=0).collect()
+
+
+def test_ohlc_bars_match_duckdb(spark, sf_dir):
+    """OHLC bars vs an exact DuckDB window replay (deterministic
+    same-timestamp tie rule: open = min(value) at the earliest ts,
+    close = max(value) at the latest ts), plus NULL exclusion."""
+    import duckdb
+    import pytest
+    from pyspark.sql import functions as F
+
+    from data_export_tool_spark.operators.timeseries import ohlc_bars
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    got = {
+        (r["event_type"], str(r["bucket_start"])): (
+            r["open"], r["high"], r["low"], r["close"], r["n"],
+            round(r["volume"], 6),
+        )
+        for r in ohlc_bars(ev, "1 day", "value", keys=["event_type"]).collect()
+    }
+    want_rows = duckdb.sql(f"""
+      WITH base AS (
+        SELECT event_type, CAST(value AS DOUBLE) AS v,
+               CAST(ts AS TIMESTAMP) AS ts,
+               to_timestamp(CAST(floor(epoch(CAST(ts AS TIMESTAMP)) / 86400)
+                                 * 86400 AS BIGINT)) AS w
+        FROM '{sf_dir}/events.parquet'
+        WHERE ts IS NOT NULL AND value IS NOT NULL
+      )
+      SELECT DISTINCT event_type, strftime(w, '%Y-%m-%d %H:%M:%S') AS w,
+             first_value(v) OVER win AS open,
+             max(v) OVER part AS high, min(v) OVER part AS low,
+             last_value(v) OVER win AS close,
+             count(*) OVER part AS n,
+             round(sum(v) OVER part, 6) AS volume
+      FROM base
+      WINDOW win AS (PARTITION BY event_type, w ORDER BY ts, v
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING),
+             part AS (PARTITION BY event_type, w)
+    """).fetchall()
+    want = {
+        (t, w): (o, h, l, c, int(n), v)
+        for t, w, o, h, l, c, n, v in want_rows
+    }
+    assert set(got) == set(want)
+    ok = all(
+        got[k][4] == want[k][4]
+        and all(
+            got[k][i] == pytest.approx(want[k][i], abs=1e-6) for i in (0, 1, 2, 3, 5)
+        )
+        for k in want
+    )
+    record_opcheck("ohlc_bars", len(want) * 6, ok)
+    assert ok
+    # explicit tie pin: two readings at the same instant
+    tie = spark.createDataFrame(
+        [("k", "2024-01-01 00:00:00", 5.0),
+         ("k", "2024-01-01 00:00:00", 1.0),
+         ("k", "2024-01-01 10:00:00", 3.0),
+         ("k", "2024-01-01 10:00:00", 9.0),
+         ("k", "2024-01-01 05:00:00", None)],
+        "k string, ts string, value double",
+    ).select("k", F.col("ts").cast("timestamp").alias("ts"), "value")
+    bar = ohlc_bars(tie, "1 day", "value", keys=["k"]).collect()[0]
+    assert (bar["open"], bar["close"], bar["n"]) == (1.0, 9.0, 4)

@@ -22,6 +22,11 @@ Scale shape of :func:`geo_radius_join`:
   the exact haversine filter ≤ r — candidates are the ~9-cell
   neighborhood's points, never the corpus².
 
+Cost is OUTPUT-BOUND in dense areas: a cell holding k mutually
+within-radius points genuinely has ~k² qualifying pairs — that is
+the answer's size, not an avoidable blow-up (cap the left side or
+shrink the radius when the pair set itself is the problem).
+
 Contract: coordinates in degrees, lat ∈ [−90, 90], lng ∈ [−180,
 180]; rows with NULL/out-of-range coordinates are excluded (no
 position, no join); |lat| > 85° is clamped into the polar cap cell

@@ -628,3 +628,46 @@ def test_stress_als_hot_user(spark):
         F.exists("factors", lambda v: F.isnan(v) | v.isNull())
     ).count()
     assert bad == 0
+
+
+def test_stress_geo_radius_join_city_grid(spark):
+    """N points on a jittered world grid + one dense city block:
+    closed-form truths — every point matches itself at 0 km, the
+    dense block's pair count is exactly quadratic in its size (the
+    output-bound contract), and far-apart grid points never pair."""
+    from data_export_tool_spark.operators.geo import geo_radius_join
+
+    n_grid = N // 4
+    grid = spark.range(n_grid).select(
+        F.col("id").alias("pid"),
+        (((F.col("id") * 37) % 1400) / 10.0 - 70.0).alias("lat"),
+        (((F.col("id") * 53) % 3600) / 10.0 - 180.0).alias("lng"),
+    )
+    # a 3000-point city inside ~1 km
+    city = spark.range(n_grid, n_grid + 3000).select(
+        F.col("id").alias("pid"),
+        (F.lit(40.0) + (F.col("id") % 60) / 10000.0).alias("lat"),
+        (F.lit(10.05) + ((F.col("id") * 7) % 60) / 10000.0).alias("lng"),
+    )
+    pts = grid.unionByName(city)
+    out = geo_radius_join(pts, pts, 2.0)
+    total = out.count()
+    self_pairs = out.where(F.col("pid_l") == F.col("pid_r")).count()
+    assert self_pairs == n_grid + 3000  # everyone matches itself
+    # city block: all 3000 points within ~0.9 km -> full quadratic
+    city_pairs = out.where(
+        (F.col("pid_l") >= n_grid) & (F.col("pid_r") >= n_grid)
+    ).count()
+    assert city_pairs == 3000 * 3000
+    # grid lattice positions repeat every lcm(1400, 3600) = 25200 ids
+    # (both multipliers are coprime to their moduli), so position p
+    # hosts ⌈/⌊ n_grid/25200 points — all at distance 0; DIFFERENT
+    # positions are ≥ ~3.8 km apart (0.1° raster at |lat| ≤ 70), so
+    # grid pairs are exactly the per-position quadratics
+    grid_pairs = out.where(
+        (F.col("pid_l") < n_grid) & (F.col("pid_r") < n_grid)
+    ).count()
+    cycle = 25200
+    per, rem = divmod(n_grid, cycle)
+    want_grid = rem * (per + 1) ** 2 + (cycle - rem) * per ** 2
+    assert grid_pairs == want_grid

@@ -1644,3 +1644,40 @@ def benford_stream(
         F.round(mad, 6).alias("mad"),
         F.when(n >= min_rows, mad <= 0.015).alias("conforms"),
     )
+
+
+def ohlc_stream(
+    events: DataFrame,
+    value_col: str = "value",
+    keys: Sequence[str] = ("event_type",),
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Streaming OHLC bars — twin #24, the streaming face of X168
+    ``timeseries.ohlc_bars``: per (keys, closed tumbling window) the
+    deterministic open/high/low/close/volume. ``min_by``/``max_by``
+    over the NULL-masked (ts, value) ordering struct are plain
+    aggregates, so this is ONE stateful windowed aggregation whose
+    state per open bar is five scalars + two (ts, value) pairs —
+    constant per bar regardless of event volume (a million ticks in
+    one bar fold map-side). Bars emit once, at window close."""
+    cols = list(keys)
+    v = F.col(value_col).cast("double")
+    ordk = F.when(v.isNotNull(), F.struct(F.col("ts").alias("t"), v.alias("v")))
+    return (
+        events.where(F.col("ts").isNotNull() & v.isNotNull())
+        .withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("win"), *cols)
+        .agg(
+            F.min_by(v, ordk).alias("open"),
+            F.max(v).alias("high"),
+            F.min(v).alias("low"),
+            F.max_by(v, ordk).alias("close"),
+            F.count(v).alias("n"),
+            F.round(F.sum(v), 6).alias("volume"),
+        )
+        .select(
+            F.col("win.start").alias("bucket_start"), *cols,
+            "open", "high", "low", "close", "n", "volume",
+        )
+    )

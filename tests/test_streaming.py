@@ -1638,3 +1638,73 @@ def test_benford_stream_matches_batch(spark, sf_dir, tmp_path):
         f"stream {len(emitted)} vs batch {len(want)}; "
         f"keys diff={set(emitted) ^ set(want)}"
     )
+
+
+def test_ohlc_stream_matches_batch(spark, sf_dir, tmp_path):
+    """Twin #24: streamed OHLC bars must EXACTLY equal the batch
+    X168 operator over closed windows (same NULL-masked ordering
+    struct, same tie rule)."""
+    import time
+
+    from data_export_tool_spark.operators.timeseries import ohlc_bars
+    from data_export_tool_spark.streaming.events import ohlc_stream
+
+    ev = Catalog(spark, sf_dir).load("events").where(
+        F.col("ts").isNotNull() & F.col("value").isNotNull()
+    )
+    bounds = ev.select(F.unix_millis("ts").alias("ms")).approxQuantile(
+        "ms", [0.5], 0.0
+    )
+    drop_dir = str(tmp_path / "ohlc_drops")
+    lo = None
+    for hi in [*bounds, None]:
+        sel = ev
+        if lo is not None:
+            sel = sel.where(F.unix_millis("ts") >= lo)
+        if hi is not None:
+            sel = sel.where(F.unix_millis("ts") < hi)
+        sel.repartition(1).write.mode("append").parquet(drop_dir)
+        lo = hi
+        time.sleep(1.05)
+
+    WIN_S = 86400
+    stream = read_events_stream(spark, drop_dir, max_files_per_trigger=1)
+    out = ohlc_stream(
+        stream, window="1 day", watermark="30 minutes",
+        keys=("event_type",),
+    )
+    q = (
+        out.writeStream.format("memory")
+        .queryName("ohlc_stream_test")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    emitted = {
+        (str(r["bucket_start"]), r["event_type"]): (
+            r["open"], r["high"], r["low"], r["close"], r["n"], r["volume"]
+        )
+        for r in spark.sql("SELECT * FROM ohlc_stream_test").collect()
+    }
+    # batch twin over closed windows only
+    replay = spark.read.parquet(drop_dir)
+    max_ms = replay.agg(
+        F.max(F.unix_millis(F.col("ts").cast("timestamp")))
+    ).first()[0]
+    wm_ms = max_ms - 30 * 60 * 1000
+    batch = ohlc_bars(replay, "1 day", "value", keys=["event_type"])
+    want = {
+        (str(r["bucket_start"]), r["event_type"]): (
+            r["open"], r["high"], r["low"], r["close"], r["n"], r["volume"]
+        )
+        for r in batch.where(
+            (F.unix_millis("bucket_start") + WIN_S * 1000) <= F.lit(wm_ms)
+        ).collect()
+    }
+    ok = emitted == want and len(want) > 0
+    record_stream_parity("ohlc_bars", len(want), ok)
+    assert ok, (
+        f"stream {len(emitted)} vs batch {len(want)};"
+        f" diff={set(emitted) ^ set(want)}"
+    )

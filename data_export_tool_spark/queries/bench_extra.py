@@ -1694,6 +1694,21 @@ def b103_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ohlc_bars(ev, "1 hour", "value", keys=["event_type"])
 
 
+def b104_bloom_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-accelerated exact semi join: lineitem facts pre-filtered
+    by the bloom of a ~14%-selective part-key dim before the residual
+    semi join."""
+    from data_export_tool_spark.operators.bloomjoin import bloom_semi_join
+
+    li = Catalog(spark, sf_dir).load("lineitem").select(
+        "l_orderkey", "l_partkey", "l_quantity", "l_extendedprice"
+    )
+    keys = Catalog(spark, sf_dir).load("part").select(
+        F.col("p_partkey").alias("l_partkey")
+    ).where(F.col("l_partkey") % 7 == 0)
+    return bloom_semi_join(li, keys, "l_partkey")
+
+
 QUERIES = [
     QuerySpec("b01_funnel_conversion", b01_funnel_conversion, None),
     QuerySpec("b02_retention_weekly", b02_retention_weekly, None),
@@ -1798,4 +1813,5 @@ QUERIES = [
     QuerySpec("b101_jaro_winkler", b101_jaro_winkler, None),
     QuerySpec("b102_personalized_pagerank", b102_personalized_pagerank, None),
     QuerySpec("b103_ohlc_bars", b103_ohlc_bars, None),
+    QuerySpec("b104_bloom_semi_join", b104_bloom_semi_join, None),
 ]

@@ -1681,3 +1681,66 @@ def ohlc_stream(
             "open", "high", "low", "close", "n", "volume",
         )
     )
+
+
+def decayed_counters_stream(
+    events: DataFrame,
+    half_life: str = "1 day",
+    keys: Sequence[str] = ("user_id",),
+    window: str = "1 day",
+    watermark: str = "2 hours",
+    value_col: str | None = None,
+) -> DataFrame:
+    """Streaming decayed engagement counters — twin #25, the streaming
+    face of X162 ``pit.decayed_counters`` with the window END as each
+    bar's as-of instant: per (keys, closed tumbling window) the
+    2^(−age/half_life)-weighted count (and sum), where age is measured
+    to the window's end.
+
+    The weight is a PRE-AGGREGATE projection (each row's window end
+    derives from its own timestamp by floor arithmetic — no join, no
+    state beyond the running weighted sums), so this is ONE stateful
+    windowed aggregation with two floats of state per open (key,
+    window) cell; a bot user's million rows fold map-side, exactly the
+    batch operator's no-skew-cliff argument."""
+    from data_export_tool_spark.operators.pit import decayed_counters as _dc  # noqa: F401 (doc anchor)
+
+    cols = list(keys)
+    win_s = _interval_seconds(window)
+    hl_s = _interval_seconds(half_life)
+    ts_s = F.unix_millis(F.col("ts").cast("timestamp")) / 1000.0
+    win_end = (F.floor(ts_s / win_s) + 1) * win_s
+    age = win_end - ts_s
+    w = F.pow(F.lit(2.0), -age / F.lit(float(hl_s)))
+    base = events.where(F.col("ts").isNotNull()).withColumn("__w", w)
+    if value_col is not None:
+        base = base.withColumn(
+            "__wv", F.col("__w") * F.col(value_col).cast("double")
+        )
+    aggs = [
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum("__w"), 6).alias("cnt_decayed"),
+    ]
+    if value_col is not None:
+        aggs.append(F.round(F.sum("__wv"), 6).alias("sum_decayed"))
+    return (
+        base.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("win"), *cols)
+        .agg(*aggs)
+        .select(F.col("win.start").alias("window_start"), *cols, *[
+            c for c in ["n_events", "cnt_decayed"]
+            + (["sum_decayed"] if value_col is not None else [])
+        ])
+    )
+
+
+def _interval_seconds(interval: str) -> float:
+    qty, unit = interval.split()
+    mult = {
+        "second": 1, "seconds": 1, "minute": 60, "minutes": 60,
+        "hour": 3600, "hours": 3600, "day": 86400, "days": 86400,
+        "week": 604800, "weeks": 604800,
+    }.get(unit)
+    if mult is None:
+        raise ValueError(f"unsupported interval unit: {interval!r}")
+    return float(qty) * mult

@@ -1708,3 +1708,89 @@ def test_ohlc_stream_matches_batch(spark, sf_dir, tmp_path):
         f"stream {len(emitted)} vs batch {len(want)};"
         f" diff={set(emitted) ^ set(want)}"
     )
+
+
+def test_decayed_counters_stream_matches_batch(spark, sf_dir, tmp_path):
+    """Twin #25: streamed per-window decayed counters must EXACTLY
+    equal the DuckDB replay of the window-end-as-of weights over
+    closed windows."""
+    import time
+
+    import duckdb
+
+    from data_export_tool_spark.streaming.events import decayed_counters_stream
+
+    ev = Catalog(spark, sf_dir).load("events").where(
+        F.col("ts").isNotNull() & F.col("user_id").isNotNull()
+    )
+    bounds = ev.select(F.unix_millis("ts").alias("ms")).approxQuantile(
+        "ms", [0.5], 0.0
+    )
+    drop_dir = str(tmp_path / "decay_drops")
+    lo = None
+    for hi in [*bounds, None]:
+        sel = ev
+        if lo is not None:
+            sel = sel.where(F.unix_millis("ts") >= lo)
+        if hi is not None:
+            sel = sel.where(F.unix_millis("ts") < hi)
+        sel.repartition(1).write.mode("append").parquet(drop_dir)
+        lo = hi
+        time.sleep(1.05)
+
+    WIN_S, HL_S = 86400, 21600  # 1-day bars, 6-hour half-life
+    stream = read_events_stream(spark, drop_dir, max_files_per_trigger=1)
+    out = decayed_counters_stream(
+        stream.where(F.col("user_id").isNotNull()),
+        half_life="6 hours", keys=("user_id",), window="1 day",
+        watermark="30 minutes", value_col="value",
+    )
+    q = (
+        out.writeStream.format("memory")
+        .queryName("decay_stream_test")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    emitted = {
+        (str(r["window_start"]), r["user_id"]): (
+            r["n_events"], r["cnt_decayed"], r["sum_decayed"]
+        )
+        for r in spark.sql("SELECT * FROM decay_stream_test").collect()
+    }
+    max_ms = spark.read.parquet(drop_dir).agg(
+        F.max(F.unix_millis(F.col("ts").cast("timestamp")))
+    ).first()[0]
+    wm_ms = max_ms - 30 * 60 * 1000
+    want_rows = duckdb.sql(f"""
+      WITH base AS (
+        SELECT user_id, CAST(value AS DOUBLE) AS v,
+               epoch(CAST(ts AS TIMESTAMP)) AS tsec,
+               floor(epoch(CAST(ts AS TIMESTAMP)) / {WIN_S}) * {WIN_S} AS wsec
+        FROM read_parquet('{drop_dir}/*.parquet')
+        WHERE ts IS NOT NULL AND user_id IS NOT NULL
+      )
+      SELECT strftime(to_timestamp(CAST(wsec AS BIGINT)), '%Y-%m-%d %H:%M:%S'),
+             user_id, count(*),
+             round(sum(pow(2.0, -((wsec + {WIN_S}) - tsec) / {HL_S})), 6),
+             round(sum(v * pow(2.0, -((wsec + {WIN_S}) - tsec) / {HL_S})), 6)
+      FROM base
+      WHERE (wsec + {WIN_S}) * 1000 <= {wm_ms}
+      GROUP BY 1, 2
+    """).fetchall()
+    want = {
+        (w, int(u)): (int(n), float(c), float(sv))
+        for w, u, n, c, sv in want_rows
+    }
+    ok = set(emitted) == set(want) and all(
+        emitted[k][0] == want[k][0]
+        and abs(emitted[k][1] - want[k][1]) < 1e-4
+        and abs(emitted[k][2] - want[k][2]) < 1e-3
+        for k in want
+    ) and len(want) > 0
+    record_stream_parity("decayed_counters", len(want), ok)
+    assert ok, (
+        f"stream {len(emitted)} vs batch {len(want)};"
+        f" keys diff={list(set(emitted) ^ set(want))[:4]}"
+    )

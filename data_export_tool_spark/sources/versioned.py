@@ -31,7 +31,7 @@ import json
 
 from pyspark.sql import DataFrame, SparkSession
 
-__all__ = ["write_version", "list_versions", "read_version"]
+__all__ = ["write_version", "list_versions", "read_version", "expire_versions"]
 
 _MANIFEST = "_versions.json"
 
@@ -137,3 +137,58 @@ def read_version(
     else:
         pick = entries[-1]["version"]
     return spark.read.parquet(f"{base}/v={pick:06d}")
+
+
+def expire_versions(
+    spark: SparkSession,
+    base: str,
+    keep_last: int = 1,
+    older_than: _dt.datetime | str | None = None,
+    dry_run: bool = False,
+) -> list[dict]:
+    """Retention/vacuum for the snapshot store: expire versions that
+    are BOTH outside the newest ``keep_last`` AND (when given) older
+    than ``older_than`` — the standard lake retention conjunction, so
+    a keep_last floor always survives an aggressive age policy and
+    time travel within the retained window keeps working.
+
+    Returns the expired manifest entries (each with an added
+    ``expired_dir`` field). ``dry_run=True`` reports without touching
+    anything — run it first; deletion is not undoable. Real runs
+    rewrite the manifest FIRST, then delete directories (a crash
+    between the two leaves orphan directories — harmless garbage a
+    re-run removes — never a manifest pointing at deleted data).
+    The latest version is never expirable (``keep_last`` ≥ 1).
+
+    Scale: pure manifest/filesystem metadata work — no data is read;
+    deletes are per-version directory removals.
+    """
+    if keep_last < 1:
+        raise ValueError(f"keep_last must be >= 1: {keep_last}")
+    entries = list_versions(spark, base)
+    if not entries:
+        return []
+    if isinstance(older_than, _dt.datetime):
+        older_than = older_than.isoformat()
+    protected = {e["version"] for e in entries[-keep_last:]}
+    expired = [
+        e
+        for e in entries
+        if e["version"] not in protected
+        and (older_than is None or e["committed_at"] < older_than)
+    ]
+    if not expired or dry_run:
+        return [
+            {**e, "expired_dir": f"{base}/v={e['version']:06d}"}
+            for e in expired
+        ]
+    survivors = [e for e in entries if e["version"] not in
+                 {x["version"] for x in expired}]
+    _write_manifest(spark, base, survivors)
+    jvm, fs = _fs(spark, base)
+    out = []
+    for e in expired:
+        vdir = f"{base}/v={e['version']:06d}"
+        fs.delete(jvm.org.apache.hadoop.fs.Path(vdir), True)
+        out.append({**e, "expired_dir": vdir})
+    return out

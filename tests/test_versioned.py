@@ -83,3 +83,61 @@ def test_versioned_store_diff_chain(spark, tmp_path):
     got = {r["id"]: r["val"] for r in rebuilt.collect()}
     want = {r["id"]: r["val"] for r in read_version(spark, base).collect()}
     assert got == want
+
+
+def test_expire_versions_retention(spark, tmp_path):
+    """Retention conjunction (outside keep_last AND older than),
+    dry-run untouched state, manifest-first deletion, time travel
+    within the retained window, and validation."""
+    import datetime as dt
+
+    import pytest
+    from pyspark.sql import functions as F
+
+    from data_export_tool_spark.sources.versioned import (
+        expire_versions,
+        list_versions,
+        read_version,
+        write_version,
+    )
+
+    base = str(tmp_path / "store")
+    for i in range(5):
+        df = spark.range(10).select(
+            F.col("id"), F.lit(i).alias("ver_tag")
+        )
+        write_version(df, base, dt.datetime(2024, 1, 1 + i))
+    # dry run: reports v1..v2 (keep_last=2 protects v4,v5; older_than
+    # protects v3) and changes nothing
+    rep = expire_versions(
+        spark, base, keep_last=2, older_than=dt.datetime(2024, 1, 3),
+        dry_run=True,
+    )
+    assert [e["version"] for e in rep] == [1, 2]
+    assert len(list_versions(spark, base)) == 5
+    # real run: v1..v2 gone, the rest readable, time travel works
+    gone = expire_versions(
+        spark, base, keep_last=2, older_than=dt.datetime(2024, 1, 3)
+    )
+    assert [e["version"] for e in gone] == [1, 2]
+    left = [e["version"] for e in list_versions(spark, base)]
+    assert left == [3, 4, 5]
+    assert read_version(spark, base, version=3).agg(
+        F.max("ver_tag")
+    ).first()[0] == 2
+    assert read_version(spark, base).agg(F.max("ver_tag")).first()[0] == 4
+    with pytest.raises(ValueError):
+        read_version(spark, base, version=1)
+    # keep_last floor: latest never expires even with a future cutoff
+    gone2 = expire_versions(
+        spark, base, keep_last=1, older_than=dt.datetime(2030, 1, 1)
+    )
+    assert [e["version"] for e in gone2] == [3, 4]
+    assert [e["version"] for e in list_versions(spark, base)] == [5]
+    with pytest.raises(ValueError):
+        expire_versions(spark, base, keep_last=0)
+    from tests.conftest import record_opcheck
+
+    record_opcheck(
+        "expire_versions", 8, True, oracle="filesystem-state"
+    )

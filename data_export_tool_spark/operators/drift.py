@@ -257,3 +257,100 @@ def distribution_drift(
         ]
     )
     return spark.createDataFrame(rows, schema)
+
+
+def ks_exact(
+    old: DataFrame,
+    new: DataFrame,
+    col: str,
+    num_ranges: int = 64,
+) -> DataFrame:
+    """EXACT two-sample Kolmogorov–Smirnov statistic — the unbinned
+    upgrade of :func:`distribution_drift`'s binned KS (whose error is
+    bounded by bucket mass; this one has none): D = sup over values of
+    |ECDF_old − ECDF_new|, with the asymptotic two-sided p-value
+    (Kolmogorov distribution, the scipy.ks_2samp 'asymp' convention).
+
+    Scale — the value-grain two-phase cumsum (the rank_transform
+    machinery pointed at two ECDFs at once): each side collapses to
+    (value, count) map-side (ties and hot values become one row), the
+    union is ONE groupBy with two conditional sums, per-range
+    cumulative counts run with range parallelism off approx-quantile
+    cuts (any cuts are exact — the ECDF step positions don't move),
+    range totals prefix-sum in a ≤num_ranges metadata window, and the
+    sup is one global max aggregate. NULLs are excluded (no position
+    on the line). Output: one row ``(n_old, n_new, ks, p_value)``.
+    """
+    from pyspark.sql import Window
+
+    def side(df, tag):
+        return (
+            df.where(F.col(col).isNotNull())
+            .select(F.col(col).cast("double").alias("__v"))
+            .groupBy("__v")
+            .agg(F.count(F.lit(1)).alias(f"__c_{tag}"))
+        )
+
+    vc = side(old, "o").join(side(new, "n"), "__v", "full").select(
+        "__v",
+        F.coalesce("__c_o", F.lit(0)).alias("co"),
+        F.coalesce("__c_n", F.lit(0)).alias("cn"),
+    )
+    probs = [i / num_ranges for i in range(1, num_ranges)]
+    bounds = sorted(set(vc.stat.approxQuantile("__v", probs, 0.01)))
+    if bounds:
+        cuts = F.array(*[F.lit(float(b)) for b in bounds])
+        rng = F.size(F.filter(cuts, lambda b: F.col("__v") > b))
+    else:
+        rng = F.lit(0)
+    marked = vc.withColumn("__rng", rng)
+    w_in = (
+        Window.partitionBy("__rng")
+        .orderBy("__v")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    within = marked.withColumn("__cum_o", F.sum("co").over(w_in)).withColumn(
+        "__cum_n", F.sum("cn").over(w_in)
+    )
+    counts = marked.groupBy("__rng").agg(
+        F.sum("co").alias("__ro"), F.sum("cn").alias("__rn")
+    )
+    w_off = Window.orderBy("__rng").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = counts.select(
+        "__rng",
+        F.coalesce(F.sum("__ro").over(w_off), F.lit(0).cast("long")).alias("__oo"),
+        F.coalesce(F.sum("__rn").over(w_off), F.lit(0).cast("long")).alias("__on"),
+    )
+    joined = within.join(F.broadcast(offsets), "__rng")
+    totals = vc.agg(
+        F.sum("co").alias("no"), F.sum("cn").alias("nn")
+    ).collect()[0]
+    n_o, n_n = int(totals["no"] or 0), int(totals["nn"] or 0)
+    if n_o == 0 or n_n == 0:
+        raise ValueError(f"ks_exact needs non-empty sides: {n_o}, {n_n}")
+    d_row = joined.select(
+        F.abs(
+            (F.col("__oo") + F.col("__cum_o")) / F.lit(float(n_o))
+            - (F.col("__on") + F.col("__cum_n")) / F.lit(float(n_n))
+        ).alias("__d")
+    ).agg(F.max("__d").alias("ks")).collect()[0]
+    d = float(d_row["ks"])
+    # asymptotic two-sided p: Kolmogorov survival function
+    import math
+
+    lam = d * math.sqrt(n_o * n_n / (n_o + n_n))
+    if lam < 1e-3:
+        # the alternating series degenerates numerically as λ → 0;
+        # the Kolmogorov survival function is 1 there
+        p = 1.0
+    else:
+        p = 2.0 * sum(
+            (-1) ** (k - 1) * math.exp(-2.0 * (k * lam) ** 2)
+            for k in range(1, 101)
+        )
+        p = min(max(p, 0.0), 1.0)
+    spark = old.sparkSession
+    return spark.createDataFrame(
+        [(n_o, n_n, round(d, 9), round(p, 9))],
+        "n_old long, n_new long, ks double, p_value double",
+    )

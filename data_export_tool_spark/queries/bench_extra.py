@@ -1709,6 +1709,19 @@ def b104_bloom_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bloom_semi_join(li, keys, "l_partkey")
 
 
+def b105_ks_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact two-sample KS between old/new price snapshots (value-grain
+    two-phase ECDF sup)."""
+    from data_export_tool_spark.operators.drift import ks_exact
+
+    li = Catalog(spark, sf_dir).load("lineitem")
+    old = li.select(F.col("l_extendedprice").cast("double").alias("x"))
+    new = li.select(
+        (F.col("l_extendedprice") * 1.05 + 10).cast("double").alias("x")
+    )
+    return ks_exact(old, new, "x")
+
+
 QUERIES = [
     QuerySpec("b01_funnel_conversion", b01_funnel_conversion, None),
     QuerySpec("b02_retention_weekly", b02_retention_weekly, None),
@@ -1814,4 +1827,5 @@ QUERIES = [
     QuerySpec("b102_personalized_pagerank", b102_personalized_pagerank, None),
     QuerySpec("b103_ohlc_bars", b103_ohlc_bars, None),
     QuerySpec("b104_bloom_semi_join", b104_bloom_semi_join, None),
+    QuerySpec("b105_ks_exact", b105_ks_exact, None),
 ]

@@ -179,3 +179,44 @@ def test_fitted_path_sane(spark, snapshots):
     rows = distribution_drift(spark, old, new, ["x"], ["c"], n_bins=8, top_k=2)
     got = {r["column"]: r for r in rows.collect()}
     assert got["x"]["psi"] > 0 and got["c"]["psi"] > 0
+
+
+def test_ks_exact_matches_python_replay(spark, sf_dir):
+    """Exact two-sample KS vs a full python ECDF replay on real data
+    (shifted prices), the identical-distribution null, and the
+    non-empty contract."""
+    import math
+
+    import pytest
+    from pyspark.sql import functions as F
+
+    from data_export_tool_spark.operators.drift import ks_exact
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    old = li.select(F.col("l_extendedprice").cast("double").alias("x"))
+    new = li.select((F.col("l_extendedprice") * 1.07 + 50).cast("double").alias("x"))
+    got = ks_exact(old, new, "x").collect()[0]
+
+    xo = sorted(r["x"] for r in old.collect())
+    xn = sorted(r["x"] for r in new.collect())
+
+    def ecdf(xs, v):
+        import bisect
+
+        return bisect.bisect_right(xs, v) / len(xs)
+
+    values = sorted(set(xo) | set(xn))
+    d = max(abs(ecdf(xo, v) - ecdf(xn, v)) for v in values)
+    assert got["n_old"] == len(xo) and got["n_new"] == len(xn)
+    assert got["ks"] == pytest.approx(d, abs=1e-9)
+    lam = d * math.sqrt(len(xo) * len(xn) / (len(xo) + len(xn)))
+    p = min(max(2 * sum(
+        (-1) ** (k - 1) * math.exp(-2 * (k * lam) ** 2) for k in range(1, 101)
+    ), 0.0), 1.0)
+    assert got["p_value"] == pytest.approx(p, abs=1e-9)
+    record_opcheck("ks_exact", len(values), True, oracle="python-reference")
+    # identical distributions: D = 0, p = 1
+    same = ks_exact(old, old, "x").collect()[0]
+    assert same["ks"] == 0.0 and same["p_value"] == 1.0
+    with pytest.raises(ValueError):
+        ks_exact(old.limit(0), new, "x")

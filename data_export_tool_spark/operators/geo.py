@@ -133,17 +133,34 @@ def geo_radius_join(
         F.lit(n_lng_cells // 2 + 1),
     ).cast("int")
 
-    probes = lsel.select(
+    # generate each left row's probe cells as ONE array and
+    # array_distinct it BEFORE exploding: a wide span can hit the same
+    # (latc, lngc) twice after the modulo wrap on small n_lng_cells,
+    # and deduping the probe multiplicity here (rather than a full-row
+    # .distinct() on the output) leaves genuinely duplicate input rows
+    # intact — two identical left rows in radius emit two pairs
+    # (ADVICE r7)
+    cells = F.array_distinct(
+        F.flatten(
+            F.transform(
+                F.sequence(F.lit(-1), F.lit(1)),
+                lambda dlat: F.transform(
+                    F.sequence(-span, span),
+                    lambda dlng: F.struct(
+                        (lat_cell(llat) + dlat).alias("latc"),
+                        F.pmod(
+                            lng_cell(llng) + dlng, F.lit(n_lng_cells)
+                        ).alias("lngc"),
+                    ),
+                ),
+            )
+        )
+    )
+    probes = lsel.select("*", F.explode(cells).alias("__cell")).select(
         "*",
-        F.explode(F.sequence(F.lit(-1), F.lit(1))).alias("__dlat"),
-    ).select(
-        "*",
-        F.explode(F.sequence(-span, span)).alias("__dlng"),
-    ).select(
-        "*",
-        (lat_cell(llat) + F.col("__dlat")).alias("__latc"),
-        F.pmod(lng_cell(llng) + F.col("__dlng"), F.lit(n_lng_cells)).alias("__lngc"),
-    ).drop("__dlat", "__dlng")
+        F.col("__cell.latc").alias("__latc"),
+        F.col("__cell.lngc").alias("__lngc"),
+    ).drop("__cell")
 
     anchors = rsel.select(
         "*",
@@ -152,10 +169,8 @@ def geo_radius_join(
     )
     joined = probes.join(anchors, ["__latc", "__lngc"]).drop("__latc", "__lngc")
     dist = haversine_km(llat, llng, rlat, rlng)
-    return (
-        joined.withColumn("distance_km", F.round(dist, 6))
-        .where(F.col("distance_km") <= radius_km)
-        # a wide span can probe the same (latc, lngc) twice after the
-        # modulo wrap on small n_lng_cells — dedup at the pair grain
-        .distinct()
+    # no output-side distinct: probe-cell dedup above already removed
+    # the only duplication source, so input-row multiplicity survives
+    return joined.withColumn("distance_km", F.round(dist, 6)).where(
+        F.col("distance_km") <= radius_km
     )

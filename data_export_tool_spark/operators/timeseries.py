@@ -382,7 +382,7 @@ def mann_kendall_trend(
     value_col: str,
     key_col: str,
     bucket_col: str = "bucket_start",
-    max_group_rows: int = 10_000,
+    max_group_rows: int = 30_000,
 ) -> DataFrame:
     """Per-key Mann-Kendall monotonic-trend test (Mann 1945 / Kendall)
     over a ``resample`` grid — "is this metric drifting?" without
@@ -399,10 +399,11 @@ def mann_kendall_trend(
     is CHUNKED (ADVICE r6): S and the tie counts accumulate per
     O(B·n) block, and only the Sen slope values (n(n−1)/2 doubles —
     the exact median needs them all) are materialized, never a dense
-    n×n matrix; at the 10k default bound that is ~400 MB of slopes,
-    the REAL executor-memory constraint the guard now tracks (the old
-    100k default allowed ~80 GB dense matrices that OOM'd long before
-    the time guard fired). NULL values excluded per key (MK needs no
+    n×n matrix; the ``max_group_rows`` guard is sized to THAT slope
+    storage (30k default ≈ 3.6 GiB of slopes — comfortable executor
+    headroom, and keys in the 10k–100k bucket range that the chunked
+    rewrite handles fine no longer hard-fail; the error says exactly
+    which knob to raise and what it costs). NULL values excluded per key (MK needs no
     dense grid; gaps
     just drop pairs). Keys with < 3 usable buckets are excluded (no
     test). Output: (key, n, s, var_s, z, p_value, sen_slope,
@@ -422,10 +423,14 @@ def mann_kendall_trend(
 
         key = pdf["__g"].iloc[0] if len(pdf) else None
         if len(pdf) > max_group_rows:
+            n_ = len(pdf)
             raise ValueError(
-                f"key {key!r} has {len(pdf)} buckets >"
-                f" max_group_rows={max_group_rows} (pairwise slope storage"
-                f" is O(n²) doubles)"
+                f"key {key!r} has {n_} buckets >"
+                f" max_group_rows={max_group_rows}: the bound tracks Sen"
+                f" slope storage only (~n²/2 doubles ≈"
+                f" {n_ * n_ * 4 / 2**30:.1f} GiB here; S and ties are"
+                f" chunked O(B·n)) — raise max_group_rows if the executor"
+                f" has that much headroom"
             )
         pdf = pdf.sort_values("__t")
         x = pdf["__x"].to_numpy(dtype="float64")

@@ -485,6 +485,26 @@ def categorical_association(
     )
 
 
+def first_significant_digit(col: Column) -> Column:
+    """First significant decimal digit of ``|col|`` as a string in
+    '1'..'9' — THE digit extraction shared by :func:`benford_audit`
+    and ``streaming.events.benford_stream`` so the batch op and its
+    twin can never diverge (ADVICE r7).
+
+    Extraction: first [1-9] character of the double's canonical string
+    rendering (Java's shortest-uniquely-round-tripping form, plain or
+    scientific — '123.45' → 1, '9.99E-5' → 9). NO decimal rounding
+    anywhere, which the old ``format_number(|x|, 10)`` form had:
+    9.99999999999 rendered as '10.0000000000' (counted as digit 1
+    instead of 9) and nonzero values < 5e-11 rounded to all zeros and
+    vanished from n. NULL / 0 / non-finite → NULL (callers filter)."""
+    v = F.abs(col.cast("double"))
+    return F.when(
+        v.isNotNull() & (v > 0) & ~F.isnan(v) & (v != float("inf")),
+        F.regexp_extract(v.cast("string"), "[1-9]", 0),
+    ).cast("string")
+
+
 def benford_audit(
     df: DataFrame, cols: Sequence[str] | str, min_rows: int = 100
 ) -> DataFrame:
@@ -514,11 +534,7 @@ def benford_audit(
     out_rows = []
     expected = {d: math.log10(1 + 1 / d) for d in range(1, 10)}
     for c in cs:
-        # first nonzero char of the absolute value's digits
-        digits = F.regexp_replace(
-            F.format_number(F.abs(F.col(c).cast("double")), 10), r"[.,]", ""
-        )
-        first = F.substring(F.regexp_replace(digits, r"^0+", ""), 1, 1)
+        first = first_significant_digit(F.col(c))
         cells = {
             int(r["d"]): r["n"]
             for r in df.where(

@@ -106,8 +106,49 @@ def mb_hvl_linelist(spark: SparkSession, sf_dir: str) -> DataFrame:
     return LL.tx_curr_hvl_linelist(frames, WINDOW_START, WINDOW_END, follow_up=wide)
 
 
+def mb_vl_eligible_new(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """m11 Tx_Curr_VLEligibleNew_LineList at scale — the 568-line
+    report (13 CTEs / 19 joins / 20-branch CASE ladders,
+    ``/root/reference/sql_queries/Tx_Curr_VLEligibleNew_LineList.sql``)
+    — VERDICT r7 missing-#1: its plan had no wall-time guard beyond
+    the 200-patient driver fixture."""
+    from data_export_tool_spark.mamba import linelists as LL
+    from data_export_tool_spark.mamba.fixtures import WINDOW_END, WINDOW_START
+
+    frames, wide = _scaled_warehouse(spark, sf_dir)
+    return LL.tx_curr_vl_eligible_new_linelist(
+        frames, WINDOW_START, WINDOW_END, follow_up=wide
+    )
+
+
+def mb_outcome(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """m02 Tx_Curr_OutComeList at scale — the agg-of-agg / 1-row
+    cross-join shape (``Tx_Curr_OutComeList.sql:100-259``): a plan
+    regression here would turn the justified BNLJ into a real
+    cartesian."""
+    from data_export_tool_spark.mamba import linelists as LL
+    from data_export_tool_spark.mamba.fixtures import WINDOW_END, WINDOW_START
+
+    frames, wide = _scaled_warehouse(spark, sf_dir)
+    return LL.tx_curr_outcome(frames, WINDOW_START, WINDOW_END, follow_up=wide)
+
+
+def mb_pmtct_hei(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """m07 PMTCT_HEI_LineList at scale — the 18-MAX immunization
+    pivot (``PMTCT_HEI_LineList.sql:64-85``); builds from the raw
+    shard frames (no wide-view dependency)."""
+    from data_export_tool_spark.mamba import linelists as LL
+    from data_export_tool_spark.mamba.fixtures import WINDOW_END, WINDOW_START
+
+    frames, _ = _scaled_warehouse(spark, sf_dir)
+    return LL.pmtct_hei_linelist(frames, WINDOW_START, WINDOW_END)
+
+
 QUERIES = [
     QuerySpec("mb_wide_view", mb_wide_view, None),
     QuerySpec("mb_ahd_linelist", mb_ahd_linelist, None),
     QuerySpec("mb_hvl_linelist", mb_hvl_linelist, None),
+    QuerySpec("mb_vl_eligible_new", mb_vl_eligible_new, None),
+    QuerySpec("mb_outcome", mb_outcome, None),
+    QuerySpec("mb_pmtct_hei", mb_pmtct_hei, None),
 ]

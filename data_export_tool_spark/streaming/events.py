@@ -1585,6 +1585,68 @@ def view_click_join_stream(
     )
 
 
+def view_click_outer_stream(
+    events: DataFrame,
+    within: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Streaming view→click attribution, LEFT OUTER form — twin #26
+    (VERDICT r7 missing-#3): every qualifying (view, click) pair AND
+    one NULL-click row per view that attracted no click inside its
+    ``within`` window — the "impression with no click" accounting row
+    every attribution pipeline needs for CTR denominators.
+
+    Same two-sided watermarked interval join as
+    :func:`view_click_join_stream` (equality on user +
+    ``view_ts ∈ [click_ts − within, click_ts]``), with ``leftOuter``:
+    Spark holds each view in state until the GLOBAL watermark passes
+    ``view_ts + within`` (no future click can qualify), then emits the
+    unmatched row append-finally with NULL click_id/click_ts/lag_ms.
+    Views younger than that horizon at any point in the stream are
+    still undecided and correctly emit nothing yet — batch-twin
+    comparisons must restrict to the closed region
+    ``view_ts + within < final watermark``.
+    """
+    base = events.where(F.col("ts").isNotNull() & F.col("user_id").isNotNull())
+    views = (
+        base.where(F.col("event_type") == "view")
+        .select(
+            F.col("user_id").alias("v_user"),
+            F.col("event_id").alias("view_id"),
+            F.col("ts").alias("view_ts"),
+        )
+        .withWatermark("view_ts", watermark)
+    )
+    clicks = (
+        base.where(F.col("event_type") == "click")
+        .select(
+            F.col("user_id").alias("c_user"),
+            F.col("event_id").alias("click_id"),
+            F.col("ts").alias("click_ts"),
+        )
+        .withWatermark("click_ts", watermark)
+    )
+    joined = views.join(
+        clicks,
+        F.expr(
+            f"""
+            v_user = c_user AND
+            view_ts <= click_ts AND
+            view_ts >= click_ts - INTERVAL {within}
+            """
+        ),
+        "leftOuter",
+    )
+    return joined.select(
+        F.col("v_user").alias("user_id"),
+        "view_id",
+        "click_id",
+        "view_ts",
+        "click_ts",
+        (F.unix_millis("click_ts") - F.unix_millis("view_ts")).alias("lag_ms"),
+    )
+
+
 def benford_stream(
     events: DataFrame,
     value_col: str = "value",
@@ -1608,11 +1670,14 @@ def benford_stream(
     """
     import math
 
-    digits = F.regexp_replace(
-        F.format_number(F.abs(F.col(value_col).cast("double")), 10),
-        r"[.,]", "",
+    from data_export_tool_spark.operators.validate import (
+        first_significant_digit,
     )
-    first = F.substring(F.regexp_replace(digits, r"^0+", ""), 1, 1)
+
+    # SHARED digit extraction with the batch benford_audit (ADVICE r7:
+    # the old format_number(|x|, 10) form rounded 9.99999999999 up to
+    # digit 1 and dropped nonzero values < 5e-11)
+    first = first_significant_digit(F.col(value_col))
     base = (
         events.where(
             F.col("ts").isNotNull()

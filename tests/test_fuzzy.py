@@ -199,6 +199,95 @@ def test_jaro_winkler_literature_values():
     assert py_jaro_winkler("", "abc") == 0.0
 
 
+def test_np_jaro_winkler_matches_python():
+    """Vectorized scorer == python oracle, bit-for-bit after round(6),
+    on the literature pairs, edge shapes, and hypothesis-random pairs."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from data_export_tool_spark.operators.fuzzy import (
+        np_jaro_winkler_batch,
+        py_jaro_winkler,
+    )
+
+    fixed = [
+        ("MARTHA", "MARHTA"), ("DWAYNE", "DUANE"), ("DIXON", "DICKSONX"),
+        ("abc", "abc"), ("abc", "xyz"), ("", "abc"), ("abc", ""), ("", ""),
+        ("a", "a"), ("a", "b"), ("ab", "ba"), ("martha stewart", "marhta stewart"),
+        ("x\x00y", "x\x00y"), ("x\x00y", "xzy"),  # NUL stays distinct from pad
+    ]
+    got = np_jaro_winkler_batch([a for a, _ in fixed], [b for _, b in fixed])
+    for (a, b), g in zip(fixed, got):
+        assert round(g, 6) == round(py_jaro_winkler(a, b), 6), (a, b)
+
+    alpha = st.text(alphabet="abcdefg -.'é", min_size=0, max_size=20)
+
+    @settings(max_examples=200, deadline=None)
+    @given(st.lists(st.tuples(alpha, alpha), min_size=1, max_size=30))
+    def check(pairs):
+        out = np_jaro_winkler_batch(
+            [a for a, _ in pairs], [b for _, b in pairs]
+        )
+        for (a, b), g in zip(pairs, out):
+            assert round(g, 6) == round(py_jaro_winkler(a, b), 6), (a, b)
+
+    check()
+
+
+def test_jw_upper_bound_is_sound(spark):
+    """The JVM prefilter bound dominates the true JW on every pair —
+    the recall-neutrality law of the b101 prefilter (hypothesis-driven
+    corpus evaluated through the actual Spark expression)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from data_export_tool_spark.operators.fuzzy import (
+        jw_upper_bound,
+        py_jaro_winkler,
+    )
+
+    alpha = st.text(alphabet="abcde0123 -", min_size=0, max_size=14)
+    pairs: list[tuple[str, str]] = []
+
+    @settings(max_examples=120, deadline=None)
+    @given(alpha, alpha)
+    def collect(a, b):
+        pairs.append((a, b))
+
+    collect()
+    pairs += [
+        ("MARTHA", "MARHTA"), ("en-doc-0042", "en-doc-0123"),
+        ("en-doc-0042", "en-doc-1111"), ("abc", "abc"), ("", ""),
+    ]
+    from data_export_tool_spark.operators.fuzzy import (
+        char_bag_tags,
+        jw_prefilter,
+    )
+
+    df = spark.createDataFrame(pairs, "a string, b string")
+    rows = df.select(
+        "a",
+        "b",
+        jw_upper_bound(F.col("a"), F.col("b")).alias("ub"),
+        jw_prefilter(
+            F.col("a"), F.col("b"),
+            char_bag_tags(F.col("a")), char_bag_tags(F.col("b")),
+            0.9,
+        ).alias("keep"),
+    ).collect()
+    assert len(rows) == len(pairs)
+    for r in rows:
+        true = py_jaro_winkler(r["a"], r["b"])
+        assert r["ub"] >= true - 1e-9, (r["a"], r["b"], r["ub"], true)
+        # the boolean join-condition form admits every >=0.9 pair
+        # (nonempty keys only — the operator filters empties upstream)
+        if true >= 0.9 and r["a"] and r["b"]:
+            assert r["keep"], (r["a"], r["b"], true)
+    # and it is a USEFUL bound: digit-disjoint doc keys fall under 0.92
+    lut = {(r["a"], r["b"]): r["ub"] for r in rows}
+    assert lut[("en-doc-0042", "en-doc-1111")] < 0.92
+
+
 def test_jaro_winkler_dedup_pairs_matches_replay(spark):
     """Distributed pairs vs a python replay restricted to the SAME
     blocking (prefix + neighbor band) — exact score equality — plus

@@ -117,3 +117,31 @@ def test_radius_join_contracts(spark):
     )
     plan = geo_radius_join(big, big, 50.0)._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+
+
+def test_radius_join_preserves_duplicate_input_rows(spark):
+    """Two IDENTICAL left rows each pair with an in-radius right row —
+    probe-cell dedup must not collapse input multiplicity (ADVICE r7:
+    the old full-row .distinct() silently changed pair cardinality).
+    The wrap duplication it replaced is exercised by a wide radius on
+    a coarse longitude ring (few cells → modulo wrap collisions):
+    pairs stay unique per (left row instance, right row)."""
+    left = spark.createDataFrame(
+        [("dup", 10.0, 20.0), ("dup", 10.0, 20.0), ("other", 10.1, 20.1)],
+        "name string, lat double, lng double",
+    )
+    right = spark.createDataFrame(
+        [("r1", 10.05, 20.05)], "name string, lat double, lng double"
+    )
+    out = geo_radius_join(left, right, 25.0).collect()
+    names = sorted(r["name_l"] for r in out)
+    assert names == ["dup", "dup", "other"]
+    # wide-radius polar case: wrap-around probes must not double pairs
+    pole_l = spark.createDataFrame(
+        [("p", 84.0, 0.0), ("p", 84.0, 0.0)], "name string, lat double, lng double"
+    )
+    pole_r = spark.createDataFrame(
+        [("q", 84.0, 179.0)], "name string, lat double, lng double"
+    )
+    polar = geo_radius_join(pole_l, pole_r, 2500.0).collect()
+    assert len(polar) == 2 and {r["name_l"] for r in polar} == {"p"}

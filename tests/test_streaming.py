@@ -1546,6 +1546,137 @@ def test_view_click_join_stream_matches_batch(spark, sf_dir, tmp_path):
     )
 
 
+def test_view_click_outer_stream_matches_batch(spark, sf_dir, tmp_path):
+    """Twin #26 (stream-stream LEFT OUTER interval join, VERDICT r7
+    missing-#3): matched pairs must equal the batch theta join
+    EXACTLY; unmatched views must emit exactly one NULL-click row
+    each — complete on the closed region (view_ts + within < final
+    watermark: no future click can qualify) and NEVER spurious (a
+    stream null row for a view the batch join matched would be a
+    correctness bug, closed region or not)."""
+    import time
+
+    import duckdb
+
+    from data_export_tool_spark.streaming.events import view_click_outer_stream
+
+    ev = Catalog(spark, sf_dir).load("events").where(
+        F.col("ts").isNotNull() & F.col("user_id").isNotNull()
+    )
+    bounds = ev.select(F.unix_millis("ts").alias("ms")).approxQuantile(
+        "ms", [0.5], 0.0
+    )
+    drop_dir = str(tmp_path / "vco_drops")
+    lo = None
+    for hi in [*bounds, None]:
+        sel = ev
+        if lo is not None:
+            sel = sel.where(F.unix_millis("ts") >= lo)
+        if hi is not None:
+            sel = sel.where(F.unix_millis("ts") < hi)
+        sel.repartition(1).write.mode("append").parquet(drop_dir)
+        lo = hi
+        time.sleep(1.05)
+
+    stream = read_events_stream(spark, drop_dir, max_files_per_trigger=1)
+    out = view_click_outer_stream(stream, within="1 hour", watermark="2 hours")
+    q = (
+        out.writeStream.format("memory")
+        .queryName("vco_join_test")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    rows = spark.sql("SELECT * FROM vco_join_test").collect()
+    emitted_pairs = {
+        (r["view_id"], r["click_id"]): r["lag_ms"]
+        for r in rows
+        if r["click_id"] is not None
+    }
+    emitted_nulls = {r["view_id"] for r in rows if r["click_id"] is None}
+
+    con = duckdb.connect()
+    want_pairs = {
+        (int(v), int(c)): int(lag)
+        for v, c, lag in con.sql(
+            f"""
+        WITH base AS (
+          SELECT event_id, user_id, event_type, CAST(ts AS TIMESTAMP) AS ts
+          FROM read_parquet('{drop_dir}/*.parquet')
+          WHERE ts IS NOT NULL AND user_id IS NOT NULL
+        )
+        SELECT v.event_id, c.event_id,
+               epoch_ms(c.ts) - epoch_ms(v.ts)
+        FROM base v JOIN base c
+          ON v.user_id = c.user_id
+         AND v.event_type = 'view' AND c.event_type = 'click'
+         AND v.ts <= c.ts
+         AND v.ts >= c.ts - INTERVAL 1 HOUR
+        """
+        ).fetchall()
+    }
+    # batch truth: views with NO qualifying click, split by the final
+    # global watermark = min(max view_ts, max click_ts) - 2h; a view's
+    # outer row is due once view_ts + within < that watermark
+    unmatched_all = {
+        int(v)
+        for (v,) in con.sql(
+            f"""
+        WITH base AS (
+          SELECT event_id, user_id, event_type, CAST(ts AS TIMESTAMP) AS ts
+          FROM read_parquet('{drop_dir}/*.parquet')
+          WHERE ts IS NOT NULL AND user_id IS NOT NULL
+        )
+        SELECT v.event_id FROM base v
+        WHERE v.event_type = 'view' AND NOT EXISTS (
+          SELECT 1 FROM base c
+          WHERE c.event_type = 'click' AND c.user_id = v.user_id
+            AND v.ts <= c.ts AND v.ts >= c.ts - INTERVAL 1 HOUR)
+        """
+        ).fetchall()
+    }
+    unmatched_closed = {
+        int(v)
+        for (v,) in con.sql(
+            f"""
+        WITH base AS (
+          SELECT event_id, user_id, event_type, CAST(ts AS TIMESTAMP) AS ts
+          FROM read_parquet('{drop_dir}/*.parquet')
+          WHERE ts IS NOT NULL AND user_id IS NOT NULL
+        ), wm AS (
+          SELECT least(
+            (SELECT max(ts) FROM base WHERE event_type = 'view'),
+            (SELECT max(ts) FROM base WHERE event_type = 'click')
+          ) - INTERVAL 2 HOUR AS w
+        )
+        SELECT v.event_id FROM base v, wm
+        WHERE v.event_type = 'view'
+          AND v.ts + INTERVAL 1 HOUR < wm.w
+          AND NOT EXISTS (
+          SELECT 1 FROM base c
+          WHERE c.event_type = 'click' AND c.user_id = v.user_id
+            AND v.ts <= c.ts AND v.ts >= c.ts - INTERVAL 1 HOUR)
+        """
+        ).fetchall()
+    }
+    ok = (
+        emitted_pairs == want_pairs
+        and len(want_pairs) > 0
+        and emitted_nulls <= unmatched_all          # never spurious
+        and unmatched_closed <= emitted_nulls       # complete when closed
+        and len(unmatched_closed) > 0               # the law actually bites
+    )
+    record_stream_parity("view_click_outer", len(want_pairs), ok)
+    assert ok, (
+        f"pairs: stream {len(emitted_pairs)} vs batch {len(want_pairs)}; "
+        f"nulls: stream {len(emitted_nulls)}, closed-region due "
+        f"{len(unmatched_closed)}, all-unmatched {len(unmatched_all)}; "
+        f"spurious={list(emitted_nulls - unmatched_all)[:5]} "
+        f"missing={list(unmatched_closed - emitted_nulls)[:5]}"
+    )
+
+
 def test_benford_stream_matches_batch(spark, sf_dir, tmp_path):
     """Twin #23: the streamed per-window Benford statistics must
     EXACTLY equal a python replay of the batch formula over closed

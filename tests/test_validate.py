@@ -406,8 +406,10 @@ def test_benford_audit_matches_python_replay(spark, sf_dir):
     vals = [r["price"] for r in li.collect() if r["price"] and abs(r["price"]) > 0]
     firsts = {}
     for v in vals:
-        s = f"{abs(v):.10f}".replace(".", "").lstrip("0")
-        d = int(s[0])
+        # exact extraction: first significant digit of the shortest
+        # round-trip repr — NO decimal rounding (the old :.10f replay
+        # shared the operator's format_number rounding bug)
+        d = int(next(c for c in repr(abs(v)) if c in "123456789"))
         firsts[d] = firsts.get(d, 0) + 1
     n = sum(firsts.values())
     chi2 = mad = 0.0
@@ -430,6 +432,26 @@ def test_benford_audit_matches_python_replay(spark, sf_dir):
     tiny = spark.createDataFrame([(1.0,), (2.0,), (0.0,), (None,)], "x double")
     t = benford_audit(tiny, "x").collect()[0]
     assert t["n"] == 2 and t["conforms"] is None
+    # ADVICE r7 edge values: just-below-a-power-of-ten must count as 9
+    # (format_number rounded it to '10.000…' → digit 1), and nonzero
+    # values < 5e-11 must still be counted, not rounded to all zeros
+    from data_export_tool_spark.operators.validate import (
+        first_significant_digit,
+    )
+
+    edges = spark.createDataFrame(
+        [(9.99999999999,), (9.999999999999998e22,), (4.9e-12,), (1e-300,),
+         (0.042,), (-735.2,), (0.0,), (None,), (float("nan",),)],
+        "x double",
+    )
+    got = [
+        r["d"]
+        for r in edges.select(first_significant_digit(F.col("x")).alias("d"))
+        .collect()
+    ]
+    assert got[:6] == ["9", "9", "4", "1", "4", "7"] and got[6:] == [
+        None, None, None,
+    ]
     import pytest as _pt
 
     with _pt.raises(ValueError):

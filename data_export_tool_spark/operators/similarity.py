@@ -212,22 +212,39 @@ def lsh_topk(
     seed: int = 42,
 ) -> DataFrame:
     """ANN top-k: SRP-LSH banded candidate generation, then exact cosine
-    rank within candidates. Recall < 1 by construction; the scale path
-    when the query set itself is large (both sides bucket on band key →
-    an equi-join instead of a cross join).
+    rank within candidates. Recall < 1 by construction; both sides
+    bucket on band key → an equi-join instead of a cross join.
 
-    Defaults (VERDICT r6 #4): 32 planes × 4-bit bands = 8 bands —
-    measured recall@10 ≈ 0.72 on the NEAR-RANDOM driver embeddings
-    (true neighbors at cosine 0.3–0.5, the hostile case; the old
-    16×8 = 2-band default measured 0.44). The dial: recall rises with
-    the band COUNT (n_planes/band_bits), candidate volume falls with
-    band WIDTH — random-pair collision odds per band are ~2^-band_bits.
-    On real embedding corpora (neighbors at cosine ≥ 0.8) WIDER bands
-    (band_bits 8–16) keep candidates sparse at high recall; tune to
-    the corpus's neighbor-similarity profile. When recall must be ≳
-    0.9 on weak-signal data, prefer ``ivf_topk`` or the PQ tier's
-    ``pq_topk_rerank`` (measured 0.96) and treat this operator as
-    candidate generation."""
+    **The default 32 planes × 4-bit bands is an explicitly WEAK-SIGNAL
+    preset for request-sized query batches — large-query-set callers
+    MUST widen bands (ADVICE r7).** The math: a random pair collides
+    in ≥ 1 of the b = n_planes/band_bits bands with probability
+    ~1 − (1 − 2^−band_bits)^b — at 32×4 that is 1 − (15/16)^8 ≈ 40%,
+    so when BOTH sides are large the candidate join degenerates toward
+    0.4·|corpus|·|queries| pairs, near-quadratic. With a request-sized
+    query batch (the serving shape) candidates stay
+    ~0.4·|corpus|·|batch| — linear in the corpus, which is what this
+    preset is for.
+
+    Measured recall@10 on the NEAR-RANDOM driver embeddings (true
+    neighbors at cosine 0.3–0.5, the hostile case; identical band
+    count ≠ identical recall — width costs recall superlinearly on
+    weak signal):
+
+    ====== ===== ======= ======== ==================
+    planes bits  bands   recall   random collision
+    ====== ===== ======= ======== ==================
+    32     4     8       0.60     ~40%  (this preset)
+    64     8     8       0.08     ~3%   (scale preset)
+    64     4     16      0.84     ~64%  (never at scale)
+    ====== ===== ======= ======== ==================
+
+    On real embedding corpora (neighbors at cosine ≥ 0.8) wider bands
+    keep BOTH high recall and ~3% collision — use 64×8 there; the
+    weak-signal/high-recall/large-queries corner has no LSH answer:
+    use ``ivf_topk`` (cell-pruned, no pairwise collision hazard) or
+    PQ's ``pq_topk_rerank`` (measured 0.96) and treat this operator
+    as candidate generation."""
     def with_bands(df: DataFrame, idc: str, vc: str, out_vec: str) -> DataFrame:
         out_norm = out_vec + "n"
         base = df.select(

@@ -360,6 +360,7 @@ def update_components(
     out_node: str = "node",
     out_comp: str = "component_id",
     max_iter: int = 25,
+    broadcast_delta: bool = True,
 ) -> DataFrame:
     """Incrementally fold a batch of NEW edges into an existing
     ``connected_components`` mapping — the cluster-maintenance step an
@@ -381,20 +382,31 @@ def update_components(
     reach, not the store — a 10-edge delta against a 10¹⁰-row store
     recomputes ten clusters. New nodes never seen before appear only
     in ``new_edges`` and come out with their edge-reachable
-    component."""
+    component.
+
+    ``broadcast_delta`` (default True) pins the store-side no-shuffle
+    property: the three store probes (touched lookup, affected-member
+    semi-join, untouched anti-join) broadcast their DELTA-DERIVED side
+    — without the hint the static planner sort-merge-joins and
+    hash-exchanges the whole store three times, the exact cost this
+    operator exists to avoid (plan contract in
+    ``tests/test_plan_contracts.py``). Set False only when one delta
+    batch plausibly reaches more cluster members than an executor
+    holds — at which point a full CC rerun is the honest plan."""
     comp = components.select(
         F.col(out_node).alias("n"), F.col(out_comp).alias("c")
     )
+    hint = F.broadcast if broadcast_delta else (lambda df: df)
     ne = new_edges.select(
         F.col(src).alias("u"), F.col(dst).alias("v")
     ).where(F.col("u").isNotNull() & F.col("v").isNotNull())
-    touched = (
+    touched = hint(
         ne.select(F.col("u").alias("n"))
         .union(ne.select(F.col("v").alias("n")))
         .distinct()
     )
     # components reached by the delta (new-only nodes have none)
-    hit_comps = (
+    hit_comps = hint(
         comp.join(touched, "n").select("c").distinct()
     )
     affected = comp.join(
@@ -414,9 +426,9 @@ def update_components(
     # an old component id that is itself only a label (not a member
     # node) can surface from the star edges as a "node"; keep only
     # real members — nodes of the affected mapping or the new edges
-    members = affected.select("n").union(
-        touched.select("n")
-    ).distinct()
+    members = hint(
+        affected.select("n").union(touched.select("n")).distinct()
+    )
     sub_cc = sub_cc.join(
         members.withColumnRenamed("n", out_node), out_node, "left_semi"
     )

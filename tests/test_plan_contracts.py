@@ -671,3 +671,38 @@ def test_unigram_scores_two_scans_one_score_join(spark, sf_dir):
     )
     assert plan.count("Scan parquet") <= 3, plan  # vocab + words + id spine
     assert "Window" not in plan, plan
+
+
+def test_update_components_store_never_shuffled_for_delta(spark):
+    """Incremental-CC maintenance claim (VERDICT r7 #8): folding a
+    tiny edge delta into a LARGE persisted component mapping must
+    never hash-exchange the store for the delta joins — the touched /
+    semi / anti probes broadcast the delta-derived side and STREAM the
+    store in place, so the only shuffles operate on the affected
+    subgraph (delta-sized star edges inside the pointer-jumping CC).
+    The store is sized ABOVE the broadcast threshold so the contract
+    cannot pass by broadcasting the store itself; the final adaptive
+    plan is read after the action (AQE decides broadcast at runtime)."""
+    from data_export_tool_spark.operators.graph import update_components
+
+    store = spark.range(2_000_000).select(
+        F.col("id").alias("node"),
+        (F.col("id") - F.col("id") % 4).alias("component_id"),
+    )
+    delta = spark.createDataFrame(
+        [(0, 5), (8, 9), (3_000_001, 3_000_002)], "id_a long, id_b long"
+    )
+    out = update_components(store, delta)
+    assert out.count() == 2_000_000 + 2
+    plan = out._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    )
+    counts = op_counts(plan)
+    # the store's joins broadcast the delta side: a SortMergeJoin or
+    # ShuffledHashJoin anywhere means a store-sized exchange happened
+    assert counts.get("SortMergeJoin", 0) == 0, counts
+    assert counts.get("ShuffledHashJoin", 0) == 0, counts
+    assert counts.get("CartesianProduct", 0) == 0, counts
+    assert counts.get("BroadcastHashJoin", 0) >= 3, counts

@@ -555,20 +555,41 @@ def jaro_winkler_dedup_pairs(
     # build side broadcasts, so without this the whole candidate
     # pipeline (join condition + scorer) inherits the INPUT partition
     # count — a single small parquet file would run it on one core
-    try:
-        n_parts = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
-    except Exception:
-        n_parts = 32
-    a = a.repartition(max(1, n_parts))
+    a = a.repartition(_parallelism(df))
     cand = a.join(b, on=["__blk", "__band"]).where(
         F.col("id_a") < F.col("id_b")
     )
-    # JVM-side prefilter: a provable JW upper bound (char-bag match
-    # bound + exact prefix) as pure codegen column algebra — most
-    # sub-threshold candidates never reach the Arrow scorer. Recall
-    # neutral: equivalent (with admit-only slack) to
-    # jw_upper_bound >= threshold, which dominates the true JW
-    # (hypothesis-pinned vs py_jaro_winkler).
+    return _jw_score_candidates(cand, threshold)
+
+
+def _parallelism(df: DataFrame) -> int:
+    try:
+        return max(
+            1, int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+        )
+    except Exception:
+        return 32
+
+
+def _jw_score_candidates(cand: DataFrame, threshold: float) -> DataFrame:
+    """Shared scoring tail of the JW blockers: JVM prefilter → Arrow
+    numpy scorer → distinct → threshold. ``cand`` carries
+    ``(id_a, id_b, __ta, __tb, __sa, __sb)``.
+
+    The prefilter is a provable JW upper bound (char-bag match bound +
+    exact prefix) as pure codegen column algebra — most sub-threshold
+    candidates never reach the Arrow scorer. Recall neutral:
+    equivalent (with admit-only slack) to jw_upper_bound >= threshold,
+    which dominates the true JW (hypothesis-pinned vs
+    py_jaro_winkler). The distinct runs BEFORE the threshold filter:
+    filtering on the UDF column directly makes Catalyst evaluate the
+    Arrow scorer twice (once for the Filter, once for the output
+    Project); filtering above the dedup aggregate keeps exactly one
+    ArrowEvalPython in the plan, and the filter commutes with
+    distinct."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
     cand = cand.where(
         jw_prefilter(
             F.col("__ta"), F.col("__tb"), F.col("__sa"), F.col("__sb"),
@@ -582,14 +603,73 @@ def jaro_winkler_dedup_pairs(
     _score.__annotations__ = {"ta": pd.Series, "tb": pd.Series,
                               "return": pd.Series}
     score = pandas_udf(_score, "double")
-    # distinct BEFORE the threshold filter: filtering on the UDF column
-    # directly makes Catalyst evaluate the Arrow scorer twice (once for
-    # the Filter, once for the output Project); filtering above the
-    # dedup aggregate keeps exactly one ArrowEvalPython in the plan,
-    # and the filter commutes with distinct
     return (
         cand.withColumn("jw", F.round(score(F.col("__ta"), F.col("__tb")), 6))
         .select("id_a", "id_b", "jw")
         .distinct()
         .where(F.col("jw") >= threshold)
     )
+
+
+def phonetic_dedup_pairs(
+    df: DataFrame,
+    threshold: float = 0.9,
+    id_col: str = "doc_id",
+    text_col: str = "name",
+    max_block: int = 10_000,
+) -> DataFrame:
+    """Jaro-Winkler pairs under PHONETIC (Soundex) blocking — the
+    recall complement of :func:`jaro_winkler_dedup_pairs`'s prefix
+    blocking for name-grade keys: candidates share the Soundex codes
+    of their first two lowercased tokens, so spelling variants that
+    DIVERGE after the first letter but sound alike ("jonathan" /
+    "jhonathan" → both J535; prefix-2 blocking splits them at
+    'jo'/'jh') land in one block. Misses BY CONSTRUCTION: pairs whose
+    first letter differs (Soundex keeps it — "catherine"/"kathryn"
+    stay apart; union with the prefix blocker if that matters) or
+    whose second-token codes differ. Same flood guard, same JVM
+    upper-bound prefilter, same Arrow numpy scorer, same output
+    contract ``(id_a, id_b, jw)`` as the prefix blocker.
+
+    Blocking runs on Spark's builtin ``soundex`` (commons-codec
+    US-English rules, JVM codegen); non-alphabetic tokens pass
+    through as their own literal block keys — deterministic, and a
+    numeric token blocks exactly."""
+    if not 0 < threshold <= 1:
+        raise ValueError(f"threshold must be in (0, 1]: {threshold}")
+    base = df.select(
+        F.col(id_col).alias("__id"),
+        F.lower(F.trim(F.col(text_col))).alias("__t"),
+    ).where(F.col("__t").isNotNull() & (F.length("__t") > 0))
+    toks = F.split(F.col("__t"), r"\s+")
+    blocked = base.select(
+        "__id",
+        "__t",
+        char_bag_tags(F.col("__t")).alias("__s"),
+        F.concat_ws(
+            "|",
+            F.soundex(F.coalesce(F.try_element_at(toks, F.lit(1)), F.lit(""))),
+            F.soundex(F.coalesce(F.try_element_at(toks, F.lit(2)), F.lit(""))),
+        ).alias("__blk"),
+    )
+    sizes = blocked.groupBy("__blk").agg(
+        F.count(F.lit(1)).alias("__n")
+    ).where(F.col("__n") > max_block)
+    bad = sizes.limit(1).collect()
+    if bad:
+        r = bad[0]
+        raise ValueError(
+            f"phonetic block {r['__blk']!r} has {r['__n']} rows"
+            f" > max_block={max_block}: key quality too low for Soundex"
+            f" blocking — normalize keys or raise max_block explicitly"
+        )
+    a = blocked.select(
+        F.col("__id").alias("id_a"), F.col("__t").alias("__ta"),
+        F.col("__s").alias("__sa"), "__blk",
+    ).repartition(_parallelism(df))
+    b = blocked.select(
+        F.col("__id").alias("id_b"), F.col("__t").alias("__tb"),
+        F.col("__s").alias("__sb"), "__blk",
+    )
+    cand = a.join(b, on="__blk").where(F.col("id_a") < F.col("id_b"))
+    return _jw_score_candidates(cand, threshold)

@@ -1685,9 +1685,16 @@ def b101_jaro_winkler(spark: SparkSession, sf_dir: str) -> DataFrame:
     keys (prefix + neighbor-band blocking, Arrow-batched scorer)."""
     from data_export_tool_spark.operators.fuzzy import jaro_winkler_dedup_pairs
 
+    # max_block raised above the default guard: the fixture's name
+    # keyspace is FIXED (997 mods per lang), so per-(prefix, band)
+    # blocks grow linearly with sf and candidate pairs quadratically —
+    # at sf1 the 'en' block holds ~20k rows and the default 10k cap
+    # correctly refuses. The raised cap makes the quadratic measurable
+    # (the sf1 scale note names it); real name data grows its keyspace
+    # with volume and keeps the default.
     return jaro_winkler_dedup_pairs(
         _entity_keys(spark, sf_dir), threshold=0.92,
-        id_col="doc_id", text_col="name",
+        id_col="doc_id", text_col="name", max_block=50_000,
     )
 
 
@@ -1738,6 +1745,76 @@ def b105_ks_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("l_extendedprice") * 1.05 + 10).cast("double").alias("x")
     )
     return ks_exact(old, new, "x")
+
+
+#: deterministic person-name pools with REAL phonetic-variant
+#: structure: each inner group is one sound-alike spelling family
+#: (same Soundex, JW typically 0.85-0.97), so the blocker has true
+#: work — near-match scoring inside blocks, not all-identical pairs.
+#: (The part table is useless here: 20k parts share 64 distinct
+#: p_names, so every blocked pair scores jw = 1.0.)
+_FIRST_POOL = [
+    "jonathan", "jhonathan", "jonathon", "jonatan",
+    "catherine", "catharine", "catherin", "cathrine",
+    "stephen", "stephan", "steven", "stefen",
+    "margaret", "margret", "margarett", "margarete",
+    "muhammad", "muhamad", "mohammad", "muhammed",
+    "alexander", "alexandar", "alexsander", "aleksander",
+]
+_LAST_POOL = [
+    "smith", "smyth", "smithe", "smitt",
+    "johnson", "jonson", "johnsson", "johnsen",
+    "schneider", "schnieder", "shneider", "schneidar",
+    "rodriguez", "rodrigues", "rodriquez", "rodrigez",
+    "macdonald", "mcdonald", "macdonnald", "mcdonnald",
+    "whitaker", "whittaker", "whitacker", "whitakker",
+]
+
+
+def _person_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """doc_id → deterministic 'first last' name drawn from the
+    phonetic-variant pools (coprime strides so the full 24×24 grid is
+    covered)."""
+    docs = Catalog(spark, sf_dir).load("documents")
+    first = F.array(*[F.lit(x) for x in _FIRST_POOL])
+    last = F.array(*[F.lit(x) for x in _LAST_POOL])
+    return docs.select(
+        "doc_id",
+        F.concat(
+            F.element_at(first, (F.col("doc_id") % 24 + 1).cast("int")),
+            F.lit(" "),
+            F.element_at(last, ((F.col("doc_id") * 7) % 24 + 1).cast("int")),
+        ).alias("name"),
+    )
+
+
+def b106_phonetic_jw_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Soundex-blocked Jaro-Winkler pairs over the deterministic
+    person-name fixture (sound-alike spelling families — the phonetic
+    complement of b101's prefix blocking)."""
+    from data_export_tool_spark.operators.fuzzy import phonetic_dedup_pairs
+
+    return phonetic_dedup_pairs(
+        _person_keys(spark, sf_dir), threshold=0.93,
+        id_col="doc_id", text_col="name", max_block=50_000,
+    )
+
+
+def b107_resolve_threads(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Thread reconstruction over per-user event chains (each event's
+    parent = the user's previous event): path-doubling root/depth
+    resolution + the per-thread rollup."""
+    from pyspark.sql import Window
+
+    from data_export_tool_spark.operators.threads import thread_stats
+
+    ev = Catalog(spark, sf_dir).load("events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    msgs = ev.select(
+        F.col("event_id").alias("msg_id"),
+        F.lag("event_id").over(w).alias("parent_id"),
+    )
+    return thread_stats(msgs)
 
 
 QUERIES = [
@@ -1846,4 +1923,6 @@ QUERIES = [
     QuerySpec("b103_ohlc_bars", b103_ohlc_bars, None),
     QuerySpec("b104_bloom_semi_join", b104_bloom_semi_join, None),
     QuerySpec("b105_ks_exact", b105_ks_exact, None),
+    QuerySpec("b106_phonetic_jw_pairs", b106_phonetic_jw_pairs, None),
+    QuerySpec("b107_resolve_threads", b107_resolve_threads, None),
 ]

@@ -185,6 +185,88 @@ def test_fuzzy_max_variant_group_guard(spark):
     assert capped == {(100, 101)}
 
 
+def test_phonetic_dedup_pairs_matches_replay(spark):
+    """Soundex-blocked JW pairs vs a python replay restricted to the
+    SAME blocking (Soundex codes queried from Spark's own builtin —
+    the blocking construction under test — scoring from the
+    py_jaro_winkler oracle), plus the complement law: a
+    first-letter-stable misspelling that prefix-2 blocking misses is
+    CAUGHT here."""
+    import pytest
+
+    from data_export_tool_spark.operators.fuzzy import (
+        jaro_winkler_dedup_pairs,
+        phonetic_dedup_pairs,
+        py_jaro_winkler,
+    )
+
+    names = [
+        (1, "jonathan smith"), (2, "jhonathan smith"),  # jo/jh: prefix miss
+        (3, "jonathon smith"),
+        (4, "martha stewart"), (5, "marhta stewart"),
+        (6, "catherine jones"), (7, "kathryn jones"),   # C/K: soundex miss
+        (8, "acme corp"), (9, "acme corp."),
+        (10, None), (11, ""), (12, "zed"),
+    ]
+    df = spark.createDataFrame(names, "doc_id long, name string")
+    got = {
+        (r["id_a"], r["id_b"]): r["jw"]
+        for r in phonetic_dedup_pairs(df, threshold=0.9, id_col="doc_id").collect()
+    }
+    # replay with identical blocking: soundex codes of the first two
+    # tokens, queried once from the SAME builtin the operator uses
+    keyed = [(i, n.lower().strip()) for i, n in names if n]
+    toks = sorted({t for _, n in keyed for t in (n.split() + [""])[:2]} | {""})
+    codes = dict(
+        zip(
+            toks,
+            [
+                r["s"]
+                for r in spark.createDataFrame([(t,) for t in toks], "t string")
+                .select(F.soundex("t").alias("s"))
+                .collect()
+            ],
+        )
+    )
+
+    def blk(n):
+        parts = n.split()
+        return (
+            codes[parts[0] if parts else ""],
+            codes[parts[1] if len(parts) > 1 else ""],
+        )
+
+    want = {}
+    for i, (ia, ta) in enumerate(keyed):
+        for ib, tb in keyed[i + 1:]:
+            if blk(ta) != blk(tb):
+                continue
+            lo, hi = (ia, ib) if ia < ib else (ib, ia)
+            s = py_jaro_winkler(ta if lo == ia else tb, tb if lo == ia else ta)
+            if s >= 0.9:
+                want[(lo, hi)] = round(s, 6)
+    assert got == want and len(want) >= 3
+    # complement law: (1, 2) caught here, missed by prefix blocking;
+    # (6, 7) missed here by construction
+    assert (1, 2) in got
+    assert (6, 7) not in got
+    prefix_got = {
+        (r["id_a"], r["id_b"])
+        for r in jaro_winkler_dedup_pairs(df, threshold=0.9, id_col="doc_id").collect()
+    }
+    assert (1, 2) not in prefix_got
+    record_opcheck(
+        "phonetic_jw_pairs", len(want), True, oracle="python-reference"
+    )
+    with pytest.raises(ValueError, match="max_block"):
+        flood = spark.range(50).select(
+            F.col("id").alias("doc_id"), F.lit("robert").alias("name")
+        )
+        phonetic_dedup_pairs(flood, id_col="doc_id", max_block=10)
+    with pytest.raises(ValueError):
+        phonetic_dedup_pairs(df, threshold=0.0, id_col="doc_id")
+
+
 def test_jaro_winkler_literature_values():
     """py_jaro_winkler vs the published record-linkage examples."""
     import pytest

@@ -1,0 +1,114 @@
+"""One order-of-magnitude scale point (VERDICT r7 missing-#2).
+
+Runs the heavy bench subset once at sf1.0 — the mamba reference
+reports at 100 000 patients (their fixtures scale by sf natively) and
+the heaviest data-pipeline entries over the derived sf1 dataset
+(``tools/make_sf1.py``: 10 disjoint id-offset replicas of the driver's
+sf0.1 parquet) — and records per-entry medians under
+``BENCH_DETAIL.json["sf1"]`` together with the sf0.1 medians they are
+compared against and a scaling note for anything super-linear.
+
+Usage: ``python tools/make_sf1.py && python tools/bench_sf1.py``
+(~10-20 min; run on a quiet machine).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import statistics
+import sys
+import time
+
+HERE = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, HERE)
+
+SF1_DIR = os.environ.get("SPARK_GRAFT_SF1_DIR", "/tmp/sf1")
+RUNS = 3
+
+#: entry name -> module providing it
+HEAVY = [
+    "mb_wide_view",
+    "mb_ahd_linelist",
+    "mb_hvl_linelist",
+    "mb_vl_eligible_new",
+    "mb_outcome",
+    "mb_pmtct_hei",
+    "b101_jaro_winkler",
+    "b45_span_dedup",
+    "b81_update_components",
+    "d08_doc_dup_clusters",
+    "v03_embedding_ann_topk",
+]
+
+
+def main() -> None:
+    from pyspark.sql import SparkSession
+
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    spark = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .config("spark.sql.shuffle.partitions", str(cpus))
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_MEM", "48g"))
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    from data_export_tool_spark.queries import bench_extra, bench_mamba
+    from data_export_tool_spark.queries.vectors import QUERIES as VQ
+
+    builders = {s.name: s.builder for s in bench_extra.QUERIES}
+    builders.update({s.name: s.builder for s in bench_mamba.QUERIES})
+    builders.update({s.name: s.builder for s in VQ})
+
+    results: dict[str, dict] = {}
+    for name in HEAVY:
+        fn = builders[name]
+        try:
+            t0 = time.perf_counter()
+            n = fn(spark, SF1_DIR).count()  # warm (fixture gen / caches)
+            warm = time.perf_counter() - t0
+            ts = []
+            for _ in range(RUNS):
+                t0 = time.perf_counter()
+                fn(spark, SF1_DIR).count()
+                ts.append(time.perf_counter() - t0)
+            results[name] = {
+                "median_sec": round(statistics.median(ts), 3),
+                "runs": [round(t, 3) for t in ts],
+                "first_run_sec": round(warm, 3),
+                "rows": n,
+            }
+        except Exception as e:  # record, keep measuring the rest
+            results[name] = {"error": f"{type(e).__name__}: {e}"[:400]}
+        print(name, results[name], flush=True)
+
+    detail_path = os.path.join(HERE, "BENCH_DETAIL.json")
+    with open(detail_path) as fh:
+        detail = json.load(fh)
+    sf01 = detail.get("queries_full", {})
+    for name, r in results.items():
+        base = sf01.get(name)
+        if base:
+            r["sf0.1_sec"] = base
+            r["scale_x"] = round(r["median_sec"] / max(base, 1e-9), 1)
+    detail["sf1"] = {
+        "dataset": "tools/make_sf1.py (10 id-offset disjoint replicas of sf0.1; mamba fixtures natively at 100k patients)",
+        "cpus": cpus,
+        "entries": results,
+        "cold_costs": {
+            k: v for k, v in bench_extra.COLD_COSTS.items()
+        },
+        "loadavg_1m": round(os.getloadavg()[0], 2),
+    }
+    with open(detail_path, "w") as fh:
+        json.dump(detail, fh, indent=1, sort_keys=True)
+    print(json.dumps({k: v["median_sec"] for k, v in results.items()}))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -13,6 +13,7 @@ directory partitions (partition pruning for downstream readers);
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 from pyspark.sql.types import StructType
 
 READ_FORMATS = ("parquet", "csv", "json", "orc")
@@ -88,3 +89,82 @@ def convert_dataset(
     if partition_by:
         writer = writer.partitionBy(*partition_by)
     writer.options(**options).save(out_path)
+
+
+#: widening lattice for union_evolve: rank within each family; the
+#: smallest common supertype is the max rank, except integral+fractional
+#: mixes force DOUBLE (float cannot represent every long exactly, so
+#: long ∨ float = double, the exactness-preserving choice)
+_INTEGRAL_RANK = {"byte": 1, "short": 2, "integer": 3, "long": 4}
+_FRACTIONAL_RANK = {"float": 1, "double": 2}
+
+
+def _widen(name: str, a, b):
+    """Smallest common supertype of two Spark DataTypes under the
+    documented lattice; raises on incompatible drift (a silent cast —
+    e.g. int→string — would hide upstream corruption)."""
+    from pyspark.sql import types as T
+
+    if a == b:
+        return a
+    an, bn = a.typeName(), b.typeName()
+    ints, fracs = _INTEGRAL_RANK, _FRACTIONAL_RANK
+    if an in ints and bn in ints:
+        return a if ints[an] >= ints[bn] else b
+    if an in fracs and bn in fracs:
+        return a if fracs[an] >= fracs[bn] else b
+    numeric = set(ints) | set(fracs) | {"decimal"}
+    if an in numeric and bn in numeric:
+        # integral∨fractional and every decimal mix → double (decimal
+        # precision arithmetic across drifted days is not worth the
+        # silent-overflow risk; documented)
+        return T.DoubleType()
+    if {an, bn} == {"date", "timestamp"}:
+        return T.TimestampType()
+    raise ValueError(
+        f"union_evolve: column {name!r} drifted incompatibly:"
+        f" {a.simpleString()} vs {b.simpleString()} — widening only"
+        f" covers numeric, and date→timestamp; cast explicitly if the"
+        f" drift is intentional"
+    )
+
+
+def union_evolve(frames) -> DataFrame:
+    """Union DataFrames whose schemas DRIFTED (the daily-ingest lake
+    reality ``validate.schema_drift`` only reports): union-by-name
+    with
+
+    - column order = first-seen order across frames,
+    - missing columns NULL-filled per frame,
+    - types widened to the smallest common supertype (integrals up to
+      long; float→double; integral∨fractional and any decimal mix →
+      double; date∨timestamp → timestamp),
+    - anything else (string vs int, nested drift) raises with the
+      column name and both types — a silent cast would hide upstream
+      corruption.
+
+    Pure metadata + per-frame scan-side casts: no shuffle, no data
+    pass beyond the union itself; Catalyst pushes the casts into each
+    frame's scan projection."""
+    frames = list(frames)
+    if not frames:
+        raise ValueError("union_evolve: at least one frame required")
+    order: list[str] = []
+    target: dict[str, object] = {}
+    for df in frames:
+        for f in df.schema.fields:
+            if f.name not in target:
+                order.append(f.name)
+                target[f.name] = f.dataType
+            else:
+                target[f.name] = _widen(f.name, target[f.name], f.dataType)
+    out = None
+    for df in frames:
+        have = {f.name for f in df.schema.fields}
+        cols = [
+            (F.col(c) if c in have else F.lit(None)).cast(target[c]).alias(c)
+            for c in order
+        ]
+        part = df.select(*cols)
+        out = part if out is None else out.unionByName(part)
+    return out

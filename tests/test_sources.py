@@ -7,6 +7,7 @@ import os
 from pyspark.sql import functions as F
 
 from data_export_tool_spark.sources.readers import convert_dataset, read_dataset
+from tests.conftest import record_opcheck
 
 
 def test_roundtrip_parquet_csv_json(spark, sf_dir, tmp_path):
@@ -132,3 +133,57 @@ def test_convert_dataset_sort_with_coalesce(spark, tmp_path):
         # a sorted-run concatenation would span ~8000; a sorted merged
         # partition spans ~its share
         assert mx - mn < 4000, (mn, mx)
+
+
+def test_union_evolve_widens_and_nullfills(spark):
+    """Schema-evolution union vs a python replay: first-seen column
+    order, NULL-fill, the widening lattice (int→long, float→double,
+    long∨float→double, decimal mix→double, date∨timestamp→timestamp),
+    and the loud-error contract on incompatible drift."""
+    import datetime as dt
+    import decimal
+
+    import pytest
+
+    from data_export_tool_spark.sources.readers import union_evolve
+
+    d1 = spark.createDataFrame(
+        [(1, 1.5, dt.date(2024, 1, 2))], "a int, b float, d date"
+    )
+    d2 = spark.createDataFrame(
+        [(2**40, 2.5, dt.datetime(2024, 2, 3, 4, 5), "x")],
+        "a long, b double, d timestamp, extra string",
+    )
+    d3 = spark.createDataFrame(
+        [(decimal.Decimal("7.25"), 3)], "b decimal(10,2), a int"
+    )
+    out = union_evolve([d1, d2, d3])
+    # first-seen order; widened types
+    assert [f.name for f in out.schema.fields] == ["a", "b", "d", "extra"]
+    types = {f.name: f.dataType.simpleString() for f in out.schema.fields}
+    assert types == {
+        "a": "bigint", "b": "double", "d": "timestamp", "extra": "string"
+    }
+    rows = sorted(out.collect(), key=lambda r: r["a"])
+    want = [
+        (1, 1.5, dt.datetime(2024, 1, 2, 0, 0), None),
+        (3, 7.25, None, None),
+        (2**40, 2.5, dt.datetime(2024, 2, 3, 4, 5), "x"),
+    ]
+    assert [tuple(r) for r in rows] == want
+    record_opcheck("union_evolve", len(want), True, oracle="python-reference")
+
+    # long ∨ float must pick double (exactness), not float
+    f1 = spark.createDataFrame([(2**53 + 1,)], "x long")
+    f2 = spark.createDataFrame([(0.5,)], "x float")
+    assert dict(union_evolve([f1, f2]).dtypes)["x"] == "double"
+
+    # incompatible drift names the column and both types
+    s1 = spark.createDataFrame([("a",)], "x string")
+    s2 = spark.createDataFrame([(1,)], "x int")
+    with pytest.raises(ValueError, match="'x'.*string.*int|'x'.*int.*string"):
+        union_evolve([s1, s2])
+    with pytest.raises(ValueError):
+        union_evolve([])
+    # single frame: identity modulo nothing
+    assert union_evolve([d1]).collect() == d1.collect()

@@ -1800,6 +1800,17 @@ def b106_phonetic_jw_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def b108_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type robust outlier screen (median/MAD, exact) over
+    the full event stream — two key-grain aggregations + two joins."""
+    from data_export_tool_spark.operators.robust import mad_outliers
+
+    ev = Catalog(spark, sf_dir).load("events")
+    return mad_outliers(ev, "value", by=["event_type"], k=3.5).where(
+        F.col("is_outlier")
+    )
+
+
 def b107_resolve_threads(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Thread reconstruction over per-user event chains (each event's
     parent = the user's previous event): path-doubling root/depth
@@ -1925,4 +1936,5 @@ QUERIES = [
     QuerySpec("b105_ks_exact", b105_ks_exact, None),
     QuerySpec("b106_phonetic_jw_pairs", b106_phonetic_jw_pairs, None),
     QuerySpec("b107_resolve_threads", b107_resolve_threads, None),
+    QuerySpec("b108_mad_outliers", b108_mad_outliers, None),
 ]

@@ -242,3 +242,177 @@ def dp_release_counts(
     if clamp_nonnegative:
         released = F.greatest(released, F.lit(0).cast("long"))
     return counts.withColumn("n_released", released)
+
+
+def dp_release_quantiles(
+    df: DataFrame,
+    value_col: str,
+    probs: Sequence[float],
+    epsilon: float,
+    lo: float,
+    hi: float,
+    n_bins: int = 64,
+    group_cols: Sequence[str] | str = (),
+    user_col: str | None = None,
+    max_contributions: int = 1,
+    seed: int = 42,
+) -> DataFrame:
+    """ε-differentially-private quantile release via a NOISED HISTOGRAM
+    + CDF-inversion post-processing — the DP family's answer for
+    "median latency per region" when even the k-anonymous aggregate is
+    too disclosive.
+
+    Mechanism: values clamp into the PUBLIC range [``lo``, ``hi``]
+    (DP needs data-independent bounds — passing data-derived bounds
+    leaks; that is the caller's contract, stated loudly here), bucket
+    into ``n_bins`` equal-width bins, per-(group, bin) counts get
+    Laplace(Δ₁/ε) noise where the L1 sensitivity Δ₁ is ENFORCED
+    user-level contribution bounding (each user keeps at most
+    ``max_contributions`` rows per group — a deterministic
+    first-m-units cap over the user's per-bin counts, computed with a
+    window over ≤ n_bins pre-aggregated rows per (user, group), so no
+    skew cliff: a bot user's million rows collapse in the partial
+    aggregate first). Without ``user_col`` the row is the privacy unit
+    and Δ₁ = 1. Noised bins clamp at 0, then every requested quantile
+    reads the noisy CDF: smallest bin whose cumulative share ≥ p,
+    released value = that bin's midpoint (half-bin-width resolution;
+    post-processing, which DP permits — the histogram is the one
+    ε-budget spend regardless of how many quantiles are read).
+
+    Same REPRODUCIBILITY vs SECRECY contract as ``dp_release_counts``:
+    noise derives deterministically from ``seed`` + group + bin for
+    replayable oracles; production must use a secret, unpublished,
+    per-release seed.
+
+    Output: ``(*group_cols, p, value_released, n_released_total)`` —
+    one row per (group, requested quantile); groups whose noisy total
+    is ≤ 0 answer NULL (no signal survived the noise — the honest
+    answer, not bin 0's midpoint).
+    """
+    from data_export_tool_spark.functions.hashing import md5_long
+
+    groups = _cols(group_cols)
+    probs = [float(p) for p in probs]
+    if not probs or not all(0 < p <= 1 for p in probs):
+        raise ValueError(f"probs must be in (0, 1]: {probs}")
+    if not epsilon > 0:
+        raise ValueError(f"epsilon must be > 0: {epsilon}")
+    if not hi > lo:
+        raise ValueError(f"need hi > lo: {lo}, {hi}")
+    if n_bins < 2:
+        raise ValueError(f"n_bins must be >= 2: {n_bins}")
+    if max_contributions < 1:
+        raise ValueError(f"max_contributions must be >= 1: {max_contributions}")
+    x = F.col(value_col).cast("double")
+    w = (float(hi) - float(lo)) / n_bins
+    clamped = F.least(F.greatest(x, F.lit(float(lo))), F.lit(float(hi)))
+    bin_idx = F.least(
+        F.floor((clamped - F.lit(float(lo))) / F.lit(w)).cast("int"),
+        F.lit(n_bins - 1),
+    )
+    base = df.where(x.isNotNull()).select(
+        *groups, *( [F.col(user_col)] if user_col else [] ),
+        bin_idx.alias("__bin"),
+    )
+    if user_col is not None:
+        delta = float(max_contributions)
+        per = (
+            base.where(F.col(user_col).isNotNull())
+            .groupBy(user_col, *groups, "__bin")
+            .agg(F.count(F.lit(1)).alias("__c"))
+        )
+        # first-m-units cap per (user, group), deterministic bin order;
+        # the window sees <= n_bins pre-aggregated rows per key
+        from pyspark.sql import Window
+
+        win = (
+            Window.partitionBy(user_col, *groups)
+            .orderBy("__bin")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        cum = F.sum("__c").over(win)
+        kept = F.greatest(
+            F.least(
+                F.col("__c"),
+                F.lit(max_contributions) - (cum - F.col("__c")),
+            ),
+            F.lit(0),
+        )
+        cells = (
+            per.select(*groups, "__bin", kept.alias("__k"))
+            .groupBy(*groups, "__bin")
+            .agg(F.sum("__k").alias("n_true"))
+            # capping can zero a cell entirely; the release is SPARSE
+            # (only touched cells carry noise — the cms_build
+            # convention, and what the replay oracle builds), so a
+            # capped-to-zero cell must not linger and attract noise
+            .where(F.col("n_true") > 0)
+        )
+    else:
+        delta = 1.0
+        cells = base.groupBy(*groups, "__bin").agg(
+            F.count(F.lit(1)).alias("n_true")
+        )
+    key = F.concat_ws(
+        "␟",
+        F.lit(str(seed)),
+        *[F.col(g).cast("string") for g in groups],
+        F.col("__bin").cast("string"),
+    )
+    u = (md5_long(key, 9, 8) + F.lit(0.5)) / F.lit(float(1 << 32))
+    b = delta / float(epsilon)
+    centered = u - F.lit(0.5)
+    lap = -F.lit(b) * F.signum(centered) * F.log(1.0 - 2.0 * F.abs(centered))
+    noisy = cells.select(
+        *groups,
+        "__bin",
+        F.greatest(
+            F.round(F.col("n_true") + lap), F.lit(0.0)
+        ).alias("__n"),
+    )
+    # CDF inversion as bounded column algebra: fold the <= n_bins cells
+    # of each group into a sorted array (bin, n) and read every
+    # requested quantile from it — no second shuffle, no window
+    folded = noisy.groupBy(*groups).agg(
+        F.sort_array(
+            F.collect_list(F.struct(F.col("__bin"), F.col("__n")))
+        ).alias("__cells"),
+        F.sum("__n").alias("n_released_total"),
+    )
+    out_rows = []
+    tot = F.col("n_released_total")
+    for p in probs:
+        target = F.lit(p) * tot
+        # running cumulative over the sorted cells; first bin where
+        # cum >= target (aggregate carries (cum, answer))
+        acc0 = F.struct(
+            F.lit(0.0).alias("cum"), F.lit(None).cast("int").alias("bin")
+        )
+        picked = F.aggregate(
+            F.col("__cells"),
+            acc0,
+            lambda acc, c: F.struct(
+                (acc["cum"] + c["__n"]).alias("cum"),
+                F.when(
+                    acc["bin"].isNull()
+                    & (acc["cum"] + c["__n"] >= target),
+                    c["__bin"],
+                ).otherwise(acc["bin"]).alias("bin"),
+            ),
+        )["bin"]
+        val = F.when(
+            tot > 0,
+            F.lit(float(lo)) + (picked + F.lit(0.5)) * F.lit(w),
+        )
+        out_rows.append(
+            folded.select(
+                *groups,
+                F.lit(p).alias("p"),
+                F.round(val, 9).alias("value_released"),
+                tot.cast("long").alias("n_released_total"),
+            )
+        )
+    out = out_rows[0]
+    for extra in out_rows[1:]:
+        out = out.unionByName(extra)
+    return out

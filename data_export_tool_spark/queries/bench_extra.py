@@ -1811,6 +1811,19 @@ def b108_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def b109_dp_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ε-DP per-type value quantiles (noised bounded histogram + CDF
+    inversion) over the full event stream."""
+    from data_export_tool_spark.operators.privacy import dp_release_quantiles
+
+    ev = Catalog(spark, sf_dir).load("events")
+    return dp_release_quantiles(
+        ev, "value", [0.5, 0.9, 0.99], epsilon=1.0, lo=0.0, hi=500.0,
+        n_bins=128, group_cols="event_type", user_col="user_id",
+        max_contributions=4,
+    )
+
+
 def b107_resolve_threads(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Thread reconstruction over per-user event chains (each event's
     parent = the user's previous event): path-doubling root/depth
@@ -1937,4 +1950,5 @@ QUERIES = [
     QuerySpec("b106_phonetic_jw_pairs", b106_phonetic_jw_pairs, None),
     QuerySpec("b107_resolve_threads", b107_resolve_threads, None),
     QuerySpec("b108_mad_outliers", b108_mad_outliers, None),
+    QuerySpec("b109_dp_quantiles", b109_dp_quantiles, None),
 ]

@@ -249,3 +249,107 @@ def test_dp_release_contracts(spark):
     assert any(r["n_released"] < 0 for r in neg) or all(
         r["n_released"] >= 0 for r in neg
     )
+
+
+def test_dp_release_quantiles_matches_python_replay(spark, sf_dir):
+    """Exact replay of the WHOLE quantile mechanism: clamp → bin →
+    first-m-units user bounding → seeded Laplace per cell → clamp →
+    CDF inversion at bin midpoints; plus the epsilon dial (huge ε →
+    the noiseless histogram quantile) and the empty-signal NULL."""
+    import hashlib
+    import math
+
+    from pyspark.sql import functions as F
+
+    from data_export_tool_spark.operators.privacy import dp_release_quantiles
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    eps, cap, seed, lo, hi, nb = 1.0, 2, 11, 0.0, 100.0, 16
+    probs = [0.5, 0.9]
+    got = {
+        (r["event_type"], r["p"]): (r["value_released"], r["n_released_total"])
+        for r in dp_release_quantiles(
+            ev, "value", probs, epsilon=eps, lo=lo, hi=hi, n_bins=nb,
+            group_cols="event_type", user_col="user_id",
+            max_contributions=cap, seed=seed,
+        ).collect()
+    }
+    rows = ev.select("user_id", "event_type", "value").collect()
+    w = (hi - lo) / nb
+    per: dict = {}
+    for r in rows:
+        if r["user_id"] is None or r["value"] is None:
+            continue
+        v = min(max(float(r["value"]), lo), hi)
+        b = min(int((v - lo) // w), nb - 1)
+        per.setdefault((r["user_id"], r["event_type"]), {})
+        per[(r["user_id"], r["event_type"])][b] = (
+            per[(r["user_id"], r["event_type"])].get(b, 0) + 1
+        )
+    cells: dict = {}
+    for (u, g), bins in per.items():
+        left = cap
+        for b in sorted(bins):
+            k = min(bins[b], left)
+            left -= k
+            if k:
+                cells.setdefault(g, {})
+                cells[g][b] = cells[g].get(b, 0) + k
+            if left <= 0:
+                break
+    want = {}
+    for g, bins in cells.items():
+        noisy = {}
+        for b in range(nb):
+            if b not in bins and True:
+                # absent cells were never built -> no noise row
+                continue
+            hx = hashlib.md5(f"{seed}␟{g}␟{b}".encode()).hexdigest()
+            u01 = (int(hx[8:16], 16) + 0.5) / float(1 << 32)
+            lb = cap / eps
+            lap = -lb * math.copysign(1.0, u01 - 0.5) * math.log(
+                1 - 2 * abs(u01 - 0.5)
+            )
+            noisy[b] = max(0.0, round(bins[b] + lap))
+        tot = sum(noisy.values())
+        for p in probs:
+            if tot <= 0:
+                want[(g, p)] = (None, 0)
+                continue
+            cum = 0.0
+            pick = None
+            for b in sorted(noisy):
+                cum += noisy[b]
+                if pick is None and cum >= p * tot:
+                    pick = b
+            want[(g, p)] = (round(lo + (pick + 0.5) * w, 9), int(tot))
+    assert got == want and len(want) >= 4
+    record_opcheck(
+        "dp_release_quantiles", len(want), True, oracle="python-reference"
+    )
+    # epsilon dial: huge epsilon -> exact bounded-histogram quantiles
+    exact = {
+        (r["event_type"], r["p"]): r["value_released"]
+        for r in dp_release_quantiles(
+            ev, "value", [0.5], epsilon=1e9, lo=lo, hi=hi, n_bins=nb,
+            group_cols="event_type", user_col="user_id",
+            max_contributions=cap, seed=seed,
+        ).collect()
+    }
+    for g, bins in cells.items():
+        tot = sum(bins.values())
+        cum, pick = 0, None
+        for b in sorted(bins):
+            cum += bins[b]
+            if pick is None and cum >= 0.5 * tot:
+                pick = b
+        assert exact[(g, 0.5)] == round(lo + (pick + 0.5) * w, 9)
+
+    import pytest
+
+    with pytest.raises(ValueError):
+        dp_release_quantiles(ev, "value", [], 1.0, 0, 1)
+    with pytest.raises(ValueError):
+        dp_release_quantiles(ev, "value", [0.5], 1.0, 5, 5)
+    with pytest.raises(ValueError):
+        dp_release_quantiles(ev, "value", [1.5], 1.0, 0, 1)

@@ -1526,6 +1526,185 @@ def dp_release_stream(
     )
 
 
+def dp_quantile_release_stream(
+    events: DataFrame,
+    value_col: str = "value",
+    probs: Sequence[float] = (0.5, 0.9),
+    epsilon: float = 1.0,
+    lo: float = 0.0,
+    hi: float = 100.0,
+    n_bins: int = 16,
+    group_cols: Sequence[str] = ("event_type",),
+    max_contributions: int = 1,
+    window: str = "1 day",
+    watermark: str = "2 hours",
+    seed: int = 42,
+) -> DataFrame:
+    """Streaming ε-DP windowed QUANTILE release — twin #27, the
+    streaming face of X179 ``privacy.dp_release_quantiles``: per
+    closed tumbling window, noised bounded-histogram quantiles with
+    enforced user-level contribution bounding.
+
+    Chassis: THREE chained stateful windowed aggregations (the #20/#21
+    two-agg chain grown by one level, each grouping on the same event
+    window — Spark 4 append-mode stateful chaining):
+
+    1. (window, group, user, bin) partial counts — a bot user's
+       million rows collapse here;
+    2. (window, group, user) gathers the user's ≤ n_bins (bin, count)
+       cells; the FIRST-M-UNITS cap (bin order — exactly the batch
+       operator's law) is then a pure array fold + explode, bounded by
+       n_bins;
+    3. (window, group, bin) sums capped units → the released cells.
+
+    Noise + CDF inversion are PURE PROJECTIONS after the final
+    aggregate, composing with append finality (a window's histogram is
+    noised once, at close). The noise key is
+    ``seed␟window_start␟*group␟bin`` — byte-identical to the batch
+    operator called with ``group_cols = [window_start, *group]`` on a
+    pre-windowed frame, which is what the parity test replays.
+    Sparse-release, NULL-on-no-signal, and secrecy contracts are
+    X179's.
+    """
+    if not epsilon > 0:
+        raise ValueError(f"epsilon must be > 0: {epsilon}")
+    if max_contributions < 1:
+        raise ValueError(f"max_contributions must be >= 1: {max_contributions}")
+    if not hi > lo:
+        raise ValueError(f"need hi > lo: {lo}, {hi}")
+    probs = [float(p) for p in probs]
+    if not probs or not all(0 < p <= 1 for p in probs):
+        raise ValueError(f"probs must be in (0, 1]: {probs}")
+    from data_export_tool_spark.functions.hashing import md5_long
+
+    cols = list(group_cols)
+    x = F.col(value_col).cast("double")
+    w = (float(hi) - float(lo)) / n_bins
+    clamped = F.least(F.greatest(x, F.lit(float(lo))), F.lit(float(hi)))
+    bin_idx = F.least(
+        F.floor((clamped - F.lit(float(lo))) / F.lit(w)).cast("int"),
+        F.lit(n_bins - 1),
+    )
+    per_user_bin = (
+        events.where(
+            F.col("ts").isNotNull()
+            & F.col("user_id").isNotNull()
+            & x.isNotNull()
+        )
+        .withWatermark("ts", watermark)
+        .groupBy(
+            F.window("ts", window).alias("win"),
+            *cols,
+            F.col("user_id"),
+            bin_idx.alias("__bin"),
+        )
+        .agg(F.count(F.lit(1)).alias("__c"))
+    )
+    gathered = per_user_bin.groupBy(F.col("win"), *cols, "user_id").agg(
+        F.sort_array(
+            F.collect_list(F.struct(F.col("__bin"), F.col("__c")))
+        ).alias("__cells")
+    )
+    # first-m-units cap in bin order as an array fold (batch law),
+    # then explode the kept units back to cells
+    acc0 = F.struct(
+        F.lit(int(max_contributions)).cast("long").alias("left"),
+        F.array().cast("array<struct<bin:int,k:long>>").alias("kept"),
+    )
+    capped = F.aggregate(
+        F.col("__cells"),
+        acc0,
+        lambda acc, c: F.struct(
+            F.greatest(
+                acc["left"] - c["__c"], F.lit(0).cast("long")
+            ).alias("left"),
+            F.when(
+                F.least(c["__c"].cast("long"), acc["left"]) > 0,
+                F.concat(
+                    acc["kept"],
+                    F.array(
+                        F.struct(
+                            c["__bin"].alias("bin"),
+                            F.least(c["__c"].cast("long"), acc["left"]).alias(
+                                "k"
+                            ),
+                        )
+                    ),
+                ),
+            ).otherwise(acc["kept"]).alias("kept"),
+        ),
+    )["kept"]
+    units = gathered.select(
+        "win", *cols, F.explode(capped).alias("__u")
+    ).select(
+        "win", *cols, F.col("__u.bin").alias("__bin"), F.col("__u.k").alias("__k")
+    )
+    cells = units.groupBy(F.col("win"), *cols, "__bin").agg(
+        F.sum("__k").alias("n_true")
+    )
+    key = F.concat_ws(
+        "␟",
+        F.lit(str(seed)),
+        F.col("win.start").cast("string"),
+        *[F.col(c).cast("string") for c in cols],
+        F.col("__bin").cast("string"),
+    )
+    u = (md5_long(key, 9, 8) + F.lit(0.5)) / F.lit(float(1 << 32))
+    b = float(max_contributions) / float(epsilon)
+    centered = u - F.lit(0.5)
+    lap = -F.lit(b) * F.signum(centered) * F.log(1.0 - 2.0 * F.abs(centered))
+    noisy = cells.select(
+        F.col("win"),
+        *cols,
+        "__bin",
+        F.greatest(F.round(F.col("n_true") + lap), F.lit(0.0)).alias("__n"),
+    )
+    folded = noisy.groupBy(F.col("win"), *cols).agg(
+        F.sort_array(
+            F.collect_list(F.struct(F.col("__bin"), F.col("__n")))
+        ).alias("__cells"),
+        F.sum("__n").alias("n_released_total"),
+    )
+    tot = F.col("n_released_total")
+    picks = []
+    for p in probs:
+        target = F.lit(p) * tot
+        a0 = F.struct(
+            F.lit(0.0).alias("cum"), F.lit(None).cast("int").alias("bin")
+        )
+        picked = F.aggregate(
+            F.col("__cells"),
+            a0,
+            lambda acc, c: F.struct(
+                (acc["cum"] + c["__n"]).alias("cum"),
+                F.when(
+                    acc["bin"].isNull() & (acc["cum"] + c["__n"] >= target),
+                    c["__bin"],
+                ).otherwise(acc["bin"]).alias("bin"),
+            ),
+        )["bin"]
+        val = F.when(
+            tot > 0, F.lit(float(lo)) + (picked + F.lit(0.5)) * F.lit(w)
+        )
+        picks.append(
+            F.struct(
+                F.lit(p).alias("p"), F.round(val, 9).alias("value_released")
+            )
+        )
+    return folded.select(
+        F.col("win.start").alias("window_start"),
+        *cols,
+        F.explode(F.array(*picks)).alias("__q"),
+        tot.cast("long").alias("n_released_total"),
+    ).select(
+        "window_start",
+        *cols,
+        F.col("__q.p").alias("p"),
+        F.col("__q.value_released").alias("value_released"),
+        "n_released_total",
+    )
+
+
 def view_click_join_stream(
     events: DataFrame,
     within: str = "1 hour",

@@ -1925,3 +1925,90 @@ def test_decayed_counters_stream_matches_batch(spark, sf_dir, tmp_path):
         f"stream {len(emitted)} vs batch {len(want)};"
         f" keys diff={list(set(emitted) ^ set(want))[:4]}"
     )
+
+
+def test_dp_quantile_release_stream_matches_batch(spark, sf_dir, tmp_path):
+    """Twin #27: the streamed ε-DP quantile release must EXACTLY equal
+    the batch X179 operator (same clamp/bin/first-m-units bounding,
+    same seeded per-cell noise — batch called with group key
+    (window_start, group) so the noise keys are byte-identical)
+    applied to the below-watermark rows."""
+    import time
+
+    from data_export_tool_spark.operators.privacy import dp_release_quantiles
+    from data_export_tool_spark.streaming.events import (
+        dp_quantile_release_stream,
+    )
+
+    ev = Catalog(spark, sf_dir).load("events").where(
+        F.col("ts").isNotNull() & F.col("user_id").isNotNull()
+        & F.col("value").isNotNull()
+    )
+    bounds = ev.select(F.unix_millis("ts").alias("ms")).approxQuantile(
+        "ms", [0.5], 0.0
+    )
+    drop_dir = str(tmp_path / "dpq_drops")
+    lo = None
+    for hi in [*bounds, None]:
+        sel = ev
+        if lo is not None:
+            sel = sel.where(F.unix_millis("ts") >= lo)
+        if hi is not None:
+            sel = sel.where(F.unix_millis("ts") < hi)
+        sel.repartition(1).write.mode("append").parquet(drop_dir)
+        lo = hi
+        time.sleep(1.05)
+
+    EPS, CAP, SEED, WIN_S = 0.8, 2, 13, 86400
+    PROBS, LO, HI, NB = [0.5, 0.9], 0.0, 100.0, 16
+    stream = read_events_stream(spark, drop_dir, max_files_per_trigger=1)
+    out = dp_quantile_release_stream(
+        stream, "value", PROBS, epsilon=EPS, lo=LO, hi=HI, n_bins=NB,
+        group_cols=("event_type",), max_contributions=CAP,
+        window="1 day", watermark="30 minutes", seed=SEED,
+    )
+    q = (
+        out.writeStream.format("memory")
+        .queryName("dpq_stream_test")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    emitted = {
+        (str(r["window_start"]), r["event_type"], r["p"]): (
+            r["value_released"], r["n_released_total"]
+        )
+        for r in spark.sql("SELECT * FROM dpq_stream_test").collect()
+    }
+
+    replay = spark.read.parquet(drop_dir).where(
+        F.col("ts").isNotNull() & F.col("user_id").isNotNull()
+        & F.col("value").isNotNull()
+    )
+    max_ms = replay.agg(F.max(F.unix_millis("ts"))).first()[0]
+    wm_ms = max_ms - 30 * 60 * 1000
+    windowed = replay.withColumn(
+        "window_start",
+        F.timestamp_seconds(
+            F.floor(F.unix_millis("ts") / 1000 / WIN_S) * WIN_S
+        ),
+    ).where(
+        (F.unix_millis("window_start") + WIN_S * 1000) <= F.lit(wm_ms)
+    )
+    want = {
+        (str(r["window_start"]), r["event_type"], r["p"]): (
+            r["value_released"], r["n_released_total"]
+        )
+        for r in dp_release_quantiles(
+            windowed, "value", PROBS, epsilon=EPS, lo=LO, hi=HI, n_bins=NB,
+            group_cols=["window_start", "event_type"], user_col="user_id",
+            max_contributions=CAP, seed=SEED,
+        ).collect()
+    }
+    ok = emitted == want and len(want) > 0
+    record_stream_parity("dp_quantile_release", len(want), ok)
+    assert ok, (
+        f"stream {len(emitted)} vs batch {len(want)};"
+        f" diff sample={list(set(emitted.items()) ^ set(want.items()))[:4]}"
+    )

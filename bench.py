@@ -223,6 +223,13 @@ def main() -> None:
     detail["spreads"] = spreads
     detail["loadavg_1m"] = out["loadavg_1m"]
     try:
+        # carry the one-shot sf1 scale section (tools/bench_sf1.py)
+        # across sf0.1 refreshes — it is measured out-of-band
+        if isinstance(prev_detail, dict) and "sf1" in prev_detail:
+            detail.setdefault("sf1", prev_detail["sf1"])
+    except NameError:
+        pass
+    try:
         with open(os.path.join(here, "BENCH_DETAIL.json"), "w") as fh:
             json.dump(detail, fh, indent=1, sort_keys=True)
     except OSError:

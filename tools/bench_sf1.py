@@ -51,22 +51,32 @@ def main() -> None:
         .config("spark.sql.shuffle.partitions", str(cpus))
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.adaptive.enabled", "true")
-        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_MEM", "48g"))
+        # 24g, not more: the JVM heap competes with 32 Python workers
+        # for the box; a 48g heap pushed the b101 run's workers into
+        # OOM-kill territory at the 195M-row shuffle
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_MEM", "24g"))
         .config("spark.ui.enabled", "false")
         .getOrCreate()
     )
     spark.sparkContext.setLogLevel("ERROR")
+    only = [
+        s for s in os.environ.get("SPARK_GRAFT_SF1_ONLY", "").split(",") if s
+    ]
+    heavy = [n for n in HEAVY if not only or n in only]
 
-    from data_export_tool_spark.queries import bench_extra, bench_mamba
-    from data_export_tool_spark.queries.vectors import QUERIES as VQ
+    from data_export_tool_spark.queries import all_queries, bench_extra, bench_mamba
 
-    builders = {s.name: s.builder for s in bench_extra.QUERIES}
+    builders = {n: s.builder for n, s in all_queries().items()}
+    builders.update({s.name: s.builder for s in bench_extra.QUERIES})
     builders.update({s.name: s.builder for s in bench_mamba.QUERIES})
-    builders.update({s.name: s.builder for s in VQ})
 
     results: dict[str, dict] = {}
-    for name in HEAVY:
-        fn = builders[name]
+    for name in heavy:
+        fn = builders.get(name)
+        if fn is None:
+            results[name] = {"error": "no such entry"}
+            print(name, results[name], flush=True)
+            continue
         try:
             t0 = time.perf_counter()
             n = fn(spark, SF1_DIR).count()  # warm (fixture gen / caches)
@@ -92,9 +102,12 @@ def main() -> None:
     sf01 = detail.get("queries_full", {})
     for name, r in results.items():
         base = sf01.get(name)
-        if base:
+        if base and "median_sec" in r:
             r["sf0.1_sec"] = base
             r["scale_x"] = round(r["median_sec"] / max(base, 1e-9), 1)
+    prev = detail.get("sf1", {}).get("entries", {})
+    prev.update(results)
+    results = prev
     detail["sf1"] = {
         "dataset": "tools/make_sf1.py (10 id-offset disjoint replicas of sf0.1; mamba fixtures natively at 100k patients)",
         "cpus": cpus,
@@ -103,10 +116,19 @@ def main() -> None:
             k: v for k, v in bench_extra.COLD_COSTS.items()
         },
         "loadavg_1m": round(os.getloadavg()[0], 2),
+        "notes": {
+            "b101_jaro_winkler": (
+                "fixture keyspace is FIXED (997 name mods per lang), so"
+                " blocks grow ~linearly with sf and candidate pairs"
+                " quadratically (~212M at sf1); the operator's default"
+                " max_block=10k guard refuses this shape by design — the"
+                " bench entry overrides it to measure the quadratic"
+            ),
+        },
     }
     with open(detail_path, "w") as fh:
         json.dump(detail, fh, indent=1, sort_keys=True)
-    print(json.dumps({k: v["median_sec"] for k, v in results.items()}))
+    print(json.dumps({k: v.get("median_sec", v.get("error", "?")) for k, v in results.items()}))
     spark.stop()
 
 

@@ -28,6 +28,8 @@ tie-averaged rank convention, so a constant score yields AUC 0.5.
 
 from __future__ import annotations
 
+from collections.abc import Sequence
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -401,4 +403,96 @@ def cross_validate_classifier(
     return out.select(
         "fold", "train_n", "auc", "n_pos", "n_neg", "n_excluded",
         "base_rate", "accuracy_at_half",
+    )
+
+
+def mutual_info(
+    df: DataFrame,
+    feature_cols: Sequence[str] | str,
+    label_col: str,
+    bins: int = 16,
+) -> DataFrame:
+    """Per-feature mutual information with a (categorical) label —
+    the model-free feature-relevance screen run before committing to
+    a training pipeline: ``I(X; Y) = Σ p(x,y)·log(p(x,y)/(p(x)p(y)))``
+    in nats, plus the normalized form ``nmi = I/min(H(X), H(Y))``
+    (0 = independent, 1 = one determines the other).
+
+    Numeric features are bucketed into ``bins`` equal-width bins
+    (per-feature min/max from one aggregate pass; constant features
+    answer mi = 0 honestly); string/boolean features use their values
+    directly. Per feature the engine computes ONE partial-aggregable
+    contingency groupBy whose cell grain is (bin × label) — bounded by
+    ``bins × |labels|``, the categorical_association discipline — and
+    the driver folds those few cells into MI/entropies (a
+    driver-bounded collect of metadata-sized cell tables, never rows).
+    NULL feature values and NULL labels are excluded per feature (the
+    pairwise-deletion convention; ``n_used`` discloses it).
+
+    Output: one row per feature —
+    ``(feature, mi, nmi, h_feature, h_label, n_used)``.
+    """
+    import math
+
+    feats = [feature_cols] if isinstance(feature_cols, str) else list(feature_cols)
+    if not feats:
+        raise ValueError("feature_cols must name at least one column")
+    if bins < 2:
+        raise ValueError(f"bins must be >= 2: {bins}")
+    spark = df.sparkSession
+    types = dict(df.dtypes)
+    out_rows = []
+    for c in feats:
+        y = F.col(label_col).cast("string")
+        base = df.where(F.col(c).isNotNull() & y.isNotNull())
+        if types.get(c) in ("string", "boolean"):
+            xcell = F.col(c).cast("string")
+        else:
+            x = F.col(c).cast("double")
+            base = base.where(~F.isnan(x))
+            mm = base.agg(
+                F.min(x).alias("lo"), F.max(x).alias("hi")
+            ).first()
+            lo, hi = mm["lo"], mm["hi"]
+            if lo is None or hi is None or hi == lo:
+                # empty or constant feature: zero information, by
+                # definition rather than by division
+                n0 = base.count()
+                out_rows.append((c, 0.0, 0.0, 0.0, None, n0))
+                continue
+            w = (hi - lo) / bins
+            xcell = F.least(
+                F.floor((x - F.lit(lo)) / F.lit(w)).cast("int"),
+                F.lit(bins - 1),
+            ).cast("string")
+        cells = (
+            base.groupBy(xcell.alias("__x"), y.alias("__y"))
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        )
+        n = sum(r["n"] for r in cells)
+        if n == 0:
+            out_rows.append((c, 0.0, 0.0, 0.0, None, 0))
+            continue
+        px: dict = {}
+        py: dict = {}
+        for r in cells:
+            px[r["__x"]] = px.get(r["__x"], 0) + r["n"]
+            py[r["__y"]] = py.get(r["__y"], 0) + r["n"]
+        mi = 0.0
+        for r in cells:
+            pxy = r["n"] / n
+            mi += pxy * math.log(pxy * n * n / (px[r["__x"]] * py[r["__y"]]))
+        hx = -sum(v / n * math.log(v / n) for v in px.values())
+        hy = -sum(v / n * math.log(v / n) for v in py.values())
+        mi = max(0.0, mi)  # clip float dust on independent features
+        denom = min(hx, hy)
+        nmi = mi / denom if denom > 0 else 0.0
+        out_rows.append(
+            (c, round(mi, 9), round(nmi, 9), round(hx, 9), round(hy, 9), n)
+        )
+    return spark.createDataFrame(
+        out_rows,
+        "feature string, mi double, nmi double, h_feature double,"
+        " h_label double, n_used long",
     )

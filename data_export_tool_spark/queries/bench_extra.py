@@ -1824,6 +1824,20 @@ def b109_dp_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def b110_mutual_info(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature-relevance screen: MI/NMI of event value, hour-of-day and
+    user bucket against the event type (bounded contingency cells)."""
+    from data_export_tool_spark.operators.evalmetrics import mutual_info
+
+    ev = Catalog(spark, sf_dir).load("events").select(
+        "event_type",
+        F.col("value").cast("double").alias("value"),
+        F.hour("ts").cast("double").alias("hour"),
+        (F.col("user_id") % 16).cast("string").alias("user_bucket"),
+    )
+    return mutual_info(ev, ["value", "hour", "user_bucket"], "event_type")
+
+
 def b107_resolve_threads(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Thread reconstruction over per-user event chains (each event's
     parent = the user's previous event): path-doubling root/depth
@@ -1951,4 +1965,5 @@ QUERIES = [
     QuerySpec("b107_resolve_threads", b107_resolve_threads, None),
     QuerySpec("b108_mad_outliers", b108_mad_outliers, None),
     QuerySpec("b109_dp_quantiles", b109_dp_quantiles, None),
+    QuerySpec("b110_mutual_info", b110_mutual_info, None),
 ]

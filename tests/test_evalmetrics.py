@@ -391,3 +391,77 @@ def test_cross_validation_replay_and_fold_laws(spark, sf_dir):
 
     with pytest.raises(ValueError):
         cross_validate_classifier(df, "y", "grp", k=1)
+
+
+def test_mutual_info_matches_python_replay(spark, sf_dir):
+    """MI/NMI/entropies vs an exact python replay over the same
+    binning, plus the analytic laws: a label-determined feature has
+    nmi = 1, an independent constant-ish feature ~0, and a string
+    feature uses its values directly."""
+    import math
+
+    import pytest
+    from pyspark.sql import functions as F
+
+    from data_export_tool_spark.operators.evalmetrics import mutual_info
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_type",
+        F.col("value").cast("double").alias("value"),
+        (F.unix_millis(F.col("ts").cast("timestamp")) % 7).cast("double").alias("noise"),
+    )
+    out = {
+        r["feature"]: r
+        for r in mutual_info(
+            ev, ["value", "noise", "event_type"], "event_type", bins=8
+        ).collect()
+    }
+    # python replay for the numeric feature
+    rows = [
+        (r["value"], r["event_type"])
+        for r in ev.select("value", "event_type").collect()
+        if r["value"] is not None and r["event_type"] is not None
+    ]
+    lo = min(v for v, _ in rows)
+    hi = max(v for v, _ in rows)
+    w = (hi - lo) / 8
+    cells: dict = {}
+    for v, yv in rows:
+        b = min(int((v - lo) / w), 7)
+        cells[(b, yv)] = cells.get((b, yv), 0) + 1
+    n = sum(cells.values())
+    px: dict = {}
+    py: dict = {}
+    for (b, yv), c in cells.items():
+        px[b] = px.get(b, 0) + c
+        py[yv] = py.get(yv, 0) + c
+    mi = sum(
+        c / n * math.log((c / n) / (px[b] / n * py[yv] / n))
+        for (b, yv), c in cells.items()
+    )
+    hx = -sum(v / n * math.log(v / n) for v in px.values())
+    hy = -sum(v / n * math.log(v / n) for v in py.values())
+    r = out["value"]
+    assert r["mi"] == pytest.approx(max(0.0, mi), abs=1e-9)
+    assert r["h_feature"] == pytest.approx(hx, abs=1e-9)
+    assert r["h_label"] == pytest.approx(hy, abs=1e-9)
+    assert r["nmi"] == pytest.approx(max(0.0, mi) / min(hx, hy), abs=1e-9)
+    assert r["n_used"] == n
+    # the label against itself (string feature path): nmi = 1
+    assert out["event_type"]["nmi"] == pytest.approx(1.0, abs=1e-9)
+    # weak/no relationship stays near 0
+    assert out["noise"]["nmi"] < 0.05
+    from tests.conftest import record_opcheck
+
+    record_opcheck("mutual_info", 3, True, oracle="python-reference")
+
+    # constant feature: mi = 0 by definition, no division blowup
+    const = ev.withColumn("konst", F.lit(1.0))
+    k = {
+        r["feature"]: r for r in mutual_info(const, "konst", "event_type").collect()
+    }["konst"]
+    assert k["mi"] == 0.0 and k["nmi"] == 0.0
+    with pytest.raises(ValueError):
+        mutual_info(ev, [], "event_type")
+    with pytest.raises(ValueError):
+        mutual_info(ev, "value", "event_type", bins=1)

@@ -693,3 +693,97 @@ def rank_transform(
         out_col, F.lit(None).cast(out_type)
     )
     return transformed.unionByName(null_rows)
+
+
+def quantile_normalize(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+    out_col: str | None = None,
+    grid: int = 1000,
+    exact_reference: bool = True,
+) -> DataFrame:
+    """Cross-group QUANTILE NORMALIZATION: transform each group's
+    values so every group's marginal matches the POOLED distribution —
+    the batch-effect correction (microarray/scoring-pipeline standard)
+    for "annotator A's scores run hot" / "shard B's durations were
+    measured in the slow datacenter": within-group ORDER is preserved
+    exactly; cross-group VALUES become comparable.
+
+    Mechanism: each row gets its within-group percent_rank computed at
+    VALUE grain (collapse to (group, value, count) first — the
+    rank_transform mega-tie discipline, so the window ranks distinct
+    values per group, never rows; a 90%-constant group costs one row),
+    then reads the pooled reference quantile function at that rank
+    with linear interpolation on a ``grid``-point lattice.
+
+    ``exact_reference=True`` builds the lattice with Spark's exact
+    ``percentile`` (one aggregate holding the pooled values — the
+    final-aggregate exactness trade, matching numpy/DuckDB
+    interpolation and the replay oracle); ``False`` swaps in
+    ``percentile_approx`` (GK sketch, bounded memory) for corpora
+    where the pooled column itself is too big to sort — the quantile
+    VALUES then carry sketch error but the shape guarantee stands.
+
+    NULL values pass through with NULL output. Appends ``out_col``
+    (default ``{value_col}_qnorm``)."""
+    if grid < 2:
+        raise ValueError(f"grid must be >= 2: {grid}")
+    out_col = out_col or f"{value_col}_qnorm"
+    from pyspark.sql import Window
+
+    x = F.col(value_col).cast("double")
+    vals = df.where(x.isNotNull())
+    probs = [i / grid for i in range(grid + 1)]
+    probs_sql = ", ".join(repr(p) + "D" for p in probs)
+    fn = "percentile" if exact_reference else "percentile_approx"
+    ref = vals.agg(
+        F.expr(f"{fn}(CAST({value_col} AS DOUBLE), array({probs_sql}))").alias(
+            "__ref"
+        )
+    )
+    # value-grain within-group percent_rank: (rank-1)/(n-1) where rank
+    # of a value = count of strictly smaller values + 1 (SQL rank law)
+    vc = vals.groupBy(F.col(group_col).alias("__g"), x.alias("__v")).agg(
+        F.count(F.lit(1)).alias("__cnt")
+    )
+    w_in = (
+        Window.partitionBy("__g")
+        .orderBy("__v")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_all = Window.partitionBy("__g").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    ranked = vc.select(
+        "__g",
+        "__v",
+        (F.coalesce(F.sum("__cnt").over(w_in), F.lit(0).cast("long")) + 1).alias(
+            "__r"
+        ),
+        F.sum("__cnt").over(w_all).alias("__n"),
+    )
+    pct = F.when(
+        F.col("__n") > 1,
+        (F.col("__r") - 1.0) / (F.col("__n") - 1.0),
+    ).otherwise(F.lit(0.5))
+    # linear interpolation on the reference lattice
+    pos = pct * grid
+    i0 = F.floor(pos).cast("int")
+    i1 = F.least(i0 + 1, F.lit(grid))
+    frac = pos - i0
+    qv = F.element_at(F.col("__ref"), i0 + 1) * (1 - frac) + F.element_at(
+        F.col("__ref"), i1 + 1
+    ) * frac
+    lut = ranked.crossJoin(F.broadcast(ref)).select(
+        "__g", "__v", F.round(qv, 9).alias(out_col)
+    )
+    joined = vals.join(
+        lut,
+        (vals[group_col] == lut["__g"]) & (x == lut["__v"]),
+        "left",
+    ).drop("__g", "__v")
+    null_rows = df.where(x.isNull()).withColumn(
+        out_col, F.lit(None).cast("double")
+    )
+    return joined.unionByName(null_rows)

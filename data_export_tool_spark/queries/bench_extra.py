@@ -1838,6 +1838,17 @@ def b110_mutual_info(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mutual_info(ev, ["value", "hour", "user_bucket"], "event_type")
 
 
+def b111_quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-supplier price quantile normalization onto the pooled
+    distribution (value-grain per-group ranks + exact pooled lattice)."""
+    from data_export_tool_spark.operators.features import quantile_normalize
+
+    li = Catalog(spark, sf_dir).load("lineitem").select(
+        "l_suppkey", F.col("l_extendedprice").cast("double").alias("price")
+    )
+    return quantile_normalize(li, "price", "l_suppkey")
+
+
 def b107_resolve_threads(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Thread reconstruction over per-user event chains (each event's
     parent = the user's previous event): path-doubling root/depth
@@ -1966,4 +1977,5 @@ QUERIES = [
     QuerySpec("b108_mad_outliers", b108_mad_outliers, None),
     QuerySpec("b109_dp_quantiles", b109_dp_quantiles, None),
     QuerySpec("b110_mutual_info", b110_mutual_info, None),
+    QuerySpec("b111_quantile_normalize", b111_quantile_normalize, None),
 ]

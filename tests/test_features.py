@@ -567,3 +567,110 @@ def test_rank_transform_exact_and_scale_shape(spark, sf_dir):
         # carry __rng as PARTITION key (first position)
     with pytest.raises(ValueError):
         rank_transform(li, "q", method="nope")
+
+
+def test_quantile_normalize_matches_python_replay(spark, sf_dir):
+    """Cross-group quantile normalization vs an exact numpy-style
+    replay (value-grain percent_rank per group + linear interpolation
+    on the exact pooled-percentile lattice), plus the two laws that
+    make the operator what it is: within-group order preserved, and
+    normalized group quantiles collapse onto the pooled reference."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from data_export_tool_spark.operators.features import quantile_normalize
+
+    li = (
+        spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        .where(F.col("l_orderkey") % 37 == 0)
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            "l_returnflag",
+            F.col("l_extendedprice").cast("double").alias("price"),
+        )
+    )
+    GRID = 100
+    out = quantile_normalize(li, "price", "l_returnflag", grid=GRID)
+    got = sorted(
+        (r["l_returnflag"], r["price"], r["price_qnorm"])
+        for r in out.collect()
+    )
+    # replay
+    rows = [
+        (r["l_returnflag"], r["price"])
+        for r in li.collect()
+        if r["price"] is not None
+    ]
+    pooled = sorted(p for _, p in rows)
+
+    def pooled_q(p):
+        # numpy 'linear' / SQL percentile interpolation
+        pos = p * (len(pooled) - 1)
+        i = int(pos)
+        f = pos - i
+        j = min(i + 1, len(pooled) - 1)
+        return pooled[i] * (1 - f) + pooled[j] * f
+
+    lattice = [pooled_q(i / GRID) for i in range(GRID + 1)]
+    by_g: dict = {}
+    for g, p in rows:
+        by_g.setdefault(g, []).append(p)
+    want = []
+    for g, vs in by_g.items():
+        distinct = sorted(set(vs))
+        n = len(vs)
+        smaller = {}
+        c = 0
+        from collections import Counter
+
+        cnt = Counter(vs)
+        for v in distinct:
+            smaller[v] = c
+            c += cnt[v]
+        for v in vs:
+            pct = (smaller[v] + 1 - 1.0) / (n - 1.0) if n > 1 else 0.5
+            pos = pct * GRID
+            i = int(pos)
+            f = pos - i
+            j = min(i + 1, GRID)
+            q = lattice[i] * (1 - f) + lattice[j] * f
+            want.append((g, v, round(q, 9)))
+    want.sort()
+    assert len(got) == len(want)
+    for g, w in zip(got, want):
+        assert g[0] == w[0] and g[1] == pytest.approx(w[1])
+        assert g[2] == pytest.approx(w[2], abs=1e-6), (g, w)
+    from tests.conftest import record_opcheck
+
+    record_opcheck(
+        "quantile_normalize", len(want), True, oracle="python-reference"
+    )
+    # law 1: within-group order preserved (value-grain monotone)
+    per_g: dict = {}
+    for g, v, q in got:
+        per_g.setdefault(g, []).append((v, q))
+    for g, pairs in per_g.items():
+        pairs.sort()
+        qs = [q for _, q in pairs]
+        assert qs == sorted(qs), g
+    # law 2: each group's median lands near the pooled median
+    pm = pooled_q(0.5)
+    for g, pairs in per_g.items():
+        vs = sorted(q for _, q in pairs)
+        med = vs[len(vs) // 2]
+        assert abs(med - pm) / max(abs(pm), 1e-9) < 0.1, (g, med, pm)
+    # NULLs pass through
+    withnull = li.unionByName(
+        spark.createDataFrame(
+            [(0, 0, "A", None)],
+            "l_orderkey long, l_linenumber int, l_returnflag string,"
+            " price double",
+        )
+    )
+    on = quantile_normalize(withnull, "price", "l_returnflag").where(
+        F.col("price").isNull()
+    )
+    assert [r["price_qnorm"] for r in on.collect()] == [None]
+    with pytest.raises(ValueError):
+        quantile_normalize(li, "price", "l_returnflag", grid=1)

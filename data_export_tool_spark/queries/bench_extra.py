@@ -1849,6 +1849,19 @@ def b111_quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return quantile_normalize(li, "price", "l_suppkey")
 
 
+def b112_bitext_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Margin-scored bitext alignment between the even/odd embedding
+    halves (two exact top-k passes + k-bounded margin algebra)."""
+    from data_export_tool_spark.operators.bitext import bitext_margin_pairs
+
+    emb = Catalog(spark, sf_dir).load("embeddings")
+    return bitext_margin_pairs(
+        emb.where(F.col("vec_id") % 2 == 0),
+        emb.where(F.col("vec_id") % 2 == 1),
+        k=4, threshold=1.0, mutual=True,
+    )
+
+
 def b107_resolve_threads(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Thread reconstruction over per-user event chains (each event's
     parent = the user's previous event): path-doubling root/depth
@@ -1978,4 +1991,5 @@ QUERIES = [
     QuerySpec("b109_dp_quantiles", b109_dp_quantiles, None),
     QuerySpec("b110_mutual_info", b110_mutual_info, None),
     QuerySpec("b111_quantile_normalize", b111_quantile_normalize, None),
+    QuerySpec("b112_bitext_mining", b112_bitext_mining, None),
 ]

@@ -121,6 +121,72 @@ def hourly_counts_stream(
     )
 
 
+def windowed_topk_stream(
+    events: DataFrame,
+    value_col: str = "event_type",
+    k: int = 3,
+    key_col: str | None = "user_id",
+    window: str = "1 day",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Streaming windowed EXACT top-k values per key — twin #28, the
+    heavy-hitters dashboard row ("this user's top pages this hour"):
+    per closed tumbling window and key, the ``k`` most frequent
+    ``value_col`` values with counts, rank-exploded.
+
+    TWO chained stateful windowed aggregations (the #20/#21 chassis):
+    (window, key, value) counts — the partial aggregation absorbs any
+    per-value volume — then a (window, key) fold whose state is the
+    key's DISTINCT-VALUE cells. Exactness therefore costs
+    alphabet-bounded state per (window, key) — the ``pair_counts``
+    contract: correct for enum-grade value columns (event types, page
+    ids, status codes); an unbounded-cardinality value column needs
+    the stored MG/approx-top-k sketch tier instead, stated here rather
+    than discovered in production. Ties break by value string
+    ascending (deterministic, replayable). Rows emit once at window
+    close (append finality).
+
+    Output: ``(window_start, key?, rank, value, n)`` with rank 1..k.
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1: {k}")
+    keys = [key_col] if key_col else []
+    base = events.where(
+        F.col("ts").isNotNull() & F.col(value_col).isNotNull()
+        & (F.col(key_col).isNotNull() if key_col else F.lit(True))
+    ).withWatermark("ts", watermark)
+    counts = base.groupBy(
+        F.window("ts", window).alias("win"),
+        *[F.col(c) for c in keys],
+        F.col(value_col).cast("string").alias("__v"),
+    ).agg(F.count(F.lit(1)).alias("__n"))
+    folded = counts.groupBy(F.col("win"), *[F.col(c) for c in keys]).agg(
+        F.slice(
+            F.array_sort(
+                F.collect_list(F.struct(F.col("__n"), F.col("__v"))),
+                lambda a, b: F.when(a["__n"] > b["__n"], -1)
+                .when(a["__n"] < b["__n"], 1)
+                .when(a["__v"] < b["__v"], -1)
+                .when(a["__v"] > b["__v"], 1)
+                .otherwise(0),
+            ),
+            1,
+            k,
+        ).alias("__top")
+    )
+    return folded.select(
+        F.col("win.start").alias("window_start"),
+        *keys,
+        F.posexplode(F.col("__top")).alias("__i", "__cell"),
+    ).select(
+        "window_start",
+        *keys,
+        (F.col("__i") + 1).alias("rank"),
+        F.col("__cell.__v").alias("value"),
+        F.col("__cell.__n").alias("n"),
+    )
+
+
 def windowed_distinct_stream(
     events: DataFrame,
     key_col: str = "user_id",

@@ -2012,3 +2012,87 @@ def test_dp_quantile_release_stream_matches_batch(spark, sf_dir, tmp_path):
         f"stream {len(emitted)} vs batch {len(want)};"
         f" diff sample={list(set(emitted.items()) ^ set(want.items()))[:4]}"
     )
+
+
+def test_windowed_topk_stream_matches_batch(spark, sf_dir, tmp_path):
+    """Twin #28: per closed window and user, the exact top-k event
+    types with counts must equal the DuckDB batch rank — including the
+    deterministic value-ascending tie-break."""
+    import time
+
+    import duckdb
+
+    from data_export_tool_spark.streaming.events import windowed_topk_stream
+
+    ev = Catalog(spark, sf_dir).load("events").where(
+        F.col("ts").isNotNull() & F.col("user_id").isNotNull()
+        & F.col("event_type").isNotNull()
+    )
+    bounds = ev.select(F.unix_millis("ts").alias("ms")).approxQuantile(
+        "ms", [0.5], 0.0
+    )
+    drop_dir = str(tmp_path / "topk_drops")
+    lo = None
+    for hi in [*bounds, None]:
+        sel = ev
+        if lo is not None:
+            sel = sel.where(F.unix_millis("ts") >= lo)
+        if hi is not None:
+            sel = sel.where(F.unix_millis("ts") < hi)
+        sel.repartition(1).write.mode("append").parquet(drop_dir)
+        lo = hi
+        time.sleep(1.05)
+
+    K, WIN_S = 2, 86400
+    stream = read_events_stream(spark, drop_dir, max_files_per_trigger=1)
+    out = windowed_topk_stream(
+        stream, "event_type", k=K, key_col="user_id",
+        window="1 day", watermark="30 minutes",
+    )
+    q = (
+        out.writeStream.format("memory")
+        .queryName("topk_stream_test")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    emitted = {
+        (str(r["window_start"]), r["user_id"], r["rank"]): (r["value"], r["n"])
+        for r in spark.sql("SELECT * FROM topk_stream_test").collect()
+    }
+
+    con = duckdb.connect()
+    want = {
+        (str(w), int(u), int(rk)): (v, int(n))
+        for w, u, rk, v, n in con.sql(
+            f"""
+        WITH base AS (
+          SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts
+          FROM read_parquet('{drop_dir}/*.parquet')
+          WHERE ts IS NOT NULL AND user_id IS NOT NULL
+            AND event_type IS NOT NULL
+        ), mx AS (
+          SELECT max(ts) - INTERVAL 30 MINUTE AS wm FROM base
+        ), counts AS (
+          SELECT time_bucket(INTERVAL {WIN_S} SECOND, ts) AS ws,
+                 user_id, event_type, COUNT(*) AS n
+          FROM base GROUP BY 1, 2, 3
+        ), ranked AS (
+          SELECT ws, user_id, event_type, n, ROW_NUMBER() OVER (
+            PARTITION BY ws, user_id ORDER BY n DESC, event_type ASC
+          ) AS rk
+          FROM counts
+        )
+        SELECT r.ws, r.user_id, r.rk, r.event_type, r.n
+        FROM ranked r, mx
+        WHERE r.rk <= {K} AND r.ws + INTERVAL {WIN_S} SECOND <= mx.wm
+        """
+        ).fetchall()
+    }
+    ok = emitted == want and len(want) > 0
+    record_stream_parity("windowed_topk", len(want), ok)
+    assert ok, (
+        f"stream {len(emitted)} vs batch {len(want)};"
+        f" diff={list(set(emitted.items()) ^ set(want.items()))[:5]}"
+    )

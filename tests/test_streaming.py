@@ -2091,7 +2091,7 @@ def test_windowed_topk_stream_matches_batch(spark, sf_dir, tmp_path):
         ).fetchall()
     }
     ok = emitted == want and len(want) > 0
-    record_stream_parity("windowed_topk", len(want), ok)
+    record_stream_parity("windowed_topk_per_key", len(want), ok)
     assert ok, (
         f"stream {len(emitted)} vs batch {len(want)};"
         f" diff={list(set(emitted.items()) ^ set(want.items()))[:5]}"

@@ -172,3 +172,98 @@ def fdr_correct(
     return out.withColumn(
         "reject_fdr", F.col("p_adj") <= F.lit(float(alpha))
     ).drop("__m")
+
+
+def mann_whitney(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+    group_a,
+    group_b,
+    num_ranges: int = 64,
+) -> DataFrame:
+    """Exact Mann-Whitney U / Wilcoxon rank-sum with midrank tie
+    handling, plus Cliff's delta — the DISTRIBUTION-FREE sibling of
+    ``ab_test`` for skewed metrics (latency, spend, token counts)
+    where Welch's mean comparison answers the wrong question. Cliff's
+    delta = P(a > b) − P(a < b) = 2U_a/(n_a·n_b) − 1 is the robust
+    effect size readers actually want (−1..1, 0 = stochastic
+    equality).
+
+    Scale shape: ranks come from the two-phase value-grain
+    ``features.rank_transform`` (min-rank; midrank = min_rank +
+    (tie_count − 1)/2 via one per-value count join), so mega-ties
+    collapse map-side and no row-grain global window exists; the rank
+    SUM per arm, the tie-correction term Σ(t³ − t), and the arm sizes
+    are three partial-aggregable aggregates; the z statistic uses the
+    tie-corrected normal approximation (exact small-sample tables are
+    a lookup, not a data operation — below ~20 per arm read p as
+    approximate).
+
+    Output: one row ``(n_a, n_b, u_a, cliffs_delta, z, p_value,
+    direction)`` — direction in up/down/none at p < 0.05 (up = group_b
+    stochastically larger).
+    """
+    from data_export_tool_spark.operators.features import rank_transform
+
+    x = F.col(value_col).cast("double")
+    g = F.col(group_col)
+    base = df.where(
+        x.isNotNull() & (g.eqNullSafe(group_a) | g.eqNullSafe(group_b))
+    ).select(g.alias("__g"), x.alias("__x"))
+    ranked = rank_transform(
+        base, "__x", method="rank", out_col="__rk", num_ranges=num_ranges
+    )
+    vc = base.groupBy("__x").agg(F.count(F.lit(1)).alias("__tc"))
+    mid = ranked.join(vc, "__x").select(
+        "__g", (F.col("__rk") + (F.col("__tc") - 1) / 2.0).alias("__mr")
+    )
+    stats = mid.groupBy().agg(
+        F.sum(F.when(F.col("__g").eqNullSafe(group_a), F.col("__mr"))).alias("ra"),
+        F.sum(F.when(F.col("__g").eqNullSafe(group_a), 1).otherwise(0)).alias("na"),
+        F.sum(F.when(F.col("__g").eqNullSafe(group_b), 1).otherwise(0)).alias("nb"),
+    ).first()
+    ties = vc.agg(
+        F.sum(F.col("__tc") * F.col("__tc") * F.col("__tc") - F.col("__tc")).alias(
+            "t3"
+        )
+    ).first()
+    import math
+
+    n_a = int(stats["na"] or 0)
+    n_b = int(stats["nb"] or 0)
+    spark = df.sparkSession
+    schema = (
+        "n_a long, n_b long, u_a double, cliffs_delta double, z double,"
+        " p_value double, direction string"
+    )
+    if n_a == 0 or n_b == 0:
+        return spark.createDataFrame(
+            [(n_a, n_b, None, None, None, None, None)], schema
+        )
+    r_a = float(stats["ra"])
+    u_a = r_a - n_a * (n_a + 1) / 2.0
+    delta = 2.0 * u_a / (n_a * n_b) - 1.0
+    n = n_a + n_b
+    tie_term = float(ties["t3"] or 0.0)
+    var_u = n_a * n_b / 12.0 * ((n + 1) - tie_term / (n * (n - 1.0)))
+    if var_u <= 0:  # every value identical
+        z = None
+        p = None
+        direction = "none"
+    else:
+        z = (u_a - n_a * n_b / 2.0) / math.sqrt(var_u)
+        p = math.erfc(abs(z) / math.sqrt(2.0))
+        # u_a large ⇒ group_a larger ⇒ group_b smaller ⇒ "down"
+        direction = (
+            "none" if p >= 0.05 else ("down" if z > 0 else "up")
+        )
+    return spark.createDataFrame(
+        [(
+            n_a, n_b, round(u_a, 6), round(delta, 9),
+            round(z, 9) if z is not None else None,
+            round(p, 12) if p is not None else None,
+            direction,
+        )],
+        schema,
+    )

@@ -1862,6 +1862,19 @@ def b112_bitext_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def b113_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rank-sum A/B readout (exact midranks via the two-phase rank,
+    Cliff's delta effect size) between return-flag arms over all
+    prices."""
+    from data_export_tool_spark.operators.experiment import mann_whitney
+
+    li = Catalog(spark, sf_dir).load("lineitem").select(
+        F.col("l_returnflag").alias("g"),
+        F.col("l_extendedprice").cast("double").alias("v"),
+    )
+    return mann_whitney(li, "v", "g", "A", "N")
+
+
 def b107_resolve_threads(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Thread reconstruction over per-user event chains (each event's
     parent = the user's previous event): path-doubling root/depth
@@ -1992,4 +2005,5 @@ QUERIES = [
     QuerySpec("b110_mutual_info", b110_mutual_info, None),
     QuerySpec("b111_quantile_normalize", b111_quantile_normalize, None),
     QuerySpec("b112_bitext_mining", b112_bitext_mining, None),
+    QuerySpec("b113_mann_whitney", b113_mann_whitney, None),
 ]

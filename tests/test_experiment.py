@@ -206,3 +206,79 @@ def test_fdr_grouped_and_contracts(spark):
 
     with _pt.raises(ValueError):
         fdr_correct(df, alpha=0.0)
+
+
+def test_mann_whitney_matches_python_replay(spark, sf_dir):
+    """Exact U/delta/z/p vs a midrank python replay on real skewed
+    prices, the literature small case, the all-ties degenerate, and
+    the stochastic-order law."""
+    import math
+
+    import pytest
+    from pyspark.sql import functions as F
+
+    from data_export_tool_spark.operators.experiment import mann_whitney
+
+    li = (
+        spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        .where(F.col("l_orderkey") % 17 == 0)
+        .select(
+            F.col("l_returnflag").alias("g"),
+            F.col("l_extendedprice").cast("double").alias("v"),
+        )
+        .where(F.col("g").isin("A", "N"))
+    )
+    got = mann_whitney(li, "v", "g", "A", "N").first()
+
+    rows = [(r["g"], r["v"]) for r in li.collect()]
+    vals = sorted(v for _, v in rows)
+    # midranks
+    mr = {}
+    i = 0
+    while i < len(vals):
+        j = i
+        while j < len(vals) and vals[j] == vals[i]:
+            j += 1
+        for _ in range(i, j):
+            mr[vals[i]] = (i + 1 + j) / 2.0
+        i = j
+    n_a = sum(1 for g, _ in rows if g == "A")
+    n_b = sum(1 for g, _ in rows if g == "N")
+    r_a = sum(mr[v] for g, v in rows if g == "A")
+    u_a = r_a - n_a * (n_a + 1) / 2.0
+    delta = 2.0 * u_a / (n_a * n_b) - 1.0
+    n = n_a + n_b
+    from collections import Counter
+
+    t3 = sum(c**3 - c for c in Counter(v for _, v in rows).values())
+    var_u = n_a * n_b / 12.0 * ((n + 1) - t3 / (n * (n - 1.0)))
+    z = (u_a - n_a * n_b / 2.0) / math.sqrt(var_u)
+    p = math.erfc(abs(z) / math.sqrt(2.0))
+    assert got["n_a"] == n_a and got["n_b"] == n_b
+    assert got["u_a"] == pytest.approx(u_a, abs=1e-6)
+    assert got["cliffs_delta"] == pytest.approx(delta, abs=1e-9)
+    assert got["z"] == pytest.approx(z, abs=1e-6)
+    assert got["p_value"] == pytest.approx(p, rel=1e-6, abs=1e-12)
+    from tests.conftest import record_opcheck
+
+    record_opcheck("mann_whitney", n, True, oracle="python-reference")
+
+    # literature-style small case with ties: replay law holds and a
+    # clean stochastic dominance is called
+    small = spark.createDataFrame(
+        [("a", 1.0), ("a", 2.0), ("a", 2.0), ("a", 3.0),
+         ("b", 4.0), ("b", 5.0), ("b", 5.0), ("b", 6.0)],
+        "g string, v double",
+    )
+    s = mann_whitney(small, "v", "g", "a", "b").first()
+    assert s["cliffs_delta"] == pytest.approx(-1.0)  # every a < every b
+    assert s["direction"] == "up" and s["p_value"] < 0.05
+    # all-ties degenerate: no variance, honest NULLs
+    flat = spark.createDataFrame(
+        [("a", 5.0)] * 4 + [("b", 5.0)] * 4, "g string, v double"
+    )
+    f = mann_whitney(flat, "v", "g", "a", "b").first()
+    assert f["cliffs_delta"] == 0.0 and f["z"] is None and f["direction"] == "none"
+    # empty arm: NULL row, not a crash
+    e = mann_whitney(small.where("g = 'a'"), "v", "g", "a", "b").first()
+    assert e["n_b"] == 0 and e["u_a"] is None

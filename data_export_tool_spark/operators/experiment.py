@@ -267,3 +267,113 @@ def mann_whitney(
         )],
         schema,
     )
+
+
+def proportion_test(
+    df: DataFrame,
+    flag_col: str,
+    group_col: str,
+    group_a,
+    group_b,
+    alpha: float = 0.05,
+) -> DataFrame:
+    """Two-proportion z-test — the conversion-rate readout (the most
+    common A/B decision is a RATE, not a mean): pooled-variance z on
+    ``P(flag)`` between the two arms, with the absolute and relative
+    lift. ``flag_col`` is any boolean/0-1 column; NULL flags are
+    excluded (disclosed via the arm sizes). One conditional-aggregation
+    scan → driver closed form; normal approximation is exact territory
+    at experiment scale (np ≥ ~10 per cell; below that read p as
+    approximate).
+
+    Output: one row ``(n_a, n_b, rate_a, rate_b, abs_lift, rel_lift,
+    z, p_value, significant)``.
+    """
+    f = F.col(flag_col).cast("double")
+    ga, gb = F.lit(group_a), F.lit(group_b)
+    row = df.where(f.isNotNull()).agg(
+        F.count(F.when(F.col(group_col) == ga, f)).alias("na"),
+        F.sum(F.when(F.col(group_col) == ga, f)).alias("ka"),
+        F.count(F.when(F.col(group_col) == gb, f)).alias("nb"),
+        F.sum(F.when(F.col(group_col) == gb, f)).alias("kb"),
+    ).first()
+    import math
+
+    n_a, n_b = int(row["na"] or 0), int(row["nb"] or 0)
+    spark = df.sparkSession
+    schema = (
+        "n_a long, n_b long, rate_a double, rate_b double, abs_lift double,"
+        " rel_lift double, z double, p_value double, significant boolean"
+    )
+    if n_a == 0 or n_b == 0:
+        return spark.createDataFrame(
+            [(n_a, n_b, None, None, None, None, None, None, None)], schema
+        )
+    k_a, k_b = float(row["ka"] or 0.0), float(row["kb"] or 0.0)
+    p_a, p_b = k_a / n_a, k_b / n_b
+    pooled = (k_a + k_b) / (n_a + n_b)
+    se2 = pooled * (1 - pooled) * (1 / n_a + 1 / n_b)
+    if se2 <= 0:  # all-converted or none-converted in both arms
+        z = p = None
+        sig = None
+    else:
+        z = (p_b - p_a) / math.sqrt(se2)
+        p = math.erfc(abs(z) / math.sqrt(2.0))
+        sig = bool(p < alpha)
+    rel = (p_b - p_a) / p_a if p_a > 0 else None
+    return spark.createDataFrame(
+        [(
+            n_a, n_b, round(p_a, 9), round(p_b, 9),
+            round(p_b - p_a, 9),
+            round(rel, 9) if rel is not None else None,
+            round(z, 9) if z is not None else None,
+            round(p, 12) if p is not None else None,
+            sig,
+        )],
+        schema,
+    )
+
+
+def cuped_adjust(
+    df: DataFrame,
+    metric_col: str,
+    covariate_col: str,
+    out_col: str | None = None,
+) -> DataFrame:
+    """CUPED variance reduction (Deng, Xu, Kohavi & Walker, WSDM'13
+    "Improving the Sensitivity of Online Controlled Experiments"):
+    replace the experiment metric with
+    ``y − θ·(x − mean(x))`` where ``x`` is a PRE-EXPERIMENT covariate
+    (last month's spend, pre-period activity) and
+    ``θ = cov(x, y)/var(x)`` — the regression adjustment that removes
+    the covariate-explained variance (factor 1 − ρ²) WITHOUT biasing
+    the treatment effect, because the pre-period covariate is
+    independent of assignment. Run ``ab_test`` on the adjusted column
+    and detect the same lift with far fewer units.
+
+    θ is fit on the POOLED data (both arms — the standard, bias-free
+    choice). One covariance aggregate + a pure scan projection; rows
+    with a NULL covariate keep their raw metric (θ adjustment needs
+    x; the honest fallback is no adjustment, not a silent drop).
+
+    Appends ``out_col`` (default ``{metric_col}_cuped``).
+    """
+    out_col = out_col or f"{metric_col}_cuped"
+    y = F.col(metric_col).cast("double")
+    x = F.col(covariate_col).cast("double")
+    row = df.where(x.isNotNull() & y.isNotNull()).agg(
+        F.covar_samp(x, y).alias("cxy"),
+        F.var_samp(x).alias("vx"),
+        F.avg(x).alias("mx"),
+    ).first()
+    cxy, vx, mx = row["cxy"], row["vx"], row["mx"]
+    if not vx or vx <= 0 or cxy is None:
+        theta = 0.0  # constant covariate: nothing to remove
+        mx = mx or 0.0
+    else:
+        theta = cxy / vx
+    adj = F.when(
+        x.isNotNull() & y.isNotNull(),
+        y - F.lit(float(theta)) * (x - F.lit(float(mx))),
+    ).otherwise(y)
+    return df.withColumn(out_col, adj)

@@ -1875,6 +1875,31 @@ def b113_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mann_whitney(li, "v", "g", "A", "N")
 
 
+def b114_experiment_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full experimentation readout: CUPED-adjusted Welch + conversion
+    z-test between user-parity arms over the event stream."""
+    from data_export_tool_spark.operators.experiment import (
+        ab_test,
+        cuped_adjust,
+        proportion_test,
+    )
+
+    ev = Catalog(spark, sf_dir).load("events").select(
+        F.when(F.col("user_id") % 2 == 0, "A").otherwise("B").alias("arm"),
+        F.col("value").cast("double").alias("y"),
+        (F.col("user_id") % 97).cast("double").alias("pre"),
+        (F.col("event_type") == "purchase").cast("int").alias("converted"),
+    )
+    adj = cuped_adjust(ev, "y", "pre")
+    welch = ab_test(adj, "arm", ["y_cuped"], "A", "B").select(
+        F.lit("welch_cuped").alias("test"), F.col("p_value")
+    )
+    prop = proportion_test(ev, "converted", "arm", "A", "B").select(
+        F.lit("proportion").alias("test"), F.col("p_value")
+    )
+    return welch.unionByName(prop)
+
+
 def b107_resolve_threads(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Thread reconstruction over per-user event chains (each event's
     parent = the user's previous event): path-doubling root/depth
@@ -2006,4 +2031,5 @@ QUERIES = [
     QuerySpec("b111_quantile_normalize", b111_quantile_normalize, None),
     QuerySpec("b112_bitext_mining", b112_bitext_mining, None),
     QuerySpec("b113_mann_whitney", b113_mann_whitney, None),
+    QuerySpec("b114_experiment_suite", b114_experiment_suite, None),
 ]

@@ -282,3 +282,112 @@ def test_mann_whitney_matches_python_replay(spark, sf_dir):
     # empty arm: NULL row, not a crash
     e = mann_whitney(small.where("g = 'a'"), "v", "g", "a", "b").first()
     assert e["n_b"] == 0 and e["u_a"] is None
+
+
+def test_proportion_test_matches_python_replay(spark, sf_dir):
+    import math
+
+    import pytest
+    from pyspark.sql import functions as F
+
+    from data_export_tool_spark.operators.experiment import proportion_test
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        (F.col("user_id") % 2 == 0).alias("arm_a"),
+        (F.col("event_type") == "purchase").cast("int").alias("converted"),
+        F.when(F.col("user_id") % 2 == 0, "A").otherwise("B").alias("arm"),
+    )
+    got = proportion_test(ev, "converted", "arm", "A", "B").first()
+    rows = [(r["arm"], r["converted"]) for r in ev.collect()]
+    n_a = sum(1 for a, c in rows if a == "A" and c is not None)
+    n_b = sum(1 for a, c in rows if a == "B" and c is not None)
+    k_a = sum(c for a, c in rows if a == "A" and c is not None)
+    k_b = sum(c for a, c in rows if a == "B" and c is not None)
+    p_a, p_b = k_a / n_a, k_b / n_b
+    pooled = (k_a + k_b) / (n_a + n_b)
+    z = (p_b - p_a) / math.sqrt(pooled * (1 - pooled) * (1 / n_a + 1 / n_b))
+    p = math.erfc(abs(z) / math.sqrt(2.0))
+    assert (got["n_a"], got["n_b"]) == (n_a, n_b)
+    assert got["rate_a"] == pytest.approx(p_a, abs=1e-9)
+    assert got["rate_b"] == pytest.approx(p_b, abs=1e-9)
+    assert got["z"] == pytest.approx(z, abs=1e-6)
+    assert got["p_value"] == pytest.approx(p, rel=1e-6, abs=1e-12)
+    from tests.conftest import record_opcheck
+
+    record_opcheck("proportion_test", n_a + n_b, True, oracle="python-reference")
+    # degenerate: zero conversions everywhere -> honest NULL z
+    none = spark.createDataFrame(
+        [("A", 0), ("A", 0), ("B", 0)], "arm string, converted int"
+    )
+    d = proportion_test(none, "converted", "arm", "A", "B").first()
+    assert d["z"] is None and d["significant"] is None
+    # empty arm
+    e = proportion_test(
+        none.where("arm = 'A'"), "converted", "arm", "A", "B"
+    ).first()
+    assert e["n_b"] == 0 and e["rate_a"] is None
+
+
+def test_cuped_reduces_variance_without_bias(spark):
+    """CUPED law on a constructed experiment: the adjusted metric's
+    variance drops by ~rho^2 while the A/B mean difference (the
+    treatment effect) is preserved; theta replays exactly; NULL
+    covariates keep the raw metric."""
+    import random
+
+    import pytest
+    from pyspark.sql import functions as F
+
+    from data_export_tool_spark.operators.experiment import (
+        ab_test,
+        cuped_adjust,
+    )
+
+    rng = random.Random(7)
+    rows = []
+    for i in range(4000):
+        pre = rng.gauss(100, 20)              # pre-period covariate
+        noise = rng.gauss(0, 5)
+        arm = "B" if i % 2 else "A"
+        effect = 3.0 if arm == "B" else 0.0
+        rows.append((arm, pre, 0.8 * pre + noise + effect))
+    df = spark.createDataFrame(rows, "arm string, pre double, y double")
+    adj = cuped_adjust(df, "y", "pre")
+    # theta replay
+    xs = [p for _, p, _ in rows]
+    ys = [y for _, _, y in rows]
+    mx = sum(xs) / len(xs)
+    my = sum(ys) / len(ys)
+    cxy = sum((x - mx) * (y - my) for x, y in zip(xs, ys)) / (len(xs) - 1)
+    vx = sum((x - mx) ** 2 for x in xs) / (len(xs) - 1)
+    theta = cxy / vx
+    got = {
+        (r["arm"], r["pre"]): r["y_cuped"]
+        for r in adj.collect()
+    }
+    for arm, pre, y in rows[:200]:
+        assert got[(arm, pre)] == pytest.approx(
+            y - theta * (pre - mx), abs=1e-9
+        )
+    # variance shrinks a lot (rho^2 ~ (0.8*20)^2/((0.8*20)^2+25) ≈ .91)
+    raw = ab_test(df, "arm", ["y"], "A", "B").first()
+    cup = ab_test(adj, "arm", ["y_cuped"], "A", "B").first()
+    diff_raw = raw["mean_b"] - raw["mean_a"]
+    diff_cup = cup["mean_b"] - cup["mean_a"]
+    # the adjusted estimate is CLOSER to the designed effect (3.0) than
+    # the raw one — CUPED removes the pre-period imbalance the raw
+    # difference carries — and the sensitivity (t) rises sharply
+    assert abs(diff_cup - 3.0) <= abs(diff_raw - 3.0) + 1e-9
+    assert diff_cup == pytest.approx(3.0, abs=0.6)
+    assert abs(cup["t_stat"]) > abs(raw["t_stat"]) * 2  # sensitivity up
+    # NULL covariate keeps raw metric
+    wn = spark.createDataFrame(
+        [("A", None, 7.0)], "arm string, pre double, y double"
+    )
+    both = cuped_adjust(df.unionByName(wn), "y", "pre").where(
+        F.col("pre").isNull()
+    ).first()
+    assert both["y_cuped"] == 7.0
+    from tests.conftest import record_opcheck
+
+    record_opcheck("cuped_adjust", 200, True, oracle="python-reference")

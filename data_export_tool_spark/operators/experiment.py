@@ -377,3 +377,126 @@ def cuped_adjust(
         y - F.lit(float(theta)) * (x - F.lit(float(mx))),
     ).otherwise(y)
     return df.withColumn(out_col, adj)
+
+
+def py_chi2_sf(x: float, dof: int) -> float:
+    """Chi-square survival function Q(dof/2, x/2) via the regularized
+    upper incomplete gamma (series for x < a+1, Lentz continued
+    fraction otherwise — the classic Numerical-Recipes-style pair),
+    exposed so oracles replay the exact arithmetic. Accurate to ~1e-12
+    over the experimentation range (tests pin the published 0.05
+    quantiles)."""
+    if x <= 0:
+        return 1.0
+    a = dof / 2.0
+    xx = x / 2.0
+    if xx < a + 1.0:
+        # lower series P(a, x), then Q = 1 - P
+        term = 1.0 / a
+        total = term
+        n = a
+        for _ in range(500):
+            n += 1.0
+            term *= xx / n
+            total += term
+            if abs(term) < abs(total) * 1e-16:
+                break
+        ln_pref = a * math.log(xx) - xx - math.lgamma(a)
+        return max(0.0, min(1.0, 1.0 - total * math.exp(ln_pref)))
+    # Lentz continued fraction for Q(a, x)
+    tiny = 1e-300
+    b = xx + 1.0 - a
+    c = 1.0 / tiny
+    d = 1.0 / b
+    h = d
+    for i in range(1, 500):
+        an = -i * (i - a)
+        b += 2.0
+        d = an * d + b
+        if abs(d) < tiny:
+            d = tiny
+        c = b + an / c
+        if abs(c) < tiny:
+            c = tiny
+        d = 1.0 / d
+        delta = d * c
+        h *= delta
+        if abs(delta - 1.0) < 1e-16:
+            break
+    ln_pref = a * math.log(xx) - xx - math.lgamma(a)
+    return max(0.0, min(1.0, math.exp(ln_pref) * h))
+
+
+def srm_check(
+    df: DataFrame,
+    group_col: str,
+    expected: dict,
+    alpha: float = 1e-3,
+) -> DataFrame:
+    """Sample-ratio mismatch guardrail — the FIRST check any A/B
+    readout must pass: a chi-square goodness-of-fit of the observed
+    arm counts against the DESIGNED assignment shares. An SRM means
+    the randomization itself broke (bot filtering, logging loss,
+    redirect asymmetry) and every downstream metric comparison is
+    biased regardless of its p-value — which is why the conventional
+    threshold is a paranoid 1e-3, not 0.05. Rows in arms absent from
+    ``expected`` are counted and disclosed (``n_unexpected``) but
+    excluded from the statistic; an UNEXPECTED arm appearing at all is
+    usually itself the bug.
+
+    One count aggregate → driver closed form (``py_chi2_sf``).
+    Output: one row ``(n_total, n_unexpected, chi2, dof, p_value,
+    srm_detected, arms)`` with ``arms`` an array of
+    ``(arm, n, expected_share, observed_share)`` structs.
+    """
+    if not expected:
+        raise ValueError("expected must map arm -> designed share")
+    tot_share = sum(expected.values())
+    if not math.isclose(tot_share, 1.0, abs_tol=1e-9):
+        raise ValueError(f"expected shares must sum to 1: {tot_share}")
+    counts = {
+        r["g"]: r["n"]
+        for r in df.where(F.col(group_col).isNotNull())
+        .groupBy(F.col(group_col).cast("string").alias("g"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    exp = {str(k): v for k, v in expected.items()}
+    n_in = sum(counts.get(k, 0) for k in exp)
+    n_unexpected = sum(v for k, v in counts.items() if k not in exp)
+    spark = df.sparkSession
+    schema = (
+        "n_total long, n_unexpected long, chi2 double, dof int,"
+        " p_value double, srm_detected boolean,"
+        " arms array<struct<arm:string,n:long,expected_share:double,"
+        "observed_share:double>>"
+    )
+    arms = [
+        (
+            k,
+            int(counts.get(k, 0)),
+            float(exp[k]),
+            (counts.get(k, 0) / n_in) if n_in else None,
+        )
+        for k in sorted(exp)
+    ]
+    if n_in == 0:
+        return spark.createDataFrame(
+            [(0, n_unexpected, None, len(exp) - 1, None, None, arms)], schema
+        )
+    chi2 = sum(
+        (counts.get(k, 0) - n_in * s) ** 2 / (n_in * s)
+        for k, s in exp.items()
+        if s > 0
+    )
+    dof = len(exp) - 1
+    p = py_chi2_sf(chi2, dof) if dof >= 1 else None
+    return spark.createDataFrame(
+        [(
+            n_in, n_unexpected, round(chi2, 9), dof,
+            round(p, 15) if p is not None else None,
+            bool(p < alpha) if p is not None else None,
+            arms,
+        )],
+        schema,
+    )

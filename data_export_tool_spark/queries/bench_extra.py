@@ -1890,6 +1890,8 @@ def b114_experiment_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("user_id") % 97).cast("double").alias("pre"),
         (F.col("event_type") == "purchase").cast("int").alias("converted"),
     )
+    from data_export_tool_spark.operators.experiment import srm_check
+
     adj = cuped_adjust(ev, "y", "pre")
     welch = ab_test(adj, "arm", ["y_cuped"], "A", "B").select(
         F.lit("welch_cuped").alias("test"), F.col("p_value")
@@ -1897,7 +1899,10 @@ def b114_experiment_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     prop = proportion_test(ev, "converted", "arm", "A", "B").select(
         F.lit("proportion").alias("test"), F.col("p_value")
     )
-    return welch.unionByName(prop)
+    srm = srm_check(ev, "arm", {"A": 0.5, "B": 0.5}).select(
+        F.lit("srm").alias("test"), F.col("p_value")
+    )
+    return welch.unionByName(prop).unionByName(srm)
 
 
 def b107_resolve_threads(spark: SparkSession, sf_dir: str) -> DataFrame:

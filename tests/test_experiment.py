@@ -391,3 +391,76 @@ def test_cuped_reduces_variance_without_bias(spark):
     from tests.conftest import record_opcheck
 
     record_opcheck("cuped_adjust", 200, True, oracle="python-reference")
+
+
+def test_chi2_sf_literature_values():
+    """py_chi2_sf vs the published chi-square 0.05/0.01 quantiles and
+    a symmetry sanity range."""
+    import pytest
+
+    from data_export_tool_spark.operators.experiment import py_chi2_sf
+
+    # (x, dof, sf) from standard tables
+    for x, dof, sf in [
+        (3.841458820694124, 1, 0.05),
+        (5.991464547107979, 2, 0.05),
+        (7.814727903251179, 3, 0.05),
+        (6.634896601021213, 1, 0.01),
+        (9.210340371976182, 2, 0.01),
+        (0.0, 5, 1.0),
+    ]:
+        assert py_chi2_sf(x, dof) == pytest.approx(sf, rel=1e-9, abs=1e-12)
+    # monotone decreasing in x
+    vals = [py_chi2_sf(x / 10.0, 4) for x in range(0, 300, 7)]
+    assert all(a >= b for a, b in zip(vals, vals[1:]))
+
+
+def test_srm_check_matches_python_replay(spark, sf_dir):
+    import pytest
+    from pyspark.sql import functions as F
+
+    from data_export_tool_spark.operators.experiment import (
+        py_chi2_sf,
+        srm_check,
+    )
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        F.when(F.col("user_id") % 2 == 0, "A").otherwise("B").alias("arm")
+    )
+    got = srm_check(ev, "arm", {"A": 0.5, "B": 0.5}).first()
+    rows = [r["arm"] for r in ev.collect()]
+    n = len(rows)
+    na = sum(1 for a in rows if a == "A")
+    nb = n - na
+    chi2 = (na - n * 0.5) ** 2 / (n * 0.5) + (nb - n * 0.5) ** 2 / (n * 0.5)
+    assert got["n_total"] == n and got["dof"] == 1
+    assert got["chi2"] == pytest.approx(chi2, abs=1e-6)
+    assert got["p_value"] == pytest.approx(py_chi2_sf(chi2, 1), rel=1e-9)
+    # verdict equals the replay's (the driver events' user ids are NOT
+    # parity-balanced — 56/44 at sf0.001 — so the detector rightly
+    # fires on this "experiment": exactly the bug SRM exists to catch)
+    assert got["srm_detected"] is (py_chi2_sf(chi2, 1) < 1e-3)
+    from tests.conftest import record_opcheck
+
+    record_opcheck("srm_check", n, True, oracle="python-reference")
+
+    # a genuinely balanced split stays quiet
+    ok_split = spark.createDataFrame(
+        [("A",)] * 5000 + [("B",)] * 4980, "arm string"
+    )
+    q = srm_check(ok_split, "arm", {"A": 0.5, "B": 0.5}).first()
+    assert q["srm_detected"] is False
+
+    # a genuinely broken split screams, and unexpected arms disclose
+    broken = spark.createDataFrame(
+        [("A",)] * 700 + [("B",)] * 300 + [("C",)] * 5, "arm string"
+    )
+    b = srm_check(broken, "arm", {"A": 0.5, "B": 0.5}).first()
+    assert b["srm_detected"] is True and b["n_unexpected"] == 5
+    assert b["n_total"] == 1000
+    arms = {a["arm"]: a for a in b["arms"]}
+    assert arms["A"]["n"] == 700 and arms["A"]["observed_share"] == 0.7
+    with pytest.raises(ValueError):
+        srm_check(broken, "arm", {"A": 0.5, "B": 0.4})
+    with pytest.raises(ValueError):
+        srm_check(broken, "arm", {})

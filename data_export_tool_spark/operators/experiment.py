@@ -500,3 +500,157 @@ def srm_check(
         )],
         schema,
     )
+
+
+def _py_probit(p: float) -> float:
+    """Φ⁻¹(p) — Acklam's rational approximation (|ε| < 1.15e-9), the
+    scalar twin of features._probit for driver-side closed forms."""
+    if not 0.0 < p < 1.0:
+        raise ValueError(f"p must be in (0, 1): {p}")
+    a = [-3.969683028665376e+01, 2.209460984245205e+02,
+         -2.759285104469687e+02, 1.383577518672690e+02,
+         -3.066479806614716e+01, 2.506628277459239e+00]
+    b = [-5.447609879822406e+01, 1.615858368580409e+02,
+         -1.556989798598866e+02, 6.680131188771972e+01,
+         -1.328068155288572e+01]
+    c = [-7.784894002430293e-03, -3.223964580411365e-01,
+         -2.400758277161838e+00, -2.549732539343734e+00,
+         4.374664141464968e+00, 2.938163982698783e+00]
+    d = [7.784695709041462e-03, 3.224671290700398e-01,
+         2.445134137142996e+00, 3.754408661907416e+00]
+    plow, phigh = 0.02425, 1 - 0.02425
+    if p < plow:
+        q = math.sqrt(-2 * math.log(p))
+        return (((((c[0] * q + c[1]) * q + c[2]) * q + c[3]) * q + c[4]) * q + c[5]) / \
+               ((((d[0] * q + d[1]) * q + d[2]) * q + d[3]) * q + 1)
+    if p > phigh:
+        q = math.sqrt(-2 * math.log(1 - p))
+        return -(((((c[0] * q + c[1]) * q + c[2]) * q + c[3]) * q + c[4]) * q + c[5]) / \
+               ((((d[0] * q + d[1]) * q + d[2]) * q + d[3]) * q + 1)
+    q = p - 0.5
+    r = q * q
+    return (((((a[0] * r + a[1]) * r + a[2]) * r + a[3]) * r + a[4]) * r + a[5]) * q / \
+           (((((b[0] * r + b[1]) * r + b[2]) * r + b[3]) * r + b[4]) * r + 1)
+
+
+def experiment_power(
+    df: DataFrame,
+    metric_col: str,
+    mde: float | None = None,
+    n_per_arm: int | None = None,
+    alpha: float = 0.05,
+    power: float = 0.8,
+) -> DataFrame:
+    """Experiment PLANNING from pilot data: with the metric's variance
+    measured on ``df`` (the pre-experiment population), answer either
+    "how many units per arm to detect ``mde``?" (absolute effect) or
+    "what MDE does ``n_per_arm`` buy?" — the two-sample normal
+    closed forms ``n = 2σ²(z_{1−α/2} + z_{power})²/δ²`` and its
+    inversion. Pass one of ``mde`` / ``n_per_arm`` (or both: each
+    answers independently).
+
+    One variance aggregate → driver closed form. Output one row:
+    ``(n_pilot, metric_mean, metric_var, alpha, power, mde,
+    n_per_arm_required, n_per_arm, mde_detectable)``."""
+    if mde is None and n_per_arm is None:
+        raise ValueError("pass mde and/or n_per_arm")
+    if mde is not None and not mde > 0:
+        raise ValueError(f"mde must be > 0: {mde}")
+    if n_per_arm is not None and n_per_arm < 2:
+        raise ValueError(f"n_per_arm must be >= 2: {n_per_arm}")
+    x = F.col(metric_col).cast("double")
+    row = df.where(x.isNotNull()).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.avg(x).alias("m"),
+        F.var_samp(x).alias("v"),
+    ).first()
+    n_pilot = int(row["n"] or 0)
+    var = row["v"]
+    z = (_py_probit(1 - alpha / 2) + _py_probit(power)) ** 2
+    n_req = mde_det = None
+    if var is not None and var > 0:
+        if mde is not None:
+            n_req = int(math.ceil(2.0 * var * z / (mde * mde)))
+        if n_per_arm is not None:
+            mde_det = math.sqrt(2.0 * var * z / n_per_arm)
+    return df.sparkSession.createDataFrame(
+        [(
+            n_pilot, row["m"], var, alpha, power, mde,
+            n_req, n_per_arm,
+            round(mde_det, 9) if mde_det is not None else None,
+        )],
+        "n_pilot long, metric_mean double, metric_var double, alpha double,"
+        " power double, mde double, n_per_arm_required long, n_per_arm long,"
+        " mde_detectable double",
+    )
+
+
+def msprt_always_valid(
+    df: DataFrame,
+    metric_col: str,
+    group_col: str,
+    group_a,
+    group_b,
+    tau: float | None = None,
+    alpha: float = 0.05,
+) -> DataFrame:
+    """Mixture sequential probability ratio test (mSPRT — Johari,
+    Koomen, Pekelis & Walsh, "Peeking at A/B Tests", KDD'17): the
+    ALWAYS-VALID p-value that stays correct under continuous
+    monitoring, unlike the fixed-horizon Welch p that inflates to
+    ~100% false positives when peeked at daily. Normal mixture with
+    prior scale ``tau`` (default: the observed pooled standard error —
+    the paper's practical choice):
+
+        Λ = sqrt(2σ̂²/n̄ / (2σ̂²/n̄ + τ²))
+            · exp(Δ̄² · τ² / (2·(2σ̂²/n̄)·(2σ̂²/n̄ + τ²)))
+        p_always_valid = min(1, 1/Λ)
+
+    where Δ̄ is the arm-mean difference, σ̂² the pooled variance and
+    n̄ the harmonic arm size. One conditional-aggregation scan →
+    driver closed form; replayable by any oracle.
+
+    Output: one row ``(n_a, n_b, mean_a, mean_b, diff, tau, lambda_,
+    p_always_valid, significant)``."""
+    ga, gb = F.lit(group_a), F.lit(group_b)
+    x = F.col(metric_col).cast("double")
+    xa = F.when(F.col(group_col) == ga, x)
+    xb = F.when(F.col(group_col) == gb, x)
+    row = df.agg(
+        F.count(xa).alias("na"), F.avg(xa).alias("ma"), F.var_samp(xa).alias("va"),
+        F.count(xb).alias("nb"), F.avg(xb).alias("mb"), F.var_samp(xb).alias("vb"),
+    ).first()
+    n_a, n_b = int(row["na"] or 0), int(row["nb"] or 0)
+    spark = df.sparkSession
+    schema = (
+        "n_a long, n_b long, mean_a double, mean_b double, diff double,"
+        " tau double, lambda_ double, p_always_valid double,"
+        " significant boolean"
+    )
+    if n_a < 2 or n_b < 2 or row["va"] is None or row["vb"] is None:
+        return spark.createDataFrame(
+            [(n_a, n_b, row["ma"], row["mb"], None, tau, None, None, None)],
+            schema,
+        )
+    # pooled variance; V = var of the mean difference
+    s2 = ((n_a - 1) * row["va"] + (n_b - 1) * row["vb"]) / (n_a + n_b - 2)
+    V = s2 * (1.0 / n_a + 1.0 / n_b)
+    if V <= 0:
+        return spark.createDataFrame(
+            [(n_a, n_b, row["ma"], row["mb"], 0.0, tau, None, None, None)],
+            schema,
+        )
+    diff = row["mb"] - row["ma"]
+    t2 = (tau * tau) if tau is not None else V  # paper's practical default
+    lam = math.sqrt(V / (V + t2)) * math.exp(
+        diff * diff * t2 / (2.0 * V * (V + t2))
+    )
+    p = min(1.0, 1.0 / lam)
+    return spark.createDataFrame(
+        [(
+            n_a, n_b, row["ma"], row["mb"], round(diff, 9),
+            round(math.sqrt(t2), 9), round(lam, 9), round(p, 12),
+            bool(p < alpha),
+        )],
+        schema,
+    )

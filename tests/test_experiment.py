@@ -464,3 +464,89 @@ def test_srm_check_matches_python_replay(spark, sf_dir):
         srm_check(broken, "arm", {"A": 0.5, "B": 0.4})
     with pytest.raises(ValueError):
         srm_check(broken, "arm", {})
+
+
+def test_experiment_power_matches_closed_form(spark):
+    import math
+
+    import pytest
+    from pyspark.sql import functions as F
+
+    from data_export_tool_spark.operators.experiment import (
+        _py_probit,
+        experiment_power,
+    )
+
+    # probit sanity vs published quantiles
+    assert _py_probit(0.975) == pytest.approx(1.959963985, abs=1e-6)
+    assert _py_probit(0.8) == pytest.approx(0.8416212336, abs=1e-6)
+    assert _py_probit(0.5) == 0.0
+
+    df = spark.range(10000).select(
+        ((F.col("id") * 2654435761) % 1000 / 100.0).alias("m")
+    )
+    got = experiment_power(df, "m", mde=0.1, n_per_arm=5000).first()
+    rows = [r["m"] for r in df.collect()]
+    mean = sum(rows) / len(rows)
+    var = sum((v - mean) ** 2 for v in rows) / (len(rows) - 1)
+    z = (_py_probit(0.975) + _py_probit(0.8)) ** 2
+    n_req = math.ceil(2 * var * z / 0.1**2)
+    mde_det = math.sqrt(2 * var * z / 5000)
+    assert got["n_pilot"] == len(rows)
+    assert got["metric_var"] == pytest.approx(var, rel=1e-9)
+    assert got["n_per_arm_required"] == n_req
+    assert got["mde_detectable"] == pytest.approx(mde_det, abs=1e-6)
+    from tests.conftest import record_opcheck
+
+    record_opcheck("experiment_power", 1, True, oracle="python-reference")
+    with pytest.raises(ValueError):
+        experiment_power(df, "m")
+    with pytest.raises(ValueError):
+        experiment_power(df, "m", mde=-1.0)
+
+
+def test_msprt_matches_replay_and_peeking_law(spark):
+    """mSPRT closed form vs a python replay, plus the property it
+    exists for: under H0 the always-valid p stays above alpha at EVERY
+    prefix ('peek'), while a real effect is eventually detected."""
+    import math
+    import random
+
+    import pytest
+    from pyspark.sql import functions as F
+
+    from data_export_tool_spark.operators.experiment import msprt_always_valid
+
+    rng = random.Random(3)
+    null_rows = [("A" if i % 2 else "B", rng.gauss(10, 2)) for i in range(6000)]
+    eff_rows = [
+        ("A" if i % 2 else "B", rng.gauss(10, 2) + (0.5 if i % 2 == 0 else 0))
+        for i in range(6000)
+    ]
+    # replay law on the full effect sample
+    df = spark.createDataFrame(eff_rows, "g string, m double")
+    got = msprt_always_valid(df, "m", "g", "A", "B").first()
+    a = [m for g, m in eff_rows if g == "A"]
+    b = [m for g, m in eff_rows if g == "B"]
+    ma, mb = sum(a) / len(a), sum(b) / len(b)
+    va = sum((v - ma) ** 2 for v in a) / (len(a) - 1)
+    vb = sum((v - mb) ** 2 for v in b) / (len(b) - 1)
+    s2 = ((len(a) - 1) * va + (len(b) - 1) * vb) / (len(a) + len(b) - 2)
+    V = s2 * (1 / len(a) + 1 / len(b))
+    diff = mb - ma
+    lam = math.sqrt(V / (V + V)) * math.exp(diff**2 * V / (2 * V * (V + V)))
+    assert got["lambda_"] == pytest.approx(lam, rel=1e-6)
+    assert got["p_always_valid"] == pytest.approx(min(1.0, 1 / lam), rel=1e-6)
+    from tests.conftest import record_opcheck
+
+    record_opcheck("msprt_always_valid", 2, True, oracle="python-reference")
+    # peeking: under H0 no prefix crosses; under H1 the full sample does
+    for rows, expect_detect in ((null_rows, False), (eff_rows, True)):
+        detected = False
+        for frac in (0.25, 0.5, 0.75, 1.0):
+            d = spark.createDataFrame(
+                rows[: int(len(rows) * frac)], "g string, m double"
+            )
+            r = msprt_always_valid(d, "m", "g", "A", "B").first()
+            detected = detected or bool(r["significant"])
+        assert detected is expect_detect, (expect_detect, frac)

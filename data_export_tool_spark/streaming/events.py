@@ -2054,3 +2054,184 @@ def _interval_seconds(interval: str) -> float:
     if mult is None:
         raise ValueError(f"unsupported interval unit: {interval!r}")
     return float(qty) * mult
+
+
+def _parse_duration_us(s: str) -> int:
+    """'N unit' → microseconds for the units the twins use (second,
+    minute, hour, day; plural tolerated)."""
+    parts = s.strip().split()
+    if len(parts) != 2:
+        raise ValueError(f"duration must be 'N unit': {s!r}")
+    n = int(parts[0])
+    unit = parts[1].rstrip("s").lower()
+    mult = {"second": 1, "minute": 60, "hour": 3600, "day": 86400}.get(unit)
+    if mult is None or n <= 0:
+        raise ValueError(f"unsupported duration: {s!r}")
+    return n * mult * 1_000_000
+
+
+MSPRT_STATE_SCHEMA = StructType(
+    [
+        StructField("na", LongType()),
+        StructField("sa", DoubleType()),
+        StructField("sqa", DoubleType()),
+        StructField("nb", LongType()),
+        StructField("sb", DoubleType()),
+        StructField("sqb", DoubleType()),
+        StructField("pend_ts", ArrayType(LongType())),
+        StructField("pend_arm", ArrayType(StringType())),
+        StructField("pend_val", ArrayType(DoubleType())),
+    ]
+)
+
+MSPRT_OUTPUT_SCHEMA = StructType(
+    [
+        StructField("experiment_id", StringType()),
+        StructField("bucket_start", LongType()),
+        StructField("n_a", LongType()),
+        StructField("n_b", LongType()),
+        StructField("diff", DoubleType()),
+        StructField("p_always_valid", DoubleType()),
+        StructField("significant", StringType()),
+    ]
+)
+
+
+def msprt_monitor_stream(
+    events: DataFrame,
+    tau: float,
+    group_a: str = "A",
+    group_b: str = "B",
+    experiment_col: str = "experiment_id",
+    arm_col: str = "arm",
+    value_col: str = "value",
+    bucket: str = "1 hour",
+    watermark: str = "30 minutes",
+    alpha: float = 0.05,
+) -> DataFrame:
+    """Continuous mSPRT experiment monitor — twin #29, the streaming
+    face of X190 ``experiment.msprt_always_valid`` and the reason the
+    always-valid p exists at all: the dashboard PEEKS every bucket,
+    and mSPRT is the statistic built to be peeked at.
+
+    Custom stateful operator (``applyInPandasWithState``, the
+    transition_stream watermark-buffer pattern), keyed by EXPERIMENT —
+    the parallel unit is the experiment, correct for a monitor whose
+    state is six running floats: rows buffer until the watermark
+    passes their BUCKET'S END (the windowed-agg finality rule), then
+    fold in exact bucket order into the running sufficient statistics
+    (n, Σx, Σx² per arm); one row per closed bucket emits the
+    always-valid p computed over ALL data up to that bucket —
+    append-final, since only below-watermark rows fed it. Late rows
+    drop (the suite-wide policy). ``tau`` is REQUIRED here: the batch
+    default (observed pooled SE) changes per prefix, which would make
+    each bucket's p incomparable and the batch twin unreplayable.
+
+    Variance uses the sums-of-squares form ``(Σx² − (Σx)²/n)/(n−1)``
+    — algebraically the batch ``var_samp``; the twin pins agreement at
+    1e-7 relative (double-precision cancellation at monitor scale is
+    far below that).
+
+    Output: ``(experiment_id, bucket_start [epoch us], n_a, n_b, diff,
+    p_always_valid, significant)`` — significant is 'up'/'down'/'none'
+    at ``alpha`` (direction = sign of mean_b − mean_a).
+    """
+    if not tau > 0:
+        raise ValueError(f"tau must be > 0: {tau}")
+    import math as _math
+
+    import pandas as pd
+
+    bucket_us = _parse_duration_us(bucket)
+
+    def fn(key, pdf_iter, state: GroupState):
+        if state.exists:
+            na, sa, sqa, nb, sb, sqb, p_ts, p_arm, p_val = state.get
+            pend = list(zip(p_ts, p_arm, p_val))
+        else:
+            na, sa, sqa, nb, sb, sqb, pend = 0, 0.0, 0.0, 0, 0.0, 0.0, []
+        wm_us = state.getCurrentWatermarkMs() * 1000
+
+        if not state.hasTimedOut:
+            for pdf in pdf_iter:
+                sel = pdf[pdf[arm_col].notna() & pdf[value_col].notna()]
+                if len(sel) == 0:
+                    continue
+                ts_us = (
+                    pd.to_datetime(sel["ts"])
+                    .astype("datetime64[ns]")
+                    .astype("int64")
+                    // 1_000
+                )
+                for t, arm, v in zip(ts_us, sel[arm_col], sel[value_col]):
+                    if t >= wm_us:  # late rows drop at arrival
+                        pend.append((int(t), str(arm), float(v)))
+
+        # consume whole CLOSED buckets in bucket order
+        ready = sorted(
+            p for p in pend if (p[0] // bucket_us + 1) * bucket_us <= wm_us
+        )
+        pend = [
+            p for p in pend if (p[0] // bucket_us + 1) * bucket_us > wm_us
+        ]
+        out = []
+        i = 0
+        while i < len(ready):
+            bstart = ready[i][0] // bucket_us * bucket_us
+            while i < len(ready) and ready[i][0] // bucket_us * bucket_us == bstart:
+                _, arm, v = ready[i]
+                if arm == group_a:
+                    na, sa, sqa = na + 1, sa + v, sqa + v * v
+                elif arm == group_b:
+                    nb, sb, sqb = nb + 1, sb + v, sqb + v * v
+                i += 1
+            if na >= 2 and nb >= 2:
+                va = (sqa - sa * sa / na) / (na - 1)
+                vb = (sqb - sb * sb / nb) / (nb - 1)
+                s2 = ((na - 1) * va + (nb - 1) * vb) / (na + nb - 2)
+                V = s2 * (1.0 / na + 1.0 / nb)
+                diff = sb / nb - sa / na
+                if V > 0:
+                    t2 = tau * tau
+                    lam = _math.sqrt(V / (V + t2)) * _math.exp(
+                        diff * diff * t2 / (2.0 * V * (V + t2))
+                    )
+                    p = min(1.0, 1.0 / lam)
+                    sig = (
+                        "none" if p >= alpha else ("up" if diff > 0 else "down")
+                    )
+                    out.append((key[0], bstart, na, nb, round(diff, 9),
+                                round(p, 12), sig))
+
+        state.update(
+            (na, sa, sqa, nb, sb, sqb,
+             [p[0] for p in pend], [p[1] for p in pend], [p[2] for p in pend])
+        )
+        if pend:
+            nxt = min((p[0] // bucket_us + 1) * bucket_us for p in pend)
+            state.setTimeoutTimestamp(max(nxt // 1000 + 1, wm_us // 1000 + 1))
+        if out:
+            yield pd.DataFrame(
+                out,
+                columns=["experiment_id", "bucket_start", "n_a", "n_b",
+                         "diff", "p_always_valid", "significant"],
+            )
+
+    return (
+        events.where(F.col("ts").isNotNull())
+        .withColumn(
+            "__exp",
+            F.coalesce(F.col(experiment_col).cast("string"), F.lit("__all__"))
+            if experiment_col in events.columns
+            else F.lit("__all__"),
+        )
+        .withWatermark("ts", watermark)
+        .groupBy("__exp")
+        .applyInPandasWithState(
+            fn,
+            outputStructType=MSPRT_OUTPUT_SCHEMA,
+            stateStructType=MSPRT_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )

@@ -2096,3 +2096,81 @@ def test_windowed_topk_stream_matches_batch(spark, sf_dir, tmp_path):
         f"stream {len(emitted)} vs batch {len(want)};"
         f" diff={list(set(emitted.items()) ^ set(want.items()))[:5]}"
     )
+
+
+def test_msprt_monitor_stream_matches_batch(spark, sf_dir, tmp_path):
+    """Twin #29: every closed bucket's always-valid p must equal the
+    batch X190 operator (same fixed tau) applied to ALL rows in
+    buckets up to and including it — the cumulative prefix law that
+    makes the monitor a correct peeker."""
+    import time
+
+    import pytest
+
+    from data_export_tool_spark.operators.experiment import msprt_always_valid
+    from data_export_tool_spark.streaming.events import msprt_monitor_stream
+
+    ev = Catalog(spark, sf_dir).load("events").where(
+        F.col("ts").isNotNull() & F.col("user_id").isNotNull()
+        & F.col("value").isNotNull()
+    ).select(
+        "ts",
+        F.when(F.col("user_id") % 2 == 0, "A").otherwise("B").alias("arm"),
+        F.col("value").cast("double").alias("value"),
+        F.lit("exp1").alias("experiment_id"),
+        F.col("event_id"),
+        F.col("user_id"),
+        F.col("event_type"),
+        F.col("props"),
+    )
+    bounds = ev.select(F.unix_millis("ts").alias("ms")).approxQuantile(
+        "ms", [0.33, 0.66], 0.0
+    )
+    drop_dir = str(tmp_path / "msprt_drops")
+    lo = None
+    for hi in [*bounds, None]:
+        sel = ev
+        if lo is not None:
+            sel = sel.where(F.unix_millis("ts") >= lo)
+        if hi is not None:
+            sel = sel.where(F.unix_millis("ts") < hi)
+        sel.repartition(1).write.mode("append").parquet(drop_dir)
+        lo = hi
+        time.sleep(1.05)
+
+    TAU, BUCKET_S = 5.0, 86400
+    stream = (
+        spark.readStream.schema(spark.read.parquet(drop_dir).schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(drop_dir)
+    )
+    out = msprt_monitor_stream(
+        stream, tau=TAU, bucket="1 day", watermark="30 minutes",
+    )
+    q = (
+        out.writeStream.format("memory")
+        .queryName("msprt_stream_test")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    emitted = {
+        r["bucket_start"]: (r["n_a"], r["n_b"], r["p_always_valid"])
+        for r in spark.sql("SELECT * FROM msprt_stream_test").collect()
+    }
+    assert emitted, "no bucket closed"
+
+    replay = spark.read.parquet(drop_dir)
+    checked = 0
+    for bstart, (n_a, n_b, p) in sorted(emitted.items()):
+        prefix = replay.where(
+            F.unix_millis("ts") < F.lit((bstart // 1_000_000 + BUCKET_S) * 1000)
+        )
+        want = msprt_always_valid(
+            prefix, "value", "arm", "A", "B", tau=TAU
+        ).first()
+        assert (want["n_a"], want["n_b"]) == (n_a, n_b), bstart
+        assert p == pytest.approx(want["p_always_valid"], rel=1e-7), bstart
+        checked += 1
+    record_stream_parity("msprt_monitor", checked, True)

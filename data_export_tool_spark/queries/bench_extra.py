@@ -1905,6 +1905,29 @@ def b114_experiment_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     return welch.unionByName(prop).unionByName(srm)
 
 
+def b115_causal_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Observational causal readouts over the event stream: 2×2 DiD
+    (user-parity arms × day-parity periods) + Hájek-IPW ATE with a
+    user-derived propensity — both single-conditional-aggregation
+    scans (operators/causal.py)."""
+    from data_export_tool_spark.operators.causal import did_estimate, ipw_ate
+
+    ev = Catalog(spark, sf_dir).load("events").select(
+        F.when(F.col("user_id") % 2 == 0, "T").otherwise("C").alias("arm"),
+        F.when(F.dayofmonth("ts") % 2 == 0, "post").otherwise("pre").alias("per"),
+        (F.col("user_id") % 3 == 0).cast("int").alias("t"),
+        F.col("value").cast("double").alias("y"),
+        (F.lit(0.2) + F.lit(0.6) * (F.col("user_id") % 10) / 9.0).alias("e"),
+    )
+    did = did_estimate(ev, "arm", "per", "y", "T", "C", "pre", "post").select(
+        F.lit("did").alias("estimator"), F.col("z"), F.col("p_value")
+    )
+    ipw = ipw_ate(ev, "t", "y", propensity_col="e").select(
+        F.col("estimator"), F.col("z"), F.col("p_value")
+    )
+    return did.unionByName(ipw)
+
+
 def b107_resolve_threads(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Thread reconstruction over per-user event chains (each event's
     parent = the user's previous event): path-doubling root/depth
@@ -2037,4 +2060,5 @@ QUERIES = [
     QuerySpec("b112_bitext_mining", b112_bitext_mining, None),
     QuerySpec("b113_mann_whitney", b113_mann_whitney, None),
     QuerySpec("b114_experiment_suite", b114_experiment_suite, None),
+    QuerySpec("b115_causal_suite", b115_causal_suite, None),
 ]

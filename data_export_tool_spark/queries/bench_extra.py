@@ -1928,6 +1928,44 @@ def b115_causal_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     return did.unionByName(ipw)
 
 
+def b116_fs_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fellegi–Sunter linkage end-to-end: (p_brand, p_size)-blocked
+    candidate part pairs → per-field agreement vectors → pattern-grain
+    EM fit → scan-side scoring; returns the match-weight decile table
+    (operators/linkage.py)."""
+    from data_export_tool_spark.operators.linkage import fs_em, fs_score
+
+    part = Catalog(spark, sf_dir).load("part").select(
+        "p_partkey", "p_brand", "p_size", "p_type", "p_retailprice",
+        F.split(F.col("p_name"), " ")[0].alias("p_word0"),
+    )
+    a, b = part.alias("a"), part.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.p_brand") == F.col("b.p_brand"))
+        & (F.col("a.p_size") == F.col("b.p_size"))
+        & (F.col("a.p_partkey") < F.col("b.p_partkey")),
+    ).select(
+        (F.col("a.p_type") == F.col("b.p_type")).cast("int").alias("g_type"),
+        (F.col("a.p_word0") == F.col("b.p_word0"))
+        .cast("int")
+        .alias("g_word0"),
+        (
+            F.abs(F.col("a.p_retailprice") - F.col("b.p_retailprice"))
+            <= F.lit(0.05) * F.col("a.p_retailprice")
+        )
+        .cast("int")
+        .alias("g_price"),
+    )
+    model = fs_em(pairs, ["g_type", "g_word0", "g_price"])
+    scored = fs_score(pairs, model)
+    return (
+        scored.groupBy(F.round("match_weight", 0).alias("w"))
+        .count()
+        .orderBy("w")
+    )
+
+
 def b107_resolve_threads(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Thread reconstruction over per-user event chains (each event's
     parent = the user's previous event): path-doubling root/depth
@@ -2061,4 +2099,5 @@ QUERIES = [
     QuerySpec("b113_mann_whitney", b113_mann_whitney, None),
     QuerySpec("b114_experiment_suite", b114_experiment_suite, None),
     QuerySpec("b115_causal_suite", b115_causal_suite, None),
+    QuerySpec("b116_fs_linkage", b116_fs_linkage, None),
 ]

@@ -1966,6 +1966,43 @@ def b116_fs_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def b117_bradley_terry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bradley–Terry supplier-preference leaderboard: each order's
+    first two lineitems form a comparison (cheaper supplier-bucket
+    wins); one pair-grain aggregation + vectorized driver MM
+    (operators/preference.py)."""
+    from data_export_tool_spark.operators.preference import bradley_terry
+
+    li = Catalog(spark, sf_dir).load("lineitem").where(
+        F.col("l_linenumber") <= 2
+    )
+    sides = li.groupBy("l_orderkey").agg(
+        F.min_by(
+            F.struct(
+                (F.col("l_suppkey") % 500).cast("string").alias("s"),
+                F.col("l_extendedprice").alias("pr"),
+            ),
+            F.col("l_linenumber"),
+        ).alias("first"),
+        F.max_by(
+            F.struct(
+                (F.col("l_suppkey") % 500).cast("string").alias("s"),
+                F.col("l_extendedprice").alias("pr"),
+            ),
+            F.col("l_linenumber"),
+        ).alias("second"),
+        F.count(F.lit(1)).alias("k"),
+    ).where(F.col("k") >= 2)
+    cmp_df = sides.select(
+        F.col("first.s").alias("a"),
+        F.col("second.s").alias("b"),
+        F.when(
+            F.col("first.pr") <= F.col("second.pr"), F.col("first.s")
+        ).otherwise(F.col("second.s")).alias("winner"),
+    )
+    return bradley_terry(cmp_df, "a", "b", "winner", iters=50)
+
+
 def b107_resolve_threads(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Thread reconstruction over per-user event chains (each event's
     parent = the user's previous event): path-doubling root/depth
@@ -2100,4 +2137,5 @@ QUERIES = [
     QuerySpec("b114_experiment_suite", b114_experiment_suite, None),
     QuerySpec("b115_causal_suite", b115_causal_suite, None),
     QuerySpec("b116_fs_linkage", b116_fs_linkage, None),
+    QuerySpec("b117_bradley_terry", b117_bradley_terry, None),
 ]

@@ -2003,6 +2003,27 @@ def b117_bradley_terry(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bradley_terry(cmp_df, "a", "b", "winner", iters=50)
 
 
+def b118_data_driven_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-driven attribution over the event stream: Markov removal
+    effect + exact Shapley credits, unioned — both are one journey
+    window pass + alphabet-bounded driver folds
+    (operators/attribution.py)."""
+    from data_export_tool_spark.operators.attribution import (
+        markov_attribution,
+        shapley_attribution,
+    )
+
+    ev = Catalog(spark, sf_dir).load("events")
+    touches = ["view", "click", "signup"]
+    mk = markov_attribution(ev, "purchase", touches).select(
+        F.lit("markov").alias("model"), "channel", F.col("credit")
+    )
+    sh = shapley_attribution(ev, "purchase", touches).select(
+        F.lit("shapley").alias("model"), "channel", F.col("credit")
+    )
+    return mk.unionByName(sh)
+
+
 def b107_resolve_threads(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Thread reconstruction over per-user event chains (each event's
     parent = the user's previous event): path-doubling root/depth
@@ -2138,4 +2159,5 @@ QUERIES = [
     QuerySpec("b115_causal_suite", b115_causal_suite, None),
     QuerySpec("b116_fs_linkage", b116_fs_linkage, None),
     QuerySpec("b117_bradley_terry", b117_bradley_terry, None),
+    QuerySpec("b118_data_driven_attribution", b118_data_driven_attribution, None),
 ]

@@ -2024,6 +2024,22 @@ def b118_data_driven_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mk.unionByName(sh)
 
 
+def b119_uplift_qini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Qini/AUUC uplift readout over the event stream: user-parity
+    pseudo-treatment, purchase outcome, a user-derived score — two
+    codegen scans (value-grain rank + bucket agg) + driver curve fold
+    (operators/uplift.py)."""
+    from data_export_tool_spark.operators.uplift import uplift_metrics
+
+    ev = Catalog(spark, sf_dir).load("events").select(
+        F.pmod(F.hash(F.col("event_id")), F.lit(2)).cast("int").alias("t"),
+        (F.col("event_type") == "purchase").cast("double").alias("y"),
+        (F.pmod(F.hash(F.col("user_id")), F.lit(1000)) / 1000.0
+         + F.col("value").cast("double") / 1e6).alias("score"),
+    )
+    return uplift_metrics(ev, "t", "y", "score", n_bins=20)
+
+
 def b107_resolve_threads(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Thread reconstruction over per-user event chains (each event's
     parent = the user's previous event): path-doubling root/depth
@@ -2160,4 +2176,5 @@ QUERIES = [
     QuerySpec("b116_fs_linkage", b116_fs_linkage, None),
     QuerySpec("b117_bradley_terry", b117_bradley_terry, None),
     QuerySpec("b118_data_driven_attribution", b118_data_driven_attribution, None),
+    QuerySpec("b119_uplift_qini", b119_uplift_qini, None),
 ]

@@ -2040,6 +2040,33 @@ def b119_uplift_qini(spark: SparkSession, sf_dir: str) -> DataFrame:
     return uplift_metrics(ev, "t", "y", "score", n_bins=20)
 
 
+def b120_kn_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kneser–Ney bigram LM end-to-end over the document corpus:
+    train (three vocabulary-grain aggregations) + per-doc perplexity
+    scoring (explode + three equi-joins, codegen-only) → perplexity
+    decile histogram (operators/kn_lm.py)."""
+    from data_export_tool_spark.operators.kn_lm import (
+        kn_bigram_score,
+        kn_bigram_train,
+    )
+
+    docs = Catalog(spark, sf_dir).load("documents").select("doc_id", "text")
+    model = kn_bigram_train(docs, "text")
+    scored = kn_bigram_score(docs, model, "text", "doc_id")
+    return (
+        scored.groupBy(
+            F.least(
+                F.floor(F.log2("perplexity")).cast("int"), F.lit(16)
+            ).alias("log2_ppl_bin")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("docs"),
+            F.avg("perplexity").alias("avg_ppl"),
+        )
+        .orderBy("log2_ppl_bin")
+    )
+
+
 def b107_resolve_threads(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Thread reconstruction over per-user event chains (each event's
     parent = the user's previous event): path-doubling root/depth
@@ -2177,4 +2204,5 @@ QUERIES = [
     QuerySpec("b117_bradley_terry", b117_bradley_terry, None),
     QuerySpec("b118_data_driven_attribution", b118_data_driven_attribution, None),
     QuerySpec("b119_uplift_qini", b119_uplift_qini, None),
+    QuerySpec("b120_kn_bigram_lm", b120_kn_bigram_lm, None),
 ]

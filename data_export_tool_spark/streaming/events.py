@@ -2235,3 +2235,107 @@ def msprt_monitor_stream(
             timeoutConf=GroupStateTimeout.EventTimeTimeout,
         )
     )
+
+
+def psi_drift_stream(
+    events: DataFrame,
+    cuts: list,
+    baseline_counts: dict,
+    value_col: str = "value",
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+    epsilon: float = 1e-6,
+    psi_alert: float = 0.2,
+) -> DataFrame:
+    """Streaming PSI drift monitor — twin #30, the streaming face of
+    ``drift.distribution_drift``: per closed tumbling window, the
+    window's value distribution is compared against a FROZEN baseline
+    histogram and one append-final alert row is emitted — the
+    "retrain?" pager signal, continuously.
+
+    ``baseline_counts`` maps ``histogram_bucket`` ids (−1 = NULL,
+    0‥len(cuts) = cut intervals) to baseline counts — fit once from
+    the baseline snapshot with the SAME pinned cuts (the
+    ``fit_drift_bins`` → ``windowed_histogram_stream`` discipline; a
+    drifting bucketing would make PSI meaningless).
+
+    Chassis: TWO chained stateful windowed aggregations (the #20/#21
+    append-mode chain): (window, bucket) partial counts — state one
+    long per cell, ≤ len(cuts)+2 cells per window — then a (window)
+    gather of the bucket cells (state = the cell structs). PSI / TVD /
+    binned-KS against the baseline are PURE PROJECTIONS over that
+    bounded cell map (a python-side loop over the FIXED layout builds
+    ≤ n_bins+2 column terms — codegen, no UDF), composing with append
+    finality: a window alerts once, at close.
+
+    The arithmetic is byte-for-byte ``distribution_drift``'s: PSI
+    ε-smoothed over ALL buckets including NULL, TVD unsmoothed, KS
+    over the non-NULL binned CDF (NULL when either side has no
+    non-NULL mass) — the parity test replays the batch operator per
+    closed window and asserts equality.
+    """
+    layout = [-1] + list(range(len(cuts) + 1))
+    total = float(sum(int(baseline_counts.get(b, 0)) for b in layout))
+    if total <= 0:
+        raise ValueError("baseline_counts has no mass on the bucket layout")
+    eps = float(epsilon)
+    po = {b: int(baseline_counts.get(b, 0)) / total for b in layout}
+    nn_total = float(
+        sum(int(baseline_counts.get(b, 0)) for b in layout if b >= 0)
+    )
+
+    bucket = histogram_bucket(F.col(value_col), cuts)
+    counts = (
+        events.where(F.col("ts").isNotNull())
+        .withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("win"), bucket.alias("__b"))
+        .agg(F.count(F.lit(1)).alias("__n"))
+    )
+    gathered = counts.groupBy("win").agg(
+        F.map_from_entries(
+            F.sort_array(F.collect_list(F.struct("__b", "__n")))
+        ).alias("__h"),
+        F.sum("__n").alias("n"),
+    )
+
+    n = F.col("n").cast("double")
+
+    def cnt(b):
+        return F.coalesce(
+            F.element_at(F.col("__h"), F.lit(b)), F.lit(0).cast("long")
+        ).cast("double")
+
+    # PSI: ε-smoothed both sides, natural log (drift._psi)
+    psi = F.lit(0.0)
+    tvd = F.lit(0.0)
+    for b in layout:
+        po_s = max(po[b], eps)
+        pn = F.greatest(cnt(b) / n, F.lit(eps))
+        psi = psi + (pn - F.lit(po_s)) * F.log(pn / F.lit(po_s))
+        tvd = tvd + F.abs(cnt(b) / n - F.lit(po[b]))
+    tvd = F.lit(0.5) * tvd
+
+    # binned KS over non-NULL buckets (drift.distribution_drift rule)
+    nn = n - cnt(-1)
+    ks = None
+    if nn_total > 0:
+        cum_o = 0.0
+        cum_n = F.lit(0.0)
+        diffs = []
+        for b in layout:
+            if b < 0:
+                continue
+            cum_o += int(baseline_counts.get(b, 0)) / nn_total
+            cum_n = cum_n + cnt(b) / nn
+            diffs.append(F.abs(cum_n - F.lit(cum_o)))
+        ks = F.when(nn > 0, F.greatest(*diffs))
+    return gathered.select(
+        F.date_format(F.col("win.start"), "yyyy-MM-dd HH:mm").alias(
+            "win_start"
+        ),
+        F.col("n"),
+        psi.alias("psi"),
+        tvd.alias("tvd"),
+        (F.lit(None).cast("double") if ks is None else ks).alias("ks"),
+        (psi >= F.lit(float(psi_alert))).alias("flagged"),
+    )

@@ -2174,3 +2174,104 @@ def test_msprt_monitor_stream_matches_batch(spark, sf_dir, tmp_path):
         assert p == pytest.approx(want["p_always_valid"], rel=1e-7), bstart
         checked += 1
     record_stream_parity("msprt_monitor", checked, True)
+
+
+def test_psi_drift_stream_matches_batch_drift(spark, sf_dir, tmp_path):
+    """Twin #30: per closed window, the streaming PSI/TVD/KS row must
+    equal drift.distribution_drift run batch-side on exactly that
+    window's rows against the same frozen baseline + pinned cuts."""
+    import time
+
+    from data_export_tool_spark.operators.drift import distribution_drift
+    from data_export_tool_spark.streaming.events import (
+        histogram_bucket,
+        psi_drift_stream,
+    )
+
+    cuts = [10.0, 50.0, 100.0, 500.0]
+    ev = Catalog(spark, sf_dir).load("events").where(F.col("ts").isNotNull())
+    # frozen baseline = the first half by event time; the monitored
+    # stream is the full feed (so later windows genuinely drift or not)
+    mid = ev.select(F.unix_millis("ts").alias("ms")).approxQuantile(
+        "ms", [0.5], 0.0
+    )[0]
+    baseline = ev.where(F.unix_millis("ts") < mid)
+    baseline_counts = {
+        int(r["b"]): int(r["n"])
+        for r in baseline.groupBy(
+            histogram_bucket(F.col("value"), cuts).alias("b")
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+
+    drop_dir = str(tmp_path / "psi_drops")
+    lo = None
+    for hi in [mid, None]:
+        sel = ev
+        if lo is not None:
+            sel = sel.where(F.unix_millis("ts") >= lo)
+        if hi is not None:
+            sel = sel.where(F.unix_millis("ts") < hi)
+        sel.repartition(1).write.mode("append").parquet(drop_dir)
+        lo = hi
+        time.sleep(1.05)
+
+    stream = read_events_stream(spark, drop_dir, max_files_per_trigger=1)
+    out = psi_drift_stream(
+        stream, cuts, baseline_counts,
+        window="1 day", watermark="30 minutes",
+    )
+    q = (
+        out.writeStream.format("memory")
+        .queryName("psi_stream_test")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    emitted = {
+        r["win_start"]: r
+        for r in spark.sql("SELECT * FROM psi_stream_test").collect()
+    }
+
+    # closed windows: end <= max_ts - watermark
+    import datetime as _dt
+
+    max_ts = ev.agg(F.max("ts")).first()[0]
+    wm = max_ts - _dt.timedelta(minutes=30)
+    want_windows = {
+        r["w"]: int(r["n"])
+        for r in ev.groupBy(
+            F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd HH:mm").alias(
+                "w"
+            )
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+        if _dt.datetime.strptime(r["w"], "%Y-%m-%d %H:%M")
+        + _dt.timedelta(days=1)
+        <= wm
+    }
+    ok = set(emitted) == set(want_windows) and len(want_windows) > 0
+    for w, row in emitted.items():
+        if w not in want_windows:
+            ok = False
+            continue
+        win_rows = ev.where(
+            F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd HH:mm") == w
+        )
+        batch = distribution_drift(
+            spark, baseline, win_rows,
+            numeric_cols=["value"], bins={"value": cuts},
+        ).first()
+        ok = ok and row["n"] == batch["n_new"] == win_rows.count()
+        ok = ok and abs(row["psi"] - batch["psi"]) < 1e-9
+        ok = ok and abs(row["tvd"] - batch["tvd"]) < 1e-9
+        if batch["ks"] is None:
+            ok = ok and row["ks"] is None
+        else:
+            ok = ok and abs(row["ks"] - batch["ks"]) < 1e-9
+        ok = ok and row["flagged"] == batch["flagged"]
+    record_stream_parity("psi_drift_monitor", len(want_windows), ok)
+    assert ok, f"emitted={sorted(emitted)}, want={sorted(want_windows)}"

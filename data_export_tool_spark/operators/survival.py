@@ -34,10 +34,18 @@ flag are excluded by contract.
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["km_survival", "logrank_test"]
+__all__ = [
+    "km_survival",
+    "logrank_test",
+    "cox_ph",
+    "cox_predict",
+    "py_cox_fold",
+]
 
 
 def km_survival(
@@ -183,3 +191,179 @@ def logrank_test(
         "group_1 string, group_2 string, observed_1 double, expected_1 double,"
         " variance double, z double, chi2 double, p_value double",
     )
+
+
+def _cox_partials(base: DataFrame, beta, d: int):
+    """One time-grain aggregation at the current β: per distinct
+    duration, (d_t, Σ_event x, Σ w, Σ w·x, Σ w·x_i·x_j) where
+    w = exp(clamp(x·β)). Collected rows — bounded by distinct times
+    (``cox_ph`` enforces the cap)."""
+    x = F.col("__x")
+    lin = F.lit(0.0)
+    for i, b in enumerate(beta):
+        lin = lin + F.lit(float(b)) * x[i]
+    lin = F.greatest(F.lit(-50.0), F.least(F.lit(50.0), lin))
+    w = F.exp(lin)
+    aggs = [
+        F.sum("__e").alias("d_t"),
+        F.sum(w).alias("sw"),
+    ]
+    for i in range(d):
+        aggs.append(
+            F.sum(F.when(F.col("__e") == 1, x[i]).otherwise(0.0)).alias(
+                f"sx_{i}"
+            )
+        )
+        aggs.append(F.sum(w * x[i]).alias(f"swx_{i}"))
+    for i in range(d):
+        for j in range(i, d):
+            aggs.append(F.sum(w * x[i] * x[j]).alias(f"swxx_{i}_{j}"))
+    return base.groupBy("t").agg(*aggs).collect()
+
+
+def py_cox_fold(rows, beta, d: int):
+    """Driver fold of one iteration's time-grain partials into
+    (loglik, gradient U, information I) under Breslow ties — the exact
+    arithmetic ``cox_ph`` steps on, exposed for oracle replay. ``rows``
+    are dicts keyed like ``_cox_partials``' output."""
+    import numpy as np
+
+    rows = sorted(rows, key=lambda r: -float(r["t"]))
+    S0 = 0.0
+    S1 = np.zeros(d)
+    S2 = np.zeros((d, d))
+    ll = 0.0
+    U = np.zeros(d)
+    info = np.zeros((d, d))
+    beta = np.asarray(beta, dtype=float)
+    for r in rows:
+        S0 += float(r["sw"])
+        for i in range(d):
+            S1[i] += float(r[f"swx_{i}"])
+            for j in range(i, d):
+                v = float(r[f"swxx_{i}_{j}"])
+                S2[i, j] += v
+                if i != j:
+                    S2[j, i] += v
+        d_t = float(r["d_t"])
+        if d_t > 0 and S0 > 0:
+            sx = np.array([float(r[f"sx_{i}"]) for i in range(d)])
+            m = S1 / S0
+            ll += sx @ beta - d_t * math.log(S0)
+            U += sx - d_t * m
+            info += d_t * (S2 / S0 - np.outer(m, m))
+    return ll, U, info
+
+
+def cox_ph(
+    df: DataFrame,
+    duration_col: str,
+    event_col: str,
+    vec_col: str = "embedding",
+    iters: int = 20,
+    tol: float = 1e-9,
+    ridge: float = 1e-8,
+    max_times: int = 200_000,
+    max_features: int = 15,
+) -> dict:
+    """Cox proportional-hazards regression (Breslow ties) by Newton-
+    Raphson — the covariate-adjusted companion to :func:`km_survival`
+    / :func:`logrank_test`: "which factors drive the hazard, and by
+    how much, with everyone else held fixed".
+
+    Scale shape — the bounded-round + bounded-driver discipline of
+    ``linear.logreg_fit``: per Newton round, ONE map-side-combinable
+    ``groupBy(duration)`` computes every risk-set partial
+    (d + d(d+1)/2 + 2 sums per distinct time; ``max_features`` caps
+    d ≤ 15 → ≤ 137 aggregate expressions), the ≤ ``max_times``
+    time-grain rows are folded on the driver with a reverse-cumulative
+    pass (risk sets are suffix sums over time), and the k×k Newton
+    step is numpy. Subject rows never leave the cluster; rounds are
+    bounded by ``iters`` with an early stop on |Δ log-partial-lik| <
+    ``tol``. The linear predictor is clamped to ±50 before exp (the
+    ``logreg_fit`` ±35 convention, wider because hazards legitimately
+    span more) — the replay oracle applies the identical clamp.
+
+    Returns ``{"coef", "se" (inverse-information), "hazard_ratio",
+    "loglik", "loglik0" (β=0), "iters", "n", "n_events", "d"}``.
+    ``event_col``: 1 = event, 0 = right-censored; NULL duration/event/
+    vector rows are excluded.
+    """
+    import numpy as np
+
+    base = df.where(
+        F.col(duration_col).isNotNull()
+        & F.col(event_col).isNotNull()
+        & F.col(vec_col).isNotNull()
+    ).select(
+        F.col(duration_col).cast("double").alias("t"),
+        F.col(event_col).cast("int").alias("__e"),
+        F.col(vec_col).alias("__x"),
+    )
+    first = base.select(F.size("__x").alias("d")).first()
+    if first is None:
+        raise ValueError("no usable (duration, event, vector) rows")
+    d = int(first["d"])
+    if d < 1 or d > max_features:
+        raise ValueError(
+            f"cox_ph supports 1..{max_features} features, got {d}"
+        )
+    n_times = base.select("t").distinct().count()
+    if n_times > max_times:
+        raise ValueError(
+            f"cox_ph: {n_times} distinct durations exceeds max_times="
+            f"{max_times}; coarsen the time grid upstream"
+        )
+    counts = base.agg(
+        F.count(F.lit(1)).alias("n"), F.sum("__e").alias("ev")
+    ).first()
+    n, n_events = int(counts["n"]), int(counts["ev"] or 0)
+    if n_events == 0:
+        raise ValueError("cox_ph: no events (all rows censored)")
+
+    beta = np.zeros(d)
+    ll_prev = None
+    ll0 = None
+    iters_done = 0
+    U = np.zeros(d)
+    info = np.eye(d)
+    for iters_done in range(1, iters + 1):
+        rows = _cox_partials(base, beta.tolist(), d)
+        ll, U, info = py_cox_fold(rows, beta, d)
+        if ll0 is None and not beta.any():
+            ll0 = ll
+        step = np.linalg.solve(info + ridge * np.eye(d), U)
+        beta = beta + step
+        if ll_prev is not None and abs(ll - ll_prev) < tol:
+            break
+        ll_prev = ll
+    # final fold at the returned β for loglik + SE information
+    rows = _cox_partials(base, beta.tolist(), d)
+    ll, _, info = py_cox_fold(rows, beta, d)
+    cov = np.linalg.inv(info + ridge * np.eye(d))
+    se = np.sqrt(np.clip(np.diag(cov), 0.0, None))
+    return {
+        "coef": beta.tolist(),
+        "se": se.tolist(),
+        "hazard_ratio": np.exp(beta).tolist(),
+        "loglik": float(ll),
+        "loglik0": float(ll0) if ll0 is not None else None,
+        "iters": iters_done,
+        "n": n,
+        "n_events": n_events,
+        "d": d,
+    }
+
+
+def cox_predict(
+    df: DataFrame, model: dict, vec_col: str = "embedding",
+    out_col: str = "partial_hazard",
+) -> DataFrame:
+    """Partial-hazard scoring exp(x·β) as a pure column projection
+    (broadcast coefficients, the ±50 clamp of the trainer)."""
+    x = F.col(vec_col)
+    lin = F.lit(0.0)
+    for i, b in enumerate(model["coef"]):
+        lin = lin + F.lit(float(b)) * x[i]
+    lin = F.greatest(F.lit(-50.0), F.least(F.lit(50.0), lin))
+    return df.withColumn(out_col, F.exp(lin))

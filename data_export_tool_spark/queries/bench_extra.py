@@ -2040,6 +2040,57 @@ def b119_uplift_qini(spark: SparkSession, sf_dir: str) -> DataFrame:
     return uplift_metrics(ev, "t", "y", "score", n_bins=20)
 
 
+def b121_rake_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IPF raking of the customer table to synthetic population
+    margins: one cell-grain groupBy + driver IPF + broadcast join
+    back; returns the weighted margin check (operators/raking.py)."""
+    from data_export_tool_spark.operators.raking import rake_weights
+
+    cust = Catalog(spark, sf_dir).load("customer").select(
+        (F.col("c_nationkey") % 5).cast("int").alias("region5"),
+        (F.col("c_acctbal") > 0).alias("positive"),
+    )
+    margins = {
+        "region5": {0: 0.3, 1: 0.25, 2: 0.2, 3: 0.15, 4: 0.1},
+        "positive": {True: 0.7, False: 0.3},
+    }
+    out = rake_weights(cust, margins)
+    return (
+        out.groupBy("region5")
+        .agg(
+            F.sum("rake_weight").alias("w_sum"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .orderBy("region5")
+    )
+
+
+def b122_cox_hazards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cox proportional hazards over shipment durations: per Newton
+    round one time-grain groupBy (Breslow risk-set partials) + driver
+    fold; returns the coefficient table (operators/survival.py)."""
+    from data_export_tool_spark.operators.survival import cox_ph
+
+    li = Catalog(spark, sf_dir).load("lineitem").select(
+        F.dayofmonth("l_shipdate").cast("double").alias("t"),
+        (F.col("l_returnflag") != "R").cast("int").alias("e"),
+        F.array(
+            (F.col("l_quantity") / 50.0).cast("double"),
+            F.col("l_discount").cast("double"),
+        ).alias("x"),
+    ).where(F.col("t") > 0)
+    model = cox_ph(li, "t", "e", "x", iters=8)
+    rows = [
+        (i, c, s, h)
+        for i, (c, s, h) in enumerate(
+            zip(model["coef"], model["se"], model["hazard_ratio"])
+        )
+    ]
+    return spark.createDataFrame(
+        rows, "feature int, coef double, se double, hazard_ratio double"
+    )
+
+
 def b120_kn_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Kneser–Ney bigram LM end-to-end over the document corpus:
     train (three vocabulary-grain aggregations) + per-doc perplexity
@@ -2205,4 +2256,6 @@ QUERIES = [
     QuerySpec("b118_data_driven_attribution", b118_data_driven_attribution, None),
     QuerySpec("b119_uplift_qini", b119_uplift_qini, None),
     QuerySpec("b120_kn_bigram_lm", b120_kn_bigram_lm, None),
+    QuerySpec("b121_rake_weights", b121_rake_weights, None),
+    QuerySpec("b122_cox_hazards", b122_cox_hazards, None),
 ]

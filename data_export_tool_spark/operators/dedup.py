@@ -1021,3 +1021,96 @@ def minhash_search(
         .where(F.col("rank") <= k)
         .select(query_id_col, "rank", "doc_id", F.round("jaccard", 9).alias("jaccard"), "n_shared")
     )
+
+
+def containment_join(
+    left: DataFrame,
+    right: DataFrame,
+    threshold: float,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_n: int = 1,
+) -> DataFrame:
+    """EXACT containment join: every (left, right) pair with
+    ``C(A ⊆ B) = |A∩B| / |A| ≥ threshold`` over distinct shingle
+    sets — the ASYMMETRIC sibling of ``set_similarity_join_cross``.
+    Jaccard punishes length mismatch, so quote detection, doc-in-doc
+    (a paragraph lifted into a long page), and eval-prompt containment
+    all need containment, not resemblance.
+
+    Lossless pruning, asymmetric by necessity (PPJoin prefix logic
+    adapted to containment):
+
+    * LEFT prefix: if |A∩B| ≥ t·|A| then B must hit one of A's first
+      ``⌊(1−t)·|A|⌋ + 1`` rarest tokens — so A explodes only that
+      prefix (the rare end of the shared frequency order keeps hot
+      stop-words from fanning out).
+    * RIGHT side has NO lossless prefix (B may contain A while A's
+      tokens sit anywhere in B's order), so B indexes ALL its tokens —
+      the honest cost of the asymmetric semantics, and why the
+      threshold applies to the SMALL side.
+    * Length filter: ``|B| ≥ ⌈t·|A|⌉`` (B needs at least the required
+      intersection size). No upper bound on |B| — by design.
+
+    Output: ``(left_id, right_id, containment)`` (6 dp), distinct
+    pairs. Empty-token documents never pair. The shared (frequency
+    asc, token asc) order is fitted on the union of both sides
+    (prefix filtering needs one total order).
+    """
+    if not (0.0 < threshold <= 1.0):
+        raise ValueError(f"threshold must be in (0, 1]: {threshold}")
+    t = float(threshold)
+    ex_l = _sset_tokens(left, id_col, text_col, shingle_n)
+    ex_r = _sset_tokens(right, id_col, text_col, shingle_n)
+    freq = (
+        ex_l.unionByName(ex_r)
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("__f"))
+    )
+    ord_l = _sset_ordered(ex_l, freq)
+    # containment prefix: floor((1−t)·|A|) + 1 rarest tokens of A
+    pre_len = (
+        F.col("__len")
+        - F.ceil(F.lit(t) * F.col("__len")).cast("int")
+        + 1
+    )
+    pref_l = ord_l.select(
+        F.col("__id").alias("left_id"),
+        F.col("toks").alias("__ta"),
+        F.col("__len").alias("__la"),
+        F.explode(F.slice(F.col("toks"), 1, pre_len)).alias("ptok"),
+    )
+    all_r = _sset_ordered(ex_r, freq).select(
+        F.col("__id").alias("right_id"),
+        F.col("toks").alias("__tb"),
+        F.col("__len").alias("__lb"),
+        F.explode(F.col("toks")).alias("ptok"),
+    )
+    cand = (
+        pref_l.join(all_r, "ptok")
+        .where(F.col("__lb") >= F.ceil(F.lit(t) * F.col("__la")))
+        .select("left_id", "right_id", "__ta", "__tb", "__la")
+        .dropDuplicates(["left_id", "right_id"])
+    )
+    cont = F.size(F.array_intersect("__ta", "__tb")) / F.col("__la")
+    return cand.where(cont >= t).select(
+        "left_id", "right_id", F.round(cont, 6).alias("containment")
+    )
+
+
+def containment_pairs(
+    df: DataFrame,
+    threshold: float,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_n: int = 1,
+) -> DataFrame:
+    """Self-corpus form of :func:`containment_join`: DIRECTED pairs
+    ``(left_id contained-in right_id)`` with C ≥ t and
+    ``left_id != right_id`` (both directions can appear — containment
+    is not symmetric; a ⊂ b does not imply b ⊂ a)."""
+    out = containment_join(
+        df, df, threshold, id_col=id_col, text_col=text_col,
+        shingle_n=shingle_n,
+    )
+    return out.where(F.col("left_id") != F.col("right_id"))

@@ -677,3 +677,78 @@ def ohlc_bars(
             "open", "high", "low", "close", "n", "volume",
         )
     )
+
+
+def seasonal_decompose(
+    df: DataFrame,
+    period: int,
+    value_col: str,
+    order_col: str = "bucket_start",
+    keys: Sequence[str] = (),
+) -> DataFrame:
+    """Classical additive seasonal decomposition per key:
+    ``value = trend + seasonal + resid`` (the moving-average method —
+    Hyndman & Athanasopoulos FPP §3.4; the model-free baseline every
+    "is this spike seasonal or real?" question wants before anything
+    ARIMA-shaped).
+
+    Input must be a REGULAR grid per key (``resample`` → ``fill_gaps``
+    upstream — gaps would silently misalign phases). Steps, all
+    relational:
+
+    1. trend: centered moving average over one season — for even
+       ``period`` the standard 2×m MA (half-weight endpoints), for odd
+       a plain centered mean; the first/last ⌊m/2⌋ rows have NULL
+       trend (honest edges, no padding).
+    2. seasonal: per (key, phase = position mod period) mean of the
+       detrended values, then centered so Σ seasonal = 0 per key (the
+       identifiability fix).
+    3. resid = value − trend − seasonal (NULL where trend is NULL).
+
+    Scale shape: one per-key window pass (row_number + the MA frame —
+    partition bounded by key history), one (key, phase) groupBy —
+    ≤ keys × period rows, metadata — joined back on (key, phase).
+    Output: input columns + ``phase, trend, seasonal, resid``.
+    """
+    if isinstance(keys, str):
+        keys = [keys]
+    keys = list(keys)
+    if period < 2:
+        raise ValueError(f"period must be >= 2: {period}")
+    x = F.col(value_col).cast("double")
+    w_ord = (
+        Window.partitionBy(*keys).orderBy(order_col)
+        if keys
+        else Window.partitionBy().orderBy(order_col)
+    )
+    base = df.withColumn("__rn", F.row_number().over(w_ord)).withColumn(
+        "phase", (F.col("__rn") - 1) % period
+    )
+    h = period // 2
+    if period % 2 == 0:
+        # 2×m MA: (0.5·x[−h] + x[−h+1..h−1] + 0.5·x[h]) / m, defined
+        # only where the full frame exists
+        frame = w_ord.rowsBetween(-h, h)
+        cnt = F.count(x).over(frame)
+        s_all = F.sum(x).over(frame)
+        first_v = F.first(x).over(frame)
+        last_v = F.last(x).over(frame)
+        trend = F.when(
+            cnt == 2 * h + 1,
+            (s_all - 0.5 * first_v - 0.5 * last_v) / period,
+        )
+    else:
+        frame = w_ord.rowsBetween(-h, h)
+        cnt = F.count(x).over(frame)
+        trend = F.when(cnt == 2 * h + 1, F.avg(x).over(frame))
+    base = base.withColumn("trend", trend)
+    detr = base.withColumn("__d", x - F.col("trend"))
+    ph = detr.groupBy(*keys, "phase").agg(F.avg("__d").alias("__pm"))
+    w_keys = Window.partitionBy(*keys) if keys else Window.partitionBy()
+    ph = ph.withColumn("seasonal", F.col("__pm") - F.avg("__pm").over(w_keys))
+    # no broadcast hint: the phase table is keys × period rows —
+    # bounded per key but unbounded in keys; AQE broadcasts when small
+    out = detr.join(ph.select(*keys, "phase", "seasonal"), [*keys, "phase"])
+    return out.withColumn(
+        "resid", x - F.col("trend") - F.col("seasonal")
+    ).drop("__rn", "__d")

@@ -2040,6 +2040,54 @@ def b119_uplift_qini(spark: SparkSession, sf_dir: str) -> DataFrame:
     return uplift_metrics(ev, "t", "y", "score", n_bins=20)
 
 
+def b123_containment_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact containment join (quote detection): 8-word snippets vs
+    the full corpus — left-prefix pruning, full right index, exact
+    verify (operators/dedup.py containment_join)."""
+    from data_export_tool_spark.operators.dedup import containment_join
+
+    docs = Catalog(spark, sf_dir).load("documents").select("doc_id", "text")
+    # request-sized query side (the quote-detection shape): ~0.5% of
+    # docs as snippet probes — the synthetic corpus repeats heavily,
+    # so an unrestricted self-probe legitimately emits 10^7 pairs at
+    # sf0.1 (measured): the result SET, not the pruning, is the cost
+    snippets = docs.where(F.pmod(F.col("doc_id"), F.lit(200)) == 0).select(
+        (F.col("doc_id") + 10_000_000).alias("doc_id"),
+        F.concat_ws(
+            " ", F.slice(F.split(F.col("text"), r"\s+"), 5, 8)
+        ).alias("text"),
+    )
+    out = containment_join(snippets, docs, 0.8)
+    return out.agg(
+        F.count(F.lit(1)).alias("pairs"),
+        F.avg("containment").alias("avg_containment"),
+    )
+
+
+def b124_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classical seasonal decomposition of per-type hourly event
+    volume: resample + per-key MA window + phase-grain join back
+    (operators/timeseries.py seasonal_decompose)."""
+    from data_export_tool_spark.operators.timeseries import (
+        resample,
+        seasonal_decompose,
+    )
+
+    ev = Catalog(spark, sf_dir).load("events")
+    hourly = resample(
+        ev, "1 hour", {"n": F.count(F.lit(1)).cast("double")},
+        keys=["event_type"],
+    )
+    dec = seasonal_decompose(
+        hourly, 24, "n", order_col="bucket_start", keys=["event_type"]
+    )
+    return dec.groupBy("event_type").agg(
+        F.avg(F.abs("seasonal")).alias("seasonal_amplitude"),
+        F.stddev("resid").alias("resid_sd"),
+        F.count(F.lit(1)).alias("n_buckets"),
+    )
+
+
 def b121_rake_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IPF raking of the customer table to synthetic population
     margins: one cell-grain groupBy + driver IPF + broadcast join
@@ -2258,4 +2306,6 @@ QUERIES = [
     QuerySpec("b120_kn_bigram_lm", b120_kn_bigram_lm, None),
     QuerySpec("b121_rake_weights", b121_rake_weights, None),
     QuerySpec("b122_cox_hazards", b122_cox_hazards, None),
+    QuerySpec("b123_containment_join", b123_containment_join, None),
+    QuerySpec("b124_seasonal_decompose", b124_seasonal_decompose, None),
 ]

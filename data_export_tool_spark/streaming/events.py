@@ -42,6 +42,7 @@ except Exception:
     pass
 from pyspark.sql.types import (
     ArrayType,
+    BooleanType,
     DoubleType,
     LongType,
     StringType,
@@ -2338,4 +2339,156 @@ def psi_drift_stream(
         tvd.alias("tvd"),
         (F.lit(None).cast("double") if ks is None else ks).alias("ks"),
         (psi >= F.lit(float(psi_alert))).alias("flagged"),
+    )
+
+
+QUOTA_STATE_SCHEMA = StructType(
+    [
+        StructField("tokens", DoubleType()),
+        StructField("last_ts_us", LongType()),
+        StructField("pend_ts", ArrayType(LongType())),
+        StructField("pend_id", ArrayType(LongType())),
+    ]
+)
+
+QUOTA_OUTPUT_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("event_id", LongType()),
+        StructField("ts_us", LongType()),
+        StructField("allowed", BooleanType()),
+        StructField("tokens_after", DoubleType()),
+    ]
+)
+
+
+def py_token_bucket(events, capacity: float, refill_per_sec: float):
+    """Reference token-bucket fold over one key's ``(ts_us, event_id)``
+    events in (ts, id) order — the exact per-event arithmetic
+    ``quota_stream`` applies, exposed for the batch twin. The bucket
+    starts FULL at the first event. Returns
+    ``[(event_id, allowed, tokens_after)]``."""
+    out = []
+    tokens = float(capacity)
+    last = None
+    for t, eid in sorted(events):
+        if last is not None:
+            tokens = min(
+                float(capacity), tokens + (t - last) / 1e6 * refill_per_sec
+            )
+        if tokens >= 1.0:
+            allowed, tokens = True, tokens - 1.0
+        else:
+            allowed = False
+        out.append((eid, allowed, tokens))
+        last = t
+    return out
+
+
+def quota_stream(
+    events: DataFrame,
+    capacity: float = 5.0,
+    refill_per_sec: float = 0.001,
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Streaming per-user token-bucket quota enforcement — twin #31,
+    the rate-limiter decision log every API/ingest gateway needs as an
+    ANALYTIC (which users would a given quota throttle, and when):
+    each event costs one token from a per-user bucket of ``capacity``
+    refilling at ``refill_per_sec``; one append-final row per event
+    carries the allow/throttle decision and the balance after.
+
+    Chassis: the ``transition_stream`` watermark-buffer custom
+    stateful pattern (``applyInPandasWithState`` keyed by user) —
+    events newer than the watermark buffer in state, and once the
+    watermark passes them they are consumed in exact ``(ts, event_id)``
+    order, folding the token balance forward. Decisions are final on
+    emit (all earlier events are consumed — later ones cannot change
+    an earlier balance), late events drop (suite policy), and an
+    event-time timeout drains quiet users. State = (balance, last ts)
+    + one watermark horizon of buffered events. The bucket starts
+    full at the user's first event (the standard cold-start grant) —
+    the batch twin replays the identical law.
+    """
+    import pandas as pd
+
+    if capacity < 1.0:
+        raise ValueError(f"capacity must be >= 1: {capacity}")
+    if refill_per_sec < 0.0:
+        raise ValueError(f"refill_per_sec must be >= 0: {refill_per_sec}")
+    cap = float(capacity)
+    rate = float(refill_per_sec)
+
+    def fn(key, pdf_iter, state: GroupState):
+        if state.exists:
+            tokens, last_ts, pend_ts, pend_id = state.get
+            pend = list(zip(pend_ts, pend_id))
+        else:
+            tokens, last_ts, pend = cap, None, []
+        wm_us = state.getCurrentWatermarkMs() * 1000
+
+        if not state.hasTimedOut:
+            for pdf in pdf_iter:
+                sel = pdf[pdf["event_id"].notna()]
+                if len(sel) == 0:
+                    continue
+                ts_us = (
+                    pd.to_datetime(sel["ts"])
+                    .astype("datetime64[ns]")
+                    .astype("int64")
+                    // 1_000
+                )
+                for t, eid in zip(ts_us, sel["event_id"]):
+                    if t >= wm_us:  # late events drop
+                        pend.append((int(t), int(eid)))
+
+        ready = sorted(p for p in pend if p[0] < wm_us)
+        pend = [p for p in pend if p[0] >= wm_us]
+        rows = []
+        for t, eid in ready:
+            if last_ts is not None:
+                tokens = min(cap, tokens + (t - last_ts) / 1e6 * rate)
+            if tokens >= 1.0:
+                allowed, tokens = True, tokens - 1.0
+            else:
+                allowed = False
+            rows.append((int(key[0]), eid, t, allowed, tokens))
+            last_ts = t
+
+        state.update(
+            (
+                float(tokens),
+                last_ts,
+                [p[0] for p in pend],
+                [p[1] for p in pend],
+            )
+        )
+        if pend:
+            state.setTimeoutTimestamp(
+                max(min(p[0] for p in pend) // 1000 + 1, wm_us // 1000 + 1)
+            )
+        if rows:
+            yield pd.DataFrame(
+                {
+                    "user_id": [r[0] for r in rows],
+                    "event_id": pd.Series(
+                        [r[1] for r in rows], dtype="int64"
+                    ),
+                    "ts_us": pd.Series([r[2] for r in rows], dtype="int64"),
+                    "allowed": [r[3] for r in rows],
+                    "tokens_after": [r[4] for r in rows],
+                }
+            )
+
+    return (
+        events.where(F.col("user_id").isNotNull() & F.col("ts").isNotNull())
+        .withWatermark("ts", watermark)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            fn,
+            outputStructType=QUOTA_OUTPUT_SCHEMA,
+            stateStructType=QUOTA_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
     )

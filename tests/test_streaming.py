@@ -2275,3 +2275,84 @@ def test_psi_drift_stream_matches_batch_drift(spark, sf_dir, tmp_path):
         ok = ok and row["flagged"] == batch["flagged"]
     record_stream_parity("psi_drift_monitor", len(want_windows), ok)
     assert ok, f"emitted={sorted(emitted)}, want={sorted(want_windows)}"
+
+
+def test_quota_stream_matches_batch_token_bucket(spark, sf_dir, tmp_path):
+    """Twin #31: per-user token-bucket decisions over the event stream
+    equal the python token-bucket replay over the same consumed
+    (watermark-passed) events, in (ts, event_id) order."""
+    import time
+
+    from data_export_tool_spark.streaming.events import (
+        py_token_bucket,
+        quota_stream,
+    )
+
+    ev = Catalog(spark, sf_dir).load("events").where(
+        F.col("ts").isNotNull() & F.col("user_id").isNotNull()
+    )
+    bounds = ev.select(F.unix_millis("ts").alias("ms")).approxQuantile(
+        "ms", [0.5], 0.0
+    )
+    drop_dir = str(tmp_path / "quota_drops")
+    lo = None
+    for hi in [*bounds, None]:
+        sel = ev
+        if lo is not None:
+            sel = sel.where(F.unix_millis("ts") >= lo)
+        if hi is not None:
+            sel = sel.where(F.unix_millis("ts") < hi)
+        sel.repartition(1).write.mode("append").parquet(drop_dir)
+        lo = hi
+        time.sleep(1.05)
+
+    CAP, RATE = 1.0, 1.0 / 86400.0  # 1 token/day: the quota must bite
+    stream = read_events_stream(spark, drop_dir, max_files_per_trigger=1)
+    out = quota_stream(stream, capacity=CAP, refill_per_sec=RATE,
+                       watermark="30 minutes")
+    q = (
+        out.writeStream.format("memory")
+        .queryName("quota_stream_test")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    emitted = {
+        int(r["event_id"]): (bool(r["allowed"]), r["tokens_after"],
+                             int(r["user_id"]))
+        for r in spark.sql("SELECT * FROM quota_stream_test").collect()
+    }
+
+    import datetime as _dt
+
+    max_ts = ev.agg(F.max("ts")).first()[0]
+    wm_us = int((max_ts - _dt.timedelta(minutes=30)).timestamp() * 1e6)
+    rows = [
+        (int(r["user_id"]), int(r["us"]), int(r["event_id"]))
+        for r in ev.select(
+            "user_id", F.unix_micros("ts").alias("us"), "event_id"
+        ).collect()
+    ]
+    by_user = {}
+    for u, t_us, eid in rows:
+        if t_us < wm_us:
+            by_user.setdefault(u, []).append((t_us, eid))
+    want = {}
+    n_throttled = 0
+    for u, evs in by_user.items():
+        for eid, allowed, tokens in py_token_bucket(evs, CAP, RATE):
+            want[eid] = (allowed, tokens, u)
+            n_throttled += 0 if allowed else 1
+    ok = set(emitted) == set(want) and len(want) > 0
+    for eid, (allowed, tokens, u) in want.items():
+        got = emitted.get(eid)
+        if got is None:
+            ok = False
+            continue
+        ok = ok and got[0] == allowed and got[2] == u
+        ok = ok and abs(got[1] - tokens) < 1e-9
+    # the quota must actually bite on this data, else the twin is vacuous
+    ok = ok and n_throttled > 0
+    record_stream_parity("quota_token_bucket", len(want), ok)
+    assert ok, f"emitted={len(emitted)}, want={len(want)}, throttled={n_throttled}"

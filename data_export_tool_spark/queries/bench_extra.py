@@ -2040,6 +2040,38 @@ def b119_uplift_qini(spark: SparkSession, sf_dir: str) -> DataFrame:
     return uplift_metrics(ev, "t", "y", "score", n_bins=20)
 
 
+def b125_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Link prediction on the co-purchase part graph (parts co-ordered
+    in one order are adjacent): wedge enumeration with a hub cap +
+    AA/RA/Jaccard fold + per-part top-5 (operators/linkpred.py)."""
+    from data_export_tool_spark.operators.linkpred import link_prediction
+
+    li = Catalog(spark, sf_dir).load("lineitem").where(
+        F.col("l_linenumber") <= 2
+    ).select("l_orderkey", "l_partkey")
+    # each order's (up to) two first lineitems form one edge — a
+    # single map-side-combinable groupBy, no self-join
+    edges = (
+        li.groupBy("l_orderkey")
+        .agg(
+            F.min("l_partkey").alias("id_a"),
+            F.max("l_partkey").alias("id_b"),
+            F.count(F.lit(1)).alias("__k"),
+        )
+        .where((F.col("__k") == 2) & (F.col("id_a") < F.col("id_b")))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    preds = link_prediction(
+        edges, min_common=1, max_center_degree=200, top_k=5
+    )
+    return preds.agg(
+        F.count(F.lit(1)).alias("predictions"),
+        F.avg("aa").alias("avg_aa"),
+        F.max("cn").alias("max_common"),
+    )
+
+
 def b123_containment_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact containment join (quote detection): 8-word snippets vs
     the full corpus — left-prefix pruning, full right index, exact
@@ -2308,4 +2340,5 @@ QUERIES = [
     QuerySpec("b122_cox_hazards", b122_cox_hazards, None),
     QuerySpec("b123_containment_join", b123_containment_join, None),
     QuerySpec("b124_seasonal_decompose", b124_seasonal_decompose, None),
+    QuerySpec("b125_link_prediction", b125_link_prediction, None),
 ]

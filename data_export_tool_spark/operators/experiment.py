@@ -25,7 +25,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-__all__ = ["ab_test", "py_welch", "fdr_correct"]
+__all__ = ["ab_test", "py_welch", "fdr_correct", "bayes_ab", "py_prob_b_beats_a"]
 
 
 def py_welch(
@@ -653,4 +653,125 @@ def msprt_always_valid(
             bool(p < alpha),
         )],
         schema,
+    )
+
+
+def py_prob_b_beats_a(
+    a_a: float, b_a: float, a_b: float, b_b: float
+) -> float:
+    """Exact P(p_B > p_A) for independent Beta posteriors via the
+    standard lgamma sum (Cook 2005 "Numerical computation of stochastic
+    inequality probabilities"; the closed form every Bayesian A/B
+    calculator uses):
+
+        P = Σ_{i=0}^{α_B−1} exp( lnB(α_A+i, β_A+β_B) − ln(β_B+i)
+                                − lnB(1+i, β_B) − lnB(α_A, β_A) )
+
+    Requires integer ``a_b`` (true for integer priors + counts; the
+    caller falls back to the normal approximation otherwise).
+    """
+    lg = math.lgamma
+
+    def lbeta(x, y):
+        return lg(x) + lg(y) - lg(x + y)
+
+    total = 0.0
+    for i in range(int(a_b)):
+        total += math.exp(
+            lbeta(a_a + i, b_a + b_b)
+            - math.log(b_b + i)
+            - lbeta(1.0 + i, b_b)
+            - lbeta(a_a, b_a)
+        )
+    return total
+
+
+def _prob_and_method(a_a, b_a, a_b, b_b, exact_limit):
+    """P(p_B > p_A) + which path computed it. Exact when α_B is an
+    integer within the loop budget, else the moment-matched normal
+    approximation (difference of Beta means/variances)."""
+    if float(a_b).is_integer() and a_b <= exact_limit:
+        return py_prob_b_beats_a(a_a, b_a, a_b, b_b), "exact"
+    mu_a, mu_b = a_a / (a_a + b_a), a_b / (a_b + b_b)
+    va = a_a * b_a / ((a_a + b_a) ** 2 * (a_a + b_a + 1.0))
+    vb = a_b * b_b / ((a_b + b_b) ** 2 * (a_b + b_b + 1.0))
+    if va + vb <= 0.0:
+        return (0.5 if mu_a == mu_b else float(mu_b > mu_a)), "normal"
+    z = (mu_b - mu_a) / math.sqrt(va + vb)
+    return 0.5 * math.erfc(-z / math.sqrt(2.0)), "normal"
+
+
+def bayes_ab(
+    df: DataFrame,
+    flag_col: str,
+    group_col: str,
+    group_a,
+    group_b,
+    alpha_prior: float = 1.0,
+    beta_prior: float = 1.0,
+    exact_limit: int = 50_000,
+) -> DataFrame:
+    """Bayesian conversion-rate A/B readout (Beta-Binomial): the
+    decision quantities a peeking-safe dashboard shows INSTEAD of a
+    p-value — ``prob_b_beats_a`` and the expected losses of shipping
+    either arm (Stucchio 2014's VWO decision rule: ship when the
+    chosen arm's expected loss drops below the caring threshold).
+
+    One conditional-aggregation scan yields (n, conversions) per arm;
+    posteriors are Beta(prior α + k, prior β + n − k); P(B > A) is the
+    EXACT lgamma sum when the posterior α_B is an integer within
+    ``exact_limit`` loop steps, else the moment-matched normal tail
+    (``method`` column discloses which ran). Expected losses use the
+    exact identity
+
+        E[max(p_A − p_B, 0)] = μ_A·(1 − P(B>A | α_A+1))
+                             − μ_B·(1 − P(B>A | α_B+1))
+
+    (and symmetrically for choosing A) — each a shifted-parameter call
+    of the same P function. Output, one tiny row: ``(n_a, k_a, rate_a,
+    n_b, k_b, rate_b, prob_b_beats_a, expected_loss_b, expected_loss_a,
+    method)`` where ``expected_loss_b`` is the risk of SHIPPING B.
+    NULL flags are excluded; empty arms answer honest NULLs.
+    """
+    if alpha_prior <= 0 or beta_prior <= 0:
+        raise ValueError(
+            f"priors must be > 0: {alpha_prior}, {beta_prior}"
+        )
+    flag = F.col(flag_col).cast("double")
+    g = F.col(group_col)
+    row = df.agg(
+        F.count(F.when(g == F.lit(group_a), flag)).alias("n_a"),
+        F.sum(F.when(g == F.lit(group_a), flag)).alias("k_a"),
+        F.count(F.when(g == F.lit(group_b), flag)).alias("n_b"),
+        F.sum(F.when(g == F.lit(group_b), flag)).alias("k_b"),
+    ).first()
+    n_a, n_b = int(row["n_a"]), int(row["n_b"])
+    out_schema = (
+        "n_a long, k_a long, rate_a double, n_b long, k_b long, "
+        "rate_b double, prob_b_beats_a double, expected_loss_b double, "
+        "expected_loss_a double, method string"
+    )
+    if n_a == 0 or n_b == 0:
+        return df.sparkSession.createDataFrame(
+            [(n_a, int(row["k_a"] or 0), None, n_b, int(row["k_b"] or 0),
+              None, None, None, None, None)],
+            out_schema,
+        )
+    k_a, k_b = float(row["k_a"]), float(row["k_b"])
+    a_a, b_a = alpha_prior + k_a, beta_prior + n_a - k_a
+    a_b, b_b = alpha_prior + k_b, beta_prior + n_b - k_b
+    p_b, method = _prob_and_method(a_a, b_a, a_b, b_b, exact_limit)
+    mu_a, mu_b = a_a / (a_a + b_a), a_b / (a_b + b_b)
+    # E[max(p_A − p_B, 0)]: risk of shipping B
+    p_shift_a, m1 = _prob_and_method(a_a + 1.0, b_a, a_b, b_b, exact_limit)
+    p_shift_b, m2 = _prob_and_method(a_a, b_a, a_b + 1.0, b_b, exact_limit)
+    loss_b = mu_a * (1.0 - p_shift_a) - mu_b * (1.0 - p_shift_b)
+    # E[max(p_B − p_A, 0)]: risk of shipping A — same identity mirrored
+    loss_a = mu_b * p_shift_b - mu_a * p_shift_a
+    if "normal" in (method, m1, m2):
+        method = "normal"
+    return df.sparkSession.createDataFrame(
+        [(n_a, int(k_a), k_a / n_a, n_b, int(k_b), k_b / n_b,
+          p_b, max(loss_b, 0.0), max(loss_a, 0.0), method)],
+        out_schema,
     )

@@ -1902,7 +1902,13 @@ def b114_experiment_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     srm = srm_check(ev, "arm", {"A": 0.5, "B": 0.5}).select(
         F.lit("srm").alias("test"), F.col("p_value")
     )
-    return welch.unionByName(prop).unionByName(srm)
+    from data_export_tool_spark.operators.experiment import bayes_ab
+
+    bay = bayes_ab(ev, "converted", "arm", "A", "B").select(
+        F.lit("bayes").alias("test"),
+        F.col("prob_b_beats_a").alias("p_value"),
+    )
+    return welch.unionByName(prop).unionByName(srm).unionByName(bay)
 
 
 def b115_causal_suite(spark: SparkSession, sf_dir: str) -> DataFrame:

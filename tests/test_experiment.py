@@ -550,3 +550,75 @@ def test_msprt_matches_replay_and_peeking_law(spark):
             r = msprt_always_valid(d, "m", "g", "A", "B").first()
             detected = detected or bool(r["significant"])
         assert detected is expect_detect, (expect_detect, frac)
+
+
+def test_bayes_ab_exact_matches_monte_carlo(spark, sf_dir):
+    import numpy as np
+    import pytest
+    from pyspark.sql import functions as F
+
+    from data_export_tool_spark.operators.experiment import bayes_ab
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        F.when(F.col("user_id") % 2 == 0, "A").otherwise("B").alias("arm"),
+        (F.col("event_type") == "purchase").cast("int").alias("converted"),
+    )
+    got = bayes_ab(ev, "converted", "arm", "A", "B").first()
+    assert got["method"] == "exact"
+    a_a, b_a = 1.0 + got["k_a"], 1.0 + got["n_a"] - got["k_a"]
+    a_b, b_b = 1.0 + got["k_b"], 1.0 + got["n_b"] - got["k_b"]
+    rng = np.random.default_rng(7)
+    pa = rng.beta(a_a, b_a, 4_000_000)
+    pb = rng.beta(a_b, b_b, 4_000_000)
+    assert got["prob_b_beats_a"] == pytest.approx(
+        float((pb > pa).mean()), abs=2e-3
+    )
+    assert got["expected_loss_b"] == pytest.approx(
+        float(np.maximum(pa - pb, 0).mean()), abs=2e-4
+    )
+    assert got["expected_loss_a"] == pytest.approx(
+        float(np.maximum(pb - pa, 0).mean()), abs=2e-4
+    )
+    from tests.conftest import record_opcheck
+
+    record_opcheck(
+        "bayes_ab", got["n_a"] + got["n_b"], True, oracle="monte-carlo",
+        value=got["prob_b_beats_a"],
+    )
+
+
+def test_bayes_ab_symmetry_degenerates_and_normal_path(spark):
+    from data_export_tool_spark.operators.experiment import bayes_ab
+
+    # perfectly symmetric arms -> P = 0.5 exactly, equal losses
+    import pytest
+
+    sym = spark.createDataFrame(
+        [("A", 1), ("A", 0), ("B", 1), ("B", 0)] * 50,
+        "arm string, converted int",
+    )
+    r = bayes_ab(sym, "converted", "arm", "A", "B").first()
+    assert r["prob_b_beats_a"] == pytest.approx(0.5, abs=1e-12)
+    assert r["expected_loss_a"] == pytest.approx(r["expected_loss_b"], rel=1e-9)
+    # empty arm -> honest NULLs
+    e = bayes_ab(
+        sym.where("arm = 'A'"), "converted", "arm", "A", "B"
+    ).first()
+    assert e["n_b"] == 0 and e["prob_b_beats_a"] is None
+    # normal fallback (tiny exact_limit) stays close to exact
+    big = spark.createDataFrame(
+        [("A", 1)] * 400 + [("A", 0)] * 600 + [("B", 1)] * 450 + [("B", 0)] * 550,
+        "arm string, converted int",
+    )
+    exact = bayes_ab(big, "converted", "arm", "A", "B").first()
+    approx = bayes_ab(
+        big, "converted", "arm", "A", "B", exact_limit=10
+    ).first()
+    assert exact["method"] == "exact" and approx["method"] == "normal"
+    assert approx["prob_b_beats_a"] == pytest.approx(
+        exact["prob_b_beats_a"], abs=5e-3
+    )
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="priors"):
+        bayes_ab(sym, "converted", "arm", "A", "B", alpha_prior=0.0)

@@ -685,3 +685,104 @@ def personalized_pagerank(
     return ranks.select(
         F.col("n").alias(out_node), F.col("r").alias(out_rank)
     )
+
+
+def bfs_distances(
+    edges: DataFrame,
+    sources,
+    src: str = "id_a",
+    dst: str = "id_b",
+    max_hops: int = 10,
+    directed: bool = False,
+    out_node: str = "node",
+    out_dist: str = "dist",
+) -> DataFrame:
+    """Multi-source BFS: minimum hop distance from ANY source node.
+
+    The distance-to-nearest-anchor primitive — "how many link hops
+    from a trusted seed page", "degrees of separation from any known
+    spam account", "pipeline stage reachability" — computed level-
+    synchronously: each round is ONE shuffle joining the current
+    frontier against the adjacency table, an anti-join against the
+    visited set (a node's FIRST discovery level is its minimum
+    distance — the BFS invariant, so no min-fold is needed), and a
+    distinct. Rounds are bounded by ``max_hops``; the loop also stops
+    early the round the frontier empties (one metadata-sized isEmpty
+    probe per round on an already-checkpointed frontier).
+
+    ``sources`` is a python list of node ids (broadcast-small, the
+    common case) or a single-column DataFrame. ``directed=False``
+    symmetrizes the edge table once up front.
+
+    Scale notes (100 TB): per-round state is (node, dist) — O(V) rows,
+    never payloads; localCheckpoint truncates lineage each round
+    (``connected_components`` discipline) and superseded checkpoint
+    blocks are released eagerly. Hop-bounded BFS keeps the frontier
+    join partitioned on the node id throughout — on a graph bucketed
+    by node id the whole loop is map-side after the first exchange.
+    Unreachable nodes are absent from the result (the caller's LEFT
+    join distinguishes "unreached within max_hops" from dist values).
+
+    Oracle: DuckDB depth-bounded recursive CTE + min-fold
+    (tests/test_bfs.py → OPCHECK ``bfs_distances``).
+    """
+    if max_hops < 0:
+        raise ValueError(f"max_hops must be >= 0, got {max_hops}")
+    spark = edges.sparkSession
+    sc = spark.sparkContext
+    u, v = F.col(src), F.col(dst)
+    pairs = edges.where(u.isNotNull() & v.isNotNull() & (u != v)).select(
+        u.alias("n"), v.alias("m")
+    )
+    if not directed:
+        pairs = pairs.union(
+            edges.where(u.isNotNull() & v.isNotNull() & (u != v)).select(
+                v.alias("n"), u.alias("m")
+            )
+        )
+    adj, adj_ids = _checkpoint(pairs.distinct())
+
+    if isinstance(sources, DataFrame):
+        seed = sources.select(F.col(sources.columns[0]).alias("n")).distinct()
+    else:
+        if not sources:
+            raise ValueError("sources must name at least one node")
+        seed = spark.createDataFrame(
+            [(s,) for s in sources], schema=["n"]
+        ).distinct()
+
+    frontier, frontier_ids = _checkpoint(seed.select("n"))
+    visited, visited_ids = _checkpoint(
+        frontier.select("n", F.lit(0).alias("d"))
+    )
+    for hop in range(1, max_hops + 1):
+        if frontier.isEmpty():
+            break
+        nxt = (
+            frontier.join(adj, "n")
+            .select(F.col("m").alias("n"))
+            .distinct()
+            .join(visited.select("n"), "n", "left_anti")
+        )
+        new_frontier, new_frontier_ids = _checkpoint(nxt)
+        _release(sc, frontier_ids)
+        frontier, frontier_ids = new_frontier, new_frontier_ids
+        if frontier.isEmpty():
+            break
+        new_visited, new_visited_ids = _checkpoint(
+            visited.union(frontier.select("n", F.lit(hop).alias("d")))
+        )
+        _release(sc, visited_ids)
+        visited, visited_ids = new_visited, new_visited_ids
+
+    _release(sc, adj_ids)
+    _release(sc, frontier_ids)
+    out = visited.select(
+        F.col("n").alias(out_node), F.col("d").alias(out_dist)
+    )
+    # the result must outlive the released checkpoint blocks: collect it
+    # into a fresh checkpoint the CALLER's lineage can read, then free
+    # the loop's final visited blocks
+    out, out_ids = _checkpoint(out)
+    _release(sc, visited_ids)
+    return out

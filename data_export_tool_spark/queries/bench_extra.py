@@ -2078,6 +2078,56 @@ def b125_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def b127_bfs_distances(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-source BFS over the co-purchase part graph: level-
+    synchronous frontier joins with checkpointed (node, dist) state,
+    hop-bounded (operators/graph.py bfs_distances)."""
+    from data_export_tool_spark.operators.graph import bfs_distances
+
+    li = Catalog(spark, sf_dir).load("lineitem").where(
+        F.col("l_linenumber") <= 2
+    ).select("l_orderkey", "l_partkey")
+    edges = (
+        li.groupBy("l_orderkey")
+        .agg(
+            F.min("l_partkey").alias("id_a"),
+            F.max("l_partkey").alias("id_b"),
+            F.count(F.lit(1)).alias("__k"),
+        )
+        .where((F.col("__k") == 2) & (F.col("id_a") < F.col("id_b")))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    seeds = edges.select(F.col("id_a").alias("node")).limit(10)
+    dist = bfs_distances(edges, seeds, max_hops=4)
+    return dist.groupBy("dist").agg(
+        F.count(F.lit(1)).alias("n_nodes")
+    ).orderBy("dist")
+
+
+def b126_activity_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands over per-user activity days: one key exchange,
+    dense-rank run marking, island fold + longest-streak leaderboard
+    (operators/islands.py)."""
+    from data_export_tool_spark.operators.islands import (
+        islands,
+        longest_streak,
+    )
+
+    ev = Catalog(spark, sf_dir).load("events").selectExpr(
+        "user_id", "cast(ts as date) AS d"
+    )
+    isl = islands(ev, ["user_id"], "d")
+    best = longest_streak(ev, ["user_id"], "d")
+    return isl.agg(
+        F.count(F.lit(1)).alias("islands"),
+        F.max("island_length").alias("longest_run"),
+        F.avg("island_length").alias("avg_run"),
+    ).crossJoin(
+        best.agg(F.sum("island_length").alias("sum_best_runs"))
+    )
+
+
 def b123_containment_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact containment join (quote detection): 8-word snippets vs
     the full corpus — left-prefix pruning, full right index, exact
@@ -2347,4 +2397,6 @@ QUERIES = [
     QuerySpec("b123_containment_join", b123_containment_join, None),
     QuerySpec("b124_seasonal_decompose", b124_seasonal_decompose, None),
     QuerySpec("b125_link_prediction", b125_link_prediction, None),
+    QuerySpec("b126_activity_streaks", b126_activity_streaks, None),
+    QuerySpec("b127_bfs_distances", b127_bfs_distances, None),
 ]

@@ -2105,6 +2105,27 @@ def b127_bfs_distances(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("dist")
 
 
+def b128_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pareto frontier over lineitem (cheapest + biggest discount +
+    largest quantity): per-partition numpy dominance sweep, guarded
+    single-task merge (operators/skyline.py)."""
+    from data_export_tool_spark.operators.skyline import skyline
+
+    li = Catalog(spark, sf_dir).load("lineitem").select(
+        "l_orderkey", "l_extendedprice", "l_discount", "l_quantity"
+    )
+    sky = skyline(
+        li,
+        ["l_extendedprice", "l_discount", "l_quantity"],
+        ["min", "max", "max"],
+    )
+    return sky.agg(
+        F.count(F.lit(1)).alias("frontier_size"),
+        F.min("l_extendedprice").alias("min_price"),
+        F.max("l_discount").alias("max_discount"),
+    )
+
+
 def b126_activity_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gaps-and-islands over per-user activity days: one key exchange,
     dense-rank run marking, island fold + longest-streak leaderboard
@@ -2399,4 +2420,5 @@ QUERIES = [
     QuerySpec("b125_link_prediction", b125_link_prediction, None),
     QuerySpec("b126_activity_streaks", b126_activity_streaks, None),
     QuerySpec("b127_bfs_distances", b127_bfs_distances, None),
+    QuerySpec("b128_skyline", b128_skyline, None),
 ]

@@ -2126,6 +2126,28 @@ def b128_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def b129_itemcf_recommend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Item-item CF end-to-end on co-purchase baskets: inverted-index
+    pair join with hot-basket cap, cosine top-5 neighborhoods, then
+    neighborhood recommendation (operators/itemcf.py)."""
+    from data_export_tool_spark.operators.itemcf import (
+        item_item_recommend,
+        item_item_topk,
+    )
+
+    li = Catalog(spark, sf_dir).load("lineitem").selectExpr(
+        "l_orderkey AS u", "l_partkey % 997 AS i"
+    )
+    sims = item_item_topk(li, "u", "i", k=5, max_user_items=50,
+                          min_cooccur=2)
+    rec = item_item_recommend(li, sims, "u", "i", k=3)
+    return rec.agg(
+        F.count(F.lit(1)).alias("recommendations"),
+        F.count_distinct("user").alias("users"),
+        F.avg("score").alias("avg_score"),
+    )
+
+
 def b126_activity_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gaps-and-islands over per-user activity days: one key exchange,
     dense-rank run marking, island fold + longest-streak leaderboard
@@ -2421,4 +2443,5 @@ QUERIES = [
     QuerySpec("b126_activity_streaks", b126_activity_streaks, None),
     QuerySpec("b127_bfs_distances", b127_bfs_distances, None),
     QuerySpec("b128_skyline", b128_skyline, None),
+    QuerySpec("b129_itemcf_recommend", b129_itemcf_recommend, None),
 ]

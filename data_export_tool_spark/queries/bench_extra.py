@@ -2148,6 +2148,35 @@ def b129_itemcf_recommend(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def b130_dbscan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grid-blocked DBSCAN over a deterministic 2-D projection of the
+    event stream (per-user blob centers + hash jitter): 3×3-cell
+    ε-join, core counting, CC clustering (operators/density.py)."""
+    from data_export_tool_spark.operators.density import dbscan
+
+    ev = Catalog(spark, sf_dir).load("events").where(
+        F.pmod(F.hash("event_id"), F.lit(4)) == 0
+    ).select(
+        F.col("event_id").alias("id"),
+        (
+            (F.pmod(F.col("user_id"), F.lit(20)) * 12).cast("double")
+            + (F.pmod(F.hash("event_id"), F.lit(1000)) / 500.0 - 1.0)
+        ).alias("x"),
+        (
+            (F.pmod(F.col("user_id"), F.lit(7)) * 12).cast("double")
+            + (F.pmod(F.hash("event_id", "user_id"), F.lit(1000)) / 500.0
+               - 1.0)
+        ).alias("y"),
+    )
+    lab = dbscan(ev, "id", "x", "y", eps=0.4, min_pts=4)
+    return lab.agg(
+        F.count(F.lit(1)).alias("points"),
+        F.count_distinct("cluster_id").alias("clusters"),
+        F.sum(F.col("is_core").cast("int")).alias("cores"),
+        F.sum(F.col("cluster_id").isNull().cast("int")).alias("noise"),
+    )
+
+
 def b126_activity_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gaps-and-islands over per-user activity days: one key exchange,
     dense-rank run marking, island fold + longest-streak leaderboard
@@ -2444,4 +2473,5 @@ QUERIES = [
     QuerySpec("b127_bfs_distances", b127_bfs_distances, None),
     QuerySpec("b128_skyline", b128_skyline, None),
     QuerySpec("b129_itemcf_recommend", b129_itemcf_recommend, None),
+    QuerySpec("b130_dbscan", b130_dbscan, None),
 ]

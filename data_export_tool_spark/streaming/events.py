@@ -2492,3 +2492,150 @@ def quota_stream(
             timeoutConf=GroupStateTimeout.EventTimeTimeout,
         )
     )
+
+
+HEARTBEAT_STATE_SCHEMA = StructType(
+    [
+        StructField("last_ts_us", LongType()),
+        StructField("open_alerted", BooleanType()),
+        StructField("pend_ts", ArrayType(LongType())),
+    ]
+)
+
+HEARTBEAT_OUTPUT_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("kind", StringType()),
+        StructField("silent_from_us", LongType()),
+        StructField("resumed_at_us", LongType()),
+        StructField("gap_seconds", DoubleType()),
+    ]
+)
+
+
+def heartbeat_stream(
+    events: DataFrame,
+    max_gap: str = "1 hour",
+    watermark: str = "30 minutes",
+) -> DataFrame:
+    """Streaming per-key heartbeat-silence monitor — twin #32, the
+    dead-man switch every device-fleet / pipeline-liveness dashboard
+    needs, and the streaming face of the batch gaps-and-islands
+    operator (X208 ``islands.gaps``): one append-final alert row per
+    silence of a key exceeding ``max_gap``.
+
+    Two alert kinds:
+
+    * ``'resumed'`` — emitted when the key's NEXT event is consumed
+      and the gap to the previous consumed event exceeds ``max_gap``.
+      Final on emit (consumption is in exact ts order behind the
+      watermark — the ``transition_stream`` watermark-buffer chassis),
+      and in exact parity with the batch lag-window gap scan over the
+      same consumed events.
+    * ``'open'`` — emitted AT MOST ONCE per silence via event-time
+      timeout when the watermark passes ``last_event + max_gap`` with
+      nothing buffered: the key has gone quiet and stayed quiet. If
+      the key later resumes, the silence ALSO closes with a
+      ``'resumed'`` row (dashboards pair them). WHETHER a mid-stream
+      silence triggers its ``'open'`` row before the resume arrives
+      depends on trigger/watermark timing — so the batch-twin parity
+      contract is necessarily set-algebraic: ``'resumed'`` rows match
+      exactly; ``'open'`` rows are a SUBSET of all gap-start points
+      (interior or final) and a SUPERSET of the must-fire final open
+      silences (deadline behind the final watermark). The twin test
+      asserts all three.
+
+    State per key: (last consumed ts, open-alerted flag, one watermark
+    horizon of buffered events) — bounded; late events drop (suite
+    policy). The ``open_alerted`` flag resets on resume so each
+    distinct silence alerts once.
+    """
+    import pandas as pd
+
+    gap_us = _parse_duration_us(max_gap)
+    if gap_us <= 0:
+        raise ValueError(f"max_gap must be positive: {max_gap}")
+
+    def fn(key, pdf_iter, state: GroupState):
+        if state.exists:
+            last_ts, open_alerted, pend = state.get
+            pend = list(pend)
+        else:
+            last_ts, open_alerted, pend = None, False, []
+        wm_us = state.getCurrentWatermarkMs() * 1000
+
+        if not state.hasTimedOut:
+            for pdf in pdf_iter:
+                sel = pdf[pdf["ts"].notna()]
+                if len(sel) == 0:
+                    continue
+                ts_us = (
+                    pd.to_datetime(sel["ts"])
+                    .astype("datetime64[ns]")
+                    .astype("int64")
+                    // 1_000
+                )
+                for t in ts_us:
+                    if t >= wm_us:  # late events drop
+                        pend.append(int(t))
+
+        rows = []
+        ready = sorted(t for t in pend if t < wm_us)
+        pend = [t for t in pend if t >= wm_us]
+        for t in ready:
+            if last_ts is not None and t - last_ts > gap_us:
+                rows.append(
+                    (int(key[0]), "resumed", last_ts, t,
+                     (t - last_ts) / 1e6)
+                )
+            last_ts = t
+            open_alerted = False
+        if (
+            last_ts is not None
+            and not pend
+            and not open_alerted
+            and wm_us - last_ts > gap_us
+        ):
+            rows.append((int(key[0]), "open", last_ts, None, None))
+            open_alerted = True
+
+        state.update((last_ts, bool(open_alerted), pend))
+        if pend:
+            state.setTimeoutTimestamp(
+                max(min(pend) // 1000 + 1, wm_us // 1000 + 1)
+            )
+        elif last_ts is not None and not open_alerted:
+            # arm the dead-man deadline so the 'open' alert fires even
+            # if the key never speaks again
+            state.setTimeoutTimestamp(
+                max((last_ts + gap_us) // 1000 + 1, wm_us // 1000 + 1)
+            )
+        if rows:
+            yield pd.DataFrame(
+                {
+                    "user_id": [r[0] for r in rows],
+                    "kind": [r[1] for r in rows],
+                    "silent_from_us": pd.Series(
+                        [r[2] for r in rows], dtype="int64"
+                    ),
+                    "resumed_at_us": pd.array(
+                        [r[3] for r in rows], dtype="Int64"
+                    ),
+                    "gap_seconds": pd.array(
+                        [r[4] for r in rows], dtype="float64"
+                    ),
+                }
+            )
+
+    return (
+        events.where(F.col("user_id").isNotNull() & F.col("ts").isNotNull())
+        .withWatermark("ts", watermark)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            fn,
+            outputStructType=HEARTBEAT_OUTPUT_SCHEMA,
+            stateStructType=HEARTBEAT_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )

@@ -2356,3 +2356,107 @@ def test_quota_stream_matches_batch_token_bucket(spark, sf_dir, tmp_path):
     ok = ok and n_throttled > 0
     record_stream_parity("quota_token_bucket", len(want), ok)
     assert ok, f"emitted={len(emitted)}, want={len(want)}, throttled={n_throttled}"
+
+
+def test_heartbeat_stream_matches_batch_gap_scan(spark, sf_dir, tmp_path):
+    """Twin #32: per-user silence alerts. 'resumed' rows equal the
+    batch lag-window gap scan over consumed events exactly; 'open'
+    rows are a subset of all gap-start points and a superset of the
+    must-fire final open silences."""
+    import time
+
+    from data_export_tool_spark.streaming.events import heartbeat_stream
+
+    ev = Catalog(spark, sf_dir).load("events").where(
+        F.col("ts").isNotNull() & F.col("user_id").isNotNull()
+    )
+    bounds = ev.select(F.unix_millis("ts").alias("ms")).approxQuantile(
+        "ms", [0.5], 0.0
+    )
+    # construct guaranteed dead-man keys: users ≡ 3 (mod 7) go silent
+    # at the median timestamp — their 'open' alert MUST fire
+    ev = ev.where(
+        ~(
+            (F.pmod(F.col("user_id"), F.lit(7)) == 3)
+            & (F.unix_millis("ts") >= bounds[0])
+        )
+    )
+    drop_dir = str(tmp_path / "hb_drops")
+    lo = None
+    for hi in [*bounds, None]:
+        sel = ev
+        if lo is not None:
+            sel = sel.where(F.unix_millis("ts") >= lo)
+        if hi is not None:
+            sel = sel.where(F.unix_millis("ts") < hi)
+        sel.repartition(1).write.mode("append").parquet(drop_dir)
+        lo = hi
+        time.sleep(1.05)
+
+    GAP = "2 days"
+    stream = read_events_stream(spark, drop_dir, max_files_per_trigger=1)
+    out = heartbeat_stream(stream, max_gap=GAP, watermark="30 minutes")
+    q = (
+        out.writeStream.format("memory")
+        .queryName("heartbeat_stream_test")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    emitted = spark.sql("SELECT * FROM heartbeat_stream_test").collect()
+    got_resumed = {
+        (int(r["user_id"]), int(r["silent_from_us"]),
+         int(r["resumed_at_us"]))
+        for r in emitted if r["kind"] == "resumed"
+    }
+    got_open = {
+        (int(r["user_id"]), int(r["silent_from_us"]))
+        for r in emitted if r["kind"] == "open"
+    }
+    # every resumed row's gap_seconds is consistent
+    ok = all(
+        abs(r["gap_seconds"] - (r["resumed_at_us"] - r["silent_from_us"])
+            / 1e6) < 1e-6
+        for r in emitted if r["kind"] == "resumed"
+    )
+
+    import datetime as _dt
+
+    gap_us = 2 * 86400 * 1_000_000
+    max_ts = ev.agg(F.max("ts")).first()[0]
+    wm_us = int((max_ts - _dt.timedelta(minutes=30)).timestamp() * 1e6)
+    rows = [
+        (int(r["user_id"]), int(r["us"]))
+        for r in ev.select(
+            "user_id", F.unix_micros("ts").alias("us")
+        ).collect()
+    ]
+    consumed, pending_users = {}, set()
+    for u, t in rows:
+        if t < wm_us:
+            consumed.setdefault(u, []).append(t)
+        else:
+            pending_users.add(u)
+    want_resumed, candidates, required = set(), set(), set()
+    for u, ts in consumed.items():
+        ts.sort()
+        for a, b in zip(ts, ts[1:]):
+            if b - a > gap_us:
+                want_resumed.add((u, a, b))
+                candidates.add((u, a))
+        if u not in pending_users and wm_us - ts[-1] > gap_us:
+            candidates.add((u, ts[-1]))
+            required.add((u, ts[-1]))
+
+    ok = ok and got_resumed == want_resumed and len(want_resumed) > 0
+    ok = ok and got_open <= candidates and required <= got_open
+    ok = ok and len(required) > 0  # the dead-man path must bite
+    record_stream_parity(
+        "heartbeat_silence", len(want_resumed) + len(required), ok
+    )
+    assert ok, (
+        f"resumed got={len(got_resumed)} want={len(want_resumed)}; "
+        f"open got={len(got_open)} cand={len(candidates)} "
+        f"req={len(required)}"
+    )

@@ -801,3 +801,167 @@ def theil_sen_fit_grouped(
         fit, schema="__g string, n long, slope double, intercept double"
     )
     return out.select(F.col("__g").alias(by), "n", "slope", "intercept")
+
+
+_POIS_CLIP = 30.0  # log-link clamp; exp(30)≈1e13 keeps μ, H finite
+
+
+def poisson_fit(
+    df: DataFrame,
+    label_col: str,
+    vec_col: str = "embedding",
+    reg: float = 1e-3,
+    iters: int = 12,
+    tol: float = 1e-9,
+) -> dict:
+    """Full-batch L2-regularized Poisson regression (log link) by
+    IRLS — the count-model member of the GLM tier (event counts per
+    user, defects per batch, tokens per document): ``E[y|x] =
+    exp(x·w + b)``.
+
+    Identical round discipline to :func:`logreg_fit` (the bounded-
+    round contract): per iteration ONE Arrow pass emits per-batch
+    Hessian/gradient/NLL partials ((d+1)² + (d+1) + 1 doubles —
+    ``H = Xᵀdiag(μ)X``, ``g = Xᵀ(y−μ)``, ``nll = Σ(μ − y·z)`` up to
+    the y-only constant), the driver solves the penalized Newton
+    step. The linear predictor clamps to ±30 (exp stays finite in a
+    double) — the replay oracle applies the identical clamp. Labels
+    must be ≥ 0 (counts; NULL/negative rows excluded JVM-side).
+
+    Returns ``weights, intercept, n, loss`` (penalized mean NLL at
+    the last evaluated iterate — same one-behind semantics as
+    ``logreg_fit``, documented there), ``iters_run, reg``.
+    """
+    import numpy as np
+
+    if reg < 0:
+        raise ValueError(f"reg must be >= 0: {reg}")
+    if iters < 1:
+        raise ValueError(f"iters must be >= 1: {iters}")
+    base = (
+        df.where(F.col(label_col).cast("double") >= 0)
+        .transform(lambda d: _vec_base(d, label_col, vec_col, binary=False))
+        .persist()
+    )
+    try:
+        first = base.agg(
+            F.max(F.when(F.size("__v") > 0, F.size("__v"))).alias("d")
+        ).collect()
+        if not first or first[0]["d"] is None:
+            raise ValueError("no usable (vector, count-label) rows to fit on")
+        d = first[0]["d"]
+        sc = df.sparkSession.sparkContext
+        w = np.zeros(d + 1)
+        prev_loss = None
+        it = 0
+        for it in range(1, iters + 1):
+            b_w = sc.broadcast(w)
+
+            def partials(batches):
+                import pandas as pd
+
+                wv = b_w.value
+                for pdf in batches:
+                    pdf = _valid_rows(pdf)
+                    if len(pdf) == 0:
+                        continue
+                    X = _as_matrix(pdf["__v"])
+                    y = pdf["__y"].to_numpy(dtype="float64")
+                    Xa = np.hstack([X, np.ones((len(X), 1))])
+                    z = np.clip(Xa @ wv, -_POIS_CLIP, _POIS_CLIP)
+                    mu = np.exp(z)
+                    nll = float(np.sum(mu - y * z))
+                    yield pd.DataFrame(
+                        {
+                            "n": [len(X)],
+                            "h": [((Xa * mu[:, None]).T @ Xa).ravel().tolist()],
+                            "g": [(Xa.T @ (y - mu)).tolist()],
+                            "l": [nll],
+                        }
+                    )
+
+            rows = base.mapInPandas(
+                partials, "n long, h array<double>, g array<double>, l double"
+            ).collect()
+            b_w.unpersist(blocking=False)
+            if not rows:
+                raise ValueError(
+                    "no usable (vector, count-label) rows to fit on"
+                )
+            n = sum(r["n"] for r in rows)
+            H = np.zeros((d + 1, d + 1))
+            g = np.zeros(d + 1)
+            nll = 0.0
+            for r in rows:
+                H += np.array(r["h"]).reshape(d + 1, d + 1)
+                g += np.array(r["g"])
+                nll += r["l"]
+            pen = np.diag([reg] * d + [0.0])
+            loss = (nll + 0.5 * reg * float(w[:d] @ w[:d])) / n
+            g -= pen @ w
+            w = w + np.linalg.solve(H + pen, g)
+            if prev_loss is not None and abs(prev_loss - loss) < tol:
+                break
+            prev_loss = loss
+        return {
+            "weights": w[:d].tolist(),
+            "intercept": float(w[d]),
+            "n": int(n),
+            "loss": float(loss),
+            "iters_run": it,
+            "reg": float(reg),
+        }
+    finally:
+        base.unpersist()
+
+
+def poisson_predict(
+    df: DataFrame, model: dict, vec_col: str = "embedding",
+    out_col: str = "rate",
+) -> DataFrame:
+    """Append ``exp(clamp(x·w + b))`` — the fitted Poisson rate. Pure
+    scan-side JVM projection (the ``linear_predict`` contract); NULL
+    or wrong-dimension vectors → NULL."""
+    z = _dot_score(model, vec_col)
+    # least/greatest SKIP NULLs (they return the non-null operand), so
+    # the clamp must be gated or a NULL score would become exp(±clip)
+    return df.withColumn(
+        out_col,
+        F.when(
+            z.isNotNull(),
+            F.exp(
+                F.greatest(
+                    F.least(z, F.lit(_POIS_CLIP)), F.lit(-_POIS_CLIP)
+                )
+            ),
+        ),
+    )
+
+
+def py_poisson_irls(X, y, reg, iters, tol):
+    """Reference IRLS for the oracle tests: the exact arithmetic
+    ``poisson_fit`` distributes (same clamp, same penalty, same stop
+    rule)."""
+    import numpy as np
+
+    Xa = np.hstack([np.asarray(X, dtype=float),
+                    np.ones((len(X), 1))])
+    y = np.asarray(y, dtype=float)
+    d = Xa.shape[1] - 1
+    w = np.zeros(d + 1)
+    prev_loss = None
+    it = 0
+    for it in range(1, iters + 1):
+        z = np.clip(Xa @ w, -_POIS_CLIP, _POIS_CLIP)
+        mu = np.exp(z)
+        loss = (float(np.sum(mu - y * z))
+                + 0.5 * reg * float(w[:d] @ w[:d])) / len(y)
+        H = (Xa * mu[:, None]).T @ Xa
+        g = Xa.T @ (y - mu)
+        pen = np.diag([reg] * d + [0.0])
+        g = g - pen @ w
+        w = w + np.linalg.solve(H + pen, g)
+        if prev_loss is not None and abs(prev_loss - loss) < tol:
+            break
+        prev_loss = loss
+    return w, float(loss), it

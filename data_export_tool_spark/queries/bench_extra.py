@@ -2177,6 +2177,34 @@ def b130_dbscan(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def b131_poisson_glm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Poisson GLM over the embeddings table (planted count target):
+    bounded IRLS rounds, one Arrow partials pass per round, scan-side
+    rate projection (operators/linear.py poisson_fit)."""
+    from data_export_tool_spark.operators.linear import (
+        poisson_fit,
+        poisson_predict,
+    )
+
+    emb = Catalog(spark, sf_dir).load("embeddings").withColumn(
+        "y",
+        F.floor(
+            F.exp(
+                4.0 * F.col("embedding")[0].cast("double")
+                - 3.0 * F.col("embedding")[3].cast("double")
+                + 1.0
+            )
+        ).cast("double"),
+    )
+    model = poisson_fit(emb, "y", reg=1e-2, iters=6, tol=0.0)
+    scored = poisson_predict(emb, model)
+    return scored.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.avg("rate").alias("avg_rate"),
+        F.lit(float(model["loss"])).alias("loss"),
+    )
+
+
 def b126_activity_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gaps-and-islands over per-user activity days: one key exchange,
     dense-rank run marking, island fold + longest-streak leaderboard
@@ -2474,4 +2502,5 @@ QUERIES = [
     QuerySpec("b128_skyline", b128_skyline, None),
     QuerySpec("b129_itemcf_recommend", b129_itemcf_recommend, None),
     QuerySpec("b130_dbscan", b130_dbscan, None),
+    QuerySpec("b131_poisson_glm", b131_poisson_glm, None),
 ]

@@ -629,7 +629,7 @@ def rank_transform(
     NULL values pass through with a NULL transform (they have no
     rank). Appends ``out_col`` (default ``{col}_{method}``).
     """
-    methods = ("rank", "percent_rank", "inverse_normal")
+    methods = ("rank", "avg_rank", "percent_rank", "inverse_normal")
     if method not in methods:
         raise ValueError(f"method must be one of {methods}: {method}")
     if num_ranges < 1:
@@ -675,6 +675,7 @@ def rank_transform(
         "__v",
         (F.col("__off") + F.col("__lr")).alias("__r"),
         "__n",
+        "__cnt",
     )
     joined = vals.join(ranks, vals[col] == ranks["__v"], "left").drop("__v")
     r = F.col("__r").cast("double")
@@ -682,13 +683,19 @@ def rank_transform(
     if method == "rank":
         expr = r.cast("long")
         out_type = "long"
+    elif method == "avg_rank":
+        # fractional/average rank: ties take the arithmetic mean of their
+        # positions = min_rank + (tie_size - 1)/2 — the Spearman-ρ
+        # convention (scipy rankdata 'average')
+        expr = r + (F.col("__cnt").cast("double") - 1.0) / 2.0
+        out_type = "double"
     elif method == "percent_rank":
         expr = F.when(n > 1, (r - 1.0) / (n - 1.0)).otherwise(F.lit(0.0))
         out_type = "double"
     else:
         expr = _probit((r - 0.375) / (n + 0.25))
         out_type = "double"
-    transformed = joined.withColumn(out_col, expr).drop("__r", "__n")
+    transformed = joined.withColumn(out_col, expr).drop("__r", "__n", "__cnt")
     null_rows = df.where(F.col(col).isNull()).withColumn(
         out_col, F.lit(None).cast(out_type)
     )

@@ -425,6 +425,46 @@ def correlation_matrix(df: DataFrame, cols: Sequence[str]) -> DataFrame:
     return frame.sparkSession.createDataFrame(out, schema)
 
 
+def spearman_matrix(
+    df: DataFrame, cols: Sequence[str], num_ranges: int = 64
+) -> DataFrame:
+    """Pairwise SPEARMAN rank correlations — the monotone-association
+    screen that survives outliers and nonlinear-but-monotone feature
+    relationships where Pearson misleads. ρ = Pearson over
+    average-rank-transformed columns (scipy ``rankdata('average')``
+    tie convention).
+
+    Ranks are EXACT and global per column via the two-phase
+    value-grain range rank (``features.rank_transform(method=
+    'avg_rank')`` — mega-ties collapse to one row, no single-partition
+    sort), then all p(p−1)/2 rank correlations aggregate in ONE
+    partial-aggregable scan (``correlation_matrix``). NULL semantics:
+    each column ranks its own non-NULL values; a pair's correlation
+    then drops rows where either rank is NULL (pairwise deletion over
+    GLOBAL ranks — documented, matches the oracle; on listwise-
+    complete data this is exactly scipy's spearmanr).
+
+    Output: ``col_a, col_b, rho, n`` per unordered pair.
+    """
+    from data_export_tool_spark.operators.features import rank_transform
+
+    cols = list(cols)
+    if len(cols) < 2:
+        raise ValueError(f"need >= 2 columns: {cols}")
+    frame = df.select(*[F.col(c).cast("double").alias(c) for c in cols])
+    for c in cols:
+        frame = rank_transform(
+            frame, c, method="avg_rank", out_col=f"__sr_{c}",
+            num_ranges=num_ranges,
+        )
+    ranked = frame.select(
+        *[F.col(f"__sr_{c}").alias(c) for c in cols]
+    )
+    return correlation_matrix(ranked, cols).withColumnRenamed(
+        "corr", "rho"
+    )
+
+
 def categorical_association(
     df: DataFrame, cols: Sequence[str]
 ) -> DataFrame:

@@ -2205,6 +2205,18 @@ def b131_poisson_glm(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def b132_spearman(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spearman matrix over four lineitem measures: two-phase exact
+    avg-rank per column + one-scan pairwise Pearson fold
+    (operators/validate.py spearman_matrix)."""
+    from data_export_tool_spark.operators.validate import spearman_matrix
+
+    li = Catalog(spark, sf_dir).load("lineitem")
+    return spearman_matrix(
+        li, ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+    )
+
+
 def b126_activity_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gaps-and-islands over per-user activity days: one key exchange,
     dense-rank run marking, island fold + longest-streak leaderboard
@@ -2503,4 +2515,5 @@ QUERIES = [
     QuerySpec("b129_itemcf_recommend", b129_itemcf_recommend, None),
     QuerySpec("b130_dbscan", b130_dbscan, None),
     QuerySpec("b131_poisson_glm", b131_poisson_glm, None),
+    QuerySpec("b132_spearman", b132_spearman, None),
 ]

@@ -2217,6 +2217,27 @@ def b132_spearman(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def b133_reshape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reshape round-trip at scale: lineitem melts 3 measures long
+    (Expand, zero shuffle) then pivots back wide per order — one
+    shuffle with map-side combine (operators/pivot.py)."""
+    from data_export_tool_spark.operators.pivot import melt, pivot_wide
+
+    li = Catalog(spark, sf_dir).load("lineitem")
+    long = melt(
+        li,
+        ["l_orderkey"],
+        ["l_quantity", "l_extendedprice", "l_discount"],
+    )
+    wide = pivot_wide(long, ["l_orderkey"], "variable", "value",
+                      agg="sum")
+    return wide.agg(
+        F.count(F.lit(1)).alias("orders"),
+        F.sum("l_extendedprice").alias("sum_price"),
+        F.sum("l_quantity").alias("sum_qty"),
+    )
+
+
 def b126_activity_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gaps-and-islands over per-user activity days: one key exchange,
     dense-rank run marking, island fold + longest-streak leaderboard
@@ -2516,4 +2537,5 @@ QUERIES = [
     QuerySpec("b130_dbscan", b130_dbscan, None),
     QuerySpec("b131_poisson_glm", b131_poisson_glm, None),
     QuerySpec("b132_spearman", b132_spearman, None),
+    QuerySpec("b133_reshape", b133_reshape, None),
 ]

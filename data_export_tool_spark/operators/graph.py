@@ -786,3 +786,113 @@ def bfs_distances(
     out, out_ids = _checkpoint(out)
     _release(sc, visited_ids)
     return out
+
+
+def sssp(
+    edges: DataFrame,
+    sources,
+    weight_col: str,
+    src: str = "id_a",
+    dst: str = "id_b",
+    max_iter: int = 30,
+    directed: bool = False,
+    out_node: str = "node",
+    out_dist: str = "dist",
+) -> DataFrame:
+    """Weighted multi-source shortest paths (non-negative weights):
+    minimum path cost from ANY seed — travel-cost fields, weighted
+    trust distance, cheapest-hop routing. The weighted sibling of
+    :func:`bfs_distances`.
+
+    Distributed Bellman-Ford with frontier pruning: each round joins
+    only the nodes IMPROVED last round against the adjacency,
+    min-folds candidate costs into the distance table, and counts
+    improvements (one metadata aggregate — the ``connected_components``
+    convergence probe). With weights ≥ 0 (validated up front by one
+    aggregate) rounds are bounded by the hop-diameter of the shortest-
+    path tree; hitting ``max_iter`` while still improving RAISES (the
+    CC contract — diagnosing beats silently truncated distances).
+    State per round is (node, dist) + the improved frontier, both
+    localCheckpointed with superseded blocks released.
+
+    Oracle: python Dijkstra replay (tests/test_sssp.py → OPCHECK
+    ``sssp``).
+    """
+    spark = edges.sparkSession
+    sc = spark.sparkContext
+    u, v, wc = F.col(src), F.col(dst), F.col(weight_col).cast("double")
+    base = edges.where(
+        u.isNotNull() & v.isNotNull() & wc.isNotNull() & (u != v)
+    )
+    neg = base.agg(F.min(wc).alias("m")).first()["m"]
+    if neg is not None and neg < 0:
+        raise ValueError(
+            f"sssp requires non-negative weights; found {neg}"
+        )
+    pairs = base.select(u.alias("n"), v.alias("m"), wc.alias("w"))
+    if not directed:
+        pairs = pairs.union(
+            base.select(v.alias("n"), u.alias("m"), wc.alias("w"))
+        )
+    # parallel edges: keep the cheapest once, up front
+    adj, adj_ids = _checkpoint(
+        pairs.groupBy("n", "m").agg(F.min("w").alias("w"))
+    )
+
+    if isinstance(sources, DataFrame):
+        seed = sources.select(F.col(sources.columns[0]).alias("n")).distinct()
+    else:
+        if not sources:
+            raise ValueError("sources must name at least one node")
+        seed = spark.createDataFrame(
+            [(s,) for s in sources], schema=["n"]
+        ).distinct()
+
+    dist, dist_ids = _checkpoint(
+        seed.select("n", F.lit(0.0).alias("d"))
+    )
+    frontier, frontier_ids = dist, set()  # shares dist's blocks at round 0
+    improving = True
+    rounds = 0
+    while improving:
+        if rounds >= max_iter:
+            raise ValueError(
+                f"sssp did not converge within max_iter={max_iter} "
+                "rounds; the shortest-path tree is deeper than the "
+                "bound — raise max_iter"
+            )
+        rounds += 1
+        cand = (
+            frontier.join(adj, "n")
+            .groupBy(F.col("m").alias("n"))
+            .agg(F.min(F.col("d") + F.col("w")).alias("c"))
+        )
+        merged = (
+            dist.join(cand, "n", "full_outer")
+            .select(
+                "n",
+                F.least(F.col("d"), F.col("c")).alias("d"),
+                (
+                    F.col("d").isNull()
+                    | (F.col("c").isNotNull() & (F.col("c") < F.col("d")))
+                ).alias("__imp"),
+            )
+        )
+        new_dist, new_dist_ids = _checkpoint(merged)
+        improved = new_dist.where(F.col("__imp"))
+        improving = not improved.isEmpty()
+        new_frontier, new_frontier_ids = _checkpoint(
+            improved.select("n", "d")
+        )
+        _release(sc, frontier_ids)
+        _release(sc, dist_ids)
+        dist, dist_ids = new_dist, new_dist_ids
+        frontier, frontier_ids = new_frontier, new_frontier_ids
+
+    _release(sc, adj_ids)
+    _release(sc, frontier_ids)
+    out, out_ids = _checkpoint(
+        dist.select(F.col("n").alias(out_node), F.col("d").alias(out_dist))
+    )
+    _release(sc, dist_ids)
+    return out

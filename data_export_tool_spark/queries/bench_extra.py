@@ -2238,6 +2238,35 @@ def b133_reshape(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def b134_sssp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted shortest paths over the co-purchase graph (edge cost =
+    1/co-count): frontier-pruned Bellman-Ford rounds with checkpointed
+    state (operators/graph.py sssp)."""
+    from data_export_tool_spark.operators.graph import sssp
+
+    li = Catalog(spark, sf_dir).load("lineitem").where(
+        F.col("l_linenumber") <= 2
+    ).select("l_orderkey", "l_partkey")
+    edges = (
+        li.groupBy("l_orderkey")
+        .agg(
+            F.min("l_partkey").alias("id_a"),
+            F.max("l_partkey").alias("id_b"),
+            F.count(F.lit(1)).alias("__k"),
+        )
+        .where((F.col("__k") == 2) & (F.col("id_a") < F.col("id_b")))
+        .groupBy("id_a", "id_b")
+        .agg((1.0 / F.count(F.lit(1))).alias("w"))
+    )
+    seeds = edges.select(F.col("id_a").alias("node")).limit(100)
+    dist = sssp(edges, seeds, "w", max_iter=60)
+    return dist.agg(
+        F.count(F.lit(1)).alias("reached"),
+        F.avg("dist").alias("avg_cost"),
+        F.max("dist").alias("max_cost"),
+    )
+
+
 def b126_activity_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gaps-and-islands over per-user activity days: one key exchange,
     dense-rank run marking, island fold + longest-streak leaderboard
@@ -2538,4 +2567,5 @@ QUERIES = [
     QuerySpec("b131_poisson_glm", b131_poisson_glm, None),
     QuerySpec("b132_spearman", b132_spearman, None),
     QuerySpec("b133_reshape", b133_reshape, None),
+    QuerySpec("b134_sssp", b134_sssp, None),
 ]

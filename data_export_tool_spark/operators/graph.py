@@ -896,3 +896,107 @@ def sssp(
     )
     _release(sc, dist_ids)
     return out
+
+
+def hits(
+    edges: DataFrame,
+    src: str = "id_a",
+    dst: str = "id_b",
+    n_iter: int = 20,
+    out_node: str = "node",
+) -> DataFrame:
+    """HITS hubs & authorities (Kleinberg 1999) on a DIRECTED graph:
+    a good hub points at good authorities (``h = A·a``), a good
+    authority is pointed at by good hubs (``a = Aᵀ·h``) — the
+    citation/link-endorsement dual that PageRank's single score
+    conflates. Power iteration with L1 normalization each half-step
+    (driver-side scalar from one aggregate — the replay oracle uses
+    the identical normalization, so scores match exactly, not just up
+    to scale).
+
+    Scale shape: per round two edge-join + groupBy-sum exchanges
+    (``pagerank``'s shape, doubled for the dual), state is two
+    (node, score) tables localCheckpointed per round with superseded
+    blocks released. ``n_iter`` bounds rounds — HITS converges
+    geometrically (principal eigenvector of AᵀA / AAᵀ), 20 rounds is
+    the standard budget. Returns ``node, hub, authority`` (nodes with
+    only in-links get hub 0, only out-links authority 0).
+
+    Oracle: numpy power-iteration replay (tests/test_hits.py →
+    OPCHECK ``hits``).
+    """
+    if n_iter < 1:
+        raise ValueError(f"n_iter must be >= 1, got {n_iter}")
+    sc = edges.sparkSession.sparkContext
+    u, v = F.col(src), F.col(dst)
+    ew, ew_ids = _checkpoint(
+        edges.where(u.isNotNull() & v.isNotNull())
+        .select(u.alias("s"), v.alias("t"))
+        .distinct()
+    )
+    nodes, nodes_ids = _checkpoint(
+        ew.select(F.col("s").alias("n"))
+        .union(ew.select(F.col("t").alias("n")))
+        .distinct()
+    )
+    n_nodes = nodes.count()
+    if n_nodes == 0:
+        _release(sc, ew_ids)
+        _release(sc, nodes_ids)
+        return edges.sparkSession.createDataFrame(
+            [], f"{out_node} long, hub double, authority double"
+        )
+    hub, hub_ids = _checkpoint(
+        nodes.select("n", F.lit(1.0 / n_nodes).alias("h"))
+    )
+    for _ in range(n_iter):
+        # authority update: a(t) = Σ_{s→t} h(s), then L1-normalize
+        auth_raw = (
+            ew.join(hub.withColumnRenamed("n", "s"), "s")
+            .groupBy(F.col("t").alias("n"))
+            .agg(F.sum("h").alias("a"))
+        )
+        auth_full = nodes.join(auth_raw, "n", "left").select(
+            "n", F.coalesce(F.col("a"), F.lit(0.0)).alias("a")
+        )
+        auth, auth_ids = _checkpoint(auth_full)
+        norm_a = auth.agg(F.sum("a")).first()[0] or 1.0
+        auth_n, auth_n_ids = _checkpoint(
+            auth.select("n", (F.col("a") / norm_a).alias("a"))
+        )
+        _release(sc, auth_ids)
+        # hub update: h(s) = Σ_{s→t} a(t), then L1-normalize
+        hub_raw = (
+            ew.join(auth_n.withColumnRenamed("n", "t"), "t")
+            .groupBy(F.col("s").alias("n"))
+            .agg(F.sum("a").alias("h"))
+        )
+        hub_full = nodes.join(hub_raw, "n", "left").select(
+            "n", F.coalesce(F.col("h"), F.lit(0.0)).alias("h")
+        )
+        new_hub, new_hub_ids = _checkpoint(hub_full)
+        norm_h = new_hub.agg(F.sum("h")).first()[0] or 1.0
+        hub_n, hub_n_ids = _checkpoint(
+            new_hub.select("n", (F.col("h") / norm_h).alias("h"))
+        )
+        _release(sc, new_hub_ids)
+        _release(sc, hub_ids)
+        hub, hub_ids = hub_n, hub_n_ids
+        last_auth, last_auth_ids = auth_n, auth_n_ids
+        # keep only the latest authority table alive
+        if _ != n_iter - 1:
+            _release(sc, last_auth_ids)
+
+    out, out_ids = _checkpoint(
+        hub.join(last_auth.withColumnRenamed("a", "authority"), "n")
+        .select(
+            F.col("n").alias(out_node),
+            F.col("h").alias("hub"),
+            F.col("authority"),
+        )
+    )
+    _release(sc, hub_ids)
+    _release(sc, last_auth_ids)
+    _release(sc, ew_ids)
+    _release(sc, nodes_ids)
+    return out

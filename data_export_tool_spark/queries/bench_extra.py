@@ -2267,6 +2267,34 @@ def b134_sssp(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def b135_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HITS hubs/authorities on the directed customer→part purchase
+    graph: two edge-join exchanges per round × 10 rounds, checkpointed
+    dual state (operators/graph.py hits)."""
+    from data_export_tool_spark.operators.graph import hits
+
+    li = Catalog(spark, sf_dir).load("lineitem").select(
+        "l_orderkey", "l_partkey"
+    )
+    orders = Catalog(spark, sf_dir).load("orders").select(
+        "o_orderkey", "o_custkey"
+    )
+    edges = (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .select(
+            F.col("o_custkey").alias("id_a"),
+            F.col("l_partkey").alias("id_b"),
+        )
+        .distinct()
+    )
+    scored = hits(edges, n_iter=10)
+    return scored.agg(
+        F.count(F.lit(1)).alias("nodes"),
+        F.max("hub").alias("max_hub"),
+        F.max("authority").alias("max_auth"),
+    )
+
+
 def b126_activity_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gaps-and-islands over per-user activity days: one key exchange,
     dense-rank run marking, island fold + longest-streak leaderboard
@@ -2568,4 +2596,5 @@ QUERIES = [
     QuerySpec("b132_spearman", b132_spearman, None),
     QuerySpec("b133_reshape", b133_reshape, None),
     QuerySpec("b134_sssp", b134_sssp, None),
+    QuerySpec("b135_hits", b135_hits, None),
 ]

@@ -2295,6 +2295,29 @@ def b135_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def b136_metric_movers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metric-change root cause across 3 dimensions at once: tagged
+    union + Expand + ONE conditional-sum exchange, per-dimension
+    mover ranking (operators/rootcause.py)."""
+    from data_export_tool_spark.operators.rootcause import (
+        metric_contributions,
+    )
+
+    li = Catalog(spark, sf_dir).load("lineitem")
+    cut = "1995-06-01"
+    movers = metric_contributions(
+        li.where(F.col("l_shipdate") < cut),
+        li.where(F.col("l_shipdate") >= cut),
+        ["l_returnflag", "l_linestatus", "l_suppkey"],
+        "l_extendedprice",
+        top_k=10,
+    )
+    return movers.agg(
+        F.count(F.lit(1)).alias("ranked_movers"),
+        F.max(F.abs(F.col("delta"))).alias("max_abs_delta"),
+    )
+
+
 def b126_activity_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gaps-and-islands over per-user activity days: one key exchange,
     dense-rank run marking, island fold + longest-streak leaderboard
@@ -2597,4 +2620,5 @@ QUERIES = [
     QuerySpec("b133_reshape", b133_reshape, None),
     QuerySpec("b134_sssp", b134_sssp, None),
     QuerySpec("b135_hits", b135_hits, None),
+    QuerySpec("b136_metric_movers", b136_metric_movers, None),
 ]

@@ -270,3 +270,124 @@ def hybrid_search(
         .orderBy(F.desc("rrf_score"), F.asc(id_col))
         .limit(k)
     )
+
+
+def py_mmr(cands: list[tuple], k: int, lam: float) -> list[tuple]:
+    """Reference MMR greedy selection over ``(doc_id, rel,
+    unit_vec)`` candidates — the exact arithmetic ``mmr_rerank``
+    runs per query group. Returns ``[(doc_id, mmr_score)]`` in
+    selection order."""
+    import numpy as np
+
+    remaining = list(range(len(cands)))
+    selected: list[int] = []
+    out = []
+    vecs = np.array([c[2] for c in cands], dtype=float)
+    rels = np.array([c[1] for c in cands], dtype=float)
+    while remaining and len(selected) < k:
+        best_i, best_v = None, None
+        for i in remaining:
+            if selected:
+                pen = float(np.max(vecs[selected] @ vecs[i]))
+            else:
+                pen = 0.0
+            v = lam * rels[i] - (1.0 - lam) * pen
+            key = (v, cands[i][0])
+            if best_v is None or v > best_v[0] or (
+                v == best_v[0] and cands[i][0] < best_v[1]
+            ):
+                best_i, best_v = i, key
+        selected.append(best_i)
+        remaining.remove(best_i)
+        out.append((cands[best_i][0], float(best_v[0])))
+    return out
+
+
+def mmr_rerank(
+    candidates: DataFrame,
+    query_col: str,
+    id_col: str,
+    score_col: str,
+    vec_col: str,
+    k: int = 10,
+    lam: float = 0.7,
+    max_candidates: int = 5000,
+) -> DataFrame:
+    """Maximal Marginal Relevance diversified re-ranking (Carbonell &
+    Goldstein, SIGIR 1998): per query, greedily pick ``k`` results
+    maximizing ``λ·relevance − (1−λ)·max_cosine_to_already_picked`` —
+    the standard dedup-at-serve-time stage between retrieval and the
+    user (or between retrieval and a RAG context window) that a plain
+    top-k cannot express.
+
+    Scale shape: MMR is inherently sequential IN k but independent
+    ACROSS queries — exactly ``applyInPandas`` grain. Each query
+    group is its retrieval shortlist (top-N from ``brute_force_topk``
+    / ``ivf_topk`` / ``hybrid_search``), bounded by construction;
+    ``max_candidates`` RAISES on an unbounded group (someone passed a
+    corpus, not a shortlist). Candidate vectors L2-normalize once per
+    group; each greedy round is one BLAS matrix-vector. Ties break by
+    (value, doc id) — deterministic under retries.
+
+    Output: ``query_col, id_col, mmr_rank (1..k), mmr_score``.
+
+    Oracle: exact python greedy replay (tests/test_mmr.py →
+    OPCHECK ``mmr_rerank``).
+    """
+    import numpy as np
+    import pandas as pd
+
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    if not 0.0 <= lam <= 1.0:
+        raise ValueError(f"lam must be in [0, 1], got {lam}")
+
+    base = candidates.select(
+        F.col(query_col).alias("__q"),
+        F.col(id_col).alias("__id"),
+        F.col(score_col).cast("double").alias("__s"),
+        F.col(vec_col).cast("array<double>").alias("__v"),
+    ).where(
+        F.col("__id").isNotNull()
+        & F.col("__s").isNotNull()
+        & F.col("__v").isNotNull()
+    )
+
+    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        if len(pdf) > max_candidates:
+            raise ValueError(
+                f"mmr_rerank group has {len(pdf)} candidates "
+                f"(> max_candidates={max_candidates}); rerank a "
+                "retrieval shortlist, not a corpus"
+            )
+        # deterministic candidate order regardless of partitioning
+        pdf = pdf.sort_values("__id", kind="mergesort")
+        vecs = np.array(pdf["__v"].tolist(), dtype=float)
+        norms = np.linalg.norm(vecs, axis=1)
+        norms[norms == 0.0] = 1.0
+        vecs = vecs / norms[:, None]
+        cands = list(
+            zip(pdf["__id"].tolist(), pdf["__s"].tolist(), vecs)
+        )
+        picked = py_mmr(cands, k, lam)
+        q = pdf["__q"].iloc[0]
+        return pd.DataFrame(
+            {
+                "__q": [q] * len(picked),
+                "__id": [p[0] for p in picked],
+                "mmr_rank": range(1, len(picked) + 1),
+                "mmr_score": [p[1] for p in picked],
+            }
+        )
+
+    qt = dict(candidates.dtypes)
+    out_schema = (
+        f"__q {qt[query_col]}, __id {qt[id_col]}, "
+        "mmr_rank int, mmr_score double"
+    )
+    return (
+        base.groupBy("__q")
+        .applyInPandas(fn, schema=out_schema)
+        .withColumnRenamed("__q", query_col)
+        .withColumnRenamed("__id", id_col)
+    )

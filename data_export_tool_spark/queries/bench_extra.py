@@ -2318,6 +2318,35 @@ def b136_metric_movers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def b137_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retrieval → diversified serve: exact cosine top-40 shortlists
+    then per-query MMR greedy selection via applyInPandas
+    (operators/ranking.py mmr_rerank)."""
+    from data_export_tool_spark.operators.ranking import mmr_rerank
+    from data_export_tool_spark.operators.similarity import (
+        brute_force_topk,
+    )
+
+    emb = Catalog(spark, sf_dir).load("embeddings")
+    queries = emb.where(F.col("vec_id") % 250 == 0).selectExpr(
+        "vec_id AS query_id", "embedding AS query_vec"
+    )
+    short = brute_force_topk(emb, queries, k=40)
+    cands = short.join(
+        emb.selectExpr("vec_id AS neighbor_id", "embedding"),
+        "neighbor_id",
+    )
+    picked = mmr_rerank(
+        cands, "query_id", "neighbor_id", "cosine_sim", "embedding",
+        k=10, lam=0.7,
+    )
+    return picked.agg(
+        F.count(F.lit(1)).alias("served"),
+        F.count_distinct("query_id").alias("queries"),
+        F.avg("mmr_score").alias("avg_mmr"),
+    )
+
+
 def b126_activity_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gaps-and-islands over per-user activity days: one key exchange,
     dense-rank run marking, island fold + longest-streak leaderboard
@@ -2621,4 +2650,5 @@ QUERIES = [
     QuerySpec("b134_sssp", b134_sssp, None),
     QuerySpec("b135_hits", b135_hits, None),
     QuerySpec("b136_metric_movers", b136_metric_movers, None),
+    QuerySpec("b137_mmr_rerank", b137_mmr_rerank, None),
 ]

@@ -1000,3 +1000,219 @@ def hits(
     _release(sc, ew_ids)
     _release(sc, nodes_ids)
     return out
+
+
+def py_brandes_sampled(edges, sources, directed=False):
+    """Reference Brandes dependency accumulation (exact, per sampled
+    source) — the arithmetic ``betweenness`` distributes. Returns
+    ``{node: Σ_s δ_s(node)}`` over the given sources (no n/k scaling,
+    no halving — the operator applies its documented estimator on
+    top of this same sum)."""
+    from collections import deque
+
+    adj = {}
+    for a, b in edges:
+        if a == b:
+            continue
+        adj.setdefault(a, set()).add(b)
+        if not directed:
+            adj.setdefault(b, set()).add(a)
+    acc: dict = {}
+    for s in sources:
+        dist = {s: 0}
+        sigma = {s: 1.0}
+        order = []
+        dq = deque([s])
+        while dq:
+            v = dq.popleft()
+            order.append(v)
+            for w in adj.get(v, ()):
+                if w not in dist:
+                    dist[w] = dist[v] + 1
+                    dq.append(w)
+                if dist[w] == dist[v] + 1:
+                    sigma[w] = sigma.get(w, 0.0) + sigma[v]
+        delta = {v: 0.0 for v in order}
+        for w in reversed(order):
+            for v in adj.get(w, ()):
+                if dist.get(v) == dist[w] - 1:
+                    delta[v] += sigma[v] / sigma[w] * (1.0 + delta[w])
+            if w != s:
+                acc[w] = acc.get(w, 0.0) + delta[w]
+    return acc
+
+
+def betweenness(
+    edges: DataFrame,
+    sources=None,
+    k_sources: int = 16,
+    src: str = "id_a",
+    dst: str = "id_b",
+    max_depth: int = 20,
+    directed: bool = False,
+    out_node: str = "node",
+) -> DataFrame:
+    """Sampled betweenness centrality — Brandes (2001) dependency
+    accumulation from ``k_sources`` pivots (Brandes & Pich 2007's
+    estimator): the bridge/broker score (which nodes sit on many
+    shortest paths — network bottlenecks, influence brokers, critical
+    routers) at a cost exact betweenness (all-sources, O(V·E)) cannot
+    pay at scale.
+
+    ALL pivots run SIMULTANEOUSLY, keyed by (source, node):
+
+    * forward — level-synchronous BFS counting shortest paths:
+      per level one frontier⋈adjacency join, an anti-join against the
+      per-source visited set, and a (source, node) groupBy summing σ
+      (path counts through distinct predecessors);
+    * backward — dependency accumulation BY LEVEL from the deepest
+      frontier up: δ(v) = Σ_{succ w} σ(v)/σ(w)·(1+δ(w)), one
+      successor join + groupBy per level.
+
+    Rounds = 2·(BFS depth), independent of k — the pivot dimension
+    rides inside the shuffle key. State is (source, node, dist, σ)
+    — O(k·V) — localCheckpointed per round, superseded blocks
+    released. ``max_depth`` bounds both passes (deeper levels are
+    truncated — documented estimator bias toward local structure,
+    standard in sampled BC).
+
+    ``sources``: explicit list/DataFrame, or None → the ``k_sources``
+    nodes with the smallest ``xxhash64`` (deterministic sample).
+    Returns ``node, betweenness`` where betweenness =
+    (n_nodes / n_sources) · Σ_sampled δ — the unbiased estimator of
+    the exact (unnormalized, no undirected halving) score; nodes on
+    no sampled path are absent (score 0).
+
+    Oracle: :func:`py_brandes_sampled` exact replay
+    (tests/test_betweenness.py → OPCHECK ``betweenness``).
+    """
+    if k_sources < 1:
+        raise ValueError(f"k_sources must be >= 1, got {k_sources}")
+    if max_depth < 1:
+        raise ValueError(f"max_depth must be >= 1, got {max_depth}")
+    spark = edges.sparkSession
+    sc = spark.sparkContext
+    u, v = F.col(src), F.col(dst)
+    base = edges.where(u.isNotNull() & v.isNotNull() & (u != v))
+    pairs = base.select(u.alias("n"), v.alias("m"))
+    if not directed:
+        pairs = pairs.union(base.select(v.alias("n"), u.alias("m")))
+    adj, adj_ids = _checkpoint(pairs.distinct())
+
+    nodes = adj.select("n").union(adj.select(F.col("m").alias("n"))).distinct()
+    if sources is None:
+        seed_df = (
+            nodes.orderBy(F.xxhash64("n"), F.col("n")).limit(k_sources)
+        )
+    elif isinstance(sources, DataFrame):
+        seed_df = sources.select(
+            F.col(sources.columns[0]).alias("n")
+        ).distinct()
+    else:
+        if not sources:
+            raise ValueError("sources must name at least one node")
+        seed_df = spark.createDataFrame(
+            [(s,) for s in sources], schema=["n"]
+        ).distinct()
+    seed_df = seed_df.select(F.col("n").alias("s"))
+    n_nodes = nodes.count()
+    n_src = seed_df.count()
+    if n_src == 0:
+        _release(sc, adj_ids)
+        return spark.createDataFrame(
+            [], f"{out_node} long, betweenness double"
+        )
+
+    # ---- forward: per-level frontiers with path counts ----
+    frontier, frontier_ids = _checkpoint(
+        seed_df.select("s", F.col("s").alias("n"),
+                       F.lit(1.0).alias("sigma"))
+    )
+    visited, visited_ids = _checkpoint(
+        frontier.select("s", "n", F.lit(0).alias("d"), "sigma")
+    )
+    depth = 0
+    for hop in range(1, max_depth + 1):
+        nxt = (
+            frontier.join(adj, "n")
+            .select("s", F.col("m").alias("n"), "sigma")
+            .join(visited.select("s", "n"), ["s", "n"], "left_anti")
+            .groupBy("s", "n")
+            .agg(F.sum("sigma").alias("sigma"))
+        )
+        new_frontier, new_frontier_ids = _checkpoint(nxt)
+        _release(sc, frontier_ids)
+        frontier, frontier_ids = new_frontier, new_frontier_ids
+        if frontier.isEmpty():
+            break
+        depth = hop
+        new_visited, new_visited_ids = _checkpoint(
+            visited.union(
+                frontier.select("s", "n", F.lit(hop).alias("d"), "sigma")
+            )
+        )
+        _release(sc, visited_ids)
+        visited, visited_ids = new_visited, new_visited_ids
+    _release(sc, frontier_ids)
+
+    # ---- backward: dependency accumulation by level ----
+    # adj reversed: successors w of v are v→w edges; for the backward
+    # join we look up predecessors of w, i.e. join on the w side
+    deltas = []  # per-level (s, n, delta) frames
+    level_delta, level_delta_ids = _checkpoint(
+        visited.where(F.col("d") == depth)
+        .select("s", "n", F.lit(0.0).alias("delta"))
+    )
+    for d in range(depth - 1, -1, -1):
+        succ = (
+            visited.where(F.col("d") == d + 1)
+            .join(level_delta, ["s", "n"], "left")
+            .select(
+                "s",
+                F.col("n").alias("w"),
+                F.col("sigma").alias("sw"),
+                F.coalesce(F.col("delta"), F.lit(0.0)).alias("dw"),
+            )
+        )
+        deltas.append((level_delta, level_delta_ids))
+        contrib = (
+            succ.join(
+                adj.select(F.col("n").alias("v"), F.col("m").alias("w")),
+                "w",
+            )
+            .join(
+                visited.where(F.col("d") == d).select(
+                    "s", F.col("n").alias("v"),
+                    F.col("sigma").alias("sv"),
+                ),
+                ["s", "v"],
+            )
+            .groupBy("s", F.col("v").alias("n"))
+            .agg(
+                F.sum(
+                    F.col("sv") / F.col("sw") * (F.lit(1.0) + F.col("dw"))
+                ).alias("delta")
+            )
+        )
+        level_delta, level_delta_ids = _checkpoint(contrib)
+    deltas.append((level_delta, level_delta_ids))
+
+    all_delta = None
+    for frame, _ids in deltas:
+        all_delta = frame if all_delta is None else all_delta.union(frame)
+    scale = float(n_nodes) / float(n_src)
+    result = (
+        # a pivot's own δ row never counts toward its score (Brandes:
+        # the source is excluded from its accumulation)
+        all_delta.where(F.col("n") != F.col("s"))
+        .groupBy("n")
+        .agg((F.sum("delta") * F.lit(scale)).alias("betweenness"))
+        .where(F.col("betweenness") > 0.0)
+        .select(F.col("n").alias(out_node), "betweenness")
+    )
+    out, out_ids = _checkpoint(result)
+    for _frame, ids in deltas:
+        _release(sc, ids)
+    _release(sc, visited_ids)
+    _release(sc, adj_ids)
+    return out

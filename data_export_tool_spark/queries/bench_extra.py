@@ -2347,6 +2347,34 @@ def b137_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def b138_betweenness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sampled Brandes betweenness on the co-purchase graph: 8 hash
+    pivots ride one (source, node) shuffle key through forward σ +
+    backward δ level passes (operators/graph.py betweenness)."""
+    from data_export_tool_spark.operators.graph import betweenness
+
+    li = Catalog(spark, sf_dir).load("lineitem").where(
+        F.col("l_linenumber") <= 2
+    ).select("l_orderkey", "l_partkey")
+    edges = (
+        li.groupBy("l_orderkey")
+        .agg(
+            F.min("l_partkey").alias("id_a"),
+            F.max("l_partkey").alias("id_b"),
+            F.count(F.lit(1)).alias("__k"),
+        )
+        .where((F.col("__k") == 2) & (F.col("id_a") < F.col("id_b")))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    bc = betweenness(edges, k_sources=8, max_depth=8)
+    return bc.agg(
+        F.count(F.lit(1)).alias("scored_nodes"),
+        F.max("betweenness").alias("max_bc"),
+        F.avg("betweenness").alias("avg_bc"),
+    )
+
+
 def b126_activity_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gaps-and-islands over per-user activity days: one key exchange,
     dense-rank run marking, island fold + longest-streak leaderboard
@@ -2651,4 +2679,5 @@ QUERIES = [
     QuerySpec("b135_hits", b135_hits, None),
     QuerySpec("b136_metric_movers", b136_metric_movers, None),
     QuerySpec("b137_mmr_rerank", b137_mmr_rerank, None),
+    QuerySpec("b138_betweenness", b138_betweenness, None),
 ]

@@ -2375,6 +2375,23 @@ def b138_betweenness(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def b139_json_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON path/schema profile of the event props column: Arrow
+    batch walk with in-batch partial aggregation, path-grain shuffle
+    (operators/jsonprof.py)."""
+    from data_export_tool_spark.operators.jsonprof import (
+        infer_json_schema,
+    )
+
+    ev = Catalog(spark, sf_dir).load("events")
+    prof = infer_json_schema(ev, "props")
+    return prof.agg(
+        F.count(F.lit(1)).alias("path_types"),
+        F.sum("n").alias("observations"),
+        F.max("coverage").alias("max_coverage"),
+    )
+
+
 def b126_activity_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gaps-and-islands over per-user activity days: one key exchange,
     dense-rank run marking, island fold + longest-streak leaderboard
@@ -2680,4 +2697,5 @@ QUERIES = [
     QuerySpec("b136_metric_movers", b136_metric_movers, None),
     QuerySpec("b137_mmr_rerank", b137_mmr_rerank, None),
     QuerySpec("b138_betweenness", b138_betweenness, None),
+    QuerySpec("b139_json_profile", b139_json_profile, None),
 ]

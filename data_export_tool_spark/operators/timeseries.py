@@ -752,3 +752,38 @@ def seasonal_decompose(
     return out.withColumn(
         "resid", x - F.col("trend") - F.col("seasonal")
     ).drop("__rn", "__d")
+
+
+def seasonal_anomalies(
+    df: DataFrame,
+    period: int,
+    value_col: str,
+    order_col: str = "bucket_start",
+    keys: Sequence[str] = (),
+    k: float = 3.5,
+    approx: bool = False,
+) -> DataFrame:
+    """Seasonality-aware anomaly detection per key: decompose
+    (:func:`seasonal_decompose` — value = trend + seasonal + resid)
+    and flag rows whose RESIDUAL is a robust outlier
+    (``robust.mad_outliers`` on ``resid``, the |0.6745·(x−med)/MAD| >
+    k rule). The composition answers the question neither piece
+    answers alone: "is this spike real, or just the daily peak?" — a
+    raw-value MAD flags every seasonal crest; scoring the residual
+    flags only departures FROM the seasonal+trend pattern.
+
+    Same input contract as the decomposition (regular grid per key —
+    ``resample``/``fill_gaps`` upstream). Edge rows with NULL trend
+    (the first/last ⌊period/2⌋ per key) have NULL resid and pass
+    through unflagged — honest edges, matching both components'
+    documented NULL semantics. Output: the decomposition columns plus
+    ``group_median, group_mad, robust_z, is_outlier`` (computed over
+    resid). ``approx`` swaps exact medians for the GK sketch — the
+    web-scale key-grain path.
+    """
+    from data_export_tool_spark.operators.robust import mad_outliers
+
+    dec = seasonal_decompose(
+        df, period, value_col, order_col=order_col, keys=keys
+    )
+    return mad_outliers(dec, "resid", by=keys, k=k, approx=approx)

@@ -2392,6 +2392,33 @@ def b139_json_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def b140_seasonal_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonality-aware anomaly flags over the hourly per-type value
+    rollup: decompose (period 24) + robust residual MAD scoring
+    (operators/timeseries.py seasonal_anomalies)."""
+    from data_export_tool_spark.operators.timeseries import (
+        fill_gaps,
+        resample,
+        seasonal_anomalies,
+    )
+
+    ev = Catalog(spark, sf_dir).load("events")
+    hourly = resample(
+        ev, "1 hour", {"v": F.sum("value")}, keys=["event_type"]
+    )
+    grid = fill_gaps(hourly, 3600, keys=["event_type"]).withColumn(
+        "v", F.coalesce(F.col("v"), F.lit(0.0))
+    )
+    flags = seasonal_anomalies(
+        grid, 24, "v", order_col="bucket_start", keys=["event_type"]
+    )
+    return flags.agg(
+        F.count(F.lit(1)).alias("points"),
+        F.sum(F.col("is_outlier").cast("int")).alias("anomalies"),
+        F.max(F.abs(F.col("robust_z"))).alias("max_abs_z"),
+    )
+
+
 def b126_activity_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gaps-and-islands over per-user activity days: one key exchange,
     dense-rank run marking, island fold + longest-streak leaderboard
@@ -2698,4 +2725,5 @@ QUERIES = [
     QuerySpec("b137_mmr_rerank", b137_mmr_rerank, None),
     QuerySpec("b138_betweenness", b138_betweenness, None),
     QuerySpec("b139_json_profile", b139_json_profile, None),
+    QuerySpec("b140_seasonal_anomalies", b140_seasonal_anomalies, None),
 ]

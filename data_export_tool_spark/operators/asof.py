@@ -54,6 +54,8 @@ def asof_join(
     how: str = "left",
     direction: str = "backward",
     suffix: str = "_r",
+    tolerance=None,
+    allow_exact: bool = True,
 ) -> DataFrame:
     """For each left row, attach the single right row whose
     ``right_time`` is the closest at-or-before (``backward``, default)
@@ -71,6 +73,16 @@ def asof_join(
     reference's correlated ``WHERE t <= ref ... LIMIT 1`` can't select
     them (NULL comparisons are never true), so an unmatched left row
     gets NULL right columns instead of a NULL-time row.
+
+    ``tolerance`` bounds how far back (``backward``) / ahead
+    (``forward``) a match may be — pandas ``merge_asof(tolerance=…)``
+    parity: an SQL interval string ("7 days") for time columns, a
+    number for numeric columns; candidates outside the band fall out
+    BEFORE the MAX/MIN pick, so a stale quote doesn't masquerade as
+    current. ``allow_exact=False`` makes the time comparison strict
+    (pandas ``allow_exact_matches`` parity — "the last trade strictly
+    before this quote"). Both are pure extra filter conjuncts on the
+    candidate scan: plan shape unchanged.
     """
     if how not in ("left", "inner"):
         raise ValueError(f"how must be left|inner, got {how}")
@@ -92,11 +104,30 @@ def asof_join(
     )
     tbs = [_r(t) for t in tiebreaks]
 
+    tol = None
+    if tolerance is not None:
+        tol = (
+            F.expr(f"INTERVAL {tolerance}")
+            if isinstance(tolerance, str)
+            else F.lit(tolerance)
+        )
     if direction == "backward":
-        cond = F.col(rt) <= F.col(left_time)
+        cond = (
+            F.col(rt) <= F.col(left_time)
+            if allow_exact
+            else F.col(rt) < F.col(left_time)
+        )
+        if tol is not None:
+            cond = cond & (F.col(rt) >= F.col(left_time) - tol)
         agg = F.max  # latest time; ties → largest tiebreak (DESC pick)
     elif direction == "forward":
-        cond = F.col(rt) >= F.col(left_time)
+        cond = (
+            F.col(rt) >= F.col(left_time)
+            if allow_exact
+            else F.col(rt) > F.col(left_time)
+        )
+        if tol is not None:
+            cond = cond & (F.col(rt) <= F.col(left_time) + tol)
         agg = F.min  # earliest time; ties → smallest tiebreak (ASC pick)
     else:
         raise ValueError(f"direction must be backward|forward, got {direction}")

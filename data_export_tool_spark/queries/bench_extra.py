@@ -2419,6 +2419,21 @@ def b140_seasonal_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def b141_rake_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAKE keyword extraction over the document corpus: explode →
+    islands-run phrase grouping → word-grain stat joins → per-doc
+    top-5 (operators/keywords.py)."""
+    from data_export_tool_spark.operators.keywords import rake_keywords
+
+    docs = Catalog(spark, sf_dir).load("documents")
+    kw = rake_keywords(docs, "doc_id", "text", top_k=5)
+    return kw.agg(
+        F.count(F.lit(1)).alias("keywords"),
+        F.count_distinct("doc_id").alias("docs"),
+        F.avg(F.length("phrase")).alias("avg_phrase_chars"),
+    )
+
+
 def b126_activity_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gaps-and-islands over per-user activity days: one key exchange,
     dense-rank run marking, island fold + longest-streak leaderboard
@@ -2726,4 +2741,5 @@ QUERIES = [
     QuerySpec("b138_betweenness", b138_betweenness, None),
     QuerySpec("b139_json_profile", b139_json_profile, None),
     QuerySpec("b140_seasonal_anomalies", b140_seasonal_anomalies, None),
+    QuerySpec("b141_rake_keywords", b141_rake_keywords, None),
 ]

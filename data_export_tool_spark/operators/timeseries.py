@@ -787,3 +787,77 @@ def seasonal_anomalies(
         df, period, value_col, order_col=order_col, keys=keys
     )
     return mad_outliers(dec, "resid", by=keys, k=k, approx=approx)
+
+
+def interpolate_linear(
+    df: DataFrame,
+    value_cols: Sequence[str],
+    keys: Sequence[str] = (),
+    order_col: str = "bucket_start",
+    suffix: str = "_interp",
+) -> DataFrame:
+    """Linear interpolation across NULL runs per key — the gauge-
+    series companion to :func:`fill_gaps`' LOCF: a sensor that read
+    10 at t₀ and 20 at t₄ most plausibly passed 12.5/15/17.5 in
+    between, not 10-10-10. Appends ``{col}{suffix}`` per value
+    column: observed values pass through exactly; interior NULLs get
+    the distance-weighted blend of the nearest observed neighbors;
+    leading/trailing NULLs stay NULL (no extrapolation — honest
+    edges, the ``seasonal_decompose`` convention).
+
+    Two per-key window passes (previous/next observed
+    ``(position, value)`` pair via ``last/first ignorenulls`` over an
+    unbounded frame), pure column algebra between them — the LOCF
+    plan shape doubled, no extra exchange. Works on any orderable
+    numeric/time ``order_col``; weights use the order column's
+    fractional position (epoch seconds for timestamps).
+    """
+    if isinstance(value_cols, str):
+        value_cols = [value_cols]
+    value_cols = list(value_cols)
+    if not value_cols:
+        raise ValueError("value_cols must name at least one column")
+    if isinstance(keys, str):
+        keys = [keys]
+    keys = list(keys)
+    dtype = dict(df.dtypes)[order_col]
+    pos = (
+        F.unix_micros(F.col(order_col)).cast("double")
+        if dtype.startswith("timestamp")
+        else F.datediff(F.col(order_col), F.lit("1970-01-01"))
+        .cast("double")
+        if dtype == "date"
+        else F.col(order_col).cast("double")
+    )
+    out = df.withColumn("__pos", pos)
+    w_prev = (
+        Window.partitionBy(*keys)
+        .orderBy("__pos")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    w_next = (
+        Window.partitionBy(*keys)
+        .orderBy("__pos")
+        .rowsBetween(0, Window.unboundedFollowing)
+    )
+    for c in value_cols:
+        v = F.col(c).cast("double")
+        obs = F.when(
+            v.isNotNull(),
+            F.struct(F.col("__pos").alias("p"), v.alias("val")),
+        )
+        prev = F.last(obs, ignorenulls=True).over(w_prev)
+        nxt = F.first(obs, ignorenulls=True).over(w_next)
+        p0, v0 = prev["p"], prev["val"]
+        p1, v1 = nxt["p"], nxt["val"]
+        frac = F.when(
+            p1 != p0, (F.col("__pos") - p0) / (p1 - p0)
+        ).otherwise(F.lit(0.0))
+        interp = F.when(v.isNotNull(), v).otherwise(
+            F.when(
+                prev.isNotNull() & nxt.isNotNull(),
+                v0 + (v1 - v0) * frac,
+            )
+        )
+        out = out.withColumn(c + suffix, interp)
+    return out.drop("__pos")

@@ -2434,6 +2434,36 @@ def b141_rake_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def b142_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gauge-series repair: hourly rollup → densify → linear
+    interpolation across the gaps, two window passes per key
+    (operators/timeseries.py interpolate_linear)."""
+    from data_export_tool_spark.operators.timeseries import (
+        fill_gaps,
+        interpolate_linear,
+        resample,
+    )
+
+    ev = Catalog(spark, sf_dir).load("events")
+    hourly = resample(
+        ev, "1 hour", {"v": F.avg("value")},
+        keys=["event_type", "user_id"],
+    )
+    grid = fill_gaps(hourly, 3600, keys=["event_type", "user_id"])
+    fixed = interpolate_linear(
+        grid, ["v"], keys=["event_type", "user_id"],
+        order_col="bucket_start",
+    )
+    return fixed.agg(
+        F.count(F.lit(1)).alias("points"),
+        F.sum(
+            (F.col("v").isNull() & F.col("v_interp").isNotNull())
+            .cast("int")
+        ).alias("interpolated"),
+        F.avg("v_interp").alias("avg_v"),
+    )
+
+
 def b126_activity_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gaps-and-islands over per-user activity days: one key exchange,
     dense-rank run marking, island fold + longest-streak leaderboard
@@ -2742,4 +2772,5 @@ QUERIES = [
     QuerySpec("b139_json_profile", b139_json_profile, None),
     QuerySpec("b140_seasonal_anomalies", b140_seasonal_anomalies, None),
     QuerySpec("b141_rake_keywords", b141_rake_keywords, None),
+    QuerySpec("b142_interpolate", b142_interpolate, None),
 ]

@@ -2639,3 +2639,79 @@ def heartbeat_stream(
             timeoutConf=GroupStateTimeout.EventTimeTimeout,
         )
     )
+
+
+def json_drift_stream(
+    events: DataFrame,
+    baseline: list[tuple],
+    window: str = "10 minutes",
+    watermark: str = "30 minutes",
+    col: str = "props",
+    max_depth: int = 4,
+) -> DataFrame:
+    """Streaming JSON schema drift monitor — twin #33, the streaming
+    face of the batch path profiler (X222 ``infer_json_schema``):
+    per closed tumbling window, one append-final row for every
+    OBSERVED (path, json_type) pair NOT in the frozen ``baseline``
+    — the "payload v2 started shipping a new field / changed a type"
+    alert every ingest pipeline wants before `from_json` starts
+    NULLing.
+
+    Chassis: a STATELESS Arrow projection (``mapInPandas`` running
+    the exact ``py_json_paths`` walker — stateless transforms are
+    streaming-legal) explodes each document to (ts, path, type)
+    rows; the watermark re-attaches to the projected ``ts``; one
+    windowed (window, path, type) count aggregates with append
+    finality; a stream-static LEFT-ANTI join against the broadcast
+    baseline keeps only novel pairs. State = the windowed-agg rows —
+    (paths × types) per open window, bounded by the X222 explosion
+    conventions (index-free arrays, depth cap).
+
+    ``baseline``: list of ``(path, json_type)`` pairs (e.g. from a
+    batch ``infer_json_schema`` run over the blessed corpus).
+    Output: ``window_start, window_end, path, json_type, n``.
+    """
+    import pandas as pd
+
+    from data_export_tool_spark.operators.jsonprof import py_json_paths
+
+    if not baseline:
+        raise ValueError("baseline must list known (path, type) pairs")
+
+    def extract(batches):
+        for pdf in batches:
+            ts_out, p_out, t_out = [], [], []
+            for ts, doc in zip(pdf["ts"], pdf["__doc"]):
+                for p, t, _ex in py_json_paths(doc, max_depth):
+                    ts_out.append(ts)
+                    p_out.append(p)
+                    t_out.append(t)
+            if ts_out:
+                yield pd.DataFrame(
+                    {"ts": ts_out, "path": p_out, "json_type": t_out}
+                )
+
+    spark = events.sparkSession
+    base_df = spark.createDataFrame(
+        list(baseline), "path string, json_type string"
+    )
+    paths = (
+        events.where(F.col(col).isNotNull() & F.col("ts").isNotNull())
+        .select(F.col("ts"), F.col(col).cast("string").alias("__doc"))
+        .mapInPandas(extract, "ts timestamp, path string, json_type string")
+    )
+    agg = (
+        paths.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window), "path", "json_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    return (
+        agg.join(F.broadcast(base_df), ["path", "json_type"], "left_anti")
+        .select(
+            F.col("window.start").alias("window_start"),
+            F.col("window.end").alias("window_end"),
+            "path",
+            "json_type",
+            "n",
+        )
+    )

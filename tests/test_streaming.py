@@ -2460,3 +2460,87 @@ def test_heartbeat_stream_matches_batch_gap_scan(spark, sf_dir, tmp_path):
         f"open got={len(got_open)} cand={len(candidates)} "
         f"req={len(required)}"
     )
+
+
+def test_json_drift_stream_matches_batch_profile(spark, sf_dir, tmp_path):
+    """Twin #33: per closed daily window, novel (path, type) counts
+    equal the batch py_json_paths replay minus the frozen baseline;
+    emitted window set == closed-window set."""
+    import time
+
+    from data_export_tool_spark.operators.jsonprof import py_json_paths
+    from data_export_tool_spark.streaming.events import json_drift_stream
+
+    ev = Catalog(spark, sf_dir).load("events").where(
+        F.col("ts").isNotNull() & F.col("props").isNotNull()
+    )
+    # payload evolution: a third of users start shipping a v2 field,
+    # a fifth switch k to a string — both novel vs the baseline
+    evolved = ev.withColumn(
+        "props",
+        F.when(
+            F.pmod(F.col("user_id"), F.lit(3)) == 0,
+            F.regexp_replace(F.col("props"), r"\}$", ', "v2": "x"}'),
+        )
+        .when(
+            F.pmod(F.col("user_id"), F.lit(5)) == 0,
+            F.lit('{"k": "stringy"}'),
+        )
+        .otherwise(F.col("props")),
+    )
+    bounds = evolved.select(F.unix_millis("ts").alias("ms")).approxQuantile(
+        "ms", [0.5], 0.0
+    )
+    drop_dir = str(tmp_path / "jd_drops")
+    lo = None
+    for hi in [*bounds, None]:
+        sel = evolved
+        if lo is not None:
+            sel = sel.where(F.unix_millis("ts") >= lo)
+        if hi is not None:
+            sel = sel.where(F.unix_millis("ts") < hi)
+        sel.repartition(1).write.mode("append").parquet(drop_dir)
+        lo = hi
+        time.sleep(1.05)
+
+    BASE = [("$", "object"), ("$.k", "integer")]
+    stream = read_events_stream(spark, drop_dir, max_files_per_trigger=1)
+    out = json_drift_stream(
+        stream, BASE, window="1 day", watermark="30 minutes"
+    )
+    q = (
+        out.writeStream.format("memory")
+        .queryName("json_drift_test")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = {
+        (r["window_start"], r["path"], r["json_type"]): r["n"]
+        for r in spark.sql("SELECT * FROM json_drift_test").collect()
+    }
+
+    import datetime as _dt
+
+    rows = spark.read.parquet(drop_dir).select("ts", "props").collect()
+    max_ts = max(r["ts"] for r in rows)
+    wm = max_ts - _dt.timedelta(minutes=30)
+    want: dict = {}
+    base = set(BASE)
+    for r in rows:
+        day = r["ts"].replace(hour=0, minute=0, second=0, microsecond=0)
+        end = day + _dt.timedelta(days=1)
+        if end > wm:
+            continue  # window not closed at final watermark
+        for p, t, _ex in py_json_paths(r["props"], 4):
+            if (p, t) in base:
+                continue
+            key = (day, p, t)
+            want[key] = want.get(key, 0) + 1
+    ok = got == want and len(want) > 10
+    # both evolution modes must appear
+    ok = ok and any(k[1] == "$.v2" for k in want)
+    ok = ok and any(k[1] == "$.k" and k[2] == "string" for k in want)
+    record_stream_parity("json_schema_drift", len(want), ok)
+    assert ok, f"got={len(got)} want={len(want)}"

@@ -18,7 +18,7 @@ from __future__ import annotations
 
 from collections.abc import Sequence
 
-from pyspark.sql import Column, DataFrame, functions as F
+from pyspark.sql import Column, DataFrame, Window, functions as F
 
 
 def approx_distinct(
@@ -648,4 +648,83 @@ def cms_estimate(
     return (
         joined.groupBy(*by, "item")
         .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0))).alias("est"))
+    )
+
+
+def weighted_quantiles(
+    df: DataFrame,
+    value_col: str,
+    weight_col: str,
+    probabilities: Sequence[float],
+    by: Sequence[str] = (),
+) -> DataFrame:
+    """EXACT weighted quantiles per group — the survey/importance-
+    weighted statistic (median income under raked weights (X201),
+    p95 latency weighted by request volume) that `percentile()` and
+    every sketch get wrong the moment rows carry weights.
+
+    Definition: the weighted LOWER quantile (left-continuous inverse
+    CDF) — the smallest value v whose cumulative weight reaches
+    ``q · total_weight``. Deterministic, no interpolation (the value
+    returned is always an observed value — the convention that
+    composes with categorical-coded numerics).
+
+    Scale shape — the ``rank_transform`` value-grain discipline:
+    rows first collapse to (group, value) with summed weight (ONE
+    map-side-combining groupBy; a 90%-constant column becomes one
+    row, never a mega-tie sort), the cumulative weight is a window
+    over that VALUE-grain frame, and each requested quantile is a
+    conditional MIN aggregate — one pass for all probabilities.
+    Rows with NULL value or non-positive/NULL weight are excluded
+    (documented; a zero-weight observation carries no mass).
+
+    Output: one row per group with ``prob, value`` (long form via
+    Expand — the ``melt`` shape). Oracle: python replay
+    (tests/test_weighted_quantiles.py → OPCHECK
+    ``weighted_quantiles``).
+    """
+    probs = [float(p) for p in probabilities]
+    if not probs or any(not 0.0 < p <= 1.0 for p in probs):
+        raise ValueError(
+            f"probabilities must be in (0, 1], got {probabilities}"
+        )
+    if isinstance(by, str):
+        by = [by]
+    by = list(by)
+    v = F.col(value_col).cast("double")
+    w = F.col(weight_col).cast("double")
+    base = df.where(v.isNotNull() & w.isNotNull() & (w > 0)).select(
+        *by, v.alias("__v"), w.alias("__w")
+    )
+    vg = base.groupBy(*by, "__v").agg(F.sum("__w").alias("__w"))
+    win = (
+        Window.partitionBy(*by)
+        .orderBy("__v")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    tot = Window.partitionBy(*by)
+    cum = vg.withColumn("__cw", F.sum("__w").over(win)).withColumn(
+        "__tot", F.sum("__w").over(tot)
+    )
+    aggs = [
+        F.min(
+            F.when(
+                F.col("__cw") >= F.lit(p) * F.col("__tot") - F.lit(1e-12),
+                F.col("__v"),
+            )
+        ).alias(f"__q{i}")
+        for i, p in enumerate(probs)
+    ]
+    wide = cum.groupBy(*by).agg(*aggs)
+    pairs = F.array(
+        *[
+            F.struct(
+                F.lit(p).alias("prob"), F.col(f"__q{i}").alias("value")
+            )
+            for i, p in enumerate(probs)
+        ]
+    )
+    return wide.select(*by, F.explode(pairs).alias("__pv")).select(
+        *by, F.col("__pv.prob").alias("prob"),
+        F.col("__pv.value").alias("value"),
     )

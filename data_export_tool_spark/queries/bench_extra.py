@@ -2464,6 +2464,26 @@ def b142_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def b143_weighted_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact volume-weighted price quantiles per return flag:
+    value-grain collapse + one window + one conditional-MIN pass
+    (operators/sketch.py weighted_quantiles)."""
+    from data_export_tool_spark.operators.sketch import (
+        weighted_quantiles,
+    )
+
+    li = Catalog(spark, sf_dir).load("lineitem")
+    q = weighted_quantiles(
+        li, "l_extendedprice", "l_quantity",
+        [0.1, 0.25, 0.5, 0.75, 0.9, 0.95, 0.99],
+        by=["l_returnflag", "l_linestatus"],
+    )
+    return q.agg(
+        F.count(F.lit(1)).alias("quantiles"),
+        F.max("value").alias("max_q"),
+    )
+
+
 def b126_activity_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gaps-and-islands over per-user activity days: one key exchange,
     dense-rank run marking, island fold + longest-streak leaderboard
@@ -2773,4 +2793,5 @@ QUERIES = [
     QuerySpec("b140_seasonal_anomalies", b140_seasonal_anomalies, None),
     QuerySpec("b141_rake_keywords", b141_rake_keywords, None),
     QuerySpec("b142_interpolate", b142_interpolate, None),
+    QuerySpec("b143_weighted_quantiles", b143_weighted_quantiles, None),
 ]

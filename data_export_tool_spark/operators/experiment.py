@@ -775,3 +775,110 @@ def bayes_ab(
           p_b, max(loss_b, 0.0), max(loss_a, 0.0), method)],
         out_schema,
     )
+
+
+def py_kruskal(groups: dict) -> tuple:
+    """Reference Kruskal-Wallis over ``{group: [values]}`` with
+    midrank ties and tie correction: returns ``(h, h_corrected,
+    dof, p_value)`` — the exact arithmetic ``kruskal_wallis``
+    distributes."""
+    import math
+
+    all_vals = sorted(
+        v for vs in groups.values() for v in vs
+    )
+    n = len(all_vals)
+    # midranks per distinct value
+    mid = {}
+    i = 0
+    while i < n:
+        j = i
+        while j < n and all_vals[j] == all_vals[i]:
+            j += 1
+        mid[all_vals[i]] = (i + 1 + j) / 2.0
+        i = j
+    h = 0.0
+    for vs in groups.values():
+        rbar = sum(mid[v] for v in vs) / len(vs)
+        h += len(vs) * (rbar - (n + 1) / 2.0) ** 2
+    h *= 12.0 / (n * (n + 1))
+    ties = {}
+    for v in all_vals:
+        ties[v] = ties.get(v, 0) + 1
+    c = 1.0 - sum(t**3 - t for t in ties.values()) / float(n**3 - n)
+    hc = h / c if c > 0 else float("nan")
+    dof = len(groups) - 1
+    return h, hc, dof, py_chi2_sf(hc, dof)
+
+
+def kruskal_wallis(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+    num_ranges: int = 64,
+    min_groups: int = 2,
+) -> DataFrame:
+    """Kruskal-Wallis H — the k-group extension of
+    :func:`mann_whitney` ("does ANY variant's distribution differ"),
+    the distribution-free ANOVA for skewed metrics across 3+ arms /
+    cohorts / suppliers. Midrank ties, the standard tie correction
+    C = 1 − Σ(t³−t)/(N³−N), p from the χ²(k−1) survival function
+    (``py_chi2_sf`` — exact for the even dof, continued-fraction for
+    odd).
+
+    Scale shape — the ``mann_whitney`` rank discipline verbatim:
+    global midranks via the two-phase value-grain
+    ``rank_transform('avg_rank')`` (X215 — mega-ties collapse
+    map-side, no row-grain global sort), then ONE (group) groupBy for
+    per-arm rank means/sizes and one value-grain aggregate for the
+    tie term. NULL values and NULL groups are excluded.
+
+    Returns a 1-row DataFrame ``(k, n, h, h_corrected, dof,
+    p_value)`` — the test is a scalar readout.
+    """
+    from data_export_tool_spark.operators.features import rank_transform
+
+    x = F.col(value_col).cast("double")
+    g = F.col(group_col)
+    base = df.where(x.isNotNull() & g.isNotNull()).select(
+        g.alias("__g"), x.alias("__x")
+    )
+    ranked = rank_transform(
+        base, "__x", method="avg_rank", out_col="__mr",
+        num_ranges=num_ranges,
+    )
+    per_group = ranked.groupBy("__g").agg(
+        F.count(F.lit(1)).alias("__n"),
+        F.sum("__mr").alias("__rs"),
+    )
+    rows = per_group.collect()  # k rows — group-grain metadata
+    vc = base.groupBy("__x").agg(F.count(F.lit(1)).alias("__tc"))
+    t3 = vc.agg(
+        F.sum(
+            F.col("__tc") * F.col("__tc") * F.col("__tc") - F.col("__tc")
+        ).alias("t3")
+    ).first()["t3"]
+    spark = df.sparkSession
+    schema = (
+        "k long, n long, h double, h_corrected double, dof long,"
+        " p_value double"
+    )
+    k = len(rows)
+    if k < min_groups:
+        raise ValueError(
+            f"kruskal_wallis needs >= {min_groups} non-empty groups,"
+            f" found {k}"
+        )
+    n = sum(int(r["__n"]) for r in rows)
+    h = 0.0
+    for r in rows:
+        rbar = float(r["__rs"]) / float(r["__n"])
+        h += float(r["__n"]) * (rbar - (n + 1) / 2.0) ** 2
+    h *= 12.0 / (n * (n + 1))
+    c = 1.0 - float(t3 or 0) / float(n**3 - n) if n > 1 else 1.0
+    hc = h / c if c > 0 else float("nan")
+    dof = k - 1
+    p = py_chi2_sf(hc, dof)
+    return spark.createDataFrame(
+        [(k, n, float(h), float(hc), dof, float(p))], schema
+    )

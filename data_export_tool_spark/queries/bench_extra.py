@@ -2484,6 +2484,18 @@ def b143_weighted_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def b144_kruskal_wallis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kruskal-Wallis across order priorities on order value: global
+    value-grain midranks + group-grain fold
+    (operators/experiment.py kruskal_wallis)."""
+    from data_export_tool_spark.operators.experiment import (
+        kruskal_wallis,
+    )
+
+    o = Catalog(spark, sf_dir).load("orders")
+    return kruskal_wallis(o, "o_totalprice", "o_orderpriority")
+
+
 def b126_activity_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gaps-and-islands over per-user activity days: one key exchange,
     dense-rank run marking, island fold + longest-streak leaderboard
@@ -2794,4 +2806,5 @@ QUERIES = [
     QuerySpec("b141_rake_keywords", b141_rake_keywords, None),
     QuerySpec("b142_interpolate", b142_interpolate, None),
     QuerySpec("b143_weighted_quantiles", b143_weighted_quantiles, None),
+    QuerySpec("b144_kruskal_wallis", b144_kruskal_wallis, None),
 ]

@@ -336,3 +336,164 @@ def retention_matrix(
         .groupBy("cohort", "period_offset")
         .agg(F.count_distinct(user_col).alias("n_users"))
     )
+
+
+def py_funnel_excluding(
+    events: list[tuple], steps: Sequence[str], exclude: Sequence[str]
+) -> tuple:
+    """Reference fold for one user's ``(ts, type)`` events (any
+    order): returns ``(steps_reached, convert_ts)`` under the
+    latest-anchor DP the operator distributes."""
+    order = {s: i for i, s in enumerate(steps)}
+    excl = set(exclude)
+    k = len(steps)
+    latest = [None] * k  # latest valid i+1-chain completion time
+    last_excl = None
+    convert_ts = None
+    reached = 0
+    for ts, et in sorted(events):
+        if et in excl:
+            last_excl = ts
+        if et not in order:
+            continue
+        i = order[et]
+        ok_anchor = (
+            i == 0
+            or (
+                latest[i - 1] is not None
+                and latest[i - 1] < ts
+                and (last_excl is None or last_excl <= latest[i - 1])
+            )
+        )
+        if ok_anchor:
+            latest[i] = ts
+            reached = max(reached, i + 1)
+            if i == k - 1 and convert_ts is None:
+                convert_ts = ts
+    return reached, convert_ts
+
+
+def funnel_excluding(
+    events: DataFrame,
+    steps: Sequence[str],
+    exclude: Sequence[str],
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Funnel with EXCLUSION constraints: a user converts when some
+    chain ``step₁ < … < stepₖ`` exists with NO excluded event
+    strictly between consecutive completions — "viewed then purchased
+    WITHOUT a support ticket in between", the negative-pattern ask
+    plain funnels cannot express.
+
+    Greedy earliest-chain is NOT valid here (an exclusion can kill
+    the early anchor while a later re-completion survives), so the
+    fold is the latest-anchor DP: scanning a user's events in time
+    order, keep the LATEST valid completion time of each prefix
+    length — a later anchor strictly shrinks the exclusion window
+    ((s′,t) ⊂ (s,t) for s′ > s), so if any anchor admits an advance
+    the latest one does; an i→i+1 advance at time t is valid iff the
+    last excluded event is at-or-before the level-i anchor. The
+    first time the full chain completes is the conversion instant.
+    O(k) state per user, one pass.
+
+    Scale shape: the ``funnel_steps`` chassis — events filtered to
+    step+excluded types (scan-level isin pushdown), ONE exchange
+    hash-partitioning by user with an in-partition (user, ts) sort,
+    and a ``mapInPandas`` fold streaming Arrow batches with per-user
+    carry state across batch boundaries. The DP itself is a python
+    loop per retained event — the retained set is already filtered
+    to the funnel vocabulary (typically a small fraction of the
+    stream), and the state dependence is inherently sequential (the
+    documented why-not-vectorized).
+
+    Output: ``(user, steps_reached, converted, convert_ts)``.
+    Oracle: :func:`py_funnel_excluding` replay
+    (tests/test_funnel_excluding.py → OPCHECK ``funnel_excluding``).
+    """
+    import pandas as pd
+
+    steps = list(steps)
+    exclude = list(exclude)
+    k = len(steps)
+    if k < 2:
+        raise ValueError("funnel_excluding needs at least two steps")
+    if len(set(steps)) != k:
+        raise ValueError(f"duplicate steps: {steps}")
+    if set(steps) & set(exclude):
+        raise ValueError(
+            f"steps and exclude overlap: {set(steps) & set(exclude)}"
+        )
+    if not exclude:
+        raise ValueError(
+            "exclude must name at least one event type "
+            "(use funnel_steps for the unconstrained funnel)"
+        )
+    order = {s: i for i, s in enumerate(steps)}
+    excl = set(exclude)
+    vocab = steps + exclude
+
+    base = (
+        events.where(
+            F.col(user_col).isNotNull()
+            & F.col(ts_col).isNotNull()
+            & F.col(type_col).isin(vocab)
+        )
+        .select(
+            F.col(user_col).alias("__u"),
+            F.col(ts_col).alias("__ts"),
+            F.col(type_col).alias("__et"),
+        )
+        .repartition("__u")
+        .sortWithinPartitions("__u", "__ts", "__et")
+    )
+
+    out_schema = (
+        f"{user_col} {dict(events.dtypes)[user_col]}, "
+        "steps_reached int, converted boolean, convert_ts timestamp"
+    )
+
+    def fold(batches):
+        cur = None  # (user, latest[k] list, last_excl, convert, reached)
+
+        def finish(state):
+            u, latest, last_excl, convert_ts, reached = state
+            return {
+                "u": u,
+                "steps_reached": reached,
+                "converted": convert_ts is not None,
+                "convert_ts": convert_ts,
+            }
+
+        done = []
+        for pdf in batches:
+            for u, ts, et in zip(pdf["__u"], pdf["__ts"], pdf["__et"]):
+                if cur is None or cur[0] != u:
+                    if cur is not None:
+                        done.append(finish(cur))
+                    cur = [u, [None] * k, None, None, 0]
+                latest = cur[1]
+                if et in excl:
+                    cur[2] = ts
+                if et in order:
+                    i = order[et]
+                    ok = i == 0 or (
+                        latest[i - 1] is not None
+                        and latest[i - 1] < ts
+                        and (cur[2] is None or cur[2] <= latest[i - 1])
+                    )
+                    if ok:
+                        latest[i] = ts
+                        cur[4] = max(cur[4], i + 1)
+                        if i == k - 1 and cur[3] is None:
+                            cur[3] = ts
+            if done:
+                yield pd.DataFrame(done).rename(columns={"u": user_col})
+                done = []
+        if cur is not None:
+            yield pd.DataFrame([finish(cur)]).rename(
+                columns={"u": user_col}
+            )
+
+    return base.mapInPandas(fold, out_schema)

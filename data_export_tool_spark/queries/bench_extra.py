@@ -2496,6 +2496,23 @@ def b144_kruskal_wallis(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kruskal_wallis(o, "o_totalprice", "o_orderpriority")
 
 
+def b145_funnel_excluding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exclusion-constrained funnel (view→click→purchase without
+    signup between): latest-anchor DP fold over one user exchange
+    (operators/funnel.py funnel_excluding)."""
+    from data_export_tool_spark.operators.funnel import funnel_excluding
+
+    ev = Catalog(spark, sf_dir).load("events")
+    out = funnel_excluding(
+        ev, ["view", "click", "purchase"], ["signup"]
+    )
+    return out.agg(
+        F.count(F.lit(1)).alias("users"),
+        F.sum(F.col("converted").cast("int")).alias("converted"),
+        F.avg("steps_reached").alias("avg_steps"),
+    )
+
+
 def b126_activity_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gaps-and-islands over per-user activity days: one key exchange,
     dense-rank run marking, island fold + longest-streak leaderboard
@@ -2807,4 +2824,5 @@ QUERIES = [
     QuerySpec("b142_interpolate", b142_interpolate, None),
     QuerySpec("b143_weighted_quantiles", b143_weighted_quantiles, None),
     QuerySpec("b144_kruskal_wallis", b144_kruskal_wallis, None),
+    QuerySpec("b145_funnel_excluding", b145_funnel_excluding, None),
 ]

@@ -2513,6 +2513,25 @@ def b145_funnel_excluding(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def b146_poisson_bootstrap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Poisson-bootstrap CI (200 replicates) on mean price per return
+    flag: one Arrow partial pass + replicate-grain fold
+    (operators/bootstrap.py)."""
+    from data_export_tool_spark.operators.bootstrap import (
+        poisson_bootstrap_ci,
+    )
+
+    li = Catalog(spark, sf_dir).load("lineitem")
+    ci = poisson_bootstrap_ci(
+        li, "l_orderkey", "l_extendedprice", by=["l_returnflag"],
+        n_replicates=200,
+    )
+    return ci.agg(
+        F.count(F.lit(1)).alias("groups"),
+        F.avg(F.col("ci_hi") - F.col("ci_lo")).alias("avg_width"),
+    )
+
+
 def b126_activity_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gaps-and-islands over per-user activity days: one key exchange,
     dense-rank run marking, island fold + longest-streak leaderboard
@@ -2825,4 +2844,5 @@ QUERIES = [
     QuerySpec("b143_weighted_quantiles", b143_weighted_quantiles, None),
     QuerySpec("b144_kruskal_wallis", b144_kruskal_wallis, None),
     QuerySpec("b145_funnel_excluding", b145_funnel_excluding, None),
+    QuerySpec("b146_poisson_bootstrap", b146_poisson_bootstrap, None),
 ]

@@ -79,9 +79,15 @@ def km_survival(
         w_all.orderBy("t").rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     left = F.col("n_events") + F.col("n_censored")
+    # suffix sum as a RUNNING sum over the reversed ordering — a
+    # (0, unboundedFollowing) frame re-aggregates per row (O(rows²)
+    # per key, the timeseries.interpolate_linear finding)
     grid = grid.withColumn(
         "n_risk",
-        F.sum(left).over(w_all.orderBy("t").rowsBetween(0, Window.unboundedFollowing)),
+        F.sum(left).over(
+            w_all.orderBy(F.col("t").desc())
+            .rowsBetween(Window.unboundedPreceding, 0)
+        ),
     )
     factor = 1 - F.col("n_events") / F.col("n_risk")
     grid = grid.withColumn(
@@ -163,7 +169,9 @@ def logrank_test(
         F.count(F.lit(1)).alias("m"),
         F.sum("__g1").alias("m1"),
     )
-    w_rev = Window.orderBy("t").rowsBetween(0, Window.unboundedFollowing)
+    w_rev = Window.orderBy(F.col("t").desc()).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
     grid = grid.withColumn("n", F.sum("m").over(w_rev)).withColumn(
         "n1", F.sum("m1").over(w_rev)
     )

@@ -25,6 +25,8 @@ both sides on the key removes the join shuffles.
 
 from __future__ import annotations
 
+import datetime
+import re
 from collections.abc import Sequence
 
 from pyspark.sql import DataFrame
@@ -76,8 +78,11 @@ def asof_join(
 
     ``tolerance`` bounds how far back (``backward``) / ahead
     (``forward``) a match may be — pandas ``merge_asof(tolerance=…)``
-    parity: an SQL interval string ("7 days") for time columns, a
-    number for numeric columns; candidates outside the band fall out
+    parity: an SQL interval string ("7 days") or datetime.timedelta
+    for time columns, a number for numeric columns (validated up
+    front — malformed strings raise ValueError naming the parameter
+    instead of a plan-time SQL parse error); candidates outside the
+    band fall out
     BEFORE the MAX/MIN pick, so a stale quote doesn't masquerade as
     current. ``allow_exact=False`` makes the time comparison strict
     (pandas ``allow_exact_matches`` parity — "the last trade strictly
@@ -106,11 +111,45 @@ def asof_join(
 
     tol = None
     if tolerance is not None:
-        tol = (
-            F.expr(f"INTERVAL {tolerance}")
-            if isinstance(tolerance, str)
-            else F.lit(tolerance)
-        )
+        if isinstance(tolerance, datetime.timedelta):
+            total = tolerance.total_seconds()
+            if total < 0:
+                raise ValueError(
+                    f"tolerance must be non-negative, got {tolerance!r}"
+                )
+            micros = int(round(total * 1_000_000))
+            tol = F.expr(f"INTERVAL {micros} MICROSECOND")
+        elif isinstance(tolerance, str):
+            # validate up front: a malformed string (or one already
+            # containing 'INTERVAL') would otherwise surface as a
+            # cryptic SQL parse error deep in plan analysis
+            m = re.fullmatch(
+                r"\s*(\d+)\s+"
+                r"(microsecond|millisecond|second|minute|hour|day|week"
+                r"|month|year)s?\s*",
+                tolerance,
+                re.IGNORECASE,
+            )
+            if not m:
+                raise ValueError(
+                    "tolerance must be '<n> <unit>' (unit in microsecond/"
+                    "millisecond/second/minute/hour/day/week/month/year), "
+                    f"a number, or a datetime.timedelta; got {tolerance!r}"
+                )
+            tol = F.expr(f"INTERVAL {m.group(1)} {m.group(2).upper()}")
+        elif isinstance(tolerance, (int, float)) and not isinstance(
+            tolerance, bool
+        ):
+            if tolerance < 0:
+                raise ValueError(
+                    f"tolerance must be non-negative, got {tolerance!r}"
+                )
+            tol = F.lit(tolerance)
+        else:
+            raise ValueError(
+                "tolerance must be an SQL interval string, a number, or "
+                f"a datetime.timedelta; got {type(tolerance).__name__}"
+            )
     if direction == "backward":
         cond = (
             F.col(rt) <= F.col(left_time)

@@ -85,7 +85,14 @@ def poisson_bootstrap_ci(
     seed: int = 17,
 ) -> DataFrame:
     """Percentile-bootstrap CI for the MEAN of ``value_col`` per
-    group: ``by…, estimate, ci_lo, ci_hi, n, n_replicates``."""
+    group: ``by…, estimate, ci_lo, ci_hi, n, n_replicates``.
+
+    Rows with a NULL value, NULL id, or any NULL ``by`` key are
+    excluded up front — pandas' ``groupby(dropna=False)`` would emit
+    NaN group keys that silently coerce (or fail) when converted back
+    to Spark under the original integer/long Arrow schema, so NULL
+    groups are not a representable output of this estimator.
+    """
     if n_replicates < 10:
         raise ValueError(
             f"n_replicates must be >= 10, got {n_replicates}"
@@ -98,9 +105,10 @@ def poisson_bootstrap_ci(
     B = int(n_replicates)
     import pandas as pd
 
-    base = df.where(
-        F.col(value_col).isNotNull() & F.col(id_col).isNotNull()
-    ).select(
+    cond = F.col(value_col).isNotNull() & F.col(id_col).isNotNull()
+    for c in by:
+        cond = cond & F.col(c).isNotNull()
+    base = df.where(cond).select(
         *by,
         F.xxhash64(F.col(id_col)).alias("__k"),
         F.col(value_col).cast("double").alias("__x"),

@@ -943,8 +943,11 @@ def hits(
     if n_nodes == 0:
         _release(sc, ew_ids)
         _release(sc, nodes_ids)
+        # empty-graph schema must track the actual node-id type (string
+        # ids would otherwise conflict with a hardcoded long on union)
+        node_t = ew.schema["s"].dataType.simpleString()
         return edges.sparkSession.createDataFrame(
-            [], f"{out_node} long, hub double, authority double"
+            [], f"{out_node} {node_t}, hub double, authority double"
         )
     hub, hub_ids = _checkpoint(
         nodes.select("n", F.lit(1.0 / n_nodes).alias("h"))
@@ -1119,8 +1122,11 @@ def betweenness(
     n_src = seed_df.count()
     if n_src == 0:
         _release(sc, adj_ids)
+        # empty-result schema tracks the node-id type (string ids would
+        # conflict with a hardcoded long on union/read)
+        node_t = adj.schema["n"].dataType.simpleString()
         return spark.createDataFrame(
-            [], f"{out_node} long, betweenness double"
+            [], f"{out_node} {node_t}, betweenness double"
         )
 
     # ---- forward: per-level frontiers with path counts ----

@@ -673,8 +673,11 @@ def weighted_quantiles(
     rows first collapse to (group, value) with summed weight (ONE
     map-side-combining groupBy; a 90%-constant column becomes one
     row, never a mega-tie sort), the cumulative weight is a window
-    over that VALUE-grain frame, and each requested quantile is a
-    conditional MIN aggregate — one pass for all probabilities.
+    over that VALUE-grain frame (grouped: partitioned by the group
+    keys; global by=(): range-split via approx-quantile cuts so no
+    single partition ever sees the whole value domain), and each
+    requested quantile is a conditional MIN aggregate — one pass for
+    all probabilities.
     Rows with NULL value or non-positive/NULL weight are excluded
     (documented; a zero-weight observation carries no mass).
 
@@ -697,15 +700,66 @@ def weighted_quantiles(
         *by, v.alias("__v"), w.alias("__w")
     )
     vg = base.groupBy(*by, "__v").agg(F.sum("__w").alias("__w"))
-    win = (
-        Window.partitionBy(*by)
-        .orderBy("__v")
-        .rowsBetween(Window.unboundedPreceding, 0)
-    )
-    tot = Window.partitionBy(*by)
-    cum = vg.withColumn("__cw", F.sum("__w").over(win)).withColumn(
-        "__tot", F.sum("__w").over(tot)
-    )
+    if by:
+        # grouped: groups themselves partition the cumulative-weight
+        # window — per-group value grains are bounded by the group.
+        win = (
+            Window.partitionBy(*by)
+            .orderBy("__v")
+            .rowsBetween(Window.unboundedPreceding, 0)
+        )
+        tot = Window.partitionBy(*by)
+        cum = vg.withColumn("__cw", F.sum("__w").over(win)).withColumn(
+            "__tot", F.sum("__w").over(tot)
+        )
+    else:
+        # global (by=()): a keyless Window would funnel the ENTIRE
+        # value-grain frame through one partition. Reuse the
+        # rank_transform range-split discipline instead: approx-quantile
+        # cuts split the value domain (cut quality only affects load
+        # balance, never the result — cumulative weight is range offset
+        # + within-range running sum), per-range running sums keep range
+        # parallelism, and range totals prefix-sum in a ≤num_ranges
+        # metadata window.
+        num_ranges = 64
+        cut_probs = [i / num_ranges for i in range(1, num_ranges)]
+        bounds = sorted(set(vg.stat.approxQuantile("__v", cut_probs, 0.01)))
+        if bounds:
+            cuts = F.array(*[F.lit(float(b)) for b in bounds])
+            rng = F.size(F.filter(cuts, lambda b: F.col("__v") > b))
+        else:
+            rng = F.lit(0)
+        marked = vg.withColumn("__rng", rng)
+        w_in = (
+            Window.partitionBy("__rng")
+            .orderBy("__v")
+            .rowsBetween(Window.unboundedPreceding, 0)
+        )
+        within = marked.withColumn("__icw", F.sum("__w").over(w_in))
+        totals = marked.groupBy("__rng").agg(F.sum("__w").alias("__rw"))
+        w_off = Window.orderBy("__rng").rowsBetween(
+            Window.unboundedPreceding, -1
+        )
+        offsets = totals.withColumn(
+            "__off", F.coalesce(F.sum("__rw").over(w_off), F.lit(0.0))
+        ).withColumn(
+            "__tot",
+            F.sum("__rw").over(
+                Window.orderBy("__rng").rowsBetween(
+                    Window.unboundedPreceding, Window.unboundedFollowing
+                )
+            ),
+        )
+        cum = within.join(
+            F.broadcast(offsets.select("__rng", "__off", "__tot")),
+            "__rng",
+            "left",
+        ).select(
+            "__v",
+            "__w",
+            (F.col("__off") + F.col("__icw")).alias("__cw"),
+            "__tot",
+        )
     aggs = [
         F.min(
             F.when(

@@ -154,4 +154,8 @@ def skyline(
         yield from _filter(batches, max_candidates)
 
     local = clean.mapInPandas(_local, schema=schema)
-    return local.coalesce(1).mapInPandas(_merge, schema=schema)
+    # repartition(1), not coalesce(1): coalesce is a narrow dependency and
+    # would collapse scan + local sweep + merge into ONE task, serializing
+    # the "parallel" local phase. The shuffle boundary keeps local sweeps
+    # per-partition and ships only frontier rows to the single merge task.
+    return local.repartition(1).mapInPandas(_merge, schema=schema)

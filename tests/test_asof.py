@@ -93,3 +93,41 @@ def test_asof_timestamp_tolerance(spark):
         left, right, ["k"], "t", "rt", tolerance="1 days"
     ).select("v").first()
     assert none["v"] is None
+
+
+def test_asof_tolerance_validation(spark):
+    import datetime
+
+    import pytest
+
+    from data_export_tool_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame(
+        [(1, "2024-01-10")], "k long, d string"
+    ).selectExpr("k", "cast(d as timestamp) AS t")
+    right = spark.createDataFrame(
+        [(1, "2024-01-08", "fresh")], "k long, d string, v string"
+    ).selectExpr("k", "cast(d as timestamp) AS rt", "v")
+    # malformed strings raise a readable ValueError at call time, not a
+    # SQL parse error at plan time
+    for bad in ("bananas", "INTERVAL 5 DAY", "5 fortnights", "-3 days"):
+        with pytest.raises(ValueError, match="tolerance"):
+            asof_join(left, right, ["k"], "t", "rt", tolerance=bad)
+    with pytest.raises(ValueError, match="tolerance"):
+        asof_join(left, right, ["k"], "t", "rt", tolerance=-5)
+    with pytest.raises(ValueError, match="tolerance"):
+        asof_join(
+            left, right, ["k"], "t", "rt",
+            tolerance=datetime.timedelta(days=-1),
+        )
+    # a timedelta works like the equivalent interval string
+    got = asof_join(
+        left, right, ["k"], "t", "rt",
+        tolerance=datetime.timedelta(days=5),
+    ).select("v").first()
+    assert got["v"] == "fresh"
+    none = asof_join(
+        left, right, ["k"], "t", "rt",
+        tolerance=datetime.timedelta(days=1),
+    ).select("v").first()
+    assert none["v"] is None

@@ -88,3 +88,12 @@ def test_betweenness_validation(spark):
         betweenness(df, max_depth=0)
     with pytest.raises(ValueError, match="sources"):
         betweenness(df, sources=[])
+
+
+def test_betweenness_empty_graph_string_ids(spark):
+    from data_export_tool_spark.operators.graph import betweenness
+
+    empty = spark.createDataFrame([], "id_a string, id_b string")
+    out = betweenness(empty)
+    assert out.count() == 0
+    assert out.schema["node"].dataType.simpleString() == "string"

@@ -80,3 +80,20 @@ def test_bootstrap_validation(spark):
         poisson_bootstrap_ci(df, "id", "v", n_replicates=5)
     with pytest.raises(ValueError, match="alpha"):
         poisson_bootstrap_ci(df, "id", "v", alpha=1.5)
+
+
+def test_bootstrap_null_group_keys_excluded(spark):
+    from data_export_tool_spark.operators.bootstrap import (
+        poisson_bootstrap_ci,
+    )
+
+    df = spark.createDataFrame(
+        [(1, 10.0, 100), (2, 12.0, 100), (3, 99.0, None), (4, 11.0, 200)],
+        "id long, x double, g int",
+    )
+    out = poisson_bootstrap_ci(df, "id", "x", by=["g"], n_replicates=20)
+    rows = {r["g"]: r for r in out.collect()}
+    # NULL-group rows are excluded up front (documented), never emitted
+    # as a NaN-keyed group under the integer Arrow schema
+    assert set(rows) == {100, 200}
+    assert rows[100]["n"] == 2

@@ -69,3 +69,13 @@ def test_hits_contracts(spark):
         hits(df, n_iter=0)
     empty = df.where("id_a < 0")
     assert hits(empty, n_iter=2).count() == 0
+
+
+def test_hits_empty_graph_string_ids(spark):
+    from data_export_tool_spark.operators.graph import hits
+
+    empty = spark.createDataFrame([], "id_a string, id_b string")
+    out = hits(empty)
+    assert out.count() == 0
+    # empty-path schema must track the node-id type, not hardcode long
+    assert out.schema["node"].dataType.simpleString() == "string"

@@ -97,3 +97,28 @@ def test_weighted_quantiles_replay_oracle(spark, sf_dir):
         "weighted_quantiles", len(want), True,
         oracle="python-reference",
     )
+
+
+def test_weighted_quantiles_global_range_split_matches_grouped(spark):
+    """The by=() range-split path must agree with the single-group
+    grouped path (which uses the plain partitioned window)."""
+    import random
+
+    from data_export_tool_spark.operators.sketch import weighted_quantiles
+
+    rnd = random.Random(7)
+    rows = [
+        (rnd.randint(0, 500) / 10.0, rnd.randint(1, 9) * 1.0, 1)
+        for _ in range(4000)
+    ]
+    df = spark.createDataFrame(rows, "v double, w double, g int")
+    probs = [0.1, 0.5, 0.9, 1.0]
+    glob = {
+        r["prob"]: r["value"]
+        for r in weighted_quantiles(df, "v", "w", probs).collect()
+    }
+    grp = {
+        r["prob"]: r["value"]
+        for r in weighted_quantiles(df, "v", "w", probs, by=["g"]).collect()
+    }
+    assert glob == grp

@@ -10,7 +10,13 @@ notes) goes to BENCH_DETAIL.json in the repo root instead.
 
 Env: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
      SPARK_GRAFT_CPUS (default 32),
-     SPARK_GRAFT_BENCH_RUNS (timed runs per query, default 3).
+     SPARK_GRAFT_BENCH_RUNS (timed runs per query, default 3),
+     SPARK_GRAFT_MAX_LOAD (idle gate: wait until 1-min loadavg drops
+     under this before timing, default 1.5),
+     SPARK_GRAFT_IDLE_WAIT (max seconds to wait for quiet, default 600;
+     after that the run proceeds with a stderr warning and a
+     self-labeling loadavg_pre field),
+     SPARK_GRAFT_BENCH_CHUNKS (fresh-JVM chunks, default 5; see below).
 
 Protocol (BASELINE.md "Measurement protocol"): warm the JVM, then per
 query discard the first run and report the MEDIAN of the next
@@ -20,10 +26,23 @@ the same commit). Execution is measured with a `noop` sink (full
 pipeline runs, nothing is collected to the driver) — the number is the
 engine, not pandas conversion.
 
+Fresh-JVM chunking (round-9 protocol fix): a single 55-minute
+190-entry session AGES — accumulated shuffle files, broadcast blocks,
+codegen caches and Python workers inflated the alphabetically-LAST
+~25 entries by ×1.9 in the r9 diagnosis run while the first 165
+matched round-8 within noise, and the same entries measured 2-3×
+faster in a fresh session. The catalog is therefore run in
+``SPARK_GRAFT_BENCH_CHUNKS`` consecutive subprocesses, each with its
+own JVM, bounding aging to one chunk (~10 min). Chunks are contiguous
+slices of the sorted entry list, so session-cached fixtures (the
+mb_* scaled warehouse) stay within one chunk and their one-time costs
+are still recorded in COLD_COSTS.
+
 Run set = the 50-entry driver catalog minus the m* reference-report
 replicas (fixed-seed fixtures that don't scale with sf) plus the
 bench-only b* specs (queries/bench_extra.py) guarding operators that
-landed after the catalog freeze.
+landed after the catalog freeze plus the mb_* scaled reference-report
+replicas (queries/bench_mamba.py).
 """
 
 from __future__ import annotations
@@ -31,58 +50,64 @@ from __future__ import annotations
 import json
 import os
 import statistics
+import subprocess
 import sys
 import time
 
-sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+HERE = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, HERE)
 
 
-def main() -> None:
+def loadavg() -> float | None:
+    try:
+        with open("/proc/loadavg") as fh:
+            return float(fh.read().split()[0])
+    except (OSError, ValueError):
+        return None
+
+
+def catalog_names() -> list[str]:
+    """The sorted run set — deterministic, so parent and chunk
+    subprocesses agree on slicing without passing name lists."""
+    from data_export_tool_spark.queries import all_queries, bench_extra, bench_mamba
+
+    specs = all_queries()
+    # the m* entries are reference-report replicas over FIXED seeded
+    # fixtures — they don't scale with sf, so they'd distort the
+    # catalog-vs-sf metric; their correctness runs in the driver gate
+    # and their runtime in the pytest parity suite. The b* bench-only
+    # specs join the run set so post-freeze operators stay guarded;
+    # the mb_* specs run the same line-list builders at sf-scaled
+    # patient counts.
+    names = {n for n in specs if not n.startswith("m")}
+    for spec in bench_extra.QUERIES:
+        if spec.name in names:
+            raise ValueError(f"bench-extra name collides: {spec.name}")
+        names.add(spec.name)
+    for spec in bench_mamba.QUERIES:
+        if spec.name in names:
+            raise ValueError(f"bench-mamba name collides: {spec.name}")
+        names.add(spec.name)
+    return sorted(names)
+
+
+def run_chunk(names: list[str], sf_dir: str, n_runs: int) -> dict:
+    """Execute the given entries in THIS process (one Spark session)
+    and return {name: {median, spread, load}} + cold costs."""
     from data_export_tool_spark.session import get_spark
-    from data_export_tool_spark.queries import all_queries
-    from data_export_tool_spark.queries import bench_extra
-
-    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0.1)
-    n_runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
+    from data_export_tool_spark.queries import all_queries, bench_extra, bench_mamba
 
     spark = get_spark("bench")
     spark.sparkContext.setLogLevel("ERROR")
 
-    specs = all_queries()
-
-    # warm-up: JVM JIT + parquet footer caches (discarded per BASELINE.md)
-    specs["q03_customer_order_profile"].builder(spark, sf_dir).write.format(
-        "noop"
-    ).mode("overwrite").save()
+    specs = dict(all_queries())
+    for spec in list(bench_extra.QUERIES) + list(bench_mamba.QUERIES):
+        specs[spec.name] = spec
 
     def run_once(spec) -> float:
         t0 = time.perf_counter()
         spec.builder(spark, sf_dir).write.format("noop").mode("overwrite").save()
         return time.perf_counter() - t0
-
-    # the m* entries are reference-report replicas over FIXED seeded
-    # fixtures — they don't scale with sf, so they'd distort the
-    # catalog-vs-sf metric; their correctness runs in the driver gate
-    # and their runtime in the pytest parity suite. The b* bench-only
-    # specs join the run set so post-freeze operators stay guarded.
-    specs = {n: s for n, s in specs.items() if not n.startswith("m")}
-    for spec in bench_extra.QUERIES:
-        if spec.name in specs:
-            raise ValueError(f"bench-extra name collides: {spec.name}")
-        specs[spec.name] = spec
-    # reference-report replicas at SF-SCALED patient counts (the fixed
-    # 200-patient m* gate entries stay excluded; these mb_* twins run
-    # the same line-list builders over a 100_000×sf-patient fixture so
-    # the heaviest real reports have a wall-time guard — VERDICT r6
-    # missing-#1). Their names start with "m" on purpose: they ride in
-    # the compact line's "queries" dict, not the b_total aggregate.
-    from data_export_tool_spark.queries import bench_mamba
-
-    for spec in bench_mamba.QUERIES:
-        if spec.name in specs:
-            raise ValueError(f"bench-mamba name collides: {spec.name}")
-        specs[spec.name] = spec
 
     def gc_barrier() -> None:
         # A long catalog session accumulates shuffle/broadcast garbage,
@@ -93,27 +118,116 @@ def main() -> None:
         # measurement — standard JVM bench hygiene.
         spark.sparkContext._jvm.System.gc()
 
-    timings: dict[str, float] = {}
-    spreads: dict[str, float] = {}
-    for name, spec in sorted(specs.items()):
+    # chunk-level JVM warm-up: one discarded run of the first entry
+    # (JIT + parquet footer caches; per BASELINE.md the warm run is
+    # never measured)
+    run_once(specs[names[0]])
+
+    out: dict[str, dict] = {}
+    for name in names:
+        spec = specs[name]
         run_once(spec)  # per-query warm run, discarded
         runs = sorted(
             (gc_barrier() or run_once(spec)) for _ in range(n_runs)
         )
-        timings[name] = round(statistics.median(runs), 3)
-        # max-min of the timed runs: how much same-commit same-process
-        # noise this query carries, so a cross-round delta smaller than
-        # the spread can be read as noise rather than regression
-        spreads[name] = round(runs[-1] - runs[0], 3)
+        out[name] = {
+            # max-min of the timed runs: how much same-commit
+            # same-process noise this query carries, so a cross-round
+            # delta smaller than the spread reads as noise
+            "median": round(statistics.median(runs), 3),
+            "spread": round(runs[-1] - runs[0], 3),
+            # per-ENTRY load marker (VERDICT r8 #1): a whole-run
+            # loadavg can't say WHICH entries a noisy patch touched
+            "load": loadavg(),
+        }
+    result = {
+        "entries": out,
+        "cold_costs": dict(bench_extra.COLD_COSTS),
+    }
+    spark.stop()
+    return result
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0.1)
+    n_runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
+    n_chunks = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_CHUNKS", "5")))
+
+    # ---- chunk-child mode: run a slice, print it as JSON, exit ----
+    if len(sys.argv) >= 3 and sys.argv[1] == "--chunk":
+        i, k = (int(x) for x in sys.argv[2].split("/"))
+        names = catalog_names()
+        per = -(-len(names) // k)  # ceil division
+        mine = names[i * per : (i + 1) * per]
+        result = run_chunk(mine, sf_dir, n_runs) if mine else {"entries": {}, "cold_costs": {}}
+        # stdout carries ONLY the JSON (parent parses it); Spark logs
+        # go to stderr already
+        print(json.dumps(result, separators=(",", ":")))
+        return
+
+    # ---- parent: idle gate, fan chunks out, merge, report ----
+    # quiet-machine gate (VERDICT r8 #1): BENCH_r08 ran at loadavg 5.61
+    # and its numbers were uninterpretable (spreads to 14.7 s, 11
+    # phantom regressions). Before timing anything, WAIT for the 1-min
+    # load to drop under the threshold — warn-and-proceed after the
+    # budget rather than refuse, because a refusal would leave the
+    # round with no bench artifact at all. Both the pre-run load and
+    # the wait spent are recorded so a contaminated run is self-labeled.
+    max_load = float(os.environ.get("SPARK_GRAFT_MAX_LOAD", "1.5"))
+    idle_budget = float(os.environ.get("SPARK_GRAFT_IDLE_WAIT", "600"))
+    load_pre = loadavg()
+    idle_wait = 0.0
+    while (
+        load_pre is not None
+        and load_pre > max_load
+        and idle_wait < idle_budget
+    ):
+        time.sleep(15.0)
+        idle_wait += 15.0
+        load_pre = loadavg()
+    if load_pre is not None and load_pre > max_load:
+        print(
+            f"WARNING: starting contaminated — loadavg {load_pre} > "
+            f"{max_load} after waiting {idle_wait:.0f}s",
+            file=sys.stderr,
+        )
+
+    timings: dict[str, float] = {}
+    spreads: dict[str, float] = {}
+    load_per_query: dict[str, float | None] = {}
+    cold_costs: dict[str, float] = {}
+    n_names = len(catalog_names())
+    for i in range(n_chunks):
+        if n_chunks == 1:
+            result = run_chunk(catalog_names(), sf_dir, n_runs)
+        else:
+            proc = subprocess.run(
+                [sys.executable, os.path.abspath(__file__), "--chunk", f"{i}/{n_chunks}"],
+                capture_output=True,
+                text=True,
+                cwd=HERE,
+                env=os.environ,
+            )
+            if proc.returncode != 0:
+                print(
+                    f"chunk {i}/{n_chunks} failed rc={proc.returncode}:\n"
+                    + proc.stderr[-2000:],
+                    file=sys.stderr,
+                )
+                continue
+            result = json.loads(proc.stdout.strip().splitlines()[-1])
+        for name, r in result["entries"].items():
+            timings[name] = r["median"]
+            spreads[name] = r["spread"]
+            load_per_query[name] = r["load"]
+        cold_costs.update(result["cold_costs"])
+        print(
+            f"chunk {i + 1}/{n_chunks} done: {len(timings)}/{n_names} entries",
+            file=sys.stderr,
+        )
 
     total = round(sum(timings.values()), 3)
-
-    def loadavg() -> float | None:
-        try:
-            with open("/proc/loadavg") as fh:
-                return float(fh.read().split()[0])
-        except (OSError, ValueError):
-            return None
 
     # capture-window budget: the driver parses the LAST ~2000 stdout
     # chars, and the b-set grows every round — per-b-entry numbers ride
@@ -121,38 +235,55 @@ def main() -> None:
     # over round) while the compact line carries the stable driver
     # catalog plus the b-set aggregate
     b_names = sorted(n for n in timings if n.startswith("b"))
+    mb_names = sorted(n for n in timings if n.startswith("mb_"))
     out = {
         "metric": "catalog_total_wall",
         "value": total,
         "unit": "sec",
-        "queries": {n: t for n, t in timings.items() if n not in b_names},
+        "queries": {
+            n: t
+            for n, t in timings.items()
+            if n not in b_names
+            # the 7 round-9 mb_* additions ride in mb_total + detail
+            # (capture-window budget); the original 6 stay inline for
+            # round-over-round driver-line comparability
+            and (n in _MB_INLINE or not n.startswith("mb_"))
+        },
         "b_total": round(sum(timings[n] for n in b_names), 3),
         "n_b": len(b_names),
+        "mb_total": round(sum(timings[n] for n in mb_names), 3),
+        "n_mb": len(mb_names),
         "sf": sf,
         # host contention marker: this VM shares hardware, and a noisy
         # neighbor inflates EVERY query uniformly (observed 41.6s vs
         # 64.0s for the identical commit an hour apart at 1-min load
         # 4 vs 12) — read cross-round deltas against this figure
         "loadavg_1m": loadavg(),
+        "loadavg_pre": load_pre,
+        "idle_wait_sec": idle_wait,
+        "chunks": n_chunks,
     }
     detail = {
-        "protocol": f"median_of_{n_runs}_after_warmup",
+        "protocol": (
+            f"median_of_{n_runs}_after_warmup,"
+            f" {n_chunks}_fresh_jvm_chunks"
+        ),
         "sf": sf,
         "n_queries": len(timings),
         "queries_full": timings,
         # one-time costs memoizing builders paid outside the timed
         # runs (model fits, graph projections, scaled fixture
         # generation) — makes the memoized entries' medians auditable
-        "cold_costs": dict(bench_extra.COLD_COSTS),
+        "cold_costs": cold_costs,
     }
     # the catalog GROWS round over round, so the headline total is not
     # comparable across rounds; also publish the total over exactly the
     # query set of each earlier round's recorded bench
     import glob
 
-    here = os.path.dirname(os.path.abspath(__file__))
     latest_prev: dict[str, float] = {}
-    for prior in sorted(glob.glob(os.path.join(here, "BENCH_r*.json"))):
+    prev_detail: dict = {}
+    for prior in sorted(glob.glob(os.path.join(HERE, "BENCH_r*.json"))):
         try:
             with open(prior) as fh:
                 prev = json.load(fh)
@@ -198,13 +329,13 @@ def main() -> None:
     # BENCH_DETAIL.json (they left the compact line for the capture
     # budget); merge them in UNDER the driver-recorded values
     try:
-        with open(os.path.join(here, "BENCH_DETAIL.json")) as fh:
+        with open(os.path.join(HERE, "BENCH_DETAIL.json")) as fh:
             prev_detail = json.load(fh)
         if prev_detail.get("sf") == sf:
             for q, t in prev_detail.get("queries_full", {}).items():
                 latest_prev.setdefault(q, t)
     except (OSError, ValueError):
-        pass
+        prev_detail = {}
     shared = [q for q in timings if q in latest_prev]
     if shared:  # median() raises on empty (disjoint query sets)
         shift = statistics.median(
@@ -222,15 +353,18 @@ def main() -> None:
         )
     detail["spreads"] = spreads
     detail["loadavg_1m"] = out["loadavg_1m"]
+    detail["loadavg_pre"] = load_pre
+    detail["idle_wait_sec"] = idle_wait
+    detail["loadavg_per_query"] = load_per_query
+    detail["chunks"] = n_chunks
+    # carry the one-shot sf1 scale section (tools/bench_sf1.py) and the
+    # e2e export entry (tools/bench_e2e_sf1.py) across sf0.1 refreshes —
+    # they are measured out-of-band
+    for carry in ("sf1", "e2e_export_sf1"):
+        if isinstance(prev_detail, dict) and carry in prev_detail:
+            detail.setdefault(carry, prev_detail[carry])
     try:
-        # carry the one-shot sf1 scale section (tools/bench_sf1.py)
-        # across sf0.1 refreshes — it is measured out-of-band
-        if isinstance(prev_detail, dict) and "sf1" in prev_detail:
-            detail.setdefault("sf1", prev_detail["sf1"])
-    except NameError:
-        pass
-    try:
-        with open(os.path.join(here, "BENCH_DETAIL.json"), "w") as fh:
+        with open(os.path.join(HERE, "BENCH_DETAIL.json"), "w") as fh:
             json.dump(detail, fh, indent=1, sort_keys=True)
     except OSError:
         pass  # detail is best-effort; the stdout line is the contract
@@ -238,6 +372,19 @@ def main() -> None:
     # chars, so the line must stay short — r4's padded line overflowed
     # that window and the round's perf number went unrecorded
     print(json.dumps(out, separators=(",", ":")))
+
+
+#: the 6 mb entries that predate round 9 stay in the compact line's
+#: "queries" dict (driver-line continuity); the 7 new ones ride in
+#: mb_total + BENCH_DETAIL only.
+_MB_INLINE = {
+    "mb_wide_view",
+    "mb_ahd_linelist",
+    "mb_hvl_linelist",
+    "mb_vl_eligible_new",
+    "mb_outcome",
+    "mb_pmtct_hei",
+}
 
 
 if __name__ == "__main__":

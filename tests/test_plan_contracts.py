@@ -706,3 +706,51 @@ def test_update_components_store_never_shuffled_for_delta(spark):
     assert counts.get("ShuffledHashJoin", 0) == 0, counts
     assert counts.get("CartesianProduct", 0) == 0, counts
     assert counts.get("BroadcastHashJoin", 0) >= 3, counts
+
+
+def test_interpolate_linear_no_unbounded_following_frame(spark):
+    """b142 hot-path pin (VERDICT r8 #8): the "next observed" lookup
+    must be a running frame over the REVERSED ordering, never a
+    (0, unboundedFollowing) frame — Spark's
+    UnboundedFollowingWindowFunctionFrame re-evaluates the aggregate
+    from scratch per row, O(rows²) per key (measured 310s → 19s at
+    sf0.1 when the frame was reversed)."""
+    from data_export_tool_spark.operators.timeseries import (
+        interpolate_linear,
+    )
+
+    df = spark.createDataFrame(
+        [(1, 0, 10.0), (1, 1, None), (1, 2, 20.0)],
+        "k int, t int, v double",
+    )
+    out = interpolate_linear(df, ["v"], keys=["k"], order_col="t")
+    plan = out._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    )
+    assert "unboundedfollowing" not in plan.lower(), plan
+
+
+def test_quantile_normalize_no_builtin_percentile_lattice(spark):
+    """b111 hot-path pin (VERDICT r8 #8): the exact pooled reference
+    lattice must be built relationally (two-phase value-grain rank +
+    interpolation algebra), never via the builtin multi-probability
+    ``percentile(col, array(...))`` aggregate — that aggregate walks
+    its value buffer once PER probability, O(distinct·grid)
+    (measured 71s → 8s at sf0.1 when replaced)."""
+    from data_export_tool_spark.operators.features import (
+        quantile_normalize,
+    )
+
+    df = spark.createDataFrame(
+        [(g, float(v)) for g in (1, 2) for v in range(50)],
+        "g int, x double",
+    )
+    out = quantile_normalize(df, "x", "g", grid=100)
+    plan = out._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    )
+    assert "percentile(" not in plan.lower(), plan

@@ -80,7 +80,9 @@ def test_lsh_recall_vs_brute_force(split):
 def test_ivf_recall_vs_brute_force(split):
     queries, corpus = split
     exact = _topk_sets(brute_force_topk(corpus, queries, k=10))
-    approx = _topk_sets(ivf_topk(corpus, queries, k=10, n_centroids=8, n_probe=4))
+    # operator default n_probe (5/8 cells since VERDICT r8 #7: 4/8
+    # measured 0.68, below the persisted tier's 0.7 bar)
+    approx = _topk_sets(ivf_topk(corpus, queries, k=10, n_centroids=8))
     recalls = [
         len(exact[q] & approx.get(q, set())) / len(exact[q]) for q in exact
     ]
@@ -89,10 +91,11 @@ def test_ivf_recall_vs_brute_force(split):
 
     record_opcheck(
         "ann_recall_ivf_top10", sum(len(s) for s in exact.values()),
-        recall >= 0.6, oracle="brute-force-topk", value=recall, floor=0.6,
+        recall >= 0.65, oracle="brute-force-topk", value=recall, floor=0.65,
     )
-    # floor = r6 measured 0.68 minus tolerance
-    assert recall >= 0.6
+    # floor = measured-at-n_probe=5 minus regeneration tolerance
+    # (VERDICT r8 #7: target value >= 0.7, floor 0.65)
+    assert recall >= 0.65
 
 
 def test_near_dup_default_is_subset_of_exact(emb):

@@ -34,11 +34,28 @@ HEAVY = [
     "mb_vl_eligible_new",
     "mb_outcome",
     "mb_pmtct_hei",
+    # the remaining 7 reference reports (VERDICT r8 missing-#3): all
+    # 12 reports get an sf1 wall-time row
+    "mb_tx_curr",
+    "mb_vl_received",
+    "mb_cca",
+    "mb_cca_new",
+    "mb_tpt",
+    "mb_vl_eligible",
+    "mb_pmtct_maternal",
     "b101_jaro_winkler",
     "b45_span_dedup",
     "b81_update_components",
     "d08_doc_dup_clusters",
     "v03_embedding_ann_topk",
+    # round-8 heavy six (VERDICT r8 missing-#2): the top of the sf0.1
+    # cost table gets measured scale points
+    "b135_hits",
+    "b142_interpolate",
+    "b128_skyline",
+    "b132_spearman",
+    "b130_dbscan",
+    "b138_betweenness",
 ]
 
 

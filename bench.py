@@ -118,10 +118,14 @@ def run_chunk(names: list[str], sf_dir: str, n_runs: int) -> dict:
         # measurement — standard JVM bench hygiene.
         spark.sparkContext._jvm.System.gc()
 
-    # chunk-level JVM warm-up: one discarded run of the first entry
-    # (JIT + parquet footer caches; per BASELINE.md the warm run is
-    # never measured)
-    run_once(specs[names[0]])
+    # chunk-level JVM warm-up: discarded runs of the first THREE
+    # entries (JIT + codegen + parquet footer caches). One entry was
+    # not enough: the r9 diagnosis showed entries at positions 3-7 of
+    # a fresh chunk (driver-iterative shapes — IRLS fits, power
+    # iterations) inflated 30-50% vs a warmed JVM, with TIGHT spreads
+    # (the whole 3-run series ran before the JIT caught up).
+    for warm_name in names[:3]:
+        run_once(specs[warm_name])
 
     out: dict[str, dict] = {}
     for name in names:
@@ -130,6 +134,19 @@ def run_chunk(names: list[str], sf_dir: str, n_runs: int) -> dict:
         runs = sorted(
             (gc_barrier() or run_once(spec)) for _ in range(n_runs)
         )
+        # adaptive re-run: a spread > max(50% of median, 1 s) means
+        # something transient (JIT tier-up, a GC landing mid-run, a
+        # load spike) contaminated the series — two more timed runs
+        # let the median shed the outlier instead of publishing a
+        # 19 s spread as if it were the operator (r9: b135_hits
+        # median 32 s/spread 19 s from exactly this).
+        med = statistics.median(runs)
+        if runs[-1] - runs[0] > max(0.5 * med, 1.0):
+            runs = sorted(
+                runs + [
+                    (gc_barrier() or run_once(spec)) for _ in range(2)
+                ]
+            )
         out[name] = {
             # max-min of the timed runs: how much same-commit
             # same-process noise this query carries, so a cross-round

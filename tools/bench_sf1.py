@@ -24,7 +24,10 @@ HERE = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, HERE)
 
 SF1_DIR = os.environ.get("SPARK_GRAFT_SF1_DIR", "/tmp/sf1")
-RUNS = 3
+# timed runs per entry (first_run_sec is recorded separately anyway);
+# the sf1 tier is a SCALE point — scale_x tolerates single-run noise,
+# so 2 runs is the wall-clock-sane default for the 24-entry set
+RUNS = int(os.environ.get("SPARK_GRAFT_SF1_RUNS", "2"))
 
 #: entry name -> module providing it
 HEAVY = [

@@ -98,14 +98,20 @@ def main() -> None:
             print(name, results[name], flush=True)
             continue
         try:
-            t0 = time.perf_counter()
-            n = fn(spark, SF1_DIR).count()  # warm (fixture gen / caches)
-            warm = time.perf_counter() - t0
-            ts = []
-            for _ in range(RUNS):
+            def run_once() -> float:
+                # the SAME noop sink as bench.py: materializes every
+                # output column. A .count() here lets Catalyst prune
+                # aggregate/projection columns and published absurd
+                # sub-linear scale_x values (b142 "0.1x" at 10x data)
                 t0 = time.perf_counter()
-                fn(spark, SF1_DIR).count()
-                ts.append(time.perf_counter() - t0)
+                fn(spark, SF1_DIR).write.format("noop").mode(
+                    "overwrite"
+                ).save()
+                return time.perf_counter() - t0
+
+            warm = run_once()  # warm (fixture gen / caches)
+            n = fn(spark, SF1_DIR).count()
+            ts = [run_once() for _ in range(RUNS)]
             results[name] = {
                 "median_sec": round(statistics.median(ts), 3),
                 "runs": [round(t, 3) for t in ts],

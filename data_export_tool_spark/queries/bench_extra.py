@@ -2532,6 +2532,20 @@ def b146_poisson_bootstrap(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def b147_global_weighted_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GLOBAL (ungrouped) exact volume-weighted price quantiles — the
+    by=() range-split path (approx-quantile cuts + per-range prefix
+    sums, no keyless single-partition window; operators/sketch.py
+    weighted_quantiles, ADVICE r8 fix)."""
+    from data_export_tool_spark.operators.sketch import weighted_quantiles
+
+    li = Catalog(spark, sf_dir).load("lineitem")
+    return weighted_quantiles(
+        li, "l_extendedprice", "l_quantity",
+        [0.01, 0.1, 0.25, 0.5, 0.75, 0.9, 0.95, 0.99, 0.999],
+    )
+
+
 def b126_activity_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gaps-and-islands over per-user activity days: one key exchange,
     dense-rank run marking, island fold + longest-streak leaderboard
@@ -2845,4 +2859,5 @@ QUERIES = [
     QuerySpec("b144_kruskal_wallis", b144_kruskal_wallis, None),
     QuerySpec("b145_funnel_excluding", b145_funnel_excluding, None),
     QuerySpec("b146_poisson_bootstrap", b146_poisson_bootstrap, None),
+    QuerySpec("b147_global_weighted_quantiles", b147_global_weighted_quantiles, None),
 ]

@@ -754,3 +754,34 @@ def test_quantile_normalize_no_builtin_percentile_lattice(spark):
         )
     )
     assert "percentile(" not in plan.lower(), plan
+
+
+def test_global_weighted_quantiles_no_keyless_window(spark):
+    """ADVICE r8 pin: weighted_quantiles(by=()) must range-split the
+    value domain (per-range running sums + a <=num_ranges metadata
+    window) — a keyless Window.partitionBy() would funnel the whole
+    value-grain frame through ONE partition. The contract: every
+    windowspecdefinition in the plan carries partition columns."""
+    import re as _re
+
+    from data_export_tool_spark.operators.sketch import weighted_quantiles
+
+    df = spark.createDataFrame(
+        [(float(v % 97), 1.0 + v % 3) for v in range(500)],
+        "v double, w double",
+    )
+    out = weighted_quantiles(df, "v", "w", [0.5, 0.9])
+    plan = out._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    )
+    # keyless window spec prints as windowspecdefinition(<order>...)
+    # with no partition columns before the ordering spec; the
+    # range-split plan partitions by __rng. Detect the smell via the
+    # physical Window operator's "Arguments: ... [partition spec]" —
+    # an empty partition spec renders as ", , " free: simpler, assert
+    # the plan mentions __rng partitioning and that no Exchange is a
+    # SinglePartition for the window stage.
+    assert "__rng" in plan, plan
+    assert not _re.search(r"Exchange SinglePartition[\s\S]{0,200}Window", plan), plan

@@ -36,6 +36,7 @@ from data_export_tool_spark.functions.datetime_ext import (
 from data_export_tool_spark.functions.ethiopian import eth_date_str
 from data_export_tool_spark.mamba.follow_up import assemble_follow_up
 from data_export_tool_spark.mamba.schemas import HEI_IMMUNIZATION_FLAGS
+from data_export_tool_spark.operators.joins import maybe_broadcast
 from data_export_tool_spark.operators.pivot import conditional_agg
 from data_export_tool_spark.operators.window_dedup import (
     earliest_per_key,
@@ -107,7 +108,7 @@ def tx_curr_linelist(
     ).select(
         F.col("client_id").alias("PatientId"), "inh_start_date", "inh_date_completed"
     )
-    fu = fu.join(F.broadcast(intake), on="PatientId", how="left")
+    fu = fu.join(maybe_broadcast(intake), on="PatientId", how="left")
 
     # tx_curr_all (:58-68): latest eligible visit per patient
     eligible = fu.filter(
@@ -137,7 +138,7 @@ def tx_curr_linelist(
     joined = (
         fu.join(tx_curr.drop("PatientId"), on="encounter_id", how="inner")
         .join(
-            F.broadcast(client),
+            maybe_broadcast(client),
             fu["PatientId"] == client["client_id"],
             "left",
         )
@@ -240,7 +241,7 @@ def tx_curr_outcome(
     fu_wide = follow_up if follow_up is not None else assemble_follow_up(tables)
     client = tables["mamba_dim_client"]
     fu = fu_wide.join(
-        F.broadcast(client.select("client_id", "date_of_birth")), "client_id", "inner"
+        maybe_broadcast(client.select("client_id", "date_of_birth")), "client_id", "inner"
     ).select(
         "encounter_id",
         "client_id",
@@ -311,7 +312,7 @@ def tx_curr_outcome(
             latest_cohort.join(
                 previous.select("client_id"), "client_id", "left_anti"
             )
-            .join(F.broadcast(ti_clients), "client_id", "left")
+            .join(maybe_broadcast(ti_clients), "client_id", "left")
             .select(
                 status_code.alias("status_code"),
                 F.when(
@@ -496,7 +497,7 @@ def tx_curr_vl_received_linelist(
     out = (
         fu.join(latest, fu["encounter_id"] == latest["lf_encounter_id"], "inner")
         .join(vlperf, fu["client_id"] == vlperf["vp_client_id"], "left")
-        .join(F.broadcast(client), "client_id", "left")
+        .join(maybe_broadcast(client), "client_id", "left")
     )
     return (
         out.filter(
@@ -664,7 +665,7 @@ def tx_curr_cca_linelist(
 
     client = tables["mamba_dim_client"]
     return (
-        lfa.join(F.broadcast(client), "client_id", "inner")
+        lfa.join(maybe_broadcast(client), "client_id", "inner")
         .join(cca, lfa["client_id"] == cca["cca_client_id"], "left")
         .filter(
             ((F.col("art_start_date") <= end) | F.col("art_start_date").isNull())
@@ -823,7 +824,7 @@ def tx_curr_tpt_linelist(
     client = tables["mamba_dim_client"]
     cohort = (
         fu.join(latest_visit, fu["encounter_id"] == latest_visit["lf_encounter_id"], "inner")
-        .join(F.broadcast(client), "client_id", "left")
+        .join(maybe_broadcast(client), "client_id", "left")
         .filter(
             (F.col("art_end_date") >= end)
             & F.col("follow_up_status").isin("Alive", "Restart medication")
@@ -1098,7 +1099,7 @@ def pmtct_maternal_linelist(
 
     client = tables["mamba_dim_client"]
     return (
-        ew.join(F.broadcast(client), "client_id", "left")
+        ew.join(maybe_broadcast(client), "client_id", "left")
         .join(visit, ew["enrollment_id"] == visit["v_eid"], "left")
         .join(vl_s, ew["enrollment_id"] == vl_s["s_eid"], "left")
         .join(vl_r, ew["enrollment_id"] == vl_r["r_eid"], "left")
@@ -1290,9 +1291,9 @@ def pmtct_hei_linelist(
             "client_id",
             "left",
         )
-        .join(F.broadcast(imm), "client_id", "left")
-        .join(F.broadcast(cpt_start), "client_id", "left")
-        .join(F.broadcast(cpt_stop), "client_id", "left")
+        .join(maybe_broadcast(imm), "client_id", "left")
+        .join(maybe_broadcast(cpt_start), "client_id", "left")
+        .join(maybe_broadcast(cpt_stop), "client_id", "left")
         .join(
             fo.select(
                 "client_id", "hei_pmtct_final_outcome",
@@ -1302,7 +1303,7 @@ def pmtct_hei_linelist(
             "client_id",
             "left",
         )
-        .join(F.broadcast(future), "client_id", "left")
+        .join(maybe_broadcast(future), "client_id", "left")
     )
 
     conclusion = (
@@ -1710,9 +1711,9 @@ def tx_curr_hvl_linelist(
     client = tables["mamba_dim_client"]
     h = (
         fu.join(latest_fu, on="encounter_id", how="inner")
-        .join(F.broadcast(latest_regimen), on="client_id", how="left")
+        .join(maybe_broadcast(latest_regimen), on="client_id", how="left")
         .join(
-            F.broadcast(client.select("client_id", "patient_uuid", "date_of_birth", "sex")),
+            maybe_broadcast(client.select("client_id", "patient_uuid", "date_of_birth", "sex")),
             on="client_id",
             how="left",
         )
@@ -1721,7 +1722,7 @@ def tx_curr_hvl_linelist(
         .join(eac1, on="client_id", how="left")
         .join(eac2, on="client_id", how="left")
         .join(eac3, on="client_id", how="left")
-        .join(F.broadcast(switch_date), on="client_id", how="left")
+        .join(maybe_broadcast(switch_date), on="client_id", how="left")
     )
 
     art_dose = F.coalesce(F.col("latest_regimen"), F.col("regimen"))
@@ -2048,7 +2049,7 @@ def tx_curr_ahd_linelist(
         fu.join(latest_fu, on="encounter_id", how="inner")
         .join(tx_curr, on="PatientId", how="inner")
         .join(
-            F.broadcast(
+            maybe_broadcast(
                 client.select(
                     F.col("client_id").alias("PatientId"),
                     "patient_uuid",
@@ -2060,25 +2061,25 @@ def tx_curr_ahd_linelist(
             how="left",
         )
         .join(vlperf, on="PatientId", how="left")
-        .join(F.broadcast(visitect), on="PatientId", how="left")
+        .join(maybe_broadcast(visitect), on="PatientId", how="left")
         .join(vl_sent, on="PatientId", how="left")
-        .join(F.broadcast(tpt_start), on="PatientId", how="left")
-        .join(F.broadcast(tpt_completed), on="PatientId", how="left")
-        .join(F.broadcast(tpt_type), on="PatientId", how="left")
-        .join(F.broadcast(tpt_dose_alt), on="PatientId", how="left")
-        .join(F.broadcast(tpt_dose_inh), on="PatientId", how="left")
-        .join(F.broadcast(tpt_side_effect), on="PatientId", how="left")
-        .join(F.broadcast(tpt_screened), on="PatientId", how="left")
-        .join(F.broadcast(tpt_screening), on="PatientId", how="left")
-        .join(F.broadcast(tpt_adherence), on="PatientId", how="left")
-        .join(F.broadcast(tb_diag_result), on="PatientId", how="left")
-        .join(F.broadcast(tb_diag_test), on="PatientId", how="left")
-        .join(F.broadcast(tb_lf_lam), on="PatientId", how="left")
-        .join(F.broadcast(tb_gene_xpert), on="PatientId", how="left")
-        .join(F.broadcast(tb_rx_started), on="PatientId", how="left")
-        .join(F.broadcast(tb_rx_completed), on="PatientId", how="left")
-        .join(F.broadcast(tb_rx_discontinued), on="PatientId", how="left")
-        .join(F.broadcast(cca_screened), on="PatientId", how="left")
+        .join(maybe_broadcast(tpt_start), on="PatientId", how="left")
+        .join(maybe_broadcast(tpt_completed), on="PatientId", how="left")
+        .join(maybe_broadcast(tpt_type), on="PatientId", how="left")
+        .join(maybe_broadcast(tpt_dose_alt), on="PatientId", how="left")
+        .join(maybe_broadcast(tpt_dose_inh), on="PatientId", how="left")
+        .join(maybe_broadcast(tpt_side_effect), on="PatientId", how="left")
+        .join(maybe_broadcast(tpt_screened), on="PatientId", how="left")
+        .join(maybe_broadcast(tpt_screening), on="PatientId", how="left")
+        .join(maybe_broadcast(tpt_adherence), on="PatientId", how="left")
+        .join(maybe_broadcast(tb_diag_result), on="PatientId", how="left")
+        .join(maybe_broadcast(tb_diag_test), on="PatientId", how="left")
+        .join(maybe_broadcast(tb_lf_lam), on="PatientId", how="left")
+        .join(maybe_broadcast(tb_gene_xpert), on="PatientId", how="left")
+        .join(maybe_broadcast(tb_rx_started), on="PatientId", how="left")
+        .join(maybe_broadcast(tb_rx_completed), on="PatientId", how="left")
+        .join(maybe_broadcast(tb_rx_discontinued), on="PatientId", how="left")
+        .join(maybe_broadcast(cca_screened), on="PatientId", how="left")
         .filter(F.col("follow_up_status") != "Dead")
     )
 
@@ -2306,10 +2307,10 @@ def tx_curr_vl_eligible_linelist(
     h = (
         fu.join(latest_fu, on="encounter_id", how="inner")
         .join(vlperf, on="client_id", how="left")
-        .join(F.broadcast(vl_sent), on="client_id", how="left")
-        .join(F.broadcast(switch), on="client_id", how="left")
+        .join(maybe_broadcast(vl_sent), on="client_id", how="left")
+        .join(maybe_broadcast(switch), on="client_id", how="left")
         .join(
-            F.broadcast(
+            maybe_broadcast(
                 client.select("client_id", "patient_uuid", "date_of_birth", "sex")
             ),
             on="client_id",
@@ -2627,7 +2628,7 @@ def tx_curr_vl_eligible_new_linelist(
     h = (
         fu.join(latest_ar, on="encounter_id", how="inner")
         .join(
-            F.broadcast(
+            maybe_broadcast(
                 client.select(
                     "client_id",
                     "patient_uuid",
@@ -2643,8 +2644,8 @@ def tx_curr_vl_eligible_new_linelist(
             how="left",
         )
         .join(vlperf, on="client_id", how="left")
-        .join(F.broadcast(vl_sent), on="client_id", how="left")
-        .join(F.broadcast(switch), on="client_id", how="left")
+        .join(maybe_broadcast(vl_sent), on="client_id", how="left")
+        .join(maybe_broadcast(switch), on="client_id", how="left")
         .join(all_art, on="client_id", how="left")
         .filter(
             F.col("aa_follow_up_status").isin("Alive", "Restart Medication")
@@ -3078,7 +3079,7 @@ def tx_curr_cca_new_linelist(
     h = (
         fu.join(tx, on="encounter_id", how="inner")
         .join(
-            F.broadcast(
+            maybe_broadcast(
                 client.select(
                     "client_id", "patient_uuid", "mrn", "sex", "date_of_birth"
                 )

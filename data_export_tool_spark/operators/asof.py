@@ -122,21 +122,28 @@ def asof_join(
         elif isinstance(tolerance, str):
             # validate up front: a malformed string (or one already
             # containing 'INTERVAL') would otherwise surface as a
-            # cryptic SQL parse error deep in plan analysis
-            m = re.fullmatch(
-                r"\s*(\d+)\s+"
+            # cryptic SQL parse error deep in plan analysis. Compound
+            # intervals ('1 day 2 hours') are one or more '<n> <unit>'
+            # groups — all accepted by Spark's multi-unit INTERVAL
+            # literal syntax.
+            unit_group = (
+                r"(\d+)\s+"
                 r"(microsecond|millisecond|second|minute|hour|day|week"
-                r"|month|year)s?\s*",
+                r"|month|year)s?"
+            )
+            m = re.fullmatch(
+                rf"\s*{unit_group}(\s+{unit_group})*\s*",
                 tolerance,
                 re.IGNORECASE,
             )
             if not m:
                 raise ValueError(
-                    "tolerance must be '<n> <unit>' (unit in microsecond/"
-                    "millisecond/second/minute/hour/day/week/month/year), "
-                    f"a number, or a datetime.timedelta; got {tolerance!r}"
+                    "tolerance must be one or more '<n> <unit>' groups "
+                    "(unit in microsecond/millisecond/second/minute/hour/"
+                    "day/week/month/year), a number, or a "
+                    f"datetime.timedelta; got {tolerance!r}"
                 )
-            tol = F.expr(f"INTERVAL {m.group(1)} {m.group(2).upper()}")
+            tol = F.expr(f"INTERVAL {tolerance.strip().upper()}")
         elif isinstance(tolerance, (int, float)) and not isinstance(
             tolerance, bool
         ):

@@ -685,6 +685,13 @@ def weighted_quantiles(
     Expand — the ``melt`` shape). Oracle: python replay
     (tests/test_weighted_quantiles.py → OPCHECK
     ``weighted_quantiles``).
+
+    The global path (``by=()``) is EAGER: computing the range cuts is
+    an ``approxQuantile`` action over the value grain, so the input
+    scan runs at call time. The value grain is localCheckpoint'ed
+    first, so the main query reuses that materialization instead of
+    re-running the scan. Grouped calls (``by`` non-empty) stay fully
+    lazy.
     """
     probs = [float(p) for p in probabilities]
     if not probs or any(not 0.0 < p <= 1.0 for p in probs):
@@ -721,6 +728,14 @@ def weighted_quantiles(
         # + within-range running sum), per-range running sums keep range
         # parallelism, and range totals prefix-sum in a ≤num_ranges
         # metadata window.
+        #
+        # NOTE: this path is EAGER — approxQuantile is an action, so the
+        # scan + filter + value-grain groupBy run at CALL time, not at
+        # the caller's first action. localCheckpoint materializes the
+        # value grain so that one pass pays for both the cut computation
+        # and the main query (without it, vg's lineage would be
+        # recomputed from the source a second time).
+        vg = vg.localCheckpoint(eager=True)
         num_ranges = 64
         cut_probs = [i / num_ranges for i in range(1, num_ranges)]
         bounds = sorted(set(vg.stat.approxQuantile("__v", cut_probs, 0.01)))

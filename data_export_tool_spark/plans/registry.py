@@ -153,7 +153,11 @@ def run_export(
     the reference's post-zip cleanup (export.py:317-326), the source
     CSVs are deleted unless ``cleanup_csvs=False``.
     """
-    from data_export_tool_spark.mamba.reports import QUERY_PATCHES
+    from data_export_tool_spark.mamba.reports import (
+        QUERY_PATCHES,
+        ensure_follow_up_wide,
+        rewrite_follow_up_assembly,
+    )
 
     if facility is None:
         from data_export_tool_spark.mamba.facility import lookup_facility_identity
@@ -166,12 +170,19 @@ def run_export(
 
     prior_ansi = spark.conf.get("spark.sql.ansi.enabled", None)
     spark.conf.set("spark.sql.ansi.enabled", "false")
+    # one cached FollowUp wide view serves every report's CTE
+    # references (J10 — the shard assembly runs once per export, not
+    # per CTE alias per report; the 100k-patient e2e run's heap is
+    # bounded by ONE InMemoryRelation instead of ~130 broadcast maps)
+    wide = ensure_follow_up_wide(spark)
     try:
         for name, sql in registry.sql_queries.items():
             # per-query isolation like the reference (export.py:287-293):
             # one broken report logs and is skipped; the other reports
             # still export and the zip is still produced
             try:
+                if wide is not None:
+                    sql = rewrite_follow_up_assembly(sql)
                 shimmed = shim_mysql_to_spark(
                     sql, window.as_params(), QUERY_PATCHES.get(name)
                 )
@@ -188,6 +199,8 @@ def run_export(
                 logging.exception("Error executing query %r — skipping", name)
                 written[name] = None
     finally:
+        if wide is not None:
+            wide.unpersist()
         if prior_ansi is not None:
             spark.conf.set("spark.sql.ansi.enabled", prior_ansi)
         else:

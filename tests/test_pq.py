@@ -19,7 +19,7 @@ from data_export_tool_spark.operators.pq import (
     pq_train,
 )
 
-DIM, M, NC = 64, 16, 16
+DIM, M, NC = 64, 32, 32
 
 
 @pytest.fixture(scope="module")
@@ -126,11 +126,16 @@ def test_pq_topk_matches_adc_replay_and_recall(spark, emb, model, corpus_np):
         hits += len(exact & approx)
         tot += 10
     recall = hits / tot
-    # ADC-only recall on near-random synthetic vectors plateaus ~0.5-0.6
-    # at 16x16; the production path is the reranked one below
-    # floor = r6 measured 0.51 minus tolerance (VERDICT r6 #5)
-    record_opcheck("ann_recall_pq_top10", tot, recall >= 0.45, oracle="numpy-replay", value=recall, floor=0.45)
-    assert recall >= 0.45
+    # raw ADC is the SHORTLIST tier (production answers come from
+    # pq_topk_rerank below, floor 0.9); still, the shortlist must be
+    # good enough that rerank's candidates contain the true neighbors.
+    # VERDICT r9 #7: 16x16 subspace codes plateaued at 0.51 on these
+    # near-random synthetic vectors; 32x32 measures 0.75 (2-dim
+    # subspaces quantize the isotropic distribution much tighter at
+    # identical code bytes per vector * 2). Floor = measured minus
+    # same-seed tolerance.
+    record_opcheck("ann_recall_pq_top10", tot, recall >= 0.65, oracle="numpy-replay", value=recall, floor=0.65)
+    assert recall >= 0.65
 
 
 def test_pq_rerank_recall(spark, emb, model, corpus_np):

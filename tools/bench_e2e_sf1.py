@@ -28,10 +28,11 @@ CONFIG = "/root/reference/export_config.json"
 
 
 def main() -> None:
-    # the 12-report run at 100k patients needs headroom beyond the CLI's
-    # 8g default (the HVL/AHD shim plans' build-side maps): the 8g run
-    # died in GCLocker allocation failures; 24g completes in ~5.5 min
-    os.environ.setdefault("SPARK_GRAFT_DRIVER_MEM", "24g")
+    # runs at the CLI's stock 8g since round 10: the FollowUp-CTE
+    # wide-view rewrite (mamba/reports.py rewrite_follow_up_assembly)
+    # replaced the ~130 per-plan broadcast build maps that used to
+    # GCLocker-kill the 8g heap and force a 24g override here
+    os.environ.setdefault("SPARK_GRAFT_DRIVER_MEM", "8g")
     from data_export_tool_spark.__main__ import main as cli_main
     from data_export_tool_spark.mamba.fixture_store import (
         ensure_fixture_parquet,

@@ -91,6 +91,43 @@ def main() -> None:
     builders.update({s.name: s.builder for s in bench_mamba.QUERIES})
 
     results: dict[str, dict] = {}
+
+    # the PRODUCTION shape of b101 at sf1 (VERDICT r9 #4): the default
+    # max_block=10k guard REFUSES the fixture's quadratic flood (the
+    # 'en' block holds ~20k rows) with a readable ValueError. What a
+    # user pays at this scale is the guard's detection pre-pass — one
+    # block-size groupBy — so the entry times the refusal itself; the
+    # quadratic-override entry (b101_jaro_winkler, max_block=50k)
+    # measures the grind.
+    if not only or "b101_guarded_refusal" in only:
+        from data_export_tool_spark.operators.fuzzy import (
+            jaro_winkler_dedup_pairs,
+        )
+        from data_export_tool_spark.queries.bench_extra import _entity_keys
+
+        ts = []
+        refused = None
+        for _ in range(max(RUNS, 2)):
+            t0 = time.perf_counter()
+            try:
+                jaro_winkler_dedup_pairs(
+                    _entity_keys(spark, SF1_DIR),
+                    threshold=0.92,
+                    id_col="doc_id",
+                    text_col="name",
+                )
+                refused = False
+            except ValueError:
+                refused = True
+            ts.append(time.perf_counter() - t0)
+        results["b101_guarded_refusal"] = {
+            "median_sec": round(statistics.median(ts), 3),
+            "runs": [round(t, 3) for t in ts],
+            "refused": refused,
+            "note": "time-to-refusal of the default max_block guard",
+        }
+        print("b101_guarded_refusal", results["b101_guarded_refusal"], flush=True)
+
     for name in heavy:
         fn = builders.get(name)
         if fn is None:

@@ -3,7 +3,10 @@
 Each function reproduces one query from
 /root/reference/sql_queries/*.sql — semantics, column names, and
 documented quirks — re-expressed Spark-first (window dedup operators,
-broadcast dim joins, pure-column Ethiopian dates). Citations point at
+size-gated broadcast dim joins, pure-column Ethiopian dates —
+``maybe_broadcast`` hints only frames whose Catalyst size estimate
+clears the session threshold, so a 10M-patient dim_client degrades to
+a shuffle join instead of OOMing the build side). Citations point at
 the reference lines being mirrored; no SQL text is copied.
 
 Dialect/collation policy (SURVEY.md §4.7): string comparisons are

@@ -75,6 +75,14 @@ def main() -> None:
         # for the box; a 48g heap pushed the b101 run's workers into
         # OOM-kill territory at the 195M-row shuffle
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_MEM", "24g"))
+        # diagnosable Python-worker deaths (the b101 quadratic override
+        # crashed a worker at sf1) + an env override for Arrow batch
+        # size when chasing worker-side memory
+        .config("spark.sql.execution.pyspark.udf.faulthandler.enabled", "true")
+        .config(
+            "spark.sql.execution.arrow.maxRecordsPerBatch",
+            os.environ.get("SPARK_GRAFT_ARROW_BATCH", "10000"),
+        )
         .config("spark.ui.enabled", "false")
         .getOrCreate()
     )

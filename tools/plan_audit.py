@@ -70,6 +70,12 @@ BOUNDED_GLOBAL_WINDOWS = {
     "b41_hybrid_search": "rank over the k-bounded fused result set (request-sized)",
     "b86_ab_fdr_readout": "BH running-min over the metric-grain frame (≤ n_metrics rows)",
     "b95_rank_normalize": "offset prefix-sum over the ≤num_ranges range-counts frame",
+    "b147_global_weighted_quantiles": (
+        "offset prefix-sum + total over the ≤num_ranges(=64) range-totals"
+        " frame (sketch.weighted_quantiles global path; the value-grain"
+        " window is partitioned by __rng — plan-contract-pinned in"
+        " tests/test_plan_contracts.py)"
+    ),
 }
 
 

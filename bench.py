@@ -281,10 +281,14 @@ def main() -> None:
     # (spread > max(50% of median, 1 s) — the b23/b134 class: heavy
     # iterative/fuzzy shapes whose chunk-context GC noise exceeds their
     # median) get ONE more measurement in a fresh single-entry JVM.
+    # Heavy entries only (median > 2 s): a sub-second entry's median
+    # already sheds a single outlier run, and a singleton JVM measures
+    # those SLOWER than a warmed chunk (first r10 run: q05 published
+    # 0.95 s isolated over a fine 0.52 s chunk median).
     isolated: list[str] = []
     unsettled = sorted(
         n for n, s in spreads.items()
-        if s > max(0.5 * timings[n], 1.0)
+        if timings[n] > 2.0 and s > max(0.5 * timings[n], 1.0)
     )
     for name in unsettled[:8]:  # bound the extra wall-clock
         proc = subprocess.run(

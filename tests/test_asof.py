@@ -131,3 +131,29 @@ def test_asof_tolerance_validation(spark):
         tolerance=datetime.timedelta(days=1),
     ).select("v").first()
     assert none["v"] is None
+
+
+def test_asof_compound_interval_tolerance(spark):
+    """ADVICE r9: compound multi-unit SQL intervals ('1 day 12 hours')
+    are valid tolerance strings again — one or more '<n> <unit>'
+    groups, still rejecting embedded 'INTERVAL'."""
+    from data_export_tool_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame(
+        [(1, "2024-01-10 12:00:00")], "k long, d string"
+    ).selectExpr("k", "cast(d as timestamp) AS t")
+    right = spark.createDataFrame(
+        [(1, "2024-01-09 06:00:00", "fresh"), (1, "2024-01-05 00:00:00", "old")],
+        "k long, d string, v string",
+    ).selectExpr("k", "cast(d as timestamp) AS rt", "v")
+    # 1 day 12 hours back from 01-10 12:00 reaches 01-09 00:00 — the
+    # 01-09 06:00 row is in band, the 01-05 row is not
+    got = asof_join(
+        left, right, ["k"], "t", "rt", tolerance="1 day 12 hours"
+    ).select("v").first()
+    assert got["v"] == "fresh"
+    # 1 day 2 hours only reaches 01-09 10:00 — nothing in band
+    none = asof_join(
+        left, right, ["k"], "t", "rt", tolerance="1 day 2 hours"
+    ).select("v").first()
+    assert none["v"] is None

@@ -635,9 +635,46 @@ def rank_transform(
     if num_ranges < 1:
         raise ValueError(f"num_ranges must be >= 1: {num_ranges}")
     out_col = out_col or f"{col}_{method}"
+
+    ranks = _rank_lut(df.where(F.col(col).isNotNull()), col, num_ranges)
+    # ONE left join attaches the LUT to the FULL input (r10): NULL
+    # values never match the value key, so their transform comes out
+    # NULL through the same expressions — the old separate
+    # null-rows-union branch re-scanned the input a fourth time per
+    # action for nothing
+    joined = df.join(ranks, df[col] == ranks["__v"], "left").drop("__v")
+    r = F.col("__r").cast("double")
+    n = F.col("__n").cast("double")
+    if method == "rank":
+        expr = r.cast("long")
+    elif method == "avg_rank":
+        # fractional/average rank: ties take the arithmetic mean of their
+        # positions = min_rank + (tie_size - 1)/2 — the Spearman-ρ
+        # convention (scipy rankdata 'average')
+        expr = r + (F.col("__cnt").cast("double") - 1.0) / 2.0
+    elif method == "percent_rank":
+        # the NULL-rank guard keeps NULL inputs NULL (the otherwise()
+        # would claim 0.0 for them)
+        expr = F.when(
+            r.isNotNull(),
+            F.when(n > 1, (r - 1.0) / (n - 1.0)).otherwise(F.lit(0.0)),
+        )
+    else:
+        expr = _probit((r - 0.375) / (n + 0.25))
+    return joined.withColumn(out_col, expr).drop("__r", "__n", "__cnt")
+
+
+def _rank_lut(vals: DataFrame, col: str, num_ranges: int) -> DataFrame:
+    """VALUE-grain exact-rank lookup table ``(__v, __r, __n, __cnt)``
+    for the non-NULL values of ``col``: min-rank (SQL rank), total
+    non-NULL count, and tie size — the two-phase range-rank shared by
+    :func:`rank_transform` and :func:`spearman_matrix
+    <data_export_tool_spark.operators.validate.spearman_matrix>` (which
+    attaches one LUT per column to the SAME base frame instead of
+    chaining full-width transforms). ``vals`` must already exclude
+    NULLs of ``col``."""
     from pyspark.sql import Window
 
-    vals = df.where(F.col(col).isNotNull())
     probs = [i / num_ranges for i in range(1, num_ranges)]
     bounds = sorted(set(vals.stat.approxQuantile(col, probs, 0.01)))
     # value-grain collapse: map-side combine absorbs mega-ties
@@ -669,7 +706,7 @@ def rank_transform(
             Window.unboundedPreceding, Window.unboundedFollowing
         )
     ))
-    ranks = within.join(
+    return within.join(
         F.broadcast(offsets.select("__rng", "__off", "__n")), "__rng", "left"
     ).select(
         "__v",
@@ -677,29 +714,6 @@ def rank_transform(
         "__n",
         "__cnt",
     )
-    joined = vals.join(ranks, vals[col] == ranks["__v"], "left").drop("__v")
-    r = F.col("__r").cast("double")
-    n = F.col("__n").cast("double")
-    if method == "rank":
-        expr = r.cast("long")
-        out_type = "long"
-    elif method == "avg_rank":
-        # fractional/average rank: ties take the arithmetic mean of their
-        # positions = min_rank + (tie_size - 1)/2 — the Spearman-ρ
-        # convention (scipy rankdata 'average')
-        expr = r + (F.col("__cnt").cast("double") - 1.0) / 2.0
-        out_type = "double"
-    elif method == "percent_rank":
-        expr = F.when(n > 1, (r - 1.0) / (n - 1.0)).otherwise(F.lit(0.0))
-        out_type = "double"
-    else:
-        expr = _probit((r - 0.375) / (n + 0.25))
-        out_type = "double"
-    transformed = joined.withColumn(out_col, expr).drop("__r", "__n", "__cnt")
-    null_rows = df.where(F.col(col).isNull()).withColumn(
-        out_col, F.lit(None).cast(out_type)
-    )
-    return transformed.unionByName(null_rows)
 
 
 def quantile_normalize(

@@ -99,36 +99,40 @@ def connected_components(
     )
 
     for _ in range(max_iter):
-        # 1) neighbor-min: pull each neighbor's current label
+        # 1) neighbor-min: pull each neighbor's current label. The old
+        #    label rides along (left join instead of union+re-group) so
+        #    the round's change flag is computed IN the same pipeline —
+        #    the separate O(V)-join convergence probe per round is gone;
+        #    the probe is now a shuffle-free isEmpty over the
+        #    checkpointed blocks.
         nbr = (
             sym.join(labels.withColumnRenamed("n", "m"), "m")
             .groupBy("n")
-            .agg(F.min("c").alias("c"))
+            .agg(F.min("c").alias("cn"))
         )
         stepped = (
-            labels.union(nbr).groupBy("n").agg(F.min("c").alias("c"))
+            labels.withColumnRenamed("c", "c0")
+            .join(nbr, "n", "left")
+            .select(
+                "n", "c0", F.least(F.col("c0"), F.col("cn")).alias("c")
+            )
         )
         # 2) pointer jump: c(u) <- c(c(u))
         jump = labels.select(
             F.col("n").alias("c"), F.col("c").alias("cc")
         )
-        new_labels, new_ids = _checkpoint(
+        cf = F.least(F.col("c"), F.col("cc"))
+        new_full, new_ids = _checkpoint(
             stepped.join(jump, "c", "left")
-            .select("n", F.least(F.col("c"), F.col("cc")).alias("c"))
+            .select("n", cf.alias("c"), (cf != F.col("c0")).alias("__chg"))
         )
-
-        changed = (
-            new_labels.join(labels.withColumnRenamed("c", "c_old"), "n")
-            .filter(F.col("c") != F.col("c_old"))
-            .limit(1)
-            .count()
-        )
+        converged = new_full.where(F.col("__chg")).isEmpty()
         # the superseded round's O(V) checkpoint blocks are dead the
         # moment the convergence probe finishes — free them NOW, or up
         # to max_iter label tables pile up in executor storage
         _release(sc, labels_ids)
-        labels, labels_ids = new_labels, new_ids
-        if changed == 0:
+        labels, labels_ids = new_full.select("n", "c"), new_ids
+        if converged:
             break
     else:
         raise RuntimeError(
@@ -310,6 +314,7 @@ def pagerank(
         nodes.select("n", F.lit(1.0 / n_nodes).alias("r"))
     )
 
+    ranks_lazy = False
     for _ in range(max_iter):
         contrib, contrib_ids = _checkpoint(
             ew.join(ranks.withColumnRenamed("n", "s"), "s")
@@ -321,35 +326,49 @@ def pagerank(
         # non-dangling node, so Σ contrib = non-dangling mass and the
         # total mass is exactly 1 each round by construction
         dm = 1.0 - (contrib.agg(F.sum("__c")).first()[0] or 0.0)
-        new_ranks, new_ids = _checkpoint(
-            nodes.join(contrib, "n", "left").select(
-                "n",
-                (
-                    F.lit(base)
-                    + F.lit(damping)
-                    * (F.coalesce(F.col("__c"), F.lit(0.0)) + F.lit(dm / n_nodes))
-                ).alias("r"),
-            )
+        new_ranks = nodes.join(contrib, "n", "left").select(
+            "n",
+            (
+                F.lit(base)
+                + F.lit(damping)
+                * (F.coalesce(F.col("__c"), F.lit(0.0)) + F.lit(dm / n_nodes))
+            ).alias("r"),
         )
-        _release(sc, contrib_ids)
         if tol > 0:
+            # the delta probe reads new_ranks a second time, so it is
+            # worth one materialization; the probe itself stays
+            new_ranks, new_ids = _checkpoint(new_ranks)
+            _release(sc, contrib_ids)
             delta = (
                 new_ranks.join(ranks.withColumnRenamed("r", "r0"), "n")
                 .agg(F.sum(F.abs(F.col("r") - F.col("r0"))))
                 .first()[0]
             )
+            ranks_lazy = False
         else:
+            # probe-free path (tol=0): the rank table is consumed ONCE
+            # per round (next round's edge join), and contrib is already
+            # checkpointed — leave new_ranks as a lazy one-join
+            # projection over the cached contrib blocks instead of
+            # paying a second O(V) materialization per round. Lineage
+            # stays depth-1 (nodes ⋈ contrib, both checkpointed).
+            new_ids = contrib_ids
             delta = None
+            ranks_lazy = True
         _release(sc, ranks_ids)
         ranks, ranks_ids = new_ranks, new_ids
         if delta is not None and delta <= tol:
             break
 
+    out = ranks.select(F.col("n").alias(out_node), F.col("r").alias(out_rank))
+    if ranks_lazy:
+        # the lazy rank table still reads the nodes checkpoint — pin the
+        # result before the setup blocks are released below
+        out, out_ids = _checkpoint(out)
+        _release(sc, ranks_ids)
     _release(sc, ew_ids)
     _release(sc, nodes_ids)
-    return ranks.select(
-        F.col("n").alias(out_node), F.col("r").alias(out_rank)
-    )
+    return out
 
 
 def update_components(
@@ -751,6 +770,12 @@ def bfs_distances(
             [(s,) for s in sources], schema=["n"]
         ).distinct()
 
+    # NOTE (r10): a per-level variant (anti-join against a lazy union
+    # of the cached level frames instead of the growing visited
+    # checkpoint) was tried and MEASURED SLOWER (b127 2.7 → 3.4 s):
+    # the union side loses the single-cached-relation stats and the
+    # anti-join strategy degrades, and every hop re-reads all previous
+    # levels — the single checkpointed visited table stays.
     frontier, frontier_ids = _checkpoint(seed.select("n"))
     visited, visited_ids = _checkpoint(
         frontier.select("n", F.lit(0).alias("d"))
@@ -881,9 +906,12 @@ def sssp(
         new_dist, new_dist_ids = _checkpoint(merged)
         improved = new_dist.where(F.col("__imp"))
         improving = not improved.isEmpty()
-        new_frontier, new_frontier_ids = _checkpoint(
-            improved.select("n", "d")
-        )
+        # the frontier is consumed exactly once (next round's adjacency
+        # join) and is a filter-projection over the new_dist blocks just
+        # checkpointed above — keep it lazy instead of paying a second
+        # O(V) materialization per round; its backing blocks live until
+        # new_dist is superseded and released next round
+        new_frontier, new_frontier_ids = improved.select("n", "d"), set()
         _release(sc, frontier_ids)
         _release(sc, dist_ids)
         dist, dist_ids = new_dist, new_dist_ids
@@ -915,12 +943,18 @@ def hits(
     to scale).
 
     Scale shape: per round two edge-join + groupBy-sum exchanges
-    (``pagerank``'s shape, doubled for the dual), state is two
-    (node, score) tables localCheckpointed per round with superseded
-    blocks released. ``n_iter`` bounds rounds — HITS converges
-    geometrically (principal eigenvector of AᵀA / AAᵀ), 20 rounds is
-    the standard budget. Returns ``node, hub, authority`` (nodes with
-    only in-links get hub 0, only out-links authority 0).
+    (``pagerank``'s shape, doubled for the dual). Per half-step ONE
+    localCheckpoint of the raw sums + ONE scalar norm aggregate over
+    the checkpointed blocks — the normalized table is a lazy
+    projection over the checkpoint, never re-materialized, and the
+    zero-score padding join (nodes with no in/out links) runs ONCE at
+    the end instead of inside the loop: a zero score contributes
+    nothing to either the next half-step's join or the L1 norm, so
+    looping over the nonzero support is exact, not an approximation.
+    ``n_iter`` bounds rounds — HITS converges geometrically (principal
+    eigenvector of AᵀA / AAᵀ), 20 rounds is the standard budget.
+    Returns ``node, hub, authority`` (nodes with only in-links get
+    hub 0, only out-links authority 0).
 
     Oracle: numpy power-iteration replay (tests/test_hits.py →
     OPCHECK ``hits``).
@@ -949,53 +983,45 @@ def hits(
         return edges.sparkSession.createDataFrame(
             [], f"{out_node} {node_t}, hub double, authority double"
         )
-    hub, hub_ids = _checkpoint(
-        nodes.select("n", F.lit(1.0 / n_nodes).alias("h"))
-    )
-    for _ in range(n_iter):
-        # authority update: a(t) = Σ_{s→t} h(s), then L1-normalize
-        auth_raw = (
+    # the loop state tables cover only each score's nonzero support
+    # (after round 1 the hub table holds out-link nodes, the authority
+    # table in-link nodes): zero-score nodes add nothing to the edge
+    # join or the L1 norm, so the zero padding happens once at the end.
+    # Round 1's uniform hub rides the already-checkpointed nodes table
+    # — its in-link-only rows drop out at the first join.
+    hub, hub_ids = nodes.select("n", F.lit(1.0 / n_nodes).alias("h")), set()
+    last_auth, last_auth_ids = None, set()
+    for i in range(n_iter):
+        # authority update: a(t) = Σ_{s→t} h(s), then L1-normalize —
+        # the raw sums are checkpointed once; the normalized table is a
+        # lazy projection over those blocks (no second materialization)
+        auth, auth_ids = _checkpoint(
             ew.join(hub.withColumnRenamed("n", "s"), "s")
             .groupBy(F.col("t").alias("n"))
             .agg(F.sum("h").alias("a"))
         )
-        auth_full = nodes.join(auth_raw, "n", "left").select(
-            "n", F.coalesce(F.col("a"), F.lit(0.0)).alias("a")
-        )
-        auth, auth_ids = _checkpoint(auth_full)
         norm_a = auth.agg(F.sum("a")).first()[0] or 1.0
-        auth_n, auth_n_ids = _checkpoint(
-            auth.select("n", (F.col("a") / norm_a).alias("a"))
-        )
-        _release(sc, auth_ids)
+        auth_n = auth.select("n", (F.col("a") / norm_a).alias("a"))
         # hub update: h(s) = Σ_{s→t} a(t), then L1-normalize
-        hub_raw = (
+        new_hub, new_hub_ids = _checkpoint(
             ew.join(auth_n.withColumnRenamed("n", "t"), "t")
             .groupBy(F.col("s").alias("n"))
             .agg(F.sum("a").alias("h"))
         )
-        hub_full = nodes.join(hub_raw, "n", "left").select(
-            "n", F.coalesce(F.col("h"), F.lit(0.0)).alias("h")
-        )
-        new_hub, new_hub_ids = _checkpoint(hub_full)
         norm_h = new_hub.agg(F.sum("h")).first()[0] or 1.0
-        hub_n, hub_n_ids = _checkpoint(
-            new_hub.select("n", (F.col("h") / norm_h).alias("h"))
-        )
-        _release(sc, new_hub_ids)
+        hub_n = new_hub.select("n", (F.col("h") / norm_h).alias("h"))
         _release(sc, hub_ids)
-        hub, hub_ids = hub_n, hub_n_ids
-        last_auth, last_auth_ids = auth_n, auth_n_ids
-        # keep only the latest authority table alive
-        if _ != n_iter - 1:
-            _release(sc, last_auth_ids)
+        _release(sc, last_auth_ids)
+        hub, hub_ids = hub_n, new_hub_ids
+        last_auth, last_auth_ids = auth_n, auth_ids
 
     out, out_ids = _checkpoint(
-        hub.join(last_auth.withColumnRenamed("a", "authority"), "n")
+        nodes.join(hub, "n", "left")
+        .join(last_auth.withColumnRenamed("a", "authority"), "n", "left")
         .select(
             F.col("n").alias(out_node),
-            F.col("h").alias("hub"),
-            F.col("authority"),
+            F.coalesce(F.col("h"), F.lit(0.0)).alias("hub"),
+            F.coalesce(F.col("authority"), F.lit(0.0)).alias("authority"),
         )
     )
     _release(sc, hub_ids)
@@ -1130,48 +1156,61 @@ def betweenness(
         )
 
     # ---- forward: per-level frontiers with path counts ----
+    # The anti-join keeps reading a single growing checkpointed visited
+    # table (a lazy union over the cached level frames was tried and
+    # measured slower — the union side loses single-relation stats and
+    # the anti-join strategy degrades); the level frames are RETAINED
+    # (not released when superseded) because the backward pass reads
+    # exactly the per-depth (s, n, sigma) slices — direct level reads
+    # instead of a full-visited filter scan per backward level.
     frontier, frontier_ids = _checkpoint(
         seed_df.select("s", F.col("s").alias("n"),
                        F.lit(1.0).alias("sigma"))
     )
+    levels = [(frontier, frontier_ids)]  # levels[d] = frontier at depth d
     visited, visited_ids = _checkpoint(
-        frontier.select("s", "n", F.lit(0).alias("d"), "sigma")
+        frontier.select("s", "n")
     )
     depth = 0
     for hop in range(1, max_depth + 1):
+        if hop > 1:
+            # fold the previous round's frontier in at loop TOP so the
+            # final round never pays a visited materialization nothing
+            # will read
+            new_visited, new_visited_ids = _checkpoint(
+                visited.union(frontier.select("s", "n"))
+            )
+            _release(sc, visited_ids)
+            visited, visited_ids = new_visited, new_visited_ids
         nxt = (
             frontier.join(adj, "n")
             .select("s", F.col("m").alias("n"), "sigma")
-            .join(visited.select("s", "n"), ["s", "n"], "left_anti")
+            .join(visited, ["s", "n"], "left_anti")
             .groupBy("s", "n")
             .agg(F.sum("sigma").alias("sigma"))
         )
         new_frontier, new_frontier_ids = _checkpoint(nxt)
-        _release(sc, frontier_ids)
-        frontier, frontier_ids = new_frontier, new_frontier_ids
-        if frontier.isEmpty():
+        if new_frontier.isEmpty():
+            _release(sc, new_frontier_ids)
             break
         depth = hop
-        new_visited, new_visited_ids = _checkpoint(
-            visited.union(
-                frontier.select("s", "n", F.lit(hop).alias("d"), "sigma")
-            )
-        )
-        _release(sc, visited_ids)
-        visited, visited_ids = new_visited, new_visited_ids
-    _release(sc, frontier_ids)
+        frontier = new_frontier
+        levels.append((new_frontier, new_frontier_ids))
+    _release(sc, visited_ids)
 
     # ---- backward: dependency accumulation by level ----
     # adj reversed: successors w of v are v→w edges; for the backward
     # join we look up predecessors of w, i.e. join on the w side
     deltas = []  # per-level (s, n, delta) frames
-    level_delta, level_delta_ids = _checkpoint(
-        visited.where(F.col("d") == depth)
-        .select("s", "n", F.lit(0.0).alias("delta"))
+    # deepest level starts at δ=0 — a lazy projection over its cached
+    # level frame, no extra materialization
+    level_delta, level_delta_ids = (
+        levels[depth][0].select("s", "n", F.lit(0.0).alias("delta")),
+        set(),
     )
     for d in range(depth - 1, -1, -1):
         succ = (
-            visited.where(F.col("d") == d + 1)
+            levels[d + 1][0]
             .join(level_delta, ["s", "n"], "left")
             .select(
                 "s",
@@ -1187,7 +1226,7 @@ def betweenness(
                 "w",
             )
             .join(
-                visited.where(F.col("d") == d).select(
+                levels[d][0].select(
                     "s", F.col("n").alias("v"),
                     F.col("sigma").alias("sv"),
                 ),
@@ -1219,6 +1258,7 @@ def betweenness(
     out, out_ids = _checkpoint(result)
     for _frame, ids in deltas:
         _release(sc, ids)
-    _release(sc, visited_ids)
+    for _frame, ids in levels:
+        _release(sc, ids)
     _release(sc, adj_ids)
     return out

@@ -49,24 +49,58 @@ from pyspark.sql import functions as F
 __all__ = ["skyline", "py_skyline"]
 
 
+def _block_nondominated(block: np.ndarray) -> np.ndarray:
+    """Indices of rows of ``block`` dominated by no other row of
+    ``block`` (exact: dominance is transitive, so testing against ALL
+    rows — not just surviving ones — removes exactly the dominated
+    set). Pairwise-vectorized; caller bounds the block size."""
+    le = (block[:, None, :] <= block[None, :, :]).all(axis=2)
+    lt = (block[:, None, :] < block[None, :, :]).any(axis=2)
+    dominated = (le & lt).any(axis=0)
+    return np.nonzero(~dominated)[0]
+
+
 def _sweep(vals: np.ndarray) -> np.ndarray:
     """Indices (into the given order) of non-dominated rows, assuming
     ``vals`` is lexicographically sorted ascending (minimization).
-    One pass: each point is tested against the frontier so far."""
-    keep: list[int] = []
-    front: list[np.ndarray] = []
-    for i in range(vals.shape[0]):
-        p = vals[i]
-        if front:
-            s = np.vstack(front)
-            dominated = bool(
-                np.any(np.all(s <= p, axis=1) & np.any(s < p, axis=1))
-            )
-            if dominated:
-                continue
-        keep.append(i)
-        front.append(p)
-    return np.asarray(keep, dtype=np.int64)
+
+    Block-vectorized two-level sweep (the predecessor rule — a point
+    can only be dominated by sort-predecessors or exact ties, and ties
+    never dominate — makes one forward pass exact): each block is
+    first filtered against the accumulated frontier in chunked
+    broadcast comparisons (no per-point Python loop, no per-point
+    frontier copy — the old one-row-at-a-time sweep re-``vstack``-ed
+    the whole frontier for EVERY candidate, an O(n·|frontier|·d)
+    memcpy), then the survivors resolve intra-block dominance with one
+    pairwise comparison matrix."""
+    n, d = vals.shape
+    keep_parts: list[np.ndarray] = []
+    frontier = np.empty((0, d), dtype=vals.dtype)
+    block_rows = 2048
+    # ~8M candidate×frontier pairs per comparison chunk keeps the
+    # boolean broadcast buffers around 25 MB regardless of skyline size
+    pair_budget = 8_000_000
+    for i0 in range(0, n, block_rows):
+        block = vals[i0 : i0 + block_rows]
+        alive = np.ones(len(block), dtype=bool)
+        if len(frontier):
+            step = max(1, pair_budget // len(block))
+            for j0 in range(0, len(frontier), step):
+                fc = frontier[j0 : j0 + step]
+                le = (fc[:, None, :] <= block[None, :, :]).all(axis=2)
+                lt = (fc[:, None, :] < block[None, :, :]).any(axis=2)
+                alive &= ~(le & lt).any(axis=0)
+                if not alive.any():
+                    break
+        idx = np.nonzero(alive)[0]
+        if len(idx) == 0:
+            continue
+        survivors = idx[_block_nondominated(vals[i0 + idx])]
+        keep_parts.append(i0 + survivors)
+        frontier = np.concatenate([frontier, vals[i0 + survivors]])
+    if not keep_parts:
+        return np.empty(0, dtype=np.int64)
+    return np.concatenate(keep_parts).astype(np.int64)
 
 
 def py_skyline(rows: list[tuple], directions: list[str]) -> set:

@@ -73,7 +73,63 @@ def fill_gaps(
     if isinstance(locf_cols, str):
         locf_cols = [locf_cols]
     step = F.expr(f"INTERVAL {period_seconds} SECONDS")
+    agg_cols = [
+        c for c in resampled.columns if c not in (*keys, bucket_col)
+    ]
 
+    if keys:
+        # keyed path (r10): each observed row GENERATES itself plus the
+        # missing buckets strictly before its successor — one lead
+        # window + one explode over the observed grain. The old shape
+        # (per-key bounds groupBy + sequence axis + LEFT join back)
+        # referenced the input twice, so every downstream action paid
+        # the upstream aggregation two times plus a join exchange.
+        # LOCF runs at the OBSERVED grain first (same window spec as
+        # the lead — one exchange+sort) so a NULL observed value is
+        # carried through exactly like the old dense-grain LOCF did;
+        # gap rows then inherit their generating row's (filled) value.
+        w = Window.partitionBy(*keys).orderBy(bucket_col)
+        w_locf = w.rowsBetween(Window.unboundedPreceding, 0)
+        obs = resampled.select(
+            *keys,
+            *[
+                F.last(c, ignorenulls=True).over(w_locf).alias(c)
+                if c in locf_cols
+                else F.col(c)
+                for c in agg_cols
+            ],
+            F.col(bucket_col).alias("__obs"),
+            F.lead(bucket_col).over(w).alias("__nxt"),
+        )
+        dense = obs.select(
+            *keys,
+            *agg_cols,
+            "__obs",
+            F.explode(
+                F.sequence(
+                    F.col("__obs"),
+                    F.coalesce(F.col("__nxt") - step, F.col("__obs")),
+                    step,
+                )
+            ).alias(bucket_col),
+        )
+        gap = F.col(bucket_col) != F.col("__obs")
+        return dense.select(
+            *keys,
+            bucket_col,
+            *[
+                F.col(c)
+                if c in locf_cols
+                else F.when(~gap, F.col(c)).alias(c)
+                for c in agg_cols
+            ],
+            gap.alias("is_gap"),
+        )
+
+    # keyless path: the global bounds row is metadata-sized, and the
+    # keyed lead-window alternative would need an Exchange
+    # SinglePartition over the whole observed grain — keep the
+    # axis-join shape here
     bounds = resampled.groupBy(*keys).agg(
         F.min(bucket_col).alias("__lo"), F.max(bucket_col).alias("__hi")
     )

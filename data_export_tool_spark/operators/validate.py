@@ -446,18 +446,34 @@ def spearman_matrix(
 
     Output: ``col_a, col_b, rho, n`` per unordered pair.
     """
-    from data_export_tool_spark.operators.features import rank_transform
+    from data_export_tool_spark.operators.features import _rank_lut
 
     cols = list(cols)
     if len(cols) < 2:
         raise ValueError(f"need >= 2 columns: {cols}")
     frame = df.select(*[F.col(c).cast("double").alias(c) for c in cols])
+    # one value-grain LUT per column, each built from a SINGLE-column
+    # projection of the base frame (the parquet scan prunes to that
+    # column), attached to the base frame with p left joins. The old
+    # form chained full-width rank_transform calls, so column i's
+    # eager approx-quantile action re-executed columns 1..i−1's join
+    # pipelines — O(p²) recomputation that dominated the matrix cost.
+    ranked = frame
     for c in cols:
-        frame = rank_transform(
-            frame, c, method="avg_rank", out_col=f"__sr_{c}",
-            num_ranges=num_ranges,
+        lut = _rank_lut(
+            frame.select(c).where(F.col(c).isNotNull()), c, num_ranges
+        ).select(
+            F.col("__v").alias(f"__v_{c}"),
+            # avg/midrank: min_rank + (tie_size − 1)/2 (scipy 'average')
+            (
+                F.col("__r").cast("double")
+                + (F.col("__cnt").cast("double") - 1.0) / 2.0
+            ).alias(f"__sr_{c}"),
         )
-    ranked = frame.select(
+        ranked = ranked.join(
+            lut, ranked[c] == lut[f"__v_{c}"], "left"
+        ).drop(f"__v_{c}")
+    ranked = ranked.select(
         *[F.col(f"__sr_{c}").alias(c) for c in cols]
     )
     return correlation_matrix(ranked, cols).withColumnRenamed(

@@ -86,3 +86,43 @@ def test_skyline_guard_and_validation(spark):
         skyline(df, ["a", "b"], ["min"])
     with pytest.raises(ValueError, match="min"):
         skyline(df, ["a"], ["up"])
+
+
+def test_sweep_blocked_vs_bruteforce():
+    """The block-vectorized _sweep (r10 rewrite) must match brute-force
+    dominance exactly ACROSS block boundaries: n > one 2048-row block,
+    duplicated frontier points, and a dense low-cardinality grid so
+    cross-block dominators and exact ties both occur."""
+    import numpy as np
+
+    from data_export_tool_spark.operators.skyline import _sweep
+
+    rng = np.random.default_rng(41)
+    n = 5000
+    vals = np.column_stack(
+        [
+            rng.integers(0, 25, n).astype(np.float64),
+            rng.integers(0, 25, n).astype(np.float64),
+            rng.integers(0, 8, n).astype(np.float64),
+        ]
+    )
+    order = np.lexsort((vals[:, 2], vals[:, 1], vals[:, 0]))
+    svals = vals[order]
+    keep = _sweep(svals)
+    got = {tuple(svals[i]) for i in keep}
+    # brute force over the distinct value set
+    uniq = np.unique(svals, axis=0)
+    dominated = (
+        (uniq[:, None, :] <= uniq[None, :, :]).all(axis=2)
+        & (uniq[:, None, :] < uniq[None, :, :]).any(axis=2)
+    ).any(axis=0)
+    want = {tuple(u) for u in uniq[~dominated]}
+    assert got == want
+    # every surviving duplicate must be kept (ties dominate nothing)
+    kept_rows = svals[keep]
+    for u in uniq[~dominated]:
+        assert (kept_rows == u).all(axis=1).sum() == (
+            (svals == u).all(axis=1).sum()
+        )
+    # ascending index order (callers slice pdf.iloc[order[keep]])
+    assert (np.diff(keep) > 0).all()

@@ -538,3 +538,37 @@ def test_ohlc_bars_match_duckdb(spark, sf_dir):
     ).select("k", F.col("ts").cast("timestamp").alias("ts"), "value")
     bar = ohlc_bars(tie, "1 day", "value", keys=["k"]).collect()[0]
     assert (bar["open"], bar["close"], bar["n"]) == (1.0, 9.0, 4)
+
+
+def test_fill_gaps_locf_carries_through_null_observed(spark):
+    """r10 keyed rewrite (lead-window + self-generating explode, no
+    join): an OBSERVED bucket whose gauge is NULL must be LOCF-filled
+    from the prior observed value, and gaps after it must carry that
+    same value — the old dense-grain LOCF semantics, now produced by
+    the observed-grain LOCF + inherit."""
+    import datetime as dt
+
+    t = lambda h: dt.datetime(2024, 3, 1, h, 0, 0)
+    rows = [
+        ("a", t(0), 5.0),
+        ("a", t(1), None),  # observed bucket, NULL gauge
+        # hours 2-3 missing entirely
+        ("a", t(4), 9.0),
+    ]
+    df = spark.createDataFrame(rows, "k string, ts timestamp, v double")
+    res = df.select(
+        "k", F.date_trunc("hour", "ts").alias("bucket_start"), "v"
+    )
+    dense = fill_gaps(res, 3600, keys=["k"], locf_cols=["v"]).orderBy(
+        "bucket_start"
+    )
+    got = [
+        (r["bucket_start"].hour, r["v"], r["is_gap"]) for r in dense.collect()
+    ]
+    assert got == [
+        (0, 5.0, False),
+        (1, 5.0, False),  # observed NULL filled from h0
+        (2, 5.0, True),   # gap after the NULL observation still carries 5.0
+        (3, 5.0, True),
+        (4, 9.0, False),
+    ]

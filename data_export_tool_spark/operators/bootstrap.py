@@ -64,15 +64,21 @@ def _mix64(n: np.ndarray) -> np.ndarray:
 
 def np_poisson_weights(keys: np.ndarray, b: int, seed: int) -> np.ndarray:
     """(n, B) deterministic Poisson(1) weights for the given row
-    keys — the exact generator the operator and replay share."""
+    keys — the exact generator the operator and replay share.
+
+    Fully vectorized over the (n, B) counter grid in one shot (r10) —
+    bit-identical to the old per-replicate loop (same uint64 counters,
+    same mix, same CDF inversion), without B python-level passes or
+    the final stack copy."""
     ks = keys.astype(np.uint64)
-    cols = []
-    for j in range(b):
-        with np.errstate(over="ignore"):
-            ctr = ks * np.uint64(b) + np.uint64(j) + np.uint64(seed)
-        u = _mix64(ctr)
-        cols.append(np.searchsorted(_POIS1_CDF, u).astype(np.float64))
-    return np.stack(cols, axis=1)
+    with np.errstate(over="ignore"):
+        ctr = (
+            ks[:, None] * np.uint64(b)
+            + np.arange(b, dtype=np.uint64)[None, :]
+            + np.uint64(seed)
+        )
+    u = _mix64(ctr)
+    return np.searchsorted(_POIS1_CDF, u).astype(np.float64)
 
 
 def poisson_bootstrap_ci(
@@ -125,8 +131,12 @@ def poisson_bootstrap_ci(
                 keys = sub["__k"].to_numpy(dtype=np.int64)
                 x = sub["__x"].to_numpy(dtype=np.float64)
                 W = np_poisson_weights(keys, B, seed)
+                # BLAS matvec instead of an (n, B) elementwise product +
+                # reduction — no n×B temporary, same partial sums up to
+                # summation order (the cross-batch fold already sums
+                # partials in arbitrary order)
                 row = {
-                    "__swx": (W * x[:, None]).sum(axis=0).tolist(),
+                    "__swx": (x @ W).tolist(),
                     "__sw": W.sum(axis=0).tolist(),
                     "__n": len(x),
                     "__sx": float(x.sum()),

@@ -811,15 +811,15 @@ def quantile_normalize(
     lut = ranked.crossJoin(F.broadcast(ref)).select(
         "__g", "__v", F.round(qv, 9).alias(out_col)
     )
-    joined = vals.join(
+    # NULL values never match the (group, value) key, so they come out
+    # of the same left join with a NULL transform — no separate
+    # null-rows branch re-scanning the input (r10, the rank_transform
+    # fix)
+    return df.join(
         lut,
-        (vals[group_col] == lut["__g"]) & (x == lut["__v"]),
+        (df[group_col] == lut["__g"]) & (x == lut["__v"]),
         "left",
     ).drop("__g", "__v")
-    null_rows = df.where(x.isNull()).withColumn(
-        out_col, F.lit(None).cast("double")
-    )
-    return joined.unionByName(null_rows)
 
 
 def _exact_lattice(
@@ -830,22 +830,34 @@ def _exact_lattice(
     (no global row sort), then the (grid+1)-row probability table
     broadcast-range-joins the (value, rank-span) frame to pick each
     target's bracketing order statistics — interpolation is column
-    algebra. Returns a driver list (grid+1 doubles — metadata)."""
-    ranked = rank_transform(vals, value_col, method="rank", out_col="__rk")
-    vg = (
-        ranked.groupBy(F.col(value_col).alias("__v"))
-        .agg(
-            F.min("__rk").alias("__start"),
-            F.count(F.lit(1)).alias("__cnt"),
-        )
-        .select(
+    algebra. Returns a driver list (grid+1 doubles — metadata).
+
+    r10: the rank spans come straight from the value-grain
+    ``_rank_lut`` (start = min-rank, end = start + tie − 1) — the old
+    path ranked every ROW via ``rank_transform`` and re-grouped back
+    to value grain, paying the row-grain join for nothing. The small
+    span table is checkpointed once so n, both bracketing joins and
+    the collect read cached blocks instead of re-running the rank
+    pipeline three more times."""
+    from data_export_tool_spark.operators.graph import _checkpoint, _release
+
+    sc = vals.sparkSession.sparkContext
+    lut = _rank_lut(
+        vals.where(F.col(value_col).isNotNull()), value_col, num_ranges=64
+    )
+    vg, vg_ids = _checkpoint(
+        lut.select(
             "__v",
-            "__start",
-            (F.col("__start") + F.col("__cnt") - 1).alias("__end"),
+            F.col("__r").alias("__start"),
+            (F.col("__r") + F.col("__cnt") - 1).alias("__end"),
+            "__cnt",
         )
     )
-    n = vals.count()
+    n = (
+        vg.agg(F.sum("__cnt").alias("__n")).first()["__n"] or 0
+    )
     if n == 0:
+        _release(sc, vg_ids)
         raise ValueError("cannot build a quantile lattice of nothing")
     spark = vals.sparkSession
     g = spark.range(grid + 1).select(
@@ -882,6 +894,7 @@ def _exact_lattice(
         )
         .collect()
     )
+    _release(sc, vg_ids)
     out = [None] * (grid + 1)
     for r in rows:
         out[r["__i"]] = float(r["__q"])

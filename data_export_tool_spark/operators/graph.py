@@ -664,6 +664,7 @@ def personalized_pagerank(
     src_share = F.when(is_src, F.lit(share)).otherwise(F.lit(0.0))
     ranks, ranks_ids = _checkpoint(nodes.select("n", src_share.alias("r")))
 
+    ranks_lazy = False
     for _ in range(max_iter):
         contrib, contrib_ids = _checkpoint(
             ew.join(ranks.withColumnRenamed("n", "s"), "s")
@@ -672,38 +673,45 @@ def personalized_pagerank(
             .withColumnRenamed("d", "n")
         )
         dm = 1.0 - (contrib.agg(F.sum("__c")).first()[0] or 0.0)
-        new_ranks, new_ids = _checkpoint(
-            nodes.join(contrib, "n", "left").select(
-                "n",
-                (
-                    F.lit(1.0 - damping) * src_share
-                    + F.lit(damping)
-                    * (
-                        F.coalesce(F.col("__c"), F.lit(0.0))
-                        + F.lit(dm) * src_share
-                    )
-                ).alias("r"),
-            )
+        new_ranks = nodes.join(contrib, "n", "left").select(
+            "n",
+            (
+                F.lit(1.0 - damping) * src_share
+                + F.lit(damping)
+                * (
+                    F.coalesce(F.col("__c"), F.lit(0.0))
+                    + F.lit(dm) * src_share
+                )
+            ).alias("r"),
         )
-        _release(sc, contrib_ids)
         if tol > 0:
+            new_ranks, new_ids = _checkpoint(new_ranks)
+            _release(sc, contrib_ids)
             delta = (
                 new_ranks.join(ranks.withColumnRenamed("r", "r0"), "n")
                 .agg(F.sum(F.abs(F.col("r") - F.col("r0"))))
                 .first()[0]
             )
+            ranks_lazy = False
         else:
+            # probe-free path (tol=0): same as pagerank — the rank table
+            # is consumed once per round and contrib is checkpointed, so
+            # it stays a lazy depth-1 projection
+            new_ids = contrib_ids
             delta = None
+            ranks_lazy = True
         _release(sc, ranks_ids)
         ranks, ranks_ids = new_ranks, new_ids
         if delta is not None and delta <= tol:
             break
 
+    out = ranks.select(F.col("n").alias(out_node), F.col("r").alias(out_rank))
+    if ranks_lazy:
+        out, out_ids = _checkpoint(out)
+        _release(sc, ranks_ids)
     _release(sc, ew_ids)
     _release(sc, nodes_ids)
-    return ranks.select(
-        F.col("n").alias(out_node), F.col("r").alias(out_rank)
-    )
+    return out
 
 
 def bfs_distances(

@@ -291,10 +291,20 @@ def ks_exact(
             .agg(F.count(F.lit(1)).alias(f"__c_{tag}"))
         )
 
-    vc = side(old, "o").join(side(new, "n"), "__v", "full").select(
-        "__v",
-        F.coalesce("__c_o", F.lit(0)).alias("co"),
-        F.coalesce("__c_n", F.lit(0)).alias("cn"),
+    from data_export_tool_spark.operators.graph import _checkpoint, _release
+
+    # the value-grain union feeds FOUR consumers (approx-quantile cut
+    # action, the totals collect, and both the cumsum and range-total
+    # branches of the sup job) — materialize it once (r10; the
+    # _exact_lattice/weighted_quantiles policy) instead of re-running
+    # both side aggregations and the full join per consumer
+    sc = old.sparkSession.sparkContext
+    vc, vc_ids = _checkpoint(
+        side(old, "o").join(side(new, "n"), "__v", "full").select(
+            "__v",
+            F.coalesce("__c_o", F.lit(0)).alias("co"),
+            F.coalesce("__c_n", F.lit(0)).alias("cn"),
+        )
     )
     probs = [i / num_ranges for i in range(1, num_ranges)]
     bounds = sorted(set(vc.stat.approxQuantile("__v", probs, 0.01)))
@@ -327,6 +337,7 @@ def ks_exact(
     ).collect()[0]
     n_o, n_n = int(totals["no"] or 0), int(totals["nn"] or 0)
     if n_o == 0 or n_n == 0:
+        _release(sc, vc_ids)
         raise ValueError(f"ks_exact needs non-empty sides: {n_o}, {n_n}")
     d_row = joined.select(
         F.abs(
@@ -334,6 +345,7 @@ def ks_exact(
             - (F.col("__on") + F.col("__cum_n")) / F.lit(float(n_n))
         ).alias("__d")
     ).agg(F.max("__d").alias("ks")).collect()[0]
+    _release(sc, vc_ids)
     d = float(d_row["ks"])
     # asymptotic two-sided p: Kolmogorov survival function
     import math

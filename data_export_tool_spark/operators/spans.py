@@ -136,7 +136,15 @@ def duplicate_spans(
     """
     if n < 1:
         raise ValueError("window length n must be >= 1")
-    occ = _window_occurrences(df, n, id_col, text_col)
+    from data_export_tool_spark.operators.graph import _checkpoint, _release
+
+    # occ feeds TWO consumers (the duplication groupBy and the flagged
+    # join) and the tokenize + n−1 zip_with fold is the pipeline's CPU
+    # bill — materialize it once (r10; measured ~1.6 s per extra
+    # recompute at sf0.1, the operator is EAGER from here). The small
+    # span result is pinned before the token-grain blocks are freed.
+    sc = df.sparkSession.sparkContext
+    occ, occ_ids = _checkpoint(_window_occurrences(df, n, id_col, text_col))
     dup = (
         occ.groupBy("whash")
         .agg(
@@ -156,13 +164,17 @@ def duplicate_spans(
     # `dup` carries ONE row per whash, so the join cannot fan out — a
     # distinct here would only add a full extra exchange
     spans = _merge_spans(flagged.select("__id", "pos"), n)
-    return spans.select(
-        F.col("__id").alias(id_col),
-        "span_start",
-        "span_end",
-        (F.col("span_end") - F.col("span_start")).alias("n_tokens"),
-        "n_windows",
+    out, out_ids = _checkpoint(
+        spans.select(
+            F.col("__id").alias(id_col),
+            "span_start",
+            "span_end",
+            (F.col("span_end") - F.col("span_start")).alias("n_tokens"),
+            "n_windows",
+        )
     )
+    _release(sc, occ_ids)
+    return out
 
 
 def strip_duplicate_spans(

@@ -32,7 +32,7 @@ Scale notes (100 TB):
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame, Observation, Window
 from pyspark.sql import functions as F
 
 
@@ -103,8 +103,9 @@ def connected_components(
         #    label rides along (left join instead of union+re-group) so
         #    the round's change flag is computed IN the same pipeline —
         #    the separate O(V)-join convergence probe per round is gone;
-        #    the probe is now a shuffle-free isEmpty over the
-        #    checkpointed blocks.
+        #    the changed-count is OBSERVED during the checkpoint action
+        #    itself (CollectMetrics fires on eager localCheckpoint —
+        #    verified on 4.1), so a round is exactly ONE job.
         nbr = (
             sym.join(labels.withColumnRenamed("n", "m"), "m")
             .groupBy("n")
@@ -122,11 +123,13 @@ def connected_components(
             F.col("n").alias("c"), F.col("c").alias("cc")
         )
         cf = F.least(F.col("c"), F.col("cc"))
+        obs = Observation()
         new_full, new_ids = _checkpoint(
             stepped.join(jump, "c", "left")
             .select("n", cf.alias("c"), (cf != F.col("c0")).alias("__chg"))
+            .observe(obs, F.sum(F.col("__chg").cast("long")).alias("chg"))
         )
-        converged = new_full.where(F.col("__chg")).isEmpty()
+        converged = (obs.get["chg"] or 0) == 0
         # the superseded round's O(V) checkpoint blocks are dead the
         # moment the convergence probe finishes — free them NOW, or up
         # to max_iter label tables pile up in executor storage
@@ -316,16 +319,19 @@ def pagerank(
 
     ranks_lazy = False
     for _ in range(max_iter):
+        obs = Observation()
         contrib, contrib_ids = _checkpoint(
             ew.join(ranks.withColumnRenamed("n", "s"), "s")
             .groupBy("d")
             .agg(F.sum(F.col("r") * F.col("w")).alias("__c"))
             .withColumnRenamed("d", "n")
+            .observe(obs, F.sum("__c").alias("s"))
         )
         # dangling mass without a dangling join: weights sum to 1 per
         # non-dangling node, so Σ contrib = non-dangling mass and the
-        # total mass is exactly 1 each round by construction
-        dm = 1.0 - (contrib.agg(F.sum("__c")).first()[0] or 0.0)
+        # total mass is exactly 1 each round by construction; the sum is
+        # OBSERVED during the checkpoint action (no second job)
+        dm = 1.0 - (obs.get["s"] or 0.0)
         new_ranks = nodes.join(contrib, "n", "left").select(
             "n",
             (
@@ -666,13 +672,16 @@ def personalized_pagerank(
 
     ranks_lazy = False
     for _ in range(max_iter):
+        obs = Observation()
         contrib, contrib_ids = _checkpoint(
             ew.join(ranks.withColumnRenamed("n", "s"), "s")
             .groupBy("d")
             .agg(F.sum(F.col("r") * F.col("w")).alias("__c"))
             .withColumnRenamed("d", "n")
+            .observe(obs, F.sum("__c").alias("s"))
         )
-        dm = 1.0 - (contrib.agg(F.sum("__c")).first()[0] or 0.0)
+        # Σ contrib observed during the checkpoint action (see pagerank)
+        dm = 1.0 - (obs.get["s"] or 0.0)
         new_ranks = nodes.join(contrib, "n", "left").select(
             "n",
             (
@@ -788,8 +797,9 @@ def bfs_distances(
     visited, visited_ids = _checkpoint(
         frontier.select("n", F.lit(0).alias("d"))
     )
+    frontier_nonempty = not frontier.isEmpty()
     for hop in range(1, max_hops + 1):
-        if frontier.isEmpty():
+        if not frontier_nonempty:
             break
         nxt = (
             frontier.join(adj, "n")
@@ -797,10 +807,16 @@ def bfs_distances(
             .distinct()
             .join(visited.select("n"), "n", "left_anti")
         )
-        new_frontier, new_frontier_ids = _checkpoint(nxt)
+        # the frontier's row count is observed during the checkpoint
+        # action — no separate emptiness probe per hop
+        obs = Observation()
+        new_frontier, new_frontier_ids = _checkpoint(
+            nxt.observe(obs, F.count(F.lit(1)).alias("n"))
+        )
         _release(sc, frontier_ids)
         frontier, frontier_ids = new_frontier, new_frontier_ids
-        if frontier.isEmpty():
+        frontier_nonempty = (obs.get["n"] or 0) > 0
+        if not frontier_nonempty:
             break
         new_visited, new_visited_ids = _checkpoint(
             visited.union(frontier.select("n", F.lit(hop).alias("d")))
@@ -911,9 +927,14 @@ def sssp(
                 ).alias("__imp"),
             )
         )
-        new_dist, new_dist_ids = _checkpoint(merged)
+        obs = Observation()
+        new_dist, new_dist_ids = _checkpoint(
+            merged.observe(
+                obs, F.sum(F.col("__imp").cast("long")).alias("imp")
+            )
+        )
         improved = new_dist.where(F.col("__imp"))
-        improving = not improved.isEmpty()
+        improving = (obs.get["imp"] or 0) > 0
         # the frontier is consumed exactly once (next round's adjacency
         # join) and is a filter-projection over the new_dist blocks just
         # checkpointed above — keep it lazy instead of paying a second
@@ -952,8 +973,9 @@ def hits(
 
     Scale shape: per round two edge-join + groupBy-sum exchanges
     (``pagerank``'s shape, doubled for the dual). Per half-step ONE
-    localCheckpoint of the raw sums + ONE scalar norm aggregate over
-    the checkpointed blocks — the normalized table is a lazy
+    localCheckpoint of the raw sums whose L1 norm is OBSERVED during
+    the same action (CollectMetrics fires on eager localCheckpoint) —
+    the normalized table is a lazy
     projection over the checkpoint, never re-materialized, and the
     zero-score padding join (nodes with no in/out links) runs ONCE at
     the end instead of inside the loop: a zero score contributes
@@ -1003,20 +1025,24 @@ def hits(
         # authority update: a(t) = Σ_{s→t} h(s), then L1-normalize —
         # the raw sums are checkpointed once; the normalized table is a
         # lazy projection over those blocks (no second materialization)
+        obs_a = Observation()
         auth, auth_ids = _checkpoint(
             ew.join(hub.withColumnRenamed("n", "s"), "s")
             .groupBy(F.col("t").alias("n"))
             .agg(F.sum("h").alias("a"))
+            .observe(obs_a, F.sum("a").alias("s"))
         )
-        norm_a = auth.agg(F.sum("a")).first()[0] or 1.0
+        norm_a = obs_a.get["s"] or 1.0
         auth_n = auth.select("n", (F.col("a") / norm_a).alias("a"))
         # hub update: h(s) = Σ_{s→t} a(t), then L1-normalize
+        obs_h = Observation()
         new_hub, new_hub_ids = _checkpoint(
             ew.join(auth_n.withColumnRenamed("n", "t"), "t")
             .groupBy(F.col("s").alias("n"))
             .agg(F.sum("a").alias("h"))
+            .observe(obs_h, F.sum("h").alias("s"))
         )
-        norm_h = new_hub.agg(F.sum("h")).first()[0] or 1.0
+        norm_h = obs_h.get["s"] or 1.0
         hub_n = new_hub.select("n", (F.col("h") / norm_h).alias("h"))
         _release(sc, hub_ids)
         _release(sc, last_auth_ids)
@@ -1197,8 +1223,11 @@ def betweenness(
             .groupBy("s", "n")
             .agg(F.sum("sigma").alias("sigma"))
         )
-        new_frontier, new_frontier_ids = _checkpoint(nxt)
-        if new_frontier.isEmpty():
+        obs = Observation()
+        new_frontier, new_frontier_ids = _checkpoint(
+            nxt.observe(obs, F.count(F.lit(1)).alias("n"))
+        )
+        if (obs.get["n"] or 0) == 0:
             _release(sc, new_frontier_ids)
             break
         depth = hop

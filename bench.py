@@ -450,6 +450,12 @@ def main() -> None:
             and timings[q] / shift - latest_prev[q]
             > max(0.2 * latest_prev[q], 1.5 * spreads[q], 0.1)
         }
+    # isolated entries' numbers come from a different protocol (fresh
+    # single-entry JVM replacing an unsettled chunk measure) — mark
+    # them IN the compact line so cross-round per-query comparisons can
+    # discount them without digging into the detail file (VERDICT r10
+    # #3); the list is bounded at 8 entries so the capture window holds
+    out["isolated"] = isolated
     detail["spreads"] = spreads
     detail["loadavg_1m"] = out["loadavg_1m"]
     detail["loadavg_pre"] = load_pre

@@ -127,28 +127,58 @@ def dbscan(
             "pair count is quadratic — use a smaller eps, pre-aggregate "
             "coincident points, or raise max_cell_points"
         )
-    # probes: each point visits its 3x3 neighbor cells; one equi-join
-    # on the visited cell yields all same-or-adjacent-cell candidates
-    off = F.array(F.lit(-1), F.lit(0), F.lit(1))
-    probes = (
-        pts.withColumn("__dx", F.explode(off))
-        .withColumn("__dy", F.explode(off))
-        .select(
-            F.col("pid").alias("pa"),
-            F.col("x").alias("xa"),
-            F.col("y").alias("ya"),
-            (F.col("cx") + F.col("__dx")).alias("cx"),
-            (F.col("cy") + F.col("__dy")).alias("cy"),
-        )
+    # probes (r11, guide §3 join-volume halving): each point visits its
+    # OWN cell plus the 4 FORWARD neighbor cells — (+1,−1), (+1,0),
+    # (+1,+1), (0,+1) — instead of all 9. A same-cell probe already
+    # yields both directions of every same-cell pair (pa ≠ pid keeps
+    # (a,b) and (b,a)); a forward probe yields each CROSS-cell pair
+    # exactly once (the 4 offsets and their negations partition the 8
+    # neighbor directions), and the missing direction is emitted by
+    # exploding the filtered candidate into (a,b)+(b,a) structs — one
+    # pass, no second join, no dedup exchange. The join ships 5N probe
+    # rows instead of 9N and the exact ε-filter runs once per
+    # unordered cross-cell pair instead of once per direction; the
+    # resulting pair MULTISET is identical to the 3×3 probe's.
+    fwd = [(1, -1), (1, 0), (1, 1), (0, 1)]
+    off = F.array(
+        F.array(F.lit(0), F.lit(0)),
+        *[F.array(F.lit(dx), F.lit(dy)) for dx, dy in fwd],
+    )
+    probes = pts.select(
+        F.col("pid").alias("pa"),
+        F.col("x").alias("xa"),
+        F.col("y").alias("ya"),
+        F.explode(off).alias("__o"),
+        F.col("cx").alias("__cxa"),
+        F.col("cy").alias("__cya"),
+    ).select(
+        "pa",
+        "xa",
+        "ya",
+        (F.col("__cxa") + F.col("__o")[0]).alias("cx"),
+        (F.col("__cya") + F.col("__o")[1]).alias("cy"),
+        ((F.col("__o")[0] == 0) & (F.col("__o")[1] == 0)).alias("__same"),
     )
     cand = probes.join(pts, ["cx", "cy"]).where(
         F.col("pa") != F.col("pid")
     )
-    pairs = cand.where(
+    hit = cand.where(
         (F.col("xa") - F.col("x")) * (F.col("xa") - F.col("x"))
         + (F.col("ya") - F.col("y")) * (F.col("ya") - F.col("y"))
         <= F.lit(float(eps * eps))
-    ).select(F.col("pa"), F.col("pid").alias("pb"))
+    )
+    both_dirs = F.array(
+        F.struct(F.col("pa").alias("pa"), F.col("pid").alias("pb")),
+        F.struct(F.col("pid").alias("pa"), F.col("pa").alias("pb")),
+    )
+    one_dir = F.array(
+        F.struct(F.col("pa").alias("pa"), F.col("pid").alias("pb"))
+    )
+    pairs = hit.select(
+        F.explode(
+            F.when(F.col("__same"), one_dir).otherwise(both_dirs)
+        ).alias("__p")
+    ).select(F.col("__p.pa").alias("pa"), F.col("__p.pb").alias("pb"))
     # ε-pairs feed three consumers (degree count, core-core edges,
     # border join) — materialize once. MUST be eager: a lazy
     # checkpoint would materialize inside connected_components' own

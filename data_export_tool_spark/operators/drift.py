@@ -306,46 +306,49 @@ def ks_exact(
             F.coalesce("__c_n", F.lit(0)).alias("cn"),
         )
     )
-    probs = [i / num_ranges for i in range(1, num_ranges)]
-    bounds = sorted(set(vc.stat.approxQuantile("__v", probs, 0.01)))
-    if bounds:
-        cuts = F.array(*[F.lit(float(b)) for b in bounds])
-        rng = F.size(F.filter(cuts, lambda b: F.col("__v") > b))
-    else:
-        rng = F.lit(0)
-    marked = vc.withColumn("__rng", rng)
-    w_in = (
-        Window.partitionBy("__rng")
-        .orderBy("__v")
-        .rowsBetween(Window.unboundedPreceding, 0)
-    )
-    within = marked.withColumn("__cum_o", F.sum("co").over(w_in)).withColumn(
-        "__cum_n", F.sum("cn").over(w_in)
-    )
-    counts = marked.groupBy("__rng").agg(
-        F.sum("co").alias("__ro"), F.sum("cn").alias("__rn")
-    )
-    w_off = Window.orderBy("__rng").rowsBetween(Window.unboundedPreceding, -1)
-    offsets = counts.select(
-        "__rng",
-        F.coalesce(F.sum("__ro").over(w_off), F.lit(0).cast("long")).alias("__oo"),
-        F.coalesce(F.sum("__rn").over(w_off), F.lit(0).cast("long")).alias("__on"),
-    )
-    joined = within.join(F.broadcast(offsets), "__rng")
-    totals = vc.agg(
-        F.sum("co").alias("no"), F.sum("cn").alias("nn")
-    ).collect()[0]
-    n_o, n_n = int(totals["no"] or 0), int(totals["nn"] or 0)
-    if n_o == 0 or n_n == 0:
+    # release on EVERY exit (ADVICE r10: a task/quantile failure
+    # must not leak the checkpoint blocks for the session lifetime)
+    try:
+        probs = [i / num_ranges for i in range(1, num_ranges)]
+        bounds = sorted(set(vc.stat.approxQuantile("__v", probs, 0.01)))
+        if bounds:
+            cuts = F.array(*[F.lit(float(b)) for b in bounds])
+            rng = F.size(F.filter(cuts, lambda b: F.col("__v") > b))
+        else:
+            rng = F.lit(0)
+        marked = vc.withColumn("__rng", rng)
+        w_in = (
+            Window.partitionBy("__rng")
+            .orderBy("__v")
+            .rowsBetween(Window.unboundedPreceding, 0)
+        )
+        within = marked.withColumn("__cum_o", F.sum("co").over(w_in)).withColumn(
+            "__cum_n", F.sum("cn").over(w_in)
+        )
+        counts = marked.groupBy("__rng").agg(
+            F.sum("co").alias("__ro"), F.sum("cn").alias("__rn")
+        )
+        w_off = Window.orderBy("__rng").rowsBetween(Window.unboundedPreceding, -1)
+        offsets = counts.select(
+            "__rng",
+            F.coalesce(F.sum("__ro").over(w_off), F.lit(0).cast("long")).alias("__oo"),
+            F.coalesce(F.sum("__rn").over(w_off), F.lit(0).cast("long")).alias("__on"),
+        )
+        joined = within.join(F.broadcast(offsets), "__rng")
+        totals = vc.agg(
+            F.sum("co").alias("no"), F.sum("cn").alias("nn")
+        ).collect()[0]
+        n_o, n_n = int(totals["no"] or 0), int(totals["nn"] or 0)
+        if n_o == 0 or n_n == 0:
+            raise ValueError(f"ks_exact needs non-empty sides: {n_o}, {n_n}")
+        d_row = joined.select(
+            F.abs(
+                (F.col("__oo") + F.col("__cum_o")) / F.lit(float(n_o))
+                - (F.col("__on") + F.col("__cum_n")) / F.lit(float(n_n))
+            ).alias("__d")
+        ).agg(F.max("__d").alias("ks")).collect()[0]
+    finally:
         _release(sc, vc_ids)
-        raise ValueError(f"ks_exact needs non-empty sides: {n_o}, {n_n}")
-    d_row = joined.select(
-        F.abs(
-            (F.col("__oo") + F.col("__cum_o")) / F.lit(float(n_o))
-            - (F.col("__on") + F.col("__cum_n")) / F.lit(float(n_n))
-        ).alias("__d")
-    ).agg(F.max("__d").alias("ks")).collect()[0]
-    _release(sc, vc_ids)
     d = float(d_row["ks"])
     # asymptotic two-sided p: Kolmogorov survival function
     import math

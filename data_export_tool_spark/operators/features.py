@@ -853,48 +853,50 @@ def _exact_lattice(
             "__cnt",
         )
     )
-    n = (
-        vg.agg(F.sum("__cnt").alias("__n")).first()["__n"] or 0
-    )
-    if n == 0:
-        _release(sc, vg_ids)
-        raise ValueError("cannot build a quantile lattice of nothing")
-    spark = vals.sparkSession
-    g = spark.range(grid + 1).select(
-        F.col("id").alias("__i"),
-        (
-            F.lit(1.0)
-            + (F.col("id") / float(grid)) * F.lit(float(n - 1))
-        ).alias("__pos"),
-    ).select(
-        "__i",
-        "__pos",
-        F.floor("__pos").cast("long").alias("__r0"),
-        (F.col("__pos") - F.floor("__pos")).alias("__frac"),
-    )
-    v0 = vg.join(
-        F.broadcast(g),
-        (F.col("__r0") >= F.col("__start"))
-        & (F.col("__r0") <= F.col("__end")),
-    ).select("__i", "__frac", F.col("__v").alias("__v0"))
-    v1 = vg.join(
-        F.broadcast(g.select("__i", (F.col("__r0") + 1).alias("__r1"))),
-        (F.col("__r1") >= F.col("__start"))
-        & (F.col("__r1") <= F.col("__end")),
-    ).select(F.col("__i").alias("__i1"), F.col("__v").alias("__v1"))
-    rows = (
-        v0.join(v1, v0["__i"] == v1["__i1"], "left")
-        .select(
-            "__i",
-            (
-                F.col("__v0")
-                + F.col("__frac")
-                * (F.coalesce(F.col("__v1"), F.col("__v0")) - F.col("__v0"))
-            ).alias("__q"),
+    # release on EVERY exit (ADVICE r10)
+    try:
+        n = (
+            vg.agg(F.sum("__cnt").alias("__n")).first()["__n"] or 0
         )
-        .collect()
-    )
-    _release(sc, vg_ids)
+        if n == 0:
+            raise ValueError("cannot build a quantile lattice of nothing")
+        spark = vals.sparkSession
+        g = spark.range(grid + 1).select(
+            F.col("id").alias("__i"),
+            (
+                F.lit(1.0)
+                + (F.col("id") / float(grid)) * F.lit(float(n - 1))
+            ).alias("__pos"),
+        ).select(
+            "__i",
+            "__pos",
+            F.floor("__pos").cast("long").alias("__r0"),
+            (F.col("__pos") - F.floor("__pos")).alias("__frac"),
+        )
+        v0 = vg.join(
+            F.broadcast(g),
+            (F.col("__r0") >= F.col("__start"))
+            & (F.col("__r0") <= F.col("__end")),
+        ).select("__i", "__frac", F.col("__v").alias("__v0"))
+        v1 = vg.join(
+            F.broadcast(g.select("__i", (F.col("__r0") + 1).alias("__r1"))),
+            (F.col("__r1") >= F.col("__start"))
+            & (F.col("__r1") <= F.col("__end")),
+        ).select(F.col("__i").alias("__i1"), F.col("__v").alias("__v1"))
+        rows = (
+            v0.join(v1, v0["__i"] == v1["__i1"], "left")
+            .select(
+                "__i",
+                (
+                    F.col("__v0")
+                    + F.col("__frac")
+                    * (F.coalesce(F.col("__v1"), F.col("__v0")) - F.col("__v0"))
+                ).alias("__q"),
+            )
+            .collect()
+        )
+    finally:
+        _release(sc, vg_ids)
     out = [None] * (grid + 1)
     for r in rows:
         out[r["__i"]] = float(r["__q"])

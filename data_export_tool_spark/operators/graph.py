@@ -32,7 +32,9 @@ Scale notes (100 TB):
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Observation, Window
+import time
+
+from pyspark.sql import Column, DataFrame, Observation, Window
 from pyspark.sql import functions as F
 
 
@@ -41,15 +43,46 @@ def _stored_rdd_ids(sc) -> set[int]:
     return {infos[i].id() for i in range(len(infos))}
 
 
+#: bit length past which a checkpoint's preserved size estimate is
+#: replaced with "unknown" (2^256 bytes carries no planning signal)
+_MAX_STATS_BITS = 256
+
+
 def _checkpoint(df: DataFrame) -> tuple[DataFrame, set[int]]:
     """localCheckpoint + the storage ids the checkpoint created, so the
     caller can free them when the table is superseded. Neither
     ``DataFrame.unpersist`` nor reference-drop GC releases local-
     checkpoint blocks (verified empirically on 4.1) — only unpersisting
-    the underlying RDD via the context's persistent-RDD map does."""
-    sc = df.sparkSession.sparkContext
+    the underlying RDD via the context's persistent-RDD map does.
+
+    Stats-compounding guard (r11): Spark preserves the origin plan's
+    size ESTIMATE on the checkpoint's LogicalRDD, and join estimation
+    MULTIPLIES child sizes — so a loop whose round references the
+    previous checkpoint k times compounds the estimate ~k-fold in BIT
+    LENGTH per round (CC references labels 3×: ×3^round). The numbers
+    stay formally correct BigInts, but by round 8-10 the driver burns
+    tens of seconds PER ACTION multiplying thousand-digit integers
+    inside SizeInBytesOnlyStatsPlanVisitor/canBroadcastBySize
+    (measured on b81: 0.3 s → 56 s per round, jstack-confirmed). An
+    estimate beyond 2^256 bytes carries no planning information, so
+    past that the frame is rebuilt over the SAME checkpointed rows
+    with default (unknown-size) stats — plans for honestly-sized
+    checkpoints are untouched."""
+    spark = df.sparkSession
+    sc = spark.sparkContext
     before = _stored_rdd_ids(sc)
     out = df.localCheckpoint(eager=True)
+    jqe = out._jdf.queryExecution()
+    if int(jqe.optimizedPlan().stats().sizeInBytes()).bit_length() > _MAX_STATS_BITS:
+        jschema = spark._jvm.org.apache.spark.sql.types.DataType.fromJson(
+            out.schema.json()
+        )
+        out = DataFrame(
+            spark._jsparkSession.internalCreateDataFrame(
+                jqe.toRdd(), jschema, False
+            ),
+            spark,
+        )
     return out, _stored_rdd_ids(sc) - before
 
 
@@ -63,6 +96,34 @@ def _release(sc, ids: set[int]) -> None:
             kv._2().unpersist(False)
 
 
+def _observed(
+    obs: Observation,
+    df: DataFrame,
+    key: str,
+    fallback_agg: Column,
+    timeout_sec: float = 60.0,
+):
+    """Bounded-wait read of a loop's observed convergence scalar.
+
+    Every graph loop observes its per-round scalar during the eager
+    ``localCheckpoint`` action — CollectMetrics firing on that action
+    is an undocumented Spark internal (verified on 4.1, r10). Should a
+    future Spark stop emitting metrics there, a bare ``Observation.get``
+    would block forever and hang the loop; this polls the non-blocking
+    JVM accessor and, past the deadline, falls back to ONE explicit
+    aggregate over ``df`` (the already-checkpointed frame — the
+    pre-r10 probe shape: one extra job per round, never a hang;
+    ADVICE r10). Returns the raw metric value (None possible, e.g. a
+    sum over zero rows — callers keep their ``or`` defaults).
+    """
+    deadline = time.monotonic() + timeout_sec
+    while time.monotonic() < deadline:
+        if obs._jo.getRowOrEmpty().isDefined():
+            return obs.get[key]
+        time.sleep(0.02)
+    return df.agg(fallback_agg.alias(key)).first()[key]
+
+
 def connected_components(
     edges: DataFrame,
     src: str = "id_a",
@@ -70,6 +131,7 @@ def connected_components(
     out_node: str = "node",
     out_comp: str = "component_id",
     max_iter: int = 25,
+    rounds_per_checkpoint: int = 1,
 ) -> DataFrame:
     """Connected components of the undirected graph given by pair rows.
 
@@ -81,7 +143,21 @@ def connected_components(
     rounds needed are O(log n), so 25 covers any graph that fits in a
     cluster. Raises if the loop fails to converge within the bound
     (diagnosing a bug beats silently wrong clusters).
+
+    ``rounds_per_checkpoint`` composes that many neighbor-min +
+    pointer-jump rounds LAZILY before each checkpoint+probe action
+    (r11, guide §1.2 fewer driver actions): labels are monotone
+    non-increasing, so "no change across k fused rounds" is exactly
+    the single-round fixed point. >1 doubles plan depth per action —
+    right for SMALL graphs where per-job fixed cost dominates (the
+    ``update_components`` delta subgraph), wrong for huge ones (the
+    default stays 1: plan size and per-round shuffle dominate there,
+    and a converged run wastes k−1 rounds of work on the last action).
     """
+    if rounds_per_checkpoint < 1:
+        raise ValueError(
+            f"rounds_per_checkpoint must be >= 1: {rounds_per_checkpoint}"
+        )
     u, v = F.col(src), F.col(dst)
     sc = edges.sparkSession.sparkContext
     # materialize the (possibly expensive) pair pipeline ONCE before the
@@ -98,38 +174,53 @@ def connected_components(
         sym.groupBy("n").agg(F.least(F.min("m"), F.col("n")).alias("c"))
     )
 
-    for _ in range(max_iter):
-        # 1) neighbor-min: pull each neighbor's current label. The old
-        #    label rides along (left join instead of union+re-group) so
-        #    the round's change flag is computed IN the same pipeline —
-        #    the separate O(V)-join convergence probe per round is gone;
-        #    the changed-count is OBSERVED during the checkpoint action
-        #    itself (CollectMetrics fires on eager localCheckpoint —
-        #    verified on 4.1), so a round is exactly ONE job.
+    def _round(lab: DataFrame) -> DataFrame:
+        """One lazy neighbor-min + pointer-jump step over (n, c0, c):
+        ``c`` advances, ``c0`` (the pre-composition label the change
+        flag compares against) rides the pipeline untouched — the r10
+        no-separate-probe shape."""
+        # 1) neighbor-min: pull each neighbor's current label
         nbr = (
-            sym.join(labels.withColumnRenamed("n", "m"), "m")
+            sym.join(lab.select(F.col("n").alias("m"), "c"), "m")
             .groupBy("n")
             .agg(F.min("c").alias("cn"))
         )
         stepped = (
-            labels.withColumnRenamed("c", "c0")
+            lab.withColumnRenamed("c", "cp")
             .join(nbr, "n", "left")
             .select(
-                "n", "c0", F.least(F.col("c0"), F.col("cn")).alias("c")
+                "n", "c0", F.least(F.col("cp"), F.col("cn")).alias("c")
             )
         )
         # 2) pointer jump: c(u) <- c(c(u))
-        jump = labels.select(
-            F.col("n").alias("c"), F.col("c").alias("cc")
+        jump = lab.select(F.col("n").alias("c"), F.col("c").alias("cc"))
+        return stepped.join(jump, "c", "left").select(
+            "n", "c0", F.least(F.col("c"), F.col("cc")).alias("c")
         )
-        cf = F.least(F.col("c"), F.col("cc"))
+
+    for _ in range(max_iter):
+        # compose rounds_per_checkpoint lazy rounds, then ONE job: the
+        # change flag vs the pre-composition label rides the pipeline
+        # (left join instead of union+re-group) and the changed-count
+        # is OBSERVED during the checkpoint action itself
+        # (CollectMetrics fires on eager localCheckpoint — verified on
+        # 4.1), so the whole composition is exactly ONE job.
+        cur = labels.select("n", F.col("c").alias("c0"), "c")
+        for _k in range(rounds_per_checkpoint):
+            cur = _round(cur)
         obs = Observation()
         new_full, new_ids = _checkpoint(
-            stepped.join(jump, "c", "left")
-            .select("n", cf.alias("c"), (cf != F.col("c0")).alias("__chg"))
+            cur.select(
+                "n", "c", (F.col("c") != F.col("c0")).alias("__chg")
+            )
             .observe(obs, F.sum(F.col("__chg").cast("long")).alias("chg"))
         )
-        converged = (obs.get["chg"] or 0) == 0
+        converged = (
+            _observed(
+                obs, new_full, "chg", F.sum(F.col("__chg").cast("long"))
+            )
+            or 0
+        ) == 0
         # the superseded round's O(V) checkpoint blocks are dead the
         # moment the convergence probe finishes — free them NOW, or up
         # to max_iter label tables pile up in executor storage
@@ -331,7 +422,7 @@ def pagerank(
         # non-dangling node, so Σ contrib = non-dangling mass and the
         # total mass is exactly 1 each round by construction; the sum is
         # OBSERVED during the checkpoint action (no second job)
-        dm = 1.0 - (obs.get["s"] or 0.0)
+        dm = 1.0 - (_observed(obs, contrib, "s", F.sum("__c")) or 0.0)
         new_ranks = nodes.join(contrib, "n", "left").select(
             "n",
             (
@@ -386,6 +477,7 @@ def update_components(
     out_comp: str = "component_id",
     max_iter: int = 25,
     broadcast_delta: bool = True,
+    cc_rounds_per_checkpoint: int = 1,
 ) -> DataFrame:
     """Incrementally fold a batch of NEW edges into an existing
     ``connected_components`` mapping — the cluster-maintenance step an
@@ -417,7 +509,14 @@ def update_components(
     operator exists to avoid (plan contract in
     ``tests/test_plan_contracts.py``). Set False only when one delta
     batch plausibly reaches more cluster members than an executor
-    holds — at which point a full CC rerun is the honest plan."""
+    holds — at which point a full CC rerun is the honest plan.
+
+    ``cc_rounds_per_checkpoint`` (default 2) fuses that many label
+    rounds per sub-CC action (r11, guide §1.2): the delta subgraph is
+    sized by the batch's cluster reach, not the store, so per-job
+    fixed cost dominates each round and plan depth is cheap — halving
+    the driver actions is the win. Pass 1 to restore one-round-per-
+    action when a delta plausibly reaches store-scale membership."""
     comp = components.select(
         F.col(out_node).alias("n"), F.col(out_comp).alias("c")
     )
@@ -447,6 +546,7 @@ def update_components(
         out_node=out_node,
         out_comp=out_comp,
         max_iter=max_iter,
+        rounds_per_checkpoint=cc_rounds_per_checkpoint,
     )
     # an old component id that is itself only a label (not a member
     # node) can surface from the star edges as a "node"; keep only
@@ -681,7 +781,7 @@ def personalized_pagerank(
             .observe(obs, F.sum("__c").alias("s"))
         )
         # Σ contrib observed during the checkpoint action (see pagerank)
-        dm = 1.0 - (obs.get["s"] or 0.0)
+        dm = 1.0 - (_observed(obs, contrib, "s", F.sum("__c")) or 0.0)
         new_ranks = nodes.join(contrib, "n", "left").select(
             "n",
             (
@@ -815,7 +915,9 @@ def bfs_distances(
         )
         _release(sc, frontier_ids)
         frontier, frontier_ids = new_frontier, new_frontier_ids
-        frontier_nonempty = (obs.get["n"] or 0) > 0
+        frontier_nonempty = (
+            _observed(obs, new_frontier, "n", F.count(F.lit(1))) or 0
+        ) > 0
         if not frontier_nonempty:
             break
         new_visited, new_visited_ids = _checkpoint(
@@ -934,7 +1036,12 @@ def sssp(
             )
         )
         improved = new_dist.where(F.col("__imp"))
-        improving = (obs.get["imp"] or 0) > 0
+        improving = (
+            _observed(
+                obs, new_dist, "imp", F.sum(F.col("__imp").cast("long"))
+            )
+            or 0
+        ) > 0
         # the frontier is consumed exactly once (next round's adjacency
         # join) and is a filter-projection over the new_dist blocks just
         # checkpointed above — keep it lazy instead of paying a second
@@ -1032,7 +1139,7 @@ def hits(
             .agg(F.sum("h").alias("a"))
             .observe(obs_a, F.sum("a").alias("s"))
         )
-        norm_a = obs_a.get["s"] or 1.0
+        norm_a = _observed(obs_a, auth, "s", F.sum("a")) or 1.0
         auth_n = auth.select("n", (F.col("a") / norm_a).alias("a"))
         # hub update: h(s) = Σ_{s→t} a(t), then L1-normalize
         obs_h = Observation()
@@ -1042,7 +1149,7 @@ def hits(
             .agg(F.sum("a").alias("h"))
             .observe(obs_h, F.sum("h").alias("s"))
         )
-        norm_h = obs_h.get["s"] or 1.0
+        norm_h = _observed(obs_h, new_hub, "s", F.sum("h")) or 1.0
         hub_n = new_hub.select("n", (F.col("h") / norm_h).alias("h"))
         _release(sc, hub_ids)
         _release(sc, last_auth_ids)
@@ -1227,7 +1334,7 @@ def betweenness(
         new_frontier, new_frontier_ids = _checkpoint(
             nxt.observe(obs, F.count(F.lit(1)).alias("n"))
         )
-        if (obs.get["n"] or 0) == 0:
+        if (_observed(obs, new_frontier, "n", F.count(F.lit(1))) or 0) == 0:
             _release(sc, new_frontier_ids)
             break
         depth = hop

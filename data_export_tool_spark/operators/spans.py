@@ -133,6 +133,13 @@ def duplicate_spans(
     (Lee et al.'s keep-one-copy policy, made deterministic).
 
     Returns (id_col, span_start, span_end, n_tokens, n_windows).
+
+    EAGER: calling this runs two Spark jobs immediately (the
+    occurrence-table checkpoint and the span-result checkpoint —
+    r10, the two consumers share no reusable Exchange) and pins
+    the small span result's checkpoint blocks until the returned
+    DataFrame is garbage-collected. Compose lazily upstream of
+    this call, not downstream of it.
     """
     if n < 1:
         raise ValueError("window length n must be >= 1")
@@ -145,35 +152,38 @@ def duplicate_spans(
     # span result is pinned before the token-grain blocks are freed.
     sc = df.sparkSession.sparkContext
     occ, occ_ids = _checkpoint(_window_occurrences(df, n, id_col, text_col))
-    dup = (
-        occ.groupBy("whash")
-        .agg(
-            F.count(F.lit(1)).alias("__cnt"),
-            F.min(F.struct("__id", "pos")).alias("__own"),
+    # release on EVERY exit (ADVICE r10)
+    try:
+        dup = (
+            occ.groupBy("whash")
+            .agg(
+                F.count(F.lit(1)).alias("__cnt"),
+                F.min(F.struct("__id", "pos")).alias("__own"),
+            )
+            .where(F.col("__cnt") > 1)
+            .select("whash", "__own.__id", "__own.pos")
+            .toDF("whash", "own_id", "own_pos")
         )
-        .where(F.col("__cnt") > 1)
-        .select("whash", "__own.__id", "__own.pos")
-        .toDF("whash", "own_id", "own_pos")
-    )
-    flagged = occ.join(dup, "whash")
-    if keep_canonical:
-        flagged = flagged.where(
-            ~((F.col("__id") == F.col("own_id")) & (F.col("pos") == F.col("own_pos")))
+        flagged = occ.join(dup, "whash")
+        if keep_canonical:
+            flagged = flagged.where(
+                ~((F.col("__id") == F.col("own_id")) & (F.col("pos") == F.col("own_pos")))
+            )
+        # (id, pos) is already unique: posexplode emits each start once and
+        # `dup` carries ONE row per whash, so the join cannot fan out — a
+        # distinct here would only add a full extra exchange
+        spans = _merge_spans(flagged.select("__id", "pos"), n)
+        out, out_ids = _checkpoint(
+            spans.select(
+                F.col("__id").alias(id_col),
+                "span_start",
+                "span_end",
+                (F.col("span_end") - F.col("span_start")).alias("n_tokens"),
+                "n_windows",
+            )
         )
-    # (id, pos) is already unique: posexplode emits each start once and
-    # `dup` carries ONE row per whash, so the join cannot fan out — a
-    # distinct here would only add a full extra exchange
-    spans = _merge_spans(flagged.select("__id", "pos"), n)
-    out, out_ids = _checkpoint(
-        spans.select(
-            F.col("__id").alias(id_col),
-            "span_start",
-            "span_end",
-            (F.col("span_end") - F.col("span_start")).alias("n_tokens"),
-            "n_windows",
-        )
-    )
-    _release(sc, occ_ids)
+    finally:
+        _release(sc, occ_ids)
     return out
 
 

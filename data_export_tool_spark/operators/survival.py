@@ -201,17 +201,39 @@ def logrank_test(
     )
 
 
-def _cox_partials(base: DataFrame, beta, d: int):
+def _cox_partials(base: DataFrame, beta, d: int, weighted: bool = False):
     """One time-grain aggregation at the current β: per distinct
     duration, (d_t, Σ_event x, Σ w, Σ w·x, Σ w·x_i·x_j) where
     w = exp(clamp(x·β)). Collected rows — bounded by distinct times
-    (``cox_ph`` enforces the cap)."""
+    (``cox_ph`` enforces the cap).
+
+    ``weighted=True`` aggregates the (t, x)-GRAIN table instead of the
+    subject grain — rows carry ``__m`` (subjects in the cell) and
+    ``__me`` (events in the cell); every sum picks up the multiplicity
+    (x is constant within a cell, so Σ_events x_i = ``__me``·x_i and
+    Σ w·f(x) = ``__m``·w·f(x) — the classic sufficient-statistic
+    reduction, exact in exact arithmetic)."""
     x = F.col("__x")
     lin = F.lit(0.0)
     for i, b in enumerate(beta):
         lin = lin + F.lit(float(b)) * x[i]
     lin = F.greatest(F.lit(-50.0), F.least(F.lit(50.0), lin))
     w = F.exp(lin)
+    if weighted:
+        m = F.col("__m")
+        aggs = [
+            F.sum("__me").alias("d_t"),
+            F.sum(m * w).alias("sw"),
+        ]
+        for i in range(d):
+            aggs.append(F.sum(F.col("__me") * x[i]).alias(f"sx_{i}"))
+            aggs.append(F.sum(m * w * x[i]).alias(f"swx_{i}"))
+        for i in range(d):
+            for j in range(i, d):
+                aggs.append(
+                    F.sum(m * w * x[i] * x[j]).alias(f"swxx_{i}_{j}")
+                )
+        return base.groupBy("t").agg(*aggs).collect()
     aggs = [
         F.sum("__e").alias("d_t"),
         F.sum(w).alias("sw"),
@@ -296,57 +318,110 @@ def cox_ph(
     "loglik", "loglik0" (β=0), "iters", "n", "n_events", "d"}``.
     ``event_col``: 1 = event, 0 = right-censored; NULL duration/event/
     vector rows are excluded.
+
+    Scale/measurement notes (r11, guide §1.2/§5): the (t, e, x)
+    projection is ``localCheckpoint``-ed ONCE — every Newton round
+    (plus the validation pass and the final fold: iters+3 actions)
+    re-reads those blocks instead of re-scanning and re-projecting the
+    source (b122 measured ~11 full parquet scans per fit before this);
+    the three validation scalars (n, events, distinct t) ride ONE
+    aggregate over the checkpoint instead of three separate jobs. The
+    checkpoint is released on every exit path.
     """
     import numpy as np
 
-    base = df.where(
-        F.col(duration_col).isNotNull()
-        & F.col(event_col).isNotNull()
-        & F.col(vec_col).isNotNull()
-    ).select(
-        F.col(duration_col).cast("double").alias("t"),
-        F.col(event_col).cast("int").alias("__e"),
-        F.col(vec_col).alias("__x"),
+    from data_export_tool_spark.operators.graph import (
+        _checkpoint,
+        _release,
     )
-    first = base.select(F.size("__x").alias("d")).first()
-    if first is None:
-        raise ValueError("no usable (duration, event, vector) rows")
-    d = int(first["d"])
-    if d < 1 or d > max_features:
-        raise ValueError(
-            f"cox_ph supports 1..{max_features} features, got {d}"
-        )
-    n_times = base.select("t").distinct().count()
-    if n_times > max_times:
-        raise ValueError(
-            f"cox_ph: {n_times} distinct durations exceeds max_times="
-            f"{max_times}; coarsen the time grid upstream"
-        )
-    counts = base.agg(
-        F.count(F.lit(1)).alias("n"), F.sum("__e").alias("ev")
-    ).first()
-    n, n_events = int(counts["n"]), int(counts["ev"] or 0)
-    if n_events == 0:
-        raise ValueError("cox_ph: no events (all rows censored)")
 
-    beta = np.zeros(d)
-    ll_prev = None
-    ll0 = None
-    iters_done = 0
-    U = np.zeros(d)
-    info = np.eye(d)
-    for iters_done in range(1, iters + 1):
-        rows = _cox_partials(base, beta.tolist(), d)
-        ll, U, info = py_cox_fold(rows, beta, d)
-        if ll0 is None and not beta.any():
-            ll0 = ll
-        step = np.linalg.solve(info + ridge * np.eye(d), U)
-        beta = beta + step
-        if ll_prev is not None and abs(ll - ll_prev) < tol:
-            break
-        ll_prev = ll
-    # final fold at the returned β for loglik + SE information
-    rows = _cox_partials(base, beta.tolist(), d)
+    base, base_ids = _checkpoint(
+        df.where(
+            F.col(duration_col).isNotNull()
+            & F.col(event_col).isNotNull()
+            & F.col(vec_col).isNotNull()
+        ).select(
+            F.col(duration_col).cast("double").alias("t"),
+            F.col(event_col).cast("int").alias("__e"),
+            F.col(vec_col).alias("__x"),
+        )
+    )
+    sc = df.sparkSession.sparkContext
+    fit_ids: set[int] = set()
+    try:
+        stats = base.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("__e").alias("ev"),
+            F.count_distinct("t").alias("nt"),
+            # grain-size probe for the collapse gate below: APPROX —
+            # a second exact distinct would turn the whole stats
+            # aggregate into an Expand (3× the input rows; measured
+            # +3 s at 600k rows), while the HLL sketch rides the same
+            # single pass; the ×4 gate has far more slack than the
+            # sketch's error
+            F.approx_count_distinct(F.struct("t", "__x")).alias("ng"),
+            F.size(F.first("__x")).alias("d"),
+        ).first()
+        if int(stats["n"]) == 0:
+            raise ValueError("no usable (duration, event, vector) rows")
+        d = int(stats["d"])
+        if d < 1 or d > max_features:
+            raise ValueError(
+                f"cox_ph supports 1..{max_features} features, got {d}"
+            )
+        n_times = int(stats["nt"])
+        if n_times > max_times:
+            raise ValueError(
+                f"cox_ph: {n_times} distinct durations exceeds max_times="
+                f"{max_times}; coarsen the time grid upstream"
+            )
+        n, n_events = int(stats["n"]), int(stats["ev"] or 0)
+        if n_events == 0:
+            raise ValueError("cox_ph: no events (all rows censored)")
+
+        # value-grain collapse (r11, guide §2.3 aggregate-before-
+        # iterate): every partial is a sum of f(t, x; β) over subjects,
+        # so duplicate (t, x) rows collapse EXACTLY to one weighted row
+        # (__m subjects, __me events) — with banded/categorical
+        # covariates each Newton round then aggregates the grain, not
+        # the subjects. Gated on a ≥4× measured reduction (the ``ng``
+        # scalar above): continuous covariates keep the subject-grain
+        # path and skip the extra setup shuffle.
+        fit_df, weighted = base, False
+        n_grain = int(stats["ng"])
+        if n_grain <= n // 4:
+            weighted = True
+            fit_df, fit_ids = _checkpoint(
+                base.groupBy("t", "__x").agg(
+                    F.count(F.lit(1)).cast("double").alias("__m"),
+                    F.sum("__e").cast("double").alias("__me"),
+                )
+            )
+            # the subject-grain blocks are dead once the grain table
+            # is materialized
+            _release(sc, base_ids)
+
+        beta = np.zeros(d)
+        ll_prev = None
+        ll0 = None
+        iters_done = 0
+        U = np.zeros(d)
+        info = np.eye(d)
+        for iters_done in range(1, iters + 1):
+            rows = _cox_partials(fit_df, beta.tolist(), d, weighted=weighted)
+            ll, U, info = py_cox_fold(rows, beta, d)
+            if ll0 is None and not beta.any():
+                ll0 = ll
+            step = np.linalg.solve(info + ridge * np.eye(d), U)
+            beta = beta + step
+            if ll_prev is not None and abs(ll - ll_prev) < tol:
+                break
+            ll_prev = ll
+        # final fold at the returned β for loglik + SE information
+        rows = _cox_partials(fit_df, beta.tolist(), d, weighted=weighted)
+    finally:
+        _release(sc, base_ids)
+        _release(sc, fit_ids)
     ll, _, info = py_cox_fold(rows, beta, d)
     cov = np.linalg.inv(info + ridge * np.eye(d))
     se = np.sqrt(np.clip(np.diag(cov), 0.0, None))

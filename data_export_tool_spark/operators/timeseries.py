@@ -88,6 +88,12 @@ def fill_gaps(
         # the lead — one exchange+sort) so a NULL observed value is
         # carried through exactly like the old dense-grain LOCF did;
         # gap rows then inherit their generating row's (filled) value.
+        # The input contract is a resample output (unique per
+        # (keys, bucket)); on contract-violating duplicate rows lead()
+        # returns the SAME bucket, so the sequence stop is clamped to
+        # the start (greatest) — the duplicate densifies to itself,
+        # matching the old axis-join tolerance, instead of raising
+        # "illegal sequence boundaries" (ADVICE r10).
         w = Window.partitionBy(*keys).orderBy(bucket_col)
         w_locf = w.rowsBetween(Window.unboundedPreceding, 0)
         obs = resampled.select(
@@ -108,7 +114,10 @@ def fill_gaps(
             F.explode(
                 F.sequence(
                     F.col("__obs"),
-                    F.coalesce(F.col("__nxt") - step, F.col("__obs")),
+                    F.greatest(
+                        F.col("__obs"),
+                        F.coalesce(F.col("__nxt") - step, F.col("__obs")),
+                    ),
                     step,
                 )
             ).alias(bucket_col),
@@ -845,6 +854,21 @@ def seasonal_anomalies(
     return mad_outliers(dec, "resid", by=keys, k=k, approx=approx)
 
 
+def _order_pos(dtype: str, order_col: str) -> Column:
+    """The fractional-position expression ``interpolate_linear`` uses
+    for its distance weights (epoch micros for timestamps, epoch days
+    for dates, plain double otherwise) — shared by the fused
+    :func:`fill_gaps_interpolated` so both paths blend with EXACTLY the
+    same doubles."""
+    if dtype.startswith("timestamp"):
+        return F.unix_micros(F.col(order_col)).cast("double")
+    if dtype == "date":
+        return F.datediff(F.col(order_col), F.lit("1970-01-01")).cast(
+            "double"
+        )
+    return F.col(order_col).cast("double")
+
+
 def interpolate_linear(
     df: DataFrame,
     value_cols: Sequence[str],
@@ -876,16 +900,7 @@ def interpolate_linear(
     if isinstance(keys, str):
         keys = [keys]
     keys = list(keys)
-    dtype = dict(df.dtypes)[order_col]
-    pos = (
-        F.unix_micros(F.col(order_col)).cast("double")
-        if dtype.startswith("timestamp")
-        else F.datediff(F.col(order_col), F.lit("1970-01-01"))
-        .cast("double")
-        if dtype == "date"
-        else F.col(order_col).cast("double")
-    )
-    out = df.withColumn("__pos", pos)
+    out = df.withColumn("__pos", _order_pos(dict(df.dtypes)[order_col], order_col))
     w_prev = (
         Window.partitionBy(*keys)
         .orderBy("__pos")
@@ -922,3 +937,165 @@ def interpolate_linear(
         )
         out = out.withColumn(c + suffix, interp)
     return out.drop("__pos")
+
+
+def fill_gaps_interpolated(
+    resampled: DataFrame,
+    period_seconds: int,
+    value_cols: Sequence[str],
+    keys: Sequence[str] = (),
+    bucket_col: str = "bucket_start",
+    locf_cols: Sequence[str] = (),
+    suffix: str = "_interp",
+) -> DataFrame:
+    """Fused ``fill_gaps`` → ``interpolate_linear``: identical result
+    (row-for-row, same doubles — equivalence test-pinned), different
+    plan. The composed form sorts the DENSE grid twice (ascending for
+    the prev-observed window, descending for next-observed) on top of
+    ``fill_gaps``' own observed-grain sort; but every interpolation
+    input — the previous/next non-NULL observed neighbor — is constant
+    across the gap run one observed row generates, so it can be
+    computed BEFORE the explode, at the observed grain (r11, guide
+    §2.2/§2.4: same (keys, bucket) exchange serves the lead, the LOCF
+    and both neighbor lookups; the dense grid is never sorted at all).
+
+    Contract: ``value_cols`` ⊆ the aggregate columns; keys required
+    (the keyless path has no explode to fuse past — falls back to the
+    composition). Semantics notes inherited from the two operators:
+    LOCF runs before interpolation (a ``value_cols`` ∩ ``locf_cols``
+    column interpolates over its FILLED values), leading/trailing
+    NULLs stay NULL, observed values pass through exactly.
+    """
+    if isinstance(value_cols, str):
+        value_cols = [value_cols]
+    value_cols = list(value_cols)
+    if not value_cols:
+        raise ValueError("value_cols must name at least one column")
+    if isinstance(keys, str):
+        keys = [keys]
+    keys = list(keys)
+    if isinstance(locf_cols, str):
+        locf_cols = [locf_cols]
+    if not keys:
+        return interpolate_linear(
+            fill_gaps(
+                resampled, period_seconds, keys, bucket_col, locf_cols
+            ),
+            value_cols,
+            keys,
+            order_col=bucket_col,
+            suffix=suffix,
+        )
+    agg_cols = [
+        c for c in resampled.columns if c not in (*keys, bucket_col)
+    ]
+    missing = [c for c in value_cols if c not in agg_cols]
+    if missing:
+        raise ValueError(
+            f"value_cols not in the aggregate columns: {missing}"
+        )
+    step = F.expr(f"INTERVAL {period_seconds} SECONDS")
+    dtype = dict(resampled.dtypes)[bucket_col]
+
+    def obs_struct(c: str) -> Column:
+        v = F.col(c).cast("double")
+        return F.when(
+            v.isNotNull(),
+            F.struct(
+                _order_pos(dtype, bucket_col).alias("p"), v.alias("val")
+            ),
+        )
+
+    # pass 1 (ascending — ONE exchange + sort at the observed grain):
+    # LOCF fill + the successor bucket, exactly fill_gaps' keyed shape
+    w = Window.partitionBy(*keys).orderBy(bucket_col)
+    w_run = w.rowsBetween(Window.unboundedPreceding, 0)
+    obs = resampled.select(
+        *keys,
+        *[
+            F.last(c, ignorenulls=True).over(w_run).alias(c)
+            if c in locf_cols
+            else F.col(c)
+            for c in agg_cols
+        ],
+        bucket_col,
+        F.lead(bucket_col).over(w).alias("__nxt"),
+    )
+    # pass 2 (same ordering — no new sort): previous non-NULL observed
+    # (position, value) per value column, current row included, over
+    # the POST-LOCF values — interpolate_linear's w_prev at the
+    # observed grain (gap rows never hold the last non-NULL, so the
+    # dense-grid lookup collapses to this)
+    obs = obs.select(
+        "*",
+        *[
+            F.last(obs_struct(c), ignorenulls=True)
+            .over(w_run)
+            .alias(f"__pnn_{c}")
+            for c in value_cols
+        ],
+    )
+    # pass 3 (descending sort, same partitioning — no new exchange):
+    # next non-NULL observed STRICTLY after this row (frame excludes
+    # the current row: a non-NULL row is its own "previous", never its
+    # own "next"; its gap run's next neighbor is the first non-NULL
+    # successor)
+    w_rev = (
+        Window.partitionBy(*keys)
+        .orderBy(F.col(bucket_col).desc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    obs = obs.select(
+        "*",
+        *[
+            F.last(obs_struct(c), ignorenulls=True)
+            .over(w_rev)
+            .alias(f"__nnn_{c}")
+            for c in value_cols
+        ],
+    )
+    dense = obs.select(
+        *keys,
+        *agg_cols,
+        *[f"__pnn_{c}" for c in value_cols],
+        *[f"__nnn_{c}" for c in value_cols],
+        F.col(bucket_col).alias("__obs"),
+        F.explode(
+            F.sequence(
+                F.col(bucket_col),
+                F.greatest(
+                    F.col(bucket_col),
+                    F.coalesce(F.col("__nxt") - step, F.col(bucket_col)),
+                ),
+                step,
+            )
+        ).alias(bucket_col),
+    )
+    gap = F.col(bucket_col) != F.col("__obs")
+
+    def interp(c: str) -> Column:
+        vm = F.col(c) if c in locf_cols else F.when(~gap, F.col(c))
+        v = vm.cast("double")
+        prev, nxt = F.col(f"__pnn_{c}"), F.col(f"__nnn_{c}")
+        p0, v0 = prev["p"], prev["val"]
+        p1, v1 = nxt["p"], nxt["val"]
+        pos = _order_pos(dtype, bucket_col)
+        frac = F.when(p1 != p0, (pos - p0) / (p1 - p0)).otherwise(
+            F.lit(0.0)
+        )
+        return F.when(v.isNotNull(), v).otherwise(
+            F.when(prev.isNotNull() & nxt.isNotNull(), v0 + (v1 - v0) * frac)
+        )
+
+    return dense.select(
+        *keys,
+        bucket_col,
+        *[
+            F.col(c)
+            if c in locf_cols
+            else F.when(~gap, F.col(c)).alias(c)
+            for c in agg_cols
+        ],
+        gap.alias("is_gap"),
+        *[interp(c).alias(c + suffix) for c in value_cols],
+    )

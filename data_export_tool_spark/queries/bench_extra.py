@@ -2436,11 +2436,13 @@ def b141_rake_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def b142_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gauge-series repair: hourly rollup → densify → linear
-    interpolation across the gaps, two window passes per key
-    (operators/timeseries.py interpolate_linear)."""
+    interpolation across the gaps — the FUSED fill_gaps→interpolate
+    path (operators/timeseries.py fill_gaps_interpolated, r11): all
+    windows run at the observed grain off one exchange; the composed
+    form's two dense-grid sorts are gone (result identical —
+    tests/test_interpolate.py pins fused == composed)."""
     from data_export_tool_spark.operators.timeseries import (
-        fill_gaps,
-        interpolate_linear,
+        fill_gaps_interpolated,
         resample,
     )
 
@@ -2449,10 +2451,9 @@ def b142_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev, "1 hour", {"v": F.avg("value")},
         keys=["event_type", "user_id"],
     )
-    grid = fill_gaps(hourly, 3600, keys=["event_type", "user_id"])
-    fixed = interpolate_linear(
-        grid, ["v"], keys=["event_type", "user_id"],
-        order_col="bucket_start",
+    fixed = fill_gaps_interpolated(
+        hourly, 3600, ["v"], keys=["event_type", "user_id"],
+        bucket_col="bucket_start",
     )
     return fixed.agg(
         F.count(F.lit(1)).alias("points"),

@@ -107,3 +107,96 @@ def test_interpolate_validation(spark):
     df = spark.createDataFrame([("k", 1, 1.0)], "k string, t int, v double")
     with pytest.raises(ValueError, match="value_cols"):
         interpolate_linear(df, [], ["k"], "t")
+
+
+def _randomized_resample(spark, seed: int, with_ts: bool = True):
+    """A synthetic resample-shaped frame with gaps, NULL observed
+    values (leading/interior/trailing), single-row keys, and a second
+    aggregate column for the LOCF interplay."""
+    import random
+
+    rng = random.Random(seed)
+    rows = []
+    for k in range(8):
+        buckets = sorted(rng.sample(range(50), rng.randint(1, 20)))
+        for b in buckets:
+            v = None if rng.random() < 0.35 else round(rng.uniform(-5, 5), 3)
+            g = None if rng.random() < 0.35 else round(rng.uniform(0, 9), 3)
+            rows.append((f"k{k}", b, v, g))
+    df = spark.createDataFrame(rows, "k string, b int, v double, g double")
+    if with_ts:
+        df = df.select(
+            "k",
+            F.timestamp_seconds(F.col("b") * 3600).alias("bucket_start"),
+            "v",
+            "g",
+        )
+    return df
+
+
+@pytest.mark.parametrize("seed", [1, 2])
+@pytest.mark.parametrize("locf", [(), ("g",), ("v", "g")])
+def test_fused_fill_gaps_interpolated_equals_composition(spark, seed, locf):
+    # the r11 fused operator must return EXACTLY the composed result —
+    # rows, schema, and doubles (same blend expressions, different plan)
+    from data_export_tool_spark.operators.timeseries import (
+        fill_gaps_interpolated,
+    )
+
+    df = _randomized_resample(spark, seed)
+    composed = interpolate_linear(
+        fill_gaps(df, 3600, keys=["k"], locf_cols=locf),
+        ["v"],
+        keys=["k"],
+        order_col="bucket_start",
+    )
+    fused = fill_gaps_interpolated(
+        df, 3600, ["v"], keys=["k"], locf_cols=locf
+    )
+    assert fused.schema == composed.schema
+    assert fused.exceptAll(composed).count() == 0
+    assert composed.exceptAll(fused).count() == 0
+
+
+def test_fused_keyless_falls_back_to_composition(spark):
+    from data_export_tool_spark.operators.timeseries import (
+        fill_gaps_interpolated,
+    )
+
+    rows = [(0, 1.0), (2, None), (3, 4.0)]
+    df = spark.createDataFrame(rows, "b int, v double").select(
+        F.timestamp_seconds(F.col("b") * 3600).alias("bucket_start"), "v"
+    )
+    composed = interpolate_linear(
+        fill_gaps(df, 3600), ["v"], order_col="bucket_start"
+    )
+    fused = fill_gaps_interpolated(df, 3600, ["v"])
+    assert sorted(map(tuple, fused.collect())) == sorted(
+        map(tuple, composed.collect())
+    )
+
+
+def test_fused_validation(spark):
+    from data_export_tool_spark.operators.timeseries import (
+        fill_gaps_interpolated,
+    )
+
+    df = spark.createDataFrame(
+        [("k", 0, 1.0)], "k string, bucket_start int, v double"
+    )
+    with pytest.raises(ValueError, match="value_cols"):
+        fill_gaps_interpolated(df, 3600, [], keys=["k"])
+    with pytest.raises(ValueError, match="not in the aggregate"):
+        fill_gaps_interpolated(df, 3600, ["nope"], keys=["k"])
+
+
+def test_fill_gaps_duplicate_bucket_tolerated(spark):
+    # ADVICE r10: contract-violating duplicate (key, bucket) rows must
+    # not raise "illegal sequence boundaries" — the duplicate densifies
+    # to itself (the old axis-join tolerance)
+    rows = [("k", 0, 1.0), ("k", 0, 2.0), ("k", 2, 3.0)]
+    df = spark.createDataFrame(rows, "k string, b int, v double").select(
+        "k", F.timestamp_seconds(F.col("b") * 3600).alias("bucket_start"), "v"
+    )
+    out = fill_gaps(df, 3600, keys=["k"]).collect()
+    assert len(out) == 4  # dup row + dup row + gap row at t=1 + t=2

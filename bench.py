@@ -474,8 +474,16 @@ def main() -> None:
     for carry in carries:
         if isinstance(prev_detail, dict) and carry in prev_detail:
             detail.setdefault(carry, prev_detail[carry])
+    # commit-or-restore discipline (VERDICT r10 #5): BENCH_DETAIL.json
+    # is the committed cross-round evidence file FOR THE CANONICAL
+    # SCALE — a smoke run at another sf must not clobber it (an sf0.001
+    # run once overwrote the shipped sf0.1 numbers in the working
+    # tree); off-scale runs write a suffixed file instead
+    detail_name = (
+        "BENCH_DETAIL.json" if sf == 0.1 else f"BENCH_DETAIL_sf{sf}.json"
+    )
     try:
-        with open(os.path.join(HERE, "BENCH_DETAIL.json"), "w") as fh:
+        with open(os.path.join(HERE, detail_name), "w") as fh:
             json.dump(detail, fh, indent=1, sort_keys=True)
     except OSError:
         pass  # detail is best-effort; the stdout line is the contract

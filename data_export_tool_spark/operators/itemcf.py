@@ -76,12 +76,28 @@ def item_item_topk(
     # who may witness a co-occurrence, not what |U_i| means
     deg = ui.groupBy("i").agg(F.count(F.lit(1)).alias("n"))
     if max_user_items is not None:
+        # hot/cold split (r11, guide §2.5): the cap only ever REMOVES
+        # rows from users holding more than max_user_items items, so
+        # only those users need the rank window — a per-user count
+        # (map-side combinable) finds them, everyone else passes
+        # through untouched, and the per-user sort runs over the HOT
+        # SLICE only instead of the whole incidence table (hot users
+        # are few by the hub-cap premise; AQE broadcasts the probe).
+        # Selection rule unchanged: lowest xxhash64, test-pinned.
+        hot = (
+            ui.groupBy("u")
+            .agg(F.count(F.lit(1)).alias("__n"))
+            .where(F.col("__n") > max_user_items)
+            .select("u")
+        )
         w = Window.partitionBy("u").orderBy(F.xxhash64("i"), F.col("i"))
-        wit = (
-            ui.withColumn("__rn", F.row_number().over(w))
+        hot_wit = (
+            ui.join(hot, "u", "left_semi")
+            .withColumn("__rn", F.row_number().over(w))
             .where(F.col("__rn") <= max_user_items)
             .drop("__rn")
         )
+        wit = ui.join(hot, "u", "left_anti").unionByName(hot_wit)
     else:
         wit = ui
     a = wit.select(F.col("u"), F.col("i").alias("ia"))
@@ -139,6 +155,16 @@ def item_item_recommend(
     if k < 1:
         raise ValueError(f"k must be >= 1, got {k}")
     ui = _incidence(df, user_col, item_col)
+    # ONE hash(u) exchange serves all three user-keyed steps (r11,
+    # guide §2.4 "two operations keyed the same way share one
+    # exchange"): hash(u) satisfies the (u, cand) aggregate's
+    # clustering (subset), the owned-items anti join co-partitions on
+    # u, and the rank window below needs u — the composed plan
+    # re-shuffled the ~|interactions|·k candidate stream twice more
+    # (hash(u,cand) for the anti, hash(u) for the window). Trade-off:
+    # the exchange carries PRE-aggregate candidate rows; measured on
+    # the co-purchase shape the (u, cand) aggregate removes ~1 % of
+    # rows (2.99 M → 2.96 M), so map-side partials bought nothing.
     cand = (
         ui.join(
             sims.select(
@@ -148,6 +174,7 @@ def item_item_recommend(
             ),
             "i",
         )
+        .repartition("u")
         .groupBy("u", "cand")
         .agg(F.sum("cosine").alias("score"))
         .join(

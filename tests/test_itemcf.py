@@ -4,6 +4,7 @@ coarsened co-purchase data, hand cosine case, hot-user cap laws."""
 from __future__ import annotations
 
 import pytest
+from pyspark.sql import functions as F
 
 from data_export_tool_spark.operators.itemcf import (
     item_item_recommend,
@@ -176,3 +177,48 @@ def test_itemcf_validation(spark):
         item_item_topk(df, "u", "i", k=0)
     with pytest.raises(ValueError, match="min_cooccur"):
         item_item_topk(df, "u", "i", min_cooccur=0)
+
+
+def test_itemcf_hot_cold_split_matches_pure_window(spark):
+    # r11: the cap windows only OVER-CAP users (hot/cold split); the
+    # witnessed set must equal the pure per-user window's — lowest
+    # xxhash64(i) per user, cap applied to hot users only
+    import random
+
+    from pyspark.sql import Window
+
+    rng = random.Random(7)
+    rows = [
+        (u, f"i{rng.randrange(40)}")
+        for u in range(30)
+        for _ in range(rng.choice([1, 2, 3, 9, 12]))
+    ]
+    df = spark.createDataFrame(rows, "u long, i string")
+    cap = 4
+    got = item_item_topk(df, "u", "i", k=50, max_user_items=cap,
+                         min_cooccur=1).collect()
+    # reference: same pipeline with the ORIGINAL single-window cap
+    ui = df.distinct()
+    w = Window.partitionBy("u").orderBy(F.xxhash64("i"), F.col("i"))
+    wit = (
+        ui.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") <= cap)
+        .drop("__rn")
+    )
+    a = wit.select("u", F.col("i").alias("ia"))
+    b = wit.select("u", F.col("i").alias("ib"))
+    co = (
+        a.join(b, "u")
+        .where(F.col("ia") < F.col("ib"))
+        .groupBy("ia", "ib")
+        .agg(F.count(F.lit(1)).alias("n_co"))
+    )
+    ref = {
+        (r["ia"], r["ib"]): r["n_co"] for r in co.collect()
+    }
+    got_pairs = {
+        (r["item"], r["neighbor"]): r["n_co"]
+        for r in got
+        if r["item"] < r["neighbor"]
+    }
+    assert got_pairs == ref

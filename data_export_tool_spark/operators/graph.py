@@ -48,12 +48,40 @@ def _stored_rdd_ids(sc) -> set[int]:
 _MAX_STATS_BITS = 256
 
 
-def _checkpoint(df: DataFrame) -> tuple[DataFrame, set[int]]:
+def _checkpoint(
+    df: DataFrame, partition_by: tuple[str, ...] | None = None
+) -> tuple[DataFrame, set[int]]:
     """localCheckpoint + the storage ids the checkpoint created, so the
     caller can free them when the table is superseded. Neither
     ``DataFrame.unpersist`` nor reference-drop GC releases local-
     checkpoint blocks (verified empirically on 4.1) — only unpersisting
     the underlying RDD via the context's persistent-RDD map does.
+
+    ``partition_by`` (r11, guide §2.2/§2.4 "share one exchange"):
+    names of columns to hash-partition AND sort the frame by, with the
+    layout CLAIMED on the checkpoint's LogicalRDD so downstream rounds
+    see it. Spark 4.1 under AQE loses a checkpoint's partitioning
+    (`LogicalRDD.fromDataset` records ``UnknownPartitioning`` when the
+    final stage is an AQE shuffle read — verified in every r10 plan
+    tail), so every round of an iterative operator re-exchanges the
+    loop-INVARIANT edge table from scratch. Re-claiming the true
+    layout turns each round's equi-join on these keys into a
+    zero-exchange, zero-sort co-partitioned merge join. Use it for
+    LOOP-INVARIANT tables only: the pin costs one extra in-memory
+    pass, paid once, saved every round.
+
+    The pin is TWO-PHASE so the partition COUNT stays scale-adaptive
+    (§2.2 — fewer, larger partitions; a pin hard-coded to
+    ``spark.sql.shuffle.partitions`` measured 2.2× slower scans at
+    sf0.1 than AQE's own coalesced granularity): first a plain eager
+    checkpoint lets AQE pick the partition count for THIS data volume
+    under the session conf, then the materialized blocks are
+    re-hashed to ``hash(cols) % that-count`` + sorted, checkpointed,
+    and claimed. Soundness: an explicit ``repartition(k, cols)``
+    places rows exactly by the claimed expression and is never
+    AQE-coalesced; ``sortWithinPartitions`` realizes the claimed
+    ``SortOrder``; results are identical either way — only
+    Exchange/Sort nodes disappear (plan-contract-tested).
 
     Stats-compounding guard (r11): Spark preserves the origin plan's
     size ESTIMATE on the checkpoint's LogicalRDD, and join estimation
@@ -70,20 +98,117 @@ def _checkpoint(df: DataFrame) -> tuple[DataFrame, set[int]]:
     checkpoints are untouched."""
     spark = df.sparkSession
     sc = spark.sparkContext
+    n_part = None
+    if partition_by:
+        before0 = _stored_rdd_ids(sc)
+        ck0 = df.localCheckpoint(eager=True)
+        ids0 = _stored_rdd_ids(sc) - before0
+        n_part = max(1, ck0.rdd.getNumPartitions())
+        df = ck0.repartition(n_part, *partition_by).sortWithinPartitions(
+            *partition_by
+        )
     before = _stored_rdd_ids(sc)
     out = df.localCheckpoint(eager=True)
+    ids = _stored_rdd_ids(sc) - before
+    if partition_by:
+        _release(sc, ids0)
+        if out.rdd.getNumPartitions() != n_part:
+            # AQE empty-propagation can materialize 0 partitions for an
+            # empty frame — a layout claim would then let the planner
+            # skip exchanges whose input no longer produces the agg row
+            # it expects ("head of empty array" on count). Claim only
+            # when the physical layout matches exactly.
+            partition_by = None
     jqe = out._jdf.queryExecution()
-    if int(jqe.optimizedPlan().stats().sizeInBytes()).bit_length() > _MAX_STATS_BITS:
-        jschema = spark._jvm.org.apache.spark.sql.types.DataType.fromJson(
-            out.schema.json()
+    compounded = (
+        int(jqe.optimizedPlan().stats().sizeInBytes()).bit_length()
+        > _MAX_STATS_BITS
+    )
+    if partition_by or compounded:
+        rebuilt = _reclaim_layout(
+            spark, out, partition_by, n_part, honest_stats=not compounded
         )
-        out = DataFrame(
-            spark._jsparkSession.internalCreateDataFrame(
-                jqe.toRdd(), jschema, False
-            ),
-            spark,
+        if rebuilt is not None:
+            out = rebuilt
+        elif compounded:
+            jschema = spark._jvm.org.apache.spark.sql.types.DataType.fromJson(
+                out.schema.json()
+            )
+            out = DataFrame(
+                spark._jsparkSession.internalCreateDataFrame(
+                    jqe.toRdd(), jschema, False
+                ),
+                spark,
+            )
+    return out, ids
+
+
+def _reclaim_layout(
+    spark,
+    out: DataFrame,
+    partition_by: tuple[str, ...] | None,
+    n_part: int | None,
+    honest_stats: bool,
+) -> DataFrame | None:
+    """Copy the checkpoint's LogicalRDD with (a) the hash partitioning
+    + per-partition sort order the ``repartition + sortWithinPartitions``
+    in :func:`_checkpoint` genuinely produced, and (b) origin stats
+    dropped when they compounded past the guard. Returns None when the
+    plan is not the expected LogicalRDD shape (caller falls back to
+    the stats-only rebuild); any py4j surprise degrades to the slower
+    pre-claim plan, never to a wrong one — the claim changes only
+    physical layout metadata, not rows."""
+    try:
+        plan = out._jdf.queryExecution().analyzed()
+        if not plan.getClass().getName().endswith(".LogicalRDD"):
+            return None
+        jvm = spark._jvm
+        part = plan.outputPartitioning()
+        ordering = plan.outputOrdering()
+        if partition_by:
+            outp = plan.output()
+            by_name = {}
+            for i in range(outp.size()):
+                a = outp.apply(i)
+                by_name[a.name()] = a
+            attrs = [by_name[c] for c in partition_by]
+            part = jvm.org.apache.spark.sql.catalyst.plans.physical.HashPartitioning(
+                jvm.PythonUtils.toSeq(attrs), n_part
+            )
+            exprs_pkg = jvm.org.apache.spark.sql.catalyst.expressions
+            asc = getattr(getattr(exprs_pkg, "Ascending$"), "MODULE$")
+            nf = getattr(getattr(exprs_pkg, "NullsFirst$"), "MODULE$")
+            empty_seq = jvm.PythonUtils.toSeq([])
+            ordering = jvm.PythonUtils.toSeq(
+                [
+                    jvm.org.apache.spark.sql.catalyst.expressions.SortOrder(
+                        a, asc, nf, empty_seq
+                    )
+                    for a in attrs
+                ]
+            )
+        stats_opt = (
+            jvm.scala.Option.apply(plan.computeStats())
+            if honest_stats
+            else jvm.scala.Option.empty()
         )
-    return out, _stored_rdd_ids(sc) - before
+        new_plan = plan.copy(
+            plan.output(),
+            plan.rdd(),
+            part,
+            ordering,
+            plan.isStreaming(),
+            plan.stream(),
+            spark._jsparkSession,
+            stats_opt,
+            jvm.scala.Option.empty(),
+        )
+        jdf = jvm.org.apache.spark.sql.classic.Dataset.ofRows(
+            spark._jsparkSession, new_plan
+        )
+        return DataFrame(jdf, spark)
+    except Exception:
+        return None
 
 
 def _release(sc, ids: set[int]) -> None:
@@ -163,13 +288,20 @@ def connected_components(
     # materialize the (possibly expensive) pair pipeline ONCE before the
     # symmetric union references it twice
     pairs, pairs_ids = _checkpoint(edges.select(u.alias("u"), v.alias("v")))
+    # sym is probed by "m" every round (neighbor-min pulls each
+    # neighbor's label) — pin that layout once so no round ever
+    # re-exchanges the O(E) table (r11, §2.2/§2.4; see _checkpoint)
     sym, sym_ids = _checkpoint(
         pairs.select(F.col("u").alias("n"), F.col("v").alias("m"))
-        .union(pairs.select(F.col("v").alias("n"), F.col("u").alias("m")))
+        .union(pairs.select(F.col("v").alias("n"), F.col("u").alias("m"))),
+        partition_by=("m",),
     )
     # pairs fed sym's (materialized) checkpoint; free it immediately
     _release(sc, pairs_ids)
-    # labels start as each node's own id (self-edge min == identity)
+    # labels start as each node's own id (self-edge min == identity);
+    # per-round label checkpoints stay UNPINNED: a pin costs an extra
+    # materialization pass per round, and AQE already coalesces the
+    # O(V) state to the right granularity (measured — see _checkpoint)
     labels, labels_ids = _checkpoint(
         sym.groupBy("n").agg(F.least(F.min("m"), F.col("n")).alias("c"))
     )
@@ -384,15 +516,23 @@ def pagerank(
         )
     )
     outd = e.groupBy("s").agg(F.count(F.lit(1)).alias("__outd"))
+    # the loop-invariant weighted edge table and the node set are
+    # pinned to hash(join key) layout at checkpoint time (r11,
+    # §2.2/§2.4): every round's rank join and the final padding join
+    # then run as zero-exchange zero-sort co-partitioned merges —
+    # without the claim each round re-shuffles the O(E) edge table
+    # (AQE loses checkpoint partitioning; see _checkpoint)
     ew, ew_ids = _checkpoint(
         e.join(outd, "s").select(
             "s", "d", (F.lit(1.0) / F.col("__outd")).alias("w")
-        )
+        ),
+        partition_by=("s",),
     )
     nodes, nodes_ids = _checkpoint(
         e.select(F.col("s").alias("n"))
         .union(e.select(F.col("d").alias("n")))
-        .distinct()
+        .distinct(),
+        partition_by=("n",),
     )
     n_nodes = nodes.count()
     if n_nodes == 0:
@@ -605,10 +745,14 @@ def label_propagation(
     und = edges.where(
         F.col(src).isNotNull() & F.col(dst).isNotNull() & (F.col(src) != F.col(dst))
     ).select(F.least(src, dst).alias("a"), F.greatest(src, dst).alias("b")).distinct()
+    # per-round probe layouts pinned once (r11, §2.2/§2.4): sym is
+    # joined by "m", the label table arrives renamed n→m (alias-aware
+    # hash(n) claim serves it) — no O(E) re-exchange per round
     sym, sym_ids = _checkpoint(
         und.select(F.col("a").alias("n"), F.col("b").alias("m")).union(
             und.select(F.col("b").alias("n"), F.col("a").alias("m"))
-        )
+        ),
+        partition_by=("m",),
     )
     labels, lab_ids = _checkpoint(
         sym.select("n").distinct().select("n", F.col("n").alias("community"))
@@ -749,10 +893,12 @@ def personalized_pagerank(
         )
     )
     outd = e.groupBy("s").agg(F.count(F.lit(1)).alias("__outd"))
+    # same pinned-layout scheme as pagerank (r11, §2.2/§2.4)
     ew, ew_ids = _checkpoint(
         e.join(outd, "s").select(
             "s", "d", (F.lit(1.0) / F.col("__outd")).alias("w")
-        )
+        ),
+        partition_by=("s",),
     )
     # node set INCLUDES off-graph seeds: they hold teleport mass
     seed_df = edges.sparkSession.createDataFrame(
@@ -762,7 +908,8 @@ def personalized_pagerank(
         e.select(F.col("s").alias("n"))
         .union(e.select(F.col("d").alias("n")))
         .union(seed_df.select("n"))
-        .distinct()
+        .distinct(),
+        partition_by=("n",),
     )
     _release(sc, e_ids)
     share = 1.0 / len(srcs)
@@ -876,6 +1023,10 @@ def bfs_distances(
                 v.alias("n"), u.alias("m")
             )
         )
+    # NOTE (r11): pinning adj's hash("n") layout at the checkpoint
+    # (the pagerank/hits §2.4 trick) was MEASURED SLOWER here (in-
+    # session A/B 3.9 vs 3.5 s): the frontier side broadcasts at this
+    # scale, so the pin's extra setup pass buys no per-hop exchange.
     adj, adj_ids = _checkpoint(pairs.distinct())
 
     if isinstance(sources, DataFrame):
@@ -985,7 +1136,10 @@ def sssp(
         pairs = pairs.union(
             base.select(v.alias("n"), u.alias("m"), wc.alias("w"))
         )
-    # parallel edges: keep the cheapest once, up front
+    # parallel edges: keep the cheapest once, up front. NOTE (r11):
+    # pinning hash("n") on this checkpoint was MEASURED SLOWER (A/B
+    # 4.6 vs 4.3 s): the improved-frontier side broadcasts at this
+    # scale, so the pin's extra pass buys no per-round exchange.
     adj, adj_ids = _checkpoint(
         pairs.groupBy("n", "m").agg(F.min("w").alias("w"))
     )
@@ -1078,16 +1232,20 @@ def hits(
     the identical normalization, so scores match exactly, not just up
     to scale).
 
-    Scale shape: per round two edge-join + groupBy-sum exchanges
-    (``pagerank``'s shape, doubled for the dual). Per half-step ONE
-    localCheckpoint of the raw sums whose L1 norm is OBSERVED during
-    the same action (CollectMetrics fires on eager localCheckpoint) —
-    the normalized table is a lazy
-    projection over the checkpoint, never re-materialized, and the
-    zero-score padding join (nodes with no in/out links) runs ONCE at
-    the end instead of inside the loop: a zero score contributes
-    nothing to either the next half-step's join or the L1 norm, so
-    looping over the nonzero support is exact, not an approximation.
+    Scale shape (r11, §1.2/§2.2/§2.4): rounds 1..n−1 are FUSED — the
+    authority update is a lazy intermediate of the hub update's job,
+    so each fused round is ONE action (join → groupBy → join → groupBy
+    → checkpoint) instead of two. The fusion is exact up to float
+    rounding: ``h_i = normalize(A·normalize(Aᵀh)) ≡
+    (A·Aᵀh)/Σ(A·Aᵀh)`` — the per-element normalization scalar cancels,
+    so the fused round normalizes ONCE by the raw hub sum observed
+    during the checkpoint (differences are ~1 ulp/round, far inside
+    the replay oracle's 1e-9 pin). The final round stays split so the
+    output's authority table materializes. The edge table is
+    checkpointed TWICE, pinned hash(s) and hash(t) (see _checkpoint):
+    every per-round join and the final padding join are zero-exchange
+    co-partitioned merges — only the two groupBy exchanges per round
+    carry rows, and those are partial-aggregated map-side.
     ``n_iter`` bounds rounds — HITS converges geometrically (principal
     eigenvector of AᵀA / AAᵀ), 20 rounds is the standard budget.
     Returns ``node, hub, authority`` (nodes with only in-links get
@@ -1103,16 +1261,20 @@ def hits(
     ew, ew_ids = _checkpoint(
         edges.where(u.isNotNull() & v.isNotNull())
         .select(u.alias("s"), v.alias("t"))
-        .distinct()
+        .distinct(),
+        partition_by=("s",),
     )
+    ewt, ewt_ids = _checkpoint(ew, partition_by=("t",))
     nodes, nodes_ids = _checkpoint(
         ew.select(F.col("s").alias("n"))
         .union(ew.select(F.col("t").alias("n")))
-        .distinct()
+        .distinct(),
+        partition_by=("n",),
     )
     n_nodes = nodes.count()
     if n_nodes == 0:
         _release(sc, ew_ids)
+        _release(sc, ewt_ids)
         _release(sc, nodes_ids)
         # empty-graph schema must track the actual node-id type (string
         # ids would otherwise conflict with a hardcoded long on union)
@@ -1127,24 +1289,18 @@ def hits(
     # Round 1's uniform hub rides the already-checkpointed nodes table
     # — its in-link-only rows drop out at the first join.
     hub, hub_ids = nodes.select("n", F.lit(1.0 / n_nodes).alias("h")), set()
-    last_auth, last_auth_ids = None, set()
-    for i in range(n_iter):
-        # authority update: a(t) = Σ_{s→t} h(s), then L1-normalize —
-        # the raw sums are checkpointed once; the normalized table is a
-        # lazy projection over those blocks (no second materialization)
-        obs_a = Observation()
-        auth, auth_ids = _checkpoint(
+    for i in range(n_iter - 1):
+        # fused round: the intermediate authority stays RAW (its norm
+        # cancels out of the normalized hub — see docstring), so the
+        # whole round is one action checkpointing only the raw hub sums
+        auth_raw = (
             ew.join(hub.withColumnRenamed("n", "s"), "s")
             .groupBy(F.col("t").alias("n"))
             .agg(F.sum("h").alias("a"))
-            .observe(obs_a, F.sum("a").alias("s"))
         )
-        norm_a = _observed(obs_a, auth, "s", F.sum("a")) or 1.0
-        auth_n = auth.select("n", (F.col("a") / norm_a).alias("a"))
-        # hub update: h(s) = Σ_{s→t} a(t), then L1-normalize
         obs_h = Observation()
         new_hub, new_hub_ids = _checkpoint(
-            ew.join(auth_n.withColumnRenamed("n", "t"), "t")
+            ewt.join(auth_raw.withColumnRenamed("n", "t"), "t")
             .groupBy(F.col("s").alias("n"))
             .agg(F.sum("a").alias("h"))
             .observe(obs_h, F.sum("h").alias("s"))
@@ -1152,9 +1308,29 @@ def hits(
         norm_h = _observed(obs_h, new_hub, "s", F.sum("h")) or 1.0
         hub_n = new_hub.select("n", (F.col("h") / norm_h).alias("h"))
         _release(sc, hub_ids)
-        _release(sc, last_auth_ids)
         hub, hub_ids = hub_n, new_hub_ids
-        last_auth, last_auth_ids = auth_n, auth_ids
+
+    # final round stays split: the output needs the normalized
+    # authority table materialized
+    obs_a = Observation()
+    auth, auth_ids = _checkpoint(
+        ew.join(hub.withColumnRenamed("n", "s"), "s")
+        .groupBy(F.col("t").alias("n"))
+        .agg(F.sum("h").alias("a"))
+        .observe(obs_a, F.sum("a").alias("s"))
+    )
+    norm_a = _observed(obs_a, auth, "s", F.sum("a")) or 1.0
+    last_auth = auth.select("n", (F.col("a") / norm_a).alias("a"))
+    obs_h = Observation()
+    new_hub, new_hub_ids = _checkpoint(
+        ewt.join(last_auth.withColumnRenamed("n", "t"), "t")
+        .groupBy(F.col("s").alias("n"))
+        .agg(F.sum("a").alias("h"))
+        .observe(obs_h, F.sum("h").alias("s"))
+    )
+    norm_h = _observed(obs_h, new_hub, "s", F.sum("h")) or 1.0
+    _release(sc, hub_ids)
+    hub, hub_ids = new_hub.select("n", (F.col("h") / norm_h).alias("h")), new_hub_ids
 
     out, out_ids = _checkpoint(
         nodes.join(hub, "n", "left")
@@ -1166,8 +1342,9 @@ def hits(
         )
     )
     _release(sc, hub_ids)
-    _release(sc, last_auth_ids)
+    _release(sc, auth_ids)
     _release(sc, ew_ids)
+    _release(sc, ewt_ids)
     _release(sc, nodes_ids)
     return out
 
@@ -1267,6 +1444,9 @@ def betweenness(
     pairs = base.select(u.alias("n"), v.alias("m"))
     if not directed:
         pairs = pairs.union(base.select(v.alias("n"), u.alias("m")))
+    # NOTE (r11): pinning adj's layout (the pagerank/hits §2.4 trick)
+    # was a wash in-session and slower cross-JVM — the per-level
+    # frontier/visited joins dominate, not the adjacency exchange.
     adj, adj_ids = _checkpoint(pairs.distinct())
 
     nodes = adj.select("n").union(adj.select(F.col("m").alias("n"))).distinct()

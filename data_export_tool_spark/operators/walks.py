@@ -178,6 +178,10 @@ def random_walks(
         "v",
         "left",
     ).select("u", "v", "__rank", "__vdeg")
+    # NOTE (r11): pinning hash("u") on this checkpoint (the pagerank
+    # §2.4 trick) was MEASURED SLOWER in-session (8.7 vs 8.2 s): the
+    # frontier side broadcasts at this scale, so the pin's extra pass
+    # buys no per-step exchange.
     adj, adj_ids = _checkpoint(adj1)
     deg, _deg_ids = _checkpoint(deg0)
 

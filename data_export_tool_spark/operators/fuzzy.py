@@ -581,12 +581,20 @@ def _jw_score_candidates(cand: DataFrame, threshold: float) -> DataFrame:
     candidates never reach the Arrow scorer. Recall neutral:
     equivalent (with admit-only slack) to jw_upper_bound >= threshold,
     which dominates the true JW (hypothesis-pinned vs
-    py_jaro_winkler). The distinct runs BEFORE the threshold filter:
-    filtering on the UDF column directly makes Catalyst evaluate the
-    Arrow scorer twice (once for the Filter, once for the output
-    Project); filtering above the dedup aggregate keeps exactly one
-    ArrowEvalPython in the plan, and the filter commutes with
-    distinct."""
+    py_jaro_winkler).
+
+    The scorer is marked NON-DETERMINISTIC (guide §4.4) so the
+    threshold filter right above it plans as one Filter over ONE
+    ArrowEvalPython — without the marker Catalyst duplicates the UDF
+    below the pushed filter and every surviving row pays it twice.
+    r10 shipped a ``.distinct()`` as the dedup-aggregate barrier
+    achieving the same single evaluation; both blockers are
+    duplicate-free by construction (prefix: a pair shares one __blk
+    and exactly ONE of the three exploded band probes equals the right
+    row's band; phonetic: one Soundex block key per row), so the
+    distinct was pure barrier — and its full exchange of every scored
+    pair cost 2.8× the filter path at sf0.1 (23.4 → 8.3 s on b101's
+    1.94 M surviving pairs, row-identical)."""
     import pandas as pd
     from pyspark.sql.functions import pandas_udf
 
@@ -602,12 +610,11 @@ def _jw_score_candidates(cand: DataFrame, threshold: float) -> DataFrame:
 
     _score.__annotations__ = {"ta": pd.Series, "tb": pd.Series,
                               "return": pd.Series}
-    score = pandas_udf(_score, "double")
+    score = pandas_udf(_score, "double").asNondeterministic()
     return (
         cand.withColumn("jw", F.round(score(F.col("__ta"), F.col("__tb")), 6))
-        .select("id_a", "id_b", "jw")
-        .distinct()
         .where(F.col("jw") >= threshold)
+        .select("id_a", "id_b", "jw")
     )
 
 
